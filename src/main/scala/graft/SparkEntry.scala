@@ -1,13 +1,146 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.B relational
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q5_region_volume" -> (Relational.q5RegionVolume _),
+    "q_filter_project" -> (Relational.qFilterProject _),
+    "q_topn" -> (Relational.qTopN _),
+    "q_distinct_agg" -> (Relational.qDistinctAgg _),
+    "q_window_rank" -> (Relational.qWindowRank _),
+    "q_semi_anti" -> (Relational.qSemiAnti _),
+    "q_rollup" -> (Relational.qRollup _),
+    "q_caseagg" -> (Relational.qCaseAgg _),
+    // §2.C events
+    "ev_hourly" -> (Relational.evHourly _),
+    "ev_sessionize" -> (Relational.evSessionize _),
+    "ev_top_users" -> (Relational.evTopUsers _),
+    "ev_json" -> (Relational.evJson _),
+  )
+
+  private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  /** DuckDB oracle SQL, column-aliased identically to the Spark results. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($DISC) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM($DISC * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  CAST(SUM($DISC) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_volume" ->
+      s"""SELECT n_name, CAST(SUM($DISC) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-02-01 00:00:00' AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_topn" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_rank" ->
+      """SELECT c_nationkey, c_custkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal, rk
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |        ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |      FROM customer) t
+        |WHERE rk <= 3 ORDER BY c_nationkey, rk""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_nationkey, 'yes' AS has_orders, COUNT(*) AS n_customers
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT c_nationkey, 'no' AS has_orders, COUNT(*) AS n_customers
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1
+        |ORDER BY c_nationkey, has_orders""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_caseagg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(SUM(CASE WHEN o_totalprice > 200000
+        |        THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL
+        |        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_top_users" ->
+      """WITH totals AS (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, total_value, rk FROM (
+        |  SELECT event_type, user_id, total_value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY total_value DESC, user_id) AS rk
+        |  FROM totals) t
+        |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+    "ev_json" ->
+      """WITH e AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+        |SELECT k % 10 AS k_bucket, COUNT(*) AS n_events, MAX(k) AS max_k
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }

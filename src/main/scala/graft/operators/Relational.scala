@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Relational analytics suite (SURVEY §2.B/§2.C).
+  *
+  * Conventions for cross-engine (DuckDB oracle) determinism:
+  *  - money/quantity math is done in DECIMAL (exact), emitted as DOUBLE;
+  *  - every output has a total deterministic ORDER BY;
+  *  - aggregate columns are aliased identically in Spark and oracle SQL.
+  *
+  * Scale notes: dimension tables are broadcast explicitly; aggregates rely
+  * on Catalyst partial aggregation (map-side combine); top-N uses
+  * TakeOrderedAndProject (no global sort materialization).
+  */
+object Relational {
+
+  /** Exact decimal view of a money/quantity double column. */
+  private def dec2(c: String): Column = col(c).cast("decimal(18,2)")
+  /** ext * (1 - disc) in exact decimal. */
+  private val discPrice: Column =
+    dec2("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+  private val chargePrice: Column =
+    discPrice * (lit(1).cast("decimal(18,2)") + dec2("l_tax"))
+
+  /** TPC-H Q1 shape: scan + filter + groupBy aggregate w/ partial agg. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec2("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(chargePrice).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 shape: 3-way join (1 broadcast) + agg + top-N. */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-way join, dims broadcast, local-supplier condition. */
+  def q5RegionVolume(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables.load(s, dir, "nation")
+    val cust = Tables.load(s, dir, "customer")
+    val supp = Tables.load(s, dir, "supplier")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val li = Tables.load(s, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust.withColumnRenamed("c_nationkey", "cn_key")),
+        col("o_custkey") === col("c_custkey") && col("cn_key") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** Predicate pushdown + column pruning: both must reach the parquet scan. */
+  def qFilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1999-01-01") &&
+        col("l_shipdate") < lit("1999-02-01") && col("l_quantity") < 5)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Global top-N: planned as TakeOrderedAndProject, not a full sort. */
+  def qTopN(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(20)
+
+  /** distinct + countDistinct (expand + two-phase agg). */
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Window function: top-3 customers by acctbal per nation. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.load(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        col("c_acctbal").cast("decimal(18,2)").cast("double").as("c_acctbal"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .orderBy("c_nationkey", "rk")
+  }
+
+  /** Left-semi + left-anti joins, labeled and unioned. */
+  def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val ord = Tables.load(s, dir, "orders")
+    val semi = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_customers"))
+      .withColumn("has_orders", lit("yes"))
+    val anti = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_customers"))
+      .withColumn("has_orders", lit("no"))
+    semi.unionByName(anti)
+      .select("c_nationkey", "has_orders", "n_customers")
+      .orderBy("c_nationkey", "has_orders")
+  }
+
+  /** Multi-level rollup aggregate. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(dec2("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Conditional (pivot-style) aggregation. */
+  def qCaseAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
+        sum(when(col("o_totalprice") > 200000, dec2("o_totalprice")).otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("big_total"))
+      .orderBy("o_orderpriority")
+
+  // ---- §2.C events / time-series ----
+
+  /** Event-time tumbling window aggregation (batch form). */
+  def evHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2("value")).cast("double").as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization (30 min) via lag + running sum of boundaries. */
+  def evSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id")
+      .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Per-type top-3 users by total value (window rank over aggregate). */
+  def evTopUsers(s: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.load(s, dir, "events")
+      .groupBy("event_type", "user_id")
+      .agg(sum(dec2("value")).cast("double").as("total_value"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(desc("total_value"), asc("user_id"))
+    totals.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .orderBy("event_type", "rk")
+  }
+
+  /** JSON property extraction + aggregation. */
+  def evJson(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("k")).as("max_k"))
+      .orderBy("k_bucket")
+}
