@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{ArrayQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -12,7 +12,10 @@ object SparkEntry {
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relationalQueries ++ ArrayQueries.queries
+
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.B relational
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
@@ -34,7 +37,10 @@ object SparkEntry {
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   /** DuckDB oracle SQL, column-aliased identically to the Spark results. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    relationalOracles ++ ArrayQueries.oracles
+
+  private def relationalOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.arrays.{ArrayGeometry, ChunkedArray}
+import graft.sources.Tables
+
+/** SURVEY §2.A — the reference's distributed-array analytics, driven from
+  * the `events` table so the DuckDB oracle can replay the same math.
+  *
+  * The bridge: each day of events is one *timestep* (the reference builds
+  * one array per simulation iteration, doreisa/window_api.py:66-103); the
+  * array cell at index u holds the exact daily value-sum of the events
+  * bucketed to u. Cells are assembled into chunk rows and every §2.A
+  * query then runs through [[graft.arrays.ChunkedArray]] operators —
+  * sums, elementwise maps, zips, slices, axis reductions — never through
+  * plain SQL, so the array engine itself is what the oracle checks.
+  */
+object ArrayQueries {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  val geom1d: ArrayGeometry = ArrayGeometry(Seq(4), Seq(16))
+  val geom2d: ArrayGeometry = ArrayGeometry(Seq(2, 2), Seq(4, 4))
+
+  /** (timestep, u, cell) with cell = exact daily per-bucket value sum. */
+  private def cells1d(events: DataFrame): DataFrame =
+    events
+      .select(
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("bigint").as("timestep"),
+        (col("user_id") % 64).cast("int").as("u"),
+        col("value"))
+      .groupBy("timestep", "u")
+      .agg(sum(dec2(col("value"))).cast("double").as("cell"))
+
+  /** Densify cells into 4 chunks of 16 elements per timestep. */
+  private def chunks1d(cells: DataFrame): ChunkedArray = {
+    val df = cells
+      .groupBy(col("timestep"), expr("CAST(u div 16 AS INT)").as("cpos"))
+      .agg(map_from_entries(collect_list(struct((col("u") % 16).as("k"), col("cell")))).as("m"))
+      .select(col("timestep"), array(col("cpos")).as("pos"),
+        transform(sequence(lit(0), lit(15)), i =>
+          coalesce(element_at(col("m"), i), lit(0.0))).as("data"))
+    ChunkedArray(df, geom1d)
+  }
+
+  def eventsArray1d(s: SparkSession, dir: String, filter: Column = lit(true)): ChunkedArray =
+    chunks1d(cells1d(Tables.load(s, dir, "events").where(filter)))
+
+  /** 8x8 (user bucket x hour bucket) array as a 2x2 grid of 4x4 chunks. */
+  def eventsArray2d(s: SparkSession, dir: String): ChunkedArray = {
+    val cells = Tables.load(s, dir, "events")
+      .select(
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("bigint").as("timestep"),
+        (col("user_id") % 8).cast("int").as("u"),
+        (hour(col("ts")) % 8).cast("int").as("h"),
+        col("value"))
+      .groupBy("timestep", "u", "h")
+      .agg(sum(dec2(col("value"))).cast("double").as("cell"))
+    val df = cells
+      .groupBy(col("timestep"),
+        expr("CAST(u div 4 AS INT)").as("cr"), expr("CAST(h div 4 AS INT)").as("cc"))
+      .agg(map_from_entries(collect_list(
+        struct(((col("u") % 4) * 4 + col("h") % 4).as("k"), col("cell")))).as("m"))
+      .select(col("timestep"), array(col("cr"), col("cc")).as("pos"),
+        transform(sequence(lit(0), lit(15)), i =>
+          coalesce(element_at(col("m"), i), lit(0.0))).as("data"))
+    ChunkedArray(df, geom2d)
+  }
+
+  // ---- queries ----
+
+  /** doreisa `array.sum().compute()` per timestep (tests/test_doreisa.py:19). */
+  def arrSumTs(s: SparkSession, dir: String): DataFrame =
+    eventsArray1d(s, dir).sumPerTimestep("total").orderBy("timestep")
+
+  /** dask-style one-pass stats per timestep. */
+  def arrStatsTs(s: SparkSession, dir: String): DataFrame =
+    eventsArray1d(s, dir).statsPerTimestep.orderBy("timestep")
+
+  /** doreisa two-array elementwise `(a - b)` + mean (docs/analytics.md:31). */
+  def arrMeanDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray1d(s, dir, col("event_id") % 2 === 0)
+    val b = eventsArray1d(s, dir, col("event_id") % 2 === 1)
+    a.zipWith(b)(_ - _).sumPerTimestep("total")
+      .select(col("timestep"), (col("total") / lit(64.0)).as("mean_diff"))
+      .orderBy("timestep")
+  }
+
+  /** doreisa preprocess `10 * chunk` then reduce (tests/test_preprocessing_callback.py:24). */
+  def arrPreprocessSum(s: SparkSession, dir: String): DataFrame =
+    eventsArray1d(s, dir).mapValues(_ * lit(10.0)).sumPerTimestep("total").orderBy("timestep")
+
+  /** Fused elementwise chain `2x + 1` then reduce (dask elementwise). */
+  def arrElementwiseChain(s: SparkSession, dir: String): DataFrame =
+    eventsArray1d(s, dir).mapValues(x => x * lit(2.0) + lit(1.0))
+      .sumPerTimestep("total").orderBy("timestep")
+
+  /** doreisa sliding window w=2: `(arr(t) - arr(t-1)).sum()`
+    * (tests/test_sliding_window.py:22-27). */
+  def arrWindowDelta(s: SparkSession, dir: String): DataFrame = {
+    val cur = eventsArray1d(s, dir)
+    val prev = cur.shiftTimestep(1L)
+    cur.zipWith(prev)(_ - _).sumPerTimestep("delta").orderBy("timestep")
+  }
+
+  /** dask `arr.sum(axis=1)` on the 2-d array. */
+  def arrAxisSum(s: SparkSession, dir: String): DataFrame =
+    eventsArray2d(s, dir).axisSumRows(axis = 1).orderBy("timestep", "idx")
+
+  /** dask slicing `arr[2:6, 1:7].sum()` with chunk pruning. */
+  def arrSliceSum(s: SparkSession, dir: String): DataFrame =
+    eventsArray2d(s, dir).slice2d(2, 6, 1, 7).sumPerTimestep("total").orderBy("timestep")
+
+  // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
+
+  private val CELLS_1D =
+    """cells AS (
+      |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS timestep,
+      |    user_id % 64 AS u,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS cell
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  private val CELLS_2D_DENSE =
+    """raw AS (
+      |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS timestep,
+      |    user_id % 8 AS u, hour(CAST(ts AS TIMESTAMP)) % 8 AS h,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS cell
+      |  FROM events GROUP BY 1, 2, 3),
+      |days AS (SELECT DISTINCT timestep FROM raw),
+      |cells AS (
+      |  SELECT d.timestep, uu.u, hh.h, COALESCE(r.cell, 0.0) AS cell
+      |  FROM days d
+      |  CROSS JOIN (SELECT unnest(range(8)) AS u) uu
+      |  CROSS JOIN (SELECT unnest(range(8)) AS h) hh
+      |  LEFT JOIN raw r ON r.timestep = d.timestep AND r.u = uu.u AND r.h = hh.h)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "arr_sum_ts" ->
+      s"""WITH $CELLS_1D
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+    "arr_stats_ts" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, COUNT(*) AS n_elems,
+         |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  MIN(cell) AS min_val, MAX(cell) AS max_val
+         |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
+    "arr_mean_diff" ->
+      """WITH acells AS (
+        |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS timestep,
+        |    user_id % 64 AS u,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS cell
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |bcells AS (
+        |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS timestep,
+        |    user_id % 64 AS u,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS cell
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+        |adays AS (SELECT DISTINCT timestep FROM acells),
+        |bdays AS (SELECT DISTINCT timestep FROM bcells),
+        |days AS (SELECT timestep FROM adays INTERSECT SELECT timestep FROM bdays),
+        |dense AS (
+        |  SELECT d.timestep, r.u,
+        |    COALESCE(a.cell, 0.0) - COALESCE(b.cell, 0.0) AS dcell
+        |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+        |  LEFT JOIN acells a ON a.timestep = d.timestep AND a.u = r.u
+        |  LEFT JOIN bcells b ON b.timestep = d.timestep AND b.u = r.u)
+        |SELECT CAST(timestep AS BIGINT) AS timestep,
+        |  CAST(SUM(CAST(dcell AS DECIMAL(18,2))) AS DOUBLE) / 64.0 AS mean_diff
+        |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
+    "arr_preprocess_sum" ->
+      s"""WITH $CELLS_1D
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(SUM(CAST(cell * 10.0 AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+    "arr_elementwise_chain" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(SUM(CAST(cell * 2.0 + 1.0 AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
+    "arr_window_delta" ->
+      s"""WITH $CELLS_1D,
+         |daily AS (
+         |  SELECT timestep, SUM(CAST(cell AS DECIMAL(18,2))) AS sd
+         |  FROM cells GROUP BY 1)
+         |SELECT CAST(cur.timestep AS BIGINT) AS timestep,
+         |  CAST(cur.sd - prev.sd AS DOUBLE) AS delta
+         |FROM daily cur JOIN daily prev ON cur.timestep = prev.timestep + 1
+         |ORDER BY 1""".stripMargin,
+    "arr_axis_sum" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
+         |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS value
+         |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "arr_slice_sum" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM cells WHERE u >= 2 AND u < 6 AND h >= 1 AND h < 7
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "arr_sum_ts" -> (arrSumTs _),
+    "arr_stats_ts" -> (arrStatsTs _),
+    "arr_mean_diff" -> (arrMeanDiff _),
+    "arr_preprocess_sum" -> (arrPreprocessSum _),
+    "arr_elementwise_chain" -> (arrElementwiseChain _),
+    "arr_window_delta" -> (arrWindowDelta _),
+    "arr_axis_sum" -> (arrAxisSum _),
+    "arr_slice_sum" -> (arrSliceSum _),
+  )
+}

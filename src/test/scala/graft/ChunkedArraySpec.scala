@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.arrays.{ArrayGeometry, ChunkedArray}
+
+/** Shared local session for all specs. */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  /** 1-d array of 8 elements as 2 chunks of 4: [1..8] at t, [2..16 by 2] at t+1. */
+  def oneD: ChunkedArray = {
+    val rows = Seq(
+      (0L, Seq(0), Seq(1.0, 2.0, 3.0, 4.0)),
+      (0L, Seq(1), Seq(5.0, 6.0, 7.0, 8.0)),
+      (1L, Seq(0), Seq(2.0, 4.0, 6.0, 8.0)),
+      (1L, Seq(1), Seq(10.0, 12.0, 14.0, 16.0)))
+    val df = rows.toDF("timestep", "pos", "data")
+    ChunkedArray(df, ArrayGeometry(Seq(2), Seq(4)))
+  }
+
+  /** 4x4 2-d array as 2x2 chunks of 2x2; value(i,j) = 10*i + j at t=0. */
+  def twoD: ChunkedArray = {
+    val chunks = for (cr <- 0 to 1; cc <- 0 to 1) yield {
+      val data = for (i <- 0 to 1; j <- 0 to 1)
+        yield 10.0 * (2 * cr + i) + (2 * cc + j)
+      (0L, Seq(cr, cc), data)
+    }
+    ChunkedArray(chunks.toDF("timestep", "pos", "data"), ArrayGeometry(Seq(2, 2), Seq(2, 2)))
+  }
+
+  def asMap(df: DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("sumPerTimestep matches hand-computed totals") {
+    assert(asMap(oneD.sumPerTimestep()) == Map(0L -> 36.0, 1L -> 72.0))
+  }
+
+  test("mapValues applies elementwise (preprocess semantics)") {
+    assert(asMap(oneD.mapValues(_ * 10).sumPerTimestep()) == Map(0L -> 360.0, 1L -> 720.0))
+  }
+
+  test("zipWith subtracts aligned chunks") {
+    val a = oneD
+    val d = a.zipWith(a.mapValues(_ * 2))((x, y) => y - x)
+    assert(asMap(d.sumPerTimestep()) == Map(0L -> 36.0, 1L -> 72.0))
+  }
+
+  test("shiftTimestep + zipWith = sliding-window delta (doreisa w=2)") {
+    val cur = oneD
+    val delta = cur.zipWith(cur.shiftTimestep(1))(_ - _).sumPerTimestep("delta")
+    val m = asMap(delta)
+    assert(m == Map(1L -> 36.0)) // only t=1 has a predecessor
+  }
+
+  test("statsPerTimestep: n, total, min, max") {
+    val r = oneD.statsPerTimestep.filter("timestep = 0").collect().head
+    assert(r.getAs[Long]("n_elems") == 8L)
+    assert(r.getAs[Double]("total") == 36.0)
+    assert(r.getAs[Double]("min_val") == 1.0)
+    assert(r.getAs[Double]("max_val") == 8.0)
+  }
+
+  test("sliceRange prunes chunks and cuts boundary chunks") {
+    // [1..8], slice [2, 7) -> 3+4+5+6+7 = 25
+    assert(asMap(oneD.sliceRange(2, 7).sumPerTimestep()).apply(0L) == 25.0)
+    // fully inside second chunk: [5, 7) -> 6 + 7
+    assert(asMap(oneD.sliceRange(5, 7).sumPerTimestep()).apply(0L) == 13.0)
+  }
+
+  test("slice2d cuts both dims with original strides") {
+    // rows 1..2, cols 1..3 of value(i,j)=10i+j:
+    // 11+12+13 + 21+22+23 = 102
+    assert(asMap(twoD.slice2d(1, 3, 1, 4).sumPerTimestep()).apply(0L) == 102.0)
+  }
+
+  test("axisSumRows reduces axis 1 to row sums") {
+    val rows = twoD.axisSumRows(axis = 1).collect()
+      .map(r => r.getAs[Long]("idx") -> r.getAs[Double]("value")).toMap
+    // row i: sum_j (10i + j), j=0..3 -> 40i + 6
+    assert(rows == Map(0L -> 6.0, 1L -> 46.0, 2L -> 86.0, 3L -> 126.0))
+  }
+
+  test("axisSumRows axis 0 gives column sums") {
+    val cols = twoD.axisSumRows(axis = 0).collect()
+      .map(r => r.getAs[Long]("idx") -> r.getAs[Double]("value")).toMap
+    // col j: sum_i (10i + j) = 60 + 4j
+    assert(cols == Map(0L -> 60.0, 1L -> 64.0, 2L -> 68.0, 3L -> 72.0))
+  }
+
+  test("elementwise ops stay shuffle-free (narrow plan)") {
+    val plan = oneD.mapValues(_ * 2).df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+}
