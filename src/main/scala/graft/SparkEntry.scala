@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{ArrayQueries, Relational}
+import graft.operators.{ArrayQueries, Dedup, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relationalQueries ++ ArrayQueries.queries
+    relationalQueries ++ ArrayQueries.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.B relational
@@ -38,7 +39,8 @@ object SparkEntry {
 
   /** DuckDB oracle SQL, column-aliased identically to the Spark results. */
   def oracleSql: Map[String, String] =
-    relationalOracles ++ ArrayQueries.oracles
+    relationalOracles ++ ArrayQueries.oracles ++ TextAnalysis.oracles ++
+      Dedup.oracles ++ Similarity.oracles
 
   private def relationalOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosine, dot, localHash60}
+import graft.sources.Tables
+
+/** SURVEY §2.E — similarity search over the `embeddings` table.
+  *
+  * Scale design: probes are broadcast, so brute force is a single narrow
+  * scan with per-partition top-k (TakeOrderedAndProject merges), never a
+  * global sort of n*k rows. The LSH path hashes every vector to a
+  * hyperplane-sign bucket (one linear pass) and probes only join their
+  * own bucket — the 100 TB pattern where brute force stops being viable.
+  */
+object Similarity {
+
+  val NumPlanes = 6
+  val Dim = 64
+
+  /** Deterministic integer hyperplanes, embedded as literals in BOTH the
+    * Spark plan and the oracle SQL (no cross-engine hashing involved). */
+  val planes: Seq[Seq[Int]] = (0 until NumPlanes).map { p =>
+    (0 until Dim).map(i => (localHash60(s"${p}_${i}") % 2001 - 1000).toInt)
+  }
+
+  private def bucketCol(emb: Column): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      when(dot(emb, typedLit(w)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact cosine top-10 for each probe (vec_id < 5), brute force. */
+  def simTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("pe"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 10)
+      .orderBy("probe_id", "rk")
+  }
+
+  /** Random-hyperplane LSH ANN: bucket every vector once, probe only its
+    * own bucket, exact cosine re-rank inside the bucket. */
+  def simLshAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), bucketCol(col("embedding")).as("bucket"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("bucket").as("pb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    e.join(broadcast(probes), col("bucket") === col("pb") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("pe"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 5)
+      .orderBy("probe_id", "rk")
+  }
+
+  private def planeSql(p: Int): String = planes(p).mkString("[", ", ", "]")
+  private def bucketSql(emb: String): String =
+    (0 until NumPlanes).map { p =>
+      s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($emb) + 1), i -> CAST($emb[i] AS DOUBLE) * CAST((${planeSql(p)})[i] AS DOUBLE))), (x, y) -> x + y) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      s"""WITH p AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+         |sc AS (
+         |  SELECT probe_id, e.vec_id,
+         |    ${Dedup.cosSql("pe", "e.embedding")} AS cos
+         |  FROM embeddings e CROSS JOIN p WHERE e.vec_id != probe_id),
+         |r AS (
+         |  SELECT probe_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM sc)
+         |SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 10
+         |ORDER BY probe_id, rk""".stripMargin,
+    "sim_lsh_ann" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |p AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe, bucket AS pb FROM b WHERE vec_id < 5),
+         |sc AS (
+         |  SELECT probe_id, b.vec_id,
+         |    ${Dedup.cosSql("pe", "b.embedding")} AS cos
+         |  FROM b JOIN p ON b.bucket = p.pb AND b.vec_id != p.probe_id),
+         |r AS (
+         |  SELECT probe_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM sc)
+         |SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 5
+         |ORDER BY probe_id, rk""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> (simTopkBruteforce _),
+    "sim_lsh_ann" -> (simLshAnn _),
+  )
+}

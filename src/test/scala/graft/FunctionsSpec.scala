@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("hash60 column matches localHash60 (literal generation parity)") {
+    val s = "3:the quick fox"
+    val got = Seq(s).toDF("x").select(hash60(col("x"))).head().getLong(0)
+    assert(got == localHash60(s))
+  }
+
+  test("tokens drops empties; shingles windows correctly") {
+    val df = Seq("a b  c d ").toDF("text")
+      .select(tokens(col("text")).as("tk"))
+      .select(col("tk"), shingles(col("tk"), 3).as("sh"))
+    val r = df.head()
+    assert(r.getSeq[String](0) == Seq("a", "b", "c", "d"))
+    assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+  }
+
+  test("shingles on short docs is empty, not descending-sequence garbage") {
+    val r = Seq("one two").toDF("text")
+      .select(shingles(tokens(col("text")), 3)).head()
+    assert(r.getSeq[String](0).isEmpty)
+  }
+
+  test("cosine matches a hand-computed value") {
+    val df = Seq((Seq(1.0f, 0.0f, 1.0f), Seq(1.0f, 1.0f, 0.0f))).toDF("a", "b")
+    val c = df.select(cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(c - 0.5) < 1e-12) // dot=1, norms sqrt(2)*sqrt(2)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq(Tuple1(Seq(0.3f, -1.2f, 2.5f, 0.01f))).toDF("a")
+    val c = df.select(cosine(col("a"), col("a"))).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("dedup: minhash candidates all verified with exact jaccard in (0,1]") {
+    val rows = Dedup.ddMinhashLsh(spark, sf).collect()
+    assert(rows.forall { r =>
+      val j = r.getAs[Double]("jaccard"); j > 0.0 && j <= 1.0
+    })
+  }
+
+  test("similarity: brute-force top-k is 10 per probe, ranked by cosine") {
+    val rows = Similarity.simTopkBruteforce(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size == 5)
+    byProbe.values.foreach { g =>
+      assert(g.length == 10)
+      val cs = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("similarity: probes are broadcast (no shuffle of the big side)") {
+    val plan = Similarity.simTopkBruteforce(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("text: quality and langid emit one row per document") {
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(TextAnalysis.txtQuality(spark, sf).count() == n)
+    assert(TextAnalysis.txtLangid(spark, sf).count() == n)
+    val langs = TextAnalysis.txtLangid(spark, sf)
+      .select("pred_lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr", "und")))
+  }
+}
