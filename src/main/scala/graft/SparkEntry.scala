@@ -14,7 +14,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relationalQueries ++ ArrayQueries.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries
+      Dedup.queries ++ Similarity.queries ++ graft.multimodal.Media.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.B relational
@@ -40,7 +40,7 @@ object SparkEntry {
   /** DuckDB oracle SQL, column-aliased identically to the Spark results. */
   def oracleSql: Map[String, String] =
     relationalOracles ++ ArrayQueries.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles
+      Dedup.oracles ++ Similarity.oracles ++ graft.multimodal.Media.oracles
 
   private def relationalOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

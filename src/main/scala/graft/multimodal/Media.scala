@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** One media asset: opaque payload + typed metadata. At 100 TB the
+  * payload column stays opaque (binary) until the last possible moment;
+  * metadata is columnar so filters/pruning never touch payload bytes. */
+case class MediaRow(id: Long, kind: String, bytes: Array[Byte], nBytes: Long)
+
+/** Extracted features for one asset (decode output). */
+case class MediaFeatures(id: Long, kind: String, nBytes: Long, histogram: Array[Long], checksum: Long)
+
+/** SURVEY §2.G — multimodal column plumbing.
+  *
+  * Image/audio/video payloads are `binary` columns with typed metadata.
+  * The decode step is a deterministic STUB (no codec libraries ship in
+  * this environment): `decodeStub` computes a byte histogram in place of
+  * pixel/sample decoding. Everything around it — schema, typed Dataset
+  * encoders, per-partition batching, partition sizing — is the real
+  * production shape: swap `decodeOne` for an actual codec call and the
+  * pipeline is unchanged.
+  */
+object Media {
+
+  /** Build a media table from `documents` (payload = utf-8 bytes). */
+  def fromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        // deterministic pseudo-modality from the id
+        element_at(typedLit(Seq("image", "audio", "video")), (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "utf-8").as("bytes"),
+        octet_length(encode(col("text"), "utf-8")).cast("bigint").as("nBytes"))
+      .as[MediaRow]
+  }
+
+  /** STUB for the real decoder: a codec would produce pixels/samples
+    * here; we produce a 16-bin byte histogram + additive checksum so the
+    * pipeline stays deterministic and testable. */
+  private def decodeOne(m: MediaRow): MediaFeatures = {
+    val hist = new Array[Long](16)
+    var sum = 0L
+    m.bytes.foreach { b =>
+      hist((b & 0xff) / 16) += 1
+      sum += (b & 0xff)
+    }
+    MediaFeatures(m.id, m.kind, m.nBytes, hist, sum)
+  }
+
+  /** Per-partition decode: the batch shape a Python `mapInPandas` /
+    * vectorized UDF would see. Narrow (no shuffle); partition sizing
+    * controls decoder memory. */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeOne))
+  }
+
+  /** Frame sampling stub for video-kind rows: every `stride`-th 16-byte
+    * block stands in for a decoded frame. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video")
+      .flatMap { m =>
+        m.bytes.grouped(16).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (frame, idx) => (m.id, idx.toLong, frame.length) }
+      }
+      .toDF("id", "frame_idx", "frame_bytes")
+  }
+
+  /** Oracle-checkable metadata extraction (no stubbed values). */
+  def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "utf-8")).cast("bigint").as("n_bytes"),
+        ascii(col("text")).cast("bigint").as("first_code"),
+        md5(col("text")).as("content_md5"))
+      .orderBy("doc_id")
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(text) AS BIGINT) AS first_code,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> (mmBinaryMeta _),
+  )
+}

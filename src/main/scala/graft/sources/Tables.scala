@@ -28,4 +28,24 @@ object Tables {
   /** Register every table as a temp view (for spark.sql users). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Schema-checked CSV reader (header + explicit schema: never infer on
+    * a 100 TB source — inference is a full extra pass). */
+  def readCsv(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** JSON-lines reader with explicit schema (same no-inference rule). */
+  def readJson(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Hive-style partitioned parquet writer — the layout that gives
+    * downstream readers partition pruning on `cols`. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Bucketed writer: co-locates rows by join key so repeated joins on
+    * `key` skip their shuffle (requires a table catalog). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }

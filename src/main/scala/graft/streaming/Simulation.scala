@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.arrays.ChunkedArray
+
+/** One chunk message from a producer — the streaming analog of
+  * doreisa's `Client.add_chunk` (doreisa/simulation_node.py:35-75).
+  * `chunkSum` is the producer-side partial reduction: as in the
+  * reference, where scheduling actors pass object *refs* (not data) to
+  * the head (doreisa/_scheduling_actor.py), the driver-visible state
+  * holds scalars per chunk, never elements.
+  */
+case class ChunkMsg(name: String, timestep: Long, nbChunks: Int, chunkSum: Double)
+
+/** Completed timestep emitted once all chunks arrived — with the delta
+  * vs the previous completed timestep (doreisa `window_size=2`). */
+case class TimestepTotal(name: String, timestep: Long, total: Double, delta: Option[Double])
+
+private case class AsmState(
+    partial: Map[Long, (Double, Int)], // timestep -> (running sum, chunks seen)
+    lastCompleted: Option[(Long, Double)])
+
+/** Array definition, mirroring doreisa.window_api.ArrayDefinition
+  * (name, window_size, preprocess) — doreisa/window_api.py:14-18. */
+case class ArrayDef(name: String, windowSize: Int = 1, preprocess: Column => Column = identity)
+
+/** SURVEY §2.A streaming runner: the reference's per-iteration analytics
+  * loop (doreisa/window_api.py:38-119) re-expressed on Structured
+  * Streaming. No head actor, no per-node scheduling actors: arrival
+  * tracking is `flatMapGroupsWithState` keyed by array name, and the
+  * "assemble then reduce" step ships only per-chunk partials. Backpressure
+  * (doreisa `max_pending_arrays`) maps to trigger intervals +
+  * `maxFilesPerTrigger`/`maxOffsetsPerTrigger` on the source.
+  */
+object Simulation {
+
+  /** Producer-side partial reduction: turn raw chunk rows
+    * (name/timestep/nbChunks/pos/data) into [[ChunkMsg]]s, applying the
+    * per-chunk preprocess at ingest — the same placement as the
+    * reference, which preprocesses on the producing node
+    * (doreisa/simulation_node.py:57). */
+  def toMessages(chunks: DataFrame, defs: Seq[ArrayDef]): Dataset[ChunkMsg] = {
+    import chunks.sparkSession.implicits._
+    val pre = defs.map(d => d.name -> d.preprocess).toMap
+    val preprocessed = pre.foldLeft(chunks) { case (df, (nm, f)) =>
+      df.withColumn("data", when(col("name") === nm, transform(col("data"), f))
+        .otherwise(col("data")))
+    }
+    // One message per chunk (no pre-aggregation: a streaming aggregate
+    // cannot precede flatMapGroupsWithState); the payload is reduced to
+    // one scalar map-side, so only O(#chunks) bytes reach the state op.
+    preprocessed.select(col("name"), col("timestep"), col("nbChunks"),
+        ChunkedArray.chunkSumDec(col("data")).cast("double").as("chunkSum"))
+      .as[ChunkMsg]
+  }
+
+  /** Assemble timesteps from chunk messages; emit exactly once per
+    * completed timestep, with the sliding-window delta. State per array
+    * name is O(in-flight timesteps), holding scalars only. */
+  def assemble(msgs: Dataset[ChunkMsg]): Dataset[TimestepTotal] = {
+    import msgs.sparkSession.implicits._
+    msgs.groupByKey(_.name)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (name: String, it: Iterator[ChunkMsg], state: GroupState[AsmState]) => {
+          var st = state.getOption.getOrElse(AsmState(Map.empty, None))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TimestepTotal]
+          it.foreach { m =>
+            val (s0, c0) = st.partial.getOrElse(m.timestep, (0.0, 0))
+            val (s1, c1) = (s0 + m.chunkSum, c0 + 1)
+            if (c1 >= m.nbChunks) {
+              st = st.copy(partial = st.partial - m.timestep)
+              // complete; emit in timestep order relative to lastCompleted
+              val delta = st.lastCompleted.collect {
+                case (t0, v0) if t0 == m.timestep - 1 => s1 - v0
+              }
+              out += TimestepTotal(name, m.timestep, s1, delta)
+              st = st.copy(lastCompleted = Some((m.timestep, s1)))
+            } else {
+              st = st.copy(partial = st.partial + (m.timestep -> (s1, c1)))
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** Run the per-timestep callback loop (doreisa `run_simulation`):
+    * completed timesteps stream into `onTimestep`. */
+  def run(
+      chunks: DataFrame,
+      defs: Seq[ArrayDef],
+      onTimestep: (String, Long, Double, Option[Double]) => Unit,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    assemble(toMessages(chunks, defs)).writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[TimestepTotal], _: Long) =>
+        batch.collect().sortBy(t => (t.name, t.timestep))
+          .foreach(t => onTimestep(t.name, t.timestep, t.total, t.delta))
+      }
+      .start()
+  }
+}
+
+/** SURVEY §2.C streaming variants: event-time pipelines with watermarks
+  * (readStream -> transform -> writeStream). */
+object EventPipelines {
+
+  /** Tumbling 1-hour event-time aggregation with a late-data watermark. */
+  def hourly(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+
+  /** Gap-based sessionization via Spark's native session window — the
+    * streaming twin of Relational.evSessionize. */
+  def sessions(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+}

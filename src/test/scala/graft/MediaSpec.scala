@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Media
+import graft.sources.Tables
+
+class MediaSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("media table carries opaque binary payload + typed metadata") {
+    val m = Media.fromDocuments(spark, sf)
+    val row = m.filter(_.id == 0L).head()
+    assert(row.nBytes == row.bytes.length.toLong)
+    assert(Set("image", "audio", "video").contains(row.kind))
+  }
+
+  test("decodeStub produces a full histogram accounting for every byte") {
+    val feats = Media.decodeStub(Media.fromDocuments(spark, sf)).head()
+    assert(feats.histogram.sum == feats.nBytes)
+    assert(feats.checksum > 0)
+  }
+
+  test("sampleFrames strides over video payloads only") {
+    val media = Media.fromDocuments(spark, sf)
+    val frames = Media.sampleFrames(media, stride = 2)
+    val nVideo = media.filter(_.kind == "video").count()
+    assert(frames.select("id").distinct().count() == nVideo)
+    val idx = frames.select("frame_idx").as[Long].collect()
+    assert(idx.forall(_ % 2 == 0))
+  }
+
+  test("decode plan is narrow (no shuffle around the stub)") {
+    val plan = Media.decodeStub(Media.fromDocuments(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("partitioned writer round-trips and prunes partitions") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val docs = Tables.load(spark, sf, "documents")
+    Tables.writePartitioned(docs, dir, Seq("lang"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    val pruned = back.filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == docs.filter("lang = 'en'").count())
+    assert(scan.contains("PartitionFilters"), s"no partition filters in:\n$scan")
+  }
+
+  test("csv/json readers apply explicit schemas") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.option("header", "true")
+      .mode("overwrite").csv(dir)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    val back = Tables.readCsv(spark, dir, schema)
+    assert(back.schema == schema && back.count() == 2)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{ArrayDef, ChunkMsg, EventPipelines, Simulation}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  test("Simulation assembles timesteps and emits window deltas") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Int, Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "nbChunks", "data")
+    val msgs = Simulation.toMessages(chunks, Seq(ArrayDef("array")))
+    val out = Simulation.assemble(msgs).writeStream
+      .format("memory").queryName("sim_out").outputMode(OutputMode.Append()).start()
+
+    // t0: chunks sum to 10; t1 arrives out of order and sums to 30
+    in.addData(("array", 0L, 2, Seq(1.0, 2.0)), ("array", 0L, 2, Seq(3.0, 4.0)))
+    out.processAllAvailable()
+    in.addData(("array", 1L, 2, Seq(20.0)), ("array", 1L, 2, Seq(10.0)))
+    out.processAllAvailable()
+    val rows = spark.table("sim_out").as[(String, Long, Double, Option[Double])]
+      .collect().sortBy(_._2)
+    out.stop()
+    assert(rows.map(r => (r._2, r._3)).toSeq == Seq((0L, 10.0), (1L, 30.0)))
+    assert(rows.last._4.contains(20.0)) // delta vs previous timestep
+    assert(rows.head._4.isEmpty) // first timestep has no predecessor
+  }
+
+  test("Simulation applies the per-chunk preprocess at ingest (doreisa preprocess)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Int, Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "nbChunks", "data")
+    val msgs = Simulation.toMessages(chunks, Seq(ArrayDef("array", preprocess = _ * 10)))
+    val out = msgs.writeStream.format("memory").queryName("pre_out").start()
+    in.addData(("array", 0L, 1, Seq(1.0, 2.0)))
+    out.processAllAvailable()
+    out.stop()
+    val msg = spark.table("pre_out").as[ChunkMsg].collect().head
+    assert(msg.chunkSum == 30.0)
+  }
+
+  test("EventPipelines.hourly windows an event-time stream") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventPipelines.hourly(events).writeStream
+      .format("memory").queryName("hourly_out").outputMode(OutputMode.Update()).start()
+    in.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hourly_out")
+      .select(col("window.start").cast("string"), col("n_events"), col("total_value"))
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._2, r._3)).toSeq == Seq((2L, 3.0), (1L, 4.0)))
+  }
+
+  test("EventPipelines.sessions merges events within the gap") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val events = in.toDF().toDF("ts", "user_id")
+    val q = EventPipelines.sessions(events).writeStream
+      .format("memory").queryName("sess_out").outputMode(OutputMode.Append()).start()
+    in.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (Timestamp.valueOf("2024-01-01 10:10:00"), 1L), // same session
+      (Timestamp.valueOf("2024-01-01 12:00:00"), 1L)) // new session
+    q.processAllAvailable()
+    // advance the watermark far enough to close and emit both sessions
+    in.addData((Timestamp.valueOf("2024-01-02 00:00:00"), 99L))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("sess_out")
+      .filter(org.apache.spark.sql.functions.col("user_id") === 1L)
+      .select("n_events").as[Long].collect().sorted
+    assert(counts.toSeq == Seq(1L, 2L))
+  }
+}
