@@ -33,6 +33,7 @@ object SparkEntry {
     "ev_sessionize" -> (Relational.evSessionize _),
     "ev_top_users" -> (Relational.evTopUsers _),
     "ev_json" -> (Relational.evJson _),
+    "ev_asof_join" -> (Relational.evAsofJoin _),
   )
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -145,6 +146,16 @@ object SparkEntry {
         |      ORDER BY total_value DESC, user_id) AS rk
         |  FROM totals) t
         |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+    "ev_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |  WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, e.ts, p.pts AS last_purchase_ts
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts
+        |ORDER BY event_id""".stripMargin,
     "ev_json" ->
       """WITH e AS (
         |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)

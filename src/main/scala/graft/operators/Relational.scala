@@ -186,6 +186,28 @@ object Relational {
       .orderBy("event_type", "rk")
   }
 
+  /** As-of join: for every `error` event, the most recent `purchase` of
+    * the same user at-or-before it. Spark lacks a native as-of join, so
+    * this uses the scalable union + running-window trick: one shuffle on
+    * (user, time), no range-join pair explosion. Purchases sort before
+    * errors at equal timestamps to match ASOF `>=` semantics (the DuckDB
+    * oracle uses its native ASOF LEFT JOIN). */
+  def evAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("isp"), col("event_id"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(0).as("isp"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc("ts"), desc("isp"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purch.unionByName(err)
+      .withColumn("last_purchase_ts", max(when(col("isp") === 1, col("ts"))).over(w))
+      .filter(col("isp") === 0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_purchase_ts"))
+      .orderBy("event_id")
+  }
+
   /** JSON property extraction + aggregation. */
   def evJson(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
