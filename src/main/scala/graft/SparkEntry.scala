@@ -28,6 +28,11 @@ object SparkEntry {
     "q_semi_anti" -> (Relational.qSemiAnti _),
     "q_rollup" -> (Relational.qRollup _),
     "q_caseagg" -> (Relational.qCaseAgg _),
+    "q_min_joinback" -> (Relational.qMinJoinback _),
+    "q_outer_histogram" -> (Relational.qOuterHistogram _),
+    "q_promo_ratio" -> (Relational.qPromoRatio _),
+    "q_notin_brands" -> (Relational.qNotinBrands _),
+    "q_big_orders" -> (Relational.qBigOrders _),
     // §2.C events
     "ev_hourly" -> (Relational.evHourly _),
     "ev_sessionize" -> (Relational.evSessionize _),
@@ -119,6 +124,44 @@ object SparkEntry {
         |        THEN CAST(o_totalprice AS DECIMAL(18,2))
         |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_min_joinback" ->
+      """WITH mins AS (
+        |  SELECT p_brand AS mb, MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS min_price
+        |  FROM part GROUP BY 1)
+        |SELECT p_brand, p_partkey, CAST(min_price AS DOUBLE) AS min_price
+        |FROM part JOIN mins
+        |  ON p_brand = mb AND CAST(p_retailprice AS DECIMAL(18,2)) = min_price
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+    "q_outer_histogram" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1) t
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_promo_ratio" ->
+      s"""WITH j AS (
+         |  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $DISC
+         |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+         |    CAST(SUM($DISC) AS DOUBLE) AS total_revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00')
+         |SELECT promo_revenue * 100.0 / total_revenue AS promo_pct,
+         |  promo_revenue, total_revenue FROM j""".stripMargin,
+    "q_notin_brands" ->
+      """SELECT p_brand, COUNT(*) AS n_parts FROM part
+        |WHERE p_partkey NOT IN (
+        |  SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_d
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty_d > 250)
+        |SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  CAST(sum_qty_d AS DOUBLE) AS sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
     "ev_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         |  COUNT(*) AS n_events,

@@ -113,6 +113,11 @@ object ArrayQueries {
   def arrSliceSum(s: SparkSession, dir: String): DataFrame =
     eventsArray2d(s, dir).slice2d(2, 6, 1, 7).sumPerTimestep("total").orderBy("timestep")
 
+  /** 5-point Laplacian via halo exchange, then a per-timestep reduction —
+    * the in-situ "derivative of the simulation field" analytic. */
+  def arrStencilSum(s: SparkSession, dir: String): DataFrame =
+    eventsArray2d(s, dir).stencilLaplacian().sumPerTimestep("total").orderBy("timestep")
+
   // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
 
   private val CELLS_1D =
@@ -211,6 +216,20 @@ object ArrayQueries {
          |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM cells WHERE u >= 2 AND u < 6 AND h >= 1 AND h < 7
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "arr_stencil_sum" ->
+      s"""WITH $CELLS_2D_DENSE,
+         |lap AS (
+         |  SELECT x.timestep, x.u, x.h,
+         |    x.cell * 4.0 - COALESCE(up.cell, 0.0) - COALESCE(dn.cell, 0.0)
+         |      - COALESCE(lf.cell, 0.0) - COALESCE(rt.cell, 0.0) AS out
+         |  FROM cells x
+         |  LEFT JOIN cells up ON up.timestep = x.timestep AND up.u = x.u - 1 AND up.h = x.h
+         |  LEFT JOIN cells dn ON dn.timestep = x.timestep AND dn.u = x.u + 1 AND dn.h = x.h
+         |  LEFT JOIN cells lf ON lf.timestep = x.timestep AND lf.u = x.u AND lf.h = x.h - 1
+         |  LEFT JOIN cells rt ON rt.timestep = x.timestep AND rt.u = x.u AND rt.h = x.h + 1)
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(SUM(CAST(out AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM lap GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -222,5 +241,6 @@ object ArrayQueries {
     "arr_window_delta" -> (arrWindowDelta _),
     "arr_axis_sum" -> (arrAxisSum _),
     "arr_slice_sum" -> (arrSliceSum _),
+    "arr_stencil_sum" -> (arrStencilSum _),
   )
 }

@@ -148,6 +148,74 @@ object Relational {
           .cast("double").as("big_total"))
       .orderBy("o_orderpriority")
 
+  /** Min-per-group + join-back (TPC-H Q2 shape): cheapest part(s) per
+    * brand. The aggregate side is broadcast back against the fact. */
+  def qMinJoinback(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+    val mins = part.groupBy(col("p_brand").as("mb"))
+      .agg(min(dec2("p_retailprice")).as("min_price"))
+    part.join(broadcast(mins),
+        col("p_brand") === col("mb") &&
+          dec2("p_retailprice") === col("min_price"))
+      .select(col("p_brand"), col("p_partkey"),
+        col("min_price").cast("double").as("min_price"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  /** Outer-join histogram (TPC-H Q13 shape): distribution of per-customer
+    * order counts, including zero-order customers. */
+  def qOuterHistogram(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val ord = Tables.load(s, dir, "orders")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** Conditional-aggregate ratio (TPC-H Q14 shape): PROMO revenue share. */
+  def qPromoRatio(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-07-01"))
+    val part = Tables.load(s, dir, "part")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", discPrice)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("promo_revenue"),
+        sum(discPrice).cast("double").as("total_revenue"))
+      .select(
+        (col("promo_revenue") * 100.0 / col("total_revenue")).as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"))
+  }
+
+  /** Anti-join over a subquery (TPC-H Q16 NOT IN shape): brands counted
+    * over parts never shipped in near-max quantity. */
+  def qNotinBrands(s: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 49).select(col("l_partkey"))
+    Tables.load(s, dir, "part")
+      .join(hot, col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("p_brand")
+  }
+
+  /** Large-volume orders (TPC-H Q18 shape): HAVING over a grouped join. */
+  def qBigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(dec2("l_quantity")).as("sum_qty_d"))
+      .filter(col("sum_qty_d") > 250)
+    Tables.load(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"),
+        dec2("o_totalprice").cast("double").as("o_totalprice"),
+        col("sum_qty_d").cast("double").as("sum_qty"))
+      .orderBy(desc("sum_qty"), asc("o_orderkey"))
+  }
+
   // ---- §2.C events / time-series ----
 
   /** Event-time tumbling window aggregation (batch form). */

@@ -101,6 +101,20 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cols == Map(0L -> 60.0, 1L -> 64.0, 2L -> 68.0, 3L -> 72.0))
   }
 
+  test("stencilLaplacian matches a dense zero-padded reference") {
+    val dense = Array.tabulate(4, 4)((i, j) => 10.0 * i + j)
+    def at(i: Int, j: Int): Double =
+      if (i < 0 || i > 3 || j < 0 || j > 3) 0.0 else dense(i)(j)
+    def lapAt(i: Int, j: Int): Double =
+      4 * at(i, j) - at(i - 1, j) - at(i + 1, j) - at(i, j - 1) - at(i, j + 1)
+    val expectedSum = (for { i <- 0 to 3; j <- 0 to 3 } yield lapAt(i, j)).sum
+    val lap = twoD.stencilLaplacian()
+    assert(asMap(lap.sumPerTimestep()).apply(0L) == expectedSum)
+    // interior cell (1,2) and corner (0,0) via single-cell slices
+    assert(asMap(lap.slice2d(1, 2, 2, 3).sumPerTimestep()).apply(0L) == lapAt(1, 2))
+    assert(asMap(lap.slice2d(0, 1, 0, 1).sumPerTimestep()).apply(0L) == lapAt(0, 0))
+  }
+
   test("elementwise ops stay shuffle-free (narrow plan)") {
     val plan = oneD.mapValues(_ * 2).df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
