@@ -176,6 +176,58 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     copy(df = out)
   }
 
+  /** Flatten a 2-d array to `(timestep, i, j, value)` rows. */
+  def rows2d: DataFrame = {
+    require(geom.dims == 2, "rows2d requires a 2-d array")
+    val (rows, cols) = (geom.chunkShape(0), geom.chunkShape(1))
+    df.select(col("timestep"), col("pos"),
+        posexplode(col("data")).as(Seq("local", "value")))
+      .select(col("timestep"),
+        (col("pos")(0) * rows + (col("local") / cols).cast("int")).cast("bigint").as("i"),
+        (col("pos")(1) * cols + col("local") % cols).cast("bigint").as("j"),
+        col("value"))
+  }
+
+  /** Distributed block matrix multiply (dask `a @ b`), SUMMA-style:
+    * chunk-pair block products where A's chunk-column meets B's
+    * chunk-row (a co-partitioned equi-join on k), then an elementwise
+    * merge of partial blocks per output position. Only chunk payloads
+    * move — one shuffle keyed on k, one tiny reduce of partial blocks.
+    * Block sums accumulate in DECIMAL(38,4): products of 2-decimal cell
+    * values are exactly 4-decimal, so the result is order-independent
+    * and reproducible cross-engine (SURVEY §5). */
+  def matmul(other: ChunkedArray): ChunkedArray = {
+    require(geom.dims == 2 && other.geom.dims == 2, "matmul requires 2-d arrays")
+    require(geom.chunksPerDim(1) == other.geom.chunksPerDim(0) &&
+      geom.chunkShape(1) == other.geom.chunkShape(0),
+      s"inner dimensions must agree: $geom vs ${other.geom}")
+    val (rI, kI) = (geom.chunkShape(0), geom.chunkShape(1))
+    val cI = other.geom.chunkShape(1)
+    val zero = lit(0).cast("decimal(38,4)")
+    val a = df.select(col("timestep"), col("pos")(0).as("ra"),
+      col("pos")(1).as("ka"), col("data").as("adata"))
+    val b = other.df.select(col("timestep").as("bt"), col("pos")(0).as("kb"),
+      col("pos")(1).as("cb"), col("data").as("bdata"))
+    val block = transform(sequence(lit(0), lit(rI * cI - 1)), idx => {
+      val i = (idx / cI).cast("int")
+      val j = idx % cI
+      aggregate(sequence(lit(0), lit(kI - 1)), zero, (acc, k) =>
+        (acc + (col("adata")(i * kI + k) * col("bdata")(k * cI + j))
+          .cast("decimal(18,4)")).cast("decimal(38,4)"))
+    })
+    val merged = a
+      .join(b, col("timestep") === col("bt") && col("ka") === col("kb"))
+      .select(col("timestep"), col("ra"), col("cb"), block.as("part"))
+      .groupBy("timestep", "ra", "cb")
+      .agg(aggregate(collect_list(col("part")), array_repeat(zero, rI * cI),
+        (acc, v) => zip_with(acc, v, (x, y) => (x + y).cast("decimal(38,4)"))).as("vec"))
+    val out = merged.select(col("timestep"),
+      array(col("ra").cast("int"), col("cb").cast("int")).as("pos"),
+      transform(col("vec"), v => v.cast("double")).as("data"))
+    ChunkedArray(out,
+      ArrayGeometry(Seq(geom.chunksPerDim(0), other.geom.chunksPerDim(1)), Seq(rI, cI)))
+  }
+
   /** Sum a 2-d array along `axis`, dask's `arr.sum(axis=)`: chunk-local
     * fold along the axis (narrow), then an elementwise decimal merge of
     * the partial vectors across the chunk row/column (one small array per

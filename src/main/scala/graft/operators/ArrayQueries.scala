@@ -118,6 +118,13 @@ object ArrayQueries {
   def arrStencilSum(s: SparkSession, dir: String): DataFrame =
     eventsArray2d(s, dir).stencilLaplacian().sumPerTimestep("total").orderBy("timestep")
 
+  /** Distributed block matmul `A @ A` on the 8x8 array (dask linear
+    * algebra), flattened to (timestep, i, j, value) rows. */
+  def arrMatmul(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray2d(s, dir)
+    a.matmul(a).rows2d.orderBy("timestep", "i", "j")
+  }
+
   // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
 
   private val CELLS_1D =
@@ -216,6 +223,14 @@ object ArrayQueries {
          |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM cells WHERE u >= 2 AND u < 6 AND h >= 1 AND h < 7
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "arr_matmul" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(x.timestep AS BIGINT) AS timestep,
+         |  CAST(x.u AS BIGINT) AS i, CAST(y.h AS BIGINT) AS j,
+         |  CAST(SUM(CAST(x.cell * y.cell AS DECIMAL(18,4))) AS DOUBLE) AS value
+         |FROM cells x JOIN cells y
+         |  ON x.timestep = y.timestep AND x.h = y.u
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "arr_stencil_sum" ->
       s"""WITH $CELLS_2D_DENSE,
          |lap AS (
@@ -242,5 +257,6 @@ object ArrayQueries {
     "arr_axis_sum" -> (arrAxisSum _),
     "arr_slice_sum" -> (arrSliceSum _),
     "arr_stencil_sum" -> (arrStencilSum _),
+    "arr_matmul" -> (arrMatmul _),
   )
 }

@@ -13,17 +13,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // long (spark.sql.legacy.parquet.nanosAsLong=true, set in our session
-    // builders). Normalize to a microsecond timestamp; DuckDB's
-    // CAST(ts AS TIMESTAMP) floors ns->us identically for positive epochs.
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    } else df
-  }
+  // DataFrames are immutable logical plans: memoize per (session, path) so
+  // repeated queries skip re-listing files and re-reading parquet footers.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, s"$dir/$name.parquet"), {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+      // long (spark.sql.legacy.parquet.nanosAsLong=true, set in our session
+      // builders). Normalize to a microsecond timestamp; DuckDB's
+      // CAST(ts AS TIMESTAMP) floors ns->us identically for positive epochs.
+      if (name == "events" &&
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      } else df
+    })
 
   /** Register every table as a temp view (for spark.sql users). */
   def registerAll(spark: SparkSession, dir: String): Unit =

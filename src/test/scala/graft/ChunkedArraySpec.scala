@@ -115,6 +115,16 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asMap(lap.slice2d(0, 1, 0, 1).sumPerTimestep()).apply(0L) == lapAt(0, 0))
   }
 
+  test("matmul matches a dense reference (A @ A)") {
+    val dense = Array.tabulate(4, 4)((i, j) => 10.0 * i + j)
+    val expected = Array.tabulate(4, 4)((i, j) =>
+      (0 to 3).map(k => dense(i)(k) * dense(k)(j)).sum)
+    val got = twoD.matmul(twoD).rows2d.collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    for { i <- 0 to 3; j <- 0 to 3 }
+      assert(got((i.toLong, j.toLong)) == expected(i)(j), s"cell ($i,$j)")
+  }
+
   test("elementwise ops stay shuffle-free (narrow plan)") {
     val plan = oneD.mapValues(_ * 2).df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
