@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    // Plans graft's TopKPerKey logical node as the bounded-heap operator.
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftexpr.TopKStrategy)
   }
 }
 

@@ -39,6 +39,7 @@ object SparkEntry {
     "ev_top_users" -> (Relational.evTopUsers _),
     "ev_json" -> (Relational.evJson _),
     "ev_asof_join" -> (Relational.evAsofJoin _),
+    "ev_top_users_native" -> (Relational.evTopUsersNative _),
   )
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -189,6 +190,17 @@ object SparkEntry {
         |      ORDER BY total_value DESC, user_id) AS rk
         |  FROM totals) t
         |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+    "ev_top_users_native" ->
+      """WITH totals AS (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, total_value FROM (
+        |  SELECT event_type, user_id, total_value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY total_value DESC, user_id) AS rk
+        |  FROM totals) t
+        |WHERE rk <= 3 ORDER BY event_type, total_value DESC, user_id""".stripMargin,
     "ev_asof_join" ->
       """WITH p AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts FROM events

@@ -276,6 +276,19 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Per-type top-3 users via graft's native bounded-heap TopKPerKey
+    * operator (custom LogicalPlan + Strategy + SparkPlan; SURVEY §2.I) —
+    * O(n log k) per partition, no per-group sort, vs the window
+    * row_number form in [[evTopUsers]]. */
+  def evTopUsersNative(s: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.load(s, dir, "events")
+      .groupBy("event_type", "user_id")
+      .agg(sum(dec2("value")).cast("double").as("total_value"))
+    org.apache.spark.sql.graftexpr.TopKPerKey
+      .perKey(totals, Seq("event_type"), Seq(("total_value", false), ("user_id", true)), 3)
+      .orderBy(asc("event_type"), desc("total_value"), asc("user_id"))
+  }
+
   /** JSON property extraction + aggregation. */
   def evJson(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")

@@ -9,6 +9,7 @@ import graft.arrays.{ArrayGeometry, ChunkedArray}
 /** Shared local session for all specs. */
 object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new GraftExtensions)
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

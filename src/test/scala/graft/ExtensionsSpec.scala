@@ -23,6 +23,34 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally () // shared JVM session registry; leave the session alone
   }
 
+  test("TopKPerKey plans as the bounded-heap operator and matches the window form") {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val totals = graft.sources.Tables.load(s, sf, "events")
+      .groupBy("event_type", "user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    val custom = org.apache.spark.sql.graftexpr.TopKPerKey
+      .perKey(totals, Seq("event_type"),
+        Seq(("total_value", false), ("user_id", true)), 3)
+      .orderBy("event_type", "user_id")
+    // physical nodes print without the Exec suffix
+    assert(custom.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "custom strategy should plan the bounded-heap operator")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(desc("total_value"), asc("user_id"))
+    val viaWindow = totals.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).drop("rk")
+      .orderBy("event_type", "user_id")
+    assert(custom.collect().toSeq == viaWindow.collect().toSeq)
+  }
+
   test("Async.prepare computes in the background (doreisa persist analog)") {
     val df = spark.range(1000).toDF("id")
     val fut = Async.prepare(df.selectExpr("sum(id) AS s"))
