@@ -45,8 +45,25 @@ object ArrayQueries {
     ChunkedArray(df, geom1d)
   }
 
+  // The unfiltered 1-d/2-d arrays feed most §2.A queries; memoize + persist
+  // the (small) chunk relations per session+dir, like a real in-situ run
+  // would keep the current timestep window resident (doreisa holds chunk
+  // refs in the object store, doreisa/head_node.py:70).
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), ChunkedArray]
+  private def cached(s: SparkSession, dir: String, kind: String)(build: => ChunkedArray): ChunkedArray =
+    cache.getOrElseUpdate((s, dir, kind), {
+      val arr = build
+      arr.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      arr
+    })
+
   def eventsArray1d(s: SparkSession, dir: String, filter: Column = lit(true)): ChunkedArray =
     chunks1d(cells1d(Tables.load(s, dir, "events").where(filter)))
+
+  /** Memoized unfiltered variant (most §2.A queries start from it). */
+  def eventsArray1dCached(s: SparkSession, dir: String): ChunkedArray =
+    cached(s, dir, "1d")(eventsArray1d(s, dir))
 
   /** 8x8 (user bucket x hour bucket) array as a 2x2 grid of 4x4 chunks. */
   def eventsArray2d(s: SparkSession, dir: String): ChunkedArray = {
@@ -69,15 +86,19 @@ object ArrayQueries {
     ChunkedArray(df, geom2d)
   }
 
+  /** Memoized unfiltered 2-d variant. */
+  def eventsArray2dCached(s: SparkSession, dir: String): ChunkedArray =
+    cached(s, dir, "2d")(eventsArray2d(s, dir))
+
   // ---- queries ----
 
   /** doreisa `array.sum().compute()` per timestep (tests/test_doreisa.py:19). */
   def arrSumTs(s: SparkSession, dir: String): DataFrame =
-    eventsArray1d(s, dir).sumPerTimestep("total").orderBy("timestep")
+    eventsArray1dCached(s, dir).sumPerTimestep("total").orderBy("timestep")
 
   /** dask-style one-pass stats per timestep. */
   def arrStatsTs(s: SparkSession, dir: String): DataFrame =
-    eventsArray1d(s, dir).statsPerTimestep.orderBy("timestep")
+    eventsArray1dCached(s, dir).statsPerTimestep.orderBy("timestep")
 
   /** doreisa two-array elementwise `(a - b)` + mean (docs/analytics.md:31). */
   def arrMeanDiff(s: SparkSession, dir: String): DataFrame = {
@@ -90,38 +111,38 @@ object ArrayQueries {
 
   /** doreisa preprocess `10 * chunk` then reduce (tests/test_preprocessing_callback.py:24). */
   def arrPreprocessSum(s: SparkSession, dir: String): DataFrame =
-    eventsArray1d(s, dir).mapValues(_ * lit(10.0)).sumPerTimestep("total").orderBy("timestep")
+    eventsArray1dCached(s, dir).mapValues(_ * lit(10.0)).sumPerTimestep("total").orderBy("timestep")
 
   /** Fused elementwise chain `2x + 1` then reduce (dask elementwise). */
   def arrElementwiseChain(s: SparkSession, dir: String): DataFrame =
-    eventsArray1d(s, dir).mapValues(x => x * lit(2.0) + lit(1.0))
+    eventsArray1dCached(s, dir).mapValues(x => x * lit(2.0) + lit(1.0))
       .sumPerTimestep("total").orderBy("timestep")
 
   /** doreisa sliding window w=2: `(arr(t) - arr(t-1)).sum()`
     * (tests/test_sliding_window.py:22-27). */
   def arrWindowDelta(s: SparkSession, dir: String): DataFrame = {
-    val cur = eventsArray1d(s, dir)
+    val cur = eventsArray1dCached(s, dir)
     val prev = cur.shiftTimestep(1L)
     cur.zipWith(prev)(_ - _).sumPerTimestep("delta").orderBy("timestep")
   }
 
   /** dask `arr.sum(axis=1)` on the 2-d array. */
   def arrAxisSum(s: SparkSession, dir: String): DataFrame =
-    eventsArray2d(s, dir).axisSumRows(axis = 1).orderBy("timestep", "idx")
+    eventsArray2dCached(s, dir).axisSumRows(axis = 1).orderBy("timestep", "idx")
 
   /** dask slicing `arr[2:6, 1:7].sum()` with chunk pruning. */
   def arrSliceSum(s: SparkSession, dir: String): DataFrame =
-    eventsArray2d(s, dir).slice2d(2, 6, 1, 7).sumPerTimestep("total").orderBy("timestep")
+    eventsArray2dCached(s, dir).slice2d(2, 6, 1, 7).sumPerTimestep("total").orderBy("timestep")
 
   /** 5-point Laplacian via halo exchange, then a per-timestep reduction —
     * the in-situ "derivative of the simulation field" analytic. */
   def arrStencilSum(s: SparkSession, dir: String): DataFrame =
-    eventsArray2d(s, dir).stencilLaplacian().sumPerTimestep("total").orderBy("timestep")
+    eventsArray2dCached(s, dir).stencilLaplacian().sumPerTimestep("total").orderBy("timestep")
 
   /** Distributed block matmul `A @ A` on the 8x8 array (dask linear
     * algebra), flattened to (timestep, i, j, value) rows. */
   def arrMatmul(s: SparkSession, dir: String): DataFrame = {
-    val a = eventsArray2d(s, dir)
+    val a = eventsArray2dCached(s, dir)
     a.matmul(a).rows2d.orderBy("timestep", "i", "j")
   }
 
