@@ -33,6 +33,10 @@ object SparkEntry {
     "q_promo_ratio" -> (Relational.qPromoRatio _),
     "q_notin_brands" -> (Relational.qNotinBrands _),
     "q_big_orders" -> (Relational.qBigOrders _),
+    "q_moving_avg" -> (Relational.qMovingAvg _),
+    "q_cube" -> (Relational.qCube _),
+    "q_setops" -> (Relational.qSetops _),
+    "q_pivot" -> (Relational.qPivot _),
     // §2.C events
     "ev_hourly" -> (Relational.evHourly _),
     "ev_sessionize" -> (Relational.evSessionize _),
@@ -190,6 +194,38 @@ object SparkEntry {
         |      ORDER BY total_value DESC, user_id) AS rk
         |  FROM totals) t
         |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(rev_d AS DOUBLE) AS daily_rev,
+        |  CAST(SUM(rev_d) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS ma7
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_setops" ->
+      """WITH building AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000)
+        |SELECT 'except' AS op, COUNT(*) AS n FROM (
+        |  SELECT k FROM big EXCEPT SELECT k FROM building) t
+        |UNION ALL
+        |SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+        |  SELECT k FROM big INTERSECT SELECT k FROM building) t
+        |ORDER BY op""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_top_users_native" ->
       """WITH totals AS (
         |  SELECT event_type, user_id,

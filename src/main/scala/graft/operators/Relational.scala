@@ -216,6 +216,56 @@ object Relational {
       .orderBy(desc("sum_qty"), asc("o_orderkey"))
   }
 
+  /** Frame window: 7-day moving average of daily order revenue
+    * (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW). */
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec2("o_totalprice")).as("rev_d"))
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("ma7",
+        sum(col("rev_d")).over(w).cast("double") / count(lit(1)).over(w).cast("double"))
+      .select(col("day"), col("rev_d").cast("double").as("daily_rev"), col("ma7"))
+      .orderBy("day")
+  }
+
+  /** CUBE aggregate over two dimensions. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(dec2("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Set operations: INTERSECT / EXCEPT between big-order buyers and the
+    * BUILDING segment. */
+  def qSetops(s: SparkSession, dir: String): DataFrame = {
+    val building = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val bigBuyers = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("k"))
+    val i = bigBuyers.intersect(building)
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+    val e = bigBuyers.except(building)
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+    i.unionByName(e).select("op", "n").orderBy("op")
+  }
+
+  /** Pivot (explicit value list keeps the plan one-pass). */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
   // ---- §2.C events / time-series ----
 
   /** Event-time tumbling window aggregation (batch form). */

@@ -48,6 +48,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(msg.chunkSum == 30.0)
   }
 
+  test("Simulation handles several named arrays independently (doreisa test_several_arrays)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Int, Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "nbChunks", "data")
+    val msgs = Simulation.toMessages(chunks,
+      Seq(ArrayDef("a"), ArrayDef("b", preprocess = _ * 2)))
+    val out = Simulation.assemble(msgs).writeStream
+      .format("memory").queryName("multi_out").outputMode(OutputMode.Append()).start()
+    in.addData(
+      ("a", 0L, 2, Seq(1.0)), ("b", 0L, 1, Seq(5.0)),
+      ("a", 0L, 2, Seq(2.0)))
+    out.processAllAvailable()
+    in.addData(("a", 1L, 2, Seq(3.0)), ("a", 1L, 2, Seq(4.0)))
+    out.processAllAvailable()
+    out.stop()
+    val rows = spark.table("multi_out")
+      .as[(String, Long, Double, Option[Double])].collect().sortBy(r => (r._1, r._2))
+    // b's preprocess (x2) applied; arrays tracked independently; a has a delta at t=1
+    assert(rows.toSeq == Seq(
+      ("a", 0L, 3.0, None), ("a", 1L, 7.0, Some(4.0)), ("b", 0L, 10.0, None)))
+  }
+
+  test("Simulation.run delivers per-timestep callbacks in order (doreisa run_simulation)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Int, Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "nbChunks", "data")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Option[Double])]
+    val q = Simulation.run(chunks, Seq(ArrayDef("array")),
+      (n, t, total, delta) => seen.synchronized { seen += ((n, t, total, delta)) })
+    in.addData(("array", 0L, 1, Seq(1.0, 2.0)))
+    q.processAllAvailable()
+    in.addData(("array", 1L, 1, Seq(10.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.toSeq == Seq(
+      ("array", 0L, 3.0, None), ("array", 1L, 10.0, Some(7.0))))
+  }
+
   test("EventPipelines.hourly windows an event-time stream") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
