@@ -34,11 +34,18 @@ object ArrayQueries {
       .groupBy("timestep", "u")
       .agg(sum(dec2(col("value"))).cast("double").as("cell"))
 
-  /** Densify cells into 4 chunks of 16 elements per timestep. */
+  /** Densify cells into 4 chunks of 16 elements per timestep. Every grid
+    * position of every present timestep gets a chunk (zero-filled when no
+    * events hit it) — the array is logically dense, and ops like stats /
+    * +constant maps / aligned zips depend on all-positions-present. */
   private def chunks1d(cells: DataFrame): ChunkedArray = {
-    val df = cells
+    val filled = cells
       .groupBy(col("timestep"), expr("CAST(u div 16 AS INT)").as("cpos"))
       .agg(map_from_entries(collect_list(struct((col("u") % 16).as("k"), col("cell")))).as("m"))
+    val grid = cells.select("timestep").distinct()
+      .crossJoin(cells.sparkSession.range(geom1d.chunksPerDim(0))
+        .select(col("id").cast("int").as("cpos")))
+    val df = grid.join(filled, Seq("timestep", "cpos"), "left")
       .select(col("timestep"), array(col("cpos")).as("pos"),
         transform(sequence(lit(0), lit(15)), i =>
           coalesce(element_at(col("m"), i), lit(0.0))).as("data"))
@@ -75,11 +82,16 @@ object ArrayQueries {
         col("value"))
       .groupBy("timestep", "u", "h")
       .agg(sum(dec2(col("value"))).cast("double").as("cell"))
-    val df = cells
+    val filled = cells
       .groupBy(col("timestep"),
         expr("CAST(u div 4 AS INT)").as("cr"), expr("CAST(h div 4 AS INT)").as("cc"))
       .agg(map_from_entries(collect_list(
         struct(((col("u") % 4) * 4 + col("h") % 4).as("k"), col("cell")))).as("m"))
+    // dense grid: all 2x2 chunk positions for every present timestep
+    val grid = cells.select("timestep").distinct()
+      .crossJoin(Tables.load(s, dir, "events").sparkSession.range(4)
+        .select(expr("CAST(id div 2 AS INT)").as("cr"), (col("id") % 2).cast("int").as("cc")))
+    val df = grid.join(filled, Seq("timestep", "cr", "cc"), "left")
       .select(col("timestep"), array(col("cr"), col("cc")).as("pos"),
         transform(sequence(lit(0), lit(15)), i =>
           coalesce(element_at(col("m"), i), lit(0.0))).as("data"))
