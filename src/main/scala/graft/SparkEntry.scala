@@ -34,6 +34,9 @@ object SparkEntry {
     "q_notin_brands" -> (Relational.qNotinBrands _),
     "q_big_orders" -> (Relational.qBigOrders _),
     "q_moving_avg" -> (Relational.qMovingAvg _),
+    "q_small_qty" -> (Relational.qSmallQty _),
+    "q_late_orders" -> (Relational.qLateOrders _),
+    "q_string_ops" -> (Relational.qStringOps _),
     "q_cube" -> (Relational.qCube _),
     "q_setops" -> (Relational.qSetops _),
     "q_pivot" -> (Relational.qPivot _),
@@ -204,6 +207,28 @@ object SparkEntry {
         |FROM daily
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY day""".stripMargin,
+    "q_small_qty" ->
+      """WITH a AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN a ON l_partkey = pk
+        |WHERE l_quantity < avg_qty * 0.2""".stripMargin,
+    "q_late_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_string_ops" ->
+      """SELECT upper(substring(p_name, 1, 2)) AS prefix, COUNT(*) AS n_parts,
+        |  CAST(SUM(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_a,
+        |  CAST(SUM(length(regexp_replace(p_name, '[aeiou]', '', 'g'))) AS BIGINT) AS total_consonants
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

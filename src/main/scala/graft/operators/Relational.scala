@@ -216,6 +216,46 @@ object Relational {
       .orderBy(desc("sum_qty"), asc("o_orderkey"))
   }
 
+  /** Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20% of
+    * their part's average quantity. Decorrelated as a per-part aggregate
+    * joined back; the threshold math (0.2 * sum/count in double) is
+    * written identically in the oracle so the comparison is exact. */
+  def qSmallQty(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val avgQty = li.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(dec2("l_quantity")).cast("double") / count(lit(1)).cast("double")).as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg(sum(dec2("l_extendedprice")).cast("double").as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Correlated EXISTS (TPC-H Q4 shape): orders with at least one late
+    * line (shipped >90 days after the order date), counted by priority. */
+  def qLateOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("lk"), col("l_shipdate"))
+    Tables.load(s, dir, "orders")
+      .join(li, col("o_orderkey") === col("lk") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** String expression pipeline: substring buckets, LIKE filters, case
+    * transforms over part names. */
+  def qStringOps(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part")
+      .select(upper(substring(col("p_name"), 1, 2)).as("prefix"),
+        when(col("p_name").like("%a%"), 1L).otherwise(0L).as("has_a"),
+        length(regexp_replace(col("p_name"), "[aeiou]", "")).cast("bigint").as("consonant_len"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("has_a")).as("n_with_a"),
+        sum(col("consonant_len")).as("total_consonants"))
+      .orderBy("prefix")
+
   /** Frame window: 7-day moving average of daily order revenue
     * (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW). */
   def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
