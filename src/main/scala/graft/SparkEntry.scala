@@ -37,6 +37,8 @@ object SparkEntry {
     "q_small_qty" -> (Relational.qSmallQty _),
     "q_late_orders" -> (Relational.qLateOrders _),
     "q_string_ops" -> (Relational.qStringOps _),
+    "q_approx_sketch" -> (Relational.qApproxSketch _),
+    "q_median" -> (Relational.qMedian _),
     "q_cube" -> (Relational.qCube _),
     "q_setops" -> (Relational.qSetops _),
     "q_pivot" -> (Relational.qPivot _),
@@ -207,6 +209,18 @@ object SparkEntry {
         |FROM daily
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY day""".stripMargin,
+    // q_approx_sketch intentionally has NO oracle: HLL/approx-quantile
+    // outputs are engine-specific (driver records rows-only).
+    "q_median" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_quantity AS median_qty, n AS n_rows
+        |FROM t WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+        |ORDER BY l_returnflag""".stripMargin,
     "q_small_qty" ->
       """WITH a AS (
         |  SELECT l_partkey AS pk,

@@ -256,6 +256,34 @@ object Relational {
         sum(col("consonant_len")).as("total_consonants"))
       .orderBy("prefix")
 
+  /** Sketch aggregates: HyperLogLog distinct counts + approximate
+    * quantiles. Sketch outputs are engine-specific, so this query has NO
+    * SQL oracle (driver records the weaker rows-only check); the spec
+    * asserts error bounds against exact counts instead. */
+  def qApproxSketch(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"))
+      .orderBy("l_returnflag")
+
+  /** Exact median via the lower-middle-row definition (deterministic and
+    * identical cross-engine, unlike interpolated percentile built-ins):
+    * row k = ceil(n/2) of each group ordered by (value, tiebreaker). */
+  def qMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(asc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .filter(col("rn") === ceil(col("n") / lit(2.0)).cast("bigint"))
+      .select(col("l_returnflag"), col("l_quantity").as("median_qty"), col("n").as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   /** Frame window: 7-day moving average of daily order revenue
     * (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW). */
   def qMovingAvg(s: SparkSession, dir: String): DataFrame = {

@@ -70,6 +70,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("Broadcast"), s"expected broadcast join in:\n$plan")
   }
 
+  test("sketch aggregates stay within their error bounds") {
+    val rows = graft.operators.Relational.qApproxSketch(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"HLL estimate $approx too far from exact $exact")
+      val m = r.getAs[Double]("approx_median_qty")
+      assert(m >= 1.0 && m <= 50.0)
+    }
+  }
+
   test("text: quality and langid emit one row per document") {
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(TextAnalysis.txtQuality(spark, sf).count() == n)

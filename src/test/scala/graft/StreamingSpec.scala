@@ -104,6 +104,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(r => (r._2, r._3)).toSeq == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("file-based chunk stream end-to-end (readStream -> assemble -> sink)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("timestep", LongType),
+      StructField("nbChunks", IntegerType),
+      StructField("data", ArrayType(DoubleType))))
+    // producer writes one parquet file per timestep (the file-source form
+    // of doreisa's per-iteration chunk push)
+    Seq(("array", 0L, 2, Seq(1.0, 2.0)), ("array", 0L, 2, Seq(3.0)))
+      .toDF("name", "timestep", "nbChunks", "data")
+      .write.parquet(s"$dir/t0")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // doreisa max_pending_arrays analog
+      .parquet(s"$dir/*")
+    val q = Simulation.assemble(Simulation.toMessages(stream, Seq(ArrayDef("array"))))
+      .writeStream.format("memory").queryName("file_out")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    Seq(("array", 1L, 1, Seq(10.0, 4.0)))
+      .toDF("name", "timestep", "nbChunks", "data")
+      .write.parquet(s"$dir/t1")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("file_out")
+      .as[(String, Long, Double, Option[Double])].collect().sortBy(_._2)
+    assert(rows.map(r => (r._2, r._3)).toSeq == Seq((0L, 6.0), (1L, 14.0)))
+    assert(rows.last._4.contains(8.0))
+  }
+
   test("EventPipelines.sessions merges events within the gap") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
