@@ -69,6 +69,43 @@ object Similarity {
       .orderBy("probe_id", "rk")
   }
 
+  /** IVF ANN with a fixed coarse quantizer: the first [[NumCentroids]]
+    * vectors act as centroids (broadcast); every vector is assigned to
+    * its nearest centroid by squared L2 (one narrow pass), probes search
+    * only their own inverted list, exact cosine re-ranks inside it. A
+    * production build would train the quantizer with k-means — the
+    * assignment/search plan shape is identical; a fixed quantizer keeps
+    * the query deterministic for the oracle. */
+  val NumCentroids = 8
+
+  def simIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("n2", norm2(col("emb")))
+    val cents = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"), col("n2").as("cn2"))
+    // d2 = ((n2 - 2*dot) + cn2); same association order in the oracle
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(asc("d2"), asc("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("d2", col("n2") - lit(2.0) * dot(col("emb"), col("cemb")) + col("cn2"))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("n2"), col("cid").as("cluster"))
+    val probes = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"),
+        col("n2").as("pn2"), col("cluster").as("pc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    assigned.join(broadcast(probes),
+        col("cluster") === col("pc") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosineWithNorms(dot(col("pe"), col("emb")), col("pn2"), col("n2")).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 5)
+      .orderBy("probe_id", "rk")
+  }
+
   private def planeSql(p: Int): String = planes(p).mkString("[", ", ", "]")
   private def bucketSql(emb: String): String =
     (0 until NumPlanes).map { p =>
@@ -89,6 +126,7 @@ object Similarity {
          |  FROM sc)
          |SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 10
          |ORDER BY probe_id, rk""".stripMargin,
+    "sim_ivf_ann" -> ivfOracle,
     "sim_lsh_ann" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
@@ -109,5 +147,37 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
+    "sim_ivf_ann" -> (simIvfAnn _),
   )
+
+  // lazy: referenced from `oracles`, which is initialized earlier in the file
+  private lazy val ivfOracle: String = {
+    val n2 = Dedup.dotSql("embedding", "embedding")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $n2 AS n2 FROM embeddings),
+       |c AS (
+       |  SELECT vec_id AS cid, embedding AS cemb, n2 AS cn2 FROM e
+       |  WHERE vec_id < $NumCentroids),
+       |d AS (
+       |  SELECT e.vec_id, e.embedding, e.n2, c.cid,
+       |    e.n2 - 2.0 * ${Dedup.dotSql("e.embedding", "c.cemb")} + c.cn2 AS d2
+       |  FROM e CROSS JOIN c),
+       |a AS (
+       |  SELECT vec_id, embedding, n2, cid AS cluster FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM d) t WHERE rn = 1),
+       |p AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2, cluster AS pc
+       |  FROM a WHERE vec_id < 5),
+       |sc AS (
+       |  SELECT probe_id, a.vec_id,
+       |    ${Dedup.dotSql("pe", "a.embedding")} / sqrt(pn2 * a.n2) AS cos
+       |  FROM a JOIN p ON a.cluster = p.pc AND a.vec_id != p.probe_id),
+       |r AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM sc)
+       |SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 5
+       |ORDER BY probe_id, rk""".stripMargin
+  }
 }
