@@ -59,6 +59,17 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       zip_with(col("data"), col("r_data"), f).as("data")))
   }
 
+  /** Re-cluster chunks on the (timestep, pos) zip key — the explicit
+    * analog of the reference's chunk->worker partitioning strategies
+    * (doreisa/_scheduler.py, tests/test_partitioning.py). Partitioning on
+    * the FULL key keeps parallelism proportional to #chunks (pos alone
+    * would cap it at the grid size) and matches [[zipWith]]'s join key so
+    * an aligned zip can reuse the exchange. Spark's locality-aware
+    * scheduling already plays the reference's "greedy" role; reach for
+    * this only in pipelines that re-zip the same arrays repeatedly. */
+  def repartitionByGrid(): ChunkedArray =
+    copy(df = df.repartition(col("timestep"), col("pos")))
+
   /** Shift all timesteps by `k` — building block for sliding windows
     * (doreisa `window_size`, tests/test_sliding_window.py). */
   def shiftTimestep(k: Long): ChunkedArray =

@@ -126,6 +126,12 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got((i.toLong, j.toLong)) == expected(i)(j), s"cell ($i,$j)")
   }
 
+  test("repartitionByGrid preserves results through an aligned zip") {
+    val a = oneD.repartitionByGrid()
+    val d = a.zipWith(a.mapValues(_ * 3))((x, y) => y - x)
+    assert(asMap(d.sumPerTimestep()) == Map(0L -> 72.0, 1L -> 144.0))
+  }
+
   test("elementwise ops stay shuffle-free (narrow plan)") {
     val plan = oneD.mapValues(_ * 2).df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
