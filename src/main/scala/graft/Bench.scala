@@ -32,9 +32,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warm the JVM/codegen/file-listing paths once with the flagship query
-    // so the first measured query doesn't absorb session startup.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // Warm the JVM/codegen paths and the BENCHMARKED dataset's file
+    // listing (entry() points at sf0.001, not sfDir) so the first
+    // measured query doesn't absorb session startup.
+    try graft.sources.Tables.names.foreach(n =>
+      graft.sources.Tables.load(spark, sfDir, n).write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))

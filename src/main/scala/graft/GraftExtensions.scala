@@ -18,7 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_dot requires exactly 2 arguments, got ${children.length}")
+        DotProduct(children(0), children(1))
+      }))
     // Plans graft's TopKPerKey logical node as the bounded-heap operator.
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftexpr.TopKStrategy)
   }

@@ -17,7 +17,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Delete any previous output FIRST: a query failing at analysis time
+    // never reaches the overwrite, and a stale directory from an earlier
+    // run would otherwise make the checker pass on old results.
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(): Unit
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      deleteRec(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -102,6 +102,7 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * supports reductions only. */
   def sliceRange(lo: Int, hi: Int): ChunkedArray = {
     require(geom.dims == 1, "sliceRange is 1-d; use slice2d for 2-d arrays")
+    require(lo < hi, s"empty slice [$lo, $hi)")
     val cs = geom.chunkShape(0)
     val chunkLo = col("pos")(0) * cs
     val kept = df.filter(chunkLo < hi && chunkLo + cs > lo)
@@ -117,6 +118,9 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * pruned before any payload work. */
   def slice2d(rLo: Int, rHi: Int, cLo: Int, cHi: Int): ChunkedArray = {
     require(geom.dims == 2, "slice2d requires a 2-d array")
+    // an empty range would hit Spark's descending-sequence default
+    // (sequence(1, 0) == [1, 0]) and gather garbage rather than nothing
+    require(rLo < rHi && cLo < cHi, s"empty slice [$rLo,$rHi)x[$cLo,$cHi)")
     val (rows, cols) = (geom.chunkShape(0), geom.chunkShape(1))
     val rChunkLo = col("pos")(0) * rows
     val cChunkLo = col("pos")(1) * cols

@@ -92,6 +92,7 @@ object TopKPerKey {
   /** Top `k` rows per `keys` group, best-first by `order` —
     * (columnName, ascending) pairs resolved against `df`'s output. */
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k") // k=0 would NPE in the heap eviction
     val analyzed = df.queryExecution.analyzed
     def attr(n: String): Attribute = analyzed.output.find(_.name == n)
       .getOrElse(sys.error(s"column $n not in ${analyzed.output.map(_.name)}"))

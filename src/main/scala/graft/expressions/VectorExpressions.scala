@@ -28,11 +28,20 @@ case class DotProduct(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // can be null on length mismatch even with non-null children; without
+  // this, codegen would emit an assignment to the constant-false isNull
+  override def nullable: Boolean = true
 
+  // Length mismatch yields NULL, matching the zip_with+aggregate HOF form
+  // (zip_with pads the short side with nulls, poisoning the fold).
+  // Caveat vs the HOF form: null ELEMENTS are not checked per slot (the
+  // callers feed non-null parquet vectors; checking would cost a branch
+  // per element in the hot loop).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -42,12 +51,16 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}_s = 0.0;
-         |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
-         |  ${ev.value}_s += $a.getDouble(${ev.value}_i) * $b.getDouble(${ev.value}_i);
+         |int ${ev.value}_n = $a.numElements();
+         |if (${ev.value}_n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double ${ev.value}_s = 0.0;
+         |  for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+         |    ${ev.value}_s += $a.getDouble(${ev.value}_i) * $b.getDouble(${ev.value}_i);
+         |  }
+         |  ${ev.value} = ${ev.value}_s;
          |}
-         |${ev.value} = ${ev.value}_s;
        """.stripMargin
     })
 

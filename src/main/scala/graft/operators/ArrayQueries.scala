@@ -58,12 +58,14 @@ object ArrayQueries {
   // refs in the object store, doreisa/head_node.py:70).
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), ChunkedArray]
-  private def cached(s: SparkSession, dir: String, kind: String)(build: => ChunkedArray): ChunkedArray =
+  private def cached(s: SparkSession, dir: String, kind: String)(build: => ChunkedArray): ChunkedArray = {
+    if (cache.size > 64) cache.clear() // crude bound; see Tables.cache note
     cache.getOrElseUpdate((s, dir, kind), {
       val arr = build
       arr.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       arr
     })
+  }
 
   def eventsArray1d(s: SparkSession, dir: String, filter: Column = lit(true)): ChunkedArray =
     chunks1d(cells1d(Tables.load(s, dir, "events").where(filter)))

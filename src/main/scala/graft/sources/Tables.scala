@@ -15,10 +15,13 @@ object Tables {
 
   // DataFrames are immutable logical plans: memoize per (session, path) so
   // repeated queries skip re-listing files and re-reading parquet footers.
+  // Crude bound: the map pins SparkSessions, so a long-lived JVM cycling
+  // sessions would leak without the clear-on-overflow.
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (cache.size > 256) cache.clear()
     cache.getOrElseUpdate((spark, s"$dir/$name.parquet"), {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
@@ -30,6 +33,7 @@ object Tables {
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       } else df
     })
+  }
 
   /** Register every table as a temp view (for spark.sql users). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -21,7 +21,14 @@ case class TimestepTotal(name: String, timestep: Long, total: Double, delta: Opt
 
 private case class AsmState(
     partial: Map[Long, (Double, Int)], // timestep -> (running sum, chunks seen)
-    lastCompleted: Option[(Long, Double)])
+    completed: Map[Long, Double]) // completed timestep -> total (pruned to a horizon)
+
+private object AsmState {
+  /** Completed totals retained for delta lookups (doreisa keeps
+    * `window_size` arrays; deltas need t-1, the horizon covers stragglers
+    * completing far out of order). */
+  val Horizon = 64
+}
 
 /** Array definition, mirroring doreisa.window_api.ArrayDefinition
   * (name, window_size, preprocess) — doreisa/window_api.py:14-18. */
@@ -58,29 +65,41 @@ object Simulation {
   }
 
   /** Assemble timesteps from chunk messages; emit exactly once per
-    * completed timestep, with the sliding-window delta. State per array
-    * name is O(in-flight timesteps), holding scalars only. */
+    * completed timestep, with the sliding-window delta (vs timestep-1,
+    * whenever that timestep has completed — timesteps may complete out of
+    * order). Duplicate/late chunks for an already-completed timestep are
+    * dropped, so at-least-once sources cannot re-open a timestep. State
+    * per array name is O(in-flight + horizon) scalars. */
   def assemble(msgs: Dataset[ChunkMsg]): Dataset[TimestepTotal] = {
     import msgs.sparkSession.implicits._
     msgs.groupByKey(_.name)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (name: String, it: Iterator[ChunkMsg], state: GroupState[AsmState]) => {
-          var st = state.getOption.getOrElse(AsmState(Map.empty, None))
+          var st = state.getOption.getOrElse(AsmState(Map.empty, Map.empty))
           val out = scala.collection.mutable.ArrayBuffer.empty[TimestepTotal]
+          // deltas for timesteps whose predecessor completes later in the
+          // batch are resolved after the loop
+          val pendingDelta = scala.collection.mutable.ArrayBuffer.empty[Int]
           it.foreach { m =>
-            val (s0, c0) = st.partial.getOrElse(m.timestep, (0.0, 0))
-            val (s1, c1) = (s0 + m.chunkSum, c0 + 1)
-            if (c1 >= m.nbChunks) {
-              st = st.copy(partial = st.partial - m.timestep)
-              // complete; emit in timestep order relative to lastCompleted
-              val delta = st.lastCompleted.collect {
-                case (t0, v0) if t0 == m.timestep - 1 => s1 - v0
+            if (!st.completed.contains(m.timestep)) {
+              val (s0, c0) = st.partial.getOrElse(m.timestep, (0.0, 0))
+              val (s1, c1) = (s0 + m.chunkSum, c0 + 1)
+              if (c1 >= m.nbChunks) {
+                val done = st.completed + (m.timestep -> s1)
+                st = AsmState(
+                  st.partial - m.timestep,
+                  done.filter { case (t, _) => t >= m.timestep - AsmState.Horizon })
+                val delta = st.completed.get(m.timestep - 1).map(s1 - _)
+                if (delta.isEmpty) pendingDelta += out.size
+                out += TimestepTotal(name, m.timestep, s1, delta)
+              } else {
+                st = st.copy(partial = st.partial + (m.timestep -> (s1, c1)))
               }
-              out += TimestepTotal(name, m.timestep, s1, delta)
-              st = st.copy(lastCompleted = Some((m.timestep, s1)))
-            } else {
-              st = st.copy(partial = st.partial + (m.timestep -> (s1, c1)))
             }
+          }
+          pendingDelta.foreach { i =>
+            val t = out(i)
+            out(i) = t.copy(delta = st.completed.get(t.timestep - 1).map(t.total - _))
           }
           state.update(st)
           out.iterator

@@ -35,6 +35,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head._4.isEmpty) // first timestep has no predecessor
   }
 
+  test("Simulation keeps deltas when timesteps complete out of order") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Int, Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "nbChunks", "data")
+    val msgs = Simulation.toMessages(chunks, Seq(ArrayDef("array")))
+    val out = Simulation.assemble(msgs).writeStream
+      .format("memory").queryName("ooo_out").outputMode(OutputMode.Append()).start()
+    // t=0 and t=2 complete; t=1 is missing one chunk
+    in.addData(
+      ("array", 0L, 1, Seq(1.0)),
+      ("array", 2L, 1, Seq(30.0)),
+      ("array", 1L, 2, Seq(5.0)))
+    out.processAllAvailable()
+    // t=1's straggler arrives; t=3 completes afterwards
+    in.addData(("array", 1L, 2, Seq(15.0)), ("array", 3L, 1, Seq(100.0)))
+    out.processAllAvailable()
+    // duplicate chunk for completed t=0 must NOT re-open or re-emit it
+    in.addData(("array", 0L, 1, Seq(999.0)))
+    out.processAllAvailable()
+    out.stop()
+    val rows = spark.table("ooo_out")
+      .as[(String, Long, Double, Option[Double])].collect().sortBy(_._2)
+    assert(rows.map(r => (r._2, r._3, r._4)).toSeq == Seq(
+      (0L, 1.0, None),
+      (1L, 20.0, Some(19.0)),  // predecessor t=0 was already complete
+      (2L, 30.0, None),        // t=1 incomplete when t=2 finished
+      (3L, 100.0, Some(70.0)))) // t=2's total retained across batches
+  }
+
   test("Simulation applies the per-chunk preprocess at ingest (doreisa preprocess)") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(String, Long, Int, Seq[Double])]

@@ -54,9 +54,6 @@ def main():
             for c in s.columns:
                 a, b = s[c], o[c]
                 if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                    eq = [(x == y) or (isinstance(x, float) and isinstance(y, float)
-                          and math.isnan(x) and math.isnan(y)) or
-                          (x == y) for x, y in zip(a.astype(float), b.astype(float))]
                     eq = [x == y or (math.isnan(x) and math.isnan(y))
                           for x, y in zip(a.astype(float), b.astype(float))]
                 else:
