@@ -55,6 +55,20 @@ class MediaSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters"), s"no partition filters in:\n$scan")
   }
 
+  test("bucketed tables join without a shuffle on the bucket key") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "lang")
+    val embs = spark.range(100).selectExpr("id AS doc_id", "id * 2 AS score")
+    Tables.writeBucketed(docs, "b_docs", "doc_id", 4)
+    Tables.writeBucketed(embs.toDF(), "b_scores", "doc_id", 4)
+    val joined = spark.table("b_docs").join(spark.table("b_scores"), "doc_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == 100)
+    spark.sql("DROP TABLE b_docs")
+    spark.sql("DROP TABLE b_scores")
+  }
+
   test("csv/json readers apply explicit schemas") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.option("header", "true")
