@@ -124,6 +124,50 @@ object Simulation {
   }
 }
 
+/** One chunk of the streaming elementwise window delta:
+  * `data = chunk(t) - chunk(t-1)` at this grid position. */
+case class DeltaChunk(name: String, timestep: Long, pos: Seq[Int], data: Seq[Double])
+
+private case class WinState(recent: Map[Long, Seq[Double]])
+
+/** Streaming ELEMENTWISE sliding window (doreisa `window_size=2` where
+  * the callback computes `(arr(t) - arr(t-1))` on the arrays themselves,
+  * tests/test_sliding_window.py:22-27): state is keyed by (name, pos), so
+  * each grid position's payload history lives on one partition and the
+  * delta is chunk-local — the stream-time analog of [[graft.arrays.ChunkedArray.zipWith]]
+  * on a shifted timeline. State per key is `horizon` payloads.
+  */
+object WindowedArrays {
+
+  /** Emit `chunk(t) - chunk(t-1)` per grid position as chunks arrive;
+    * out-of-order timesteps resolve against the retained horizon. */
+  def elementwiseDelta(chunks: DataFrame, horizon: Int = 8): Dataset[DeltaChunk] = {
+    import chunks.sparkSession.implicits._
+    chunks.select(col("name"), col("timestep"), col("pos"), col("data"))
+      .as[(String, Long, Seq[Int], Seq[Double])]
+      .groupByKey { case (name, _, pos, _) => (name, pos) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: (String, Seq[Int]), it: Iterator[(String, Long, Seq[Int], Seq[Double])],
+         state: GroupState[WinState]) => {
+          var st = state.getOption.getOrElse(WinState(Map.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[DeltaChunk]
+          // process in timestep order so same-batch predecessors resolve
+          it.toSeq.sortBy(_._2).foreach { case (name, t, pos, data) =>
+            if (!st.recent.contains(t)) {
+              st = WinState((st.recent + (t -> data))
+                .filter { case (t0, _) => t0 >= t - horizon })
+              st.recent.get(t - 1).foreach { prev =>
+                out += DeltaChunk(name, t, pos,
+                  data.zip(prev).map { case (x, y) => x - y })
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+}
+
 /** SURVEY §2.C streaming variants: event-time pipelines with watermarks
   * (readStream -> transform -> writeStream). */
 object EventPipelines {

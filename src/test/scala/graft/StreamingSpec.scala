@@ -133,6 +133,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(r => (r._2, r._3)).toSeq == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("WindowedArrays emits elementwise deltas per grid position") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Seq[Int], Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "pos", "data")
+    val q = graft.streaming.WindowedArrays.elementwiseDelta(chunks).writeStream
+      .format("memory").queryName("win_out").outputMode(OutputMode.Append()).start()
+    // two grid positions; t=1 arrives before t=0 for pos [1]
+    in.addData(
+      ("a", 0L, Seq(0), Seq(1.0, 2.0)),
+      ("a", 1L, Seq(1), Seq(9.0, 9.0)),
+      ("a", 0L, Seq(1), Seq(4.0, 5.0)))
+    q.processAllAvailable()
+    in.addData(("a", 1L, Seq(0), Seq(3.0, 6.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .as[graft.streaming.DeltaChunk].collect()
+      .map(d => (d.pos.head, d.timestep) -> d.data).toMap
+    // pos [1]: t=1 came first but same-batch sort resolves t=0 as its predecessor
+    assert(rows((1, 1L)) == Seq(5.0, 4.0))
+    // pos [0]: cross-batch state retained
+    assert(rows((0, 1L)) == Seq(2.0, 4.0))
+    assert(rows.size == 2) // t=0 chunks have no predecessor
+  }
+
   test("file-based chunk stream end-to-end (readStream -> assemble -> sink)") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
