@@ -128,6 +128,25 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got((i.toLong, j.toLong)) == expected(i)(j), s"cell ($i,$j)")
   }
 
+  test("core ops are dimension-agnostic: 3-d array reductions and zips") {
+    // 2x2x2 grid of 2x2x2 chunks = 4x4x4 array, value = flat index
+    val chunks = for (cr <- 0 to 1; cc <- 0 to 1; cd <- 0 to 1) yield {
+      val data = for (i <- 0 to 1; j <- 0 to 1; k <- 0 to 1) yield
+        ((2 * cr + i) * 16 + (2 * cc + j) * 4 + (2 * cd + k)).toDouble
+      (0L, Seq(cr, cc, cd), data)
+    }
+    val arr = ChunkedArray(chunks.toDF("timestep", "pos", "data"),
+      ArrayGeometry(Seq(2, 2, 2), Seq(2, 2, 2)))
+    // sum of 0..63 = 2016
+    assert(asMap(arr.sumPerTimestep()).apply(0L) == 2016.0)
+    assert(asMap(arr.mapValues(_ * 2).sumPerTimestep()).apply(0L) == 4032.0)
+    val z = arr.zipWith(arr.mapValues(_ + 1))((x, y) => y - x)
+    assert(asMap(z.sumPerTimestep()).apply(0L) == 64.0)
+    val st = arr.statsPerTimestep.collect().head
+    assert(st.getAs[Long]("n_elems") == 64L)
+    assert(st.getAs[Double]("min_val") == 0.0 && st.getAs[Double]("max_val") == 63.0)
+  }
+
   test("repartitionByGrid preserves results through an aligned zip") {
     val a = oneD.repartitionByGrid()
     val d = a.zipWith(a.mapValues(_ * 3))((x, y) => y - x)

@@ -71,12 +71,16 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   test("sketch aggregates stay within their error bounds") {
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("l_partkey")).as("exact_parts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val rows = graft.operators.Relational.qApproxSketch(spark, sf).collect()
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.1,
-        s"HLL estimate $approx too far from exact $exact")
+      val e = exact(r.getString(0)).toDouble
+      assert(math.abs(approx - e) / e < 0.1,
+        s"HLL estimate $approx too far from exact $e")
       val m = r.getAs[Double]("approx_median_qty")
       assert(m >= 1.0 && m <= 50.0)
     }
