@@ -128,7 +128,7 @@ object Simulation {
   * `data = chunk(t) - chunk(t-1)` at this grid position. */
 case class DeltaChunk(name: String, timestep: Long, pos: Seq[Int], data: Seq[Double])
 
-private case class WinState(recent: Map[Long, Seq[Double]])
+private case class WinState(recent: Map[Long, Seq[Double]], maxT: Long)
 
 /** Streaming ELEMENTWISE sliding window (doreisa `window_size=2` where
   * the callback computes `(arr(t) - arr(t-1))` on the arrays themselves,
@@ -139,27 +139,40 @@ private case class WinState(recent: Map[Long, Seq[Double]])
   */
 object WindowedArrays {
 
-  /** Emit `chunk(t) - chunk(t-1)` per grid position as chunks arrive;
-    * out-of-order timesteps resolve against the retained horizon. */
+  /** Emit `chunk(t) - chunk(t-1)` per grid position as chunks arrive.
+    * Out-of-order timesteps resolve in BOTH directions within the
+    * retained horizon: a late predecessor triggers its waiting
+    * successor's delta. Chunks older than (max seen - horizon) are
+    * rejected, so at-least-once replays within the horizon are deduped
+    * and older ones cannot re-emit (the same horizon caveat as
+    * [[Simulation.assemble]]). Consecutive chunks at one grid position
+    * must keep one payload length (contract failure fails the query
+    * loudly rather than truncating silently). */
   def elementwiseDelta(chunks: DataFrame, horizon: Int = 8): Dataset[DeltaChunk] = {
     import chunks.sparkSession.implicits._
+    def diff(name: String, t: Long, cur: Seq[Double], prev: Seq[Double], pos: Seq[Int]): DeltaChunk = {
+      require(cur.length == prev.length,
+        s"chunk $name$pos changed payload length at t=$t: ${prev.length} -> ${cur.length}")
+      DeltaChunk(name, t, pos, cur.zip(prev).map { case (x, y) => x - y })
+    }
     chunks.select(col("name"), col("timestep"), col("pos"), col("data"))
       .as[(String, Long, Seq[Int], Seq[Double])]
       .groupByKey { case (name, _, pos, _) => (name, pos) }
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (key: (String, Seq[Int]), it: Iterator[(String, Long, Seq[Int], Seq[Double])],
          state: GroupState[WinState]) => {
-          var st = state.getOption.getOrElse(WinState(Map.empty))
+          var st = state.getOption.getOrElse(WinState(Map.empty, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[DeltaChunk]
           // process in timestep order so same-batch predecessors resolve
           it.toSeq.sortBy(_._2).foreach { case (name, t, pos, data) =>
-            if (!st.recent.contains(t)) {
+            val tooOld = st.maxT != Long.MinValue && t <= st.maxT - horizon
+            if (!tooOld && !st.recent.contains(t)) {
+              val keep = math.max(t, st.maxT)
               st = WinState((st.recent + (t -> data))
-                .filter { case (t0, _) => t0 >= t - horizon })
-              st.recent.get(t - 1).foreach { prev =>
-                out += DeltaChunk(name, t, pos,
-                  data.zip(prev).map { case (x, y) => x - y })
-              }
+                .filter { case (t0, _) => t0 >= keep - horizon }, keep)
+              st.recent.get(t - 1).foreach(prev => out += diff(name, t, data, prev, pos))
+              // late predecessor: emit the successor's waiting delta
+              st.recent.get(t + 1).foreach(next => out += diff(name, t + 1, next, data, pos))
             }
           }
           state.update(st)

@@ -60,13 +60,23 @@ class MediaSpec extends AnyFunSuite {
     val embs = spark.range(100).selectExpr("id AS doc_id", "id * 2 AS score")
     Tables.writeBucketed(docs, "b_docs", "doc_id", 4)
     Tables.writeBucketed(embs.toDF(), "b_scores", "doc_id", 4)
-    val joined = spark.table("b_docs").join(spark.table("b_scores"), "doc_id")
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"bucketed join should not shuffle:\n$plan")
-    assert(joined.count() == 100)
-    spark.sql("DROP TABLE b_docs")
-    spark.sql("DROP TABLE b_scores")
+    // disable broadcast: tiny tables would otherwise take a broadcast
+    // join with bucketing unused, making the no-shuffle assertion vacuous
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_docs").join(spark.table("b_scores"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan not used:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 100)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE b_docs")
+      spark.sql("DROP TABLE b_scores")
+    }
   }
 
   test("csv/json readers apply explicit schemas") {

@@ -147,6 +147,11 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     in.addData(("a", 1L, Seq(0), Seq(3.0, 6.0)))
     q.processAllAvailable()
+    // pos [2]: predecessor arrives a batch AFTER its successor
+    in.addData(("a", 1L, Seq(2), Seq(8.0)))
+    q.processAllAvailable()
+    in.addData(("a", 0L, Seq(2), Seq(3.0)))
+    q.processAllAvailable()
     q.stop()
     val rows = spark.table("win_out")
       .as[graft.streaming.DeltaChunk].collect()
@@ -155,7 +160,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows((1, 1L)) == Seq(5.0, 4.0))
     // pos [0]: cross-batch state retained
     assert(rows((0, 1L)) == Seq(2.0, 4.0))
-    assert(rows.size == 2) // t=0 chunks have no predecessor
+    // pos [2]: late predecessor triggered the waiting successor's delta
+    assert(rows((2, 1L)) == Seq(5.0))
+    assert(rows.size == 3) // t=0 chunks emit nothing themselves
   }
 
   test("file-based chunk stream end-to-end (readStream -> assemble -> sink)") {
