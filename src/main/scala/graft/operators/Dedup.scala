@@ -8,11 +8,14 @@ import graft.sources.Tables
 
 /** SURVEY §2.D — deduplication for training-data pipelines.
   *
-  * Scale design: nothing here is O(n²) over the corpus. MinHash/SimHash
-  * signatures are linear map+partial-agg work; candidate pairs are only
-  * generated inside LSH band / hamming-prefix buckets (salt a hot bucket
-  * before the self-join if a degenerate corpus produces one); the exact
-  * verify step (Jaccard / cosine) runs on candidates only.
+  * Scale design: nothing here is O(n²) over the corpus and nothing
+  * broadcasts a corpus-sized relation. MinHash/SimHash signatures are
+  * linear map+partial-agg work; candidate pairs are only generated inside
+  * MinHash band buckets (salt a hot bucket before the self-join if a
+  * degenerate corpus produces one); the exact verify steps (n-gram
+  * Jaccard / cosine) run on candidates only, joined back to the signature
+  * relation with shuffle hash joins keyed on doc_id — never a broadcast
+  * of the signature table, which is terabytes at the 100 TB posture.
   */
 object Dedup {
 
@@ -21,6 +24,9 @@ object Dedup {
     * Pure int64 math (no per-permutation md5), identical in DuckDB; the
     * (a_j, b_j) literals are embedded in both engines. */
   val MinhashP: Long = 2147483647L
+  val NumPerms = 16
+  val NumBands = 4
+  val RowsPerBand: Int = NumPerms / NumBands
   private[graft] def perm(j: Int): (Long, Long) = (
     1 + graft.functions.localHash60(s"minhash_a_$j") % (MinhashP - 1),
     graft.functions.localHash60(s"minhash_b_$j") % MinhashP)
@@ -61,52 +67,68 @@ object Dedup {
       // entry across repeated calls on the same session.)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** MinHash (16 md5-derived permutations) -> 4x4 LSH bands -> candidate
-    * pairs -> exact Jaccard verification.
+  /** MinHash band-bucket candidate pairs (doc_a < doc_b) for a signature
+    * relation carrying `doc_id` + `hs`. [[NumPerms]] permutations folded
+    * into [[NumBands]] band hashes; only documents agreeing on a whole
+    * band become candidates — the O(n) LSH path shared by the minhash
+    * and n-gram verify queries.
     *
-    * All signature work is narrow per-document column math (no explode,
-    * no shuffle); the only shuffles are the tiny band self-join and the
-    * candidate hash joins. */
-  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // No size(ss)>0 filter here: a filter on a derived array column gets
-    // pushed down to the scan with the whole shingle expression inlined
-    // (single-threaded, pathologically re-evaluated). Docs without
-    // shingles instead yield NULL minhashes -> NULL band hashes (concat
-    // propagates null, concat_ws would not) and the equality join drops
-    // them — same semantics as the oracle, which has no rows for them.
-    val docs = docShingles(s, dir, 3)
-    val withMh = (0 until 16).foldLeft(docs) { (df, j) =>
-      val (a, b) = Dedup.perm(j)
+    * Docs with no shingles yield NULL minhashes -> NULL band hashes
+    * (concat propagates null, concat_ws would not) and the equality
+    * self-join drops them — same semantics as the oracle, whose unnest
+    * produces no rows for them. (A size(ss)>0 filter would instead get
+    * pushed into the scan with the whole shingle subtree inlined.) */
+  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
+    val withMh = (0 until NumPerms).foldLeft(docs.select("doc_id", "hs")) { (df, j) =>
+      val (a, b) = perm(j)
       df.withColumn(s"mh$j",
         array_min(transform(col("hs"), h =>
           (lit(a) * (h % lit(MinhashP)) + lit(b)) % lit(MinhashP))))
     }
-    val bandStructs = (0 until 4).map { b =>
-      val sig = (0 until 4).flatMap(k =>
-        Seq(lit(if (k == 0) "" else ","), col(s"mh${4 * b + k}").cast("string")))
+    val bandStructs = (0 until NumBands).map { b =>
+      val sig = (0 until RowsPerBand).flatMap(k =>
+        Seq(lit(if (k == 0) "" else ","), col(s"mh${RowsPerBand * b + k}").cast("string")))
       struct(lit(b).as("band"), md5(concat(sig: _*)).as("bh"))
     }
     val bands = withMh
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Both lookups broadcast the SAME un-renamed plan so the broadcast
-    // exchange is built once and reused (renaming before the join would
-    // break canonical plan equality and double the signature work).
-    val hs = docs.select(col("doc_id"), col("hs"))
+  }
+
+  /** Joins candidate pairs back to the signature relation on doc_id —
+    * shuffle hash joins (candidate side hinted as build), NEVER a
+    * broadcast: the signature relation is corpus-sized. Output keeps the
+    * pair ids plus `hsa`/`hsb` (and `source` of doc_a, for grouping). */
+  private def joinSignatures(cand: DataFrame, docs: DataFrame): DataFrame = {
+    val hsA = docs.select(col("doc_id"), col("source"), col("hs"))
+    val hsB = docs.select(col("doc_id"), col("hs"))
     cand
-      .join(broadcast(hs), col("doc_a") === col("doc_id"))
+      .hint("shuffle_hash").join(hsA, col("doc_a") === col("doc_id"))
       .withColumnRenamed("hs", "hsa").drop("doc_id")
-      .join(broadcast(hs), col("doc_b") === col("doc_id"))
+      .hint("shuffle_hash").join(hsB, col("doc_b") === col("doc_id"))
       .withColumnRenamed("hs", "hsb").drop("doc_id")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("hsa"), col("hsb"))).cast("double") /
-          size(array_union(col("hsa"), col("hsb"))).cast("double")).as("jaccard"))
+  }
+
+  private def jaccard(a: String, b: String) =
+    size(array_intersect(col(a), col(b))).cast("double") /
+      size(array_union(col(a), col(b))).cast("double")
+
+  /** MinHash (16 int-arithmetic permutations) -> 4x4 LSH bands ->
+    * candidate pairs -> exact Jaccard verification.
+    *
+    * All signature work is narrow per-document column math (no explode,
+    * no shuffle); the only shuffles are the band self-join and the
+    * candidate-keyed signature hash joins. */
+  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = docShingles(s, dir, 3)
+    joinSignatures(lshCandidates(docs), docs)
+      .select(col("doc_a"), col("doc_b"), jaccard("hsa", "hsb").as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -138,33 +160,39 @@ object Dedup {
       .orderBy("hamming")
   }
 
-  /** Exact word-2-gram Jaccard on pairs bucketed by `source`, summarized
-    * per bucket (the bucket join is the scale path; per-pair set math
-    * runs only within buckets). */
+  /** Exact word-2-gram Jaccard verification over MinHash-LSH candidate
+    * pairs, summarized per source of the lower doc id. The candidate set
+    * is O(near-duplicates), not O(n²): pairs exist only where a full
+    * minhash band agrees (same machinery as [[ddMinhashLsh]], n=2
+    * shingles), and the exact set math runs on candidates only. */
   def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = docShingles(s, dir, 2).select("doc_id", "source", "hs")
-    val pairs = docs.as("a").join(broadcast(docs.as("b")),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.source").as("source"),
-        (size(array_intersect(col("a.hs"), col("b.hs"))).cast("double") /
-          size(array_union(col("a.hs"), col("b.hs"))).cast("double")).as("jac"))
-    pairs.groupBy("source")
+    val docs = docShingles(s, dir, 2)
+    joinSignatures(lshCandidates(docs), docs)
+      .select(col("source"), jaccard("hsa", "hsb").as("jac"))
+      .groupBy("source")
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_close"),
         max(col("jac")).as("max_jac"))
       .orderBy("source")
   }
 
-  /** Embedding-cosine near-duplicate pairs within label buckets.
-    * Norms are computed once per vector before the pairwise join (the
-    * cosine value is identical; the join does one dot per pair). */
+  /** Embedding-cosine near-duplicate pairs, blocked on the random-
+    * hyperplane LSH bucket (the same 6-plane signature the similarity
+    * path uses, [[Similarity.bucketCol]]) with `label` kept as a
+    * secondary equality predicate. Bucket cardinality is 2^6 per label
+    * and bucket size is O(n/2^planes) for spread embeddings — the pair
+    * join is subquadratic and adding planes tightens it further; an
+    * all-pairs-per-label join would be O(n²) at corpus scale.
+    * Norms are computed once per vector before the pairwise join. */
   def ddEmbedNear(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("n2", norm2(col("emb")))
+      .withColumn("bucket", Similarity.bucketCol(col("emb")))
     e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        col("a.bucket") === col("b.bucket") && col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosineWithNorms(dot(col("a.emb"), col("b.emb")),
@@ -181,6 +209,29 @@ object Dedup {
   }
   private val H60 = "CAST('0x' || substring(md5(%s), 1, 15) AS BIGINT)"
 
+  /** CTE chain computing the signature relation `d` (doc_id, source, hs)
+    * and the LSH candidate pairs `cand` (doc_a, doc_b) for n-gram size
+    * `n` — the oracle twin of [[docShingles]] + [[lshCandidates]]. */
+  private def lshCandCte(n: Int): String =
+    s"""t AS (SELECT doc_id, source, $TOKENS AS tk FROM documents),
+       |d0 AS (SELECT doc_id, source, ${shSql(n)} AS ss FROM t),
+       |d AS (SELECT doc_id, source,
+       |  list_distinct(list_transform(ss, x -> ${H60.format("x")})) AS hs FROM d0),
+       |e AS (SELECT doc_id, unnest(hs) AS h FROM d),
+       |perms(j, a, b) AS (VALUES ${(0 until NumPerms).map { j =>
+           val (a, b) = perm(j); s"($j, $a, $b)" }.mkString(", ")}),
+       |mh AS (
+       |  SELECT doc_id, j, MIN((a * (h % $MinhashP) + b) % $MinhashP) AS mh
+       |  FROM e CROSS JOIN perms GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, j // $RowsPerBand AS band,
+       |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS bh
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
   /** dot/cosine with the exact fold order of graft.functions.cosine. */
   private[operators] def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
@@ -193,24 +244,7 @@ object Dedup {
         |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
         |FROM documents""".stripMargin,
     "dd_minhash_lsh" ->
-      s"""WITH t AS (SELECT doc_id, $TOKENS AS tk FROM documents),
-         |d0 AS (SELECT doc_id, ${shSql(3)} AS ss FROM t),
-         |d AS (SELECT doc_id, ss,
-         |  list_distinct(list_transform(ss, x -> ${H60.format("x")})) AS hs FROM d0),
-         |e AS (SELECT doc_id, unnest(hs) AS h FROM d),
-         |perms(j, a, b) AS (VALUES ${(0 until 16).map { j =>
-             val (a, b) = perm(j); s"($j, $a, $b)" }.mkString(", ")}),
-         |mh AS (
-         |  SELECT doc_id, j, MIN((a * (h % $MinhashP) + b) % $MinhashP) AS mh
-         |  FROM e CROSS JOIN perms GROUP BY 1, 2),
-         |bands AS (
-         |  SELECT doc_id, j // 4 AS band,
-         |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS bh
-         |  FROM mh GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      s"""WITH ${lshCandCte(3)}
          |SELECT doc_a, doc_b,
          |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
          |  CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS jaccard
@@ -238,24 +272,27 @@ object Dedup {
          |SELECT hamming, COUNT(*) AS n_pairs FROM p
          |WHERE hamming <= 6 GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_ngram_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, source, $TOKENS AS tk FROM documents),
-         |d0 AS (SELECT doc_id, source, ${shSql(2)} AS ss FROM t),
-         |d AS (SELECT doc_id, source,
-         |  list_distinct(list_transform(ss, x -> ${H60.format("x")})) AS hs FROM d0),
+      s"""WITH ${lshCandCte(2)},
          |p AS (
-         |  SELECT a.source AS source,
-         |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
-         |    CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE) AS jac
-         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  SELECT sa.source AS source,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS jac
+         |  FROM cand
+         |  JOIN d sa ON sa.doc_id = doc_a
+         |  JOIN d sb ON sb.doc_id = doc_b)
          |SELECT source, COUNT(*) AS n_pairs,
          |  CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
          |  MAX(jac) AS max_jac
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_embed_near" ->
-      s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      s"""WITH bk AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${Similarity.bucketSql("embedding")} AS bucket
+         |  FROM embeddings)
+         |SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cos
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |FROM bk a JOIN bk b
+         |  ON a.bucket = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3
          |ORDER BY label, vec_a, vec_b""".stripMargin,
   )
