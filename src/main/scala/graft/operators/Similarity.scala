@@ -25,7 +25,7 @@ object Similarity {
     (0 until Dim).map(i => (localHash60(s"${p}_${i}") % 2001 - 1000).toInt)
   }
 
-  private def bucketCol(emb: Column): Column =
+  private[operators] def bucketCol(emb: Column): Column =
     planes.zipWithIndex.map { case (w, p) =>
       when(dot(emb, typedLit(w)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -107,7 +107,7 @@ object Similarity {
   }
 
   private def planeSql(p: Int): String = planes(p).mkString("[", ", ", "]")
-  private def bucketSql(emb: String): String =
+  private[operators] def bucketSql(emb: String): String =
     (0 until NumPlanes).map { p =>
       s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($emb) + 1), i -> CAST($emb[i] AS DOUBLE) * CAST((${planeSql(p)})[i] AS DOUBLE))), (x, y) -> x + y) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
