@@ -33,18 +33,23 @@ case class TopKPerKey(
     copy(child = newChild)
 }
 
-/** Physical bounded-heap top-k per key. Requires clustering by `keys`
-  * (the shuffle the planner inserts is the only data movement); inside
-  * each partition it keeps one size-k heap per key. */
+/** Physical bounded-heap top-k per key. Planned in two phases like a
+  * partial aggregation: a `partial` instance runs on the child's existing
+  * partitioning and cuts every partition to at most k rows per key, so
+  * the exchange the `final` instance requires moves only
+  * O(#keys * k * #partitions) rows — never the full scored relation.
+  * Inside each partition it keeps one size-k heap per key. */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -83,7 +88,8 @@ case class TopKPerKeyExec(
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

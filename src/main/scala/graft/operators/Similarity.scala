@@ -30,6 +30,21 @@ object Similarity {
       when(dot(emb, typedLit(w)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Bounded-heap top-k per probe via graft's native TopKPerKey operator
+    * (SURVEY §2.I): the partial pass cuts every partition to k rows per
+    * probe BEFORE the exchange, so the shuffle moves O(#probes * k *
+    * #partitions) rows, never the n*#probes scored relation, and no
+    * per-probe full sort ever runs. The rank is then recomputed with a
+    * window over the <=k survivors per probe — bounded data, trivial sort. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    org.apache.spark.sql.graftexpr.TopKPerKey
+      .perKey(scored, Seq("probe_id"), Seq(("cos", false), ("vec_id", true)), k)
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .orderBy("probe_id", "rk")
+  }
+
   /** Exact cosine top-10 for each probe (vec_id < 5), brute force.
     * Norms are precomputed per side; the scan does one codegen'd dot per
     * (vector, probe). */
@@ -39,14 +54,10 @@ object Similarity {
       .withColumn("n2", norm2(col("emb")))
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("emb").as("pe"), col("n2").as("pn2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
-    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+    val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         cosineWithNorms(dot(col("pe"), col("emb")), col("pn2"), col("n2")).as("cos"))
-      .withColumn("rk", row_number().over(w).cast("bigint"))
-      .filter(col("rk") <= 10)
-      .orderBy("probe_id", "rk")
+    rankTopK(scored, 10)
   }
 
   /** Random-hyperplane LSH ANN: bucket every vector once, probe only its
@@ -59,14 +70,11 @@ object Similarity {
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("emb").as("pe"),
         col("bucket").as("pb"), col("n2").as("pn2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
-    e.join(broadcast(probes), col("bucket") === col("pb") && col("vec_id") =!= col("probe_id"))
+    val scored = e.join(broadcast(probes),
+        col("bucket") === col("pb") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         cosineWithNorms(dot(col("pe"), col("emb")), col("pn2"), col("n2")).as("cos"))
-      .withColumn("rk", row_number().over(w).cast("bigint"))
-      .filter(col("rk") <= 5)
-      .orderBy("probe_id", "rk")
+    rankTopK(scored, 5)
   }
 
   /** IVF ANN with a fixed coarse quantizer: the first [[NumCentroids]]
@@ -82,28 +90,32 @@ object Similarity {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("n2", norm2(col("emb")))
-    val cents = e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"), col("n2").as("cn2"))
-    // d2 = ((n2 - 2*dot) + cn2); same association order in the oracle
-    val byDist = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(asc("d2"), asc("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("d2", col("n2") - lit(2.0) * dot(col("emb"), col("cemb")) + col("cn2"))
-      .withColumn("rn", row_number().over(byDist))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("n2"), col("cid").as("cluster"))
+    // The coarse quantizer is a tiny model artifact (NumCentroids x Dim
+    // doubles) — collecting it to the driver is the standard IVF shape
+    // (a production build loads trained centroids the same way).
+    // Assignment is then a narrow scan: argmin over centroid literals via
+    // lexicographic struct min — zero shuffle, no n*k row explosion.
+    // d2 = ((n2 - 2*dot) + cn2); same association order in the oracle.
+    val centroids = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id"), col("emb"), col("n2"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val distStructs = centroids.map { r =>
+      val cemb = r.getSeq[Double](1)
+      struct(
+        (col("n2") - lit(2.0) * dot(col("emb"), typedLit(cemb)) + lit(r.getDouble(2))).as("d2"),
+        lit(r.getLong(0)).as("cid"))
+    }
+    val assigned = e.withColumn("cluster",
+      array_min(array(distStructs.toIndexedSeq: _*)).getField("cid"))
     val probes = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("emb").as("pe"),
         col("n2").as("pn2"), col("cluster").as("pc"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
-    assigned.join(broadcast(probes),
+    val scored = assigned.join(broadcast(probes),
         col("cluster") === col("pc") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         cosineWithNorms(dot(col("pe"), col("emb")), col("pn2"), col("n2")).as("cos"))
-      .withColumn("rk", row_number().over(w).cast("bigint"))
-      .filter(col("rk") <= 5)
-      .orderBy("probe_id", "rk")
+    rankTopK(scored, 5)
   }
 
   private def planeSql(p: Int): String = planes(p).mkString("[", ", ", "]")

@@ -70,6 +70,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("Broadcast"), s"expected broadcast join in:\n$plan")
   }
 
+  test("similarity: top-k runs as two-phase bounded heap, not a full sort") {
+    for (q <- Seq(Similarity.simTopkBruteforce(spark, sf),
+                  Similarity.simLshAnn(spark, sf),
+                  Similarity.simIvfAnn(spark, sf))) {
+      val plan = q.queryExecution.executedPlan.toString
+      // partial (pre-shuffle) + final heap instance: the exchange only
+      // ever moves <=k rows per probe per upstream partition.
+      assert("TopKPerKey".r.findAllIn(plan).length == 2,
+        s"expected partial+final TopKPerKeyExec in:\n$plan")
+    }
+  }
+
+  test("similarity: IVF centroid assignment is a narrow scan (no n*k explosion)") {
+    val plan = Similarity.simIvfAnn(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"centroid assignment must not cross-join:\n$plan")
+  }
+
   test("sketch aggregates stay within their error bounds") {
     val exact = spark.read.parquet(s"$sf/lineitem.parquet")
       .groupBy("l_returnflag")
