@@ -272,29 +272,58 @@ object Relational {
 
   /** Exact median via the lower-middle-row definition (deterministic and
     * identical cross-engine, unlike interpolated percentile built-ins):
-    * row k = ceil(n/2) of each group ordered by (value, tiebreaker). */
+    * the value at position k = ceil(n/2) of each group ordered by value.
+    *
+    * Two-pass histogram form: groupBy (flag, quantity) counts (partial
+    * aggs map-side), then a cumulative sum over the tiny per-flag
+    * histogram (#distinct quantities rows, invariant of row count) finds
+    * the bucket containing position k. No task ever sorts raw rows — the
+    * windowed relation is the histogram, so the plan survives a 100x
+    * scale-up where the old per-flag full sort of n/3 rows dies. */
   def qMedian(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(asc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
-    Tables.load(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("rn", row_number().over(w).cast("bigint"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-      .filter(col("rn") === ceil(col("n") / lit(2.0)).cast("bigint"))
+    val hist = Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("l_returnflag")))
+      .withColumn("k", ceil(col("n") / lit(2.0)).cast("bigint"))
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
       .select(col("l_returnflag"), col("l_quantity").as("median_qty"), col("n").as("n_rows"))
       .orderBy("l_returnflag")
   }
 
-  /** Frame window: 7-day moving average of daily order revenue
-    * (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW). */
+  /** Frame window: 7-row moving average of daily order revenue
+    * (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW).
+    *
+    * The naive form is `Window.orderBy("day")` with no partition — the
+    * canonical single-partition scale trap. Instead the day series is
+    * partitioned by year and each year's last 6 rows are replicated into
+    * the next year's partition ("carry"), so every 7-row frame is fully
+    * local to one partition; carry rows are dropped after the window.
+    * Exact-equivalent to the global frame provided every year in the
+    * data has >= 6 order days (holds for any TPC-H-shaped date range;
+    * decimal addition is order-independent so the stitched sums are
+    * bit-identical). */
   def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.load(s, dir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(dec2("o_totalprice")).as("rev_d"))
-    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
-    daily
+      .withColumn("y", year(col("day")))
+    val tail6 = Window.partitionBy("y").orderBy(desc("day"))
+    val carry = daily
+      .withColumn("rn_tail", row_number().over(tail6))
+      .filter(col("rn_tail") <= 6)
+      .drop("rn_tail")
+      .withColumn("y", col("y") + 1)
+      .withColumn("is_carry", lit(true))
+    val w = Window.partitionBy("y").orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily.withColumn("is_carry", lit(false)).unionByName(carry)
       .withColumn("ma7",
         sum(col("rev_d")).over(w).cast("double") / count(lit(1)).over(w).cast("double"))
+      .filter(!col("is_carry"))
       .select(col("day"), col("rev_d").cast("double").as("daily_rev"), col("ma7"))
       .orderBy("day")
   }
