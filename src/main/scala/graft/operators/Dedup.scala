@@ -79,15 +79,18 @@ object Dedup {
     * produces no rows for them. (A size(ss)>0 filter would instead get
     * pushed into the scan with the whole shingle subtree inlined.) */
   private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
-    val withMh = (0 until NumPerms).foldLeft(docs.select("doc_id", "hs")) { (df, j) =>
-      val (a, b) = perm(j)
-      df.withColumn(s"mh$j",
-        array_min(transform(col("hs"), h =>
-          (lit(a) * (h % lit(MinhashP)) + lit(b)) % lit(MinhashP))))
-    }
+    // All NumPerms minima in one codegen'd pass over hs (the HOF form —
+    // one interpreted array_min(transform(...)) per permutation — was the
+    // dominant dedup cost; math and NULL-on-empty semantics unchanged).
+    val (as, bs) = (0 until NumPerms).map(perm).unzip
+    val withMh = docs.select("doc_id", "hs")
+      .withColumn("mh",
+        org.apache.spark.sql.graftexpr.SketchExpressions
+          .minhashSignature(col("hs"), as, bs, MinhashP))
     val bandStructs = (0 until NumBands).map { b =>
       val sig = (0 until RowsPerBand).flatMap(k =>
-        Seq(lit(if (k == 0) "" else ","), col(s"mh${RowsPerBand * b + k}").cast("string")))
+        Seq(lit(if (k == 0) "" else ","),
+          col("mh").getItem(RowsPerBand * b + k).cast("string")))
       struct(lit(b).as("band"), md5(concat(sig: _*)).as("bh"))
     }
     val bands = withMh
@@ -145,12 +148,12 @@ object Dedup {
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
       .select(col("doc_id"), transform(col("tk"), t => hash60(t)).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigExpr = (0 until 32).map { b =>
-      when(expr(s"aggregate(hs, 0, (acc, h) -> acc + (CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END))") > 0,
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // One codegen'd pass keeping all 32 bit-plane counts (was 32
+    // interpreted aggregate() folds, each traversing hs; same +1/-1
+    // majority rule, bit-identical signatures).
     val sig = docs
-      .select(col("doc_id"), sigExpr.as("sig"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftexpr.SketchExpressions.simhash32(col("hs")).as("sig"))
       .withColumn("bucket", expr("shiftright(sig, 24)"))
     sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
