@@ -19,6 +19,18 @@ case class ChunkMsg(name: String, timestep: Long, nbChunks: Int, chunkSum: Doubl
   * vs the previous completed timestep (doreisa `window_size=2`). */
 case class TimestepTotal(name: String, timestep: Long, total: Double, delta: Option[Double])
 
+/** Completed timestep with the totals of the last `window_size` completed
+  * timesteps (doreisa's general `window_size=k` list, oldest -> newest;
+  * clipped at the stream start like the reference's
+  * `range(max(iteration - window_size + 1, 0), iteration + 1)` —
+  * doreisa/window_api.py:93-97). */
+case class TimestepWindow(name: String, timestep: Long, window: Seq[Double])
+
+private case class WinAsmState(
+    partial: Map[Long, (Double, Int)], // timestep -> (running sum, chunks seen)
+    completed: Map[Long, Double], // completed, not yet dropped from any future window
+    nextEmit: Long)
+
 private case class AsmState(
     partial: Map[Long, (Double, Int)], // timestep -> (running sum, chunks seen)
     completed: Map[Long, Double]) // completed timestep -> total (pruned to a horizon)
@@ -106,6 +118,60 @@ object Simulation {
         })
   }
 
+  /** Assemble timesteps and emit each with its trailing `window_size`
+    * totals — the general doreisa `window_size=k` contract
+    * (doreisa/window_api.py:88-97): delivery is strictly in timestep
+    * order per array (the reference's iteration loop blocks until every
+    * array of iteration t has arrived), each emission carries the totals
+    * of [max(t-k+1, start), t] oldest -> newest, and window sizes are
+    * per-array (mixed sizes across names, tests/test_several_arrays.py).
+    *
+    * Out-of-order completions buffer until the gap fills; a permanently
+    * missing timestep stalls that array's emission exactly as the
+    * reference's `get_next_array` loop would, with state growing
+    * O(buffered completions) — bound the producers' advance with source
+    * backpressure (`maxFilesPerTrigger`, the `max_pending_arrays`
+    * analog). Chunks below the emission watermark are dropped, so
+    * at-least-once replays cannot re-open an emitted timestep. */
+  def assembleWindows(
+      msgs: Dataset[ChunkMsg],
+      defs: Seq[ArrayDef],
+      start: Long = 0L): Dataset[TimestepWindow] = {
+    import msgs.sparkSession.implicits._
+    val winSize = defs.map(d => d.name -> d.windowSize).toMap
+    require(winSize.values.forall(_ >= 1), "windowSize must be >= 1")
+    msgs.groupByKey(_.name)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (name: String, it: Iterator[ChunkMsg], state: GroupState[WinAsmState]) => {
+          val k = winSize.getOrElse(name, 1)
+          var st = state.getOption.getOrElse(WinAsmState(Map.empty, Map.empty, start))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TimestepWindow]
+          it.foreach { m =>
+            // below the watermark = already emitted (or a pre-start replay)
+            if (m.timestep >= st.nextEmit && !st.completed.contains(m.timestep)) {
+              val (s0, c0) = st.partial.getOrElse(m.timestep, (0.0, 0))
+              val (s1, c1) = (s0 + m.chunkSum, c0 + 1)
+              st = if (c1 >= m.nbChunks) {
+                WinAsmState(st.partial - m.timestep, st.completed + (m.timestep -> s1), st.nextEmit)
+              } else {
+                st.copy(partial = st.partial + (m.timestep -> (s1, c1)))
+              }
+            }
+          }
+          // drain every consecutive completed timestep from the watermark
+          while (st.completed.contains(st.nextEmit)) {
+            val t = st.nextEmit
+            out += TimestepWindow(name, t,
+              (math.max(t - k + 1, start) to t).map(st.completed))
+            // totals older than the oldest slot of t+1's window are done
+            st = WinAsmState(st.partial,
+              st.completed.filter { case (t0, _) => t0 >= t + 2 - k }, t + 1)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** Run the per-timestep callback loop (doreisa `run_simulation`):
     * completed timesteps stream into `onTimestep`. */
   def run(
@@ -119,6 +185,26 @@ object Simulation {
       .foreachBatch { (batch: Dataset[TimestepTotal], _: Long) =>
         batch.collect().sortBy(t => (t.name, t.timestep))
           .foreach(t => onTimestep(t.name, t.timestep, t.total, t.delta))
+      }
+      .start()
+  }
+
+  /** `run` with the general windowed contract: `onTimestep(name, t,
+    * window)` receives the last `ArrayDef.windowSize` completed totals
+    * (oldest -> newest), strictly in timestep order per array. Collected
+    * rows are per-timestep scalars (O(#timesteps * k) per batch, as in
+    * [[run]]) — never chunk payloads. */
+  def runWindows(
+      chunks: DataFrame,
+      defs: Seq[ArrayDef],
+      onTimestep: (String, Long, Seq[Double]) => Unit,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    assembleWindows(toMessages(chunks, defs), defs).writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[TimestepWindow], _: Long) =>
+        batch.collect().sortBy(t => (t.name, t.timestep))
+          .foreach(t => onTimestep(t.name, t.timestep, t.window))
       }
       .start()
   }
@@ -179,7 +265,49 @@ object WindowedArrays {
           out.iterator
         })
   }
+
+  /** Emit each chunk with the last `k` payloads at its grid position
+    * (oldest -> newest, clipped at `start`) — the chunk-local face of
+    * doreisa's `window_size=k` list: a consumer computes `arr(t) -
+    * arr(t-j)` or a k-array average per position without any shuffle.
+    * Delivery is strictly in timestep order per (name, pos); an emitted
+    * timestep's watermark rejects replays, and a missing timestep stalls
+    * that position as in [[Simulation.assembleWindows]]. State per key is
+    * the buffered payloads — O(k + out-of-order advance). */
+  def chunkWindows(chunks: DataFrame, k: Int, start: Long = 0L): Dataset[ChunkWindow] = {
+    import chunks.sparkSession.implicits._
+    require(k >= 1, "window size must be >= 1")
+    chunks.select(col("name"), col("timestep"), col("pos"), col("data"))
+      .as[(String, Long, Seq[Int], Seq[Double])]
+      .groupByKey { case (name, _, pos, _) => (name, pos) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: (String, Seq[Int]), it: Iterator[(String, Long, Seq[Int], Seq[Double])],
+         state: GroupState[ChunkWinState]) => {
+          var st = state.getOption.getOrElse(ChunkWinState(Map.empty, start))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ChunkWindow]
+          it.foreach { case (name, t, pos, data) =>
+            if (t >= st.nextEmit && !st.buffered.contains(t)) {
+              st = st.copy(buffered = st.buffered + (t -> data))
+              while (st.buffered.contains(st.nextEmit)) {
+                val cur = st.nextEmit
+                out += ChunkWindow(name, cur, pos,
+                  (math.max(cur - k + 1, start) to cur).map(st.buffered))
+                st = ChunkWinState(
+                  st.buffered.filter { case (t0, _) => t0 >= cur + 2 - k }, cur + 1)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 }
+
+/** One chunk with the trailing `k` payloads at its grid position
+  * (oldest -> newest; `window.last` is timestep `timestep`'s payload). */
+case class ChunkWindow(name: String, timestep: Long, pos: Seq[Int], window: Seq[Seq[Double]])
+
+private case class ChunkWinState(buffered: Map[Long, Seq[Double]], nextEmit: Long)
 
 /** SURVEY §2.C streaming variants: event-time pipelines with watermarks
   * (readStream -> transform -> writeStream). */

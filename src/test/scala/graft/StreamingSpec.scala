@@ -115,6 +115,93 @@ class StreamingSpec extends AnyFunSuite {
       ("array", 0L, 3.0, None), ("array", 1L, 10.0, Some(7.0))))
   }
 
+  test("assembleWindows delivers the last k totals in order (doreisa test_sliding_window)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Int, Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "nbChunks", "data")
+    val defs = Seq(ArrayDef("array", windowSize = 2))
+    val out = Simulation.assembleWindows(Simulation.toMessages(chunks, defs), defs)
+      .writeStream.format("memory").queryName("w2_out")
+      .outputMode(OutputMode.Append()).start()
+    // t=1 completes before t=0: emission must hold until the gap fills
+    in.addData(("array", 1L, 2, Seq(20.0)), ("array", 1L, 2, Seq(10.0)))
+    out.processAllAvailable()
+    assert(spark.table("w2_out").isEmpty)
+    in.addData(("array", 0L, 2, Seq(1.0, 2.0)), ("array", 0L, 2, Seq(3.0, 4.0)))
+    out.processAllAvailable()
+    in.addData(("array", 2L, 1, Seq(5.0)))
+    out.processAllAvailable()
+    // replayed chunk below the emission watermark must not re-emit
+    in.addData(("array", 0L, 2, Seq(999.0)))
+    out.processAllAvailable()
+    out.stop()
+    val rows = spark.table("w2_out").as[graft.streaming.TimestepWindow]
+      .collect().sortBy(_.timestep)
+    // t=0's window clips at the stream start (len 1, doreisa range(max(...,0)))
+    assert(rows.map(r => (r.timestep, r.window)).toSeq == Seq(
+      (0L, Seq(10.0)), (1L, Seq(10.0, 30.0)), (2L, Seq(30.0, 5.0))))
+  }
+
+  test("assembleWindows supports mixed window sizes (doreisa test_several_arrays)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Int, Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "nbChunks", "data")
+    val defs = Seq(ArrayDef("a", windowSize = 2),
+      ArrayDef("b", windowSize = 1, preprocess = _ * 2))
+    val out = Simulation.assembleWindows(Simulation.toMessages(chunks, defs), defs)
+      .writeStream.format("memory").queryName("wmix_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      ("a", 0L, 1, Seq(1.0, 2.0)), ("b", 0L, 1, Seq(5.0)),
+      ("a", 1L, 1, Seq(10.0)), ("b", 1L, 1, Seq(6.0)))
+    out.processAllAvailable()
+    out.stop()
+    val rows = spark.table("wmix_out").as[graft.streaming.TimestepWindow]
+      .collect().sortBy(r => (r.name, r.timestep))
+    assert(rows.map(r => (r.name, r.timestep, r.window)).toSeq == Seq(
+      ("a", 0L, Seq(3.0)), ("a", 1L, Seq(3.0, 10.0)), // window of 2 once available
+      ("b", 0L, Seq(10.0)), ("b", 1L, Seq(12.0)))) // w=1: bare latest, preprocess x2
+  }
+
+  test("runWindows drives the windowed callback loop (doreisa run_simulation w=k)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Int, Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "nbChunks", "data")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+    val q = Simulation.runWindows(chunks, Seq(ArrayDef("array", windowSize = 3)),
+      (_, t, w) => seen.synchronized { seen += ((t, w)) })
+    in.addData(("array", 0L, 1, Seq(1.0)))
+    q.processAllAvailable()
+    in.addData(("array", 1L, 1, Seq(2.0)), ("array", 2L, 1, Seq(4.0)))
+    q.processAllAvailable()
+    in.addData(("array", 3L, 1, Seq(8.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.toSeq == Seq(
+      (0L, Seq(1.0)), (1L, Seq(1.0, 2.0)), (2L, Seq(1.0, 2.0, 4.0)),
+      (3L, Seq(2.0, 4.0, 8.0)))) // t=0 dropped once outside the window
+  }
+
+  test("WindowedArrays.chunkWindows delivers the last k payloads per position") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Seq[Int], Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "pos", "data")
+    val q = graft.streaming.WindowedArrays.chunkWindows(chunks, 3).writeStream
+      .format("memory").queryName("cw_out").outputMode(OutputMode.Append()).start()
+    // pos [0]: t=2 arrives before t=1 (buffered), t=0 first
+    in.addData(("a", 0L, Seq(0), Seq(1.0, 1.0)), ("a", 2L, Seq(0), Seq(4.0, 4.0)))
+    q.processAllAvailable()
+    in.addData(("a", 1L, Seq(0), Seq(2.0, 2.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cw_out").as[graft.streaming.ChunkWindow]
+      .collect().sortBy(_.timestep)
+    assert(rows.map(r => (r.timestep, r.window)).toSeq == Seq(
+      (0L, Seq(Seq(1.0, 1.0))),
+      (1L, Seq(Seq(1.0, 1.0), Seq(2.0, 2.0))),
+      (2L, Seq(Seq(1.0, 1.0), Seq(2.0, 2.0), Seq(4.0, 4.0)))))
+  }
+
   test("EventPipelines.hourly windows an event-time stream") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
