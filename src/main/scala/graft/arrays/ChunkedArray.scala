@@ -2,6 +2,7 @@ package graft.arrays
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType}
 
 /** Geometry of a regular chunk grid: `chunksPerDim(d)` chunks along each
   * dimension, every chunk `chunkShape(d)` elements wide. Mirrors the
@@ -45,9 +46,35 @@ final case class ArrayGeometry(chunksPerDim: Seq[Int], chunkShape: Seq[Int]) {
 final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
   import ChunkedArray._
 
-  /** Elementwise map — doreisa's `preprocess` / dask elementwise ops. */
-  def mapValues(f: Column => Column): ChunkedArray =
-    copy(df = df.withColumn("data", transform(col("data"), f)))
+  /** Element type of the payload — derived from the plan's schema, so the
+    * producer's dtype flows through untouched (the reference preserves the
+    * pushed chunks' dtype end-to-end, doreisa/simulation_node.py:35-75,
+    * tests/test_dtype.py). Ops follow SQL type promotion, which matches
+    * numpy's value-based casting for the common cases: `float * 2` stays
+    * float, `int + int` stays int, `int / 2.0` widens to double. Internal
+    * zero-fills ([[stencilLaplacian]] halos) are cast to this type so they
+    * never silently widen a float32/int payload. */
+  def dtype: DataType = df.schema("data").dataType match {
+    case ArrayType(et, _) => et
+    case t => throw new IllegalStateException(s"payload is not an array column: $t")
+  }
+
+  /** Explicit element-type conversion (numpy `astype`). */
+  def astype(t: DataType): ChunkedArray =
+    copy(df = df.withColumn("data", col("data").cast(ArrayType(t))))
+
+  /** Elementwise map — doreisa's `preprocess` / dask elementwise ops.
+    * By default the result is cast back to the source [[dtype]]: the
+    * reference's preprocess keeps the producer's dtype (numpy's
+    * value-based casting: `float32 * 10` stays float32), while SQL
+    * coercion would silently widen it to double. A no-op cast for the
+    * double payloads of the oracle queries. Pass `keepDtype = false` for
+    * genuinely widening maps (e.g. `int / 2.0`), or use [[astype]]. */
+  def mapValues(f: Column => Column, keepDtype: Boolean = true): ChunkedArray = {
+    val t = dtype
+    copy(df = df.withColumn("data",
+      transform(col("data"), x => if (keepDtype) f(x).cast(t) else f(x))))
+  }
 
   /** Elementwise binary op with an aligned array (same geometry). */
   def zipWith(other: ChunkedArray)(f: (Column, Column) => Column): ChunkedArray = {
@@ -96,97 +123,126 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         min(col("cmin")).as("min_val"),
         max(col("cmax")).as("max_val"))
 
-  /** Slice a global index range [lo, hi) of a 1-d array: prunes whole
-    * chunks by `pos` (the analog of partition pruning), then takes the
-    * kept span inside boundary chunks. The result is ragged, so it
-    * supports reductions only. */
-  def sliceRange(lo: Int, hi: Int): ChunkedArray = {
-    require(geom.dims == 1, "sliceRange is 1-d; use slice2d for 2-d arrays")
-    require(lo < hi, s"empty slice [$lo, $hi)")
-    val cs = geom.chunkShape(0)
-    val chunkLo = col("pos")(0) * cs
-    val kept = df.filter(chunkLo < hi && chunkLo + cs > lo)
-    val localLo = greatest(lit(lo) - chunkLo, lit(0))
-    val localHi = least(lit(hi) - chunkLo, lit(cs))
-    copy(df = kept.withColumn("data",
-      slice(col("data"), localLo + 1, localHi - localLo)))
-  }
-
-  /** Slice `arr[rLo:rHi, cLo:cHi]` of a 2-d array. Both dimensions are
-    * cut in one pass because the row-major payload must be re-packed with
-    * the original chunk shape's strides. Non-overlapping chunks are
-    * pruned before any payload work. */
-  def slice2d(rLo: Int, rHi: Int, cLo: Int, cHi: Int): ChunkedArray = {
-    require(geom.dims == 2, "slice2d requires a 2-d array")
+  /** Rank-generic slice `arr[r0.lo:r0.hi, r1.lo:r1.hi, ...]` — dask
+    * slicing for arrays of any rank (the reference keeps per-dimension
+    * bookkeeping precisely so callbacks can slice along every axis,
+    * doreisa/head_node.py:49-58). Chunks that don't overlap the requested
+    * box are pruned by a `pos` predicate before any payload work (the
+    * analog of partition pruning); boundary chunks re-pack their kept box
+    * row-major with the original strides. The result is ragged, so it
+    * supports reductions only. Dtype-preserving (pure element gathers). */
+  def sliceNd(ranges: Seq[(Int, Int)]): ChunkedArray = {
+    require(ranges.length == geom.dims,
+      s"rank mismatch: ${ranges.length} ranges for a ${geom.dims}-d array")
     // an empty range would hit Spark's descending-sequence default
     // (sequence(1, 0) == [1, 0]) and gather garbage rather than nothing
-    require(rLo < rHi && cLo < cHi, s"empty slice [$rLo,$rHi)x[$cLo,$cHi)")
-    val (rows, cols) = (geom.chunkShape(0), geom.chunkShape(1))
-    val rChunkLo = col("pos")(0) * rows
-    val cChunkLo = col("pos")(1) * cols
-    val kept = df.filter(
-      rChunkLo < rHi && rChunkLo + rows > rLo &&
-      cChunkLo < cHi && cChunkLo + cols > cLo)
-    val (lrLo, lrHi) = (greatest(lit(rLo) - rChunkLo, lit(0)), least(lit(rHi) - rChunkLo, lit(rows)))
-    val (lcLo, lcHi) = (greatest(lit(cLo) - cChunkLo, lit(0)), least(lit(cHi) - cChunkLo, lit(cols)))
-    copy(df = kept.withColumn("data",
-      flatten(transform(sequence(lrLo, lrHi - 1), i =>
-        transform(sequence(lcLo, lcHi - 1), j =>
-          col("data")(i * cols + j))))))
+    ranges.foreach { case (lo, hi) => require(lo < hi, s"empty slice [$lo, $hi)") }
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    val chunkLo = shape.indices.map(d => col("pos")(d) * shape(d))
+    val kept = df.filter(ranges.zipWithIndex.map { case ((lo, hi), d) =>
+      chunkLo(d) < hi && chunkLo(d) + shape(d) > lo
+    }.reduce(_ && _))
+    val bounds = ranges.zipWithIndex.map { case ((lo, hi), d) =>
+      (greatest(lit(lo) - chunkLo(d), lit(0)), least(lit(hi) - chunkLo(d), lit(shape(d))))
+    }
+    // nested per-dim gathers, then flatten rank-1 times (row-major kept)
+    def nest(d: Int, flatIdx: Column): Column =
+      if (d == geom.dims) col("data")(flatIdx)
+      else {
+        val (l, h) = bounds(d)
+        transform(sequence(l, h - 1), i => nest(d + 1, flatIdx + i * strides(d)))
+      }
+    val repacked = (1 until geom.dims).foldLeft(nest(0, lit(0)))((c, _) => flatten(c))
+    copy(df = kept.withColumn("data", repacked))
   }
 
-  /** 5-point Laplacian stencil `4*v[i,j] - v[i±1,j] - v[i,j±1]` with
-    * zero padding at the global boundary — the canonical in-situ
-    * simulation analytic (time/space derivatives over the streamed
-    * array). Distributed via halo exchange: every chunk ships only its
-    * four EDGE STRIPS to grid neighbors (O(perimeter) shuffle, never
-    * O(area)), then each chunk computes locally from its payload plus
-    * received halos. This is the Spark-first form of the stencil a
-    * doreisa callback would run with dask map_overlap. */
+  /** 1-d convenience for [[sliceNd]]. */
+  def sliceRange(lo: Int, hi: Int): ChunkedArray = {
+    require(geom.dims == 1, "sliceRange is 1-d; use sliceNd for higher ranks")
+    sliceNd(Seq((lo, hi)))
+  }
+
+  /** 2-d convenience for [[sliceNd]]. */
+  def slice2d(rLo: Int, rHi: Int, cLo: Int, cHi: Int): ChunkedArray = {
+    require(geom.dims == 2, "slice2d requires a 2-d array")
+    sliceNd(Seq((rLo, rHi), (cLo, cHi)))
+  }
+
+  /** (2N+1)-point Laplacian stencil for arrays of ANY rank:
+    * `2N*v[x] - Σ_d (v[x-e_d] + v[x+e_d])` with zero padding at the
+    * global boundary — the canonical in-situ simulation analytic
+    * (time/space derivatives over the streamed array; doreisa arrays are
+    * arbitrary-rank, doreisa/head_node.py:49-58). Distributed via halo
+    * exchange: every chunk ships only its 2N boundary FACES to grid
+    * neighbors (O(surface) shuffle, never O(volume)), then each chunk
+    * computes locally from its payload plus received halos — the
+    * Spark-first form of dask `map_overlap`. Halo zero-fills are cast to
+    * [[dtype]], so float32/int payloads are not widened. */
   def stencilLaplacian(): ChunkedArray = {
-    require(geom.dims == 2, "stencilLaplacian requires a 2-d array")
-    val (rows, cols) = (geom.chunkShape(0), geom.chunkShape(1))
-    val (gr, gc) = (geom.chunksPerDim(0), geom.chunksPerDim(1))
-    // (dr, dc, kind, strip): strip this chunk contributes to neighbor
-    // (r+dr, c+dc); 'c' is the full payload to self.
-    val topRow = slice(col("data"), 1, cols)
-    val bottomRow = slice(col("data"), (rows - 1) * cols + 1, cols)
-    val leftCol = transform(sequence(lit(0), lit(rows - 1)), i => col("data")(i * cols))
-    val rightCol = transform(sequence(lit(0), lit(rows - 1)), i => col("data")(i * cols + cols - 1))
-    val msgs = array(
-      struct(lit(0).as("dr"), lit(0).as("dc"), lit("c").as("kind"), col("data").as("strip")),
-      struct(lit(1).as("dr"), lit(0).as("dc"), lit("n").as("kind"), bottomRow.as("strip")),
-      struct(lit(-1).as("dr"), lit(0).as("dc"), lit("s").as("kind"), topRow.as("strip")),
-      struct(lit(0).as("dr"), lit(1).as("dc"), lit("w").as("kind"), rightCol.as("strip")),
-      struct(lit(0).as("dr"), lit(-1).as("dc"), lit("e").as("kind"), leftCol.as("strip")))
+    val n = geom.dims
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    val elems = geom.chunkElems
+    val zeroE = lit(0).cast(dtype)
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    // dims remaining when dim d is fixed, with their row-major strides
+    // inside the extracted face slab
+    def remWithSlabStrides(d: Int): Seq[(Int, Int)] = {
+      val rem = shape.indices.filterNot(_ == d)
+      rem.zip(rem.map(shape).scanRight(1)(_ * _).tail)
+    }
+    // face of this chunk at local coord_d == fixed, row-major over the
+    // remaining dims — the only payload bytes that ever shuffle
+    def face(d: Int, fixed: Int): Column = {
+      val rem = remWithSlabStrides(d)
+      transform(sequence(lit(0), lit(elems / shape(d) - 1)), s => {
+        val flat = rem.map { case (j, ss) => (fdiv(s, ss) % shape(j)) * strides(j) }
+          .foldLeft(lit(fixed * strides(d)): Column)(_ + _)
+        col("data")(flat)
+      })
+    }
+    // messages: full payload to self + one face to each of the 2N neighbors
+    def msg(off: Seq[Int], kind: String, strip: Column): Column = struct(
+      array(off.zipWithIndex.map { case (o, d) => (col("pos")(d) + lit(o)).cast("int") }: _*).as("tpos"),
+      lit(kind).as("kind"), strip.as("strip"))
+    val msgs = msg(Seq.fill(n)(0), "c", col("data")) +:
+      (0 until n).flatMap { d =>
+        val e = (s: Int) => Seq.tabulate(n)(j => if (j == d) s else 0)
+        Seq(
+          msg(e(+1), s"l$d", face(d, shape(d) - 1)), // receiver's low-side halo
+          msg(e(-1), s"h$d", face(d, 0))) // receiver's high-side halo
+      }
     val sent = df
-      .select(col("timestep"), col("pos"), explode(msgs).as("m"))
-      .select(col("timestep"),
-        (col("pos")(0) + col("m.dr")).as("r"), (col("pos")(1) + col("m.dc")).as("c"),
+      .select(col("timestep"), explode(array(msgs: _*)).as("m"))
+      .select(col("timestep"), col("m.tpos").as("tpos"),
         col("m.kind").as("kind"), col("m.strip").as("strip"))
-      .filter(col("r") >= 0 && col("r") < gr && col("c") >= 0 && col("c") < gc)
+      .filter((0 until n).map(d =>
+        col("tpos")(d) >= 0 && col("tpos")(d) < geom.chunksPerDim(d)).reduce(_ && _))
     val assembled = sent
-      .groupBy("timestep", "r", "c")
+      .groupBy(col("timestep"), col("tpos"))
       .agg(map_from_entries(collect_list(struct(col("kind"), col("strip")))).as("m"))
-    // out[i,j] = 4*v - up - down - left - right, zero-padded via halos
     val out = assembled.select(
-      col("timestep"), array(col("r"), col("c")).as("pos"),
-      transform(sequence(lit(0), lit(rows * cols - 1)), idx => {
-        val i = (idx / cols).cast("int")
-        val j = idx % cols
+      col("timestep"), col("tpos").as("pos"),
+      transform(sequence(lit(0), lit(elems - 1)), idx => {
         // A grid position can exist only as a halo target (its own chunk
         // missing = implicitly all-zero); treat the absent payload as 0s.
-        val self = coalesce(element_at(col("m"), "c"), array_repeat(lit(0.0), rows * cols))
+        val self = coalesce(element_at(col("m"), "c"), array_repeat(zeroE, elems))
         val center = element_at(self, idx + 1)
-        val up = when(i > 0, element_at(self, idx - cols + 1))
-          .otherwise(coalesce(element_at(element_at(col("m"), "n"), j + 1), lit(0.0)))
-        val down = when(i < rows - 1, element_at(self, idx + cols + 1))
-          .otherwise(coalesce(element_at(element_at(col("m"), "s"), j + 1), lit(0.0)))
-        val left = when(j > 0, element_at(self, idx))
-          .otherwise(coalesce(element_at(element_at(col("m"), "w"), i + 1), lit(0.0)))
-        val right = when(j < cols - 1, element_at(self, idx + 2))
-          .otherwise(coalesce(element_at(element_at(col("m"), "e"), i + 1), lit(0.0)))
-        center * 4.0 - up - down - left - right
+        val neighborSum = (0 until n).flatMap { d =>
+          val cd = fdiv(idx, strides(d)) % shape(d)
+          // idx's position inside the face slab of dim d
+          val slabI = remWithSlabStrides(d)
+            .map { case (j, ss) => (fdiv(idx, strides(j)) % shape(j)) * lit(ss) }
+            .reduceOption[Column](_ + _).getOrElse(lit(0))
+          val lo = when(cd > 0, element_at(self, idx - strides(d) + 1))
+            .otherwise(coalesce(element_at(element_at(col("m"), s"l$d"), slabI + 1), zeroE))
+          val hi = when(cd < shape(d) - 1, element_at(self, idx + strides(d) + 1))
+            .otherwise(coalesce(element_at(element_at(col("m"), s"h$d"), slabI + 1), zeroE))
+          Seq(lo, hi)
+        }.reduce(_ + _)
+        (center * lit(2 * n) - neighborSum).cast(dtype)
       }).as("data"))
     copy(df = out)
   }

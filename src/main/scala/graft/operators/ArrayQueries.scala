@@ -59,13 +59,24 @@ object ArrayQueries {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), ChunkedArray]
   private def cached(s: SparkSession, dir: String, kind: String)(build: => ChunkedArray): ChunkedArray = {
-    if (cache.size > 64) cache.clear() // crude bound; see Tables.cache note
+    if (cache.size > 64) release() // bound the memo AND free the blocks
     cache.getOrElseUpdate((s, dir, kind), {
       val arr = build
       arr.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       arr
     })
   }
+
+  /** Release memoized chunk relations — the batch analog of the
+    * reference's memory-release-after-window-expiry contract
+    * (tests/test_memory_release.py: chunks are freed once no window can
+    * reference them). Unpersists the backing blocks (blocking, so the
+    * executors have actually dropped them on return) and forgets the memo
+    * entries; the next request rebuilds from source. Pass a session to
+    * release only its arrays, or nothing to release everything. */
+  def release(s: SparkSession = null): Unit =
+    cache.keys.filter(k => s == null || k._1 == s).toSeq
+      .foreach(k => cache.remove(k).foreach(_.df.unpersist(blocking = true)))
 
   def eventsArray1d(s: SparkSession, dir: String, filter: Column = lit(true)): ChunkedArray =
     chunks1d(cells1d(Tables.load(s, dir, "events").where(filter)))

@@ -208,6 +208,48 @@ object Simulation {
       }
       .start()
   }
+
+  /** [[runWindows]] with preparation pipelined `advance` iterations ahead
+    * — doreisa's `preparation_advance` (doreisa/window_api.py:58-72 calls
+    * `prepare_iteration(t)` `preparation_advance` iterations before the
+    * arrays for t are processed, so graph-building overlaps data
+    * arrival). Contract delivered here: `prepare(t')` has been invoked
+    * for every `start <= t' <= t + advance` before the callback for
+    * timestep t runs; each t' is prepared exactly once, in increasing
+    * order. Preparations at and beyond `start + advance` run between
+    * micro-batches on the driver; kick off heavy Spark work inside
+    * `prepare` with [[graft.Async.prepare]] to overlap it with the
+    * stream (plans themselves are lazy, so typical preparation is
+    * cheap plan construction). */
+  def runWindowsPrepared(
+      chunks: DataFrame,
+      defs: Seq[ArrayDef],
+      prepare: Long => Unit,
+      advance: Int,
+      onTimestep: (String, Long, Seq[Double]) => Unit,
+      start: Long = 0L,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    require(advance >= 0, "preparation advance must be >= 0")
+    // driver-side high-water mark; foreachBatch bodies run sequentially
+    // per query, so plain state + a monotone guard is enough
+    var prepared = start - 1
+    def prepareThrough(t: Long): Unit = {
+      while (prepared < t) { prepared += 1; prepare(prepared) }
+    }
+    // prime the pipeline before any data arrives, as the reference does
+    // for the first `preparation_advance` iterations
+    prepareThrough(start + advance)
+    assembleWindows(toMessages(chunks, defs), defs, start).writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[TimestepWindow], _: Long) =>
+        batch.collect().sortBy(t => (t.name, t.timestep)).foreach { t =>
+          prepareThrough(t.timestep + advance)
+          onTimestep(t.name, t.timestep, t.window)
+        }
+      }
+      .start()
+  }
 }
 
 /** One chunk of the streaming elementwise window delta:

@@ -147,6 +147,81 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.getAs[Double]("min_val") == 0.0 && st.getAs[Double]("max_val") == 63.0)
   }
 
+  /** 4x4x4 array as 2x2x2 chunks of 2x2x2; value = row-major flat index. */
+  def threeD: ChunkedArray = {
+    val chunks = for (cr <- 0 to 1; cc <- 0 to 1; cd <- 0 to 1) yield {
+      val data = for (i <- 0 to 1; j <- 0 to 1; k <- 0 to 1) yield
+        ((2 * cr + i) * 16 + (2 * cc + j) * 4 + (2 * cd + k)).toDouble
+      (0L, Seq(cr, cc, cd), data)
+    }
+    ChunkedArray(chunks.toDF("timestep", "pos", "data"),
+      ArrayGeometry(Seq(2, 2, 2), Seq(2, 2, 2)))
+  }
+
+  test("sliceNd cuts a 3-d box across chunk boundaries") {
+    // arr[1:3, 0:2, 2:4] of value(i,j,k) = 16i + 4j + k
+    val expected = (for { i <- 1 to 2; j <- 0 to 1; k <- 2 to 3 }
+      yield 16.0 * i + 4 * j + k).sum
+    val got = asMap(threeD.sliceNd(Seq((1, 3), (0, 2), (2, 4))).sumPerTimestep())
+    assert(got(0L) == expected)
+    // single-cell box
+    assert(asMap(threeD.sliceNd(Seq((3, 4), (1, 2), (2, 3))).sumPerTimestep())
+      .apply(0L) == 16.0 * 3 + 4 * 1 + 2)
+  }
+
+  test("stencilLaplacian generalizes to 3-d (7-point, zero-padded)") {
+    val dense = Array.tabulate(4, 4, 4)((i, j, k) => 16.0 * i + 4 * j + k)
+    def at(i: Int, j: Int, k: Int): Double =
+      if (Seq(i, j, k).exists(x => x < 0 || x > 3)) 0.0 else dense(i)(j)(k)
+    def lapAt(i: Int, j: Int, k: Int): Double =
+      6 * at(i, j, k) - at(i - 1, j, k) - at(i + 1, j, k) -
+        at(i, j - 1, k) - at(i, j + 1, k) - at(i, j, k - 1) - at(i, j, k + 1)
+    val expectedSum =
+      (for { i <- 0 to 3; j <- 0 to 3; k <- 0 to 3 } yield lapAt(i, j, k)).sum
+    val lap = threeD.stencilLaplacian()
+    assert(asMap(lap.sumPerTimestep()).apply(0L) == expectedSum)
+    // interior and corner cells via single-cell slices
+    assert(asMap(lap.sliceNd(Seq((1, 2), (2, 3), (1, 2))).sumPerTimestep())
+      .apply(0L) == lapAt(1, 2, 1))
+    assert(asMap(lap.sliceNd(Seq((0, 1), (0, 1), (0, 1))).sumPerTimestep())
+      .apply(0L) == lapAt(0, 0, 0))
+  }
+
+  test("1-d stencil: 3-point second difference with zero padding") {
+    // [1..8]: out[i] = 2*v[i] - v[i-1] - v[i+1]; interior terms telescope
+    val v = (1 to 8).map(_.toDouble)
+    def at(i: Int) = if (i < 0 || i > 7) 0.0 else v(i)
+    val expected = (0 to 7).map(i => 2 * at(i) - at(i - 1) - at(i + 1)).sum
+    assert(asMap(oneD.stencilLaplacian().sumPerTimestep()).apply(0L) == expected)
+  }
+
+  test("dtype is preserved end-to-end for float and long payloads (ref test_dtype.py)") {
+    import org.apache.spark.sql.types.{FloatType, LongType, DoubleType}
+    import org.apache.spark.sql.functions.{col, lit}
+    // float32 payload: map with an int literal, zip, slice, stencil all stay float
+    val f = ChunkedArray(
+      oneD.df.select(col("timestep"), col("pos"), col("data").cast("array<float>").as("data")),
+      oneD.geom)
+    assert(f.dtype == FloatType)
+    assert(f.mapValues(_ * lit(10)).dtype == FloatType)
+    assert(f.zipWith(f)(_ + _).dtype == FloatType)
+    assert(f.sliceRange(2, 7).dtype == FloatType)
+    assert(f.stencilLaplacian().dtype == FloatType)
+    // values survive (payloads are small integers, exact in float32)
+    assert(asMap(f.mapValues(_ * lit(10)).sumPerTimestep()) == Map(0L -> 360.0, 1L -> 720.0))
+    // int64 payload: integer ops stay long; true division widens (numpy-like)
+    val g = ChunkedArray(
+      oneD.df.select(col("timestep"), col("pos"), col("data").cast("array<bigint>").as("data")),
+      oneD.geom)
+    assert(g.dtype == LongType)
+    assert(g.mapValues(_ * lit(2L)).dtype == LongType)
+    assert(g.stencilLaplacian().dtype == LongType)
+    assert(g.mapValues(_ / lit(2.0), keepDtype = false).dtype == DoubleType)
+    // explicit astype round-trip
+    assert(g.astype(FloatType).dtype == FloatType)
+    assert(asMap(g.mapValues(_ * lit(2L)).sumPerTimestep()) == Map(0L -> 72.0, 1L -> 144.0))
+  }
+
   test("repartitionByGrid preserves results through an aligned zip") {
     val a = oneD.repartitionByGrid()
     val d = a.zipWith(a.mapValues(_ * 3))((x, y) => y - x)
@@ -156,5 +231,46 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("elementwise ops stay shuffle-free (narrow plan)") {
     val plan = oneD.mapValues(_ * 2).df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("zip after repartitionByGrid adds no exchange beyond the re-clustering") {
+    // The doreisa partitioning-strategy analog (tests/test_partitioning.py):
+    // repartitionByGrid clusters on exactly the zip key, so the zip join
+    // must run on that partitioning as-is — any further Exchange would
+    // mean the explicit re-clustering was wasted. Broadcast is disabled so
+    // the join actually exercises the partitioned path (on a cluster the
+    // zipped sides are both corpus-sized; broadcast would not apply).
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = oneD.repartitionByGrid()
+      val z = a.zipWith(a.mapValues(_ * 2))((x, y) => y - x)
+      assert(asMap(z.sumPerTimestep()) == Map(0L -> 36.0, 1L -> 72.0))
+      z.df.collect() // materialize so AQE settles the final plan
+      // AQE's toString appends the pre-execution "Initial Plan" — assert
+      // on the final plan section only
+      val plan = z.df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      val reused = "ReusedExchange".r.findAllIn(plan).size
+      // at most the two explicit re-clusterings (one per zip side), and a
+      // reuse of the identical scan subtree counts in its favor
+      assert(exchanges - reused <= 2 && !plan.contains("BroadcastHashJoin"),
+        s"zip added exchanges: $exchanges ($reused reused) in:\n$plan")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("release unpersists memoized chunk relations (memory release contract)") {
+    import graft.operators.ArrayQueries
+    val dir = "/root/testdata/sf0.001"
+    val arr = ArrayQueries.eventsArray1dCached(spark, dir)
+    arr.df.count()
+    assert(arr.df.storageLevel.useMemory || arr.df.storageLevel.useDisk)
+    ArrayQueries.release(spark)
+    assert(arr.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    // next request rebuilds and re-persists, then clean up again
+    val arr2 = ArrayQueries.eventsArray1dCached(spark, dir)
+    assert(arr2.df.storageLevel.useMemory || arr2.df.storageLevel.useDisk)
+    ArrayQueries.release(spark)
   }
 }

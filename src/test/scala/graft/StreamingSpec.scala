@@ -182,6 +182,33 @@ class StreamingSpec extends AnyFunSuite {
       (3L, Seq(2.0, 4.0, 8.0)))) // t=0 dropped once outside the window
   }
 
+  test("runWindowsPrepared pipelines preparation ahead (doreisa preparation_advance)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Int, Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "nbChunks", "data")
+    val events = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = Simulation.runWindowsPrepared(chunks, Seq(ArrayDef("array", windowSize = 2)),
+      prepare = t => events.synchronized { events += (("prep", t)) },
+      advance = 2,
+      onTimestep = (_, t, _) => events.synchronized { events += (("cb", t)) })
+    // priming: prepare(0..2) ran before any data
+    assert(events.synchronized(events.toSeq) == Seq(("prep", 0L), ("prep", 1L), ("prep", 2L)))
+    in.addData(("array", 0L, 1, Seq(1.0)))
+    q.processAllAvailable()
+    in.addData(("array", 1L, 1, Seq(2.0)), ("array", 2L, 1, Seq(3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val log = events.synchronized(events.toSeq)
+    // each timestep prepared exactly once, in order
+    assert(log.collect { case ("prep", t) => t } == (0L to 4L))
+    // before the callback for t, every t' <= t+advance is prepared
+    log.zipWithIndex.collect { case ((("cb"), t), i) => (t, i) }.foreach { case (t, i) =>
+      val preparedBefore = log.take(i).collect { case ("prep", p) => p }
+      assert(preparedBefore.contains(t + 2), s"cb($t) ran before prep(${t + 2})")
+    }
+    assert(log.collect { case ("cb", t) => t } == (0L to 2L))
+  }
+
   test("WindowedArrays.chunkWindows delivers the last k payloads per position") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(String, Long, Seq[Int], Seq[Double])]
