@@ -91,18 +91,20 @@ case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long], p: Lo
     copy(child = newChild)
 }
 
-/** 32-bit SimHash signature in ONE pass over the token-hash array.
+/** `bits`-wide SimHash signature in ONE pass over the token-hash array.
   *
-  * Replaces 32 interpreted `aggregate(hs, 0, ...)` bit-plane folds (each
-  * traversing the whole array through a closure) with a single codegen'd
-  * loop keeping 32 running counts. Bit b of the result is set iff the
-  * count of elements with bit b set exceeds the count without — exactly
-  * the `SUM(+1/-1) > 0` rule of the fold form and the oracle, so
-  * signatures are bit-for-bit unchanged. An empty array yields 0 (the
-  * fold's zero), matching the HOF form.
+  * Replaces `bits` interpreted `aggregate(hs, 0, ...)` bit-plane folds
+  * (each traversing the whole array through a closure) with a single
+  * codegen'd loop keeping `bits` running counts. Bit b of the result is
+  * set iff the count of elements with bit b set exceeds the count
+  * without — exactly the `SUM(+1/-1) > 0` rule of the fold form and the
+  * oracle, so signatures are bit-for-bit unchanged. An empty array
+  * yields 0 (the fold's zero), matching the HOF form.
   */
-case class SimHash32(child: Expression)
+case class SimHash(child: Expression, bits: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(bits >= 1 && bits <= 63, s"simhash width must be in [1, 63], got $bits")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
@@ -111,12 +113,12 @@ case class SimHash32(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](bits)
     var i = 0
     while (i < n) {
       val h = hs.getLong(i)
       var b = 0
-      while (b < 32) {
+      while (b < bits) {
         counts(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
         b += 1
       }
@@ -124,7 +126,7 @@ case class SimHash32(child: Expression)
     }
     var sig = 0L
     var b = 0
-    while (b < 32) {
+    while (b < bits) {
       if (counts(b) > 0) sig |= (1L << b)
       b += 1
     }
@@ -141,15 +143,15 @@ case class SimHash32(child: Expression)
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |int $n = $c.numElements();
-         |int[] $counts = new int[32];
+         |int[] $counts = new int[$bits];
          |for (int $i = 0; $i < $n; $i++) {
          |  long $h = $c.getLong($i);
-         |  for (int $b = 0; $b < 32; $b++) {
+         |  for (int $b = 0; $b < $bits; $b++) {
          |    $counts[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
          |  }
          |}
          |long $sig = 0L;
-         |for (int $b = 0; $b < 32; $b++) {
+         |for (int $b = 0; $b < $bits; $b++) {
          |  if ($counts[$b] > 0) $sig |= (1L << $b);
          |}
          |${ev.value} = $sig;
@@ -166,7 +168,10 @@ object SketchExpressions {
   def minhashSignature(hs: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(hs), a, b, p))
 
-  /** Column wrapper for [[SimHash32]]. */
-  def simhash32(hs: Column): Column =
-    ExpressionUtils.column(SimHash32(ExpressionUtils.expression(hs)))
+  /** Column wrapper for [[SimHash]]. */
+  def simhash(hs: Column, bits: Int): Column =
+    ExpressionUtils.column(SimHash(ExpressionUtils.expression(hs), bits))
+
+  /** Back-compat 32-bit wrapper. */
+  def simhash32(hs: Column): Column = simhash(hs, 32)
 }

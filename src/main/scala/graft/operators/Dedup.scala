@@ -135,10 +135,23 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 32-bit SimHash over distinct tokens; pair histogram by hamming
-    * distance within top-byte buckets. Signatures are computed per
-    * document with 32 bit-plane folds over the token-hash array — pure
-    * narrow column math, no explode/shuffle until the bucket join. */
+  /** SimHash near-dup pair histogram with GUARANTEED recall at the
+    * hamming threshold, via multi-band blocking (the rotate-and-block
+    * design of Manku et al., "Detecting Near-Duplicates for Web
+    * Crawling", WWW'07 — public literature): a 60-bit signature split
+    * into [[SimhashBands]] disjoint 15-bit bands; by pigeonhole, any
+    * pair within hamming <= [[SimhashMaxHamming]] (= bands - 1) agrees
+    * exactly on at least one band, so banding misses nothing. Each band
+    * has 2^15 values, so bucket sizes stay subquadratic at corpus scale
+    * (vs the single-top-byte blocking this replaces: 256 O(n)-sized
+    * buckets AND missed pairs differing in the top byte). Signatures
+    * are one codegen'd pass; the only shuffles are the 4 band
+    * self-joins (one explode) and the pair distinct. */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands // 15
+  val SimhashMaxHamming: Int = SimhashBands - 1
+
   def ddSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       // cheap scan-level predicate; a size(tk)>0 filter would inline the
@@ -147,18 +160,27 @@ object Dedup {
       .repartition(col("doc_id")) // spread the single input split
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
       .select(col("doc_id"), transform(col("tk"), t => hash60(t)).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // One codegen'd pass keeping all 32 bit-plane counts (was 32
-    // interpreted aggregate() folds, each traversing hs; same +1/-1
-    // majority rule, bit-identical signatures).
+    val mask = (1L << SimhashBandBits) - 1
+    // Persisted: (doc_id, sig) is 16 bytes/doc and feeds both sides of
+    // the band self-join — without the cache boundary the tokenize+hash
+    // scan would either run twice or hinge on exchange reuse.
     val sig = docs
       .select(col("doc_id"),
-        org.apache.spark.sql.graftexpr.SketchExpressions.simhash32(col("hs")).as("sig"))
-      .withColumn("bucket", expr("shiftright(sig, 24)"))
-    sig.as("a").join(sig.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(expr("CAST(bit_count(a.sig ^ b.sig) AS BIGINT)").as("hamming"))
-      .filter(col("hamming") <= 6)
+        org.apache.spark.sql.graftexpr.SketchExpressions
+          .simhash(col("hs"), SimhashBits).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until SimhashBands).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"(sig >> ${SimhashBandBits * b}) & $mask").as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr("CAST(bit_count(a.sig ^ b.sig) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .distinct() // a pair may collide in several bands
       .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
       .orderBy("hamming")
   }
@@ -186,6 +208,16 @@ object Dedup {
     * and bucket size is O(n/2^planes) for spread embeddings — the pair
     * join is subquadratic and adding planes tightens it further; an
     * all-pairs-per-label join would be O(n²) at corpus scale.
+    *
+    * MULTI-PROBE: one side additionally probes the 6 hamming-1 neighbor
+    * buckets (its bucket with one sign bit flipped), so near-pairs that
+    * straddle a single hyperplane are recovered — the standard
+    * multi-probe LSH recall fix at a 7x candidate cost (still
+    * subquadratic). Pairs differing in >1 sign bit remain out of reach;
+    * this is approximate BY DESIGN (the exact variant is the all-pairs
+    * join this replaced). A bucket pair matches via exactly one probe
+    * (equal buckets -> the unflipped probe, hamming-1 -> that one flip),
+    * so no dedup step is needed.
     * Norms are computed once per vector before the pairwise join. */
   def ddEmbedNear(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
@@ -193,8 +225,11 @@ object Dedup {
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("n2", norm2(col("emb")))
       .withColumn("bucket", Similarity.bucketCol(col("emb")))
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.label") === col("b.label") &&
+    val probed = e.withColumn("probe", explode(array(
+      (col("bucket") +: (0 until Similarity.NumPlanes).map(i =>
+        col("bucket").bitwiseXOR(lit(1L << i)))): _*)))
+    probed.as("a").join(e.as("b"),
+        col("a.probe") === col("b.bucket") && col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -256,24 +291,31 @@ object Dedup {
          |JOIN d sb ON sb.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_simhash" ->
-      s"""WITH t AS (SELECT doc_id, list_distinct($TOKENS) AS tk FROM documents),
+      s"""WITH t AS (SELECT doc_id, list_distinct($TOKENS) AS tk FROM documents
+         |  WHERE len(trim(text)) > 0),
          |e AS (SELECT doc_id, unnest(tk) AS tok FROM t),
          |hh AS (SELECT doc_id, ${H60.format("tok")} AS h FROM e),
          |sb AS (
          |  SELECT doc_id, b,
          |    SUM(CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS sbit
-         |  FROM hh CROSS JOIN (SELECT unnest(range(32)) AS b) bb GROUP BY 1, 2),
+         |  FROM hh CROSS JOIN (SELECT unnest(range($SimhashBits)) AS b) bb GROUP BY 1, 2),
          |sg AS (
          |  SELECT doc_id,
          |    CAST(SUM(CASE WHEN sbit > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
          |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
          |  FROM sb GROUP BY 1),
-         |sg2 AS (SELECT doc_id, sig, sig >> 24 AS bucket FROM sg),
+         |bands AS (
+         |  SELECT doc_id, sig, b AS band,
+         |    (sig >> CAST($SimhashBandBits * b AS INT)) & ${(1L << SimhashBandBits) - 1} AS bv
+         |  FROM sg CROSS JOIN (SELECT unnest(range($SimhashBands)) AS b) bb),
          |p AS (
-         |  SELECT CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-         |  FROM sg2 a JOIN sg2 b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming)
          |SELECT hamming, COUNT(*) AS n_pairs FROM p
-         |WHERE hamming <= 6 GROUP BY 1 ORDER BY 1""".stripMargin,
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH ${lshCandCte(2)},
          |p AS (
@@ -291,11 +333,17 @@ object Dedup {
       s"""WITH bk AS (
          |  SELECT vec_id, label, embedding,
          |    ${Similarity.bucketSql("embedding")} AS bucket
-         |  FROM embeddings)
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT vec_id, label, embedding,
+         |    unnest(list_prepend(bucket,
+         |      list_transform(range(${Similarity.NumPlanes}),
+         |        i -> xor(bucket, CAST(1 AS BIGINT) << CAST(i AS INT))))) AS probe
+         |  FROM bk)
          |SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cos
-         |FROM bk a JOIN bk b
-         |  ON a.bucket = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
+         |FROM pr a JOIN bk b
+         |  ON a.probe = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3
          |ORDER BY label, vec_a, vec_b""".stripMargin,
   )

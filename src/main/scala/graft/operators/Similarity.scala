@@ -118,6 +118,61 @@ object Similarity {
     rankTopK(scored, 5)
   }
 
+  /** Deterministic Lloyd's k-means — the declared training path for
+    * [[simIvfAnn]]'s coarse quantizer (its Scaladoc: "k-means training
+    * would slot in without changing the plan shape").
+    *
+    * Scale design: the model (k x dim doubles) lives on the driver, like
+    * any broadcastable model artifact. Per iteration:
+    *   1. assignment — a NARROW scan: argmin over centroid literals via
+    *      lexicographic struct min (no crossJoin, no shuffle, no n*k row
+    *      explosion; identical shape to [[simIvfAnn]]'s assignment);
+    *   2. update — posexplode to (cluster, dim, partial) and a
+    *      partial-agg shuffle of O(k * dim * #partitions) scalars, never
+    *      vectors.
+    * Init is the k lowest-`vec_id` vectors, so the fit is deterministic
+    * and spec-checkable; empty clusters keep their previous centroid
+    * (the standard Lloyd's degenerate-case choice). The trained model is
+    * NOT oracle-gated: double summation order differs across engines, so
+    * cross-engine hash equality cannot hold (SURVEY §5's reason to avoid
+    * bare double aggregation); the spec asserts convergence + determinism.
+    *
+    * Input: (vec_id: bigint, emb: array<double>). */
+  def trainCentroids(e: DataFrame, k: Int, iters: Int): IndexedSeq[IndexedSeq[Double]] = {
+    require(k >= 1 && iters >= 0)
+    val base = e.select(col("vec_id"), col("emb"))
+    var cents: IndexedSeq[IndexedSeq[Double]] = base.orderBy("vec_id").limit(k)
+      .select("emb").collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    require(cents.length == k, s"need >= $k vectors to init $k centroids")
+    for (_ <- 0 until iters) {
+      // d2 up to the per-row constant |x|^2: |c|^2 - 2<x,c>; ties break
+      // toward the lower centroid id via the struct's second field
+      val distStructs = cents.zipWithIndex.map { case (c, i) =>
+        struct(
+          (lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("emb"), typedLit(c))).as("d2"),
+          lit(i).as("cid"))
+      }
+      val assigned = base.withColumn("cluster",
+        array_min(array(distStructs: _*)).getField("cid"))
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("emb")).as(Seq("d", "v")))
+        .groupBy("cluster", "d")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getAs[Int]("cluster"))
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        sums.get(i) match {
+          case Some(rows) =>
+            val byDim = rows.map(r =>
+              r.getAs[Int]("d") -> (r.getAs[Double]("s") / r.getAs[Long]("n"))).toMap
+            IndexedSeq.tabulate(old.length)(d => byDim(d))
+          case None => old // empty cluster
+        }
+      }
+    }
+    cents
+  }
+
   private def planeSql(p: Int): String = planes(p).mkString("[", ", ", "]")
   private[operators] def bucketSql(emb: String): String =
     (0 until NumPlanes).map { p =>

@@ -88,6 +88,49 @@ class FunctionsSpec extends AnyFunSuite {
       s"centroid assignment must not cross-join:\n$plan")
   }
 
+  test("similarity: k-means trains the IVF quantizer deterministically") {
+    import org.apache.spark.sql.functions.col
+    // two well-separated blobs around (0,0) and (10,10); init takes the
+    // first two vectors (one from each blob by construction)
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)),
+      (2L, Seq(0.2, -0.2)), (3L, Seq(-0.2, 0.2)),
+      (4L, Seq(10.2, 9.8)), (5L, Seq(9.8, 10.2)))
+    val df = pts.toDF("vec_id", "emb")
+    val c1 = Similarity.trainCentroids(df, k = 2, iters = 5)
+    val c2 = Similarity.trainCentroids(df, k = 2, iters = 5)
+    assert(c1 == c2, "same data + same init must give identical centroids")
+    // converged centroids = the blob means
+    assert(c1(0).zip(Seq(0.0, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    assert(c1(1).zip(Seq(10.0, 10.0)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // plan shape: assignment is narrow — no exchange before the argmin
+    val cents = c1
+    val distStructs = cents.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.functions.struct(
+        (org.apache.spark.sql.functions.lit(c.map(x => x * x).sum) -
+          org.apache.spark.sql.functions.lit(2.0) *
+            graft.functions.dot(col("emb"),
+              org.apache.spark.sql.functions.typedLit(c))).as("d2"),
+        org.apache.spark.sql.functions.lit(i).as("cid"))
+    }
+    val assignedPlan = df.withColumn("cluster",
+      org.apache.spark.sql.functions.array_min(
+        org.apache.spark.sql.functions.array(distStructs: _*)).getField("cid"))
+      .queryExecution.executedPlan.toString
+    assert(!assignedPlan.contains("Exchange"), s"assignment should be narrow:\n$assignedPlan")
+  }
+
+  test("simhash width is configurable and follows the majority-bit rule") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Tuple1(Seq(1L, 3L, 3L))).toDF("hs")
+    val sig = df.select(org.apache.spark.sql.graftexpr.SketchExpressions
+      .simhash(col("hs"), 60).as("s")).head.getLong(0)
+    // bit0: +3 majority -> set; bit1: +1 majority -> set; bits 2..59: -3 -> clear
+    assert(sig == 3L)
+    // a 60-bit signature never sets bits >= 60
+    assert((sig >>> 60) == 0L)
+  }
+
   test("sketch aggregates stay within their error bounds") {
     val exact = spark.read.parquet(s"$sf/lineitem.parquet")
       .groupBy("l_returnflag")
