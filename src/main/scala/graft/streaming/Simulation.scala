@@ -209,6 +209,66 @@ object Simulation {
       .start()
   }
 
+  /** Release each timestep's FULL chunk set once every chunk arrived —
+    * the payload-level analog of [[assemble]], for callbacks that compute
+    * on the arrays themselves rather than on totals (the reference hands
+    * the callback a complete distributed array per iteration,
+    * doreisa/window_api.py:88-103). State is keyed by (name, timestep):
+    * payloads buffer only while the timestep is in flight and are freed
+    * on emission; a 'done' marker (one boolean per completed timestep)
+    * rejects at-least-once replays — expire it with a state TTL in a
+    * production deployment. Duplicate positions within an open timestep
+    * are dropped. */
+  def assembleChunks(chunks: DataFrame): Dataset[RawChunk] = {
+    import chunks.sparkSession.implicits._
+    chunks.select(col("name"), col("timestep"), col("nbChunks"), col("pos"), col("data"))
+      .as[RawChunk]
+      .groupByKey(c => (c.name, c.timestep))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: (String, Long), it: Iterator[RawChunk], state: GroupState[ChunkAsmState]) => {
+          var st = state.getOption.getOrElse(ChunkAsmState(Vector.empty, done = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RawChunk]
+          it.foreach { c =>
+            if (!st.done && !st.buffered.exists(_.pos == c.pos)) {
+              val buf = st.buffered :+ c
+              st = if (buf.length >= c.nbChunks) {
+                out ++= buf
+                ChunkAsmState(Vector.empty, done = true) // payloads freed
+              } else st.copy(buffered = buf)
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** Run an arbitrary distributed [[ChunkedArray]] computation on the
+    * live stream, per completed timestep — the streaming form of "the
+    * callback runs dask.array ops on the assembled array" (stencils,
+    * slices, matmuls, ... — anything batch [[ChunkedArray]] offers).
+    * Each micro-batch holds only COMPLETE timesteps (courtesy of
+    * [[assembleChunks]]); `op` runs as a distributed batch plan over
+    * them, and `sink` receives the result DataFrame to write/aggregate —
+    * chunk payloads never pass through the driver unless the sink
+    * chooses to collect. */
+  def runArrayOp(
+      chunks: DataFrame,
+      name: String,
+      geom: graft.arrays.ArrayGeometry,
+      op: ChunkedArray => DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    assembleChunks(chunks.filter(col("name") === name)).writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[RawChunk], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val df = batch.toDF().select(col("timestep"), col("pos"), col("data"))
+          sink(op(ChunkedArray(df, geom)), batchId)
+        }
+      }
+      .start()
+
   /** [[runWindows]] with preparation pipelined `advance` iterations ahead
     * — doreisa's `preparation_advance` (doreisa/window_api.py:58-72 calls
     * `prepare_iteration(t)` `preparation_advance` iterations before the
@@ -251,6 +311,12 @@ object Simulation {
       .start()
   }
 }
+
+/** One raw chunk released by [[Simulation.assembleChunks]] once its
+  * timestep completed. */
+case class RawChunk(name: String, timestep: Long, nbChunks: Int, pos: Seq[Int], data: Seq[Double])
+
+private case class ChunkAsmState(buffered: Vector[RawChunk], done: Boolean)
 
 /** One chunk of the streaming elementwise window delta:
   * `data = chunk(t) - chunk(t-1)` at this grid position. */

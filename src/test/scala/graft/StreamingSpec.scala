@@ -209,6 +209,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(log.collect { case ("cb", t) => t } == (0L to 2L))
   }
 
+  test("runArrayOp stencils complete timesteps on the live stream") {
+    implicit val sc = spark.sqlContext
+    import graft.arrays.{ArrayGeometry, ChunkedArray}
+    val geom = ArrayGeometry(Seq(2, 2), Seq(2, 2))
+    // 4x4 array value(i,j) = 10i + j as 2x2 chunks of 2x2 at t; payload*(t+1)
+    def chunk(t: Long, cr: Int, cc: Int): (String, Long, Int, Seq[Int], Seq[Double]) = {
+      val data = for (i <- 0 to 1; j <- 0 to 1)
+        yield (10.0 * (2 * cr + i) + (2 * cc + j)) * (t + 1)
+      ("a", t, 4, Seq(cr, cc), data)
+    }
+    val in = MemoryStream[(String, Long, Int, Seq[Int], Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "nbChunks", "pos", "data")
+    val got = scala.collection.mutable.Map.empty[Long, Double]
+    val q = Simulation.runArrayOp(chunks, "a", geom,
+      arr => arr.stencilLaplacian().sumPerTimestep(),
+      (df, _) => df.collect().foreach(r =>
+        got.synchronized { got(r.getLong(0)) = r.getDouble(1) }))
+    // t=0 complete; t=1 missing one chunk (nothing may emit for it)
+    in.addData(chunk(0, 0, 0), chunk(0, 0, 1), chunk(0, 1, 0), chunk(0, 1, 1),
+      chunk(1, 0, 0), chunk(1, 0, 1), chunk(1, 1, 0))
+    q.processAllAvailable()
+    assert(got.synchronized(got.keySet) == Set(0L))
+    // straggler completes t=1; a duplicate replay of t=0 must not re-emit
+    in.addData(chunk(1, 1, 1), chunk(0, 0, 0))
+    q.processAllAvailable()
+    q.stop()
+    // expected: the batch stencil over the same dense arrays
+    val dense = Array.tabulate(4, 4)((i, j) => 10.0 * i + j)
+    def at(i: Int, j: Int) = if (i < 0 || i > 3 || j < 0 || j > 3) 0.0 else dense(i)(j)
+    val lapSum = (for { i <- 0 to 3; j <- 0 to 3 }
+      yield 4 * at(i, j) - at(i - 1, j) - at(i + 1, j) - at(i, j - 1) - at(i, j + 1)).sum
+    assert(got.synchronized(got.toMap) == Map(0L -> lapSum, 1L -> 2 * lapSum))
+  }
+
   test("WindowedArrays.chunkWindows delivers the last k payloads per position") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(String, Long, Seq[Int], Seq[Double])]
