@@ -14,7 +14,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relationalQueries ++ ArrayQueries.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ graft.multimodal.Media.queries
+      Dedup.queries ++ Similarity.queries ++ graft.multimodal.Media.queries ++
+      operators.Pipeline.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.B relational
@@ -54,9 +55,12 @@ object SparkEntry {
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   /** DuckDB oracle SQL, column-aliased identically to the Spark results. */
+  // sim_ivf_trained has NO oracle entry on purpose (rows-only check):
+  // its k-means fit cannot be replayed bit-exactly in DuckDB.
   def oracleSql: Map[String, String] =
     relationalOracles ++ ArrayQueries.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ graft.multimodal.Media.oracles
+      Dedup.oracles ++ Similarity.oracles ++ graft.multimodal.Media.oracles ++
+      operators.Pipeline.oracles
 
   private def relationalOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

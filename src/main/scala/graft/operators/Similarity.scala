@@ -173,6 +173,37 @@ object Similarity {
     cents
   }
 
+  /** [[simIvfAnn]] with a TRAINED coarse quantizer: [[trainCentroids]]
+    * (k-means, 3 Lloyd's iterations) replaces the fixed first-k
+    * centroids; the assignment/search plan is IDENTICAL — only the
+    * centroid literals differ. No SQL oracle (driver records the weaker
+    * rows-only check): replaying 3 iterations of double-precision mean
+    * updates with Spark's aggregation order in DuckDB cannot be made
+    * bit-exact (SURVEY §5). The spec asserts determinism of the fit;
+    * this query makes the trainer load-bearing in the driver gate. */
+  def simIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("n2", norm2(col("emb")))
+    val cents = trainCentroids(e.select(col("vec_id"), col("emb")), NumCentroids, iters = 3)
+    // d2 up to the per-row |x|^2 constant: |c|^2 - 2<x,c>
+    val distStructs = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("emb"), typedLit(c))).as("d2"),
+        lit(i).as("cid"))
+    }
+    val assigned = e.withColumn("cluster",
+      array_min(array(distStructs: _*)).getField("cid"))
+    val probes = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"),
+        col("n2").as("pn2"), col("cluster").as("pc"))
+    val scored = assigned.join(broadcast(probes),
+        col("cluster") === col("pc") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosineWithNorms(dot(col("pe"), col("emb")), col("pn2"), col("n2")).as("cos"))
+    rankTopK(scored, 5)
+  }
+
   private def planeSql(p: Int): String = planes(p).mkString("[", ", ", "]")
   private[operators] def bucketSql(emb: String): String =
     (0 until NumPlanes).map { p =>
@@ -215,6 +246,7 @@ object Similarity {
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_ivf_ann" -> (simIvfAnn _),
+    "sim_ivf_trained" -> (simIvfTrained _),
   )
 
   // lazy: referenced from `oracles`, which is initialized earlier in the file

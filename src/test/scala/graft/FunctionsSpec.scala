@@ -131,6 +131,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert((sig >>> 60) == 0L)
   }
 
+  test("similarity: trained IVF search is deterministic and well-formed") {
+    val a = Similarity.queries("sim_ivf_trained")(spark, sf).collect()
+    val b = Similarity.queries("sim_ivf_trained")(spark, sf).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.forall { r => val rk = r.getAs[Long]("rk"); rk >= 1 && rk <= 5 })
+  }
+
+  test("pipeline: pipe_clean buckets every document exactly once") {
+    val rows = graft.operators.Pipeline.queries("pipe_clean")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_lowq") + r.getAs[Long]("n_dup") + r.getAs[Long]("n_kept"))
+    }
+  }
+
   test("sketch aggregates stay within their error bounds") {
     val exact = spark.read.parquet(s"$sf/lineitem.parquet")
       .groupBy("l_returnflag")
