@@ -22,6 +22,9 @@ object SparkEntry {
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
     "q5_region_volume" -> (Relational.q5RegionVolume _),
+    "q7_nation_volume" -> (Relational.q7NationVolume _),
+    "q10_returned_items" -> (Relational.q10ReturnedItems _),
+    "q19_disjunctive" -> (Relational.q19Disjunctive _),
     "q_filter_project" -> (Relational.qFilterProject _),
     "q_topn" -> (Relational.qTopN _),
     "q_distinct_agg" -> (Relational.qDistinctAgg _),
@@ -94,6 +97,37 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(SUM($DISC) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, CAST(SUM($DISC) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q19_disjunctive" ->
+      s"""SELECT CAST(SUM($DISC) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 1 AND 15)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+         |       AND l_quantity BETWEEN 10 AND 25)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
+         |       AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'

@@ -76,6 +76,69 @@ object Relational {
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
+  /** TPC-H Q7 shape: two-nation trade volume by ship year. The nation
+    * dims join twice (supplier side and customer side, both broadcast);
+    * the disjunctive nation-pair filter runs after the joins, and the
+    * single fact-fact shuffle is lineitem-orders on orderkey. */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+    val supp = Tables.load(s, dir, "supplier")
+    val cust = Tables.load(s, dir, "customer")
+    val n1 = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q10 shape: returned-item revenue ranking per customer —
+    * join + agg keyed on the customer, then top-20 via
+    * TakeOrderedAndProject (no global sort). */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val cust = Tables.load(s, dir, "customer")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q19 shape: disjunctive brand/size/quantity predicate over a
+    * broadcast part join — the OR-of-ANDs must not defeat pushdown of
+    * the shared conjuncts (part is filtered to the brand union before
+    * broadcast). Single summary row. */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+    val li = Tables.load(s, dir, "lineitem")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(20, 35)))
+      .agg(sum(discPrice).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Predicate pushdown + column pruning: both must reach the parquet scan. */
   def qFilterProject(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
