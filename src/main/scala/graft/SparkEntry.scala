@@ -25,6 +25,9 @@ object SparkEntry {
     "q7_nation_volume" -> (Relational.q7NationVolume _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
     "q19_disjunctive" -> (Relational.q19Disjunctive _),
+    "q4_order_priority" -> (Relational.q4OrderPriority _),
+    "q13_custdist" -> (Relational.q13CustDist _),
+    "q22_global_sales" -> (Relational.q22GlobalSales _),
     "q_filter_project" -> (Relational.qFilterProject _),
     "q_topn" -> (Relational.qTopN _),
     "q_distinct_agg" -> (Relational.qDistinctAgg _),
@@ -128,6 +131,31 @@ object SparkEntry {
          |       AND l_quantity BETWEEN 10 AND 25)
          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
          |       AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q22_global_sales" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+        |  (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{hitCount, tokens}
+import graft.functions.{hitCount, shingles, tokens}
 import graft.sources.Tables
 
 /** SURVEY §2.F/§2.D composite — the end-to-end training-data cleaning
@@ -59,8 +59,96 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Deterministic stratified sampling: keep a document iff the hex md5
+    * of its id sorts below the stratum's threshold — a pure narrow
+    * filter (no shuffle, no RNG state), reproducible across engines and
+    * across runs, which is what a 100 TB sampling pass needs (Spark's
+    * `sample()` is seed-stable per partition but not partition-layout
+    * stable). Rates: src0 2/16, src1 4/16, src2 8/16, rest 1/16. */
+  def smpStratified(s: SparkSession, dir: String): DataFrame = {
+    val threshold = when(col("source") === "src0", "2")
+      .when(col("source") === "src1", "4")
+      .when(col("source") === "src2", "8")
+      .otherwise("1")
+    Tables.load(s, dir, "documents")
+      .filter(md5(col("doc_id").cast("string")) < threshold)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition metrics: duplicate-trigram fraction and
+    * top-token mass per document. Pure per-row array math (narrow scan);
+    * the O(distinct·n) token-mode fold is bounded by document length,
+    * not corpus size. */
+  def txtRepetition(s: SparkSession, dir: String): DataFrame = {
+    val tk = col("tk")
+    val tk3 = shingles(tk, 3)
+    val dup3 = when(size(tk3) > 0,
+      lit(1.0) - size(array_distinct(tk3)).cast("double") / size(tk3).cast("double"))
+      .otherwise(0.0)
+    val topTok = when(size(tk) > 0,
+      array_max(transform(array_distinct(tk),
+        t => size(filter(tk, x => x === t)))).cast("double") / size(tk).cast("double"))
+      .otherwise(0.0)
+    Tables.load(s, dir, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .select(col("doc_id"),
+        dup3.as("dup3_frac"),
+        topTok.as("top_tok_frac"),
+        (dup3 > 0.2 || topTok > 0.3).as("is_repetitive"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source leakage matrix: distinct 3-grams shared by each source
+    * pair. Distinct (source, gram-hash) pairs self-join on the hash —
+    * a shuffle join keyed by gram, no corpus broadcast, no all-pairs of
+    * documents; output is O(|sources|²) rows. */
+  def ddCrossSource(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.load(s, dir, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .select(col("source"), explode(shingles(col("tk"), 3)).as("g"))
+      .distinct()
+    val a = grams.select(col("source").as("src_a"), col("g"))
+    val b = grams.select(col("source").as("src_b"), col("g"))
+    a.join(b, "g")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Benchmark-contamination check: fraction of each document's 3-grams
+    * that appear in the benchmark set (here: the src0 slice). The
+    * benchmark gram set is small by definition, so it broadcasts to a
+    * left-semi join against the exploded corpus grams — the corpus side
+    * stays distributed and is never collected or broadcast. */
+  def txtContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("tk3", shingles(tokens(col("text")), 3))
+    val bench = docs.filter(col("source") === "src0")
+      .select(explode(col("tk3")).as("g")).distinct()
+    val rest = docs.filter(col("source") =!= "src0")
+    val grams = rest.select(col("doc_id"), explode(col("tk3")).as("g"))
+    val hits = grams.join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    rest.select(col("doc_id"), size(col("tk3")).cast("bigint").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("n_contaminated"),
+        when(col("n_grams") > 0,
+          coalesce(col("hits"), lit(0L)).cast("double") / col("n_grams").cast("double"))
+          .otherwise(0.0).as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
   private val TOKENS = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
   private val STOP_IN = STOP_EN.map(w => s"'$w'").mkString("(", ",", ")")
+  /** 1-based trigram list over a DuckDB token list `tk`. */
+  private val TRIGRAMS =
+    """CASE WHEN len(tk) >= 3
+      |  THEN list_transform(range(1, len(tk) - 1),
+      |         i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2]))
+      |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "pipe_clean" ->
@@ -95,9 +183,66 @@ object Pipeline {
          |  COALESCE(kept_tokens, 0) AS kept_tokens
          |FROM s1 LEFT JOIN s2 ON s1.source = s2.source
          |ORDER BY 1""".stripMargin,
+    "smp_stratified" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE source WHEN 'src0' THEN '2' WHEN 'src1' THEN '4'
+        |              WHEN 'src2' THEN '8' ELSE '1' END
+        |ORDER BY doc_id""".stripMargin,
+    "txt_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $TOKENS AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, tk, $TRIGRAMS AS tk3 FROM t),
+         |m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk3) > 0
+         |      THEN 1.0 - CAST(len(list_distinct(tk3)) AS DOUBLE) / CAST(len(tk3) AS DOUBLE)
+         |      ELSE 0.0 END AS dup3_frac,
+         |    CASE WHEN len(tk) > 0
+         |      THEN CAST(list_max(list_transform(list_distinct(tk),
+         |             t -> len(list_filter(tk, x -> x = t)))) AS DOUBLE)
+         |           / CAST(len(tk) AS DOUBLE)
+         |      ELSE 0.0 END AS top_tok_frac
+         |  FROM g)
+         |SELECT doc_id, dup3_frac, top_tok_frac,
+         |  (dup3_frac > 0.2 OR top_tok_frac > 0.3) AS is_repetitive
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "dd_cross_source" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, $TOKENS AS tk FROM documents),
+         |g AS (
+         |  SELECT DISTINCT source, unnest($TRIGRAMS) AS g FROM t)
+         |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+         |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "txt_contamination" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, $TOKENS AS tk FROM documents),
+         |d AS (
+         |  SELECT doc_id, source, $TRIGRAMS AS tk3 FROM t),
+         |bench AS (
+         |  SELECT DISTINCT unnest(tk3) AS g FROM d WHERE source = 'src0'),
+         |rest AS (SELECT doc_id, tk3 FROM d WHERE source <> 'src0'),
+         |grams AS (SELECT doc_id, unnest(tk3) AS g FROM rest),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS hits FROM grams
+         |  WHERE g IN (SELECT g FROM bench) GROUP BY 1)
+         |SELECT r.doc_id,
+         |  CAST(len(r.tk3) AS BIGINT) AS n_grams,
+         |  COALESCE(h.hits, 0) AS n_contaminated,
+         |  CASE WHEN len(r.tk3) > 0
+         |    THEN CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(len(r.tk3) AS DOUBLE)
+         |    ELSE 0.0 END AS contam_frac
+         |FROM rest r LEFT JOIN hits h ON r.doc_id = h.doc_id
+         |ORDER BY r.doc_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean" -> (pipeClean _),
+    "smp_stratified" -> (smpStratified _),
+    "txt_repetition" -> (txtRepetition _),
+    "dd_cross_source" -> (ddCrossSource _),
+    "txt_contamination" -> (txtContamination _),
   )
 }

@@ -139,6 +139,62 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q4 shape: correlated EXISTS as a left-semi join with a
+    * non-equi extra condition (late shipment: l_shipdate more than 60
+    * days after the order date). The semi join keeps the equi key for
+    * the shuffle; the inequality is evaluated post-match, so no
+    * cross product materializes. (The synthetic lineitem has no
+    * commit/receipt dates; late-vs-orderdate keeps the Q4 shape.) */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01") &&
+        col("o_orderdate") < lit("1996-10-01"))
+    val li = Tables.load(s, dir, "lineitem")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q13 shape: customer-order distribution. Left outer join with
+    * a join-side filter (status <> 'F' must stay in the join condition,
+    * not a WHERE, to preserve customers with zero matching orders),
+    * per-customer count, then a second tiny agg over the counts. */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val ord = Tables.load(s, dir, "orders")
+    cust.join(ord,
+        col("c_custkey") === col("o_custkey") && col("o_orderstatus") =!= "F",
+        "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** TPC-H Q22 shape: scalar aggregate subquery (global positive-balance
+    * average, a 1-row broadcast) as the filter threshold, then an anti
+    * join against orders, grouped by nation. Threshold is computed in
+    * decimal and rounded to cents so the comparison is exact
+    * cross-engine. */
+  def q22GlobalSales(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(dec2("c_acctbal")).cast("decimal(18,2)").as("avg_bal"))
+    val ord = Tables.load(s, dir, "orders")
+    cust.join(broadcast(avgBal))
+      .filter(dec2("c_acctbal") > col("avg_bal"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec2("c_acctbal")).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   /** Predicate pushdown + column pruning: both must reach the parquet scan. */
   def qFilterProject(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
