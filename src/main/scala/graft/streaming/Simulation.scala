@@ -216,29 +216,48 @@ object Simulation {
     * doreisa/window_api.py:88-103). State is keyed by (name, timestep):
     * payloads buffer only while the timestep is in flight and are freed
     * on emission; a 'done' marker (one boolean per completed timestep)
-    * rejects at-least-once replays — expire it with a state TTL in a
-    * production deployment. Duplicate positions within an open timestep
-    * are dropped. */
-  def assembleChunks(chunks: DataFrame): Dataset[RawChunk] = {
+    * rejects at-least-once replays.
+    *
+    * `doneTtlMs > 0` expires each key's state (marker AND any stuck
+    * partial buffer) that long after its last activity, via a
+    * processing-time timeout — without it a long-running stream retains
+    * one marker per (name, timestep) forever, the streaming face of the
+    * memory-release contract (tests/test_memory_release.py). Choose the
+    * TTL longer than the source's replay horizon: a replay arriving
+    * after expiry re-opens (and re-emits) its timestep, and a partial
+    * timestep idle past the TTL is dropped rather than completed.
+    * Processing-time timeouts make the query run a (cheap, no-data)
+    * batch per trigger even while idle, so pair a TTL with an explicit
+    * trigger interval — the default ASAP trigger would busy-loop. */
+  def assembleChunks(chunks: DataFrame, doneTtlMs: Long = 0L): Dataset[RawChunk] = {
     import chunks.sparkSession.implicits._
+    val timeout =
+      if (doneTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     chunks.select(col("name"), col("timestep"), col("nbChunks"), col("pos"), col("data"))
       .as[RawChunk]
       .groupByKey(c => (c.name, c.timestep))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
         (_: (String, Long), it: Iterator[RawChunk], state: GroupState[ChunkAsmState]) => {
-          var st = state.getOption.getOrElse(ChunkAsmState(Vector.empty, done = false))
-          val out = scala.collection.mutable.ArrayBuffer.empty[RawChunk]
-          it.foreach { c =>
-            if (!st.done && !st.buffered.exists(_.pos == c.pos)) {
-              val buf = st.buffered :+ c
-              st = if (buf.length >= c.nbChunks) {
-                out ++= buf
-                ChunkAsmState(Vector.empty, done = true) // payloads freed
-              } else st.copy(buffered = buf)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(ChunkAsmState(Vector.empty, done = false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[RawChunk]
+            it.foreach { c =>
+              if (!st.done && !st.buffered.exists(_.pos == c.pos)) {
+                val buf = st.buffered :+ c
+                st = if (buf.length >= c.nbChunks) {
+                  out ++= buf
+                  ChunkAsmState(Vector.empty, done = true) // payloads freed
+                } else st.copy(buffered = buf)
+              }
             }
+            state.update(st)
+            if (doneTtlMs > 0) state.setTimeoutDuration(doneTtlMs)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
   }
 

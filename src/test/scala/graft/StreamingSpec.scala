@@ -243,6 +243,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.synchronized(got.toMap) == Map(0L -> lapSum, 1L -> 2 * lapSum))
   }
 
+  test("assembleChunks done-markers honor the state TTL (memory release)") {
+    implicit val sc = spark.sqlContext
+    // Processing-time timeouts make Spark schedule batches continuously,
+    // so processAllAvailable never observes a quiescent stream and would
+    // hang — poll the sink with a deadline instead.
+    def awaitRows(table: String, n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (spark.table(table).count() < n && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(spark.table(table).count() >= n, s"$table never reached $n rows")
+    }
+    val in = MemoryStream[(String, Long, Int, Seq[Int], Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "nbChunks", "pos", "data")
+    val q = Simulation.assembleChunks(chunks, doneTtlMs = 1L).writeStream
+      .format("memory").queryName("ttl_out").outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      .start()
+    in.addData(("a", 0L, 1, Seq(0), Seq(1.0)))
+    awaitRows("ttl_out", 1)
+    Thread.sleep(300) // let the 1 ms TTL lapse and a batch fire the timeout
+    // post-expiry replay re-opens the timestep and re-emits — the
+    // documented TTL-shorter-than-replay-horizon tradeoff
+    in.addData(("a", 0L, 1, Seq(0), Seq(1.0)))
+    awaitRows("ttl_out", 2)
+    q.stop()
+    val rows = spark.table("ttl_out").as[graft.streaming.RawChunk].collect()
+    assert(rows.count(_.timestep == 0L) == 2)
+
+    // a TTL far beyond the replay horizon still dedups replays
+    val in2 = MemoryStream[(String, Long, Int, Seq[Int], Seq[Double])]
+    val chunks2 = in2.toDF().toDF("name", "timestep", "nbChunks", "pos", "data")
+    val q2 = Simulation.assembleChunks(chunks2, doneTtlMs = 3600000L).writeStream
+      .format("memory").queryName("ttl_out2").outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      .start()
+    in2.addData(("a", 0L, 1, Seq(0), Seq(1.0)))
+    awaitRows("ttl_out2", 1)
+    in2.addData(("a", 0L, 1, Seq(0), Seq(1.0))) // replay within TTL: dropped
+    Thread.sleep(500)
+    q2.stop()
+    assert(spark.table("ttl_out2").count() == 1)
+  }
+
   test("WindowedArrays.chunkWindows delivers the last k payloads per position") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(String, Long, Seq[Int], Seq[Double])]
