@@ -14,11 +14,12 @@ import graft.sources.Tables
   * for, expressed as one declarative plan.
   *
   * Scale posture: metrics are a narrow scan (one pass, no UDFs); the
-  * gate is a filter; dedup is a groupBy on the 128-bit content hash
-  * plus a co-partitioned join back on that hash (the q_min_joinback
-  * shape) — no corpus broadcast, no window over row data; the summary
-  * is a partial-agg rollup. Everything shuffles O(n) rows at most
-  * twice, keyed by hash then by source.
+  * gate is a filter; dedup is an unordered window-min keyed by the
+  * 128-bit content hash (partition width = one document's duplicate
+  * multiplicity, never corpus-sized) — no corpus broadcast, and one
+  * corpus scan instead of the groupBy+join-back's two; the summary is
+  * a partial-agg rollup. Everything shuffles O(n) rows at most twice,
+  * keyed by hash then by source.
   */
 object Pipeline {
 
@@ -41,8 +42,14 @@ object Pipeline {
     val flagged = m.withColumn("lowq",
       col("n_tokens") < 5 || col("stop_ratio") > 0.5 || col("mean_tok_len") > 12.0)
     val keepers = flagged.filter(!col("lowq"))
-    val canon = keepers.groupBy("fp").agg(min("doc_id").as("keep_id"))
-    val marked = keepers.join(canon, "fp")
+    // keep-min-id per content hash via an unordered window min: one scan
+    // and one exchange keyed by fp, where a groupBy+join-back would scan
+    // (and tokenize) the corpus twice. Partition width = the duplicate
+    // multiplicity of ONE document's content, so the window is bounded
+    // by dup cardinality, never by corpus size.
+    val marked = keepers
+      .withColumn("keep_id", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
       .withColumn("dup", col("doc_id") =!= col("keep_id"))
     val stats = flagged.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
@@ -127,16 +134,20 @@ object Pipeline {
       .withColumn("tk3", shingles(tokens(col("text")), 3))
     val bench = docs.filter(col("source") === "src0")
       .select(explode(col("tk3")).as("g")).distinct()
-    val rest = docs.filter(col("source") =!= "src0")
-    val grams = rest.select(col("doc_id"), explode(col("tk3")).as("g"))
-    val hits = grams.join(broadcast(bench), Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
-    rest.select(col("doc_id"), size(col("tk3")).cast("bigint").as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("hits"), lit(0L)).as("n_contaminated"),
+      .withColumn("hit", lit(1))
+    // One tokenize+shingle pass over the rest of the corpus: n_grams is
+    // computed inline and explode_outer keeps zero-gram documents, so no
+    // second scan or doc_id join-back is needed — the per-doc rollup is
+    // the single groupBy below.
+    val grams = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), size(col("tk3")).cast("bigint").as("n_grams"),
+        explode_outer(col("tk3")).as("g"))
+    grams.join(broadcast(bench), Seq("g"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(col("hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
         when(col("n_grams") > 0,
-          coalesce(col("hits"), lit(0L)).cast("double") / col("n_grams").cast("double"))
+          col("n_contaminated").cast("double") / col("n_grams").cast("double"))
           .otherwise(0.0).as("contam_frac"))
       .orderBy("doc_id")
   }
