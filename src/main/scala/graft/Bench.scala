@@ -47,7 +47,12 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
+    // Optional comma-separated subset for isolating one query's cost on
+    // a noisy machine (e.g. SPARK_GRAFT_ONLY=ev_json,q_topn).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .map(n => n -> runOnce(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
