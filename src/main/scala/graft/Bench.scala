@@ -10,18 +10,39 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+        .config("spark.ui.enabled", "false")
+        // On a shared box long GC pauses / CPU starvation can delay the
+        // in-process heartbeater; with the 10s default, 60 misses killed
+        // a whole bench run (BENCH_r04). Widen the tolerance window.
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.network.timeout", "1200s")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
 
     def runOnce(name: String): Double = {
+      // A prior query may have taken the SparkContext down with it
+      // (heartbeat storm); restart rather than failing the remainder.
+      if (spark.sparkContext.isStopped) {
+        System.err.println("[bench] SparkContext died; restarting session")
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        graft.sources.Tables.clearCache()
+        // unpersist against a dead context can itself throw; the memo
+        // entries must go regardless so the new session rebuilds them.
+        try graft.operators.ArrayQueries.release()
+        catch { case _: Throwable => () }
+        spark = newSession()
+      }
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

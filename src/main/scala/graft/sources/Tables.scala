@@ -20,6 +20,9 @@ object Tables {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop all memoized frames (e.g. after replacing a dead session). */
+  def clearCache(): Unit = cache.clear()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (cache.size > 256) cache.clear()
     cache.getOrElseUpdate((spark, s"$dir/$name.parquet"), {
