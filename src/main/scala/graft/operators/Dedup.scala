@@ -239,6 +239,58 @@ object Dedup {
       .orderBy("label", "vec_a", "vec_b")
   }
 
+  /** Duplicate-cluster resolution — the step a production dedup pipeline
+    * runs after pair generation: connected components over the verified
+    * near-duplicate pairs (MinHash-LSH candidates whose exact Jaccard is
+    * >= 0.5), each cluster labeled by its minimum doc_id (the canonical
+    * survivor a keep-one policy would retain). Components come from
+    * iterative min-label propagation: each round every vertex takes the
+    * min label among itself and its neighbors — one hash-partitioned
+    * join plus a partial-agg groupBy per round, converging in
+    * O(component diameter) rounds (near-dup clusters are clique-ish, so
+    * 2-3 rounds in practice). Rounds are localCheckpoint'ed: the label
+    * relation is O(docs-in-dup-pairs), far smaller than the corpus, and
+    * truncating lineage keeps round t's plan from embedding rounds
+    * 0..t-1 (on a real cluster: reliable checkpoint to shared storage).
+    * Nothing corpus-sized crosses the driver — the only driver-side
+    * action is the one-row convergence probe per round. */
+  def ddCluster(s: SparkSession, dir: String): DataFrame = {
+    val docs = docShingles(s, dir, 3)
+    val edges = joinSignatures(lshCandidates(docs), docs)
+      .filter(jaccard("hsa", "hsb") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    connectedComponents(edges)
+      .groupBy("lbl").agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("cluster_id"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
+  /** Connected components over an undirected edge list (first two
+    * columns = endpoint ids): returns (v, lbl) where lbl is the minimum
+    * vertex id in v's component. See [[ddCluster]] for the scale
+    * rationale of the propagation loop. */
+  def connectedComponents(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn
+      .select(edgesIn.columns.take(2).map(col): _*).toDF("ea", "eb")
+      .localCheckpoint()
+    val und = edges.union(edges.select(col("eb"), col("ea")))
+      .toDF("src", "dst")
+    var labels = und.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val prop = und.join(labels, col("dst") === col("v"))
+        .select(col("src").as("v"), col("lbl"))
+      val next = labels.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "v")
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels = next
+    }
+    labels
+  }
+
   // DuckDB twins of the Spark column constructs (see graft.functions).
   private val TOKENS = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
   private def shSql(n: Int): String = {
@@ -346,6 +398,23 @@ object Dedup {
          |  ON a.probe = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3
          |ORDER BY label, vec_a, vec_b""".stripMargin,
+    "dd_cluster" ->
+      s"""WITH RECURSIVE ${lshCandCte(3)},
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN d sa ON sa.doc_id = doc_a
+         |  JOIN d sb ON sb.doc_id = doc_b
+         |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= 0.5),
+         |eu AS (SELECT doc_a AS s, doc_b AS t FROM edges
+         |  UNION ALL SELECT doc_b, doc_a FROM edges),
+         |reach(v, w) AS (
+         |  SELECT s, s FROM eu
+         |  UNION
+         |  SELECT r.v, e.t FROM reach r JOIN eu e ON e.s = r.w),
+         |comp AS (SELECT v, MIN(w) AS cluster_id FROM reach GROUP BY v)
+         |SELECT cluster_id, COUNT(*) AS n_members FROM comp
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -354,5 +423,6 @@ object Dedup {
     "dd_simhash" -> (ddSimhash _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_near" -> (ddEmbedNear _),
+    "dd_cluster" -> (ddCluster _),
   )
 }

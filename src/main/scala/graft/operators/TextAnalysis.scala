@@ -69,6 +69,39 @@ object TextAnalysis {
       array_min(transform(shingles(col("tk"), 3), sh => hash60(sh))).as("fp_min_shingle"))
       .orderBy("doc_id")
 
+  /** PII scrubbing: multi-pattern regex redaction with per-pattern match
+    * counts and a checksum of the scrubbed text — all narrow codegen'd
+    * scan work (regexp_count + chained global regexp_replace), so at
+    * 100 TB it is a pure map pipeline like the rest of §2.F.
+    *
+    * The synthetic corpus carries no PII, so the query first seeds each
+    * document with a DETERMINISTIC synthetic email (2 of every 3 docs)
+    * and phone — integer-derived, so both engines compose byte-identical
+    * text — and the checksum then proves the scrub excised exactly those
+    * spans. Swap the patterns for production email/phone/ssn regexes;
+    * the plumbing is unchanged. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "555-[0-9]{4}"
+
+  def txtPii(s: SparkSession, dir: String): DataFrame = {
+    val seeded = Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit(""))
+          .otherwise(concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))),
+        lit(" tel 555-"),
+        lpad((col("doc_id") * 7927 % 10000).cast("string"), 4, "0")).as("txt"))
+    seeded.select(
+      col("doc_id"),
+      regexp_count(col("txt"), lit(EmailRe)).cast("bigint").as("n_emails"),
+      regexp_count(col("txt"), lit(PhoneRe)).cast("bigint").as("n_phones"),
+      md5(regexp_replace(regexp_replace(col("txt"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
     "txt_tokens" ->
       """SELECT doc_id,
@@ -127,6 +160,22 @@ object TextAnalysis {
         |  list_min(list_transform(sh,
         |    x -> CAST('0x' || substring(md5(x), 1, 15) AS BIGINT))) AS fp_min_shingle
         |FROM s ORDER BY doc_id""".stripMargin,
+    "txt_pii" ->
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    concat(text,
+         |      CASE WHEN doc_id % 3 = 0 THEN ''
+         |           ELSE concat(' contact user', CAST(doc_id AS VARCHAR),
+         |                       '@example.com') END,
+         |      ' tel 555-',
+         |      lpad(CAST(doc_id * 7927 % 10000 AS VARCHAR), 4, '0')) AS txt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(txt, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(txt, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(txt, '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_md5
+         |FROM seeded ORDER BY doc_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -134,5 +183,6 @@ object TextAnalysis {
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangid _),
     "txt_fingerprint" -> (txtFingerprint _),
+    "txt_pii" -> (txtPii _),
   )
 }
