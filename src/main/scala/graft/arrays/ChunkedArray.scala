@@ -247,6 +247,18 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     copy(df = out)
   }
 
+  /** Flatten an array of any rank to `(timestep, i0..i{n-1}, value)` rows
+    * — global per-dimension indices, one row per element. */
+  def rowsNd: DataFrame = {
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    df.select(col("timestep"), col("pos"),
+        posexplode(col("data")).as(Seq("local", "value")))
+      .select(col("timestep") +: shape.indices.map(d =>
+        (col("pos")(d) * shape(d) + (col("local") / strides(d)).cast("int") % shape(d))
+          .cast("bigint").as(s"i$d")) :+ col("value"): _*)
+  }
+
   /** Flatten a 2-d array to `(timestep, i, j, value)` rows. */
   def rows2d: DataFrame = {
     require(geom.dims == 2, "rows2d requires a 2-d array")
@@ -259,26 +271,46 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         col("value"))
   }
 
-  /** Distributed block matrix multiply (dask `a @ b`), SUMMA-style:
-    * chunk-pair block products where A's chunk-column meets B's
-    * chunk-row (a co-partitioned equi-join on k), then an elementwise
-    * merge of partial blocks per output position. Only chunk payloads
-    * move — one shuffle keyed on k, one tiny reduce of partial blocks.
-    * Block sums accumulate in DECIMAL(38,4): products of 2-decimal cell
-    * values are exactly 4-decimal, so the result is order-independent
-    * and reproducible cross-engine (SURVEY §5). */
+  /** Distributed block matrix multiply (dask `a @ b`) — the 2-d face of
+    * [[tensordot]]. */
   def matmul(other: ChunkedArray): ChunkedArray = {
     require(geom.dims == 2 && other.geom.dims == 2, "matmul requires 2-d arrays")
-    require(geom.chunksPerDim(1) == other.geom.chunksPerDim(0) &&
-      geom.chunkShape(1) == other.geom.chunkShape(0),
+    tensordot(other)
+  }
+
+  /** Rank-generic contraction of this array's LAST axis with `other`'s
+    * FIRST axis — dask `tensordot(a, b, axes=1)`, numpy `a @ b` for
+    * stacked operands: output rank = rank(a) + rank(b) - 2, with a's
+    * leading and b's trailing axes preserved. SUMMA-style at the chunk
+    * level: block products where a's chunk-k meets b's chunk-k (a
+    * co-partitioned equi-join on (timestep, k)), then an elementwise
+    * merge of partial blocks per output chunk position. Only chunk
+    * payloads move — one shuffle keyed on k, one tiny reduce of partial
+    * blocks; nothing is ever assembled whole. The per-pair block product
+    * treats a's leading axes as one flattened row index and b's trailing
+    * axes as one flattened column index (both row-major, so the packed
+    * output is row-major over lead ++ trail). Block sums accumulate in
+    * DECIMAL(38,4): products of 2-decimal cell values are exactly
+    * 4-decimal, so the result is order-independent and reproducible
+    * cross-engine (SURVEY §5). */
+  def tensordot(other: ChunkedArray): ChunkedArray = {
+    require(geom.dims >= 1 && other.geom.dims >= 1,
+      "tensordot requires rank >= 1 operands")
+    require(geom.chunksPerDim.last == other.geom.chunksPerDim.head &&
+      geom.chunkShape.last == other.geom.chunkShape.head,
       s"inner dimensions must agree: $geom vs ${other.geom}")
-    val (rI, kI) = (geom.chunkShape(0), geom.chunkShape(1))
-    val cI = other.geom.chunkShape(1)
+    val rI = geom.chunkShape.init.product // flattened leading extent (1 if rank-1)
+    val kI = geom.chunkShape.last
+    val cI = other.geom.chunkShape.tail.product // flattened trailing extent
+    val emptyPos = array().cast("array<int>")
+    def posSlice(ds: Seq[Int]): Column =
+      if (ds.isEmpty) emptyPos
+      else array(ds.map(d => col("pos")(d).cast("int")): _*)
     val zero = lit(0).cast("decimal(38,4)")
-    val a = df.select(col("timestep"), col("pos")(0).as("ra"),
-      col("pos")(1).as("ka"), col("data").as("adata"))
+    val a = df.select(col("timestep"), posSlice(0 until geom.dims - 1).as("lead"),
+      col("pos")(geom.dims - 1).as("ka"), col("data").as("adata"))
     val b = other.df.select(col("timestep").as("bt"), col("pos")(0).as("kb"),
-      col("pos")(1).as("cb"), col("data").as("bdata"))
+      posSlice(1 until other.geom.dims).as("trail"), col("data").as("bdata"))
     val block = transform(sequence(lit(0), lit(rI * cI - 1)), idx => {
       val i = (idx / cI).cast("int")
       val j = idx % cI
@@ -288,15 +320,16 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     })
     val merged = a
       .join(b, col("timestep") === col("bt") && col("ka") === col("kb"))
-      .select(col("timestep"), col("ra"), col("cb"), block.as("part"))
-      .groupBy("timestep", "ra", "cb")
+      .select(col("timestep"), col("lead"), col("trail"), block.as("part"))
+      .groupBy("timestep", "lead", "trail")
       .agg(aggregate(collect_list(col("part")), array_repeat(zero, rI * cI),
         (acc, v) => zip_with(acc, v, (x, y) => (x + y).cast("decimal(38,4)"))).as("vec"))
     val out = merged.select(col("timestep"),
-      array(col("ra").cast("int"), col("cb").cast("int")).as("pos"),
+      concat(col("lead"), col("trail")).as("pos"),
       transform(col("vec"), v => v.cast("double")).as("data"))
-    ChunkedArray(out,
-      ArrayGeometry(Seq(geom.chunksPerDim(0), other.geom.chunksPerDim(1)), Seq(rI, cI)))
+    ChunkedArray(out, ArrayGeometry(
+      geom.chunksPerDim.init ++ other.geom.chunksPerDim.tail,
+      geom.chunkShape.init ++ other.geom.chunkShape.tail))
   }
 
   /** Sum a 2-d array along `axis`, dask's `arr.sum(axis=)`: chunk-local

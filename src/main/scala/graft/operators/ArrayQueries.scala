@@ -115,6 +115,43 @@ object ArrayQueries {
   def eventsArray2dCached(s: SparkSession, dir: String): ChunkedArray =
     cached(s, dir, "2d")(eventsArray2d(s, dir))
 
+  val geom3d: ArrayGeometry = ArrayGeometry(Seq(2, 2, 2), Seq(4, 4, 4))
+
+  /** 8x8x8 (user x hour x event-id bucket) array as a 2x2x2 grid of
+    * 4x4x4 chunks — the rank-3 operand for [[arrTensordot]]. */
+  def eventsArray3d(s: SparkSession, dir: String): ChunkedArray = {
+    val cells = Tables.load(s, dir, "events")
+      .select(
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("bigint").as("timestep"),
+        (col("user_id") % 8).cast("int").as("u"),
+        (hour(col("ts")) % 8).cast("int").as("h"),
+        (col("event_id") % 8).cast("int").as("w"),
+        col("value"))
+      .groupBy("timestep", "u", "h", "w")
+      .agg(sum(dec2(col("value"))).cast("double").as("cell"))
+    val filled = cells
+      .groupBy(col("timestep"),
+        expr("CAST(u div 4 AS INT)").as("c0"), expr("CAST(h div 4 AS INT)").as("c1"),
+        expr("CAST(w div 4 AS INT)").as("c2"))
+      .agg(map_from_entries(collect_list(
+        struct(((col("u") % 4) * 16 + (col("h") % 4) * 4 + col("w") % 4).as("k"),
+          col("cell")))).as("m"))
+    // dense grid: all 2x2x2 chunk positions for every present timestep
+    val grid = cells.select("timestep").distinct()
+      .crossJoin(cells.sparkSession.range(8)
+        .select(expr("CAST(id div 4 AS INT)").as("c0"),
+          expr("CAST(id div 2 AS INT) % 2").as("c1"), (col("id") % 2).cast("int").as("c2")))
+    val df = grid.join(filled, Seq("timestep", "c0", "c1", "c2"), "left")
+      .select(col("timestep"), array(col("c0"), col("c1"), col("c2")).as("pos"),
+        transform(sequence(lit(0), lit(63)), i =>
+          coalesce(element_at(col("m"), i), lit(0.0))).as("data"))
+    ChunkedArray(df, geom3d)
+  }
+
+  /** Memoized unfiltered 3-d variant. */
+  def eventsArray3dCached(s: SparkSession, dir: String): ChunkedArray =
+    cached(s, dir, "3d")(eventsArray3d(s, dir))
+
   // ---- queries ----
 
   /** doreisa `array.sum().compute()` per timestep (tests/test_doreisa.py:19). */
@@ -171,6 +208,18 @@ object ArrayQueries {
     a.matmul(a).rows2d.orderBy("timestep", "i", "j")
   }
 
+  /** Rank-3 x rank-2 contraction `tensordot(A3, A2, axes=1)` (dask
+    * tensordot): contracts the event-id axis of the 8x8x8 array with the
+    * user axis of the 8x8 array, yielding a rank-3 result flattened to
+    * (timestep, i, j, k, value) rows. */
+  def arrTensordot(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray3dCached(s, dir)
+    val b = eventsArray2dCached(s, dir)
+    a.tensordot(b).rowsNd
+      .withColumnsRenamed(Map("i0" -> "i", "i1" -> "j", "i2" -> "k"))
+      .orderBy("timestep", "i", "j", "k")
+  }
+
   // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
 
   private val CELLS_1D =
@@ -194,7 +243,34 @@ object ArrayQueries {
       |  CROSS JOIN (SELECT unnest(range(8)) AS h) hh
       |  LEFT JOIN raw r ON r.timestep = d.timestep AND r.u = uu.u AND r.h = hh.h)""".stripMargin
 
+  private val CELLS_3D_DENSE =
+    """raw3 AS (
+      |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS timestep,
+      |    user_id % 8 AS u, hour(CAST(ts AS TIMESTAMP)) % 8 AS h,
+      |    event_id % 8 AS w,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS cell
+      |  FROM events GROUP BY 1, 2, 3, 4),
+      |days3 AS (SELECT DISTINCT timestep FROM raw3),
+      |cells3 AS (
+      |  SELECT d.timestep, uu.u, hh.h, ww.w, COALESCE(r.cell, 0.0) AS cell
+      |  FROM days3 d
+      |  CROSS JOIN (SELECT unnest(range(8)) AS u) uu
+      |  CROSS JOIN (SELECT unnest(range(8)) AS h) hh
+      |  CROSS JOIN (SELECT unnest(range(8)) AS w) ww
+      |  LEFT JOIN raw3 r ON r.timestep = d.timestep AND r.u = uu.u
+      |    AND r.h = hh.h AND r.w = ww.w)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "arr_tensordot" ->
+      s"""WITH $CELLS_3D_DENSE,
+         |$CELLS_2D_DENSE
+         |SELECT CAST(x.timestep AS BIGINT) AS timestep,
+         |  CAST(x.u AS BIGINT) AS i, CAST(x.h AS BIGINT) AS j,
+         |  CAST(y.h AS BIGINT) AS k,
+         |  CAST(SUM(CAST(x.cell * y.cell AS DECIMAL(18,4))) AS DOUBLE) AS value
+         |FROM cells3 x JOIN cells y
+         |  ON x.timestep = y.timestep AND x.w = y.u
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
     "arr_sum_ts" ->
       s"""WITH $CELLS_1D
          |SELECT CAST(timestep AS BIGINT) AS timestep,
@@ -304,5 +380,6 @@ object ArrayQueries {
     "arr_slice_sum" -> (arrSliceSum _),
     "arr_stencil_sum" -> (arrStencilSum _),
     "arr_matmul" -> (arrMatmul _),
+    "arr_tensordot" -> (arrTensordot _),
   )
 }

@@ -128,6 +128,35 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got((i.toLong, j.toLong)) == expected(i)(j), s"cell ($i,$j)")
   }
 
+  test("tensordot contracts 3-d x 2-d to 3-d against a dense reference") {
+    // A: 4x4x4 with value = flat index; B: the 4x4 twoD matrix
+    val chunks = for (c0 <- 0 to 1; c1 <- 0 to 1; c2 <- 0 to 1) yield {
+      val data = for (i <- 0 to 1; j <- 0 to 1; k <- 0 to 1) yield
+        ((2 * c0 + i) * 16 + (2 * c1 + j) * 4 + (2 * c2 + k)).toDouble
+      (0L, Seq(c0, c1, c2), data)
+    }
+    val a3 = ChunkedArray(chunks.toDF("timestep", "pos", "data"),
+      ArrayGeometry(Seq(2, 2, 2), Seq(2, 2, 2)))
+    val out = a3.tensordot(twoD)
+    assert(out.geom == ArrayGeometry(Seq(2, 2, 2), Seq(2, 2, 2)))
+    val denseA = Array.tabulate(4, 4, 4)((i, j, k) => (i * 16 + j * 4 + k).toDouble)
+    val denseB = Array.tabulate(4, 4)((i, j) => 10.0 * i + j)
+    val got = out.rowsNd.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getDouble(4)).toMap
+    for { i <- 0 to 3; j <- 0 to 3; m <- 0 to 3 } {
+      val want = (0 to 3).map(k => denseA(i)(j)(k) * denseB(k)(m)).sum
+      assert(got((i.toLong, j.toLong, m.toLong)) == want, s"cell ($i,$j,$m)")
+    }
+  }
+
+  test("tensordot of two vectors is the rank-0 dot product") {
+    val v = oneD // [1..8] at t=0
+    val out = v.tensordot(v)
+    assert(out.geom.dims == 0)
+    // 1+4+9+...+64 = 204
+    assert(asMap(out.sumPerTimestep()).apply(0L) == 204.0)
+  }
+
   test("core ops are dimension-agnostic: 3-d array reductions and zips") {
     // 2x2x2 grid of 2x2x2 chunks = 4x4x4 array, value = flat index
     val chunks = for (cr <- 0 to 1; cc <- 0 to 1; cd <- 0 to 1) yield {
