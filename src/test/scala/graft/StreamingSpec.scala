@@ -406,4 +406,47 @@ class StreamingSpec extends AnyFunSuite {
       .select("n_events").as[Long].collect().sorted
     assert(counts.toSeq == Seq(1L, 2L))
   }
+
+  test("HaloStencil fires per chunk incrementally and matches the batch stencil") {
+    import graft.arrays.{ArrayGeometry, ChunkedArray}
+    import graft.streaming.{HaloChunk, HaloStencil}
+    implicit val sc = spark.sqlContext
+    val geom = ArrayGeometry(Seq(2, 2), Seq(2, 2))
+    def chunk(cr: Int, cc: Int): Seq[Double] =
+      (for (i <- 0 to 1; j <- 0 to 1) yield 10.0 * (2 * cr + i) + (2 * cc + j)).toSeq
+    val in = MemoryStream[(String, Long, Seq[Int], Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "pos", "data")
+    val out = HaloStencil.stencilChunks(chunks, geom).writeStream
+      .format("memory").queryName("halo_out").outputMode(OutputMode.Append()).start()
+
+    // 3 of 4 chunks arrive: only (0,0) has its full neighborhood ((0,1)
+    // right face + (1,0) down face), so only it may fire — no waiting for
+    // the whole timestep
+    in.addData(("a", 0L, Seq(0, 0), chunk(0, 0)),
+      ("a", 0L, Seq(0, 1), chunk(0, 1)), ("a", 0L, Seq(1, 0), chunk(1, 0)))
+    out.processAllAvailable()
+    assert(spark.table("halo_out").as[HaloChunk].collect().map(_.pos).toSet
+      == Set(Seq(0, 0)))
+
+    // the last chunk completes the remaining three neighborhoods
+    in.addData(("a", 0L, Seq(1, 1), chunk(1, 1)))
+    out.processAllAvailable()
+    // an at-least-once replay must not re-emit a completed position
+    in.addData(("a", 0L, Seq(0, 0), chunk(0, 0)))
+    out.processAllAvailable()
+    out.stop()
+
+    val got = spark.table("halo_out").as[HaloChunk].collect()
+    assert(got.length == 4)
+    val gotCells = got.flatMap { c =>
+      c.data.zipWithIndex.map { case (v, idx) =>
+        (2L * c.pos(0) + idx / 2, 2L * c.pos(1) + idx % 2) -> v
+      }
+    }.toMap
+    val batchRows = (for (cr <- 0 to 1; cc <- 0 to 1)
+      yield (0L, Seq(cr, cc), chunk(cr, cc))).toDF("timestep", "pos", "data")
+    val want = ChunkedArray(batchRows, geom).stencilLaplacian().rows2d.collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(gotCells == want)
+  }
 }
