@@ -28,6 +28,8 @@ object SparkEntry {
     "q4_order_priority" -> (Relational.q4OrderPriority _),
     "q13_custdist" -> (Relational.q13CustDist _),
     "q22_global_sales" -> (Relational.q22GlobalSales _),
+    "q21_sole_late" -> (Relational.q21SoleLate _),
+    "q20_heavy_parts" -> (Relational.q20HeavyParts _),
     "q_filter_project" -> (Relational.qFilterProject _),
     "q_topn" -> (Relational.qTopN _),
     "q_distinct_agg" -> (Relational.qDistinctAgg _),
@@ -156,6 +158,29 @@ object SparkEntry {
         |   FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_sole_late" ->
+      """WITH late AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.sk
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.ok AND l2.l_suppkey <> l1.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.ok = l1.ok AND l3.sk <> l1.sk)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q20_heavy_parts" ->
+      """WITH heavy AS (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%a%'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100)
+        |SELECT s_suppkey, s_name,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
+        |FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'

@@ -195,6 +195,56 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting, adapted to this
+    * schema's shipdate lateness): a line shipped > 60 days after its
+    * order date counts against its supplier only when ANOTHER supplier
+    * shares the order (EXISTS -> left-semi) and NO other supplier was
+    * late on it (NOT EXISTS -> left-anti over the late set) — the sole
+    * guilty supplier. Both correlated subqueries become hash joins keyed
+    * on the order key; the late relation is built once and feeds both
+    * the probe and the anti side, and the 100-row supplier dim
+    * broadcasts. */
+  def q21SoleLate(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    val late = li
+      .join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = late.select(col("ok").as("ok3"), col("sk").as("sk3"))
+    late
+      .join(others, col("ok2") === col("ok") && col("sk2") =!= col("sk"), "left_semi")
+      .join(lateOthers, col("ok3") === col("ok") && col("sk3") =!= col("sk"), "left_anti")
+      .join(broadcast(Tables.load(s, dir, "supplier")), col("s_suppkey") === col("sk"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q20 shape (nested aggregate feeding an IN): suppliers who
+    * shipped > 100 units of some single part whose name matches a
+    * pattern. The inner aggregate prunes lineitem with a semi join on
+    * the filtered parts BEFORE grouping, groups on (supp, part) with
+    * partial aggs, and the outer IN is a semi join against the tiny
+    * distinct supplier set. */
+  def q20HeavyParts(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(s, dir, "part")
+      .filter(col("p_name").like("%a%")).select("p_partkey")
+    val heavy = Tables.load(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(dec2("l_quantity")).as("qd"))
+      .filter(col("qd") > 100)
+      .select(col("l_suppkey").as("hk")).distinct()
+    Tables.load(s, dir, "supplier")
+      .join(heavy, col("s_suppkey") === col("hk"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"),
+        dec2("s_acctbal").cast("double").as("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
   /** Predicate pushdown + column pruning: both must reach the parquet scan. */
   def qFilterProject(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
