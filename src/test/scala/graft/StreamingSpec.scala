@@ -407,6 +407,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts.toSeq == Seq(1L, 2L))
   }
 
+  test("StreamingDedup keeps the first arrival of each content hash") {
+    import graft.streaming.StreamingDedup
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingDedup.dropDupDocs(docs).writeStream
+      .format("memory").queryName("dedup_out").outputMode(OutputMode.Append()).start()
+    in.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "alpha beta"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "gamma"),
+      (Timestamp.valueOf("2024-01-01 10:02:00"), 3L, "alpha beta")) // dup of 1
+    q.processAllAvailable()
+    // a cross-batch duplicate within the watermark window is dropped too
+    in.addData((Timestamp.valueOf("2024-01-01 10:30:00"), 4L, "gamma"),
+      (Timestamp.valueOf("2024-01-01 10:31:00"), 5L, "delta"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 5L))
+  }
+
   test("HaloStencil fires per chunk incrementally and matches the batch stencil") {
     import graft.arrays.{ArrayGeometry, ChunkedArray}
     import graft.streaming.{HaloChunk, HaloStencil}
