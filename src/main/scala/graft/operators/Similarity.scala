@@ -173,6 +173,25 @@ object Similarity {
     cents
   }
 
+  /** Persist a trained quantizer as a tiny parquet model table
+    * `(cid: int, centroid: array<double>)` — the hand-off between the
+    * training job and the serving/search jobs, which at production scale
+    * run as separate applications against shared storage. The model is
+    * k x dim doubles, so one file; ordering is restored on load. */
+  def saveCentroids(s: SparkSession, cents: IndexedSeq[IndexedSeq[Double]], path: String): Unit = {
+    import s.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cid", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a quantizer written by [[saveCentroids]], in cid order. */
+  def loadCentroids(s: SparkSession, path: String): IndexedSeq[IndexedSeq[Double]] =
+    s.read.parquet(path).orderBy("cid")
+      .collect()
+      .map(_.getSeq[Double](1).toIndexedSeq)
+      .toIndexedSeq
+
   /** [[simIvfAnn]] with a TRAINED coarse quantizer: [[trainCentroids]]
     * (k-means, 3 Lloyd's iterations) replaces the fixed first-k
     * centroids; the assignment/search plan is IDENTICAL — only the

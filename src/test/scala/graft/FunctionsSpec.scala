@@ -131,6 +131,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert((sig >>> 60) == 0L)
   }
 
+  test("similarity: quantizer round-trips through the parquet model table") {
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)),
+      (2L, Seq(0.2, -0.2)), (3L, Seq(10.2, 9.8)))
+    val trained = Similarity.trainCentroids(pts.toDF("vec_id", "emb"), k = 2, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString + "/quantizer"
+    Similarity.saveCentroids(spark, trained, dir)
+    assert(Similarity.loadCentroids(spark, dir) == trained,
+      "reloaded model must be bit-identical to the trained one")
+  }
+
   test("similarity: trained IVF search is deterministic and well-formed") {
     val a = Similarity.queries("sim_ivf_trained")(spark, sf).collect()
     val b = Similarity.queries("sim_ivf_trained")(spark, sf).collect()
