@@ -50,7 +50,11 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // progress breadcrumb so a killed/stalled run still shows how far
+      // it got and which query was hot (shared-host diagnosis)
+      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+      sec
     }
 
     // Warm the JVM/codegen paths and the BENCHMARKED dataset's file

@@ -273,19 +273,35 @@ object Dedup {
     val edges = edgesIn
       .select(edgesIn.columns.take(2).map(col): _*).toDF("ea", "eb")
       .localCheckpoint()
+    // pre-hash the (static) undirected edge relation on the join key
+    // once — localCheckpoint preserves the partitioning, so every
+    // round's propagation join reuses it and only the (smaller) label
+    // relation shuffles per round
     val und = edges.union(edges.select(col("eb"), col("ea")))
       .toDF("src", "dst")
+      .repartition(col("dst"))
+      .localCheckpoint()
     var labels = und.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("lbl")).cast("decimal(38,0)")).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    // labels only ever decrease, so the label sum is strictly monotone
+    // until the fixpoint: comparing sums detects convergence with one
+    // cheap aggregate per round instead of a join against the previous
+    // labels (decimal: at corpus scale the sum of 10^9 64-bit ids
+    // overflows a long)
+    var prevSum = lblSum(labels)
     var converged = false
     while (!converged) {
       val prop = und.join(labels, col("dst") === col("v"))
         .select(col("src").as("v"), col("lbl"))
       val next = labels.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("lbl", "prev"), "v")
-        .filter(col("lbl") =!= col("prev")).isEmpty
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
     }
     labels
