@@ -207,12 +207,20 @@ object Relational {
   def q21SoleLate(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
     val ord = Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    // orders is fact-scale too: the lateness join shuffles on the order
+    // key (same layout the semi/anti below reuse), no orders broadcast
     val late = li
-      .join(ord, col("l_orderkey") === col("o_orderkey") &&
+      .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey") &&
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    // both sides of the semi/anti are fact-scale relations: pin them to
+    // shuffle hash joins on the order key — without the hint the 64 MB
+    // local threshold happily broadcasts the whole lineitem projection,
+    // which at 100 TB is a fact-table broadcast
     val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      .hint("shuffle_hash")
     val lateOthers = late.select(col("ok").as("ok3"), col("sk").as("sk3"))
+      .hint("shuffle_hash")
     late
       .join(others, col("ok2") === col("ok") && col("sk2") =!= col("sk"), "left_semi")
       .join(lateOthers, col("ok3") === col("ok") && col("sk3") =!= col("sk"), "left_anti")
