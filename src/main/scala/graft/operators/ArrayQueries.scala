@@ -45,7 +45,9 @@ object ArrayQueries {
     val grid = cells.select("timestep").distinct()
       .crossJoin(cells.sparkSession.range(geom1d.chunksPerDim(0))
         .select(col("id").cast("int").as("cpos")))
-    val df = grid.join(filled, Seq("timestep", "cpos"), "left")
+    // `filled` is O(#chunks) — fact-scale at the 100 TB posture — so the
+    // densify join must shuffle on (timestep, cpos), never broadcast it
+    val df = grid.join(filled.hint("shuffle_hash"), Seq("timestep", "cpos"), "left")
       .select(col("timestep"), array(col("cpos")).as("pos"),
         transform(sequence(lit(0), lit(15)), i =>
           coalesce(element_at(col("m"), i), lit(0.0))).as("data"))
@@ -104,7 +106,7 @@ object ArrayQueries {
     val grid = cells.select("timestep").distinct()
       .crossJoin(Tables.load(s, dir, "events").sparkSession.range(4)
         .select(expr("CAST(id div 2 AS INT)").as("cr"), (col("id") % 2).cast("int").as("cc")))
-    val df = grid.join(filled, Seq("timestep", "cr", "cc"), "left")
+    val df = grid.join(filled.hint("shuffle_hash"), Seq("timestep", "cr", "cc"), "left")
       .select(col("timestep"), array(col("cr"), col("cc")).as("pos"),
         transform(sequence(lit(0), lit(15)), i =>
           coalesce(element_at(col("m"), i), lit(0.0))).as("data"))
@@ -141,7 +143,7 @@ object ArrayQueries {
       .crossJoin(cells.sparkSession.range(8)
         .select(expr("CAST(id div 4 AS INT)").as("c0"),
           expr("CAST(id div 2 AS INT) % 2").as("c1"), (col("id") % 2).cast("int").as("c2")))
-    val df = grid.join(filled, Seq("timestep", "c0", "c1", "c2"), "left")
+    val df = grid.join(filled.hint("shuffle_hash"), Seq("timestep", "c0", "c1", "c2"), "left")
       .select(col("timestep"), array(col("c0"), col("c1"), col("c2")).as("pos"),
         transform(sequence(lit(0), lit(63)), i =>
           coalesce(element_at(col("m"), i), lit(0.0))).as("data"))

@@ -97,7 +97,8 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
     bands.as("a")
-      .join(bands.as("b"),
+      // corpus-scale self-join: shuffle on the band hash, never broadcast
+      .join(bands.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -174,7 +175,10 @@ object Dedup {
           struct(lit(b).as("band"),
             expr(s"(sig >> ${SimhashBandBits * b}) & $mask").as("bv"))): _*)).as("e"))
       .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bv").as("bv"))
-    bands.as("a").join(bands.as("b"),
+    // both sides are corpus-scale: the band self-join must shuffle on the
+    // band key (the local broadcast threshold would otherwise ship every
+    // signature to every executor)
+    bands.as("a").join(bands.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -228,7 +232,8 @@ object Dedup {
     val probed = e.withColumn("probe", explode(array(
       (col("bucket") +: (0 until Similarity.NumPlanes).map(i =>
         col("bucket").bitwiseXOR(lit(1L << i)))): _*)))
-    probed.as("a").join(e.as("b"),
+    // corpus-scale on both sides: bucket-keyed shuffle join, no broadcast
+    probed.as("a").join(e.as("b").hint("shuffle_hash"),
         col("a.probe") === col("b.bucket") && col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),

@@ -48,7 +48,7 @@ object Relational {
       .filter(col("o_orderdate") < lit("1998-01-01"))
     val li = Tables.load(s, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-01-01"))
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum(discPrice).cast("double").as("revenue"))
@@ -65,7 +65,7 @@ object Relational {
     val ord = Tables.load(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
     val li = Tables.load(s, dir, "lineitem")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(cust.withColumnRenamed("c_nationkey", "cn_key")),
         col("o_custkey") === col("c_custkey") && col("cn_key") === col("s_nationkey"))
@@ -89,7 +89,7 @@ object Relational {
       .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
     val n2 = Tables.load(s, dir, "nation")
       .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
@@ -111,7 +111,7 @@ object Relational {
     val ord = Tables.load(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
     val cust = Tables.load(s, dir, "customer")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name")
       .agg(sum(discPrice).cast("double").as("revenue"))
@@ -150,7 +150,7 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1996-07-01") &&
         col("o_orderdate") < lit("1996-10-01"))
     val li = Tables.load(s, dir, "lineitem")
-    ord.join(li,
+    ord.join(li.hint("shuffle_hash"),
         col("o_orderkey") === col("l_orderkey") &&
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
         "left_semi")
@@ -166,7 +166,7 @@ object Relational {
   def q13CustDist(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(s, dir, "customer")
     val ord = Tables.load(s, dir, "orders")
-    cust.join(ord,
+    cust.join(ord.hint("shuffle_hash"),
         col("c_custkey") === col("o_custkey") && col("o_orderstatus") =!= "F",
         "left_outer")
       .groupBy("c_custkey")
@@ -188,7 +188,7 @@ object Relational {
     val ord = Tables.load(s, dir, "orders")
     cust.join(broadcast(avgBal))
       .filter(dec2("c_acctbal") > col("avg_bal"))
-      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(ord.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("numcust"),
         sum(dec2("c_acctbal")).cast("double").as("totacctbal"))
@@ -294,10 +294,10 @@ object Relational {
   def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(s, dir, "customer")
     val ord = Tables.load(s, dir, "orders")
-    val semi = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+    val semi = cust.join(ord.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy("c_nationkey").agg(count(lit(1)).as("n_customers"))
       .withColumn("has_orders", lit("yes"))
-    val anti = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+    val anti = cust.join(ord.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_nationkey").agg(count(lit(1)).as("n_customers"))
       .withColumn("has_orders", lit("no"))
     semi.unionByName(anti)
@@ -344,7 +344,7 @@ object Relational {
   def qOuterHistogram(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(s, dir, "customer")
     val ord = Tables.load(s, dir, "orders")
-    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+    cust.join(ord.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"), "left_outer")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("c_count"))
       .groupBy("c_count")
@@ -373,7 +373,7 @@ object Relational {
     val hot = Tables.load(s, dir, "lineitem")
       .filter(col("l_quantity") >= 49).select(col("l_partkey"))
     Tables.load(s, dir, "part")
-      .join(hot, col("p_partkey") === col("l_partkey"), "left_anti")
+      .join(hot.hint("shuffle_hash"), col("p_partkey") === col("l_partkey"), "left_anti")
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_parts"))
       .orderBy("p_brand")
@@ -386,7 +386,7 @@ object Relational {
       .agg(sum(dec2("l_quantity")).as("sum_qty_d"))
       .filter(col("sum_qty_d") > 250)
     Tables.load(s, dir, "orders")
-      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(big.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"),
         dec2("o_totalprice").cast("double").as("o_totalprice"),
         col("sum_qty_d").cast("double").as("sum_qty"))
