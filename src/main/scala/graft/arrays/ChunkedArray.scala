@@ -76,11 +76,15 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       transform(col("data"), x => if (keepDtype) f(x).cast(t) else f(x))))
   }
 
-  /** Elementwise binary op with an aligned array (same geometry). */
+  /** Elementwise binary op with an aligned array (same geometry). Both
+    * sides are O(#chunks) — fact-scale — so the align join shuffles on
+    * the zip key (pre-partition both sides with [[repartitionByGrid]]
+    * to make repeated zips reuse the exchange); it must never broadcast
+    * a whole array. */
   def zipWith(other: ChunkedArray)(f: (Column, Column) => Column): ChunkedArray = {
     require(geom == other.geom, s"geometry mismatch: $geom vs ${other.geom}")
     val r = other.df.select(col("timestep").as("r_ts"), col("pos").as("r_pos"),
-      col("data").as("r_data"))
+      col("data").as("r_data")).hint("shuffle_hash")
     val j = df.join(r, col("timestep") === col("r_ts") && col("pos") === col("r_pos"))
     copy(df = j.select(col("timestep"), col("pos"),
       zip_with(col("data"), col("r_data"), f).as("data")))
@@ -319,7 +323,9 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
           .cast("decimal(18,4)")).cast("decimal(38,4)"))
     })
     val merged = a
-      .join(b, col("timestep") === col("bt") && col("ka") === col("kb"))
+      // both operands are chunk relations: contract join shuffles on
+      // (timestep, k), never broadcasts an array
+      .join(b.hint("shuffle_hash"), col("timestep") === col("bt") && col("ka") === col("kb"))
       .select(col("timestep"), col("lead"), col("trail"), block.as("part"))
       .groupBy("timestep", "lead", "trail")
       .agg(aggregate(collect_list(col("part")), array_repeat(zero, rI * cI),

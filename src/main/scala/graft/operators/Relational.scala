@@ -413,7 +413,7 @@ object Relational {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("lk"), col("l_shipdate"))
     Tables.load(s, dir, "orders")
-      .join(li, col("o_orderkey") === col("lk") &&
+      .join(li.hint("shuffle_hash"), col("o_orderkey") === col("lk") &&
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"))

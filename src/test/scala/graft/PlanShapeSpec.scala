@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suite-wide plan-shape regression gate: no query may broadcast a
+  * relation whose size is proportional to a FACT table (lineitem,
+  * orders, events, documents, embeddings). Locally the broadcast
+  * threshold happily ships such relations — the plan stays green at
+  * test scale and dies at the 100 TB posture — so the scale contract
+  * has to be asserted structurally, not observed from timings.
+  *
+  * A BroadcastExchange subtree is attributed to the fact tables its own
+  * FileScans read (indentation-scoped, so sibling subtrees don't
+  * false-positive). Queries that broadcast a genuinely bounded
+  * DERIVATION of a fact table (a handful of probes, a benchmark gram
+  * set, an O(keys) aggregate) declare it in `allowed` with the reason.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val fact = Set("lineitem", "orders", "events", "documents", "embeddings")
+
+  /** Intentional fact-DERIVED broadcasts, each bounded by design. */
+  private val allowed: Map[String, Set[String]] = Map(
+    // <= 5 probe vectors (and, for IVF, k collected centroids)
+    "sim_topk_bruteforce" -> Set("embeddings"),
+    "sim_lsh_ann" -> Set("embeddings"),
+    "sim_ivf_ann" -> Set("embeddings"),
+    "sim_ivf_trained" -> Set("embeddings"),
+    // benchmark gram set: small by definition (documented in Pipeline)
+    "txt_contamination" -> Set("documents"),
+    // per-source aggregates (O(|sources|) rows)
+    "pipe_clean" -> Set("documents"),
+    // the aggregated heavy-supplier set (O(#suppliers) rows)
+    "q20_heavy_parts" -> Set("lineitem"),
+    // O(#parts) per-part average — the schema's dim-scale posture
+    "q_small_qty" -> Set("lineitem"),
+  )
+
+  /** Fact tables scanned INSIDE BroadcastExchange subtrees of `plan`. */
+  private def broadcastFacts(plan: String): Set[String] = {
+    val lines = plan.split('\n')
+    def indent(l: String): Int = {
+      val i = l.indexWhere(c => c == '+' || c == ':')
+      if (i < 0) Int.MaxValue else i
+    }
+    val scanRe = "testdata/sf[^/]+/(\\w+)\\.parquet".r
+    lines.indices.flatMap { i =>
+      if (!lines(i).contains("BroadcastExchange")) Nil
+      else {
+        val base = indent(lines(i))
+        lines.drop(i + 1)
+          .takeWhile(l => indent(l) > base) // stay inside the subtree
+          .flatMap(l => scanRe.findFirstMatchIn(l).map(_.group(1)))
+      }
+    }.toSet.intersect(fact)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+    test(s"no fact-scale broadcast in $name") {
+      val plan = q(spark, dir).queryExecution.executedPlan.toString
+      val bad = broadcastFacts(plan) -- allowed.getOrElse(name, Set.empty)
+      assert(bad.isEmpty,
+        s"broadcast of fact-scale relation(s) $bad — shuffle it or whitelist with a reason:\n$plan")
+    }
+  }
+}
