@@ -73,11 +73,26 @@ object Dedup {
     * band become candidates — the O(n) LSH path shared by the minhash
     * and n-gram verify queries.
     *
-    * Docs with no shingles yield NULL minhashes -> NULL band hashes
-    * (concat propagates null, concat_ws would not) and the equality
-    * self-join drops them — same semantics as the oracle, whose unnest
-    * produces no rows for them. (A size(ss)>0 filter would instead get
-    * pushed into the scan with the whole shingle subtree inlined.) */
+    * DEGENERATE-CORPUS DEFENSE: documents with IDENTICAL signatures are
+    * collapsed to one representative before banding, because a
+    * mass-duplicated document (the common pathology in crawled corpora)
+    * would otherwise flood a single band bucket and make the self-join
+    * quadratic in the duplication factor. The band join runs on distinct
+    * signatures only; member pairs are then expanded from the group
+    * relation — within-group pairs directly (identical signatures share
+    * every band, so they are always candidates) and cross-group pairs
+    * through the representative pair. The expansion is output-bound
+    * (those pairs ARE the answer), while the join compute becomes
+    * proportional to distinct content. The produced pair set is
+    * EXACTLY the naive band join's (spec-asserted), so the DuckDB
+    * oracles keep the simple formulation.
+    *
+    * Docs with no shingles yield NULL minhashes -> NULL signature/band
+    * hashes (concat propagates null, concat_ws would not) and are
+    * dropped before grouping — same semantics as the oracle, whose
+    * unnest produces no rows for them. (A size(ss)>0 filter would
+    * instead get pushed into the scan with the whole shingle subtree
+    * inlined.) */
   private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
     // All NumPerms minima in one codegen'd pass over hs (the HOF form —
     // one interpreted array_min(transform(...)) per permutation — was the
@@ -87,22 +102,52 @@ object Dedup {
       .withColumn("mh",
         org.apache.spark.sql.graftexpr.SketchExpressions
           .minhashSignature(col("hs"), as, bs, MinhashP))
+    val sigParts = (0 until NumPerms).flatMap(k =>
+      Seq(lit(if (k == 0) "" else ","), col("mh").getItem(k).cast("string")))
+    val withKey = withMh
+      .withColumn("sigkey", md5(concat(sigParts: _*)))
+      .filter(col("sigkey").isNotNull)
+    // one row per distinct signature; mh values are identical within a
+    // group, so first() is deterministic. BOTH relations feed several
+    // plan branches (band self-join sides, the two expansion joins, the
+    // within-group self-join) — persist them or every branch re-runs the
+    // signature+groupBy pipeline (measured 3s -> 16s at sf0.1 without
+    // the cache boundary; CacheManager dedups the entries across calls).
+    val reps = withKey.groupBy("sigkey")
+      .agg(min(col("doc_id")).as("rep"), first(col("mh")).as("mh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val membership = withKey.select("sigkey", "doc_id")
+      .join(reps.select("sigkey", "rep").hint("shuffle_hash"), "sigkey")
+      .select("rep", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until NumBands).map { b =>
       val sig = (0 until RowsPerBand).flatMap(k =>
         Seq(lit(if (k == 0) "" else ","),
           col("mh").getItem(RowsPerBand * b + k).cast("string")))
       struct(lit(b).as("band"), md5(concat(sig: _*)).as("bh"))
     }
-    val bands = withMh
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
-      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-    bands.as("a")
-      // corpus-scale self-join: shuffle on the band hash, never broadcast
+    val bands = reps
+      .select(col("rep"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("rep"), col("e.band").as("band"), col("e.bh").as("bh"))
+    // distinct-content-scale self-join: shuffle on the band hash
+    val repPairs = bands.as("a")
       .join(bands.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("ra"), col("b.rep").as("rb"))
       .distinct()
+    val cross = repPairs
+      .join(membership.select(col("rep").as("ra"), col("doc_id").as("da"))
+        .hint("shuffle_hash"), "ra")
+      .join(membership.select(col("rep").as("rb"), col("doc_id").as("db"))
+        .hint("shuffle_hash"), "rb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+    val within = membership.as("x")
+      .join(membership.as("y").hint("shuffle_hash"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    cross.union(within).distinct()
   }
 
   /** Joins candidate pairs back to the signature relation on doc_id —

@@ -34,6 +34,48 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters.map(_._1).distinct.length == clusters.length)
   }
 
+  test("identity-collapsed lshCandidates equals the naive band join on a skewed corpus") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    // the naive formulation: band self-join over ALL docs (quadratic in
+    // the duplication factor on degenerate corpora — the reference
+    // semantics the collapsed path must reproduce exactly)
+    def naive(docs: DataFrame): DataFrame = {
+      val (as, bs) = (0 until Dedup.NumPerms).map(Dedup.perm).unzip
+      val withMh = docs.select("doc_id", "hs")
+        .withColumn("mh", org.apache.spark.sql.graftexpr.SketchExpressions
+          .minhashSignature(col("hs"), as, bs, Dedup.MinhashP))
+      val bandStructs = (0 until Dedup.NumBands).map { b =>
+        val sig = (0 until Dedup.RowsPerBand).flatMap(k =>
+          Seq(lit(if (k == 0) "" else ","),
+            col("mh").getItem(Dedup.RowsPerBand * b + k).cast("string")))
+        struct(lit(b).as("band"), md5(concat(sig: _*)).as("bh"))
+      }
+      val bands = withMh
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }
+    val setA = (1L to 20L)
+    val setB = (100L to 130L)
+    val docs = (
+      (0L until 40L).map(i => (i, setA)) ++ // mass-duplicated doc
+        (40L until 50L).map(i => (i, setB)) ++ // second identity group
+        Seq((50L, setA :+ 999L), (51L, setA.drop(1)), // near misses of A
+          (52L, Seq(7777L, 8888L)), (53L, Seq.empty[Long]))) // loner + no shingles
+      .toDF("doc_id", "hs")
+    val got = Dedup.lshCandidates(docs).as[(Long, Long)].collect().toSet
+    val want = naive(docs).as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // all within-group pairs of both identity groups must be present
+    assert(got.count { case (a, b) => a < 40 && b < 40 } == 40 * 39 / 2)
+    assert(got.count { case (a, b) => a >= 40 && a < 50 && b >= 40 && b < 50 } == 10 * 9 / 2)
+  }
+
   test("dd_cluster plan has no broadcast of the corpus signature relation") {
     val plan = Dedup.ddCluster(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
