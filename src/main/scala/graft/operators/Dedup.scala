@@ -206,31 +206,51 @@ object Dedup {
       .repartition(col("doc_id")) // spread the single input split
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
       .select(col("doc_id"), transform(col("tk"), t => hash60(t)).as("hs"))
+    // DEGENERATE-CORPUS DEFENSE (same argument as [[lshCandidates]]):
+    // group documents by full signature first, run the band self-join on
+    // DISTINCT signatures only, and — because the output is a pair
+    // HISTOGRAM, not the pairs — expand by counting group products
+    // instead of materializing member pairs at all: a signature group of
+    // size g contributes C(g,2) hamming-0 pairs, and a colliding
+    // signature pair (A, B) contributes |A|*|B| pairs at their hamming.
+    // Join compute AND output are both decoupled from the duplication
+    // factor; the histogram provably equals the naive per-pair count
+    // (spec-asserted). Persisted: the group relation feeds both sides
+    // of the band self-join.
+    simhashHistogram(docs.select(
+      org.apache.spark.sql.graftexpr.SketchExpressions
+        .simhash(col("hs"), SimhashBits).as("sig")))
+  }
+
+  /** (hamming, n_pairs) histogram for a signature relation carrying
+    * `sig` — the group-product core of [[ddSimhash]] (see its Scaladoc
+    * for the degenerate-corpus argument). */
+  private[graft] def simhashHistogram(sigs: DataFrame): DataFrame = {
     val mask = (1L << SimhashBandBits) - 1
-    // Persisted: (doc_id, sig) is 16 bytes/doc and feeds both sides of
-    // the band self-join — without the cache boundary the tokenize+hash
-    // scan would either run twice or hinge on exchange reuse.
-    val sig = docs
-      .select(col("doc_id"),
-        org.apache.spark.sql.graftexpr.SketchExpressions
-          .simhash(col("hs"), SimhashBits).as("sig"))
+    val groups = sigs
+      .groupBy("sig").agg(count(lit(1)).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sig.select(col("doc_id"), col("sig"),
+    val bands = groups.select(col("sig"), col("g"),
         explode(array((0 until SimhashBands).map(b =>
           struct(lit(b).as("band"),
             expr(s"(sig >> ${SimhashBandBits * b}) & $mask").as("bv"))): _*)).as("e"))
-      .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bv").as("bv"))
-    // both sides are corpus-scale: the band self-join must shuffle on the
-    // band key (the local broadcast threshold would otherwise ship every
-    // signature to every executor)
-    bands.as("a").join(bands.as("b").hint("shuffle_hash"),
+      .select(col("sig"), col("g"), col("e.band").as("band"), col("e.bv").as("bv"))
+    // distinct-signature-scale self-join: shuffle on the band value
+    val cross = bands.as("a")
+      .join(bands.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        expr("CAST(bit_count(a.sig ^ b.sig) AS BIGINT)").as("hamming"))
+          col("a.sig") < col("b.sig"))
+      .select(col("a.sig").as("sa"), col("b.sig").as("sb"),
+        expr("CAST(bit_count(a.sig ^ b.sig) AS BIGINT)").as("hamming"),
+        (col("a.g") * col("b.g")).as("n"))
       .filter(col("hamming") <= SimhashMaxHamming)
-      .distinct() // a pair may collide in several bands
-      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+      .distinct() // a signature pair may collide in several bands
+    val within = groups.filter(col("g") > 1)
+      // integer div: `/` would be double division, losing exactness for
+      // large duplication factors
+      .select(lit(0L).as("hamming"), expr("g * (g - 1) div 2").as("n"))
+    cross.select(col("hamming"), col("n")).union(within)
+      .groupBy("hamming").agg(sum(col("n")).as("n_pairs"))
       .orderBy("hamming")
   }
 

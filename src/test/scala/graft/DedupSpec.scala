@@ -76,6 +76,41 @@ class DedupSpec extends AnyFunSuite {
     assert(got.count { case (a, b) => a >= 40 && a < 50 && b >= 40 && b < 50 } == 10 * 9 / 2)
   }
 
+  test("group-counted simhashHistogram equals the naive pair histogram") {
+    import org.apache.spark.sql.functions._
+    val mask = (1L << Dedup.SimhashBandBits) - 1
+    // signatures chosen so the fixture has: a 26-deep identity group
+    // (sig 5), a second group (sig 5 ^ 1, hamming 1 from the first —
+    // they share 3 of 4 bands so the bucket join finds them), and two
+    // far-apart loners
+    val sigs = (Seq.fill(26)(5L) ++ Seq.fill(3)(4L) ++
+      Seq(1L << 40, (1L << 40) + 100)).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "sig")
+    def naive(df: org.apache.spark.sql.DataFrame) = {
+      val bands = df.select(col("doc_id"), col("sig"),
+          explode(array((0 until Dedup.SimhashBands).map(b =>
+            struct(lit(b).as("band"),
+              expr(s"(sig >> ${Dedup.SimhashBandBits * b}) & $mask").as("bv"))): _*)).as("e"))
+        .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bv").as("bv"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          expr("CAST(bit_count(a.sig ^ b.sig) AS BIGINT)").as("hamming"))
+        .filter(col("hamming") <= Dedup.SimhashMaxHamming)
+        .distinct()
+        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val got = Dedup.simhashHistogram(sigs.select("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive(sigs))
+    // sanity: the identity groups alone contribute C(26,2) + C(3,2)
+    assert(got(0L) == 26L * 25 / 2 + 3L * 2 / 2)
+    assert(got(1L) == 26L * 3) // cross product of the two near groups
+  }
+
   test("dd_cluster plan has no broadcast of the corpus signature relation") {
     val plan = Dedup.ddCluster(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
