@@ -30,6 +30,9 @@ object SparkEntry {
     "q22_global_sales" -> (Relational.q22GlobalSales _),
     "q21_sole_late" -> (Relational.q21SoleLate _),
     "q20_heavy_parts" -> (Relational.q20HeavyParts _),
+    "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
+    "q8_market_share" -> (Relational.q8MarketShare _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
     "q_filter_project" -> (Relational.qFilterProject _),
     "q_topn" -> (Relational.qTopN _),
     "q_distinct_agg" -> (Relational.qDistinctAgg _),
@@ -181,6 +184,48 @@ object SparkEntry {
         |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
         |FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
         |ORDER BY s_suppkey""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND CAST(l_discount AS DECIMAL(18,2))
+        |      BETWEEN CAST('0.05' AS DECIMAL(18,2)) AND CAST('0.07' AS DECIMAL(18,2))
+        |  AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH j AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    CAST(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN $DISC
+         |             ELSE CAST('0' AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+         |    CAST(SUM($DISC) AS DOUBLE) AS total_volume
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT o_year, nation_volume, total_volume,
+         |  nation_volume / total_volume AS mkt_share
+         |FROM j ORDER BY o_year""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey, SUM($DISC) AS rev_d FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         |WHERE rev_d = (SELECT MAX(rev_d) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'

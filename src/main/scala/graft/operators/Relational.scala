@@ -253,6 +253,72 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q6 shape: the pushdown showcase — a single scan whose date,
+    * discount and quantity predicates all reach the parquet reader, one
+    * global aggregate, no join. The discount band compares in exact
+    * decimal so the boundary rows match cross-engine. */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        dec2("l_discount").between(
+          lit("0.05").cast("decimal(18,2)"), lit("0.07").cast("decimal(18,2)")) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec2("l_extendedprice") * dec2("l_discount")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q8 shape: national market share — the widest join tree in the
+    * suite (lineitem ⋈ part ⋈ orders ⋈ supplier ⋈ customer ⋈ nation×2 ⋈
+    * region). Every dimension broadcasts; the single fact-fact shuffle is
+    * lineitem-orders on the order key. The share is a conditional/total
+    * ratio of exact decimal sums, divided once in double. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part").filter(col("p_type") === "PROMO")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val li = Tables.load(s, dir, "lineitem")
+    val supp = Tables.load(s, dir, "supplier")
+    val cust = Tables.load(s, dir, "customer")
+    val n1 = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_regionkey"))
+    val n2 = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+    val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+    val zero = lit("0").cast("decimal(18,2)")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_1", discPrice).otherwise(zero))
+          .cast("double").as("nation_volume"),
+        sum(discPrice).cast("double").as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q15 shape: top supplier by quarter revenue. The revenue
+    * aggregate is computed once in exact decimal; its max is a 1-row
+    * broadcast joined back by exact equality (no ties lost to double
+    * rounding), and the supplier dim broadcasts. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(discPrice).as("rev_d"))
+    val mx = rev.agg(max(col("rev_d")).as("mx"))
+    rev.join(broadcast(mx), col("rev_d") === col("mx"))
+      .join(broadcast(Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_d").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** Predicate pushdown + column pruning: both must reach the parquet scan. */
   def qFilterProject(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
