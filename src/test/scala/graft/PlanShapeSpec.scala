@@ -36,13 +36,23 @@ class PlanShapeSpec extends AnyFunSuite {
     "q20_heavy_parts" -> Set("lineitem"),
     // O(#parts) per-part average — the schema's dim-scale posture
     "q_small_qty" -> Set("lineitem"),
+    // the 1-row global max of the per-supplier revenue aggregate
+    "q15_top_supplier" -> Set("lineitem"),
+    // top-100 vocabulary: bounded by the LIMIT, by construction
+    "txt_vocab_coverage" -> Set("documents"),
   )
 
   /** Fact tables scanned INSIDE BroadcastExchange subtrees of `plan`. */
   private def broadcastFacts(plan: String): Set[String] = {
     val lines = plan.split('\n')
+    // A node's depth is the column of its "+-" marker: branch-continuation
+    // colons sit LEFT of it, so keying on the first ':'/'+' (as this gate
+    // originally did) collapsed every node under a ':' branch to the same
+    // depth and ended the subtree walk one line in — BroadcastExchange
+    // subtrees off non-last children were silently skipped (q15's
+    // lineitem-derived max broadcast exposed it).
     def indent(l: String): Int = {
-      val i = l.indexWhere(c => c == '+' || c == ':')
+      val i = l.indexOf("+-")
       if (i < 0) Int.MaxValue else i
     }
     val scanRe = "testdata/sf[^/]+/(\\w+)\\.parquet".r
