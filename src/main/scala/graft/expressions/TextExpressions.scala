@@ -1,0 +1,148 @@
+// Lives under org.apache.spark.sql for the same private[sql] bridge
+// reasons as VectorExpressions.scala.
+package org.apache.spark.sql.graftexpr
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared per-row gram machinery for [[WordNgrams]] / [[HashWordNgrams]].
+  *
+  * The HOF spelling of the gram chain —
+  * `transform(sequence(...), i -> concat_ws(" ", element_at(tk, i)...))`
+  * over `filter(split(text, " "), ...)` — pays an interpreted closure
+  * call PER ELEMENT at every step and profiled as the dominant cost of
+  * every text/dedup query (~6 s per corpus pass at sf0.1 just to explode
+  * trigrams). These helpers do the whole tokenize→gram(→md5) loop in one
+  * JVM pass per ROW and are called from generated code, so the
+  * projection stays inside whole-stage codegen.
+  *
+  * Semantics are IDENTICAL to the HOF chain (and to the DuckDB oracle
+  * twins in SURVEY §5): tokens are the non-empty pieces of a
+  * literal-single-space split, grams join n consecutive tokens with one
+  * space, fewer than n tokens yield an EMPTY array, and the 60-bit hash
+  * is the first 15 hex digits of md5 (here: the top 60 bits of the first
+  * 8 digest bytes — the same value without the hex-string round-trip).
+  */
+object TextExpressions {
+
+  private val Md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def tokenize(text: UTF8String): Array[String] = {
+    val parts = text.toString.split(" ", -1)
+    val out = new java.util.ArrayList[String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) out.add(parts(i))
+      i += 1
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  private def gram(tk: Array[String], i: Int, n: Int): String =
+    if (n == 1) tk(i)
+    else {
+      val sb = new java.lang.StringBuilder(tk(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(tk(i + k)); k += 1 }
+      sb.toString
+    }
+
+  /** Top 60 bits of md5(s-as-UTF-8) == conv(substring(md5, 1, 15), 16, 10). */
+  def hash60(s: String): Long = {
+    val md = Md5.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** All n-grams, in order, duplicates kept. */
+  def ngramsEval(text: UTF8String, n: Int): ArrayData = {
+    val tk = tokenize(text)
+    val m = tk.length - n + 1
+    if (m <= 0) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) { out(i) = UTF8String.fromString(gram(tk, i, n)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 60-bit hashes of the DISTINCT n-grams, first-occurrence order. */
+  def hashNgramsEval(text: UTF8String, n: Int): ArrayData = {
+    val tk = tokenize(text)
+    val m = tk.length - n + 1
+    if (m <= 0) return new GenericArrayData(new Array[Long](0))
+    val seen = new java.util.HashSet[String](m * 2)
+    val out = new java.util.ArrayList[java.lang.Long](m)
+    var i = 0
+    while (i < m) {
+      val g = gram(tk, i, n)
+      if (seen.add(g)) out.add(hash60(g))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Column wrapper for [[WordNgrams]]. */
+  def wordNgrams(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordNgrams(ExpressionUtils.expression(text), n))
+
+  /** Column wrapper for [[HashWordNgrams]]. */
+  def hashWordNgrams(text: Column, n: Int): Column =
+    ExpressionUtils.column(HashWordNgrams(ExpressionUtils.expression(text), n))
+}
+
+/** `array<string>` of the text's word n-grams (see [[TextExpressions]]). */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.ngramsEval(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.ngramsEval($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<bigint>` of 60-bit md5 hashes of the text's DISTINCT word
+  * n-grams (see [[TextExpressions]]). */
+case class HashWordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hash_word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.hashNgramsEval(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.hashNgramsEval($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

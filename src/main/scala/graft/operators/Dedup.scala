@@ -39,24 +39,23 @@ object Dedup {
         countDistinct(md5(col("text"))).as("n_distinct"),
         (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"))
 
-  /** doc_id, source, distinct shingles (ss) + their 60-bit hash set (hs).
-    * Set math downstream runs on the numeric hashes: identical sizes to
-    * the string sets (the oracle hashes the same way, so even a
-    * collision would be mirrored), far cheaper to shuffle and compare. */
-  /** tk/ss/hs are staged as real columns, never inlined subtrees: a
-    * lambda that references an expression subtree re-evaluates it per
-    * element (HOFs are interpreted), which profiled 10x slower than
-    * reading a materialized attribute. */
+  /** doc_id, source, 60-bit hash set of the distinct n-gram shingles
+    * (hs). Set math downstream runs on the numeric hashes: identical
+    * sizes to the string sets (the oracle hashes the same way, so even a
+    * collision would be mirrored), far cheaper to shuffle and compare.
+    * The tokenize→shingle→distinct→md5 chain is ONE native codegen'd
+    * pass ([[org.apache.spark.sql.graftexpr.HashWordNgrams]]) — the HOF
+    * spelling paid an interpreted closure per element at every step and
+    * was the dominant dedup cost. */
   private def docShingles(s: SparkSession, dir: String, n: Int): DataFrame =
     Tables.load(s, dir, "documents")
       // The test corpus is one parquet file = one input split; signature
       // work is narrow, so spread it before the per-doc column math (a
       // real corpus arrives in many splits and skips this shuffle).
       .repartition(col("doc_id"))
-      .withColumn("tk", tokens(col("text")))
-      .withColumn("ss", array_distinct(shingles(col("tk"), n)))
-      .withColumn("hs", array_distinct(transform(col("ss"), sh => hash60(sh))))
-      .select("doc_id", "source", "ss", "hs")
+      .withColumn("hs",
+        org.apache.spark.sql.graftexpr.TextExpressions.hashWordNgrams(col("text"), n))
+      .select("doc_id", "source", "hs")
       // Persisted: the signature relation feeds several plan branches
       // (band self-join sides + jaccard lookups), and the cache boundary
       // also stops Catalyst from re-inlining the shingle expressions into
@@ -107,19 +106,22 @@ object Dedup {
     val withKey = withMh
       .withColumn("sigkey", md5(concat(sigParts: _*)))
       .filter(col("sigkey").isNotNull)
-    // one row per distinct signature; mh values are identical within a
-    // group, so first() is deterministic. BOTH relations feed several
-    // plan branches (band self-join sides, the two expansion joins, the
-    // within-group self-join) — persist them or every branch re-runs the
-    // signature+groupBy pipeline (measured 3s -> 16s at sf0.1 without
-    // the cache boundary; CacheManager dedups the entries across calls).
-    val reps = withKey.groupBy("sigkey")
-      .agg(min(col("doc_id")).as("rep"), first(col("mh")).as("mh"))
+    // Group representative via an unordered window min keyed by the
+    // signature (partition width = ONE signature's duplication factor,
+    // never corpus-sized): one exchange where the previous
+    // groupBy+join-back shape cost an aggregate plus a join and a second
+    // persisted relation. The single persisted frame feeds every plan
+    // branch (band self-join sides, the two expansion joins, the
+    // within-group self-join) — without the cache boundary each branch
+    // re-runs the signature pipeline (measured 3s -> 16s at sf0.1).
+    val sigs = withKey
+      .withColumn("rep", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sigkey")))
+      .select("rep", "doc_id", "mh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val membership = withKey.select("sigkey", "doc_id")
-      .join(reps.select("sigkey", "rep").hint("shuffle_hash"), "sigkey")
-      .select("rep", "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val membership = sigs.select("rep", "doc_id")
+    // one row per distinct signature: its representative's row
+    val reps = sigs.filter(col("doc_id") === col("rep")).select("rep", "mh")
     val bandStructs = (0 until NumBands).map { b =>
       val sig = (0 until RowsPerBand).flatMap(k =>
         Seq(lit(if (k == 0) "" else ","),
@@ -147,7 +149,11 @@ object Dedup {
       .join(membership.as("y").hint("shuffle_hash"),
         col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    cross.union(within).distinct()
+    // No final distinct: every doc belongs to exactly ONE signature
+    // group, so a (doc_a, doc_b) pair is produced by exactly one rep
+    // pair (cross, already distinct on rep pairs) or one group (within),
+    // and the two branches are disjoint by construction.
+    cross.union(within)
   }
 
   /** Joins candidate pairs back to the signature relation on doc_id —
@@ -204,8 +210,11 @@ object Dedup {
       // token expression into the pushed-down scan filter
       .filter(length(trim(col("text"))) > 0)
       .repartition(col("doc_id")) // spread the single input split
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
-      .select(col("doc_id"), transform(col("tk"), t => hash60(t)).as("hs"))
+      // hashes of the DISTINCT tokens in one native pass (1-grams) —
+      // same values as array_distinct(tokens) hashed elementwise
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftexpr.TextExpressions
+          .hashWordNgrams(col("text"), 1).as("hs"))
     // DEGENERATE-CORPUS DEFENSE (same argument as [[lshCandidates]]):
     // group documents by full signature first, run the band self-join on
     // DISTINCT signatures only, and — because the output is a pair
@@ -343,13 +352,21 @@ object Dedup {
     val edges = edgesIn
       .select(edgesIn.columns.take(2).map(col): _*).toDF("ea", "eb")
       .localCheckpoint()
+    // Size the loop's shuffle width by the edge relation, not the
+    // session default: every round pays a fixed per-partition cost
+    // (task dispatch, checkpoint, probe), so a near-dup graph that is
+    // tiny relative to the corpus must not shuffle 32 ways per round —
+    // while a genuinely large graph keeps the full width. The count is
+    // one cheap job over the just-checkpointed edges.
+    val maxP = edgesIn.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = math.max(1L, math.min(maxP.toLong, edges.count() / 100000L + 1L)).toInt
     // pre-hash the (static) undirected edge relation on the join key
     // once — localCheckpoint preserves the partitioning, so every
     // round's propagation join reuses it and only the (smaller) label
     // relation shuffles per round
     val und = edges.union(edges.select(col("eb"), col("ea")))
       .toDF("src", "dst")
-      .repartition(col("dst"))
+      .repartition(p, col("dst"))
       .localCheckpoint()
     var labels = und.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
@@ -367,7 +384,11 @@ object Dedup {
     while (!converged) {
       val prop = und.join(labels, col("dst") === col("v"))
         .select(col("src").as("v"), col("lbl"))
-      val next = labels.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
+      // pin the per-round aggregate to the same edge-sized width (the
+      // explicit hash partitioning satisfies the agg's requirement, so
+      // this is ONE exchange, not two)
+      val next = labels.union(prop).repartition(p, col("v"))
+        .groupBy("v").agg(min("lbl").as("lbl"))
         .localCheckpoint()
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0

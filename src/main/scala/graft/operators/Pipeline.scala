@@ -30,7 +30,8 @@ object Pipeline {
     val stop = hitCount(col("tk"), STOP_EN).cast("double")
     val charSum = aggregate(transform(col("tk"), t => length(t)), lit(0), (a, x) => a + x)
     val m = Tables.load(s, dir, "documents")
-      .withColumn("tk", tokens(col("text")))
+      .withColumn("tk",
+        org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
       .select(
         col("doc_id"), col("source"),
         size(col("tk")).cast("bigint").as("n_tokens"),
@@ -94,7 +95,7 @@ object Pipeline {
     // sorted array ARE the per-token counts, so the value is identical
     // to the oracle's count-per-distinct form.
     val tk = col("tk")
-    val tk3 = shingles(tk, 3)
+    val tk3 = org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 3)
     val dup3 = when(size(tk3) > 0,
       lit(1.0) - size(array_distinct(tk3)).cast("double") / size(tk3).cast("double"))
       .otherwise(0.0)
@@ -110,7 +111,8 @@ object Pipeline {
     val topTok = when(size(tk) > 0,
       maxRun.cast("double") / size(tk).cast("double")).otherwise(0.0)
     Tables.load(s, dir, "documents")
-      .withColumn("tk", tokens(col("text")))
+      .withColumn("tk",
+        org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
       .select(col("doc_id"),
         dup3.as("dup3_frac"),
         topTok.as("top_tok_frac"),
@@ -128,10 +130,12 @@ object Pipeline {
     // compares longs. Collisions are mirrored in the oracle (same md5
     // scheme both engines), so counts stay hash-exact. Same trick as the
     // dedup signature relation (docShingles).
+    // per-doc distinct (native one-pass gram hashing) shrinks the explode;
+    // the global distinct below makes the final set identical either way
     val grams = Tables.load(s, dir, "documents")
-      .withColumn("tk", tokens(col("text")))
-      .select(col("source"),
-        explode(transform(shingles(col("tk"), 3), g => hash60(g))).as("g"))
+      .select(col("source"), explode(
+        org.apache.spark.sql.graftexpr.TextExpressions
+          .hashWordNgrams(col("text"), 3)).as("g"))
       .distinct()
     val a = grams.select(col("source").as("src_a"), col("g"))
     val b = grams.select(col("source").as("src_b"), col("g"))
@@ -154,7 +158,8 @@ object Pipeline {
     // more than the long keys would save — measured 6.4s -> 10.6s at
     // sf0.1 when hashed.
     val docs = Tables.load(s, dir, "documents")
-      .withColumn("tk3", shingles(tokens(col("text")), 3))
+      .withColumn("tk3",
+        org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 3))
     val bench = docs.filter(col("source") === "src0")
       .select(explode(col("tk3")).as("g")).distinct()
       .withColumn("hit", lit(1))
@@ -191,7 +196,8 @@ object Pipeline {
     val cap = 128.0
     val d = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+        size(org.apache.spark.sql.graftexpr.TextExpressions
+          .wordNgrams(col("text"), 1)).cast("bigint").as("n_tokens"),
         substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
@@ -220,7 +226,8 @@ object Pipeline {
     * shuffles only the word-count partial aggregates. */
   def txtVocabCoverage(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-      .withColumn("tk", tokens(col("text")))
+      .withColumn("tk",
+        org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
     val vocab = docs.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("w")).limit(100)

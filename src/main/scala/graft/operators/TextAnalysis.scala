@@ -19,7 +19,8 @@ object TextAnalysis {
   private val STOP_FR = Seq("le", "la", "de", "et", "les", "un")
 
   private def withTokens(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents").withColumn("tk", tokens(col("text")))
+    Tables.load(s, dir, "documents").withColumn("tk",
+      org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
 
   /** Token counting: whitespace tokens + regex alpha-run terms. */
   def txtTokens(s: SparkSession, dir: String): DataFrame =
@@ -66,7 +67,9 @@ object TextAnalysis {
     withTokens(s, dir).select(
       col("doc_id"),
       md5(col("text")).as("fp_full"),
-      array_min(transform(shingles(col("tk"), 3), sh => hash60(sh))).as("fp_min_shingle"))
+      // min over the distinct-gram hash set == min over all gram hashes
+      array_min(org.apache.spark.sql.graftexpr.TextExpressions
+        .hashWordNgrams(col("text"), 3)).as("fp_min_shingle"))
       .orderBy("doc_id")
 
   /** PII scrubbing: multi-pattern regex redaction with per-pattern match

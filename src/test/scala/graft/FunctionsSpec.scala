@@ -34,6 +34,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](0).isEmpty)
   }
 
+  test("native WordNgrams == HOF shingles(tokens) over the real corpus") {
+    import org.apache.spark.sql.graftexpr.TextExpressions
+    for (n <- Seq(1, 2, 3)) {
+      val diff = graft.sources.Tables.load(spark, sf, "documents")
+        .select(
+          TextExpressions.wordNgrams(col("text"), n).as("nat"),
+          (if (n == 1) tokens(col("text"))
+           else shingles(tokens(col("text")), n)).as("hof"))
+        .filter(!(col("nat") <=> col("hof")))
+        .count()
+      assert(diff == 0, s"n=$n")
+    }
+  }
+
+  test("native HashWordNgrams == distinct HOF gram hashes over the corpus") {
+    import org.apache.spark.sql.functions.{array_distinct, transform}
+    import org.apache.spark.sql.graftexpr.TextExpressions
+    for (n <- Seq(1, 3)) {
+      // the HOF chain docShingles used: distinct grams -> md5-60bit each
+      val diff = graft.sources.Tables.load(spark, sf, "documents")
+        .select(
+          TextExpressions.hashWordNgrams(col("text"), n).as("nat"),
+          array_distinct(transform(
+            array_distinct(if (n == 1) tokens(col("text"))
+                           else shingles(tokens(col("text")), n)),
+            g => hash60(g))).as("hof"))
+        .filter(!(col("nat") <=> col("hof")))
+        .count()
+      assert(diff == 0, s"n=$n")
+    }
+  }
+
   test("cosine matches a hand-computed value") {
     val df = Seq((Seq(1.0f, 0.0f, 1.0f), Seq(1.0f, 1.0f, 0.0f))).toDF("a", "b")
     val c = df.select(cosine(col("a"), col("b"))).head().getDouble(0)
