@@ -86,8 +86,7 @@ object Dedup {
     * EXACTLY the naive band join's (spec-asserted), so the DuckDB
     * oracles keep the simple formulation.
     *
-    * Docs with no shingles yield NULL minhashes -> NULL signature/band
-    * hashes (concat propagates null, concat_ws would not) and are
+    * Docs with no shingles yield a NULL minhash signature and are
     * dropped before grouping — same semantics as the oracle, whose
     * unnest produces no rows for them. (A size(ss)>0 filter would
     * instead get pushed into the scan with the whole shingle subtree
@@ -101,32 +100,35 @@ object Dedup {
       .withColumn("mh",
         org.apache.spark.sql.graftexpr.SketchExpressions
           .minhashSignature(col("hs"), as, bs, MinhashP))
-    val sigParts = (0 until NumPerms).flatMap(k =>
-      Seq(lit(if (k == 0) "" else ","), col("mh").getItem(k).cast("string")))
-    val withKey = withMh
-      .withColumn("sigkey", md5(concat(sigParts: _*)))
-      .filter(col("sigkey").isNotNull)
-    // Group representative via an unordered window min keyed by the
-    // signature (partition width = ONE signature's duplication factor,
-    // never corpus-sized): one exchange where the previous
+      .filter(col("mh").isNotNull)
+    // Group representative via an unordered window min keyed by the RAW
+    // signature array (partition width = ONE signature's duplication
+    // factor, never corpus-sized): one exchange where the previous
     // groupBy+join-back shape cost an aggregate plus a join and a second
-    // persisted relation. The single persisted frame feeds every plan
-    // branch (band self-join sides, the two expansion joins, the
-    // within-group self-join) — without the cache boundary each branch
-    // re-runs the signature pipeline (measured 3s -> 16s at sf0.1).
-    val sigs = withKey
+    // persisted relation. Grouping directly on `mh` (Spark hashes and
+    // compares arrays natively) replaces the old md5(concat(16 casts))
+    // sigkey: the VALUES of the key never cross engines — the oracle
+    // derives its own banding — only the induced partition of documents
+    // must match, and array equality is exactly minhash-tuple equality
+    // (no collision caveat, no 32-byte string shuffle, and a far smaller
+    // codegen unit: the string spelling dominated this stage's cost).
+    // The single persisted frame feeds every plan branch (band self-join
+    // sides, the two expansion joins, the within-group self-join) —
+    // without the cache boundary each branch re-runs the signature
+    // pipeline (measured 3s -> 16s at sf0.1).
+    val sigs = withMh
       .withColumn("rep", min("doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sigkey")))
+        org.apache.spark.sql.expressions.Window.partitionBy("mh")))
       .select("rep", "doc_id", "mh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val membership = sigs.select("rep", "doc_id")
     // one row per distinct signature: its representative's row
     val reps = sigs.filter(col("doc_id") === col("rep")).select("rep", "mh")
+    // band key = the band's raw minhash sub-array (slice is codegen'd;
+    // same no-hash argument as the `mh` group key above)
     val bandStructs = (0 until NumBands).map { b =>
-      val sig = (0 until RowsPerBand).flatMap(k =>
-        Seq(lit(if (k == 0) "" else ","),
-          col("mh").getItem(RowsPerBand * b + k).cast("string")))
-      struct(lit(b).as("band"), md5(concat(sig: _*)).as("bh"))
+      struct(lit(b).as("band"),
+        slice(col("mh"), RowsPerBand * b + 1, RowsPerBand).as("bh"))
     }
     val bands = reps
       .select(col("rep"), explode(array(bandStructs: _*)).as("e"))
@@ -349,9 +351,14 @@ object Dedup {
     * vertex id in v's component. See [[ddCluster]] for the scale
     * rationale of the propagation loop. */
   def connectedComponents(edgesIn: DataFrame): DataFrame = {
+    // All checkpoints in the loop are LAZY: the next action over each
+    // frame (the count here, the label-sum probe per round) materializes
+    // the checkpoint in the SAME job, so every round costs one job
+    // instead of an eager-checkpoint job plus a probe job — at loop
+    // iteration counts the fixed job-dispatch cost is the floor.
     val edges = edgesIn
       .select(edgesIn.columns.take(2).map(col): _*).toDF("ea", "eb")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Size the loop's shuffle width by the edge relation, not the
     // session default: every round pays a fixed per-partition cost
     // (task dispatch, checkpoint, probe), so a near-dup graph that is
@@ -367,9 +374,9 @@ object Dedup {
     val und = edges.union(edges.select(col("eb"), col("ea")))
       .toDF("src", "dst")
       .repartition(p, col("dst"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = und.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint()
+      .withColumn("lbl", col("v")).localCheckpoint(eager = false)
     def lblSum(df: DataFrame): java.math.BigDecimal = {
       val d = df.agg(sum(col("lbl")).cast("decimal(38,0)")).head.getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
@@ -389,7 +396,7 @@ object Dedup {
       // this is ONE exchange, not two)
       val next = labels.union(prop).repartition(p, col("v"))
         .groupBy("v").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
