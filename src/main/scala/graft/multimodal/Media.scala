@@ -71,6 +71,35 @@ object Media {
       .toDF("id", "frame_idx", "frame_bytes")
   }
 
+  /** Frame sampling as an oracle-gated query: every 4th 16-byte block of
+    * each video-kind payload. Drives the REAL plumbing ([[fromDocuments]]
+    * -> [[sampleFrames]]'s per-partition flatMap), not a parallel SQL
+    * spelling — the oracle recomputes the block geometry arithmetically,
+    * which is possible because the stub "frame" is a byte slice. Narrow
+    * end to end (no shuffle until the output sort). */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(fromDocuments(s, dir), stride = 4)
+      .select(col("id"), col("frame_idx"),
+        col("frame_bytes").cast("bigint").as("frame_bytes"))
+      .orderBy("id", "frame_idx")
+
+  /** Decode + aggregate as an oracle-gated query: per modality, the
+    * asset count, total payload bytes, total decode checksum and one
+    * histogram bin, computed through [[decodeStub]]'s typed
+    * per-partition decode. The decode is narrow; only the 3-row
+    * per-kind partial aggregate shuffles — the exact shape a real
+    * feature-extraction pass has at 100 TB. The oracle recomputes the
+    * stub's byte math from the (all-ASCII) text column. */
+  def mmDecodeStats(s: SparkSession, dir: String): DataFrame =
+    decodeStub(fromDocuments(s, dir))
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("nBytes")).as("total_bytes"),
+        sum(col("checksum")).as("total_checksum"),
+        sum(element_at(col("histogram"), 8)).as("hist_bin7"))
+      .orderBy("kind")
+
   /** Oracle-checkable metadata extraction (no stubbed values). */
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -87,9 +116,42 @@ object Media {
         |  CAST(ascii(text) AS BIGINT) AS first_code,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // kind mapping twin: (doc_id % 3 + 1) into 1-based
+    // ["image","audio","video"] == doc_id % 3 = 2 for video
+    "mm_frame_sample" ->
+      """SELECT doc_id AS id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(LEAST(16, octet_length(encode(text)) - 16 * i) AS BIGINT)
+        |    AS frame_bytes
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 16.0)
+        |                         AS BIGINT))) AS i
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |WHERE i % 4 = 0
+        |ORDER BY id, frame_idx""".stripMargin,
+    // byte math over the all-ASCII corpus: ascii(char) == byte value, so
+    // the stub's checksum/histogram are exact char-code aggregates
+    "mm_decode_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS nb,
+        |    list_transform(regexp_extract_all(text, '(?s).'),
+        |                   c -> ascii(c)) AS codes
+        |  FROM documents)
+        |SELECT kind, COUNT(*) AS n_assets,
+        |  CAST(SUM(nb) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(COALESCE(list_sum(codes), 0)) AS BIGINT)
+        |    AS total_checksum,
+        |  CAST(SUM(len(list_filter(codes, c -> c // 16 = 7))) AS BIGINT)
+        |    AS hist_bin7
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_decode_stats" -> (mmDecodeStats _),
   )
 }

@@ -84,6 +84,43 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split by hash of the document id —
+    * the assignment every training pipeline needs before packing: stable
+    * across runs, engines and partition layouts (no RNG state), and a
+    * pure narrow map; only the 3-row summary aggregate shuffles. Split
+    * fractions come from the first md5 hex digit: 8/16 train, 4/16 val,
+    * 4/16 test. */
+  def smpSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    Tables.load(s, dir, "documents")
+      .withColumn("split",
+        when(h < "8", "train").when(h < "c", "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("split")
+  }
+
+  /** Per-source quota sampling (domain capping, the curation step that
+    * stops one crawl domain from dominating the mix): keep at most 15
+    * docs per source, chosen by hash order (unbiased, deterministic).
+    * Routed through the native bounded-heap [[TopKPerKey]] operator —
+    * O(n log k) per partition with a partial pass before the exchange,
+    * so the shuffle moves at most k rows per (source, input partition),
+    * never the full corpus; the window row_number spelling would sort
+    * every source's whole group. */
+  def smpSourceCap(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.load(s, dir, "documents")
+      .withColumn("hk", md5(col("doc_id").cast("string")))
+      .select("doc_id", "source", "hk")
+    org.apache.spark.sql.graftexpr.TopKPerKey
+      .perKey(scored, Seq("source"), Seq(("hk", true), ("doc_id", true)), 15)
+      .select(col("doc_id"), col("source"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Gopher-style repetition metrics: duplicate-trigram fraction and
     * top-token mass per document. Pure per-row array math (narrow scan);
     * the O(distinct·n) token-mode fold is bounded by document length,
@@ -339,6 +376,25 @@ object Pipeline {
         |  CASE source WHEN 'src0' THEN '2' WHEN 'src1' THEN '4'
         |              WHEN 'src2' THEN '8' ELSE '1' END
         |ORDER BY doc_id""".stripMargin,
+    "smp_split" ->
+      """SELECT
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  MIN(doc_id) AS min_doc,
+        |  MAX(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "smp_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15 ORDER BY source, doc_id""".stripMargin,
     "txt_repetition" ->
       s"""WITH t AS (
          |  SELECT doc_id, $TOKENS AS tk FROM documents),
@@ -395,6 +451,8 @@ object Pipeline {
     "txt_vocab_coverage" -> (txtVocabCoverage _),
     "pipe_clean" -> (pipeClean _),
     "smp_stratified" -> (smpStratified _),
+    "smp_split" -> (smpSplit _),
+    "smp_source_cap" -> (smpSourceCap _),
     "txt_repetition" -> (txtRepetition _),
     "dd_cross_source" -> (ddCrossSource _),
     "txt_contamination" -> (txtContamination _),

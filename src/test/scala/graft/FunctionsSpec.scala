@@ -191,6 +191,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sampling: smp_split partitions the corpus exactly once, stably") {
+    val rows = graft.operators.Pipeline.queries("smp_split")(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n)
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+    val again = graft.operators.Pipeline.queries("smp_split")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("sampling: smp_source_cap keeps <=15 per source via the bounded heap") {
+    val df = graft.operators.Pipeline.queries("smp_source_cap")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // partial + final heap instance — the window row_number spelling
+    // (full per-source sort) must NOT be what plans here
+    assert("TopKPerKey".r.findAllIn(plan).length == 2,
+      s"expected partial+final TopKPerKeyExec in:\n$plan")
+    assert(!plan.contains("WindowExec"), s"unexpected window sort in:\n$plan")
+    val perSource = df.groupBy("source").count().collect()
+    assert(perSource.nonEmpty && perSource.forall(_.getAs[Long]("count") <= 15))
+  }
+
   test("sketch aggregates stay within their error bounds") {
     val exact = spark.read.parquet(s"$sf/lineitem.parquet")
       .groupBy("l_returnflag")

@@ -79,6 +79,26 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_frame_sample block geometry matches the payload sizes") {
+    val media = Media.fromDocuments(spark, sf)
+      .filter(_.kind == "video").collect().map(m => m.id -> m.nBytes).toMap
+    val frames = Media.mmFrameSample(spark, sf).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      val (id, idx, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(idx % 4 == 0)
+      val total = media(id)
+      assert(nb == math.min(16L, total - 16L * idx))
+    }
+  }
+
+  test("mm_decode_stats aggregates every video/audio/image asset once") {
+    val stats = Media.mmDecodeStats(spark, sf).collect()
+    assert(stats.map(_.getAs[String]("kind")).toSet == Set("image", "audio", "video"))
+    val n = Media.fromDocuments(spark, sf).count()
+    assert(stats.map(_.getAs[Long]("n_assets")).sum == n)
+  }
+
   test("csv/json readers apply explicit schemas") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.option("header", "true")
