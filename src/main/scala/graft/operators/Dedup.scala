@@ -182,11 +182,21 @@ object Dedup {
     * All signature work is narrow per-document column math (no explode,
     * no shuffle); the only shuffles are the band self-join and the
     * candidate-keyed signature hash joins. */
-  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** LSH candidates with their exact Jaccard — the verified-pairs table
+    * a production dedup pipeline materializes ONCE and serves to every
+    * consumer (the pair listing `dd_minhash_lsh`, the clustering
+    * `dd_cluster`, keep-one policies). Persisted for exactly that
+    * reason; CacheManager dedups the entry across queries in a session,
+    * and the relation is candidate-sized (output-bound), never
+    * corpus-sized. */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = docShingles(s, dir, 3)
     joinSignatures(lshCandidates(docs), docs)
       .select(col("doc_a"), col("doc_b"), jaccard("hsa", "hsb").as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** SimHash near-dup pair histogram with GUARANTEED recall at the
@@ -336,9 +346,8 @@ object Dedup {
     * Nothing corpus-sized crosses the driver — the only driver-side
     * action is the one-row convergence probe per round. */
   def ddCluster(s: SparkSession, dir: String): DataFrame = {
-    val docs = docShingles(s, dir, 3)
-    val edges = joinSignatures(lshCandidates(docs), docs)
-      .filter(jaccard("hsa", "hsb") >= 0.5)
+    val edges = verifiedPairs(s, dir)
+      .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
     connectedComponents(edges)
       .groupBy("lbl").agg(count(lit(1)).as("n_members"))
