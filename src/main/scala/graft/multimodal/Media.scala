@@ -13,6 +13,9 @@ case class MediaRow(id: Long, kind: String, bytes: Array[Byte], nBytes: Long)
 /** Extracted features for one asset (decode output). */
 case class MediaFeatures(id: Long, kind: String, nBytes: Long, histogram: Array[Long], checksum: Long)
 
+/** Resize-stub output for one image asset. */
+case class ResizedMeta(id: Long, origBytes: Long, resizedBytes: Long, resizedChecksum: Long)
+
 /** SURVEY §2.G — multimodal column plumbing.
   *
   * Image/audio/video payloads are `binary` columns with typed metadata.
@@ -58,6 +61,25 @@ object Media {
     media.mapPartitions(_.map(decodeOne))
   }
 
+  /** Resize stub for image-kind rows: keep every `factor`-th byte (a
+    * real resizer would box-filter pixels; the stub's subsample keeps
+    * the same data-flow shape — payload in, smaller payload + derived
+    * metadata out). Narrow per-partition map, like [[decodeStub]]. */
+  def resizeStub(media: Dataset[MediaRow], factor: Int): Dataset[ResizedMeta] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      var i = 0
+      var n = 0L
+      var sum = 0L
+      while (i < m.bytes.length) {
+        n += 1
+        sum += (m.bytes(i) & 0xff)
+        i += factor
+      }
+      ResizedMeta(m.id, m.nBytes, n, sum)
+    })
+  }
+
   /** Frame sampling stub for video-kind rows: every `stride`-th 16-byte
     * block stands in for a decoded frame. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): DataFrame = {
@@ -99,6 +121,17 @@ object Media {
         sum(col("checksum")).as("total_checksum"),
         sum(element_at(col("histogram"), 8)).as("hist_bin7"))
       .orderBy("kind")
+
+  /** Resize as an oracle-gated query: factor-2 byte subsample of each
+    * image-kind payload through [[resizeStub]]'s typed per-partition
+    * map; the oracle recomputes the sampled positions' byte sum from
+    * the all-ASCII text column. */
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    resizeStub(fromDocuments(s, dir), factor = 2)
+      .select(col("id"), col("origBytes").as("orig_bytes"),
+        col("resizedBytes").as("resized_bytes"),
+        col("resizedChecksum").as("resized_checksum"))
+      .orderBy("id")
 
   /** Oracle-checkable metadata extraction (no stubbed values). */
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
@@ -147,11 +180,27 @@ object Media {
         |  CAST(SUM(len(list_filter(codes, c -> c // 16 = 7))) AS BIGINT)
         |    AS hist_bin7
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+    // image kind: doc_id % 3 = 0; factor-2 subsample keeps 0-based even
+    // byte positions = 1-based odd list indices = range(1, n+1, 2)
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '(?s).'),
+        |                   c -> ascii(c)) AS codes
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id AS id,
+        |  CAST(len(codes) AS BIGINT) AS orig_bytes,
+        |  CAST(len(range(1, len(codes) + 1, 2)) AS BIGINT) AS resized_bytes,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, len(codes) + 1, 2),
+        |                                        i -> codes[i])), 0) AS BIGINT)
+        |    AS resized_checksum
+        |FROM m ORDER BY id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_decode_stats" -> (mmDecodeStats _),
+    "mm_resize" -> (mmResize _),
   )
 }

@@ -92,6 +92,20 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeStub halves image payloads and keeps a byte-exact checksum") {
+    val media = Media.fromDocuments(spark, sf)
+    val byId = media.filter(_.kind == "image").collect().map(m => m.id -> m).toMap
+    val resized = Media.resizeStub(media, factor = 2).collect()
+    assert(resized.nonEmpty && resized.length == byId.size)
+    resized.foreach { r =>
+      val m = byId(r.id)
+      assert(r.resizedBytes == (m.nBytes + 1) / 2)
+      val expect = m.bytes.indices.collect {
+        case i if i % 2 == 0 => (m.bytes(i) & 0xff).toLong }.sum
+      assert(r.resizedChecksum == expect)
+    }
+  }
+
   test("mm_decode_stats aggregates every video/audio/image asset once") {
     val stats = Media.mmDecodeStats(spark, sf).collect()
     assert(stats.map(_.getAs[String]("kind")).toSet == Set("image", "audio", "video"))
