@@ -200,6 +200,73 @@ object Similarity {
     * updates with Spark's aggregation order in DuckDB cannot be made
     * bit-exact (SURVEY §5). The spec asserts determinism of the fit;
     * this query makes the trainer load-bearing in the driver gate. */
+  /** Product-quantization ANN — the third scale path beside the
+    * hyperplane-LSH buckets and the IVF lists: vectors are stored as
+    * [[NumSubspaces]] one-byte codes (each subspace quantized against
+    * its own [[NumCodes]]-entry codebook), and probes score candidates
+    * by asymmetric distance computation — per-probe lookup tables
+    * `ptab_m[j] = <probe_m, codeword_mj>` are built once (broadcast with
+    * the probes), so scoring one candidate is [[NumSubspaces]] table
+    * lookups instead of a [[Dim]]-wide dot. At 100 TB this is the path
+    * where even reading full vectors for re-rank is too expensive:
+    * the scan touches only the code columns (Dim doubles -> M bytes per
+    * row), encoding is one narrow pass, and the top-k runs through the
+    * bounded-heap TopKPerKey. Codebooks here are sub-vectors of the
+    * first [[NumCodes]] vectors (the same fixed-quantizer determinism
+    * trick as [[simIvfAnn]] — per-subspace k-means would slot in
+    * without changing the plan); the approximate cosine uses the
+    * reconstructed candidate norm, exactly as the oracle recomputes it. */
+  val NumSubspaces = 4
+  val NumCodes = 8
+  private val SubDim = Dim / NumSubspaces
+
+  def simPqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val codeVecs = e.filter(col("vec_id") < NumCodes)
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toIndexedSeq)
+    val codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      (0 until NumSubspaces).map(m => (0 until NumCodes).map(j =>
+        codeVecs(j).slice(m * SubDim, (m + 1) * SubDim)))
+    // |c|^2 with the same sequential fold order as the dot expressions
+    // (and the oracle's list_reduce), so argmin ties break identically
+    val cn2 = codebook.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+
+    def subv(c: Column, m: Int): Column = slice(c, m * SubDim + 1, SubDim)
+
+    // encode: per subspace, argmin_j (|c|^2 - 2<x_m, c_mj>), ties to the
+    // lower code id (the per-x |x_m|^2 constant cannot change the argmin)
+    val codeCols = (0 until NumSubspaces).map { m =>
+      array_min(array((0 until NumCodes).map { j =>
+        struct(
+          (lit(cn2(m)(j)) -
+            lit(2.0) * dot(subv(col("emb"), m), typedLit(codebook(m)(j)))).as("d2"),
+          lit(j).as("cid"))
+      }: _*)).getField("cid").as(s"code$m")
+    }
+    val enc0 = e.select(col("vec_id") +: codeCols: _*)
+    // reconstructed squared norm of the quantized candidate
+    val rn2 = (0 until NumSubspaces)
+      .map(m => element_at(typedLit(cn2(m).toSeq), col(s"code$m") + 1))
+      .reduce(_ + _)
+    val enc = enc0.withColumn("rn2", rn2)
+    val probes = e.filter(col("vec_id") < 5)
+      .withColumn("pn2", norm2(col("emb")))
+      .select(Seq(col("vec_id").as("probe_id"), col("pn2")) ++
+        (0 until NumSubspaces).map { m =>
+          array((0 until NumCodes).map(j =>
+            dot(subv(col("emb"), m), typedLit(codebook(m)(j)))): _*).as(s"ptab$m")
+        }: _*)
+    val approxIp = (0 until NumSubspaces)
+      .map(m => element_at(col(s"ptab$m"), col(s"code$m") + 1))
+      .reduce(_ + _)
+    val scored = enc.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (approxIp / sqrt(col("pn2") * col("rn2"))).as("cos"))
+    rankTopK(scored, 5).withColumnRenamed("cos", "approx_cos")
+  }
+
   /** Trained-quantizer memo: k-means fits once per (corpus, k, iters)
     * and the model is reused — the production IVF lifecycle (train
     * offline, serve many queries; [[saveCentroids]]/[[loadCentroids]]
@@ -241,6 +308,7 @@ object Similarity {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "sim_pq_ann" -> pqOracle,
     "sim_topk_bruteforce" ->
       s"""WITH p AS (
          |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
@@ -277,7 +345,63 @@ object Similarity {
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_ivf_ann" -> (simIvfAnn _),
     "sim_ivf_trained" -> (simIvfTrained _),
+    "sim_pq_ann" -> (simPqAnn _),
   )
+
+  // lazy: referenced from `oracles`, which is initialized earlier in the file
+  private lazy val pqOracle: String = {
+    def sl(c: String, m: Int) = s"$c[${m * SubDim + 1}:${(m + 1) * SubDim}]"
+    // per-subspace encode CTEs: distances to all codewords, then the
+    // (d2, j)-lexicographic argmin — mirrors the Spark struct array_min
+    val encCtes = (0 until NumSubspaces).map { m =>
+      s"""d$m AS (
+         |  SELECT e.vec_id, cb.j,
+         |    ${Dedup.dotSql(sl("cb.cemb", m), sl("cb.cemb", m))}
+         |      - 2.0 * ${Dedup.dotSql(sl("e.embedding", m), sl("cb.cemb", m))} AS d2
+         |  FROM e CROSS JOIN cb),
+         |a$m AS (
+         |  SELECT vec_id, j AS code$m FROM (
+         |    SELECT vec_id, j,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+         |    FROM d$m) t WHERE rn = 1),
+         |n$m AS (
+         |  SELECT j, ${Dedup.dotSql(sl("cemb", m), sl("cemb", m))} AS c2 FROM cb)"""
+    }.mkString(",\n")
+    val encJoin = (1 until NumSubspaces)
+      .map(m => s"JOIN a$m USING (vec_id)").mkString(" ")
+    val rn2 = (0 until NumSubspaces).map(m => s"c$m.c2").mkString(" + ")
+    val rn2Joins = (0 until NumSubspaces)
+      .map(m => s"JOIN n$m c$m ON c$m.j = enc.code$m").mkString(" ")
+    val ip = (0 until NumSubspaces)
+      .map(m => Dedup.dotSql(sl("p.pe", m), sl(s"cb$m.cemb", m))).mkString(" + ")
+    val cbJoins = (0 until NumSubspaces)
+      .map(m => s"JOIN cb cb$m ON cb$m.j = r2.code$m").mkString(" ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |cb AS (SELECT vec_id AS j, embedding AS cemb FROM e WHERE vec_id < $NumCodes),
+       |$encCtes,
+       |enc AS (
+       |  SELECT vec_id, ${(0 until NumSubspaces).map(m => s"code$m").mkString(", ")}
+       |  FROM a0 $encJoin),
+       |r2 AS (
+       |  SELECT enc.vec_id, ($rn2) AS rn2,
+       |    ${(0 until NumSubspaces).map(m => s"enc.code$m").mkString(", ")}
+       |  FROM enc $rn2Joins),
+       |p AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe,
+       |    ${Dedup.dotSql("embedding", "embedding")} AS pn2
+       |  FROM e WHERE vec_id < 5),
+       |sc AS (
+       |  SELECT probe_id, r2.vec_id,
+       |    ($ip) / sqrt(p.pn2 * r2.rn2) AS approx_cos
+       |  FROM r2 JOIN p ON r2.vec_id != p.probe_id $cbJoins),
+       |r AS (
+       |  SELECT probe_id, vec_id, approx_cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY approx_cos DESC, vec_id) AS rk
+       |  FROM sc)
+       |SELECT probe_id, vec_id, approx_cos, rk FROM r WHERE rk <= 5
+       |ORDER BY probe_id, rk""".stripMargin
+  }
 
   // lazy: referenced from `oracles`, which is initialized earlier in the file
   private lazy val ivfOracle: String = {

@@ -182,6 +182,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.forall { r => val rk = r.getAs[Long]("rk"); rk >= 1 && rk <= 5 })
   }
 
+  test("similarity: PQ ANN scores through the bounded heap and stays sane") {
+    val df = Similarity.simPqAnn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).length == 2,
+      s"expected partial+final TopKPerKeyExec in:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // ADC cosine uses the RECONSTRUCTED candidate norm — approximate,
+    // but it cannot stray far from [-1, 1] on quantized unit-ish vectors
+    assert(rows.forall(r => math.abs(r.getAs[Double]("approx_cos")) <= 1.5))
+    assert(rows.forall { r => val rk = r.getAs[Long]("rk"); rk >= 1 && rk <= 5 })
+    // per-probe ranks are dense from 1
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to g.length).toSeq)
+    }
+  }
+
   test("pipeline: pipe_clean buckets every document exactly once") {
     val rows = graft.operators.Pipeline.queries("pipe_clean")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -28,6 +28,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_lsh_ann" -> Set("embeddings"),
     "sim_ivf_ann" -> Set("embeddings"),
     "sim_ivf_trained" -> Set("embeddings"),
+    "sim_pq_ann" -> Set("embeddings"),
     // benchmark gram set: small by definition (documented in Pipeline)
     "txt_contamination" -> Set("documents"),
     // per-source aggregates (O(|sources|) rows)
