@@ -267,6 +267,25 @@ object Similarity {
     rankTopK(scored, 5).withColumnRenamed("cos", "approx_cos")
   }
 
+  /** Per-label embedding centroids (class prototypes — the artifact a
+    * nearest-class-mean filter or prototype-based dedup consumes):
+    * exploded to (label, dim) cells, each value quantized to 1e-6 by
+    * `floor(v * 1e6)` — multiply and floor are IEEE-exact on identical
+    * doubles in BOTH engines (a double->DECIMAL cast is NOT: the two
+    * engines disagree by 1 ulp on some values) — then summed as exact
+    * integers, so the mean is order-independent and survives Spark's
+    * unordered partial aggregation. Shuffle carries only (label, dim)
+    * integer partials: |labels| * Dim cells regardless of corpus size. */
+  def embLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d").cast("bigint").as("d"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(floor(col("v").cast("double") * lit(1e6)).cast("bigint"))
+          .cast("double") /
+          count(lit(1)).cast("double") / lit(1e6)).as("centroid"))
+      .orderBy("label", "d")
+
   /** Trained-quantizer memo: k-means fits once per (corpus, k, iters)
     * and the model is reused — the production IVF lifecycle (train
     * offline, serve many queries; [[saveCentroids]]/[[loadCentroids]]
@@ -309,6 +328,18 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_pq_ann" -> pqOracle,
+    // parallel unnests zip positionally in DuckDB; floor(v * 1e6) is
+    // IEEE-exact on the identical doubles, so the integer sums match
+    // bit-for-bit (a double->DECIMAL cast would not — 1-ulp disagreement)
+    "emb_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, unnest(range(len(embedding))) AS d,
+        |    unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v
+        |  FROM embeddings)
+        |SELECT label, d, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CAST(floor(v * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 1e6 AS centroid
+        |FROM x GROUP BY label, d ORDER BY label, d""".stripMargin,
     "sim_topk_bruteforce" ->
       s"""WITH p AS (
          |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
@@ -346,6 +377,7 @@ object Similarity {
     "sim_ivf_ann" -> (simIvfAnn _),
     "sim_ivf_trained" -> (simIvfTrained _),
     "sim_pq_ann" -> (simPqAnn _),
+    "emb_label_centroids" -> (embLabelCentroids _),
   )
 
   // lazy: referenced from `oracles`, which is initialized earlier in the file
