@@ -183,7 +183,9 @@ object Dedup {
     * no shuffle); the only shuffles are the band self-join and the
     * candidate-keyed signature hash joins. */
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    verifiedPairs(s, dir).orderBy("doc_a", "doc_b")
+    verifiedPairs(s, dir)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
 
   /** LSH candidates with their exact Jaccard — the verified-pairs table
     * a production dedup pipeline materializes ONCE and serves to every
@@ -195,7 +197,8 @@ object Dedup {
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = docShingles(s, dir, 3)
     joinSignatures(lshCandidates(docs), docs)
-      .select(col("doc_a"), col("doc_b"), jaccard("hsa", "hsb").as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("source"),
+        jaccard("hsa", "hsb").as("jaccard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -275,21 +278,21 @@ object Dedup {
       .orderBy("hamming")
   }
 
-  /** Exact word-2-gram Jaccard verification over MinHash-LSH candidate
+  /** Exact word-trigram Jaccard verification over MinHash-LSH candidate
     * pairs, summarized per source of the lower doc id. The candidate set
     * is O(near-duplicates), not O(n²): pairs exist only where a full
-    * minhash band agrees (same machinery as [[ddMinhashLsh]], n=2
-    * shingles), and the exact set math runs on candidates only. */
-  def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = docShingles(s, dir, 2)
-    joinSignatures(lshCandidates(docs), docs)
-      .select(col("source"), jaccard("hsa", "hsb").as("jac"))
+    * minhash band agrees, and the exact set math runs on candidates
+    * only. Reads the SAME persisted [[verifiedPairs]] relation as the
+    * pair listing and the clustering — one shingle index, one verify
+    * pass, three consumers, exactly as a production pipeline shares its
+    * signature table. */
+  def ddNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(s, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_close"),
-        max(col("jac")).as("max_jac"))
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_close"),
+        max(col("jaccard")).as("max_jac"))
       .orderBy("source")
-  }
 
   /** Embedding-cosine near-duplicate pairs, blocked on the random-
     * hyperplane LSH bucket (the same 6-plane signature the similarity
@@ -492,7 +495,7 @@ object Dedup {
          |SELECT hamming, COUNT(*) AS n_pairs FROM p
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_ngram_jaccard" ->
-      s"""WITH ${lshCandCte(2)},
+      s"""WITH ${lshCandCte(3)},
          |p AS (
          |  SELECT sa.source AS source,
          |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
