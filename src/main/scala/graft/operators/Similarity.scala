@@ -286,6 +286,38 @@ object Similarity {
           count(lit(1)).cast("double") / lit(1e6)).as("centroid"))
       .orderBy("label", "d")
 
+  /** Nearest-class-mean assignment (label-noise detection): every
+    * vector is assigned to its closest [[embLabelCentroids]] prototype
+    * and the (label, assigned) confusion counts come back — off-diagonal
+    * mass is the label-noise signal a curation pass inspects. The
+    * centroid matrix is a model artifact (|labels| x Dim doubles,
+    * collected like the IVF quantizer); assignment is a narrow argmin
+    * over centroid literals, so the only shuffle is the tiny confusion
+    * aggregate. Cross-engine exact because the centroids themselves are
+    * hash-exact (quantized integer sums) and the d2 fold order mirrors
+    * the oracle's. */
+  def embLabelAssign(s: SparkSession, dir: String): DataFrame = {
+    val cents: Seq[(Int, IndexedSeq[Double])] = embLabelCentroids(s, dir)
+      .select("label", "d", "centroid").collect()
+      .groupBy(_.getInt(0)).toSeq
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toIndexedSeq }
+      .sortBy(_._1)
+    // |c|^2 with the sequential fold order of the dot expressions
+    val distStructs = cents.map { case (l, c) =>
+      struct(
+        (lit(c.foldLeft(0.0)((a, x) => a + x * x)) -
+          lit(2.0) * dot(col("emb"), typedLit(c))).as("d2"),
+        lit(l).as("lbl"))
+    }
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("assigned", array_min(array(distStructs: _*)).getField("lbl"))
+      .groupBy("label", "assigned")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label", "assigned")
+  }
+
   /** Trained-quantizer memo: k-means fits once per (corpus, k, iters)
     * and the model is reused — the production IVF lifecycle (train
     * offline, serve many queries; [[saveCentroids]]/[[loadCentroids]]
@@ -328,6 +360,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_pq_ann" -> pqOracle,
+    "emb_label_assign" -> assignOracle,
     // parallel unnests zip positionally in DuckDB; floor(v * 1e6) is
     // IEEE-exact on the identical doubles, so the integer sums match
     // bit-for-bit (a double->DECIMAL cast would not — 1-ulp disagreement)
@@ -378,7 +411,36 @@ object Similarity {
     "sim_ivf_trained" -> (simIvfTrained _),
     "sim_pq_ann" -> (simPqAnn _),
     "emb_label_centroids" -> (embLabelCentroids _),
+    "emb_label_assign" -> (embLabelAssign _),
   )
+
+  // lazy: referenced from `oracles`, which is initialized earlier in the file
+  private lazy val assignOracle: String = {
+    s"""WITH x AS (
+       |  SELECT label, unnest(range(len(embedding))) AS d,
+       |    unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT label, d,
+       |    CAST(SUM(CAST(floor(v * 1e6) AS BIGINT)) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) / 1e6 AS centroid
+       |  FROM x GROUP BY label, d),
+       |cv AS (
+       |  SELECT label AS clbl, list(centroid ORDER BY d) AS cvec
+       |  FROM c GROUP BY label),
+       |dist AS (
+       |  SELECT e.vec_id, e.label, cv.clbl,
+       |    ${Dedup.dotSql("cv.cvec", "cv.cvec")}
+       |      - 2.0 * ${Dedup.dotSql("e.embedding", "cv.cvec")} AS d2
+       |  FROM embeddings e CROSS JOIN cv),
+       |a AS (
+       |  SELECT vec_id, label, clbl AS assigned FROM (
+       |    SELECT vec_id, label, clbl,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clbl) AS rn
+       |    FROM dist) t WHERE rn = 1)
+       |SELECT label, assigned, COUNT(*) AS n_vecs
+       |FROM a GROUP BY label, assigned ORDER BY label, assigned""".stripMargin
+  }
 
   // lazy: referenced from `oracles`, which is initialized earlier in the file
   private lazy val pqOracle: String = {
