@@ -428,6 +428,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 2L, 5L))
   }
 
+  test("StreamingClean gates, dedups and counts survivors per source") {
+    import graft.streaming.StreamingClean
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text", "source")
+    val q = StreamingClean.cleanCounts(docs).writeStream
+      .format("memory").queryName("clean_out").outputMode(OutputMode.Append()).start()
+    in.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "alpha beta gamma", "s0"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "too short", "s0"), // gated
+      (Timestamp.valueOf("2024-01-01 10:02:00"), 3L, "alpha beta gamma", "s0"), // dup of 1
+      (Timestamp.valueOf("2024-01-01 10:03:00"), 4L, "delta eps zeta eta", "s1"))
+    q.processAllAvailable()
+    // advance the watermark far enough to close the 10:00 window
+    in.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 5L, "x y z", "s1"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("clean_out")
+      .select("source", "n_kept", "kept_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    // s0: doc 1 only (doc 2 gated at 2 tokens, doc 3 duplicate);
+    // s1: doc 4 (doc 5's window is still open when the query stops)
+    assert(rows.toSeq == Seq(("s0", 1L, 3L), ("s1", 1L, 4L)))
+  }
+
   test("HaloStencil fires per chunk incrementally and matches the batch stencil") {
     import graft.arrays.{ArrayGeometry, ChunkedArray}
     import graft.streaming.{HaloChunk, HaloStencil}
