@@ -47,23 +47,27 @@ object Dedup {
     * pass ([[org.apache.spark.sql.graftexpr.HashWordNgrams]]) — the HOF
     * spelling paid an interpreted closure per element at every step and
     * was the dominant dedup cost. */
-  private def docShingles(s: SparkSession, dir: String, n: Int): DataFrame =
-    Tables.load(s, dir, "documents")
-      // The test corpus is one parquet file = one input split; signature
-      // work is narrow, so spread it before the per-doc column math (a
-      // real corpus arrives in many splits and skips this shuffle).
-      .repartition(col("doc_id"))
-      .withColumn("hs",
-        org.apache.spark.sql.graftexpr.TextExpressions.hashWordNgrams(col("text"), n))
-      .select("doc_id", "source", "hs")
-      // Persisted: the signature relation feeds several plan branches
-      // (band self-join sides + jaccard lookups), and the cache boundary
-      // also stops Catalyst from re-inlining the shingle expressions into
-      // downstream lambdas / pushed-down filters, where per-element
-      // re-evaluation is pathological. At cluster scale this would be
-      // MEMORY_AND_DISK on the signatures, exactly as a production dedup
-      // pipeline persists its signature table. (CacheManager dedups the
-      // entry across repeated calls on the same session.)
+  private def signatureTable(s: SparkSession, dir: String, n: Int): DataFrame =
+    withReps(Tables.load(s, dir, "documents")
+        // The test corpus is one parquet file = one input split;
+        // signature work is narrow, so spread it before the per-doc
+        // column math (a real corpus arrives in many splits and skips
+        // this shuffle).
+        .repartition(col("doc_id"))
+        .withColumn("hs",
+          org.apache.spark.sql.graftexpr.TextExpressions.hashWordNgrams(col("text"), n))
+        .select("doc_id", "source", "hs"))
+      // ONE persisted table carrying shingle hashes, minhash signature
+      // and group rep together — built in a single pass over the corpus
+      // (the separate hs and mh relations this replaces each
+      // materialized their own corpus-sized cache). It feeds every plan
+      // branch (band self-join sides, the expansion joins, the jaccard
+      // lookups); the cache boundary also stops Catalyst from
+      // re-inlining the shingle expressions into downstream lambdas /
+      // pushed-down filters, where per-element re-evaluation is
+      // pathological. At cluster scale this is exactly the signature
+      // table a production dedup pipeline writes once. (CacheManager
+      // dedups the entry across repeated calls on the same session.)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** MinHash band-bucket candidate pairs (doc_a < doc_b) for a signature
@@ -91,36 +95,44 @@ object Dedup {
     * unnest produces no rows for them. (A size(ss)>0 filter would
     * instead get pushed into the scan with the whole shingle subtree
     * inlined.) */
-  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
-    // All NumPerms minima in one codegen'd pass over hs (the HOF form —
-    // one interpreted array_min(transform(...)) per permutation — was the
-    // dominant dedup cost; math and NULL-on-empty semantics unchanged).
+  private[graft] def lshCandidates(docs: DataFrame): DataFrame =
+    bandCandidates(withReps(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Adds the minhash signature (`mh`) and signature-group
+    * representative (`rep`) to a relation carrying `doc_id` + `hs`;
+    * empty-shingle docs (NULL signature) are dropped.
+    *
+    * All NumPerms minima come from one codegen'd pass over hs (the HOF
+    * form — one interpreted array_min(transform(...)) per permutation —
+    * was the dominant dedup cost). The group representative is an
+    * unordered window min keyed by the RAW signature array (partition
+    * width = ONE signature's duplication factor, never corpus-sized).
+    * Grouping directly on `mh` (Spark hashes and compares arrays
+    * natively) replaces the old md5(concat(16 casts)) sigkey: the VALUES
+    * of the key never cross engines — the oracle derives its own
+    * banding — only the induced partition of documents must match, and
+    * array equality is exactly minhash-tuple equality (no collision
+    * caveat, no 32-byte string shuffle, and a far smaller codegen unit:
+    * the string spelling dominated this stage's cost). */
+  private def withReps(docs: DataFrame): DataFrame = {
     val (as, bs) = (0 until NumPerms).map(perm).unzip
-    val withMh = docs.select("doc_id", "hs")
+    docs
       .withColumn("mh",
         org.apache.spark.sql.graftexpr.SketchExpressions
           .minhashSignature(col("hs"), as, bs, MinhashP))
       .filter(col("mh").isNotNull)
-    // Group representative via an unordered window min keyed by the RAW
-    // signature array (partition width = ONE signature's duplication
-    // factor, never corpus-sized): one exchange where the previous
-    // groupBy+join-back shape cost an aggregate plus a join and a second
-    // persisted relation. Grouping directly on `mh` (Spark hashes and
-    // compares arrays natively) replaces the old md5(concat(16 casts))
-    // sigkey: the VALUES of the key never cross engines — the oracle
-    // derives its own banding — only the induced partition of documents
-    // must match, and array equality is exactly minhash-tuple equality
-    // (no collision caveat, no 32-byte string shuffle, and a far smaller
-    // codegen unit: the string spelling dominated this stage's cost).
-    // The single persisted frame feeds every plan branch (band self-join
-    // sides, the two expansion joins, the within-group self-join) —
-    // without the cache boundary each branch re-runs the signature
-    // pipeline (measured 3s -> 16s at sf0.1).
-    val sigs = withMh
       .withColumn("rep", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("mh")))
-      .select("rep", "doc_id", "mh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Band self-join + group expansion over a (persisted) signature
+    * table from [[withReps]]. The caller persists the input: it feeds
+    * several plan branches (band self-join sides, the two expansion
+    * joins, the within-group self-join) — without the cache boundary
+    * each branch re-runs the signature pipeline (measured 3s -> 16s at
+    * sf0.1). */
+  private def bandCandidates(sigs: DataFrame): DataFrame = {
     val membership = sigs.select("rep", "doc_id")
     // one row per distinct signature: its representative's row
     val reps = sigs.filter(col("doc_id") === col("rep")).select("rep", "mh")
@@ -195,8 +207,8 @@ object Dedup {
     * and the relation is candidate-sized (output-bound), never
     * corpus-sized. */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = docShingles(s, dir, 3)
-    joinSignatures(lshCandidates(docs), docs)
+    val sig = signatureTable(s, dir, 3)
+    joinSignatures(bandCandidates(sig), sig)
       .select(col("doc_a"), col("doc_b"), col("source"),
         jaccard("hsa", "hsb").as("jaccard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -427,7 +439,7 @@ object Dedup {
 
   /** CTE chain computing the signature relation `d` (doc_id, source, hs)
     * and the LSH candidate pairs `cand` (doc_a, doc_b) for n-gram size
-    * `n` — the oracle twin of [[docShingles]] + [[lshCandidates]]. */
+    * `n` — the oracle twin of [[signatureTable]] + [[lshCandidates]]. */
   private def lshCandCte(n: Int): String =
     s"""t AS (SELECT doc_id, source, $TOKENS AS tk FROM documents),
        |d0 AS (SELECT doc_id, source, ${shSql(n)} AS ss FROM t),
