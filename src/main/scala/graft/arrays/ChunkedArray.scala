@@ -127,6 +127,17 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         min(col("cmin")).as("min_val"),
         max(col("cmax")).as("max_val"))
 
+  /** Global value histogram (dask `da.histogram` analog, fixed bucket
+    * width): each chunk folds its payload to per-bucket partials before
+    * the exchange, so the shuffle carries O(#buckets) rows per
+    * partition, never cells. floor(v / width) is IEEE-exact on
+    * identical doubles, so buckets replay bit-for-bit cross-engine. */
+  def histogram(width: Double): DataFrame =
+    df.select(explode(col("data")).as("v"))
+      .groupBy(floor(col("v") / lit(width)).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n_cells"),
+        min(col("v")).as("min_val"), max(col("v")).as("max_val"))
+
   /** Rank-generic slice `arr[r0.lo:r0.hi, r1.lo:r1.hi, ...]` — dask
     * slicing for arrays of any rank (the reference keeps per-dimension
     * bookkeeping precisely so callbacks can slice along every axis,

@@ -160,6 +160,11 @@ object ArrayQueries {
   def arrSumTs(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).sumPerTimestep("total").orderBy("timestep")
 
+  /** Value histogram across every chunk of the live array (dask
+    * `da.histogram` analog) — bucket partials fold chunk-locally. */
+  def arrHistogram(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).histogram(100.0).orderBy("bucket")
+
   /** dask-style one-pass stats per timestep. */
   def arrStatsTs(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).statsPerTimestep.orderBy("timestep")
@@ -278,6 +283,18 @@ object ArrayQueries {
          |SELECT CAST(timestep AS BIGINT) AS timestep,
          |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+    // densified like arr_stats_ts: the chunk payload is the FULL box,
+    // absent (timestep, u) cells are zero-filled
+    "arr_histogram" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(floor(cell / 100.0) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_cells, MIN(cell) AS min_val, MAX(cell) AS max_val
+         |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
     "arr_stats_ts" ->
       s"""WITH $CELLS_1D,
          |days AS (SELECT DISTINCT timestep FROM cells),
@@ -373,6 +390,7 @@ object ArrayQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "arr_sum_ts" -> (arrSumTs _),
+    "arr_histogram" -> (arrHistogram _),
     "arr_stats_ts" -> (arrStatsTs _),
     "arr_mean_diff" -> (arrMeanDiff _),
     "arr_preprocess_sum" -> (arrPreprocessSum _),

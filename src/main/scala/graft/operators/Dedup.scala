@@ -370,6 +370,25 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** The deduplicated corpus itself — the terminal consumer of the
+    * whole near-dup chain: every cluster keeps only its canonical
+    * survivor (minimum doc id), everything else is dropped, reported as
+    * surviving volume per source. The anti join runs against the
+    * non-canonical member set, which is O(docs-in-dup-pairs) — tiny
+    * relative to the corpus — and is keyed on doc_id with a shuffle
+    * hash join, so the corpus never broadcasts and never self-joins. */
+  def ddKeepOne(s: SparkSession, dir: String): DataFrame = {
+    val edges = verifiedPairs(s, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val losers = connectedComponents(edges)
+      .filter(col("v") =!= col("lbl")).select(col("v"))
+    Tables.load(s, dir, "documents")
+      .join(losers.hint("shuffle_hash"), col("doc_id") === col("v"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Connected components over an undirected edge list (first two
     * columns = endpoint ids): returns (v, lbl) where lbl is the minimum
     * vertex id in v's component. See [[ddCluster]] for the scale
@@ -553,6 +572,25 @@ object Dedup {
          |comp AS (SELECT v, MIN(w) AS cluster_id FROM reach GROUP BY v)
          |SELECT cluster_id, COUNT(*) AS n_members FROM comp
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd_keep_one" ->
+      s"""WITH RECURSIVE ${lshCandCte(3)},
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN d sa ON sa.doc_id = doc_a
+         |  JOIN d sb ON sb.doc_id = doc_b
+         |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= 0.5),
+         |eu AS (SELECT doc_a AS s, doc_b AS t FROM edges
+         |  UNION ALL SELECT doc_b, doc_a FROM edges),
+         |reach(v, w) AS (
+         |  SELECT s, s FROM eu
+         |  UNION
+         |  SELECT r.v, e.t FROM reach r JOIN eu e ON e.s = r.w),
+         |comp AS (SELECT v, MIN(w) AS cluster_id FROM reach GROUP BY v),
+         |losers AS (SELECT v FROM comp WHERE v != cluster_id)
+         |SELECT source, COUNT(*) AS n_kept FROM documents
+         |WHERE doc_id NOT IN (SELECT v FROM losers)
+         |GROUP BY source ORDER BY source""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -562,5 +600,6 @@ object Dedup {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_near" -> (ddEmbedNear _),
     "dd_cluster" -> (ddCluster _),
+    "dd_keep_one" -> (ddKeepOne _),
   )
 }
