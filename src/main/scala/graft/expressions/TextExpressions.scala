@@ -97,9 +97,28 @@ object TextExpressions {
     new GenericArrayData(arr)
   }
 
+  /** Max multiplicity of any whitespace token — one hash-count pass. */
+  def maxTokenCountEval(text: UTF8String): Long = {
+    val tk = tokenize(text)
+    if (tk.isEmpty) return 0L
+    val counts = new java.util.HashMap[String, Long](tk.length * 2)
+    var best = 0L
+    var i = 0
+    while (i < tk.length) {
+      val c = counts.merge(tk(i), 1L, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+
   /** Column wrapper for [[WordNgrams]]. */
   def wordNgrams(text: Column, n: Int): Column =
     ExpressionUtils.column(WordNgrams(ExpressionUtils.expression(text), n))
+
+  /** Column wrapper for [[MaxTokenCount]]. */
+  def maxTokenCount(text: Column): Column =
+    ExpressionUtils.column(MaxTokenCount(ExpressionUtils.expression(text)))
 
   /** Column wrapper for [[HashWordNgrams]]. */
   def hashWordNgrams(text: Column, n: Int): Column =
@@ -142,6 +161,29 @@ case class HashWordNgrams(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.hashNgramsEval($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Max multiplicity of any whitespace token of the text (`bigint`) —
+  * the Gopher top-token-mass numerator, counted in ONE hash pass per
+  * row instead of the interpreted sort + run-length `aggregate` HOF
+  * (see [[TextExpressions]] for why HOFs are the slow path). Value is
+  * identical to `max over distinct tokens of count(token)`. */
+case class MaxTokenCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_max_token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.maxTokenCountEval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.maxTokenCountEval($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

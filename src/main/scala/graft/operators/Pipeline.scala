@@ -126,30 +126,21 @@ object Pipeline {
     * the O(distinct·n) token-mode fold is bounded by document length,
     * not corpus size. */
   def txtRepetition(s: SparkSession, dir: String): DataFrame = {
-    // The top-token multiplicity is a sort + run-length fold — O(n log n)
-    // per document instead of the O(distinct * n) count-per-distinct-
-    // token scan (4.0s -> measured below at sf0.1). Equal runs of the
-    // sorted array ARE the per-token counts, so the value is identical
-    // to the oracle's count-per-distinct form.
-    val tk = col("tk")
+    // Top-token multiplicity is one native hash-count pass per row
+    // ([[org.apache.spark.sql.graftexpr.MaxTokenCount]]): the previous
+    // sort + run-length `aggregate` HOF was interpreted per element and
+    // dominated this query. Value is identical to the oracle's
+    // count-per-distinct-token max.
     val tk3 = org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 3)
     val dup3 = when(size(tk3) > 0,
       lit(1.0) - size(array_distinct(tk3)).cast("double") / size(tk3).cast("double"))
       .otherwise(0.0)
-    val maxRun = aggregate(array_sort(tk),
-      struct(lit("\u0000").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    val topTok = when(size(tk) > 0,
-      maxRun.cast("double") / size(tk).cast("double")).otherwise(0.0)
+    val nTok = size(
+      org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
+    val topTok = when(nTok > 0,
+      org.apache.spark.sql.graftexpr.TextExpressions.maxTokenCount(col("text"))
+        .cast("double") / nTok.cast("double")).otherwise(0.0)
     Tables.load(s, dir, "documents")
-      .withColumn("tk",
-        org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
       .select(col("doc_id"),
         dup3.as("dup3_frac"),
         topTok.as("top_tok_frac"),

@@ -48,6 +48,20 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native MaxTokenCount == count-per-distinct-token max over the corpus") {
+    import org.apache.spark.sql.functions.{array_distinct, array_max, filter, size, transform, when}
+    import org.apache.spark.sql.graftexpr.TextExpressions
+    val tk = tokens(col("text"))
+    // the oracle's form: max over distinct tokens of its multiplicity
+    val hof = when(size(tk) > 0, array_max(transform(array_distinct(tk),
+      t => size(filter(tk, x => x === t)).cast("bigint")))).otherwise(0L)
+    val diff = graft.sources.Tables.load(spark, sf, "documents")
+      .select(TextExpressions.maxTokenCount(col("text")).as("nat"), hof.as("hof"))
+      .filter(!(col("nat") <=> col("hof")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("native HashWordNgrams == distinct HOF gram hashes over the corpus") {
     import org.apache.spark.sql.functions.{array_distinct, transform}
     import org.apache.spark.sql.graftexpr.TextExpressions
