@@ -56,6 +56,8 @@ object SparkEntry {
     "q_pivot" -> (Relational.qPivot _),
     // §2.C events
     "ev_hourly" -> (Relational.evHourly _),
+    "ev_funnel" -> (Relational.evFunnel _),
+    "ev_retention" -> (Relational.evRetention _),
     "ev_sessionize" -> (Relational.evSessionize _),
     "ev_top_users" -> (Relational.evTopUsers _),
     "ev_json" -> (Relational.evJson _),
@@ -313,6 +315,34 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_buy
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+        |  GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |  (SELECT COUNT(*) FROM c) AS n_click_after,
+        |  (SELECT COUNT(*) FROM p) AS n_purchase_after""".stripMargin,
+    "ev_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        |  FROM events),
+        |later AS (
+        |  SELECT user_id AS uid2, day - INTERVAL 7 DAY AS cohort_day FROM days)
+        |SELECT day, COUNT(*) AS n_active,
+        |  COUNT(cohort_day) AS n_retained7
+        |FROM days LEFT JOIN later
+        |  ON user_id = uid2 AND day = cohort_day
+        |GROUP BY day ORDER BY day""".stripMargin,
     "ev_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -680,6 +680,49 @@ object Relational {
       .orderBy(asc("event_type"), desc("total_value"), asc("user_id"))
   }
 
+  /** Conversion funnel (view -> later click -> later purchase), the
+    * classic product-analytics shape: each stage is a per-user MIN
+    * aggregate conditioned on the previous stage's first timestamp, so
+    * the chain is three partial-agg passes joined on user_id — shuffle
+    * hash joins on the user key (both sides are user-cardinality,
+    * fact-derived: never broadcast), no window over raw events, no
+    * per-user event collection. */
+  def evFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v.hint("shuffle_hash"), "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c.hint("shuffle_hash"), "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_buy"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
+  /** Day-7 cohort retention: users active on day d who are also active
+    * on day d+7. One distinct (user, day) pass, then a self-join keyed
+    * on (user, day) — both shuffle hash joins on composite keys, output
+    * one row per cohort day. */
+  def evRetention(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.load(s, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val later = days.select(col("user_id").as("uid2"),
+      (col("day") - expr("INTERVAL 7 DAYS")).as("cohort_day"))
+    days.join(later.hint("shuffle_hash"),
+        col("user_id") === col("uid2") && col("day") === col("cohort_day"),
+        "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        count(col("cohort_day")).as("n_retained7"))
+      .orderBy("day")
+  }
+
   /** JSON property extraction + aggregation. */
   def evJson(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")

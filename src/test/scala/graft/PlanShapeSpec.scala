@@ -31,6 +31,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_pq_ann" -> Set("embeddings"),
     // benchmark gram set: small by definition (documented in Pipeline)
     "txt_contamination" -> Set("documents"),
+    // three 1-row stage-count aggregates cross-joined into the summary
+    "ev_funnel" -> Set("events"),
     // per-source aggregates (O(|sources|) rows)
     "pipe_clean" -> Set("documents"),
     // the aggregated heavy-supplier set (O(#suppliers) rows)
