@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftexpr.DotProduct
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+import org.apache.spark.sql.graftexpr.{DotProduct, HashWordNgrams, MaxTokenCount, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL users. Activate with
@@ -11,18 +11,49 @@ import org.apache.spark.sql.graftexpr.DotProduct
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
   *
   * `SELECT graft_dot(a, b)` then plans as the codegen'd
-  * [[org.apache.spark.sql.graftexpr.DotProduct]] loop.
+  * [[org.apache.spark.sql.graftexpr.DotProduct]] loop; the text
+  * expressions (`graft_word_ngrams(text, n)`,
+  * `graft_hash_word_ngrams(text, n)`, `graft_max_token_count(text)`)
+  * expose the one-pass tokenizer family the operators build on. The
+  * `n` argument must be an integer literal (it is baked into the
+  * generated code).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
+
+  private def reg(ext: SparkSessionExtensions, name: String, clazz: Class[_],
+      build: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2,
-          s"graft_dot requires exactly 2 arguments, got ${children.length}")
-        DotProduct(children(0), children(1))
-      }))
+      FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      build))
+
+  private def litN(name: String, e: Expression): Int = e match {
+    case IntegerLiteral(n) => n
+    case other => throw new IllegalArgumentException(
+      s"$name requires an integer literal n-gram size, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    reg(ext, "graft_dot", classOf[DotProduct], { children =>
+      require(children.length == 2,
+        s"graft_dot requires exactly 2 arguments, got ${children.length}")
+      DotProduct(children(0), children(1))
+    })
+    reg(ext, "graft_word_ngrams", classOf[WordNgrams], { children =>
+      require(children.length == 2,
+        s"graft_word_ngrams requires (text, n), got ${children.length} arguments")
+      WordNgrams(children(0), litN("graft_word_ngrams", children(1)))
+    })
+    reg(ext, "graft_hash_word_ngrams", classOf[HashWordNgrams], { children =>
+      require(children.length == 2,
+        s"graft_hash_word_ngrams requires (text, n), got ${children.length} arguments")
+      HashWordNgrams(children(0), litN("graft_hash_word_ngrams", children(1)))
+    })
+    reg(ext, "graft_max_token_count", classOf[MaxTokenCount], { children =>
+      require(children.length == 1,
+        s"graft_max_token_count requires (text), got ${children.length} arguments")
+      MaxTokenCount(children(0))
+    })
     // Plans graft's TopKPerKey logical node as the bounded-heap operator.
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftexpr.TopKStrategy)
   }

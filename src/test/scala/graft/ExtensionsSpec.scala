@@ -23,6 +23,31 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally () // shared JVM session registry; leave the session alone
   }
 
+  test("GraftExtensions registers the native text functions for SQL users") {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val grams = s.sql("SELECT graft_word_ngrams('a b c', 2) AS g")
+        .head().getSeq[String](0)
+      assert(grams == Seq("a b", "b c"))
+      val nHashes = s.sql("SELECT size(graft_hash_word_ngrams('a b a b', 2)) AS n")
+        .head().getInt(0)
+      assert(nHashes == 2) // distinct bigrams: "a b", "b a"
+      val maxTok = s.sql("SELECT graft_max_token_count('x y x x') AS m")
+        .head().getLong(0)
+      assert(maxTok == 3L)
+      // non-literal n must be rejected, not silently miscompiled
+      val e = intercept[Exception](
+        s.sql("SELECT graft_word_ngrams('a b', 1 + 1)").collect())
+      assert(e.getMessage.contains("integer literal") ||
+        Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+    } finally ()
+  }
+
   test("TopKPerKey plans as the bounded-heap operator and matches the window form") {
     val s = SparkSession.builder()
       .master("local[2]")
