@@ -106,6 +106,51 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
   def shiftTimestep(k: Long): ChunkedArray =
     copy(df = df.withColumn("timestep", col("timestep") + lit(k)))
 
+  /** Change the chunk geometry (dask `rechunk`): same global array,
+    * different chunk boxes — each element is re-addressed from its
+    * (pos, offset) to the new grid and payloads are re-packed. This is
+    * necessarily a full shuffle of cell values keyed by the NEW chunk
+    * id (dask's rechunk moves the same bytes); every chunk-local
+    * operation then applies to the new geometry. The new shape must
+    * tile each dimension exactly. Rank-generic, row-major both sides;
+    * all index math is integer-exact (floor of a small non-negative
+    * double quotient). */
+  def rechunk(newShape: Seq[Int]): ChunkedArray = {
+    require(newShape.length == geom.dims,
+      s"rank mismatch: ${newShape.length} vs ${geom.dims}")
+    val newCpd = (0 until geom.dims).map { d =>
+      val size = geom.dimSize(d)
+      require(newShape(d) > 0 && size % newShape(d) == 0,
+        s"dim $d: new chunk size ${newShape(d)} must tile $size")
+      size / newShape(d)
+    }
+    def idiv(c: Column, s: Int): Column =
+      if (s == 1) c else floor(c / lit(s)).cast("int")
+    // row-major strides, old and new
+    val strides = geom.chunkShape.scanRight(1)(_ * _).tail
+    val newStrides = newShape.scanRight(1)(_ * _).tail
+    val cells = df.select(col("timestep"), col("pos"),
+      posexplode(col("data")).as(Seq("i", "v")))
+    // global coord per dim, then new pos / new row-major offset
+    val g = (0 until geom.dims).map { d =>
+      idiv(col("i"), strides(d)) % geom.chunkShape(d) +
+        element_at(col("pos"), d + 1) * geom.chunkShape(d)
+    }
+    val newPos = array((0 until geom.dims).map(d => idiv(g(d), newShape(d))): _*)
+    val newOff = (0 until geom.dims)
+      .map(d => (g(d) % newShape(d)) * newStrides(d))
+      .reduce(_ + _)
+    val t = dtype
+    val out = cells
+      .select(col("timestep"), newPos.as("pos"), newOff.as("off"), col("v"))
+      .groupBy("timestep", "pos")
+      .agg(transform(
+        array_sort(collect_list(struct(col("off"), col("v")))),
+        e => e.getField("v").cast(t)).as("data"))
+    ChunkedArray(out.select("timestep", "pos", "data"),
+      ArrayGeometry(newCpd, newShape))
+  }
+
   /** Per-timestep global sum: chunk-local decimal fold, then a tiny
     * partial-agg shuffle of one scalar per chunk. */
   def sumPerTimestep(alias: String = "total"): DataFrame =

@@ -165,6 +165,14 @@ object ArrayQueries {
   def arrHistogram(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).histogram(100.0).orderBy("bucket")
 
+  /** Rechunk 4x16 -> 8x8 then per-timestep stats (dask `rechunk`):
+    * the oracle is the SAME SQL as arr_stats_ts — stats are invariant
+    * under chunk geometry, so any re-addressing error (wrong chunk,
+    * wrong offset, lost or doubled cell) breaks the hash match. */
+  def arrRechunkStats(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).rechunk(Seq(8)).statsPerTimestep
+      .orderBy("timestep")
+
   /** dask-style one-pass stats per timestep. */
   def arrStatsTs(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).statsPerTimestep.orderBy("timestep")
@@ -306,6 +314,20 @@ object ArrayQueries {
          |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total,
          |  MIN(cell) AS min_val, MAX(cell) AS max_val
          |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
+    // stats are chunk-geometry-invariant: the rechunked array must
+    // reproduce arr_stats_ts' oracle exactly (lost/doubled/misplaced
+    // cells break the hash; within-chunk offsets are spec-gated)
+    "arr_rechunk_stats" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, COUNT(*) AS n_elems,
+         |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  MIN(cell) AS min_val, MAX(cell) AS max_val
+         |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
     "arr_mean_diff" ->
       """WITH acells AS (
         |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS timestep,
@@ -392,6 +414,7 @@ object ArrayQueries {
     "arr_sum_ts" -> (arrSumTs _),
     "arr_histogram" -> (arrHistogram _),
     "arr_stats_ts" -> (arrStatsTs _),
+    "arr_rechunk_stats" -> (arrRechunkStats _),
     "arr_mean_diff" -> (arrMeanDiff _),
     "arr_preprocess_sum" -> (arrPreprocessSum _),
     "arr_elementwise_chain" -> (arrElementwiseChain _),

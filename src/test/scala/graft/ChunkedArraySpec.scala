@@ -251,6 +251,35 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asMap(g.mapValues(_ * lit(2L)).sumPerTimestep()) == Map(0L -> 72.0, 1L -> 144.0))
   }
 
+  test("rechunk re-addresses every cell exactly (1-d split and 2-d merge)") {
+    // offset-sensitive check: flatten both representations to
+    // (timestep, global coords, v) with independent Scala-side math
+    def cells(a: ChunkedArray): Map[(Long, Seq[Int]), Double] =
+      a.df.collect().flatMap { r =>
+        val ts = r.getLong(0)
+        val pos = r.getSeq[Int](1)
+        val data = r.getSeq[Double](2)
+        val shape = a.geom.chunkShape
+        val strides = shape.scanRight(1)(_ * _).tail
+        data.zipWithIndex.map { case (v, i) =>
+          val g = shape.indices.map(d => pos(d) * shape(d) + (i / strides(d)) % shape(d))
+          (ts, g) -> v
+        }
+      }.toMap
+    val a1 = oneD
+    val r1 = a1.rechunk(Seq(2)) // 2x4 -> 4x2
+    assert(r1.geom == ArrayGeometry(Seq(4), Seq(2)))
+    assert(cells(r1) == cells(a1))
+    val a2 = twoD
+    val r2 = a2.rechunk(Seq(4, 2)) // 2x2 grid of 2x2 -> 1x2 grid of 4x2
+    assert(r2.geom == ArrayGeometry(Seq(1, 2), Seq(4, 2)))
+    assert(cells(r2) == cells(a2))
+    // stats invariant under rechunk
+    val s0 = a2.statsPerTimestep.collect().map(_.toString).sorted.toSeq
+    val s1 = r2.statsPerTimestep.collect().map(_.toString).sorted.toSeq
+    assert(s0 == s1)
+  }
+
   test("repartitionByGrid preserves results through an aligned zip") {
     val a = oneD.repartitionByGrid()
     val d = a.zipWith(a.mapValues(_ * 3))((x, y) => y - x)
