@@ -106,6 +106,43 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
   def shiftTimestep(k: Long): ChunkedArray =
     copy(df = df.withColumn("timestep", col("timestep") + lit(k)))
 
+  /** 2-d transpose (dask `arr.T`): swap the grid position dims and
+    * transpose each chunk's payload in place — a pure narrow projection
+    * (chunk (i,j) becomes (j,i) with its box transposed), no shuffle. */
+  def transpose2d(): ChunkedArray = {
+    require(geom.dims == 2, "transpose2d requires a 2-d array")
+    val (rows, cols) = (geom.chunkShape(0), geom.chunkShape(1))
+    // new payload is (cols x rows) row-major: newdata[k] = data[i*cols+j]
+    // with j = k / rows, i = k % rows
+    val t = transform(sequence(lit(0), lit(rows * cols - 1)), k =>
+      col("data")((k % rows) * cols + floor(k / lit(rows)).cast("int")))
+    copy(
+      df = df.select(col("timestep"),
+        array(col("pos")(1), col("pos")(0)).as("pos"), t.as("data")),
+      geom = ArrayGeometry(geom.chunksPerDim.reverse, geom.chunkShape.reverse))
+  }
+
+  /** Concatenate along `axis` (dask `concatenate`): a pure metadata
+    * union — the other array's grid positions shift by this array's
+    * chunk count on that axis; no payload moves at all. Chunk shapes
+    * must match and every other dimension's chunk count must agree. */
+  def concatenate(other: ChunkedArray, axis: Int): ChunkedArray = {
+    require(geom.dims == other.geom.dims && axis >= 0 && axis < geom.dims)
+    require(geom.chunkShape == other.geom.chunkShape,
+      s"chunk shape mismatch: ${geom.chunkShape} vs ${other.geom.chunkShape}")
+    require((0 until geom.dims).forall(d =>
+      d == axis || geom.chunksPerDim(d) == other.geom.chunksPerDim(d)),
+      "non-concat dimensions must agree")
+    val off = geom.chunksPerDim(axis)
+    val shifted = other.df.withColumn("pos",
+      transform(col("pos"), (p, i) => when(i === axis, p + off).otherwise(p)))
+    copy(
+      df = df.unionByName(shifted),
+      geom = ArrayGeometry(
+        geom.chunksPerDim.updated(axis, off + other.geom.chunksPerDim(axis)),
+        geom.chunkShape))
+  }
+
   /** Change the chunk geometry (dask `rechunk`): same global array,
     * different chunk boxes — each element is re-addressed from its
     * (pos, offset) to the new grid and payloads are re-packed. This is

@@ -203,6 +203,23 @@ object ArrayQueries {
     cur.zipWith(prev)(_ - _).sumPerTimestep("delta").orderBy("timestep")
   }
 
+  /** dask `arr.T` then `sum(axis=1)`: the transpose is a narrow
+    * projection (grid pos swap + in-chunk payload transpose, no
+    * shuffle), so the reduced axis flips — the oracle sums over `u`
+    * per `h` instead of the other way around. */
+  def arrTransposeSum(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir).transpose2d().axisSumRows(axis = 1)
+      .orderBy("timestep", "idx")
+
+  /** dask `concatenate([a, b], axis=0)` then stats: the even-event and
+    * odd-event arrays stack into one 128-wide array by shifting b's
+    * grid positions — a metadata union, no payload movement. */
+  def arrConcatStats(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray1d(s, dir, col("event_id") % 2 === 0)
+    val b = eventsArray1d(s, dir, col("event_id") % 2 === 1)
+    a.concatenate(b, axis = 0).statsPerTimestep.orderBy("timestep")
+  }
+
   /** dask `arr.sum(axis=1)` on the 2-d array. */
   def arrAxisSum(s: SparkSession, dir: String): DataFrame =
     eventsArray2dCached(s, dir).axisSumRows(axis = 1).orderBy("timestep", "idx")
@@ -380,6 +397,40 @@ object ArrayQueries {
          |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
          |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS value
          |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // transpose flips the reduced axis: sum over u per h
+    "arr_transpose_sum" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(h AS BIGINT) AS idx,
+         |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS value
+         |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // each side densifies over ITS OWN timesteps (a timestep missing
+    // from one input simply contributes no chunks on that half)
+    "arr_concat_stats" ->
+      """WITH acells AS (
+        |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS timestep,
+        |    user_id % 64 AS u,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS cell
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |bcells AS (
+        |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS timestep,
+        |    user_id % 64 AS u,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS cell
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+        |adays AS (SELECT DISTINCT timestep FROM acells),
+        |bdays AS (SELECT DISTINCT timestep FROM bcells),
+        |densea AS (
+        |  SELECT d.timestep, COALESCE(a.cell, 0.0) AS cell
+        |  FROM adays d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+        |  LEFT JOIN acells a ON a.timestep = d.timestep AND a.u = r.u),
+        |denseb AS (
+        |  SELECT d.timestep, COALESCE(b.cell, 0.0) AS cell
+        |  FROM bdays d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+        |  LEFT JOIN bcells b ON b.timestep = d.timestep AND b.u = r.u),
+        |allc AS (SELECT * FROM densea UNION ALL SELECT * FROM denseb)
+        |SELECT CAST(timestep AS BIGINT) AS timestep, COUNT(*) AS n_elems,
+        |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  MIN(cell) AS min_val, MAX(cell) AS max_val
+        |FROM allc GROUP BY 1 ORDER BY 1""".stripMargin,
     "arr_slice_sum" ->
       s"""WITH $CELLS_2D_DENSE
          |SELECT CAST(timestep AS BIGINT) AS timestep,
@@ -420,6 +471,8 @@ object ArrayQueries {
     "arr_elementwise_chain" -> (arrElementwiseChain _),
     "arr_window_delta" -> (arrWindowDelta _),
     "arr_axis_sum" -> (arrAxisSum _),
+    "arr_transpose_sum" -> (arrTransposeSum _),
+    "arr_concat_stats" -> (arrConcatStats _),
     "arr_slice_sum" -> (arrSliceSum _),
     "arr_stencil_sum" -> (arrStencilSum _),
     "arr_matmul" -> (arrMatmul _),

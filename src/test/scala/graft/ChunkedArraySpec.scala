@@ -280,6 +280,34 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s0 == s1)
   }
 
+  test("transpose2d moves cell (i,j) to (j,i) exactly, no shuffle") {
+    val a = twoD // value(i,j) = 10*i + j
+    val t = a.transpose2d()
+    assert(t.geom == ArrayGeometry(Seq(2, 2), Seq(2, 2)))
+    val got = t.df.collect().flatMap { r =>
+      val pos = r.getSeq[Int](1); val data = r.getSeq[Double](2)
+      data.zipWithIndex.map { case (v, k) =>
+        (pos(0) * 2 + k / 2, pos(1) * 2 + k % 2) -> v }
+    }.toMap
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(got((i, j)) == 10.0 * j + i, s"cell ($i,$j)")
+    assert(!t.df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("concatenate stacks along an axis as a pure metadata union") {
+    val a = oneD
+    val b = oneD.copy(df = oneD.df.withColumn("data",
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.col("data"), x => x * 100)))
+    val c = a.concatenate(b, axis = 0)
+    assert(c.geom == ArrayGeometry(Seq(4), Seq(4)))
+    val t0 = c.df.filter("timestep = 0").collect()
+      .map(r => r.getSeq[Int](1).head -> r.getSeq[Double](2)).toMap
+    assert(t0(0) == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(t0(2) == Seq(100.0, 200.0, 300.0, 400.0)) // b shifted by 2 chunks
+    assert(!c.df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("repartitionByGrid preserves results through an aligned zip") {
     val a = oneD.repartitionByGrid()
     val d = a.zipWith(a.mapValues(_ * 3))((x, y) => y - x)
