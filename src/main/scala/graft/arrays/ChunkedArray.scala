@@ -106,6 +106,31 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
   def shiftTimestep(k: Long): ChunkedArray =
     copy(df = df.withColumn("timestep", col("timestep") + lit(k)))
 
+  /** Cumulative sum along a 1-d array (dask `cumsum`) — the canonical
+    * distributed scan: each chunk computes its local prefix in ONE
+    * native pass ([[org.apache.spark.sql.graftexpr.PrefixSumDec]],
+    * decimal-exact), then an exclusive carry — the running total of
+    * preceding chunks — arrives through a window over the per-chunk
+    * TOTALS (one row per chunk, never elements; at scale that exchange
+    * is O(#chunks) along the line). Returns `(timestep, idx, value)`. */
+  def cumsumRows(): DataFrame = {
+    require(geom.dims == 1, "cumsumRows requires a 1-d array")
+    val n = geom.chunkShape(0)
+    val withPref = df.select(col("timestep"), col("pos")(0).as("c"),
+      org.apache.spark.sql.graftexpr.PrefixSumDec.prefixSumDec(col("data")).as("pref"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("timestep").orderBy("c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    withPref
+      .withColumn("carry",
+        coalesce(sum(element_at(col("pref"), n)).over(w), zeroDec))
+      .select(col("timestep"), col("c"), col("carry"),
+        posexplode(col("pref")).as(Seq("i", "p")))
+      .select(col("timestep"),
+        (col("c") * n + col("i")).cast("bigint").as("idx"),
+        (col("p") + col("carry")).cast("double").as("value"))
+  }
+
   /** 2-d transpose (dask `arr.T`): swap the grid position dims and
     * transpose each chunk's payload in place — a pure narrow projection
     * (chunk (i,j) becomes (j,i) with its box transposed), no shuffle. */

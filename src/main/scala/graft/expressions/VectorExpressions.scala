@@ -74,3 +74,51 @@ object VectorExpressions {
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
+
+/** Running (inclusive) prefix sum of a double array in exact
+  * DECIMAL(28,2) — the chunk-local half of the distributed scan
+  * ([[graft.arrays.ChunkedArray.cumsumRows]]). Each element is rounded
+  * to 2 decimals exactly as Spark's double->DECIMAL cast does
+  * (shortest-decimal-string, HALF_UP) before accumulating, so the
+  * result matches the SQL `SUM(CAST(x AS DECIMAL)) OVER (...)` fold
+  * bit-for-bit. One pass; the HOF spelling (aggregate with an array
+  * accumulator) copies the accumulator per element — O(n^2) per chunk. */
+case class PrefixSumDec(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DecimalType(28, 2), containsNull = false)
+  override def prettyName: String = "graft_prefix_sum_dec"
+
+  override def nullSafeEval(input: Any): Any =
+    PrefixSumDec.eval(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.PrefixSumDec.eval($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PrefixSumDec {
+  def eval(data: ArrayData): ArrayData = {
+    val n = data.numElements()
+    val out = new Array[Any](n)
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      // BigDecimal.valueOf == shortest-string conversion, matching
+      // Spark's Decimal(double); setScale(2, HALF_UP) matches the cast
+      acc = acc.add(java.math.BigDecimal.valueOf(data.getDouble(i))
+        .setScale(2, java.math.RoundingMode.HALF_UP))
+      out(i) = org.apache.spark.sql.types.Decimal(acc, 28, 2)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def prefixSumDec(data: Column): Column =
+    ExpressionUtils.column(PrefixSumDec(ExpressionUtils.expression(data)))
+}

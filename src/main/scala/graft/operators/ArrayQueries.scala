@@ -173,6 +173,11 @@ object ArrayQueries {
     eventsArray1dCached(s, dir).rechunk(Seq(8)).statsPerTimestep
       .orderBy("timestep")
 
+  /** dask `cumsum` on the 1-d array: chunk-local native prefix + an
+    * O(#chunks) carry window — the distributed scan pattern. */
+  def arrCumsum(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).cumsumRows().orderBy("timestep", "idx")
+
   /** dask-style one-pass stats per timestep. */
   def arrStatsTs(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).statsPerTimestep.orderBy("timestep")
@@ -331,6 +336,19 @@ object ArrayQueries {
          |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total,
          |  MIN(cell) AS min_val, MAX(cell) AS max_val
          |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
+    // running decimal sum over the dense cells in global index order —
+    // the window replays the scan's exact fold
+    "arr_cumsum" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
+         |  CAST(SUM(CAST(cell AS DECIMAL(28,2)))
+         |    OVER (PARTITION BY timestep ORDER BY u) AS DOUBLE) AS value
+         |FROM dense ORDER BY 1, 2""".stripMargin,
     // stats are chunk-geometry-invariant: the rechunked array must
     // reproduce arr_stats_ts' oracle exactly (lost/doubled/misplaced
     // cells break the hash; within-chunk offsets are spec-gated)
@@ -466,6 +484,7 @@ object ArrayQueries {
     "arr_histogram" -> (arrHistogram _),
     "arr_stats_ts" -> (arrStatsTs _),
     "arr_rechunk_stats" -> (arrRechunkStats _),
+    "arr_cumsum" -> (arrCumsum _),
     "arr_mean_diff" -> (arrMeanDiff _),
     "arr_preprocess_sum" -> (arrPreprocessSum _),
     "arr_elementwise_chain" -> (arrElementwiseChain _),
