@@ -245,6 +245,29 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       .agg(count(lit(1)).as("n_cells"),
         min(col("v")).as("min_val"), max(col("v")).as("max_val"))
 
+  /** Per-timestep population variance (dask `arr.var(axis=time-slice)`):
+    * both moments fold through DECIMAL — squares of 2-decimal values
+    * are 4-decimal-exact — so the moments are order-independent and
+    * the final double arithmetic is deterministic from exact inputs.
+    * Ships two decimals per chunk, never elements. */
+  def variancePerTimestep: DataFrame = {
+    val d2 = (c: Column) => c.cast("decimal(18,2)")
+    val sq = aggregate(col("data"), lit(0).cast("decimal(38,4)"),
+      (acc, x) => (acc + d2(x) * d2(x)).cast("decimal(38,4)"))
+    df
+      .select(col("timestep"),
+        size(col("data")).cast("bigint").as("cn"),
+        chunkSumDec(col("data")).as("csum"),
+        sq.as("csq"))
+      .groupBy("timestep")
+      .agg(sum(col("cn")).as("n_elems"),
+        sum(col("csum")).cast("double").as("total"),
+        sum(col("csq")).cast("double").as("total_sq"))
+      .select(col("timestep"), col("n_elems"),
+        ((col("total_sq") - col("total") * col("total") / col("n_elems")) /
+          col("n_elems")).as("variance"))
+  }
+
   /** Rank-generic slice `arr[r0.lo:r0.hi, r1.lo:r1.hi, ...]` — dask
     * slicing for arrays of any rank (the reference keeps per-dimension
     * bookkeeping precisely so callbacks can slice along every axis,

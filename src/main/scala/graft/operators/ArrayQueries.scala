@@ -178,6 +178,11 @@ object ArrayQueries {
   def arrCumsum(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).cumsumRows().orderBy("timestep", "idx")
 
+  /** dask `arr.var()` per timestep: exact decimal moments, double math
+    * only on the final three exact operands. */
+  def arrVarTs(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).variancePerTimestep.orderBy("timestep")
+
   /** dask-style one-pass stats per timestep. */
   def arrStatsTs(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).statsPerTimestep.orderBy("timestep")
@@ -336,6 +341,24 @@ object ArrayQueries {
          |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total,
          |  MIN(cell) AS min_val, MAX(cell) AS max_val
          |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact decimal moments; the final double expression mirrors the
+    // Spark operand order exactly: (sq - t*t/n) / n
+    "arr_var_ts" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |m AS (
+         |  SELECT timestep, COUNT(*) AS n_elems,
+         |    CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |    CAST(SUM(CAST(cell AS DECIMAL(18,2)) * CAST(cell AS DECIMAL(18,2)))
+         |      AS DOUBLE) AS total_sq
+         |  FROM dense GROUP BY 1)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, n_elems,
+         |  (total_sq - total * total / n_elems) / n_elems AS variance
+         |FROM m ORDER BY 1""".stripMargin,
     // running decimal sum over the dense cells in global index order —
     // the window replays the scan's exact fold
     "arr_cumsum" ->
@@ -485,6 +508,7 @@ object ArrayQueries {
     "arr_stats_ts" -> (arrStatsTs _),
     "arr_rechunk_stats" -> (arrRechunkStats _),
     "arr_cumsum" -> (arrCumsum _),
+    "arr_var_ts" -> (arrVarTs _),
     "arr_mean_diff" -> (arrMeanDiff _),
     "arr_preprocess_sum" -> (arrPreprocessSum _),
     "arr_elementwise_chain" -> (arrElementwiseChain _),
