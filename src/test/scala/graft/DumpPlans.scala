@@ -63,6 +63,10 @@ object DumpPlans {
         "PQ/ADC: encode is a narrow argmin per subspace; probe lookup tables broadcast; scoring reads only the code columns (M bytes/row, never raw vectors); bounded-heap top-k.",
       "emb_label_assign" ->
         "Nearest-class-mean: centroid matrix is a collected model artifact, assignment a narrow argmin over literals; the only exchange is the tiny confusion aggregate.",
+      "arr_cumsum" ->
+        "Distributed scan: native decimal prefix per chunk (narrow), carry via a window over per-chunk TOTALS — the only exchange moves one row per chunk.",
+      "dd_keep_one" ->
+        "Deduped corpus: anti join against the non-canonical member set (O(docs-in-dup-pairs)), shuffle-hashed on doc_id; the corpus never broadcasts or self-joins.",
     )
 
     val sb = new StringBuilder
