@@ -245,6 +245,31 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       .agg(count(lit(1)).as("n_cells"),
         min(col("v")).as("min_val"), max(col("v")).as("max_val"))
 
+  /** Per-timestep argmax over a 1-d array (dask `argmax` — "where is
+    * the hotspot", the classic in-situ monitoring probe): each chunk
+    * folds to ONE (value, global index) struct (ties to the lower
+    * index), then a tiny struct-max merge per timestep — one struct per
+    * chunk crosses the wire, never elements. */
+  def argmaxRows(): DataFrame = {
+    require(geom.dims == 1, "argmaxRows requires a 1-d array")
+    val n = geom.chunkShape(0)
+    // fold to struct(v, negIdx): struct max = highest value, and on
+    // ties the HIGHEST negIdx = LOWEST index
+    val best = aggregate(
+      transform(sequence(lit(0), lit(n - 1)), i =>
+        struct(col("data")(i).as("v"),
+          (-(col("pos")(0) * n + i)).cast("bigint").as("negIdx"))),
+      struct(lit(Double.NegativeInfinity).as("v"), lit(Long.MinValue).as("negIdx")),
+      (acc, x) => when(x("v") > acc("v") ||
+        (x("v") === acc("v") && x("negIdx") > acc("negIdx")), x).otherwise(acc))
+    df.select(col("timestep"), best.as("b"))
+      .groupBy("timestep")
+      .agg(max(col("b")).as("m"))
+      .select(col("timestep"),
+        col("m.v").as("max_val"),
+        (-col("m.negIdx")).cast("bigint").as("arg_idx"))
+  }
+
   /** Per-timestep population variance (dask `arr.var(axis=time-slice)`):
     * both moments fold through DECIMAL — squares of 2-decimal values
     * are 4-decimal-exact — so the moments are order-independent and

@@ -183,6 +183,10 @@ object ArrayQueries {
   def arrVarTs(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).variancePerTimestep.orderBy("timestep")
 
+  /** dask `argmax` per timestep — the hotspot-location probe. */
+  def arrArgmax(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).argmaxRows().orderBy("timestep")
+
   /** dask-style one-pass stats per timestep. */
   def arrStatsTs(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).statsPerTimestep.orderBy("timestep")
@@ -341,6 +345,22 @@ object ArrayQueries {
          |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total,
          |  MIN(cell) AS min_val, MAX(cell) AS max_val
          |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
+    // argmax with ties to the lowest index, over the densified cells
+    "arr_argmax" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |rk AS (
+         |  SELECT timestep, cell, u,
+         |    ROW_NUMBER() OVER (PARTITION BY timestep
+         |      ORDER BY cell DESC, u) AS rn
+         |  FROM dense)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, cell AS max_val,
+         |  CAST(u AS BIGINT) AS arg_idx
+         |FROM rk WHERE rn = 1 ORDER BY timestep""".stripMargin,
     // exact decimal moments; the final double expression mirrors the
     // Spark operand order exactly: (sq - t*t/n) / n
     "arr_var_ts" ->
@@ -509,6 +529,7 @@ object ArrayQueries {
     "arr_rechunk_stats" -> (arrRechunkStats _),
     "arr_cumsum" -> (arrCumsum _),
     "arr_var_ts" -> (arrVarTs _),
+    "arr_argmax" -> (arrArgmax _),
     "arr_mean_diff" -> (arrMeanDiff _),
     "arr_preprocess_sum" -> (arrPreprocessSum _),
     "arr_elementwise_chain" -> (arrElementwiseChain _),
