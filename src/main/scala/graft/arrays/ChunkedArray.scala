@@ -127,7 +127,8 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       .select(col("timestep"), col("c"), col("carry"),
         posexplode(col("pref")).as(Seq("i", "p")))
       .select(col("timestep"),
-        (col("c") * n + col("i")).cast("bigint").as("idx"),
+        // widen BEFORE the multiply (int overflow past 2^31 cells)
+        (col("c").cast("bigint") * n + col("i")).as("idx"),
         (col("p") + col("carry")).cast("double").as("value"))
   }
 
@@ -258,7 +259,9 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     val best = aggregate(
       transform(sequence(lit(0), lit(n - 1)), i =>
         struct(col("data")(i).as("v"),
-          (-(col("pos")(0) * n + i)).cast("bigint").as("negIdx"))),
+          // widen BEFORE the multiply: int pos * chunk size overflows
+          // int for arrays past 2^31 cells
+          (-(col("pos")(0).cast("bigint") * n + i)).as("negIdx"))),
       struct(lit(Double.NegativeInfinity).as("v"), lit(Long.MinValue).as("negIdx")),
       (acc, x) => when(x("v") > acc("v") ||
         (x("v") === acc("v") && x("negIdx") > acc("negIdx")), x).otherwise(acc))
@@ -425,8 +428,10 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     df.select(col("timestep"), col("pos"),
         posexplode(col("data")).as(Seq("local", "value")))
       .select(col("timestep") +: shape.indices.map(d =>
-        (col("pos")(d) * shape(d) + (col("local") / strides(d)).cast("int") % shape(d))
-          .cast("bigint").as(s"i$d")) :+ col("value"): _*)
+        // widen BEFORE the multiply (int overflow past 2^31 cells/dim)
+        (col("pos")(d).cast("bigint") * shape(d) +
+          (col("local") / strides(d)).cast("int") % shape(d))
+          .as(s"i$d")) :+ col("value"): _*)
   }
 
   /** Flatten a 2-d array to `(timestep, i, j, value)` rows. */
@@ -436,8 +441,9 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     df.select(col("timestep"), col("pos"),
         posexplode(col("data")).as(Seq("local", "value")))
       .select(col("timestep"),
-        (col("pos")(0) * rows + (col("local") / cols).cast("int")).cast("bigint").as("i"),
-        (col("pos")(1) * cols + col("local") % cols).cast("bigint").as("j"),
+        // widen BEFORE the multiply (int overflow past 2^31 cells/dim)
+        (col("pos")(0).cast("bigint") * rows + (col("local") / cols).cast("int")).as("i"),
+        (col("pos")(1).cast("bigint") * cols + col("local") % cols).as("j"),
         col("value"))
   }
 
@@ -535,7 +541,8 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       .select(col("timestep"), col("kpos"),
         posexplode(col("vec")).as(Seq("local", "value")))
       .select(col("timestep"),
-        (col("kpos") * geom.chunkShape(keep) + col("local")).cast("bigint").as("idx"),
+        // widen BEFORE the multiply (int overflow past 2^31 cells/dim)
+        (col("kpos").cast("bigint") * geom.chunkShape(keep) + col("local")).as("idx"),
         col("value").cast("double").as("value"))
   }
 }
