@@ -400,7 +400,7 @@ object Dedup {
     // instead of an eager-checkpoint job plus a probe job — at loop
     // iteration counts the fixed job-dispatch cost is the floor.
     val edges = edgesIn
-      .select(edgesIn.columns.take(2).map(col): _*).toDF("ea", "eb")
+      .select(edgesIn.columns.take(2).toIndexedSeq.map(col): _*).toDF("ea", "eb")
       .localCheckpoint(eager = false)
     // Size the loop's shuffle width by the edge relation, not the
     // session default: every round pays a fixed per-partition cost
@@ -421,7 +421,7 @@ object Dedup {
     var labels = und.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint(eager = false)
     def lblSum(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("lbl")).cast("decimal(38,0)")).head.getDecimal(0)
+      val d = df.agg(sum(col("lbl")).cast("decimal(38,0)")).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
     // labels only ever decrease, so the label sum is strictly monotone
