@@ -350,11 +350,13 @@ object Dedup {
     * near-duplicate pairs (MinHash-LSH candidates whose exact Jaccard is
     * >= 0.5), each cluster labeled by its minimum doc_id (the canonical
     * survivor a keep-one policy would retain). Components come from
-    * iterative min-label propagation: each round every vertex takes the
-    * min label among itself and its neighbors — one hash-partitioned
-    * join plus a partial-agg groupBy per round, converging in
-    * O(component diameter) rounds (near-dup clusters are clique-ish, so
-    * 2-3 rounds in practice). Rounds are localCheckpoint'ed: the label
+    * iterative min-label propagation with pointer doubling: each round
+    * every vertex takes the min label among itself, its neighbors and
+    * its label's label — one hash-partitioned join, one label-keyed
+    * self-join and a partial-agg groupBy per round, converging in
+    * O(log diameter) rounds (near-dup clusters are clique-ish, so 2-3
+    * rounds in practice; the shortcut keeps even chain-shaped
+    * components logarithmic). Rounds are localCheckpoint'ed: the label
     * relation is O(docs-in-dup-pairs), far smaller than the corpus, and
     * truncating lineage keeps round t's plan from embedding rounds
     * 0..t-1 (on a real cluster: reliable checkpoint to shared storage).
@@ -434,10 +436,22 @@ object Dedup {
     while (!converged) {
       val prop = und.join(labels, col("dst") === col("v"))
         .select(col("src").as("v"), col("lbl"))
+      // POINTER DOUBLING: also adopt the label OF the current label
+      // (classic pointer jumping / Shiloach-Vishkin shortcutting). With
+      // neighbor propagation alone the min id travels one hop per round
+      // — O(diameter) rounds, fine for clique-ish near-dup clusters but
+      // pathological for chain-shaped components; shortcutting halves
+      // the pointer depth every round, so convergence is O(log
+      // diameter) on ANY graph. One extra label-keyed self-join per
+      // round, label-relation-sized.
+      val viaLbl = labels.as("x")
+        .join(labels.select(col("v").as("lv"), col("lbl").as("llbl"))
+          .hint("shuffle_hash"), col("x.lbl") === col("lv"))
+        .select(col("x.v").as("v"), col("llbl").as("lbl"))
       // pin the per-round aggregate to the same edge-sized width (the
       // explicit hash partitioning satisfies the agg's requirement, so
       // this is ONE exchange, not two)
-      val next = labels.union(prop).repartition(p, col("v"))
+      val next = labels.union(prop).union(viaLbl).repartition(p, col("v"))
         .groupBy("v").agg(min("lbl").as("lbl"))
         .localCheckpoint(eager = false)
       val s = lblSum(next)

@@ -20,6 +20,18 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents handles a long chain in logarithmic rounds") {
+    // A 64-node path has diameter 63: plain neighbor propagation needs
+    // ~63 rounds, pointer doubling ~log2(63). The spec gates both the
+    // transitive correctness and (indirectly, via the suite timeout)
+    // that convergence is not linear in the diameter.
+    val n = 64L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L))
+  }
+
   test("connectedComponents on an empty edge list is empty") {
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(edges).isEmpty)
