@@ -81,7 +81,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The caller captures a bounded tail of this process's output; the
+    // per-query progress trail can push the one parsed JSON line out of
+    // that window (it truncated BENCH_r05's total). Persist the line to
+    // a file too, so the result survives any stdout truncation.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),
+      json + "\n"): Unit
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] result-file write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -67,9 +67,10 @@ object SparkEntry {
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
-  /** DuckDB oracle SQL, column-aliased identically to the Spark results. */
-  // sim_ivf_trained has NO oracle entry on purpose (rows-only check):
-  // its k-means fit cannot be replayed bit-exactly in DuckDB.
+  /** DuckDB oracle SQL, column-aliased identically to the Spark results.
+    * A `def` evaluated AFTER Verify runs the queries: sim_ivf_trained's
+    * entry embeds the centroids the query just trained (the fit is
+    * deterministic; only its trained VALUES cross engines). */
   def oracleSql: Map[String, String] =
     relationalOracles ++ ArrayQueries.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ graft.multimodal.Media.oracles ++

@@ -132,20 +132,36 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         (col("p") + col("carry")).cast("double").as("value"))
   }
 
-  /** 2-d transpose (dask `arr.T`): swap the grid position dims and
-    * transpose each chunk's payload in place — a pure narrow projection
-    * (chunk (i,j) becomes (j,i) with its box transposed), no shuffle. */
-  def transpose2d(): ChunkedArray = {
-    require(geom.dims == 2, "transpose2d requires a 2-d array")
-    val (rows, cols) = (geom.chunkShape(0), geom.chunkShape(1))
-    // new payload is (cols x rows) row-major: newdata[k] = data[i*cols+j]
-    // with j = k / rows, i = k % rows
-    val t = transform(sequence(lit(0), lit(rows * cols - 1)), k =>
-      col("data")((k % rows) * cols + floor(k / lit(rows)).cast("int")))
+  /** Axes permutation for ANY rank (dask/numpy `transpose(axes=perm)`):
+    * new axis d is old axis `perm(d)`. Grid positions permute and each
+    * chunk's payload is re-packed row-major for the new axis order — a
+    * pure narrow projection (no shuffle): chunk boxes map to chunk
+    * boxes, so no cell ever changes chunks. Dtype-preserving (pure
+    * element gathers). */
+  def transpose(perm: Seq[Int]): ChunkedArray = {
+    require(perm.sorted == (0 until geom.dims),
+      s"$perm is not a permutation of 0..${geom.dims - 1}")
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    val newShape = perm.map(shape)
+    val newStrides = newShape.scanRight(1)(_ * _).tail
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    // newdata[k] = data[Σ_d newcoord_d(k) * strides(perm(d))]
+    val t = transform(sequence(lit(0), lit(geom.chunkElems - 1)), k =>
+      col("data")(perm.zipWithIndex.map { case (old, d) =>
+        (fdiv(k, newStrides(d)) % newShape(d)) * strides(old)
+      }.reduce(_ + _)))
     copy(
       df = df.select(col("timestep"),
-        array(col("pos")(1), col("pos")(0)).as("pos"), t.as("data")),
-      geom = ArrayGeometry(geom.chunksPerDim.reverse, geom.chunkShape.reverse))
+        array(perm.map(d => col("pos")(d)): _*).as("pos"), t.as("data")),
+      geom = ArrayGeometry(perm.map(geom.chunksPerDim), newShape))
+  }
+
+  /** 2-d transpose (dask `arr.T`) — the rank-2 face of [[transpose]]. */
+  def transpose2d(): ChunkedArray = {
+    require(geom.dims == 2, "transpose2d requires a 2-d array")
+    transpose(Seq(1, 0))
   }
 
   /** Concatenate along `axis` (dask `concatenate`): a pure metadata
@@ -197,7 +213,8 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     // global coord per dim, then new pos / new row-major offset
     val g = (0 until geom.dims).map { d =>
       idiv(col("i"), strides(d)) % geom.chunkShape(d) +
-        element_at(col("pos"), d + 1) * geom.chunkShape(d)
+        // widen BEFORE the multiply (int overflow past 2^31 cells/dim)
+        element_at(col("pos"), d + 1).cast("bigint") * geom.chunkShape(d)
     }
     val newPos = array((0 until geom.dims).map(d => idiv(g(d), newShape(d))): _*)
     val newOff = (0 until geom.dims)
@@ -454,39 +471,44 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     tensordot(other)
   }
 
-  /** Rank-generic contraction of this array's LAST axis with `other`'s
-    * FIRST axis — dask `tensordot(a, b, axes=1)`, numpy `a @ b` for
-    * stacked operands: output rank = rank(a) + rank(b) - 2, with a's
-    * leading and b's trailing axes preserved. SUMMA-style at the chunk
-    * level: block products where a's chunk-k meets b's chunk-k (a
-    * co-partitioned equi-join on (timestep, k)), then an elementwise
-    * merge of partial blocks per output chunk position. Only chunk
-    * payloads move — one shuffle keyed on k, one tiny reduce of partial
-    * blocks; nothing is ever assembled whole. The per-pair block product
-    * treats a's leading axes as one flattened row index and b's trailing
-    * axes as one flattened column index (both row-major, so the packed
-    * output is row-major over lead ++ trail). Block sums accumulate in
-    * DECIMAL(38,4): products of 2-decimal cell values are exactly
-    * 4-decimal, so the result is order-independent and reproducible
-    * cross-engine (SURVEY §5). */
-  def tensordot(other: ChunkedArray): ChunkedArray = {
-    require(geom.dims >= 1 && other.geom.dims >= 1,
-      "tensordot requires rank >= 1 operands")
-    require(geom.chunksPerDim.last == other.geom.chunksPerDim.head &&
-      geom.chunkShape.last == other.geom.chunkShape.head,
+  /** Rank-generic contraction of this array's LAST `axes` axes with
+    * `other`'s FIRST `axes` axes — dask `tensordot(a, b, axes=k)`
+    * (numpy `a @ b` for stacked operands at axes=1): output rank =
+    * rank(a) + rank(b) - 2*axes, with a's leading and b's trailing axes
+    * preserved. SUMMA-style at the chunk level: block products where
+    * a's contract-chunk-position meets b's (a co-partitioned equi-join
+    * on (timestep, kpos)), then an elementwise merge of partial blocks
+    * per output chunk position. Only chunk payloads move — one shuffle
+    * keyed on the contract position, one tiny reduce of partial blocks;
+    * nothing is ever assembled whole. The per-pair block product treats
+    * a's leading axes as one flattened row index, the contracted axes
+    * as one flattened inner index and b's trailing axes as one
+    * flattened column index (all row-major — contiguous in both
+    * payloads because the contracted axes are a's LAST and b's FIRST —
+    * so the packed output is row-major over lead ++ trail and the
+    * axes=k math is literally the axes=1 math with a product-width
+    * inner extent). Block sums accumulate in DECIMAL(38,4): products
+    * of 2-decimal cell values are exactly 4-decimal, so the result is
+    * order-independent and reproducible cross-engine (SURVEY §5). */
+  def tensordot(other: ChunkedArray, axes: Int = 1): ChunkedArray = {
+    require(axes >= 1, "tensordot requires axes >= 1")
+    require(geom.dims >= axes && other.geom.dims >= axes,
+      s"operand ranks (${geom.dims}, ${other.geom.dims}) must be >= axes=$axes")
+    require(geom.chunksPerDim.takeRight(axes) == other.geom.chunksPerDim.take(axes) &&
+      geom.chunkShape.takeRight(axes) == other.geom.chunkShape.take(axes),
       s"inner dimensions must agree: $geom vs ${other.geom}")
-    val rI = geom.chunkShape.init.product // flattened leading extent (1 if rank-1)
-    val kI = geom.chunkShape.last
-    val cI = other.geom.chunkShape.tail.product // flattened trailing extent
+    val rI = geom.chunkShape.dropRight(axes).product // flattened leading extent
+    val kI = geom.chunkShape.takeRight(axes).product // flattened contract extent
+    val cI = other.geom.chunkShape.drop(axes).product // flattened trailing extent
     val emptyPos = array().cast("array<int>")
     def posSlice(ds: Seq[Int]): Column =
       if (ds.isEmpty) emptyPos
       else array(ds.map(d => col("pos")(d).cast("int")): _*)
     val zero = lit(0).cast("decimal(38,4)")
-    val a = df.select(col("timestep"), posSlice(0 until geom.dims - 1).as("lead"),
-      col("pos")(geom.dims - 1).as("ka"), col("data").as("adata"))
-    val b = other.df.select(col("timestep").as("bt"), col("pos")(0).as("kb"),
-      posSlice(1 until other.geom.dims).as("trail"), col("data").as("bdata"))
+    val a = df.select(col("timestep"), posSlice(0 until geom.dims - axes).as("lead"),
+      posSlice(geom.dims - axes until geom.dims).as("ka"), col("data").as("adata"))
+    val b = other.df.select(col("timestep").as("bt"), posSlice(0 until axes).as("kb"),
+      posSlice(axes until other.geom.dims).as("trail"), col("data").as("bdata"))
     val block = transform(sequence(lit(0), lit(rI * cI - 1)), idx => {
       val i = (idx / cI).cast("int")
       val j = idx % cI
@@ -506,44 +528,61 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       concat(col("lead"), col("trail")).as("pos"),
       transform(col("vec"), v => v.cast("double")).as("data"))
     ChunkedArray(out, ArrayGeometry(
-      geom.chunksPerDim.init ++ other.geom.chunksPerDim.tail,
-      geom.chunkShape.init ++ other.geom.chunkShape.tail))
+      geom.chunksPerDim.dropRight(axes) ++ other.geom.chunksPerDim.drop(axes),
+      geom.chunkShape.dropRight(axes) ++ other.geom.chunkShape.drop(axes)))
   }
 
-  /** Sum a 2-d array along `axis`, dask's `arr.sum(axis=)`: chunk-local
-    * fold along the axis (narrow), then an elementwise decimal merge of
-    * the partial vectors across the chunk row/column (one small array per
-    * chunk shuffles, never elements). Returns rows
-    * `(timestep, index, value)` of the reduced 1-d array. */
+  /** Sum along `axis` for ANY rank >= 2 (dask `arr.sum(axis=)`):
+    * chunk-local fold along the axis (narrow, one decimal accumulator
+    * per surviving cell), then an elementwise decimal merge of the
+    * partial blocks across the axis's chunk line — one small block per
+    * chunk shuffles, never elements. The result is the rank-(n-1) array
+    * of the surviving dims (use [[sumPerTimestep]] for rank 1). */
+  def axisSum(axis: Int): ChunkedArray = {
+    require(geom.dims >= 2, "axisSum needs rank >= 2; use sumPerTimestep for rank 1")
+    require(axis >= 0 && axis < geom.dims, s"axis $axis out of range")
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    val rem = shape.indices.filterNot(_ == axis) // surviving dims
+    val remShape = rem.map(shape)
+    val outElems = remShape.product
+    val outStrides = remShape.scanRight(1)(_ * _).tail
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    // partial[s] = decimal sum over the reduced axis of the cells at
+    // surviving-coord s (row-major over the remaining dims)
+    val partial = transform(sequence(lit(0), lit(outElems - 1)), s => {
+      val base = rem.zip(outStrides).map { case (j, os) =>
+        (fdiv(s, os) % shape(j)) * strides(j)
+      }.reduce(_ + _)
+      aggregate(sequence(lit(0), lit(shape(axis) - 1)), zeroDec,
+        (acc, i) => addDec(acc, col("data")(base + i * strides(axis))))
+    })
+    val zeroVec = array_repeat(zeroDec, outElems)
+    val merged = df
+      .select(col("timestep"),
+        array(rem.map(d => col("pos")(d)): _*).as("pos"), partial.as("part"))
+      .groupBy("timestep", "pos")
+      .agg(aggregate(collect_list(col("part")), zeroVec,
+        (acc, v) => zip_with(acc, v, (a, b) => castDec(a + b))).as("vec"))
+    ChunkedArray(
+      merged.select(col("timestep"), col("pos"),
+        transform(col("vec"), v => v.cast("double")).as("data")),
+      ArrayGeometry(rem.map(geom.chunksPerDim), remShape))
+  }
+
+  /** 2-d convenience over [[axisSum]]: rows `(timestep, idx, value)` of
+    * the reduced 1-d array. */
   def axisSumRows(axis: Int): DataFrame = {
     require(geom.dims == 2, "axisSumRows requires a 2-d array")
     require(axis == 0 || axis == 1)
-    val (rows, cols) = (geom.chunkShape(0), geom.chunkShape(1))
-    val keep = 1 - axis // surviving dimension
-    val outLen = geom.chunkShape(keep)
-    // partial(k) = sum over the reduced axis inside this chunk, decimal-exact
-    val partial = if (axis == 1) {
-      transform(sequence(lit(0), lit(rows - 1)), i =>
-        aggregate(sequence(lit(0), lit(cols - 1)), zeroDec,
-          (acc, j) => addDec(acc, col("data")(i * cols + j))))
-    } else {
-      transform(sequence(lit(0), lit(cols - 1)), j =>
-        aggregate(sequence(lit(0), lit(rows - 1)), zeroDec,
-          (acc, i) => addDec(acc, col("data")(i * cols + j))))
-    }
-    val zeroVec = array_repeat(zeroDec, outLen)
-    val merged = df
-      .select(col("timestep"), col("pos")(keep).as("kpos"), partial.as("part"))
-      .groupBy("timestep", "kpos")
-      .agg(aggregate(collect_list(col("part")), zeroVec,
-        (acc, v) => zip_with(acc, v, (a, b) => castDec(a + b))).as("vec"))
-    merged
-      .select(col("timestep"), col("kpos"),
-        posexplode(col("vec")).as(Seq("local", "value")))
+    axisSum(axis).df
+      .select(col("timestep"), col("pos")(0).as("kpos"),
+        posexplode(col("data")).as(Seq("local", "value")))
       .select(col("timestep"),
         // widen BEFORE the multiply (int overflow past 2^31 cells/dim)
-        (col("kpos").cast("bigint") * geom.chunkShape(keep) + col("local")).as("idx"),
-        col("value").cast("double").as("value"))
+        (col("kpos").cast("bigint") * geom.chunkShape(1 - axis) + col("local")).as("idx"),
+        col("value").as("value"))
   }
 }
 

@@ -208,6 +208,23 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Target documents per packing shard: sets how many hex digits of
+    * the shard key [[pipePack]] keeps, so shard COUNT (16^digits) grows
+    * with the corpus and the per-shard window never holds more than
+    * ~16x this many documents. */
+  val PackDocsPerShard = 64L
+
+  /** Smallest hex-digit count d (1..8) with 16^d shards of
+    * [[PackDocsPerShard]] docs covering an nDocs corpus. The same
+    * thresholds are spelled as a CASE chain in the oracle SQL, so both
+    * engines derive the identical width from the data. */
+  private[graft] def packShardDigits(nDocs: Long): Int = {
+    var d = 1
+    var cap = 16L * PackDocsPerShard
+    while (nDocs > cap && d < 8) { d += 1; cap *= 16L }
+    d
+  }
+
   /** Sequence-packing report (GPT-style concat-and-split packing): docs
     * are concatenated per shard in doc_id order and cut into fixed
     * 128-token training sequences; emits per-shard sequence counts, fill
@@ -216,17 +233,27 @@ object Pipeline {
     * Scale posture: packing is embarrassingly parallel ACROSS shards and
     * sequential only WITHIN one — exactly how production pipelines pack
     * (per output shard/file). The shard key is a cross-engine md5 bucket
-    * of doc_id, so the only window runs over bounded hash buckets whose
-    * COUNT scales with the corpus (constant here at 16), never one
+    * of doc_id whose hex-digit width is DERIVED FROM THE CORPUS SIZE
+    * ([[packShardDigits]]: 16 shards under ~1k docs, 4k shards at ~256k,
+    * 16^8 at the 100 TB posture), so the only window runs over
+    * ~[[PackDocsPerShard]]-document hash buckets, never one
     * corpus-sized partition. Offsets come from one cumulative sum; all
     * divisions are exact (<2^53) doubles so floor/ceil match DuckDB. */
   def pipePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    pipePackSharded(docs, packShardDigits(docs.count()))
+  }
+
+  /** [[pipePack]] over an explicit shard-key width (16^shardDigits
+    * shards); the spec drives this directly to assert the shard count
+    * scales with the width. */
+  private[graft] def pipePackSharded(docs: DataFrame, shardDigits: Int): DataFrame = {
     val cap = 128.0
-    val d = Tables.load(s, dir, "documents")
+    val d = docs
       .select(col("doc_id"),
         size(org.apache.spark.sql.graftexpr.TextExpressions
           .wordNgrams(col("text"), 1)).cast("bigint").as("n_tokens"),
-        substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"))
+        substring(md5(col("doc_id").cast("string")), 1, shardDigits).as("shard"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
     val offs = d.withColumn("cum", sum("n_tokens").over(w))
@@ -251,11 +278,20 @@ object Pipeline {
     * document's tokens OUTSIDE the corpus top-100 vocabulary. The vocab
     * is bounded by construction (top-K with a total count-desc/token-asc
     * tie-break) so it broadcasts; the corpus side stays distributed and
-    * shuffles only the word-count partial aggregates. */
+    * shuffles only the word-count partial aggregates.
+    *
+    * The tokenized relation feeds BOTH the vocab build and the coverage
+    * join — persisted so the corpus is scanned and tokenized ONCE (the
+    * dedup family's shared-signature-table pattern, and the cache
+    * boundary also keeps Catalyst from re-inlining the tokenizer into
+    * both branches; CacheManager dedups the entry across repeated
+    * calls on the same session). */
   def txtVocabCoverage(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .withColumn("tk",
         org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
+      .select("doc_id", "tk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = docs.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("w")).limit(100)
@@ -286,9 +322,21 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "pipe_pack" ->
-      s"""WITH t AS (
+      s"""WITH sd AS (
+         |  -- same thresholds as packShardDigits: smallest d with
+         |  -- 16^d * $PackDocsPerShard >= count, capped at 8
+         |  SELECT CASE WHEN c <= ${16L * PackDocsPerShard} THEN 1
+         |              WHEN c <= ${256L * PackDocsPerShard} THEN 2
+         |              WHEN c <= ${4096L * PackDocsPerShard} THEN 3
+         |              WHEN c <= ${65536L * PackDocsPerShard} THEN 4
+         |              WHEN c <= ${1048576L * PackDocsPerShard} THEN 5
+         |              WHEN c <= ${16777216L * PackDocsPerShard} THEN 6
+         |              WHEN c <= ${268435456L * PackDocsPerShard} THEN 7
+         |              ELSE 8 END AS d
+         |  FROM (SELECT COUNT(*) AS c FROM documents)),
+         |t AS (
          |  SELECT doc_id, CAST(len($TOKENS) AS BIGINT) AS n_tokens,
-         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, (SELECT d FROM sd)) AS shard
          |  FROM documents),
          |c AS (
          |  SELECT shard, n_tokens,

@@ -192,14 +192,13 @@ object Similarity {
       .map(_.getSeq[Double](1).toIndexedSeq)
       .toIndexedSeq
 
-  /** [[simIvfAnn]] with a TRAINED coarse quantizer: [[trainCentroids]]
-    * (k-means, 3 Lloyd's iterations) replaces the fixed first-k
-    * centroids; the assignment/search plan is IDENTICAL — only the
-    * centroid literals differ. No SQL oracle (driver records the weaker
-    * rows-only check): replaying 3 iterations of double-precision mean
-    * updates with Spark's aggregation order in DuckDB cannot be made
-    * bit-exact (SURVEY §5). The spec asserts determinism of the fit;
-    * this query makes the trainer load-bearing in the driver gate. */
+  // [[simIvfTrained]] (defined below, after its memo) is [[simIvfAnn]]
+  // with a TRAINED coarse quantizer: trainCentroids (k-means, 3 Lloyd's
+  // iterations) replaces the fixed first-k centroids; the
+  // assignment/search plan is IDENTICAL — only the centroid literals
+  // differ. Oracle-gated via [[trainedIvfSql]]: the fit itself never
+  // crosses engines (its double summation order is engine-specific) —
+  // only the trained VALUES do, embedded as literals after training.
   /** Product-quantization ANN — the third scale path beside the
     * hyperplane-LSH buckets and the IVF lists: vectors are stored as
     * [[NumSubspaces]] one-byte codes (each subspace quantized against
@@ -324,16 +323,36 @@ object Similarity {
     * is the durable form of the same artifact). Safe because the fit is
     * deterministic (spec-asserted): the cached value is bit-identical
     * to retraining. Plain doubles, no Spark state — survives session
-    * restarts. */
+    * restarts. Keyed by a CONTENT fingerprint of the table's files, not
+    * the path alone: data regenerated in place in the same JVM (test
+    * reruns, a harness rewriting testdata) retrains instead of serving
+    * stale centroids. */
   private val trainedCentroids =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), IndexedSeq[IndexedSeq[Double]]]()
+
+  /** (name, size, mtime) fingerprint of the embeddings table's files. */
+  private def embFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(s"$dir/embeddings.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
+  }
+
+  /** Most recent trained quantizer — read by [[oracles]] AFTER the
+    * queries have run (Verify's order) to embed the centroid literals
+    * into sim_ivf_trained's oracle SQL. */
+  private val lastTrained =
+    new java.util.concurrent.atomic.AtomicReference[IndexedSeq[IndexedSeq[Double]]](null)
 
   def simIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("n2", norm2(col("emb")))
-    val cents = trainedCentroids.computeIfAbsent((dir, NumCentroids, 3),
+    val cents = trainedCentroids.computeIfAbsent(
+      (s"$dir|${embFingerprint(dir)}", NumCentroids, 3),
       _ => trainCentroids(e.select(col("vec_id"), col("emb")), NumCentroids, iters = 3))
+    lastTrained.set(cents)
     // d2 up to the per-row |x|^2 constant: |c|^2 - 2<x,c>
     val distStructs = cents.zipWithIndex.map { case (c, i) =>
       struct(
@@ -358,7 +377,61 @@ object Similarity {
       s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($emb) + 1), i -> CAST($emb[i] AS DOUBLE) * CAST((${planeSql(p)})[i] AS DOUBLE))), (x, y) -> x + y) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  val oracles: Map[String, String] = Map(
+  /** `def`, not `val`: sim_ivf_trained's oracle exists only after the
+    * query has trained (Verify runs every query BEFORE dumping
+    * oracle_sql.json, so by then [[lastTrained]] holds the fit). The
+    * oracle replays only the SEARCH — the trained centroids are embedded
+    * as round-trip-exact double literals, exactly as [[simIvfAnn]]
+    * embeds its fixed ones — so the engine-specific training summation
+    * order never crosses engines. */
+  def oracles: Map[String, String] = staticOracles ++
+    Option(lastTrained.get)
+      .map(c => Map("sim_ivf_trained" -> trainedIvfSql(c)))
+      .getOrElse(Map.empty)
+
+  /** `CAST('<shortest-roundtrip-repr>' AS DOUBLE)` — string->double
+    * parsing is correctly-rounded in DuckDB, so the literal comes back
+    * bit-identical to the Spark-side double. */
+  private def fmtD(d: Double): String =
+    s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
+
+  /** [[ivfOracle]]'s search with the TRAINED quantizer as literals;
+    * d2 mirrors [[simIvfTrained]] exactly: |c|^2 (the Scala-side fold,
+    * embedded) minus 2<x,c>, no |x|^2 term. */
+  private def trainedIvfSql(cents: IndexedSeq[IndexedSeq[Double]]): String = {
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      val lst = c.map(fmtD).mkString("[", ", ", "]")
+      s"($i, $lst, ${fmtD(c.map(x => x * x).sum)})"
+    }.mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    ${Dedup.dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+       |c AS (SELECT * FROM (VALUES
+       |    $rows) AS t(cid, cemb, cn2)),
+       |d AS (
+       |  SELECT e.vec_id, e.embedding, e.n2, c.cid,
+       |    c.cn2 - 2.0 * ${Dedup.dotSql("e.embedding", "c.cemb")} AS d2
+       |  FROM e CROSS JOIN c),
+       |a AS (
+       |  SELECT vec_id, embedding, n2, cid AS cluster FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM d) t WHERE rn = 1),
+       |p AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2, cluster AS pc
+       |  FROM a WHERE vec_id < 5),
+       |sc AS (
+       |  SELECT probe_id, a.vec_id,
+       |    ${Dedup.dotSql("pe", "a.embedding")} / sqrt(pn2 * a.n2) AS cos
+       |  FROM a JOIN p ON a.cluster = p.pc AND a.vec_id != p.probe_id),
+       |r AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM sc)
+       |SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 5
+       |ORDER BY probe_id, rk""".stripMargin
+  }
+
+  private lazy val staticOracles: Map[String, String] = Map(
     "sim_pq_ann" -> pqOracle,
     "emb_label_assign" -> assignOracle,
     // parallel unnests zip positionally in DuckDB; floor(v * 1e6) is

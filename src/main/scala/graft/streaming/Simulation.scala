@@ -81,12 +81,30 @@ object Simulation {
     * whenever that timestep has completed — timesteps may complete out of
     * order). Duplicate/late chunks for an already-completed timestep are
     * dropped, so at-least-once sources cannot re-open a timestep. State
-    * per array name is O(in-flight + horizon) scalars. */
-  def assemble(msgs: Dataset[ChunkMsg]): Dataset[TimestepTotal] = {
+    * per array name is O(in-flight + horizon) scalars.
+    *
+    * `idleTtlMs > 0` expires an array's WHOLE state (stuck partials from
+    * a dead producer AND the completed-marker horizon) that long after
+    * its last message, via a processing-time timeout — the
+    * [[assembleChunks]] TTL contract, here keyed per array name: without
+    * it, a timestep that never completes pins its partial entry forever.
+    * Same tradeoffs as there: choose the TTL longer than both the
+    * producers' stall ceiling and the source's replay horizon (a replay
+    * after expiry re-opens and re-emits its timestep), and pair it with
+    * an explicit trigger interval (processing-time timeouts schedule
+    * no-data batches; the default ASAP trigger would busy-loop). */
+  def assemble(msgs: Dataset[ChunkMsg], idleTtlMs: Long = 0L): Dataset[TimestepTotal] = {
     import msgs.sparkSession.implicits._
+    val timeout =
+      if (idleTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     msgs.groupByKey(_.name)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
         (name: String, it: Iterator[ChunkMsg], state: GroupState[AsmState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var st = state.getOption.getOrElse(AsmState(Map.empty, Map.empty))
           val out = scala.collection.mutable.ArrayBuffer.empty[TimestepTotal]
           // deltas for timesteps whose predecessor completes later in the
@@ -114,7 +132,9 @@ object Simulation {
             out(i) = t.copy(delta = st.completed.get(t.timestep - 1).map(t.total - _))
           }
           state.update(st)
+          if (idleTtlMs > 0) state.setTimeoutDuration(idleTtlMs)
           out.iterator
+          }
         })
   }
 
@@ -132,17 +152,32 @@ object Simulation {
     * O(buffered completions) — bound the producers' advance with source
     * backpressure (`maxFilesPerTrigger`, the `max_pending_arrays`
     * analog). Chunks below the emission watermark are dropped, so
-    * at-least-once replays cannot re-open an emitted timestep. */
+    * at-least-once replays cannot re-open an emitted timestep.
+    *
+    * `idleTtlMs > 0` expires an array's WHOLE state (stuck partials,
+    * buffered completions AND the emission watermark) that long after
+    * its last message — the [[assemble]] TTL contract; note the
+    * watermark resets to `start` with the rest of the state, so a
+    * post-expiry replay re-emits from the replayed timestep on. Pair a
+    * TTL with an explicit trigger interval (see [[assembleChunks]]). */
   def assembleWindows(
       msgs: Dataset[ChunkMsg],
       defs: Seq[ArrayDef],
-      start: Long = 0L): Dataset[TimestepWindow] = {
+      start: Long = 0L,
+      idleTtlMs: Long = 0L): Dataset[TimestepWindow] = {
     import msgs.sparkSession.implicits._
     val winSize = defs.map(d => d.name -> d.windowSize).toMap
     require(winSize.values.forall(_ >= 1), "windowSize must be >= 1")
+    val timeout =
+      if (idleTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     msgs.groupByKey(_.name)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
         (name: String, it: Iterator[ChunkMsg], state: GroupState[WinAsmState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val k = winSize.getOrElse(name, 1)
           var st = state.getOption.getOrElse(WinAsmState(Map.empty, Map.empty, start))
           val out = scala.collection.mutable.ArrayBuffer.empty[TimestepWindow]
@@ -168,7 +203,9 @@ object Simulation {
               st.completed.filter { case (t0, _) => t0 >= t + 2 - k }, t + 1)
           }
           state.update(st)
+          if (idleTtlMs > 0) state.setTimeoutDuration(idleTtlMs)
           out.iterator
+          }
         })
   }
 

@@ -294,6 +294,60 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!t.df.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("transpose permutes a 3-d array's axes exactly, no shuffle") {
+    // value(i,j,k) = 16i + 4j + k; perm (2,0,1): out(a,b,c) = in(b,c,a)
+    val t = threeD.transpose(Seq(2, 0, 1))
+    assert(t.geom == ArrayGeometry(Seq(2, 2, 2), Seq(2, 2, 2)))
+    val got = t.rowsNd.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getDouble(4)).toMap
+    for { a <- 0 to 3; b <- 0 to 3; c <- 0 to 3 }
+      assert(got((a.toLong, b.toLong, c.toLong)) == 16.0 * b + 4 * c + a,
+        s"cell ($a,$b,$c)")
+    assert(!t.df.queryExecution.executedPlan.toString.contains("Exchange"))
+    // double application of the inverse permutation restores the array
+    val back = t.transpose(Seq(1, 2, 0))
+    assert(asMap(back.zipWith(threeD)((x, y) => y - x).sumPerTimestep())
+      .apply(0L) == 0.0)
+  }
+
+  test("axisSum reduces any axis of a 3-d array to the 2-d marginals") {
+    val dense = Array.tabulate(4, 4, 4)((i, j, k) => 16.0 * i + 4 * j + k)
+    for (axis <- 0 to 2) {
+      val out = threeD.axisSum(axis)
+      assert(out.geom == ArrayGeometry(Seq(2, 2), Seq(2, 2)), s"axis $axis")
+      val got = out.rowsNd.collect()
+        .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+      for { a <- 0 to 3; b <- 0 to 3 } {
+        val want = (0 to 3).map { r =>
+          val idx = axis match {
+            case 0 => (r, a, b); case 1 => (a, r, b); case _ => (a, b, r)
+          }
+          dense(idx._1)(idx._2)(idx._3)
+        }.sum
+        assert(got((a.toLong, b.toLong)) == want, s"axis $axis cell ($a,$b)")
+      }
+    }
+  }
+
+  test("tensordot(axes=2) contracts two 3-d arrays to a 2-d result") {
+    // A(i,j,k) = 16i+4j+k, B = A: out(i,m) = Σ_{j,k} A(i,j,k) * A(j,k,m)
+    val out = threeD.tensordot(threeD, axes = 2)
+    assert(out.geom == ArrayGeometry(Seq(2, 2), Seq(2, 2)))
+    val dense = Array.tabulate(4, 4, 4)((i, j, k) => 16.0 * i + 4 * j + k)
+    val got = out.rowsNd.collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    for { i <- 0 to 3; m <- 0 to 3 } {
+      val want = (for { j <- 0 to 3; k <- 0 to 3 }
+        yield dense(i)(j)(k) * dense(j)(k)(m)).sum
+      assert(got((i.toLong, m.toLong)) == want, s"cell ($i,$m)")
+    }
+    // full contraction (axes = rank) is the rank-0 Frobenius product
+    val frob = threeD.tensordot(threeD, axes = 3)
+    assert(frob.geom.dims == 0)
+    assert(asMap(frob.sumPerTimestep())
+      .apply(0L) == dense.flatten.flatten.map(v => v * v).sum)
+  }
+
   test("concatenate stacks along an axis as a pure metadata union") {
     val a = oneD
     val b = oneD.copy(df = oneD.df.withColumn("data",

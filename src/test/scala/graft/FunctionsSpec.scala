@@ -222,6 +222,32 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("packing: shard-key width is derived from the corpus size") {
+    import graft.operators.Pipeline
+    // thresholds: 16^d shards of PackDocsPerShard docs cover the corpus
+    assert(Pipeline.packShardDigits(1) == 1)
+    assert(Pipeline.packShardDigits(16 * 64) == 1)
+    assert(Pipeline.packShardDigits(16 * 64 + 1) == 2)
+    assert(Pipeline.packShardDigits(256 * 64) == 2)
+    assert(Pipeline.packShardDigits(4096 * 64) == 3)
+    assert(Pipeline.packShardDigits(100000000L) == 6)
+    // a 100 TB-posture corpus still resolves (capped at 8 hex digits)
+    assert(Pipeline.packShardDigits(Long.MaxValue) == 8)
+  }
+
+  test("packing: shard count grows with the configured key width") {
+    import graft.operators.Pipeline
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val n1 = Pipeline.pipePackSharded(docs, 1).count()
+    val n2 = Pipeline.pipePackSharded(docs, 2).count()
+    assert(n1 <= 16, s"1 hex digit caps at 16 shards, got $n1")
+    assert(n2 > n1, s"2-digit sharding must split further ($n2 <= $n1)")
+    // token mass is invariant under re-sharding
+    def toks(d: Int) = Pipeline.pipePackSharded(docs, d)
+      .agg(org.apache.spark.sql.functions.sum("total_tokens")).head().getLong(0)
+    assert(toks(1) == toks(2))
+  }
+
   test("sampling: smp_split partitions the corpus exactly once, stably") {
     val rows = graft.operators.Pipeline.queries("smp_split")(spark, sf).collect()
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
