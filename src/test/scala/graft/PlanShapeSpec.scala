@@ -48,26 +48,56 @@ class PlanShapeSpec extends AnyFunSuite {
   /** Fact tables scanned INSIDE BroadcastExchange subtrees of `plan`. */
   private def broadcastFacts(plan: String): Set[String] = {
     val lines = plan.split('\n')
-    // A node's depth is the column of its "+-" marker: branch-continuation
-    // colons sit LEFT of it, so keying on the first ':'/'+' (as this gate
-    // originally did) collapsed every node under a ':' branch to the same
-    // depth and ended the subtree walk one line in — BroadcastExchange
-    // subtrees off non-last children were silently skipped (q15's
-    // lineitem-derived max broadcast exposed it).
-    def indent(l: String): Int = {
-      val i = l.indexOf("+-")
-      if (i < 0) Int.MaxValue else i
-    }
+    // A node's depth is the column of its node marker, which is "+-" for a
+    // LAST child and ":-" for a non-last one (branch-continuation colons are
+    // ": " and never match ":-", so the first "[:+]-" hit IS the marker).
+    // Keying on "+-" alone gave every ":-"-rooted node Int.MaxValue: as a
+    // child it inflated the walk, and as the BroadcastExchange line itself
+    // it emptied the subtree walk entirely — build-left joins and AQE
+    // replans render broadcasts as ":-" children, so those passed unseen.
+    val markerRe = "[:+]-".r
+    def indent(l: String): Int =
+      markerRe.findFirstMatchIn(l).map(_.start).getOrElse(Int.MaxValue)
     val scanRe = "testdata/sf[^/]+/(\\w+)\\.parquet".r
     lines.indices.flatMap { i =>
       if (!lines(i).contains("BroadcastExchange")) Nil
       else {
-        val base = indent(lines(i))
+        // A markerless line is the plan root: its subtree is everything below.
+        val base = if (indent(lines(i)) == Int.MaxValue) -1 else indent(lines(i))
         lines.drop(i + 1)
           .takeWhile(l => indent(l) > base) // stay inside the subtree
           .flatMap(l => scanRe.findFirstMatchIn(l).map(_.group(1)))
       }
     }.toSet.intersect(fact)
+  }
+
+  test("gate walks :- -rooted BroadcastExchange subtrees (build-left / AQE)") {
+    // Synthetic build-left plan: the broadcast is a NON-last child (":-"),
+    // exactly the shape the old "+-"-only marker parsing skipped.
+    val buildLeft =
+      """*(3) Project [o_orderkey]
+        |+- *(3) BroadcastHashJoin [l_orderkey], [o_orderkey], Inner, BuildLeft
+        |   :- BroadcastExchange HashedRelationBroadcastMode(...)
+        |   :  +- *(1) ColumnarToRow
+        |   :     +- FileScan parquet [l_orderkey] ... file:/root/testdata/sf0.001/lineitem.parquet
+        |   +- *(2) ColumnarToRow
+        |      +- FileScan parquet [o_orderkey] ... file:/root/testdata/sf0.001/orders.parquet""".stripMargin
+    assert(broadcastFacts(buildLeft) === Set("lineitem"),
+      "a :- -rooted BroadcastExchange must attribute its own scans (and only its own)")
+
+    // Deeper nesting under continuation colons: marker column, not colon
+    // column, decides depth, so the sibling probe side must stay excluded.
+    val nested =
+      """*(5) SortMergeJoin [k], [k], Inner
+        |:- *(4) Sort [k ASC]
+        |:  +- *(4) BroadcastHashJoin [d], [d], Inner, BuildLeft
+        |:     :- BroadcastExchange IdentityBroadcastMode
+        |:     :  +- FileScan parquet ... file:/root/testdata/sf0.001/events.parquet
+        |:     +- FileScan parquet ... file:/root/testdata/sf0.001/documents.parquet
+        |+- *(2) Sort [k ASC]
+        |   +- FileScan parquet ... file:/root/testdata/sf0.001/embeddings.parquet""".stripMargin
+    assert(broadcastFacts(nested) === Set("events"),
+      "subtree walk must stop at the broadcast's sibling, not leak into it")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
