@@ -132,6 +132,62 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         (col("p") + col("carry")).cast("double").as("value"))
   }
 
+  /** Cumulative sum along `axis` for ANY rank (dask/numpy
+    * `cumsum(axis=)`) — the per-axis distributed scan. Each chunk
+    * gathers its axis-lines and prefix-sums every line in one native
+    * decimal pass ([[org.apache.spark.sql.graftexpr.PrefixSumDec]]);
+    * the cross-chunk carry — the elementwise sum of the line TOTALS of
+    * all preceding chunks along the axis — arrives through a window
+    * over per-chunk total vectors, partitioned by the NON-scanned grid
+    * dims and ordered by the axis position. At scale that exchange is
+    * O(#chunks) rows of O(chunkElems / axisLen) decimals — the chunk
+    * faces orthogonal to the scan, never elements — and the window
+    * partitioning keeps every scan line independent, so parallelism is
+    * the full surviving grid. Decimal-exact, order-independent; the
+    * payload comes back as double (the scan's published face, matching
+    * [[cumsumRows]]). */
+  def cumsumAxis(axis: Int): ChunkedArray = {
+    require(axis >= 0 && axis < geom.dims, s"axis $axis out of range for rank ${geom.dims}")
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    val len = shape(axis)
+    val rem = shape.indices.filterNot(_ == axis) // non-scanned dims
+    val slabElems = geom.chunkElems / len
+    val slabStrides = rem.map(shape).scanRight(1)(_ * _).tail
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    // row-major slab coord s -> base payload offset of its axis-line
+    def baseOf(s: Column): Column = rem.zip(slabStrides)
+      .map { case (j, ss) => (fdiv(s, ss) % shape(j)) * strides(j) }
+      .reduceOption[Column](_ + _).getOrElse(lit(0))
+    // payload index -> its slab coord
+    def slabOf(idx: Column): Column = rem.zip(slabStrides)
+      .map { case (j, ss) => (fdiv(idx, strides(j)) % shape(j)) * lit(ss) }
+      .reduceOption[Column](_ + _).getOrElse(lit(0))
+    val lines = transform(sequence(lit(0), lit(slabElems - 1)), s =>
+      org.apache.spark.sql.graftexpr.PrefixSumDec.prefixSumDec(
+        transform(sequence(lit(0), lit(len - 1)), i =>
+          col("data")(baseOf(s) + i * strides(axis)).cast("double"))))
+    val staged = df
+      .select(col("timestep"), col("pos"), lines.as("lines"))
+      .withColumn("tot", transform(col("lines"), l => element_at(l, len)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("timestep") +: rem.map(d => col("pos")(d)): _*)
+      .orderBy(col("pos")(axis))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val carry = aggregate(collect_list(col("tot")).over(w),
+      array_repeat(zeroDec, slabElems),
+      (acc, v) => zip_with(acc, v, (a, b) => castDec(a + b)))
+    val outData = transform(sequence(lit(0), lit(geom.chunkElems - 1)), idx => {
+      val s = slabOf(idx)
+      val i = fdiv(idx, strides(axis)) % len
+      (element_at(element_at(col("lines"), s + 1), i + 1) +
+        element_at(col("carry"), s + 1)).cast("double")
+    })
+    copy(df = staged.withColumn("carry", carry)
+      .select(col("timestep"), col("pos"), outData.as("data")))
+  }
+
   /** Axes permutation for ANY rank (dask/numpy `transpose(axes=perm)`):
     * new axis d is old axis `perm(d)`. Grid positions permute and each
     * chunk's payload is re-packed row-major for the new axis order — a

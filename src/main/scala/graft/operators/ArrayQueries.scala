@@ -238,6 +238,22 @@ object ArrayQueries {
   def arrAxisSum(s: SparkSession, dir: String): DataFrame =
     eventsArray2dCached(s, dir).axisSumRows(axis = 1).orderBy("timestep", "idx")
 
+  /** dask `arr.sum(axis=1)` on the RANK-3 array — the rank-generic
+    * axisSum driven through a middle axis: reducing the hour axis of
+    * the 8x8x8 (user x hour x event-id) array leaves the 8x8 (user x
+    * event-id) marginal, flattened to rows. */
+  def arrAxisSum3d(s: SparkSession, dir: String): DataFrame =
+    eventsArray3dCached(s, dir).axisSum(axis = 1).rowsNd
+      .withColumnsRenamed(Map("i0" -> "i", "i1" -> "j"))
+      .orderBy("timestep", "i", "j")
+
+  /** dask `cumsum(axis=0)` on the 2-d array — the per-axis distributed
+    * scan: native chunk-local line prefixes plus a carry window keyed
+    * on the non-scanned dims. */
+  def arrCumsum2d(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir).cumsumAxis(axis = 0).rows2d
+      .orderBy("timestep", "i", "j")
+
   /** dask slicing `arr[2:6, 1:7].sum()` with chunk pruning. */
   def arrSliceSum(s: SparkSession, dir: String): DataFrame =
     eventsArray2dCached(s, dir).slice2d(2, 6, 1, 7).sumPerTimestep("total").orderBy("timestep")
@@ -458,6 +474,22 @@ object ArrayQueries {
          |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
          |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS value
          |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // middle-axis reduction of the rank-3 array: sum over h per (u, w)
+    "arr_axis_sum_3d" ->
+      s"""WITH $CELLS_3D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS i,
+         |  CAST(w AS BIGINT) AS j,
+         |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS value
+         |FROM cells3 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // running decimal sum down the u axis, one independent scan per
+    // (timestep, h) line — replays cumsumAxis(0)'s exact fold
+    "arr_cumsum2d" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS i,
+         |  CAST(h AS BIGINT) AS j,
+         |  CAST(SUM(CAST(cell AS DECIMAL(28,2)))
+         |    OVER (PARTITION BY timestep, h ORDER BY u) AS DOUBLE) AS value
+         |FROM cells ORDER BY 1, 2, 3""".stripMargin,
     // transpose flips the reduced axis: sum over u per h
     "arr_transpose_sum" ->
       s"""WITH $CELLS_2D_DENSE
@@ -535,6 +567,8 @@ object ArrayQueries {
     "arr_elementwise_chain" -> (arrElementwiseChain _),
     "arr_window_delta" -> (arrWindowDelta _),
     "arr_axis_sum" -> (arrAxisSum _),
+    "arr_axis_sum_3d" -> (arrAxisSum3d _),
+    "arr_cumsum2d" -> (arrCumsum2d _),
     "arr_transpose_sum" -> (arrTransposeSum _),
     "arr_concat_stats" -> (arrConcatStats _),
     "arr_slice_sum" -> (arrSliceSum _),

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, posexplode}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -102,6 +103,33 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getAs[Long]("idx") -> r.getAs[Double]("value")).toMap
     // col j: sum_i (10i + j) = 60 + 4j
     assert(cols == Map(0L -> 60.0, 1L -> 64.0, 2L -> 68.0, 3L -> 72.0))
+  }
+
+  test("cumsumAxis scans any axis of a 2-d array across chunk lines") {
+    // value(i,j) = 10i + j; axis 0 scans down columns:
+    // out(i,j) = sum_{r<=i} (10r + j) = 10*i*(i+1)/2 + (i+1)*j
+    val down = twoD.cumsumAxis(axis = 0).rows2d.collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r.getAs[Double]("value")).toMap
+    for (i <- 0 to 3; j <- 0 to 3)
+      assert(down((i.toLong, j.toLong)) == 10.0 * i * (i + 1) / 2 + (i + 1) * j,
+        s"axis 0 at ($i, $j)")
+    // axis 1 scans along rows: out(i,j) = sum_{c<=j} (10i + c)
+    val along = twoD.cumsumAxis(axis = 1).rows2d.collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r.getAs[Double]("value")).toMap
+    for (i <- 0 to 3; j <- 0 to 3)
+      assert(along((i.toLong, j.toLong)) == 10.0 * i * (j + 1) + j * (j + 1) / 2.0,
+        s"axis 1 at ($i, $j)")
+  }
+
+  test("cumsumAxis on a 1-d array replays cumsumRows exactly") {
+    val viaAxis = oneD.cumsumAxis(axis = 0).df
+      .select(col("timestep"), col("pos")(0).cast("bigint").as("c"),
+        posexplode(col("data")).as(Seq("i", "v")))
+      .select(col("timestep"), (col("c") * 4 + col("i")).as("idx"), col("v").as("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaRows = oneD.cumsumRows().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaAxis == viaRows)
   }
 
   test("stencilLaplacian matches a dense zero-padded reference") {
