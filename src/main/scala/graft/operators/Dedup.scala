@@ -306,33 +306,30 @@ object Dedup {
         max(col("jaccard")).as("max_jac"))
       .orderBy("source")
 
-  /** Embedding-cosine near-duplicate pairs, blocked on the random-
-    * hyperplane LSH bucket (the same 6-plane signature the similarity
-    * path uses, [[Similarity.bucketCol]]) with `label` kept as a
-    * secondary equality predicate. Bucket cardinality is 2^6 per label
-    * and bucket size is O(n/2^planes) for spread embeddings — the pair
-    * join is subquadratic and adding planes tightens it further; an
-    * all-pairs-per-label join would be O(n²) at corpus scale.
-    *
-    * MULTI-PROBE: one side additionally probes the 6 hamming-1 neighbor
-    * buckets (its bucket with one sign bit flipped), so near-pairs that
-    * straddle a single hyperplane are recovered — the standard
-    * multi-probe LSH recall fix at a 7x candidate cost (still
-    * subquadratic). Pairs differing in >1 sign bit remain out of reach;
-    * this is approximate BY DESIGN (the exact variant is the all-pairs
-    * join this replaced). A bucket pair matches via exactly one probe
-    * (equal buckets -> the unflipped probe, hamming-1 -> that one flip),
-    * so no dedup step is needed.
-    * Norms are computed once per vector before the pairwise join. */
-  def ddEmbedNear(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("emb"))
+  /** Probe depth for [[ddEmbedNear]]: every vector probes each bucket
+    * within this hamming distance of its own, so near-pairs straddling
+    * up to this many hyperplanes are recovered. */
+  val EmbedProbeDepth = 2
+
+  /** All XOR masks of hamming weight <= `depth` over the NumPlanes sign
+    * bits (22 masks at depth 2 over 6 planes). A candidate pair matches
+    * through exactly ONE mask — the XOR of the two buckets — so
+    * multi-probe needs no dedup step at any depth, and candidate volume
+    * scales by |masks|, never by corpus size. */
+  private[graft] def probeMasks(depth: Int): Seq[Long] =
+    (0L until (1L << Similarity.NumPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= depth)
+
+  /** Pair generation for [[ddEmbedNear]] over any `(vec_id, label,
+    * emb)` relation — factored out so the recall contract (a planted
+    * pair straddling two hyperplanes IS recovered at depth 2) is
+    * spec-testable on synthetic vectors. */
+  private[graft] def embedNearPairs(raw: DataFrame, depth: Int): DataFrame = {
+    val e = raw
       .withColumn("n2", norm2(col("emb")))
       .withColumn("bucket", Similarity.bucketCol(col("emb")))
     val probed = e.withColumn("probe", explode(array(
-      (col("bucket") +: (0 until Similarity.NumPlanes).map(i =>
-        col("bucket").bitwiseXOR(lit(1L << i)))): _*)))
+      probeMasks(depth).map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
     // corpus-scale on both sides: bucket-keyed shuffle join, no broadcast
     probed.as("a").join(e.as("b").hint("shuffle_hash"),
         col("a.probe") === col("b.bucket") && col("a.label") === col("b.label") &&
@@ -342,8 +339,32 @@ object Dedup {
         cosineWithNorms(dot(col("a.emb"), col("b.emb")),
           col("a.n2"), col("b.n2")).as("cos"))
       .filter(col("cos") > 0.3)
-      .orderBy("label", "vec_a", "vec_b")
   }
+
+  /** Embedding-cosine near-duplicate pairs, blocked on the random-
+    * hyperplane LSH bucket (the same 6-plane signature the similarity
+    * path uses, [[Similarity.bucketCol]]) with `label` kept as a
+    * secondary equality predicate. Bucket cardinality is 2^6 per label
+    * and bucket size is O(n/2^planes) for spread embeddings — the pair
+    * join is subquadratic and adding planes tightens it further; an
+    * all-pairs-per-label join would be O(n²) at corpus scale.
+    *
+    * MULTI-PROBE at depth [[EmbedProbeDepth]]: one side probes every
+    * bucket within hamming distance 2 of its own (22 probes over 6
+    * planes), so near-pairs straddling one OR two hyperplanes are
+    * recovered — deeper than the standard hamming-1 multi-probe, still
+    * a constant candidate-cost factor. Pairs differing in >2 sign bits
+    * remain out of reach; this is approximate BY DESIGN (the exact
+    * variant is the all-pairs join this replaced). See [[probeMasks]]
+    * for why no dedup step is needed.
+    * Norms are computed once per vector before the pairwise join. */
+  def ddEmbedNear(s: SparkSession, dir: String): DataFrame =
+    embedNearPairs(
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb")),
+      EmbedProbeDepth)
+      .orderBy("label", "vec_a", "vec_b")
 
   /** Duplicate-cluster resolution — the step a production dedup pipeline
     * runs after pair generation: connected components over the verified
@@ -559,9 +580,8 @@ object Dedup {
          |  FROM embeddings),
          |pr AS (
          |  SELECT vec_id, label, embedding,
-         |    unnest(list_prepend(bucket,
-         |      list_transform(range(${Similarity.NumPlanes}),
-         |        i -> xor(bucket, CAST(1 AS BIGINT) << CAST(i AS INT))))) AS probe
+         |    unnest(list_transform([${probeMasks(EmbedProbeDepth).mkString(", ")}],
+         |      m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
          |  FROM bk)
          |SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cos

@@ -37,6 +37,44 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(edges).isEmpty)
   }
 
+  test("depth-2 multi-probe recovers a planted pair straddling two hyperplanes") {
+    import graft.operators.Similarity
+    // Deterministic search for two high-cosine vectors whose sign
+    // buckets differ in EXACTLY two planes — the pair hamming-1 probing
+    // cannot reach by construction.
+    def bucketOf(v: Array[Double]): Long = Similarity.planes.zipWithIndex.map {
+      case (w, p) => if (v.zip(w).map { case (x, y) => x * y }.sum > 0) 1L << p else 0L
+    }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val rnd = new scala.util.Random(7)
+    def gauss() = Array.fill(Similarity.Dim)(rnd.nextGaussian())
+    val planted = Iterator.continually {
+      val v = gauss()
+      val g = gauss()
+      (1 to 20).iterator.map { k =>
+        val b = v.zip(g).map { case (x, y) => x + 0.05 * k * y }
+        (v, b)
+      }.find { case (a, b) =>
+        java.lang.Long.bitCount(bucketOf(a) ^ bucketOf(b)) == 2 && cos(a, b) > 0.3
+      }
+    }.take(500).flatten.next()
+    val (va, vb) = planted
+    val df = Seq((1L, 0L, va.toSeq), (2L, 0L, vb.toSeq)).toDF("vec_id", "label", "emb")
+    val shallow = Dedup.embedNearPairs(df, depth = 1).count()
+    val deep = Dedup.embedNearPairs(df, depth = 2).count()
+    assert(shallow == 0L, "hamming-1 probing must miss a 2-plane straddle (by construction)")
+    assert(deep == 1L, "depth-2 probing must recover the planted pair")
+  }
+
+  test("probe masks are distinct, so multi-probe generates each pair exactly once") {
+    val masks = Dedup.probeMasks(2)
+    assert(masks.size == 1 + 6 + 15) // weight 0, 1, 2 over 6 planes
+    assert(masks.distinct.size == masks.size)
+  }
+
   test("dd_cluster clusters cover every verified pair endpoint exactly once") {
     val dir = "/root/testdata/sf0.001"
     val clusters = Dedup.ddCluster(spark, dir).as[(Long, Long)].collect()
