@@ -397,20 +397,36 @@ object WindowedArrays {
     * and older ones cannot re-emit (the same horizon caveat as
     * [[Simulation.assemble]]). Consecutive chunks at one grid position
     * must keep one payload length (contract failure fails the query
-    * loudly rather than truncating silently). */
-  def elementwiseDelta(chunks: DataFrame, horizon: Int = 8): Dataset[DeltaChunk] = {
+    * loudly rather than truncating silently).
+    *
+    * `idleTtlMs > 0` expires a position's state that long after its last
+    * chunk (processing-time timeout) — the [[assemble]]/[[assembleChunks]]
+    * idle-TTL contract, here keyed per (name, pos): without it a dead
+    * producer pins every grid position's recent-payload map forever. A
+    * post-expiry replay is treated as a fresh stream at that position
+    * (its first chunk emits no delta). Pair a TTL with an explicit
+    * trigger interval (see [[assembleChunks]]). */
+  def elementwiseDelta(
+      chunks: DataFrame, horizon: Int = 8, idleTtlMs: Long = 0L): Dataset[DeltaChunk] = {
     import chunks.sparkSession.implicits._
     def diff(name: String, t: Long, cur: Seq[Double], prev: Seq[Double], pos: Seq[Int]): DeltaChunk = {
       require(cur.length == prev.length,
         s"chunk $name$pos changed payload length at t=$t: ${prev.length} -> ${cur.length}")
       DeltaChunk(name, t, pos, cur.zip(prev).map { case (x, y) => x - y })
     }
+    val timeout =
+      if (idleTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     chunks.select(col("name"), col("timestep"), col("pos"), col("data"))
       .as[(String, Long, Seq[Int], Seq[Double])]
       .groupByKey { case (name, _, pos, _) => (name, pos) }
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
         (key: (String, Seq[Int]), it: Iterator[(String, Long, Seq[Int], Seq[Double])],
          state: GroupState[WinState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var st = state.getOption.getOrElse(WinState(Map.empty, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[DeltaChunk]
           // process in timestep order so same-batch predecessors resolve
@@ -426,7 +442,9 @@ object WindowedArrays {
             }
           }
           state.update(st)
+          if (idleTtlMs > 0) state.setTimeoutDuration(idleTtlMs)
           out.iterator
+          }
         })
   }
 
@@ -437,16 +455,31 @@ object WindowedArrays {
     * Delivery is strictly in timestep order per (name, pos); an emitted
     * timestep's watermark rejects replays, and a missing timestep stalls
     * that position as in [[Simulation.assembleWindows]]. State per key is
-    * the buffered payloads — O(k + out-of-order advance). */
-  def chunkWindows(chunks: DataFrame, k: Int, start: Long = 0L): Dataset[ChunkWindow] = {
+    * the buffered payloads — O(k + out-of-order advance).
+    *
+    * `idleTtlMs > 0` expires a position's WHOLE state (buffered payloads
+    * AND the emission watermark) that long after its last chunk — the
+    * [[assembleWindows]] TTL contract keyed per (name, pos). The
+    * watermark resets to `start` with the rest of the state, so a
+    * post-expiry replay re-emits from the replayed timestep on. Pair a
+    * TTL with an explicit trigger interval (see [[assembleChunks]]). */
+  def chunkWindows(
+      chunks: DataFrame, k: Int, start: Long = 0L, idleTtlMs: Long = 0L): Dataset[ChunkWindow] = {
     import chunks.sparkSession.implicits._
     require(k >= 1, "window size must be >= 1")
+    val timeout =
+      if (idleTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     chunks.select(col("name"), col("timestep"), col("pos"), col("data"))
       .as[(String, Long, Seq[Int], Seq[Double])]
       .groupByKey { case (name, _, pos, _) => (name, pos) }
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
         (key: (String, Seq[Int]), it: Iterator[(String, Long, Seq[Int], Seq[Double])],
          state: GroupState[ChunkWinState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var st = state.getOption.getOrElse(ChunkWinState(Map.empty, start))
           val out = scala.collection.mutable.ArrayBuffer.empty[ChunkWindow]
           it.foreach { case (name, t, pos, data) =>
@@ -462,7 +495,9 @@ object WindowedArrays {
             }
           }
           state.update(st)
+          if (idleTtlMs > 0) state.setTimeoutDuration(idleTtlMs)
           out.iterator
+          }
         })
   }
 }

@@ -286,6 +286,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("ttl_out2").count() == 1)
   }
 
+  test("elementwiseDelta and chunkWindows expire a dead producer's state (idle TTL)") {
+    implicit val sc = spark.sqlContext
+    def awaitRows(table: String, n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (spark.table(table).count() < n && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(spark.table(table).count() >= n, s"$table never reached $n rows")
+    }
+    // elementwiseDelta: after expiry the position restarts fresh, so the
+    // replayed stream's FIRST chunk emits no delta (t=1 finds no t=0) and
+    // only t=2 - t=1 comes out; surviving state would have emitted both.
+    val in = MemoryStream[(String, Long, Seq[Int], Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "pos", "data")
+    val q = graft.streaming.WindowedArrays.elementwiseDelta(chunks, idleTtlMs = 1L)
+      .writeStream
+      .format("memory").queryName("ed_ttl").outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      .start()
+    in.addData(("a", 0L, Seq(0), Seq(1.0)), ("a", 1L, Seq(0), Seq(5.0)))
+    awaitRows("ed_ttl", 1) // t=1's delta proves the first batch ran
+    Thread.sleep(500) // let the 1 ms TTL lapse and a no-data batch fire it
+    in.addData(("a", 2L, Seq(0), Seq(7.0)), ("a", 3L, Seq(0), Seq(10.0)))
+    awaitRows("ed_ttl", 2)
+    q.stop()
+    val deltas = spark.table("ed_ttl").as[graft.streaming.DeltaChunk].collect()
+    assert(deltas.map(d => d.timestep -> d.data).toSet == Set(
+      1L -> Seq(4.0), 3L -> Seq(3.0)),
+      "expired state must not supply t=1 as t=2's predecessor")
+
+    // chunkWindows: expiry resets the emission watermark to `start`, so a
+    // replayed t=0 re-emits — within-TTL state would have dropped it.
+    val in2 = MemoryStream[(String, Long, Seq[Int], Seq[Double])]
+    val chunks2 = in2.toDF().toDF("name", "timestep", "pos", "data")
+    val q2 = graft.streaming.WindowedArrays.chunkWindows(chunks2, 2, idleTtlMs = 1L)
+      .writeStream
+      .format("memory").queryName("cw_ttl").outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      .start()
+    in2.addData(("a", 0L, Seq(0), Seq(1.0)))
+    awaitRows("cw_ttl", 1)
+    Thread.sleep(500)
+    in2.addData(("a", 0L, Seq(0), Seq(2.0)))
+    awaitRows("cw_ttl", 2)
+    q2.stop()
+    val wins = spark.table("cw_ttl").as[graft.streaming.ChunkWindow].collect()
+    assert(wins.count(_.timestep == 0L) == 2,
+      "post-expiry replay must re-emit from the reset watermark")
+  }
+
   test("WindowedArrays.chunkWindows delivers the last k payloads per position") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(String, Long, Seq[Int], Seq[Double])]
