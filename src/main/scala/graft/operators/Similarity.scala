@@ -330,18 +330,18 @@ object Similarity {
   private val trainedCentroids =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), IndexedSeq[IndexedSeq[Double]]]()
 
-  /** (name, size, mtime) fingerprint of the embeddings table's files. */
-  private def embFingerprint(dir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
-      else Seq(f)
-    walk(new java.io.File(s"$dir/embeddings.parquet"))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
-  }
+  /** Content fingerprint of the embeddings table ([[Tables.fingerprint]]);
+    * `None` means "cannot prove freshness" and the caller trains fresh. */
+  private[graft] def embFingerprint(s: SparkSession, dir: String): Option[String] =
+    Tables.fingerprint(s, dir, "embeddings")
 
   /** Most recent trained quantizer — read by [[oracles]] AFTER the
     * queries have run (Verify's order) to embed the centroid literals
-    * into sim_ivf_trained's oracle SQL. */
+    * into sim_ivf_trained's oracle SQL. A single slot is sound because
+    * the driver contract is one sfDir per Verify JVM (oracleSql takes no
+    * dir); if a future harness trained on two dirs in one JVM, the
+    * oracle would embed only the later fit — key this by dir and thread
+    * the dir through oracleSql if that contract ever changes. */
   private val lastTrained =
     new java.util.concurrent.atomic.AtomicReference[IndexedSeq[IndexedSeq[Double]]](null)
 
@@ -349,9 +349,14 @@ object Similarity {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("n2", norm2(col("emb")))
-    val cents = trainedCentroids.computeIfAbsent(
-      (s"$dir|${embFingerprint(dir)}", NumCentroids, 3),
-      _ => trainCentroids(e.select(col("vec_id"), col("emb")), NumCentroids, iters = 3))
+    def fit() = trainCentroids(e.select(col("vec_id"), col("emb")), NumCentroids, iters = 3)
+    // an unfingerprintable table (missing/unlistable path) trains fresh
+    // rather than risking a stale memo hit
+    val cents = embFingerprint(s, dir) match {
+      case Some(fp) =>
+        trainedCentroids.computeIfAbsent((s"$dir|$fp", NumCentroids, 3), _ => fit())
+      case None => fit()
+    }
     lastTrained.set(cents)
     // d2 up to the per-row |x|^2 constant: |c|^2 - 2<x,c>
     val distStructs = cents.zipWithIndex.map { case (c, i) =>

@@ -42,6 +42,32 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
+  /** (name, size, mtime) content fingerprint of a table's files, via the
+    * Hadoop FileSystem API so it works wherever the table lives
+    * (HDFS/S3/local — a `java.io.File` walk NPEs on any non-local path).
+    * `None` when the path is missing or unlistable; callers treat that
+    * as "cannot prove freshness" and skip their memo. Used to key
+    * derived-relation caches (trained centroids, tokenized corpora) so
+    * data regenerated in place invalidates them. */
+  def fingerprint(spark: SparkSession, dir: String, name: String): Option[String] = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val root = new Path(s"$dir/$name.parquet")
+    try {
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(st: FileStatus): Seq[FileStatus] =
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).sortBy(_.getPath.getName).toSeq.flatMap(walk)
+        else Seq(st)
+      val files = walk(fs.getFileStatus(root))
+      if (files.isEmpty) None
+      else Some(files
+        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        .mkString(";"))
+    } catch {
+      case _: java.io.IOException => None
+    }
+  }
+
   /** Schema-checked CSV reader (header + explicit schema: never infer on
     * a 100 TB source — inference is a full extra pass). */
   def readCsv(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =

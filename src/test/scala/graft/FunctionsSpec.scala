@@ -134,6 +134,24 @@ class FunctionsSpec extends AnyFunSuite {
       s"centroid assignment must not cross-join:\n$plan")
   }
 
+  test("similarity: embFingerprint uses the Hadoop FS and survives missing dirs") {
+    // a real table fingerprints; a missing one is None (no NPE), so the
+    // trained path falls back to a fresh fit instead of a stale memo
+    val fp = Similarity.embFingerprint(spark, sf)
+    assert(fp.exists(_.nonEmpty))
+    assert(Similarity.embFingerprint(spark, "/tmp/graft_no_such_dir").isEmpty)
+    // rewriting a file in place changes the fingerprint (size or mtime)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    val tbl = java.nio.file.Paths.get(tmp, "embeddings.parquet")
+    java.nio.file.Files.createDirectory(tbl)
+    val part = tbl.resolve("part-0")
+    java.nio.file.Files.writeString(part, "aa")
+    val before = Similarity.embFingerprint(spark, tmp)
+    java.nio.file.Files.writeString(part, "abcd")
+    val after = Similarity.embFingerprint(spark, tmp)
+    assert(before.exists(_.nonEmpty) && after.exists(_.nonEmpty) && before != after)
+  }
+
   test("similarity: k-means trains the IVF quantizer deterministically") {
     import org.apache.spark.sql.functions.col
     // two well-separated blobs around (0,0) and (10,10); init takes the
