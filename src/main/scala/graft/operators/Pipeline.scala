@@ -240,20 +240,32 @@ object Pipeline {
     * corpus-sized partition. Offsets come from one cumulative sum; all
     * divisions are exact (<2^53) doubles so floor/ceil match DuckDB. */
   def pipePack(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-    pipePackSharded(docs, packShardDigits(docs.count()))
+    // the persisted tokenized relation serves the sizing count, the
+    // per-doc token lengths AND txt_vocab_coverage — one corpus
+    // tokenize pass per session+content, and the count is a cached-
+    // relation count, not an extra source scan
+    val toks = tokenizedDocs(s, dir)
+    packedReport(
+      toks.select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tokens")),
+      packShardDigits(toks.count()))
   }
 
   /** [[pipePack]] over an explicit shard-key width (16^shardDigits
     * shards); the spec drives this directly to assert the shard count
     * scales with the width. */
-  private[graft] def pipePackSharded(docs: DataFrame, shardDigits: Int): DataFrame = {
-    val cap = 128.0
-    val d = docs
-      .select(col("doc_id"),
+  private[graft] def pipePackSharded(docs: DataFrame, shardDigits: Int): DataFrame =
+    packedReport(
+      docs.select(col("doc_id"),
         size(org.apache.spark.sql.graftexpr.TextExpressions
-          .wordNgrams(col("text"), 1)).cast("bigint").as("n_tokens"),
-        substring(md5(col("doc_id").cast("string")), 1, shardDigits).as("shard"))
+          .wordNgrams(col("text"), 1)).cast("bigint").as("n_tokens")),
+      shardDigits)
+
+  /** Packing report over a `(doc_id, n_tokens)` relation. */
+  private def packedReport(tokenCounts: DataFrame, shardDigits: Int): DataFrame = {
+    val cap = 128.0
+    val d = tokenCounts
+      .withColumn("shard",
+        substring(md5(col("doc_id").cast("string")), 1, shardDigits))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
     val offs = d.withColumn("cum", sum("n_tokens").over(w))
@@ -273,6 +285,35 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** Persisted `(doc_id, tk)` tokenized corpus, memoized per
+    * (session, dir) and keyed by the table's CONTENT fingerprint — the
+    * centroid-memo pattern ([[Similarity]]): a rewrite-in-place
+    * invalidates (the stale entry is unpersisted, not leaked), and an
+    * unfingerprintable table skips the memo rather than risking a stale
+    * hit. One entry per (session, dir) at any time, so repeated
+    * queries hold exactly one MEMORY_AND_DISK tokenize of the corpus —
+    * the relation every Pipeline text query shares. */
+  private val tokCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+  private def tokenizedDocs(s: SparkSession, dir: String): DataFrame = {
+    def build() = Tables.load(s, dir, "documents")
+      .withColumn("tk",
+        org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
+      .select("doc_id", "tk")
+    Tables.fingerprint(s, dir, "documents") match {
+      case None => build() // unverifiable content: no persist, no memo
+      case Some(fp) =>
+        tokCache.get((s, dir)) match {
+          case Some((`fp`, df)) => df
+          case stale =>
+            stale.foreach(_._2.unpersist(blocking = false))
+            val df = build().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            tokCache.update((s, dir), (fp, df))
+            df
+        }
+    }
+  }
+
   /** Vocabulary coverage (OOV-rate quality filter, CCNet-style but
     * log-free so it replays exactly cross-engine): fraction of each
     * document's tokens OUTSIDE the corpus top-100 vocabulary. The vocab
@@ -280,18 +321,13 @@ object Pipeline {
     * tie-break) so it broadcasts; the corpus side stays distributed and
     * shuffles only the word-count partial aggregates.
     *
-    * The tokenized relation feeds BOTH the vocab build and the coverage
-    * join — persisted so the corpus is scanned and tokenized ONCE (the
-    * dedup family's shared-signature-table pattern, and the cache
+    * The shared [[tokenizedDocs]] relation feeds BOTH the vocab build
+    * and the coverage join — the corpus is scanned and tokenized ONCE
+    * (the dedup family's shared-signature-table pattern, and the cache
     * boundary also keeps Catalyst from re-inlining the tokenizer into
-    * both branches; CacheManager dedups the entry across repeated
-    * calls on the same session). */
+    * both branches). */
   def txtVocabCoverage(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-      .withColumn("tk",
-        org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
-      .select("doc_id", "tk")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = tokenizedDocs(s, dir)
     val vocab = docs.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("w")).limit(100)
