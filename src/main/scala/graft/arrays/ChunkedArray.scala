@@ -346,6 +346,43 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         (-col("m.negIdx")).cast("bigint").as("arg_idx"))
   }
 
+  /** Per-timestep global argmax for ANY rank (dask/numpy `argmax` on an
+    * N-d array): the hotspot's per-dimension indices. Same wire posture
+    * as [[argmaxRows]] — each chunk folds to ONE (value, global
+    * row-major flat index) struct, ties to the LOWEST flat index (=
+    * lowest multi-index in row-major order, numpy's rule), then a tiny
+    * struct-max merge per timestep; the flat index decomposes into
+    * `i0..i{n-1}` columns only at the end. Index math runs in exact
+    * integer `div`/`%` (no double rounding), widened to bigint before
+    * any multiply. Returns `(timestep, max_val, i0..i{n-1})`. */
+  def argmaxNd(): DataFrame = {
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    val gdims = (0 until geom.dims).map(geom.dimSize)
+    val gstrides = gdims.map(_.toLong).scanRight(1L)(_ * _).tail
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    val best = aggregate(
+      transform(sequence(lit(0), lit(geom.chunkElems - 1)), i => {
+        val gflat = (0 until geom.dims).map { d =>
+          (col("pos")(d).cast("bigint") * shape(d) + fdiv(i, strides(d)) % shape(d)) *
+            gstrides(d)
+        }.reduce(_ + _)
+        // struct max = highest value; ties -> highest negIdx = lowest index
+        struct(col("data")(i).as("v"), (-gflat).as("negIdx"))
+      }),
+      struct(lit(Double.NegativeInfinity).as("v"), lit(Long.MinValue).as("negIdx")),
+      (acc, x) => when(x("v") > acc("v") ||
+        (x("v") === acc("v") && x("negIdx") > acc("negIdx")), x).otherwise(acc))
+    df.select(col("timestep"), best.as("b"))
+      .groupBy("timestep")
+      .agg(max(col("b")).as("m"))
+      .select(col("timestep") +: col("m.v").as("max_val") +:
+        (0 until geom.dims).map(d =>
+          ((expr(s"(-m.negIdx) div ${gstrides(d)}") % gdims(d)).cast("bigint"))
+            .as(s"i$d")): _*)
+  }
+
   /** Per-timestep population variance (dask `arr.var(axis=time-slice)`):
     * both moments fold through DECIMAL — squares of 2-decimal values
     * are 4-decimal-exact — so the moments are order-independent and

@@ -187,6 +187,14 @@ object ArrayQueries {
   def arrArgmax(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).argmaxRows().orderBy("timestep")
 
+  /** dask N-d `argmax` — the rank-generic hotspot probe on the 2-d
+    * array: the per-timestep max cell's (user, hour) coordinates, ties
+    * to the lowest row-major multi-index. */
+  def arrArgmax2d(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir).argmaxNd()
+      .withColumnsRenamed(Map("i0" -> "i", "i1" -> "j"))
+      .orderBy("timestep")
+
   /** dask-style one-pass stats per timestep. */
   def arrStatsTs(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).statsPerTimestep.orderBy("timestep")
@@ -377,6 +385,17 @@ object ArrayQueries {
          |SELECT CAST(timestep AS BIGINT) AS timestep, cell AS max_val,
          |  CAST(u AS BIGINT) AS arg_idx
          |FROM rk WHERE rn = 1 ORDER BY timestep""".stripMargin,
+    // N-d argmax with ties to the lowest row-major (u, h) multi-index
+    "arr_argmax_2d" ->
+      s"""WITH $CELLS_2D_DENSE,
+         |rk AS (
+         |  SELECT timestep, cell, u, h,
+         |    ROW_NUMBER() OVER (PARTITION BY timestep
+         |      ORDER BY cell DESC, u, h) AS rn
+         |  FROM cells)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, cell AS max_val,
+         |  CAST(u AS BIGINT) AS i, CAST(h AS BIGINT) AS j
+         |FROM rk WHERE rn = 1 ORDER BY timestep""".stripMargin,
     // exact decimal moments; the final double expression mirrors the
     // Spark operand order exactly: (sq - t*t/n) / n
     "arr_var_ts" ->
@@ -562,6 +581,7 @@ object ArrayQueries {
     "arr_cumsum" -> (arrCumsum _),
     "arr_var_ts" -> (arrVarTs _),
     "arr_argmax" -> (arrArgmax _),
+    "arr_argmax_2d" -> (arrArgmax2d _),
     "arr_mean_diff" -> (arrMeanDiff _),
     "arr_preprocess_sum" -> (arrPreprocessSum _),
     "arr_elementwise_chain" -> (arrElementwiseChain _),

@@ -121,6 +121,24 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"axis 1 at ($i, $j)")
   }
 
+  test("argmaxNd locates the hotspot on any rank, ties to lowest row-major index") {
+    // twoD's max is value(3,3) = 33
+    val r = twoD.argmaxNd().collect().head
+    assert((r.getAs[Double]("max_val"), r.getAs[Long]("i0"), r.getAs[Long]("i1")) ==
+      (33.0, 3L, 3L))
+    // constant array: every cell ties -> numpy picks index (0, 0)
+    val tied = twoD.mapValues(_ * 0.0 + 7.0)
+    val t = tied.argmaxNd().collect().head
+    assert((t.getAs[Double]("max_val"), t.getAs[Long]("i0"), t.getAs[Long]("i1")) ==
+      (7.0, 0L, 0L))
+    // 1-d face agrees with argmaxRows on both timesteps
+    val nd = oneD.argmaxNd().collect()
+      .map(r => r.getAs[Long]("timestep") -> (r.getAs[Double]("max_val"), r.getAs[Long]("i0"))).toMap
+    val rows = oneD.argmaxRows().collect()
+      .map(r => r.getAs[Long]("timestep") -> (r.getAs[Double]("max_val"), r.getAs[Long]("arg_idx"))).toMap
+    assert(nd == rows)
+  }
+
   test("cumsumAxis on a 1-d array replays cumsumRows exactly") {
     val viaAxis = oneD.cumsumAxis(axis = 0).df
       .select(col("timestep"), col("pos")(0).cast("bigint").as("c"),

@@ -34,7 +34,9 @@ object DumpPlans {
       "dd_simhash" ->
         "60-bit signature, one codegen'd pass; 4x15-bit band self-join (guaranteed recall at hamming <= 3), pair distinct, tiny histogram agg.",
       "dd_embed_near" ->
-        "Hyperplane-bucket blocking with hamming-1 multi-probe on one side (7x explode); pair join is bucket+label equi-join, never all-pairs.",
+        "Hyperplane-bucket blocking with hamming<=2 multi-probe on one side (22x explode); pair join is bucket+label equi-join, never all-pairs.",
+      "arr_cumsum2d" ->
+        "Per-axis scan: native line prefixes chunk-locally; the carry window partitions by the NON-scanned grid dims, so the only exchange moves one slab-sized vector per chunk and every scan line stays independent.",
       "sim_topk_bruteforce" ->
         "Probes broadcast; codegen'd dots feed TopKPerKeyExec partial/final (bounded heap, no per-probe sort); the corpus never shuffles raw.",
       "sim_ivf_ann" ->
