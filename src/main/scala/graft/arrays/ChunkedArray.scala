@@ -664,6 +664,52 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       ArrayGeometry(rem.map(geom.chunksPerDim), remShape))
   }
 
+  /** Generic reduction along `axis` for ANY rank >= 2 under an
+    * associative, commutative, dtype-preserving combine (min, max —
+    * sums take [[axisSum]]'s decimal-exact path instead): chunk-local
+    * fold along the axis, then an elementwise combine of partial blocks
+    * across the axis's chunk line — [[axisSum]]'s wire posture (one
+    * small block per chunk shuffles, never elements) with the payload
+    * dtype preserved. The fold seeds from the first cell of each line,
+    * so no per-type identity element is needed. */
+  def axisReduce(axis: Int)(combine: (Column, Column) => Column): ChunkedArray = {
+    require(geom.dims >= 2, "axisReduce needs rank >= 2")
+    require(axis >= 0 && axis < geom.dims, s"axis $axis out of range")
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    val rem = shape.indices.filterNot(_ == axis)
+    val remShape = rem.map(shape)
+    val outElems = remShape.product
+    val outStrides = remShape.scanRight(1)(_ * _).tail
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    val partial = transform(sequence(lit(0), lit(outElems - 1)), s => {
+      val base = rem.zip(outStrides).map { case (j, os) =>
+        (fdiv(s, os) % shape(j)) * strides(j)
+      }.reduce(_ + _)
+      aggregate(sequence(lit(1), lit(shape(axis) - 1)), col("data")(base),
+        (acc, i) => combine(acc, col("data")(base + i * strides(axis))))
+    })
+    val merged = df
+      .select(col("timestep"),
+        array(rem.map(d => col("pos")(d)): _*).as("pos"), partial.as("part"))
+      .groupBy("timestep", "pos")
+      .agg(collect_list(col("part")).as("parts"))
+      .select(col("timestep"), col("pos"),
+        // length > remaining is fine; a literal Int.MaxValue length is
+        // NOT (start + length overflows int inside Slice -> empty)
+        aggregate(slice(col("parts"), lit(2), size(col("parts"))),
+          element_at(col("parts"), 1),
+          (acc, v) => zip_with(acc, v, combine)).as("data"))
+    ChunkedArray(merged, ArrayGeometry(rem.map(geom.chunksPerDim), remShape))
+  }
+
+  /** Elementwise maximum along `axis` (dask `arr.max(axis=)`). */
+  def axisMax(axis: Int): ChunkedArray = axisReduce(axis)(greatest(_, _))
+
+  /** Elementwise minimum along `axis` (dask `arr.min(axis=)`). */
+  def axisMin(axis: Int): ChunkedArray = axisReduce(axis)(least(_, _))
+
   /** 2-d convenience over [[axisSum]]: rows `(timestep, idx, value)` of
     * the reduced 1-d array. */
   def axisSumRows(axis: Int): DataFrame = {

@@ -246,6 +246,15 @@ object ArrayQueries {
   def arrAxisSum(s: SparkSession, dir: String): DataFrame =
     eventsArray2dCached(s, dir).axisSumRows(axis = 1).orderBy("timestep", "idx")
 
+  /** dask `arr.max(axis=1)` on the 2-d array — the generic
+    * [[graft.arrays.ChunkedArray.axisReduce]] under `greatest`: per-user
+    * hour-axis maxima, dtype-preserving, same one-block-per-chunk wire
+    * posture as the sum. */
+  def arrAxisMax(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir).axisMax(axis = 1).rowsNd
+      .withColumnsRenamed(Map("i0" -> "idx"))
+      .orderBy("timestep", "idx")
+
   /** dask `arr.sum(axis=1)` on the RANK-3 array — the rank-generic
     * axisSum driven through a middle axis: reducing the hour axis of
     * the 8x8x8 (user x hour x event-id) array leaves the 8x8 (user x
@@ -493,6 +502,12 @@ object ArrayQueries {
          |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
          |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS value
          |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // hour-axis maxima per user over the dense 2-d cells
+    "arr_axis_max" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
+         |  MAX(cell) AS value
+         |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // middle-axis reduction of the rank-3 array: sum over h per (u, w)
     "arr_axis_sum_3d" ->
       s"""WITH $CELLS_3D_DENSE
@@ -587,6 +602,7 @@ object ArrayQueries {
     "arr_elementwise_chain" -> (arrElementwiseChain _),
     "arr_window_delta" -> (arrWindowDelta _),
     "arr_axis_sum" -> (arrAxisSum _),
+    "arr_axis_max" -> (arrAxisMax _),
     "arr_axis_sum_3d" -> (arrAxisSum3d _),
     "arr_cumsum2d" -> (arrCumsum2d _),
     "arr_transpose_sum" -> (arrTransposeSum _),

@@ -121,6 +121,27 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"axis 1 at ($i, $j)")
   }
 
+  test("axisReduce takes min/max along any axis, dtype preserved") {
+    // value(i,j) = 10i + j: max over j per i = 10i + 3; min over i per j = j
+    val mx = twoD.axisMax(axis = 1).rowsNd.collect()
+      .map(r => r.getAs[Long]("i0") -> r.getAs[Double]("value")).toMap
+    assert(mx == Map(0L -> 3.0, 1L -> 13.0, 2L -> 23.0, 3L -> 33.0))
+    val mn = twoD.axisMin(axis = 0).rowsNd.collect()
+      .map(r => r.getAs[Long]("i0") -> r.getAs[Double]("value")).toMap
+    assert(mn == Map(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    // 3-d middle axis against the dense reference
+    val dense = threeD.rowsNd.collect()
+      .map(r => (r.getAs[Long]("i0"), r.getAs[Long]("i1"), r.getAs[Long]("i2")) ->
+        r.getAs[Double]("value")).toMap
+    val got = threeD.axisMax(axis = 1).rowsNd.collect()
+      .map(r => (r.getAs[Long]("i0"), r.getAs[Long]("i1")) -> r.getAs[Double]("value")).toMap
+    for (((i, k), v) <- got)
+      assert(v == (0L until 4L).map(j => dense((i, j, k))).max, s"at ($i, $k)")
+    // long payload stays long through the reduce (no silent widening)
+    val asLong = twoD.astype(org.apache.spark.sql.types.LongType)
+    assert(asLong.axisMax(axis = 1).dtype == org.apache.spark.sql.types.LongType)
+  }
+
   test("argmaxNd locates the hotspot on any rank, ties to lowest row-major index") {
     // twoD's max is value(3,3) = 33
     val r = twoD.argmaxNd().collect().head
