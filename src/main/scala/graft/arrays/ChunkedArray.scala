@@ -175,9 +175,14 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       .partitionBy(col("timestep") +: rem.map(d => col("pos")(d)): _*)
       .orderBy(col("pos")(axis))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val carry = aggregate(collect_list(col("tot")).over(w),
-      array_repeat(zeroDec, slabElems),
-      (acc, v) => zip_with(acc, v, (a, b) => castDec(a + b)))
+    // One running decimal SUM per slab position, all sharing one window
+    // spec: a single WindowExec pass with O(1) state per sum, linear in
+    // the chunk line. (A collect_list(tot) window + per-row fold reads
+    // the same bytes but re-folds every predecessor vector at each
+    // chunk — quadratic in the line length, which is exactly the long
+    // dimension at the 100 TB posture.)
+    val carry = array((0 until slabElems).map(s =>
+      coalesce(sum(element_at(col("tot"), s + 1)).over(w), zeroDec)): _*)
     val outData = transform(sequence(lit(0), lit(geom.chunkElems - 1)), idx => {
       val s = slabOf(idx)
       val i = fdiv(idx, strides(axis)) % len

@@ -160,6 +160,16 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nd == rows)
   }
 
+  test("cumsumAxis scans a middle axis of a 3-d array") {
+    // value(i,j,k) = 16i + 4j + k; axis 1: out = sum_{m<=j} (16i + 4m + k)
+    val dense = threeD.cumsumAxis(axis = 1).rowsNd.collect()
+      .map(r => (r.getAs[Long]("i0"), r.getAs[Long]("i1"), r.getAs[Long]("i2")) ->
+        r.getAs[Double]("value")).toMap
+    for (i <- 0 to 3; j <- 0 to 3; k <- 0 to 3)
+      assert(dense((i.toLong, j.toLong, k.toLong)) ==
+        (0 to j).map(m => 16.0 * i + 4 * m + k).sum, s"at ($i, $j, $k)")
+  }
+
   test("cumsumAxis on a 1-d array replays cumsumRows exactly") {
     val viaAxis = oneD.cumsumAxis(axis = 0).df
       .select(col("timestep"), col("pos")(0).cast("bigint").as("c"),
