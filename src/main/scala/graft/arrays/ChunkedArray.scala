@@ -692,7 +692,10 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       val base = rem.zip(outStrides).map { case (j, os) =>
         (fdiv(s, os) % shape(j)) * strides(j)
       }.reduce(_ + _)
-      aggregate(sequence(lit(1), lit(shape(axis) - 1)), col("data")(base),
+      // a 1-wide axis is just the seed: sequence(1, 0) would be Spark's
+      // DESCENDING [1, 0] and gather out of bounds (the sliceNd hazard)
+      if (shape(axis) == 1) col("data")(base)
+      else aggregate(sequence(lit(1), lit(shape(axis) - 1)), col("data")(base),
         (acc, i) => combine(acc, col("data")(base + i * strides(axis))))
     })
     val merged = df

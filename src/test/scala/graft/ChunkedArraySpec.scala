@@ -140,6 +140,12 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     // long payload stays long through the reduce (no silent widening)
     val asLong = twoD.astype(org.apache.spark.sql.types.LongType)
     assert(asLong.axisMax(axis = 1).dtype == org.apache.spark.sql.types.LongType)
+    // 1-wide reduced axis: the fold is just the seed (the descending
+    // sequence(1, 0) hazard) — reduce it away from the rechunked array
+    val skinny = twoD.rechunk(Seq(2, 1)) // 2x1 chunks: axis 1 is 1 wide
+    val sk = skinny.axisMax(axis = 1).rowsNd.collect()
+      .map(r => r.getAs[Long]("i0") -> r.getAs[Double]("value")).toMap
+    assert(sk == Map(0L -> 3.0, 1L -> 13.0, 2L -> 23.0, 3L -> 33.0))
   }
 
   test("argmaxNd locates the hotspot on any rank, ties to lowest row-major index") {
