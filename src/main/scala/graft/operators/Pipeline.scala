@@ -296,6 +296,14 @@ object Pipeline {
   private val tokCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (String, DataFrame)]
   private def tokenizedDocs(s: SparkSession, dir: String): DataFrame = {
+    // Crude bound, as in Tables.cache: the keys pin SparkSessions, so a
+    // JVM cycling sessions (the bench's restart-on-death path) would
+    // otherwise accumulate dead entries; unpersist may throw against a
+    // stopped session — the entries must go regardless.
+    if (tokCache.size > 16) tokCache.keys.toSeq.foreach(k =>
+      tokCache.remove(k).foreach { case (_, old) =>
+        try old.unpersist(blocking = false) catch { case _: Throwable => () }
+      })
     def build() = Tables.load(s, dir, "documents")
       .withColumn("tk",
         org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
