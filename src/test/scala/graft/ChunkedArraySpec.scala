@@ -176,6 +176,16 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
         (0 to j).map(m => 16.0 * i + 4 * m + k).sum, s"at ($i, $j, $k)")
   }
 
+  test("cumsumAxis carry is running window sums, not a vector re-fold") {
+    // The carry must be per-slab-position running SUMs sharing one
+    // window (linear in the chunk line); a collect_list window re-folds
+    // every predecessor vector per chunk — quadratic in the scan line.
+    val plan = twoD.cumsumAxis(axis = 0).df.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      s"carry regressed to a collected-vector fold:\n$plan")
+    assert(plan.contains("Window"), "carry must still come from a window")
+  }
+
   test("cumsumAxis on a 1-d array replays cumsumRows exactly") {
     val viaAxis = oneD.cumsumAxis(axis = 0).df
       .select(col("timestep"), col("pos")(0).cast("bigint").as("c"),
