@@ -712,6 +712,14 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     ChunkedArray(merged, ArrayGeometry(rem.map(geom.chunksPerDim), remShape))
   }
 
+  /** Mean along `axis` (dask `arr.mean(axis=)`): the decimal-exact
+    * [[axisSum]] followed by ONE double divide by the axis extent, so
+    * the result is deterministic from exact operands. */
+  def axisMean(axis: Int): ChunkedArray = {
+    val n = geom.dimSize(axis)
+    axisSum(axis).mapValues(_ / lit(n.toDouble))
+  }
+
   /** Elementwise maximum along `axis` (dask `arr.max(axis=)`). */
   def axisMax(axis: Int): ChunkedArray = axisReduce(axis)(greatest(_, _))
 

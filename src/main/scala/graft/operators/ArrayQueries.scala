@@ -255,6 +255,13 @@ object ArrayQueries {
       .withColumnsRenamed(Map("i0" -> "idx"))
       .orderBy("timestep", "idx")
 
+  /** dask `arr.mean(axis=1)` on the 2-d array: decimal-exact axis sum,
+    * one double divide by the axis extent. */
+  def arrAxisMean(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir).axisMean(axis = 1).rowsNd
+      .withColumnsRenamed(Map("i0" -> "idx"))
+      .orderBy("timestep", "idx")
+
   /** dask `arr.sum(axis=1)` on the RANK-3 array — the rank-generic
     * axisSum driven through a middle axis: reducing the hour axis of
     * the 8x8x8 (user x hour x event-id) array leaves the 8x8 (user x
@@ -502,6 +509,13 @@ object ArrayQueries {
          |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
          |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS value
          |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // hour-axis means per user: the exact decimal sum divided by the
+    // axis extent — both engines divide bit-identical doubles by 8.0
+    "arr_axis_mean" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
+         |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) / 8.0 AS value
+         |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // hour-axis maxima per user over the dense 2-d cells
     "arr_axis_max" ->
       s"""WITH $CELLS_2D_DENSE
@@ -603,6 +617,7 @@ object ArrayQueries {
     "arr_window_delta" -> (arrWindowDelta _),
     "arr_axis_sum" -> (arrAxisSum _),
     "arr_axis_max" -> (arrAxisMax _),
+    "arr_axis_mean" -> (arrAxisMean _),
     "arr_axis_sum_3d" -> (arrAxisSum3d _),
     "arr_cumsum2d" -> (arrCumsum2d _),
     "arr_transpose_sum" -> (arrTransposeSum _),

@@ -146,6 +146,10 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     val sk = skinny.axisMax(axis = 1).rowsNd.collect()
       .map(r => r.getAs[Long]("i0") -> r.getAs[Double]("value")).toMap
     assert(sk == Map(0L -> 3.0, 1L -> 13.0, 2L -> 23.0, 3L -> 33.0))
+    // mean along j: (40i + 6) / 4
+    val mean = twoD.axisMean(axis = 1).rowsNd.collect()
+      .map(r => r.getAs[Long]("i0") -> r.getAs[Double]("value")).toMap
+    assert(mean == Map(0L -> 1.5, 1L -> 11.5, 2L -> 21.5, 3L -> 31.5))
   }
 
   test("argmaxNd locates the hotspot on any rank, ties to lowest row-major index") {
