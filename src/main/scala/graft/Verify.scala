@@ -24,14 +24,19 @@ object Verify {
       if (f.isDirectory) f.listFiles().foreach(deleteRec)
       f.delete(): Unit
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
-      deleteRec(new java.io.File(s"$outDir/$name"))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Optional comma-separated subset (local iteration with
+    // tools/check.py; the driver leaves it unset): restricts BOTH the
+    // query runs and the oracle dump so the checker sees a closed set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
+        deleteRec(new java.io.File(s"$outDir/$name"))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -45,6 +50,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -347,8 +347,12 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       .groupBy("timestep")
       .agg(max(col("b")).as("m"))
       .select(col("timestep"),
-        col("m.v").as("max_val"),
-        (-col("m.negIdx")).cast("bigint").as("arg_idx"))
+        // all-null payloads leave the seed: publish nulls, not the
+        // overflowed negation of Long.MinValue (see argExtremeNd)
+        when(col("m.negIdx") === Long.MinValue, lit(null))
+          .otherwise(col("m.v")).as("max_val"),
+        when(col("m.negIdx") === Long.MinValue, lit(null).cast("bigint"))
+          .otherwise((-col("m.negIdx")).cast("bigint")).as("arg_idx"))
   }
 
   /** Per-timestep global argmax for ANY rank (dask/numpy `argmax` on an
@@ -359,33 +363,56 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * struct-max merge per timestep; the flat index decomposes into
     * `i0..i{n-1}` columns only at the end. Index math runs in exact
     * integer `div`/`%` (no double rounding), widened to bigint before
-    * any multiply. Returns `(timestep, max_val, i0..i{n-1})`. */
-  def argmaxNd(): DataFrame = {
+    * any multiply. Returns `(timestep, max_val, i0..i{n-1})`; a timestep
+    * whose payload cells are ALL null publishes null value/indices (the
+    * seed sentinel never decomposes into garbage coordinates). */
+  def argmaxNd(): DataFrame = argExtremeNd(isMax = true, "max_val")
+
+  /** Per-timestep global argmin for ANY rank (dask/numpy `argmin`) —
+    * [[argmaxNd]]'s negated twin: lowest value, ties to the LOWEST
+    * row-major multi-index. Returns `(timestep, min_val, i0..i{n-1})`. */
+  def argminNd(): DataFrame = argExtremeNd(isMax = false, "min_val")
+
+  private def argExtremeNd(isMax: Boolean, valName: String): DataFrame = {
     val shape = geom.chunkShape
     val strides = shape.scanRight(1)(_ * _).tail
     val gdims = (0 until geom.dims).map(geom.dimSize)
     val gstrides = gdims.map(_.toLong).scanRight(1L)(_ * _).tail
     // truncating div == floor for the non-negative indices used here
     def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    // the tie key k: for max the NEGATED flat index (struct max = highest
+    // value, ties -> highest k = lowest index); for min the flat index
+    // itself (struct min = lowest value, ties -> lowest k = lowest index)
+    val seedK = if (isMax) Long.MinValue else Long.MaxValue
     val best = aggregate(
       transform(sequence(lit(0), lit(geom.chunkElems - 1)), i => {
         val gflat = (0 until geom.dims).map { d =>
           (col("pos")(d).cast("bigint") * shape(d) + fdiv(i, strides(d)) % shape(d)) *
             gstrides(d)
         }.reduce(_ + _)
-        // struct max = highest value; ties -> highest negIdx = lowest index
-        struct(col("data")(i).as("v"), (-gflat).as("negIdx"))
+        struct(col("data")(i).as("v"), (if (isMax) -gflat else gflat).as("k"))
       }),
-      struct(lit(Double.NegativeInfinity).as("v"), lit(Long.MinValue).as("negIdx")),
-      (acc, x) => when(x("v") > acc("v") ||
-        (x("v") === acc("v") && x("negIdx") > acc("negIdx")), x).otherwise(acc))
-    df.select(col("timestep"), best.as("b"))
+      struct(lit(if (isMax) Double.NegativeInfinity else Double.PositiveInfinity).as("v"),
+        lit(seedK).as("k")),
+      // a null cell fails every comparison -> acc retained (nulls skipped)
+      (acc, x) => when(
+        (if (isMax) x("v") > acc("v") else x("v") < acc("v")) ||
+          (x("v") === acc("v") &&
+            (if (isMax) x("k") > acc("k") else x("k") < acc("k"))), x).otherwise(acc))
+    val m = df.select(col("timestep"), best.as("b"))
       .groupBy("timestep")
-      .agg(max(col("b")).as("m"))
-      .select(col("timestep") +: col("m.v").as("max_val") +:
-        (0 until geom.dims).map(d =>
-          ((expr(s"(-m.negIdx) div ${gstrides(d)}") % gdims(d)).cast("bigint"))
-            .as(s"i$d")): _*)
+      .agg((if (isMax) max(col("b")) else min(col("b"))).as("m"))
+    // k == seed sentinel <=> every chunk folded to the seed (all-null
+    // payloads): publish nulls — negating Long.MinValue would overflow
+    // into garbage negative indices
+    val isSeed = col("m.k") === lit(seedK)
+    val flatExpr = if (isMax) "(-m.k)" else "m.k"
+    m.select(col("timestep") +:
+      when(isSeed, lit(null)).otherwise(col("m.v")).as(valName) +:
+      (0 until geom.dims).map(d =>
+        when(isSeed, lit(null).cast("bigint"))
+          .otherwise((expr(s"$flatExpr div ${gstrides(d)}") % gdims(d)).cast("bigint"))
+          .as(s"i$d")): _*)
   }
 
   /** Per-timestep population variance (dask `arr.var(axis=time-slice)`):
@@ -725,6 +752,154 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
 
   /** Elementwise minimum along `axis` (dask `arr.min(axis=)`). */
   def axisMin(axis: Int): ChunkedArray = axisReduce(axis)(least(_, _))
+
+  /** Population variance along `axis` (dask `arr.var(axis=)`) — the
+    * [[variancePerTimestep]] two-moment trick generalized to
+    * [[axisSum]]'s wire posture: each chunk folds its axis-lines to ONE
+    * block of (sum: decimal(28,2), sumsq: decimal(38,4)) pairs — squares
+    * of 2-decimal values are 4-decimal-EXACT — then the partial blocks
+    * merge elementwise across the axis's chunk line (one small block per
+    * chunk shuffles, never elements). Both moments are exact and
+    * order-independent; double math happens once at the end, in the same
+    * operand order as the oracle: `(sq - t*t/n) / n` with n = the axis
+    * extent. */
+  def axisVar(axis: Int): ChunkedArray = {
+    require(geom.dims >= 2, "axisVar needs rank >= 2; use variancePerTimestep for rank 1")
+    require(axis >= 0 && axis < geom.dims, s"axis $axis out of range")
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    val rem = shape.indices.filterNot(_ == axis)
+    val remShape = rem.map(shape)
+    val outElems = remShape.product
+    val outStrides = remShape.scanRight(1)(_ * _).tail
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    val d2 = (c: Column) => c.cast("decimal(18,2)")
+    val zeroSq = lit(0).cast("decimal(38,4)")
+    val zeroM = struct(zeroDec.as("t"), zeroSq.as("q"))
+    val partial = transform(sequence(lit(0), lit(outElems - 1)), s => {
+      val base = rem.zip(outStrides).map { case (j, os) =>
+        (fdiv(s, os) % shape(j)) * strides(j)
+      }.reduce(_ + _)
+      aggregate(sequence(lit(0), lit(shape(axis) - 1)), zeroM, (acc, i) => {
+        val x = col("data")(base + i * strides(axis))
+        struct(addDec(acc("t"), x).as("t"),
+          (acc("q") + d2(x) * d2(x)).cast("decimal(38,4)").as("q"))
+      })
+    })
+    val merged = df
+      .select(col("timestep"),
+        array(rem.map(d => col("pos")(d)): _*).as("pos"), partial.as("part"))
+      .groupBy("timestep", "pos")
+      .agg(aggregate(collect_list(col("part")), array_repeat(zeroM, outElems),
+        (acc, v) => zip_with(acc, v, (a, b) => struct(
+          castDec(a("t") + b("t")).as("t"),
+          (a("q") + b("q")).cast("decimal(38,4)").as("q")))).as("vec"))
+    val n = lit(geom.dimSize(axis).toDouble)
+    ChunkedArray(
+      merged.select(col("timestep"), col("pos"),
+        transform(col("vec"), m => {
+          val t = m("t").cast("double")
+          val q = m("q").cast("double")
+          (q - t * t / n) / n
+        }).as("data")),
+      ArrayGeometry(rem.map(geom.chunksPerDim), remShape))
+  }
+
+  /** Standard deviation along `axis` (dask `arr.std(axis=)`): one sqrt
+    * over [[axisVar]]'s exact-operand variance. */
+  def axisStd(axis: Int): ChunkedArray =
+    axisVar(axis).mapValues(org.apache.spark.sql.functions.sqrt(_))
+
+  /** Index of the maximum along `axis` (dask `arr.argmax(axis=)`): the
+    * per-line winning GLOBAL axis coordinate, ties to the lowest
+    * coordinate (numpy's rule). [[axisReduce]]'s machinery over (value,
+    * axis-coord) structs: a chunk-local fold along each axis-line, then
+    * a struct combine of partial blocks across the axis's chunk line —
+    * one small block per chunk shuffles. The result is the rank-(n-1)
+    * bigint array of winning coordinates. Payload cells are assumed
+    * non-null (like the axis reductions): a null cell never wins, but an
+    * all-null line keeps the first chunk's seed struct. */
+  def axisArgmax(axis: Int): ChunkedArray = axisArgExtreme(axis, isMax = true)
+
+  /** Index of the minimum along `axis` (dask `arr.argmin(axis=)`) —
+    * [[axisArgmax]]'s negated twin (ties still to the lowest coord). */
+  def axisArgmin(axis: Int): ChunkedArray = axisArgExtreme(axis, isMax = false)
+
+  private def axisArgExtreme(axis: Int, isMax: Boolean): ChunkedArray = {
+    require(geom.dims >= 2, "axisArg* needs rank >= 2; use argmaxNd/argminNd for the global probe")
+    require(axis >= 0 && axis < geom.dims, s"axis $axis out of range")
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    val rem = shape.indices.filterNot(_ == axis)
+    val remShape = rem.map(shape)
+    val outElems = remShape.product
+    val outStrides = remShape.scanRight(1)(_ * _).tail
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    // one combine everywhere (within a chunk AND across chunks): better
+    // value wins; equal value -> lower global axis coordinate wins; a
+    // null challenger never wins, a null accumulator is replaced
+    def wins(x: Column, acc: Column): Column =
+      (if (isMax) x("v") > acc("v") else x("v") < acc("v")) ||
+        (x("v") === acc("v") && x("k") < acc("k")) ||
+        (acc("v").isNull && x("v").isNotNull)
+    // widen BEFORE the multiply (int overflow past 2^31 cells/dim)
+    val gbase = col("pos")(axis).cast("bigint") * shape(axis)
+    val partial = transform(sequence(lit(0), lit(outElems - 1)), s => {
+      val base = rem.zip(outStrides).map { case (j, os) =>
+        (fdiv(s, os) % shape(j)) * strides(j)
+      }.reduce(_ + _)
+      val first = struct(col("data")(base).as("v"), gbase.as("k"))
+      if (shape(axis) == 1) first
+      else aggregate(sequence(lit(1), lit(shape(axis) - 1)), first, (acc, i) => {
+        val x = struct(col("data")(base + i * strides(axis)).as("v"), (gbase + i).as("k"))
+        when(wins(x, acc), x).otherwise(acc)
+      })
+    })
+    // partial references col("pos") (the axis coordinate), so it must be
+    // computed BEFORE the surviving-dims re-alias of "pos": in one select
+    // list Spark's lateral column alias resolution would bind it to the
+    // new 1-element alias instead of the input column
+    val merged = df
+      .select(col("timestep"), col("pos"), partial.as("part"))
+      .select(col("timestep"),
+        array(rem.map(d => col("pos")(d)): _*).as("pos"), col("part"))
+      .groupBy("timestep", "pos")
+      .agg(collect_list(col("part")).as("parts"))
+      .select(col("timestep"), col("pos"),
+        // fold partial blocks pairwise with the same struct combine
+        // (see axisReduce for the slice/length caveat)
+        aggregate(slice(col("parts"), lit(2), size(col("parts"))),
+          element_at(col("parts"), 1),
+          (acc, v) => zip_with(acc, v, (a, b) => when(wins(b, a), b).otherwise(a)))
+          .as("folded"))
+      .select(col("timestep"), col("pos"),
+        transform(col("folded"), m => m("k")).as("data"))
+    ChunkedArray(merged, ArrayGeometry(rem.map(geom.chunksPerDim), remShape))
+  }
+
+  /** Masked global reduce — dask's in-situ `a[a > t].sum()` /
+    * `da.where(...)` probe: the predicate filters chunk-LOCALLY and the
+    * fold ships one (count, decimal sum) pair per chunk, so the mask
+    * costs zero shuffle beyond the scalar partials. Returns
+    * `(timestep, n_kept, <alias>)`; timesteps where nothing passes keep
+    * a 0-count, 0.0-sum row (the array is dense, its reduce is total). */
+  def maskedSumPerTimestep(pred: Column => Column, alias: String = "total"): DataFrame = {
+    val kept = filter(col("data"), pred)
+    df.select(col("timestep"),
+        size(kept).cast("bigint").as("cn"),
+        chunkSumDec(kept).as("csum"))
+      .groupBy("timestep")
+      .agg(sum(col("cn")).as("n_kept"),
+        sum(col("csum")).cast("double").as(alias))
+  }
+
+  /** Elementwise select (dask/numpy `where(pred(a), a, repl)`): keep the
+    * cell where the predicate holds, else the replacement — chunk-local,
+    * dtype-preserving (the replacement is cast to [[dtype]]). */
+  def where(pred: Column => Column, replacement: Column): ChunkedArray =
+    mapValues(x => when(pred(x), x).otherwise(replacement))
 
   /** 2-d convenience over [[axisSum]]: rows `(timestep, idx, value)` of
     * the reduced 1-d array. */

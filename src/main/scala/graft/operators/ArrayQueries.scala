@@ -69,6 +69,11 @@ object ArrayQueries {
     })
   }
 
+  // Auxiliary persisted relations that FEED memoized arrays (the parity
+  // cell relation below); same lifecycle as `cache`, released together.
+  private val auxCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   /** Release memoized chunk relations — the batch analog of the
     * reference's memory-release-after-window-expiry contract
     * (tests/test_memory_release.py: chunks are freed once no window can
@@ -76,9 +81,12 @@ object ArrayQueries {
     * executors have actually dropped them on return) and forgets the memo
     * entries; the next request rebuilds from source. Pass a session to
     * release only its arrays, or nothing to release everything. */
-  def release(s: SparkSession = null): Unit =
+  def release(s: SparkSession = null): Unit = {
     cache.keys.filter(k => s == null || k._1 == s).toSeq
       .foreach(k => cache.remove(k).foreach(_.df.unpersist(blocking = true)))
+    auxCache.keys.filter(k => s == null || k._1 == s).toSeq
+      .foreach(k => auxCache.remove(k).foreach(_.unpersist(blocking = true)))
+  }
 
   def eventsArray1d(s: SparkSession, dir: String, filter: Column = lit(true)): ChunkedArray =
     chunks1d(cells1d(Tables.load(s, dir, "events").where(filter)))
@@ -86,6 +94,39 @@ object ArrayQueries {
   /** Memoized unfiltered variant (most §2.A queries start from it). */
   def eventsArray1dCached(s: SparkSession, dir: String): ChunkedArray =
     cached(s, dir, "1d")(eventsArray1d(s, dir))
+
+  /** Even/odd-parity cell relation from ONE `events` scan: a single
+    * groupBy with two conditional decimal aggregates — `cell_even` /
+    * `cell_odd` are NULL where that parity has no events at the
+    * (timestep, u) cell, so each side keeps exactly the present-cell
+    * (and present-day) semantics of a separate filtered scan. Memoized +
+    * persisted: the relation is O(#cells) — tiny next to the fact table
+    * — and it feeds FOUR consumers (two arrays × two queries), so the
+    * fact scan runs once per session instead of twice per evaluation. */
+  private def parityCells(s: SparkSession, dir: String): DataFrame =
+    auxCache.getOrElseUpdate((s, dir, "parity_cells"), {
+      val df = Tables.load(s, dir, "events")
+        .select(
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("bigint").as("timestep"),
+          (col("user_id") % 64).cast("int").as("u"),
+          (col("event_id") % 2 === 0).as("even"),
+          col("value"))
+        .groupBy("timestep", "u")
+        .agg(
+          sum(when(col("even"), dec2(col("value")))).cast("double").as("cell_even"),
+          sum(when(!col("even"), dec2(col("value")))).cast("double").as("cell_odd"))
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    })
+
+  /** One parity's dense 1-d array, built from [[parityCells]] (not its
+    * own scan) and memoized like the unfiltered arrays. */
+  private def parityArray(s: SparkSession, dir: String, even: Boolean): ChunkedArray =
+    cached(s, dir, if (even) "1d_even" else "1d_odd") {
+      val c = if (even) col("cell_even") else col("cell_odd")
+      chunks1d(parityCells(s, dir).where(c.isNotNull)
+        .select(col("timestep"), col("u"), c.as("cell")))
+    }
 
   /** 8x8 (user bucket x hour bucket) array as a 2x2 grid of 4x4 chunks. */
   def eventsArray2d(s: SparkSession, dir: String): ChunkedArray = {
@@ -199,10 +240,12 @@ object ArrayQueries {
   def arrStatsTs(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).statsPerTimestep.orderBy("timestep")
 
-  /** doreisa two-array elementwise `(a - b)` + mean (docs/analytics.md:31). */
+  /** doreisa two-array elementwise `(a - b)` + mean (docs/analytics.md:31).
+    * Both parity arrays come from the ONE-scan [[parityCells]] relation
+    * (conditional aggregates), not two filtered fact scans. */
   def arrMeanDiff(s: SparkSession, dir: String): DataFrame = {
-    val a = eventsArray1d(s, dir, col("event_id") % 2 === 0)
-    val b = eventsArray1d(s, dir, col("event_id") % 2 === 1)
+    val a = parityArray(s, dir, even = true)
+    val b = parityArray(s, dir, even = false)
     a.zipWith(b)(_ - _).sumPerTimestep("total")
       .select(col("timestep"), (col("total") / lit(64.0)).as("mean_diff"))
       .orderBy("timestep")
@@ -235,10 +278,11 @@ object ArrayQueries {
 
   /** dask `concatenate([a, b], axis=0)` then stats: the even-event and
     * odd-event arrays stack into one 128-wide array by shifting b's
-    * grid positions — a metadata union, no payload movement. */
+    * grid positions — a metadata union, no payload movement. Shares
+    * [[parityCells]]' one-scan parity arrays with [[arrMeanDiff]]. */
   def arrConcatStats(s: SparkSession, dir: String): DataFrame = {
-    val a = eventsArray1d(s, dir, col("event_id") % 2 === 0)
-    val b = eventsArray1d(s, dir, col("event_id") % 2 === 1)
+    val a = parityArray(s, dir, even = true)
+    val b = parityArray(s, dir, even = false)
     a.concatenate(b, axis = 0).statsPerTimestep.orderBy("timestep")
   }
 
@@ -270,6 +314,30 @@ object ArrayQueries {
     eventsArray3dCached(s, dir).axisSum(axis = 1).rowsNd
       .withColumnsRenamed(Map("i0" -> "i", "i1" -> "j"))
       .orderBy("timestep", "i", "j")
+
+  /** dask `arr.var(axis=1)` on the RANK-3 array — the axis-wise variance
+    * through the two-moment decimal partial blocks: reducing the hour
+    * axis of the 8x8x8 (user × hour × event-id) array leaves the 8x8
+    * per-(user, event-id) variance marginal, flattened to rows. */
+  def arrAxisVar(s: SparkSession, dir: String): DataFrame =
+    eventsArray3dCached(s, dir).axisVar(axis = 1).rowsNd
+      .withColumnsRenamed(Map("i0" -> "i", "i1" -> "j"))
+      .orderBy("timestep", "i", "j")
+
+  /** dask `arr.argmax(axis=1)` on the 2-d array: per user, the hour of
+    * the daily maximum (ties to the lowest hour) — the axis-wise
+    * hotspot-location probe. */
+  def arrArgmaxAxis(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir).axisArgmax(axis = 1).rowsNd
+      .withColumnsRenamed(Map("i0" -> "idx"))
+      .orderBy("timestep", "idx")
+
+  /** dask `a[a > t].sum()` — the in-situ threshold-then-reduce probe:
+    * cells above 500 only, count + exact sum per timestep, mask applied
+    * chunk-locally. */
+  def arrMaskedSum(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).maskedSumPerTimestep(_ > lit(500.0))
+      .orderBy("timestep")
 
   /** dask `cumsum(axis=0)` on the 2-d array — the per-axis distributed
     * scan: native chunk-local line prefixes plus a carry window keyed
@@ -522,6 +590,47 @@ object ArrayQueries {
          |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
          |  MAX(cell) AS value
          |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // axis-wise variance of the rank-3 array: exact decimal moments per
+    // (u, w) over the hour axis; the final double expression mirrors the
+    // Spark operand order exactly: (sq - t*t/n) / n with n = 8.0
+    "arr_axis_var" ->
+      s"""WITH $CELLS_3D_DENSE,
+         |m AS (
+         |  SELECT timestep, u, w,
+         |    CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |    CAST(SUM(CAST(cell AS DECIMAL(18,2)) * CAST(cell AS DECIMAL(18,2)))
+         |      AS DOUBLE) AS total_sq
+         |  FROM cells3 GROUP BY 1, 2, 3)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS i,
+         |  CAST(w AS BIGINT) AS j,
+         |  (total_sq - total * total / 8.0) / 8.0 AS value
+         |FROM m ORDER BY 1, 2, 3""".stripMargin,
+    // per-user argmax hour, ties to the lowest hour (numpy's rule)
+    "arr_argmax_axis" ->
+      s"""WITH $CELLS_2D_DENSE,
+         |rk AS (
+         |  SELECT timestep, u, h,
+         |    ROW_NUMBER() OVER (PARTITION BY timestep, u
+         |      ORDER BY cell DESC, h) AS rn
+         |  FROM cells)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
+         |  CAST(h AS BIGINT) AS value
+         |FROM rk WHERE rn = 1 ORDER BY 1, 2""".stripMargin,
+    // threshold-then-reduce over the dense cells: count + exact sum of
+    // the cells above 500 (absent timesteps can't occur — the array is
+    // dense over its own days; empty masks keep a 0/0.0 row)
+    "arr_masked_sum" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(SUM(CASE WHEN cell > 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN cell > 500.0 THEN CAST(cell AS DECIMAL(18,2))
+         |       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total
+         |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
     // middle-axis reduction of the rank-3 array: sum over h per (u, w)
     "arr_axis_sum_3d" ->
       s"""WITH $CELLS_3D_DENSE
@@ -619,6 +728,9 @@ object ArrayQueries {
     "arr_axis_max" -> (arrAxisMax _),
     "arr_axis_mean" -> (arrAxisMean _),
     "arr_axis_sum_3d" -> (arrAxisSum3d _),
+    "arr_axis_var" -> (arrAxisVar _),
+    "arr_argmax_axis" -> (arrArgmaxAxis _),
+    "arr_masked_sum" -> (arrMaskedSum _),
     "arr_cumsum2d" -> (arrCumsum2d _),
     "arr_transpose_sum" -> (arrTransposeSum _),
     "arr_concat_stats" -> (arrConcatStats _),

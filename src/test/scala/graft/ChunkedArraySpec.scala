@@ -170,6 +170,105 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nd == rows)
   }
 
+  test("argminNd is the negated twin, ties still to the lowest index") {
+    // twoD's min is value(0,0) = 0
+    val r = twoD.argminNd().collect().head
+    assert((r.getAs[Double]("min_val"), r.getAs[Long]("i0"), r.getAs[Long]("i1")) ==
+      (0.0, 0L, 0L))
+    // constant array: every cell ties -> index (0, 0)
+    val t = twoD.mapValues(_ * 0.0 + 7.0).argminNd().collect().head
+    assert((t.getAs[Double]("min_val"), t.getAs[Long]("i0"), t.getAs[Long]("i1")) ==
+      (7.0, 0L, 0L))
+    // 1-d: t=1 holds [2,4..16], min 2.0 at index 0
+    val m = oneD.argminNd().collect()
+      .map(r => r.getAs[Long]("timestep") -> (r.getAs[Double]("min_val"), r.getAs[Long]("i0"))).toMap
+    assert(m(1L) == (2.0, 0L))
+  }
+
+  test("arg extremes publish NULLs for all-null payloads, never garbage indices") {
+    // the seed struct carries Long.MinValue/MaxValue; decomposing it
+    // would overflow (-Long.MinValue == Long.MinValue) into negative
+    // coordinates — the guard must surface null instead
+    val rows = Seq(
+      (0L, Seq(0), Seq[Option[Double]](None, None, None, None)),
+      (0L, Seq(1), Seq[Option[Double]](None, None, None, None)))
+    val nullArr = ChunkedArray(rows.toDF("timestep", "pos", "data"),
+      ArrayGeometry(Seq(2), Seq(4)))
+    val mx = nullArr.argmaxNd().collect().head
+    assert(mx.isNullAt(mx.fieldIndex("max_val")) && mx.isNullAt(mx.fieldIndex("i0")))
+    val mn = nullArr.argminNd().collect().head
+    assert(mn.isNullAt(mn.fieldIndex("min_val")) && mn.isNullAt(mn.fieldIndex("i0")))
+    val rw = nullArr.argmaxRows().collect().head
+    assert(rw.isNullAt(rw.fieldIndex("max_val")) && rw.isNullAt(rw.fieldIndex("arg_idx")))
+  }
+
+  test("axisVar/axisStd carry exact moments along any axis") {
+    // value(i,j) = 10i + j: var over j = var{0..3} = 1.25 for every i;
+    // var over i = var{0,10,20,30} = 125 for every j
+    val vj = twoD.axisVar(axis = 1).rowsNd.collect()
+      .map(r => r.getAs[Long]("i0") -> r.getAs[Double]("value")).toMap
+    assert(vj == Map(0L -> 1.25, 1L -> 1.25, 2L -> 1.25, 3L -> 1.25))
+    val vi = twoD.axisVar(axis = 0).rowsNd.collect()
+      .map(r => r.getAs[Long]("i0") -> r.getAs[Double]("value")).toMap
+    assert(vi == Map(0L -> 125.0, 1L -> 125.0, 2L -> 125.0, 3L -> 125.0))
+    // 3-d middle axis: value(i,j,k) = 16i + 4j + k -> var over j of
+    // {4j} = 16 * 1.25 = 20 at every (i, k)
+    val v3 = threeD.axisVar(axis = 1).rowsNd.collect()
+      .map(r => (r.getAs[Long]("i0"), r.getAs[Long]("i1")) -> r.getAs[Double]("value"))
+    assert(v3.length == 16 && v3.forall(_._2 == 20.0))
+    // std is one sqrt over the exact variance
+    val sd = twoD.axisStd(axis = 1).rowsNd.collect()
+      .map(r => r.getAs[Double]("value"))
+    assert(sd.forall(_ == math.sqrt(1.25)))
+  }
+
+  test("axisArgmax/axisArgmin return global axis coordinates, ties to the lowest") {
+    // value(i,j) = 10i + j: argmax over j = 3, argmin over j = 0
+    val amx = twoD.axisArgmax(axis = 1).rowsNd.collect()
+      .map(r => r.getAs[Long]("i0") -> r.getAs[Long]("value")).toMap
+    assert(amx == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    val amn = twoD.axisArgmin(axis = 1).rowsNd.collect()
+      .map(r => r.getAs[Long]("i0") -> r.getAs[Long]("value")).toMap
+    assert(amn == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // axis 0: the max of column j sits at i = 3 (coordinate crosses the
+    // chunk boundary, so the cross-chunk struct combine is exercised)
+    val a0 = twoD.axisArgmax(axis = 0).rowsNd.collect()
+      .map(r => r.getAs[Long]("i0") -> r.getAs[Long]("value")).toMap
+    assert(a0 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // constant array: every coordinate ties -> 0 everywhere
+    val tied = twoD.mapValues(_ * 0.0 + 7.0).axisArgmax(axis = 1).rowsNd.collect()
+      .map(r => r.getAs[Long]("value"))
+    assert(tied.forall(_ == 0L))
+    // 3-d middle axis against the dense reference: argmax over j of
+    // 16i + 4j + k is j = 3 at every (i, k)
+    val a3 = threeD.axisArgmax(axis = 1).rowsNd.collect()
+      .map(r => r.getAs[Long]("value"))
+    assert(a3.length == 16 && a3.forall(_ == 3L))
+  }
+
+  test("maskedSumPerTimestep filter-folds chunk-locally") {
+    // oneD t=0: [1..8] > 4.5 -> 5+6+7+8 = 26 (4 kept);
+    //      t=1: [2,4..16] > 4.5 -> 6+8+...+16 = 66 (6 kept)
+    val m = oneD.maskedSumPerTimestep(_ > 4.5).collect()
+      .map(r => r.getAs[Long]("timestep") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Double]("total"))).toMap
+    assert(m == Map(0L -> (4L, 26.0), 1L -> (6L, 66.0)))
+    // an empty mask keeps a 0-count, 0.0-sum row (dense array, total reduce)
+    val e = oneD.maskedSumPerTimestep(_ > 1000.0).collect()
+      .map(r => r.getAs[Long]("timestep") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Double]("total"))).toMap
+    assert(e == Map(0L -> (0L, 0.0), 1L -> (0L, 0.0)))
+  }
+
+  test("where replaces masked-out cells, dtype preserved") {
+    // keep cells > 4, zero the rest: t=0 -> 26, t=1 -> 6+8+...+16 = 66
+    val w = oneD.where(_ > 4.0, org.apache.spark.sql.functions.lit(0.0))
+    assert(asMap(w.sumPerTimestep()) == Map(0L -> 26.0, 1L -> 66.0))
+    val asLong = oneD.astype(org.apache.spark.sql.types.LongType)
+    assert(asLong.where(_ > 4L, org.apache.spark.sql.functions.lit(0)).dtype ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("cumsumAxis scans a middle axis of a 3-d array") {
     // value(i,j,k) = 16i + 4j + k; axis 1: out = sum_{m<=j} (16i + 4m + k)
     val dense = threeD.cumsumAxis(axis = 1).rowsNd.collect()
