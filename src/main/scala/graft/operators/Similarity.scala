@@ -228,6 +228,14 @@ object Similarity {
     val codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
       (0 until NumSubspaces).map(m => (0 until NumCodes).map(j =>
         codeVecs(j).slice(m * SubDim, (m + 1) * SubDim)))
+    pqSearch(e, codebook)
+  }
+
+  /** The PQ encode/ADC-score/top-k plan shared by the fixed-codebook
+    * [[simPqAnn]] and the k-means-trained [[simPqTrained]] — only the
+    * codebook literals differ. */
+  private def pqSearch(e: DataFrame,
+      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): DataFrame = {
     // |c|^2 with the same sequential fold order as the dot expressions
     // (and the oracle's list_reduce), so argmin ties break identically
     val cn2 = codebook.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
@@ -264,6 +272,44 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"),
         (approxIp / sqrt(col("pn2") * col("rn2"))).as("cos"))
     rankTopK(scored, 5).withColumnRenamed("cos", "approx_cos")
+  }
+
+  /** PQ iterations for [[simPqTrained]] — few on purpose: the fit must
+    * be deterministic and cheap, and two Lloyd's rounds already separate
+    * the sub-vector space (the spec asserts determinism; convergence
+    * quality is not the gate, cross-engine search equality is). */
+  val PqIters = 2
+
+  /** Per-subspace-trained codebook memo — [[trainedCentroids]]' pattern
+    * (content-fingerprint key, deterministic fit, plain doubles). */
+  private val trainedCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), IndexedSeq[IndexedSeq[IndexedSeq[Double]]]]()
+
+  /** [[simPqAnn]] with TRAINED codebooks: each subspace's [[NumCodes]]
+    * codewords come from [[trainCentroids]] run on that subspace's
+    * sub-vectors (k-means on the slices — the real PQ training loop)
+    * instead of slices of the first [[NumCodes]] data vectors. The
+    * encode/ADC/top-k plan is IDENTICAL ([[pqSearch]]); only the
+    * literals differ, exactly the [[simIvfTrained]] pattern, and the
+    * oracle ([[trainedPqSql]]) embeds the trained codewords as
+    * round-trip-exact literals after the query has trained. */
+  def simPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    def fit(): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      (0 until NumSubspaces).map { m =>
+        trainCentroids(e.select(col("vec_id"),
+          slice(col("emb"), m * SubDim + 1, SubDim).as("emb")), NumCodes, PqIters)
+      }
+    // an unfingerprintable table trains fresh (no stale-memo risk)
+    val codebook = embFingerprint(s, dir) match {
+      case Some(fp) =>
+        trainedCodebooks.computeIfAbsent((s"$dir|$fp", NumCodes, PqIters), _ => fit())
+      case None => fit()
+    }
+    pqTrainedByDir.update(dir, codebook)
+    lastDir.set(dir)
+    pqSearch(e, codebook)
   }
 
   /** Per-label embedding centroids (class prototypes — the artifact a
@@ -335,15 +381,28 @@ object Similarity {
   private[graft] def embFingerprint(s: SparkSession, dir: String): Option[String] =
     Tables.fingerprint(s, dir, "embeddings")
 
-  /** Most recent trained quantizer — read by [[oracles]] AFTER the
-    * queries have run (Verify's order) to embed the centroid literals
-    * into sim_ivf_trained's oracle SQL. A single slot is sound because
-    * the driver contract is one sfDir per Verify JVM (oracleSql takes no
-    * dir); if a future harness trained on two dirs in one JVM, the
-    * oracle would embed only the later fit — key this by dir and thread
-    * the dir through oracleSql if that contract ever changes. */
-  private val lastTrained =
-    new java.util.concurrent.atomic.AtomicReference[IndexedSeq[IndexedSeq[Double]]](null)
+  /** Trained models, keyed BY DIR — read by [[oracles]] AFTER the
+    * queries have run (Verify's order) to embed the trained literals
+    * into the sim_*_trained oracle SQL. Keying by dir (not a single
+    * slot) makes training two dirs in one JVM safe: each dir's oracle
+    * embeds its own fit. Which dir the oracles describe comes from
+    * [[setOracleDir]] (Verify pins its sfDir), falling back to the most
+    * recently trained dir for ad-hoc use. */
+  private val trainedByDir =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[IndexedSeq[Double]]]
+  private val pqTrainedByDir =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[IndexedSeq[IndexedSeq[Double]]]]
+  private val oracleDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val lastDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Pin which dir's trained models [[oracles]] embeds (Verify sets its
+    * sfDir before dumping oracle_sql.json). */
+  def setOracleDir(dir: String): Unit = oracleDir.set(dir)
+
+  private def dirForOracles: Option[String] =
+    Option(oracleDir.get).orElse(Option(lastDir.get))
 
   def simIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
@@ -357,7 +416,8 @@ object Similarity {
         trainedCentroids.computeIfAbsent((s"$dir|$fp", NumCentroids, 3), _ => fit())
       case None => fit()
     }
-    lastTrained.set(cents)
+    trainedByDir.update(dir, cents)
+    lastDir.set(dir)
     // d2 up to the per-row |x|^2 constant: |c|^2 - 2<x,c>
     val distStructs = cents.zipWithIndex.map { case (c, i) =>
       struct(
@@ -382,17 +442,24 @@ object Similarity {
       s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($emb) + 1), i -> CAST($emb[i] AS DOUBLE) * CAST((${planeSql(p)})[i] AS DOUBLE))), (x, y) -> x + y) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** `def`, not `val`: sim_ivf_trained's oracle exists only after the
-    * query has trained (Verify runs every query BEFORE dumping
-    * oracle_sql.json, so by then [[lastTrained]] holds the fit). The
-    * oracle replays only the SEARCH — the trained centroids are embedded
-    * as round-trip-exact double literals, exactly as [[simIvfAnn]]
-    * embeds its fixed ones — so the engine-specific training summation
-    * order never crosses engines. */
-  def oracles: Map[String, String] = staticOracles ++
-    Option(lastTrained.get)
-      .map(c => Map("sim_ivf_trained" -> trainedIvfSql(c)))
-      .getOrElse(Map.empty)
+  /** `def`, not `val`: the sim_*_trained oracles exist only after their
+    * queries have trained (Verify runs every query BEFORE dumping
+    * oracle_sql.json, so by then [[trainedByDir]]/[[pqTrainedByDir]]
+    * hold the fits for [[dirForOracles]]). The oracles replay only the
+    * SEARCH — the trained values are embedded as round-trip-exact double
+    * literals, exactly as [[simIvfAnn]]/[[simPqAnn]] embed their fixed
+    * ones — so the engine-specific training summation order never
+    * crosses engines. */
+  def oracles: Map[String, String] = {
+    val d = dirForOracles
+    staticOracles ++
+      d.flatMap(trainedByDir.get)
+        .map(c => Map("sim_ivf_trained" -> trainedIvfSql(c)))
+        .getOrElse(Map.empty) ++
+      d.flatMap(pqTrainedByDir.get)
+        .map(c => Map("sim_pq_trained" -> trainedPqSql(c)))
+        .getOrElse(Map.empty)
+  }
 
   /** `CAST('<shortest-roundtrip-repr>' AS DOUBLE)` — string->double
     * parsing is correctly-rounded in DuckDB, so the literal comes back
@@ -488,6 +555,7 @@ object Similarity {
     "sim_ivf_ann" -> (simIvfAnn _),
     "sim_ivf_trained" -> (simIvfTrained _),
     "sim_pq_ann" -> (simPqAnn _),
+    "sim_pq_trained" -> (simPqTrained _),
     "emb_label_centroids" -> (embLabelCentroids _),
     "emb_label_assign" -> (embLabelAssign _),
   )
@@ -521,7 +589,24 @@ object Similarity {
   }
 
   // lazy: referenced from `oracles`, which is initialized earlier in the file
-  private lazy val pqOracle: String = {
+  private lazy val pqOracle: String = pqOracleSql(
+    s"cb AS (SELECT vec_id AS j, embedding AS cemb FROM e WHERE vec_id < $NumCodes)")
+
+  /** [[pqOracleSql]] with the TRAINED codebook as literal rows: the
+    * per-subspace codewords concatenate back into one [[Dim]]-wide
+    * vector per code id (the search only ever reads sub-slices), each
+    * double embedded round-trip-exact via [[fmtD]]. */
+  private def trainedPqSql(cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): String = {
+    val rows = (0 until NumCodes).map { j =>
+      val full = (0 until NumSubspaces).flatMap(m => cb(m)(j))
+      s"($j, ${full.map(fmtD).mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    pqOracleSql(s"cb AS (SELECT * FROM (VALUES\n    $rows) AS t(j, cemb))")
+  }
+
+  /** The PQ search oracle over an arbitrary codebook CTE (`cb(j, cemb)`
+    * with cemb [[Dim]]-wide; sub-slicing happens in the SQL). */
+  private def pqOracleSql(cbCte: String): String = {
     def sl(c: String, m: Int) = s"$c[${m * SubDim + 1}:${(m + 1) * SubDim}]"
     // per-subspace encode CTEs: distances to all codewords, then the
     // (d2, j)-lexicographic argmin — mirrors the Spark struct array_min
@@ -549,7 +634,7 @@ object Similarity {
     val cbJoins = (0 until NumSubspaces)
       .map(m => s"JOIN cb cb$m ON cb$m.j = r2.code$m").mkString(" ")
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |cb AS (SELECT vec_id AS j, embedding AS cemb FROM e WHERE vec_id < $NumCodes),
+       |$cbCte,
        |$encCtes,
        |enc AS (
        |  SELECT vec_id, ${(0 until NumSubspaces).map(m => s"code$m").mkString(", ")}

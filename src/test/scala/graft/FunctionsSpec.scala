@@ -214,6 +214,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.forall { r => val rk = r.getAs[Long]("rk"); rk >= 1 && rk <= 5 })
   }
 
+  test("similarity: trained PQ search is deterministic and well-formed") {
+    val a = Similarity.queries("sim_pq_trained")(spark, sf).collect()
+    val b = Similarity.queries("sim_pq_trained")(spark, sf).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.forall { r => val rk = r.getAs[Long]("rk"); rk >= 1 && rk <= 5 })
+    // trained codewords differ from the fixed first-NumCodes slices, so
+    // the oracle must NOT be the static sim_pq_ann SQL
+    val o = Similarity.oracles
+    assert(o.contains("sim_pq_trained") && o("sim_pq_trained") != o("sim_pq_ann"))
+  }
+
+  test("similarity: per-dir trained oracles embed their own fit") {
+    val dirA = sf
+    val dirB = "/root/testdata/sf0.01"
+    try {
+      // train BOTH dirs in one JVM (the case a single global slot got wrong)
+      Similarity.queries("sim_ivf_trained")(spark, dirA).collect()
+      Similarity.queries("sim_ivf_trained")(spark, dirB).collect()
+      def fitOf(dir: String) = Similarity.trainCentroids(
+        graft.sources.Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+        Similarity.NumCentroids, iters = 3)
+      Similarity.setOracleDir(dirA)
+      val sqlA = Similarity.oracles("sim_ivf_trained")
+      Similarity.setOracleDir(dirB)
+      val sqlB = Similarity.oracles("sim_ivf_trained")
+      assert(sqlA != sqlB, "each dir's oracle must embed its own fit")
+      assert(sqlA.contains(java.lang.Double.toString(fitOf(dirA).head.head)))
+      assert(sqlB.contains(java.lang.Double.toString(fitOf(dirB).head.head)))
+    } finally Similarity.setOracleDir(null)
+  }
+
   test("similarity: PQ ANN scores through the bounded heap and stays sane") {
     val df = Similarity.simPqAnn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
