@@ -65,11 +65,15 @@ object Bench {
       sec
     }
 
-    /** Best of two passes; a failed pass (-1) is dropped, both failing
-      * reports -1. */
-    def runMin(name: String): Double = {
-      val ts = Seq(runOnce(name), runOnce(name)).filter(_ >= 0)
-      if (ts.isEmpty) -1.0 else ts.min
+    /** Both raw passes, in order (a failed pass records -1). The
+      * headline stays min-of-2, but the JSON carries every pass plus a
+      * passes/agg methodology marker so round-over-round comparisons
+      * can detect the aggregation mode and judge variance without
+      * isolated re-runs. */
+    def runBoth(name: String): Seq[Double] = Seq(runOnce(name), runOnce(name))
+    def minOf(ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
     }
 
     // Warm the JVM/codegen paths and the BENCHMARKED dataset's file
@@ -92,13 +96,17 @@ object Bench {
     // Optional comma-separated subset for isolating one query's cost on
     // a noisy machine (e.g. SPARK_GRAFT_ONLY=ev_json,q_topn).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.keys.toSeq.sorted
+    val raw = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-      .map(n => n -> runMin(n))
+      .map(n => n -> runBoth(n))
+    val results = raw.map { case (k, ts) => k -> minOf(ts) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runs = raw.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
     println(json)
     // The caller captures a bounded tail of this process's output; the
     // per-query progress trail can push the one parsed JSON line out of

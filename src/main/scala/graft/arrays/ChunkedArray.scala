@@ -145,7 +145,16 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * partitioning keeps every scan line independent, so parallelism is
     * the full surviving grid. Decimal-exact, order-independent; the
     * payload comes back as double (the scan's published face, matching
-    * [[cumsumRows]]). */
+    * [[cumsumRows]]).
+    *
+    * Carry layout: for small slabs, one running window SUM per slab
+    * position in a single projection; past [[ChunkedArray.MaxCarryWidth]]
+    * slab positions (production chunk shapes, e.g. 128x128 slabs) that
+    * would stack thousands of window-aggregate expressions in one
+    * projection — a Janino/constant-pool codegen hazard — so the carry
+    * switches to a posexplode-by-slab layout: one ROW per slab line
+    * sharing ONE window expression, carries reassembled per chunk and
+    * joined back. Same bytes on the wire, bounded expression count. */
   def cumsumAxis(axis: Int): ChunkedArray = {
     require(axis >= 0 && axis < geom.dims, s"axis $axis out of range for rank ${geom.dims}")
     val shape = geom.chunkShape
@@ -175,22 +184,43 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       .partitionBy(col("timestep") +: rem.map(d => col("pos")(d)): _*)
       .orderBy(col("pos")(axis))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    // One running decimal SUM per slab position, all sharing one window
-    // spec: a single WindowExec pass with O(1) state per sum, linear in
-    // the chunk line. (A collect_list(tot) window + per-row fold reads
-    // the same bytes but re-folds every predecessor vector at each
-    // chunk — quadratic in the line length, which is exactly the long
-    // dimension at the 100 TB posture.)
-    val carry = array((0 until slabElems).map(s =>
-      coalesce(sum(element_at(col("tot"), s + 1)).over(w), zeroDec)): _*)
     val outData = transform(sequence(lit(0), lit(geom.chunkElems - 1)), idx => {
       val s = slabOf(idx)
       val i = fdiv(idx, strides(axis)) % len
       (element_at(element_at(col("lines"), s + 1), i + 1) +
         element_at(col("carry"), s + 1)).cast("double")
     })
-    copy(df = staged.withColumn("carry", carry)
-      .select(col("timestep"), col("pos"), outData.as("data")))
+    val withCarry =
+      if (slabElems <= MaxCarryWidth) {
+        // One running decimal SUM per slab position, all sharing one
+        // window spec: a single WindowExec pass with O(1) state per sum,
+        // linear in the chunk line. (A collect_list(tot) window +
+        // per-row fold reads the same bytes but re-folds every
+        // predecessor vector at each chunk — quadratic in the line
+        // length, which is exactly the long dimension at 100 TB.)
+        val carry = array((0 until slabElems).map(s =>
+          coalesce(sum(element_at(col("tot"), s + 1)).over(w), zeroDec)): _*)
+        staged.withColumn("carry", carry)
+      } else {
+        // Wide slabs: one row per slab line through ONE window
+        // expression (expression count stays O(1) however wide the
+        // chunk), then carries reassemble per chunk — a struct sort on
+        // the chunk's OWN slab positions, bounded by the chunk size —
+        // and join back on the chunk key. Both relations are O(#chunks):
+        // the join shuffles on the grid key, never broadcasts.
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("timestep") +: rem.map(d => col("pos")(d)) :+ col("s"): _*)
+          .orderBy(col("pos")(axis))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val carries = staged
+          .select(col("timestep"), col("pos"), posexplode(col("tot")).as(Seq("s", "t")))
+          .withColumn("c", coalesce(sum(col("t")).over(w2), zeroDec))
+          .groupBy("timestep", "pos")
+          .agg(transform(array_sort(collect_list(struct(col("s"), col("c")))),
+            e => e.getField("c")).as("carry"))
+        staged.join(carries.hint("shuffle_hash"), Seq("timestep", "pos"))
+      }
+    copy(df = withCarry.select(col("timestep"), col("pos"), outData.as("data")))
   }
 
   /** Axes permutation for ANY rank (dask/numpy `transpose(axes=perm)`):
@@ -917,6 +947,11 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
 }
 
 object ChunkedArray {
+  /** Max slab positions carried as per-slab window expressions in ONE
+    * projection by [[ChunkedArray.cumsumAxis]]; wider slabs switch to
+    * the row-per-line carry (thousands of window-aggregate expressions
+    * in one projection risk Janino/constant-pool codegen blowups). */
+  val MaxCarryWidth = 256
   private val DEC = "DECIMAL(28,2)"
   private[arrays] def zeroDec: Column = lit(0).cast(DEC)
   private[arrays] def castDec(c: Column): Column = c.cast(DEC)

@@ -377,10 +377,12 @@ object Dedup {
     * self-join and a partial-agg groupBy per round, converging in
     * O(log diameter) rounds (near-dup clusters are clique-ish, so 2-3
     * rounds in practice; the shortcut keeps even chain-shaped
-    * components logarithmic). Rounds are localCheckpoint'ed: the label
+    * components logarithmic). Rounds are checkpointed ([[Checkpoints]]:
+    * executor-local by default, reliable-to-shared-storage under
+    * spark.graft.reliableCheckpoints for cluster recovery): the label
     * relation is O(docs-in-dup-pairs), far smaller than the corpus, and
     * truncating lineage keeps round t's plan from embedding rounds
-    * 0..t-1 (on a real cluster: reliable checkpoint to shared storage).
+    * 0..t-1.
     * Nothing corpus-sized crosses the driver — the only driver-side
     * action is the one-row convergence probe per round. */
   def ddCluster(s: SparkSession, dir: String): DataFrame = {
@@ -422,9 +424,11 @@ object Dedup {
     // the checkpoint in the SAME job, so every round costs one job
     // instead of an eager-checkpoint job plus a probe job — at loop
     // iteration counts the fixed job-dispatch cost is the floor.
+    // Checkpoints.truncate picks local vs reliable per the session's
+    // spark.graft.reliableCheckpoints posture (cluster recovery).
     val edges = edgesIn
       .select(edgesIn.columns.take(2).toIndexedSeq.map(col): _*).toDF("ea", "eb")
-      .localCheckpoint(eager = false)
+      .transform(Checkpoints.truncate)
     // Size the loop's shuffle width by the edge relation, not the
     // session default: every round pays a fixed per-partition cost
     // (task dispatch, checkpoint, probe), so a near-dup graph that is
@@ -434,15 +438,15 @@ object Dedup {
     val maxP = edgesIn.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val p = math.max(1L, math.min(maxP.toLong, edges.count() / 100000L + 1L)).toInt
     // pre-hash the (static) undirected edge relation on the join key
-    // once — localCheckpoint preserves the partitioning, so every
+    // once — both checkpoint flavors preserve the partitioning, so every
     // round's propagation join reuses it and only the (smaller) label
     // relation shuffles per round
     val und = edges.union(edges.select(col("eb"), col("ea")))
       .toDF("src", "dst")
       .repartition(p, col("dst"))
-      .localCheckpoint(eager = false)
+      .transform(Checkpoints.truncate)
     var labels = und.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint(eager = false)
+      .withColumn("lbl", col("v")).transform(Checkpoints.truncate)
     def lblSum(df: DataFrame): java.math.BigDecimal = {
       val d = df.agg(sum(col("lbl")).cast("decimal(38,0)")).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
@@ -474,7 +478,7 @@ object Dedup {
       // this is ONE exchange, not two)
       val next = labels.union(prop).union(viaLbl).repartition(p, col("v"))
         .groupBy("v").agg(min("lbl").as("lbl"))
-        .localCheckpoint(eager = false)
+        .transform(Checkpoints.truncate)
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

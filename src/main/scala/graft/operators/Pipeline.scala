@@ -296,14 +296,6 @@ object Pipeline {
   private val tokCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (String, DataFrame)]
   private def tokenizedDocs(s: SparkSession, dir: String): DataFrame = {
-    // Crude bound, as in Tables.cache: the keys pin SparkSessions, so a
-    // JVM cycling sessions (the bench's restart-on-death path) would
-    // otherwise accumulate dead entries; unpersist may throw against a
-    // stopped session — the entries must go regardless.
-    if (tokCache.size > 16) tokCache.keys.toSeq.foreach(k =>
-      tokCache.remove(k).foreach { case (_, old) =>
-        try old.unpersist(blocking = false) catch { case _: Throwable => () }
-      })
     def build() = Tables.load(s, dir, "documents")
       .withColumn("tk",
         org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
@@ -311,13 +303,29 @@ object Pipeline {
     Tables.fingerprint(s, dir, "documents") match {
       case None => build() // unverifiable content: no persist, no memo
       case Some(fp) =>
-        tokCache.get((s, dir)) match {
-          case Some((`fp`, df)) => df
-          case stale =>
-            stale.foreach(_._2.unpersist(blocking = false))
-            val df = build().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            tokCache.update((s, dir), (fp, df))
-            df
+        // The memo update is SYNCHRONIZED: everything inside is lazy
+        // plan/metadata work (build+persist run no job), so the lock is
+        // cheap — and it closes the race where two first calls both
+        // persisted and the loser's copy leaked until the next purge.
+        tokCache.synchronized {
+          // Purge only entries whose session is STOPPED (the bench's
+          // restart-on-death path would otherwise pin dead sessions);
+          // live entries — including the one about to be served — stay.
+          // unpersist may throw against a stopped context; the entries
+          // must go regardless.
+          if (tokCache.size > 16)
+            tokCache.keys.toSeq.filter(_._1.sparkContext.isStopped).foreach(k =>
+              tokCache.remove(k).foreach { case (_, old) =>
+                try old.unpersist(blocking = false) catch { case _: Throwable => () }
+              })
+          tokCache.get((s, dir)) match {
+            case Some((`fp`, df)) => df
+            case stale =>
+              stale.foreach(_._2.unpersist(blocking = false))
+              val df = build().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              tokCache.update((s, dir), (fp, df))
+              df
+          }
         }
     }
   }

@@ -211,13 +211,13 @@ object Relational {
     // key (same layout the semi/anti below reuse), no orders broadcast.
     // late feeds BOTH the main pipeline and the anti build below —
     // truncate its lineage so the plan materializes the lateness join
-    // once instead of scanning lineitem 3x / orders 2x (on a real
-    // cluster: persist or reliable checkpoint, same shape).
+    // once instead of scanning lineitem 3x / orders 2x (Checkpoints
+    // routes to reliable checkpoint under the cluster posture flag).
     val late = li
       .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey") &&
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .localCheckpoint(eager = false)
+      .transform(Checkpoints.truncate)
     // both sides of the semi/anti are fact-scale relations: pin them to
     // shuffle hash joins on the order key — without the hint the 64 MB
     // local threshold happily broadcasts the whole lineitem projection,

@@ -51,8 +51,10 @@ object Tables {
     * data regenerated in place invalidates them. */
   def fingerprint(spark: SparkSession, dir: String, name: String): Option[String] = {
     import org.apache.hadoop.fs.{FileStatus, Path}
-    val root = new Path(s"$dir/$name.parquet")
     try {
+      // inside the try: a malformed dir makes the Path CONSTRUCTOR throw
+      // (IllegalArgumentException), which must also degrade to None
+      val root = new Path(s"$dir/$name.parquet")
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       def walk(st: FileStatus): Seq[FileStatus] =
         if (st.isDirectory)
@@ -64,7 +66,10 @@ object Tables {
         .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
         .mkString(";"))
     } catch {
-      case _: java.io.IOException => None
+      // ANY fingerprinting failure degrades to "cannot prove freshness"
+      // (skip the memo), not a query failure: a malformed dir throws
+      // IllegalArgumentException from new Path/getFileSystem, not IOException
+      case scala.util.control.NonFatal(_) => None
     }
   }
 

@@ -289,6 +289,30 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Window"), "carry must still come from a window")
   }
 
+  test("cumsumAxis wide slabs take the row-per-line carry and stay exact") {
+    // chunk shape 2x300 -> 300 slab positions for an axis-0 scan, past
+    // MaxCarryWidth: the carry must come from the posexplode layout
+    // (one window expression), not 300 stacked window aggregates
+    assert(300 > ChunkedArray.MaxCarryWidth)
+    val w = 300
+    val chunks = for (cr <- 0 to 1) yield {
+      val data = for (i <- 0 to 1; j <- 0 until w)
+        yield 1000.0 * (2 * cr + i) + j
+      (0L, Seq(cr, 0), data)
+    }
+    val wide = ChunkedArray(chunks.toDF("timestep", "pos", "data"),
+      ArrayGeometry(Seq(2, 1), Seq(2, w)))
+    val got = wide.cumsumAxis(axis = 0).rows2d.collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r.getAs[Double]("value")).toMap
+    // out(i,j) = sum_{r<=i} (1000r + j) = 1000*i*(i+1)/2 + (i+1)*j
+    for (i <- 0 to 3; j <- Seq(0, 1, 137, 255, 299))
+      assert(got((i.toLong, j.toLong)) == 1000.0 * i * (i + 1) / 2 + (i + 1) * j,
+        s"wide carry at ($i, $j)")
+    // and the plan really took the exploded-carry branch
+    val plan = wide.cumsumAxis(axis = 0).df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), "wide slabs must posexplode the carry")
+  }
+
   test("cumsumAxis on a 1-d array replays cumsumRows exactly") {
     val viaAxis = oneD.cumsumAxis(axis = 0).df
       .select(col("timestep"), col("pos")(0).cast("bigint").as("c"),

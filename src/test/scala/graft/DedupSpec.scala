@@ -20,6 +20,26 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("reliableCheckpoints flag routes the CC loop to reliable checkpoints") {
+    import graft.operators.Checkpoints
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    spark.conf.set(Checkpoints.FlagKey, "true")
+    spark.conf.set(Checkpoints.DirKey, ckDir)
+    try {
+      val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+      val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+      // the rounds actually wrote reliable checkpoint data to the dir
+      def count(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(count).sum else 1
+      assert(count(new java.io.File(spark.sparkContext.getCheckpointDir.get)) > 0,
+        "reliable checkpoints must land in the configured directory")
+    } finally {
+      spark.conf.set(Checkpoints.FlagKey, "false")
+      spark.conf.unset(Checkpoints.DirKey)
+    }
+  }
+
   test("connectedComponents handles a long chain in logarithmic rounds") {
     // A 64-node path has diameter 63: plain neighbor propagation needs
     // ~63 rounds, pointer doubling ~log2(63). The spec gates both the

@@ -140,6 +140,9 @@ class FunctionsSpec extends AnyFunSuite {
     val fp = Similarity.embFingerprint(spark, sf)
     assert(fp.exists(_.nonEmpty))
     assert(Similarity.embFingerprint(spark, "/tmp/graft_no_such_dir").isEmpty)
+    // a malformed path (invalid URI scheme) degrades to None too, not a
+    // thrown IllegalArgumentException (cannot-prove-freshness contract)
+    assert(Similarity.embFingerprint(spark, "::bad uri::").isEmpty)
     // rewriting a file in place changes the fingerprint (size or mtime)
     val tmp = java.nio.file.Files.createTempDirectory("graft_fp").toString
     val tbl = java.nio.file.Paths.get(tmp, "embeddings.parquet")

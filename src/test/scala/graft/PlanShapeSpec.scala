@@ -29,6 +29,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_ivf_ann" -> Set("embeddings"),
     "sim_ivf_trained" -> Set("embeddings"),
     "sim_pq_ann" -> Set("embeddings"),
+    "sim_pq_trained" -> Set("embeddings"),
     // benchmark gram set: small by definition (documented in Pipeline)
     "txt_contamination" -> Set("documents"),
     // three 1-row stage-count aggregates cross-joined into the summary
