@@ -69,6 +69,14 @@ object DumpPlans {
         "Distributed scan: native decimal prefix per chunk (narrow), carry via a window over per-chunk TOTALS — the only exchange moves one row per chunk.",
       "dd_keep_one" ->
         "Deduped corpus: anti join against the non-canonical member set (O(docs-in-dup-pairs)), shuffle-hashed on doc_id; the corpus never broadcasts or self-joins.",
+      "arr_mean_diff" ->
+        "ONE events scan builds both parity cell relations (conditional aggregates into a persisted O(#cells) relation); each side densifies from it and the zip is a shuffle-hash join on the grid key.",
+      "arr_axis_var" ->
+        "Axis variance: one (sum, sumsq) decimal-pair block per chunk folds chunk-locally; the only exchange merges slab-sized moment blocks across the axis chunk line.",
+      "arr_masked_sum" ->
+        "Masked reduce: the predicate filters inside the chunk fold — one (count, decimal) pair per chunk is all that shuffles.",
+      "sim_pq_trained" ->
+        "Trained PQ: identical encode/ADC plan to sim_pq_ann, only the codebook literals differ (k-means fit memoized per corpus fingerprint); scoring still reads only code columns.",
     )
 
     val sb = new StringBuilder
