@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.arrays.{ArrayGeometry, ChunkedArray}
+
+/** Randomized model check: the distributed array engine vs an EXACT
+  * dense reference, over fixed-seed random geometries (rank 1-3, mixed
+  * chunk counts/shapes, so chunk-boundary/merge paths are hit in
+  * combinations no hand fixture covers) and random 2-decimal payloads
+  * (the engine's decimal-exact contract). The reference replays the
+  * engine's arithmetic EXACTLY — BigDecimal for every fold, doubles
+  * only in the same final operand order — so every comparison is `==`,
+  * no tolerances. Seeded Random, not ScalaCheck: reproducible without
+  * the scalatest-scalacheck bridge artifact. */
+class ArrayModelSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def cartesian(dims: Seq[Int]): Seq[Seq[Int]] =
+    dims.foldLeft(Seq(Seq.empty[Int]))((acc, n) =>
+      acc.flatMap(p => (0 until n).map(p :+ _)))
+
+  private def strides(shape: Seq[Int]): Seq[Int] =
+    shape.scanRight(1)(_ * _).tail
+
+  /** Dense row-major model with exact 2-decimal cells. */
+  private case class Dense(shape: Seq[Int], cells: Vector[BigDecimal]) {
+    val st: Seq[Int] = strides(shape)
+    def at(ix: Seq[Int]): BigDecimal = cells(ix.zip(st).map { case (i, s) => i * s }.sum)
+    /** All multi-indices of the dims in `keep`, with `axis` swept as a line. */
+    def lines(axis: Int): Seq[(Seq[Int], Seq[BigDecimal])] = {
+      val rem = shape.indices.filterNot(_ == axis)
+      cartesian(rem.map(shape)).map { rix =>
+        val full = Array.fill(shape.length)(0)
+        rem.zip(rix).foreach { case (d, i) => full(d) = i }
+        val line = (0 until shape(axis)).map { i => full(axis) = i; at(full.toSeq) }
+        (rix, line.toVector)
+      }
+    }
+  }
+
+  /** Chunk the dense model onto a grid (shape must tile exactly). */
+  private def chunked(d: Dense, cpd: Seq[Int]): ChunkedArray = {
+    val cs = d.shape.zip(cpd).map { case (s, c) => require(s % c == 0); s / c }
+    val rows = cartesian(cpd).map { pos =>
+      val data = cartesian(cs).map { local =>
+        d.at(pos.zip(local).zip(cs).map { case ((p, l), w) => p * w + l }).toDouble
+      }
+      (0L, pos, data)
+    }
+    ChunkedArray(rows.toDF("timestep", "pos", "data"), ArrayGeometry(cpd, cs))
+  }
+
+  private def randomCase(rnd: scala.util.Random, rank: Int): (Dense, Seq[Int]) = {
+    val cpd = Seq.fill(rank)(1 + rnd.nextInt(3))
+    val cs = Seq.fill(rank)(1 + rnd.nextInt(3))
+    val shape = cpd.zip(cs).map { case (a, b) => a * b }
+    val cells = Vector.fill(shape.product)(
+      BigDecimal(rnd.between(-9999, 10000), 2)) // exact 2-decimal values
+    (Dense(shape, cells), cpd)
+  }
+
+  private def rowsMap(a: ChunkedArray): Map[Seq[Long], Double] =
+    a.rowsNd.collect().map { r =>
+      val n = r.length
+      ((1 until n - 1).map(r.getLong): Seq[Long]) -> r.getDouble(n - 1)
+    }.toMap
+
+  private def ixKey(ix: Seq[Int]): Seq[Long] = ix.map(_.toLong)
+
+  test("reductions/scans/reshapes match the exact dense model on random arrays") {
+    val rnd = new scala.util.Random(20260813L)
+    for (caseNo <- 0 until 8) {
+      val rank = 1 + rnd.nextInt(3)
+      val (d, cpd) = randomCase(rnd, rank)
+      val arr = chunked(d, cpd)
+      val tag = s"case $caseNo shape=${d.shape} cpd=$cpd"
+
+      // global sum + stats (exact decimal folds)
+      val expSum = d.cells.sum
+      assert(arr.sumPerTimestep().head.getDouble(1) == expSum.toDouble, s"$tag sum")
+      val st0 = arr.statsPerTimestep.head
+      assert(st0.getAs[Long]("n_elems") == d.cells.length.toLong, s"$tag n")
+      assert(st0.getAs[Double]("total") == expSum.toDouble, s"$tag total")
+      assert(st0.getAs[Double]("min_val") == d.cells.min.toDouble, s"$tag min")
+      assert(st0.getAs[Double]("max_val") == d.cells.max.toDouble, s"$tag max")
+
+      // global argmax/argmin: extreme value, ties to lowest row-major index
+      val amx = arr.argmaxNd().head
+      val mx = d.cells.max
+      val mxIx = d.cells.indexOf(mx)
+      assert(amx.getDouble(1) == mx.toDouble, s"$tag argmax val")
+      (0 until rank).foreach { k =>
+        assert(amx.getLong(2 + k) == (mxIx / d.st(k)) % d.shape(k), s"$tag argmax i$k")
+      }
+      val amn = arr.argminNd().head
+      val mn = d.cells.min
+      val mnIx = d.cells.indexOf(mn)
+      assert(amn.getDouble(1) == mn.toDouble, s"$tag argmin val")
+      (0 until rank).foreach { k =>
+        assert(amn.getLong(2 + k) == (mnIx / d.st(k)) % d.shape(k), s"$tag argmin i$k")
+      }
+
+      // masked reduce at a random threshold (replay: filter then exact sum)
+      val thr = rnd.between(-5000, 5000) / 100.0
+      val kept = d.cells.filter(_.toDouble > thr)
+      val mrow = arr.maskedSumPerTimestep(_ > lit(thr)).head
+      assert(mrow.getAs[Long]("n_kept") == kept.length.toLong, s"$tag mask n")
+      assert(mrow.getAs[Double]("total") == kept.sum.toDouble, s"$tag mask sum")
+
+      // per-axis faces (rank >= 2) against the dense lines
+      if (rank >= 2) for (axis <- 0 until rank) {
+        val lines = d.lines(axis)
+        val n = d.shape(axis)
+        val sums = rowsMap(arr.axisSum(axis))
+        val maxs = rowsMap(arr.axisMax(axis))
+        val means = rowsMap(arr.axisMean(axis))
+        val vars_ = rowsMap(arr.axisVar(axis))
+        val amaxs = arr.axisArgmax(axis).rowsNd.collect().map { r =>
+          val len = r.length
+          ((1 until len - 1).map(r.getLong): Seq[Long]) -> r.getLong(len - 1)
+        }.toMap
+        for ((rix, line) <- lines) {
+          val k = ixKey(rix)
+          val t = line.sum
+          assert(sums(k) == t.toDouble, s"$tag axisSum($axis) at $rix")
+          assert(maxs(k) == line.max.toDouble, s"$tag axisMax($axis) at $rix")
+          // replay operand order: exact-sum double / extent double
+          assert(means(k) == t.toDouble / n.toDouble, s"$tag axisMean($axis) at $rix")
+          // (q - t*t/n) / n with q, t doubles of the exact moments
+          val q = line.map(x => x * x).sum
+          assert(vars_(k) == (q.toDouble - t.toDouble * t.toDouble / n) / n,
+            s"$tag axisVar($axis) at $rix")
+          val bestIx = line.indexOf(line.max).toLong
+          assert(amaxs(k) == bestIx, s"$tag axisArgmax($axis) at $rix")
+        }
+      }
+
+      // per-axis distributed scan: running exact prefix per line
+      for (axis <- 0 until rank) {
+        val got = rowsMap(arr.cumsumAxis(axis))
+        for ((rix, line) <- d.lines(axis); i <- line.indices) {
+          val pref = line.take(i + 1).sum
+          val rem = d.shape.indices.filterNot(_ == axis)
+          val full = Array.fill(rank)(0L)
+          rem.zip(rix).foreach { case (dd, ii) => full(dd) = ii.toLong }
+          full(axis) = i.toLong
+          assert(got(full.toSeq) == pref.toDouble, s"$tag cumsum($axis) at $rix:$i")
+        }
+      }
+
+      // transpose by a random permutation: pure re-addressing, cell-exact
+      if (rank >= 2) {
+        val perm = rnd.shuffle((0 until rank).toList)
+        val tmap = rowsMap(arr.transpose(perm))
+        for (ix <- cartesian(d.shape)) {
+          assert(tmap(ixKey(perm.map(ix))) == d.at(ix).toDouble, s"$tag transpose $perm at $ix")
+        }
+      }
+
+      // rechunk to a random other exact tiling: cell-exact re-addressing
+      val newShape = d.shape.map { s =>
+        val divisors = (1 to s).filter(s % _ == 0)
+        divisors(rnd.nextInt(divisors.length))
+      }
+      val rmap = rowsMap(arr.rechunk(newShape))
+      for (ix <- cartesian(d.shape))
+        assert(rmap(ixKey(ix)) == d.at(ix).toDouble, s"$tag rechunk $newShape at $ix")
+
+      // random non-empty slice box: pruned + repacked, exact sum
+      val ranges = d.shape.map { s =>
+        val lo = rnd.nextInt(s)
+        (lo, lo + 1 + rnd.nextInt(s - lo))
+      }
+      val sliced = cartesian(d.shape)
+        .filter(ix => ix.zip(ranges).forall { case (i, (lo, hi)) => i >= lo && i < hi })
+        .map(d.at)
+      assert(arr.sliceNd(ranges).sumPerTimestep().head.getDouble(1) == sliced.sum.toDouble,
+        s"$tag slice $ranges")
+    }
+  }
+}
