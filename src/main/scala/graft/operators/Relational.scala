@@ -376,12 +376,14 @@ object Relational {
       .orderBy("c_nationkey", "has_orders")
   }
 
-  /** Multi-level rollup aggregate. */
+  /** Multi-level rollup aggregate — two-phase like [[qCube]]: base
+    * aggregate first, rollup over the tiny base (sums of sums,
+    * decimal-exact), so Expand never multiplies the fact stream. */
   def qRollup(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "lineitem")
+    groupedQtyBase(s, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(sum(dec2("l_quantity")).cast("double").as("sum_qty"),
-        count(lit(1)).as("n_rows"))
+      .agg(sum(col("qty_d")).cast("double").as("sum_qty"),
+        sum(col("base_rows")).as("n_rows"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** Conditional (pivot-style) aggregation. */
@@ -576,12 +578,27 @@ object Relational {
       .orderBy("day")
   }
 
-  /** CUBE aggregate over two dimensions. */
-  def qCube(s: SparkSession, dir: String): DataFrame =
+  /** Exact-decimal (flag, status) base aggregate feeding [[qRollup]] /
+    * [[qCube]]: ONE fact pass + one tiny shuffle to the 6-row grid. */
+  private def groupedQtyBase(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(dec2("l_quantity")).as("qty_d"), count(lit(1)).as("base_rows"))
+
+  /** CUBE aggregate over two dimensions — TWO-PHASE: Spark plans
+    * `cube()` as Expand BELOW the partial aggregate, so the fact stream
+    * is multiplied by the number of grouping sets (4x here) through the
+    * map-side hash — at 100 TB that is three extra passes over the scan
+    * for margins derivable from 6 rows. Aggregate to the (flag, status)
+    * base first, then cube the BASE: identical results (sums of exact
+    * decimal sums; counts sum), with Expand x4 over 6 rows instead of
+    * the corpus. Plan-gated: the Expand's subtree must contain the base
+    * aggregate (PlanShapeSpec). */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    groupedQtyBase(s, dir)
       .cube("l_returnflag", "l_linestatus")
-      .agg(sum(dec2("l_quantity")).cast("double").as("sum_qty"),
-        count(lit(1)).as("n_rows"))
+      .agg(sum(col("qty_d")).cast("double").as("sum_qty"),
+        sum(col("base_rows")).as("n_rows"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** Set operations: INTERSECT / EXCEPT between big-order buyers and the

@@ -101,6 +101,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "subtree walk must stop at the broadcast's sibling, not leak into it")
   }
 
+  test("cube/rollup expand the 6-row base aggregate, never the fact stream") {
+    // Spark plans cube()/rollup() as Expand BELOW the partial aggregate:
+    // applied to the raw table, every fact row is multiplied by the
+    // number of grouping sets through the map-side hash. The two-phase
+    // spelling aggregates to the (flag, status) base first — so the
+    // Expand node's subtree must contain a HashAggregate (the base
+    // pass), i.e. Expand sits above the aggregated relation, not the
+    // scan. (Plan strings print a node's subtree after it.)
+    for (name <- Seq("q_cube", "q_rollup")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val ix = plan.indexOf("Expand")
+      assert(ix >= 0, s"$name lost its Expand node:\n$plan")
+      assert(plan.substring(ix).contains("HashAggregate"),
+        s"$name: Expand sits directly on the fact scan (grouping-set " +
+          s"multiplication of the fact stream):\n$plan")
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
     test(s"no fact-scale broadcast in $name") {
       val plan = q(spark, dir).queryExecution.executedPlan.toString
