@@ -324,6 +324,14 @@ object ArrayQueries {
       .withColumnsRenamed(Map("i0" -> "i", "i1" -> "j"))
       .orderBy("timestep", "i", "j")
 
+  /** dask `arr.std(axis=1)` on the 2-d array: one IEEE-correctly-rounded
+    * sqrt over the exact-operand axis variance, so it gates cross-engine
+    * like the variance itself. */
+  def arrAxisStd(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir).axisStd(axis = 1).rowsNd
+      .withColumnsRenamed(Map("i0" -> "idx"))
+      .orderBy("timestep", "idx")
+
   /** dask `arr.argmax(axis=1)` on the 2-d array: per user, the hour of
     * the daily maximum (ties to the lowest hour) — the axis-wise
     * hotspot-location probe. */
@@ -605,6 +613,19 @@ object ArrayQueries {
          |  CAST(w AS BIGINT) AS j,
          |  (total_sq - total * total / 8.0) / 8.0 AS value
          |FROM m ORDER BY 1, 2, 3""".stripMargin,
+    // hour-axis std per user: sqrt (correctly rounded in BOTH engines,
+    // IEEE 754) of the exact-moment variance, same operand order
+    "arr_axis_std" ->
+      s"""WITH $CELLS_2D_DENSE,
+         |m AS (
+         |  SELECT timestep, u,
+         |    CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |    CAST(SUM(CAST(cell AS DECIMAL(18,2)) * CAST(cell AS DECIMAL(18,2)))
+         |      AS DOUBLE) AS total_sq
+         |  FROM cells GROUP BY 1, 2)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
+         |  sqrt((total_sq - total * total / 8.0) / 8.0) AS value
+         |FROM m ORDER BY 1, 2""".stripMargin,
     // per-user argmax hour, ties to the lowest hour (numpy's rule)
     "arr_argmax_axis" ->
       s"""WITH $CELLS_2D_DENSE,
@@ -729,6 +750,7 @@ object ArrayQueries {
     "arr_axis_mean" -> (arrAxisMean _),
     "arr_axis_sum_3d" -> (arrAxisSum3d _),
     "arr_axis_var" -> (arrAxisVar _),
+    "arr_axis_std" -> (arrAxisStd _),
     "arr_argmax_axis" -> (arrArgmaxAxis _),
     "arr_masked_sum" -> (arrMaskedSum _),
     "arr_cumsum2d" -> (arrCumsum2d _),
