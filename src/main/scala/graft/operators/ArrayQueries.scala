@@ -60,14 +60,28 @@ object ArrayQueries {
   // refs in the object store, doreisa/head_node.py:70).
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), ChunkedArray]
-  private def cached(s: SparkSession, dir: String, kind: String)(build: => ChunkedArray): ChunkedArray = {
-    if (cache.size > 64) release() // bound the memo AND free the blocks
-    cache.getOrElseUpdate((s, dir, kind), {
-      val arr = build
-      arr.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      arr
-    })
-  }
+  // Synchronized like Pipeline.tokenizedDocs: build+persist are lazy
+  // metadata work (no job runs inside), and the lock means exactly one
+  // persist per key ever wins (a TrieMap getOrElseUpdate can run the
+  // builder twice under contention, leaking the loser's persisted
+  // blocks). The >64 bound evicts only STOPPED sessions' entries first
+  // (bench restart-on-death path); live entries go only if that's not
+  // enough — correctness survives either way, persist is a cache.
+  private def cached(s: SparkSession, dir: String, kind: String)(build: => ChunkedArray): ChunkedArray =
+    cache.synchronized {
+      if (cache.size > 64) {
+        val stopped = cache.keys.filter(_._1.sparkContext.isStopped).toSeq
+        stopped.foreach(k => cache.remove(k).foreach { a =>
+          try a.df.unpersist(blocking = false) catch { case _: Throwable => () }
+        })
+        if (cache.size > 64) release()
+      }
+      cache.getOrElseUpdate((s, dir, kind), {
+        val arr = build
+        arr.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        arr
+      })
+    }
 
   // Auxiliary persisted relations that FEED memoized arrays (the parity
   // cell relation below); same lifecycle as `cache`, released together.
@@ -104,7 +118,9 @@ object ArrayQueries {
     * — and it feeds FOUR consumers (two arrays × two queries), so the
     * fact scan runs once per session instead of twice per evaluation. */
   private def parityCells(s: SparkSession, dir: String): DataFrame =
-    auxCache.getOrElseUpdate((s, dir, "parity_cells"), {
+    // same single-persist-wins lock as `cached` (lock order is always
+    // cache -> auxCache, via parityArray's build lambda)
+    auxCache.synchronized { auxCache.getOrElseUpdate((s, dir, "parity_cells"), {
       val df = Tables.load(s, dir, "events")
         .select(
           datediff(to_date(col("ts")), lit("2024-01-01")).cast("bigint").as("timestep"),
@@ -117,7 +133,7 @@ object ArrayQueries {
           sum(when(!col("even"), dec2(col("value")))).cast("double").as("cell_odd"))
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df
-    })
+    }) }
 
   /** One parity's dense 1-d array, built from [[parityCells]] (not its
     * own scan) and memoized like the unfiltered arrays. */

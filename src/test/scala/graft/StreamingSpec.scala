@@ -243,6 +243,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.synchronized(got.toMap) == Map(0L -> lapSum, 1L -> 2 * lapSum))
   }
 
+  test("runArrayOp composes the axis-variance and masked-reduce faces on the stream") {
+    implicit val sc = spark.sqlContext
+    import graft.arrays.ArrayGeometry
+    import org.apache.spark.sql.functions.lit
+    val geom = ArrayGeometry(Seq(2, 2), Seq(2, 2))
+    def chunk(cr: Int, cc: Int): (String, Long, Int, Seq[Int], Seq[Double]) = {
+      val data = for (i <- 0 to 1; j <- 0 to 1)
+        yield 10.0 * (2 * cr + i) + (2 * cc + j)
+      ("v", 0L, 4, Seq(cr, cc), data)
+    }
+    val in = MemoryStream[(String, Long, Int, Seq[Int], Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "nbChunks", "pos", "data")
+    val vars = scala.collection.mutable.Map.empty[Long, Double]
+    val masked = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+    val q = Simulation.runArrayOp(chunks, "v", geom,
+      // var over j of {10i..10i+3} = 1.25 per row; masked: cells > 15
+      arr => arr.axisVar(axis = 1).rowsNd
+        .join(arr.maskedSumPerTimestep(_ > lit(15.0)), "timestep"),
+      (df, _) => df.collect().foreach { r =>
+        vars.synchronized { vars(r.getAs[Long]("i0")) = r.getAs[Double]("value") }
+        masked.synchronized {
+          masked(r.getAs[Long]("timestep")) =
+            (r.getAs[Long]("n_kept"), r.getAs[Double]("total"))
+        }
+      })
+    in.addData(chunk(0, 0), chunk(0, 1), chunk(1, 0), chunk(1, 1))
+    q.processAllAvailable()
+    q.stop()
+    assert(vars.synchronized(vars.toMap) ==
+      Map(0L -> 1.25, 1L -> 1.25, 2L -> 1.25, 3L -> 1.25))
+    // cells > 15: rows i=2 (20..23, sum 86) and i=3 (30..33, sum 126)
+    assert(masked.synchronized(masked.toMap) == Map(0L -> ((8L, 212.0))))
+  }
+
   test("assembleChunks done-markers honor the state TTL (memory release)") {
     implicit val sc = spark.sqlContext
     // Processing-time timeouts make Spark schedule batches continuously,
