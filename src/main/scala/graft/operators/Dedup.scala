@@ -366,6 +366,26 @@ object Dedup {
       EmbedProbeDepth)
       .orderBy("label", "vec_a", "vec_b")
 
+  /** Semantic dedup clusters — [[ddCluster]]'s terminal step applied to
+    * the EMBEDDING near-dup graph: connected components over
+    * [[ddEmbedNear]]'s pairs (bucket-blocked, multi-probed, cosine-
+    * verified), each cluster labeled by its minimum vec_id and reported
+    * with its size. The same pointer-doubled CC loop serves both pair
+    * families — at corpus scale the embedding graph is the one a
+    * semantic-dedup pass resolves before keep-one. */
+  def ddEmbedCluster(s: SparkSession, dir: String): DataFrame = {
+    val edges = embedNearPairs(
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb")),
+      EmbedProbeDepth)
+      .select(col("vec_a"), col("vec_b"))
+    connectedComponents(edges)
+      .groupBy("lbl").agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("cluster_id"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Duplicate-cluster resolution — the step a production dedup pipeline
     * runs after pair generation: connected components over the verified
     * near-duplicate pairs (MinHash-LSH candidates whose exact Jaccard is
@@ -593,6 +613,32 @@ object Dedup {
          |  ON a.probe = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3
          |ORDER BY label, vec_a, vec_b""".stripMargin,
+    // the embedding near-dup pair graph resolved by the same recursive
+    // reachability as dd_cluster, keyed by vec ids
+    "dd_embed_cluster" ->
+      s"""WITH RECURSIVE bk AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${Similarity.bucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT vec_id, label, embedding,
+         |    unnest(list_transform([${probeMasks(EmbedProbeDepth).mkString(", ")}],
+         |      m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
+         |  FROM bk),
+         |edges AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM pr a JOIN bk b
+         |    ON a.probe = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3),
+         |eu AS (SELECT va AS s, vb AS t FROM edges
+         |  UNION ALL SELECT vb, va FROM edges),
+         |reach(v, w) AS (
+         |  SELECT s, s FROM eu
+         |  UNION
+         |  SELECT r.v, e.t FROM reach r JOIN eu e ON e.s = r.w),
+         |comp AS (SELECT v, MIN(w) AS cluster_id FROM reach GROUP BY v)
+         |SELECT cluster_id, COUNT(*) AS n_members FROM comp
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_cluster" ->
       s"""WITH RECURSIVE ${lshCandCte(3)},
          |edges AS (
@@ -637,6 +683,7 @@ object Dedup {
     "dd_simhash" -> (ddSimhash _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_near" -> (ddEmbedNear _),
+    "dd_embed_cluster" -> (ddEmbedCluster _),
     "dd_cluster" -> (ddCluster _),
     "dd_keep_one" -> (ddKeepOne _),
   )
