@@ -77,6 +77,10 @@ object DumpPlans {
         "Masked reduce: the predicate filters inside the chunk fold — one (count, decimal) pair per chunk is all that shuffles.",
       "sim_pq_trained" ->
         "Trained PQ: identical encode/ADC plan to sim_pq_ann, only the codebook literals differ (k-means fit memoized per corpus fingerprint); scoring still reads only code columns.",
+      "q_cube" ->
+        "Two-phase grouping sets: the fact stream aggregates to the 6-row (flag, status) base FIRST; Expand (x4 grouping sets) applies to the base aggregate, never the scan.",
+      "dd_embed_cluster" ->
+        "Semantic dedup clusters: bucket-blocked multi-probe pair join feeds the pointer-doubled CC loop — edge-sized shuffles, label relation O(vectors-in-pairs).",
     )
 
     val sb = new StringBuilder
