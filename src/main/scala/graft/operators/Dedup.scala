@@ -386,6 +386,28 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** Semantic keep-one — the terminal consumer of the EMBEDDING near-dup
+    * chain (the semantic twin of [[ddKeepOne]]): every cluster of
+    * [[ddEmbedCluster]]'s graph keeps only its canonical survivor
+    * (minimum vec_id); surviving volume is reported per label. The anti
+    * join runs against the non-canonical member set — O(vectors-in-pairs),
+    * tiny relative to the corpus — keyed on vec_id with a shuffle hash
+    * join, so the embedding table never broadcasts and never self-joins
+    * outside the bucket-blocked pair generation. */
+  def ddSemanticKeepOne(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val edges = embedNearPairs(vecs, EmbedProbeDepth)
+      .select(col("vec_a"), col("vec_b"))
+    val losers = connectedComponents(edges)
+      .filter(col("v") =!= col("lbl")).select(col("v"))
+    vecs
+      .join(losers.hint("shuffle_hash"), col("vec_id") === col("v"), "left_anti")
+      .groupBy("label").agg(count(lit(1)).as("n_kept"))
+      .orderBy("label")
+  }
+
   /** Duplicate-cluster resolution — the step a production dedup pipeline
     * runs after pair generation: connected components over the verified
     * near-duplicate pairs (MinHash-LSH candidates whose exact Jaccard is
@@ -639,6 +661,33 @@ object Dedup {
          |comp AS (SELECT v, MIN(w) AS cluster_id FROM reach GROUP BY v)
          |SELECT cluster_id, COUNT(*) AS n_members FROM comp
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the embed-cluster reachability with dd_keep_one's terminal step
+    "dd_semantic_keep_one" ->
+      s"""WITH RECURSIVE bk AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${Similarity.bucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT vec_id, label, embedding,
+         |    unnest(list_transform([${probeMasks(EmbedProbeDepth).mkString(", ")}],
+         |      m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
+         |  FROM bk),
+         |edges AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM pr a JOIN bk b
+         |    ON a.probe = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3),
+         |eu AS (SELECT va AS s, vb AS t FROM edges
+         |  UNION ALL SELECT vb, va FROM edges),
+         |reach(v, w) AS (
+         |  SELECT s, s FROM eu
+         |  UNION
+         |  SELECT r.v, e.t FROM reach r JOIN eu e ON e.s = r.w),
+         |comp AS (SELECT v, MIN(w) AS cluster_id FROM reach GROUP BY v),
+         |losers AS (SELECT v FROM comp WHERE v != cluster_id)
+         |SELECT label, COUNT(*) AS n_kept FROM embeddings
+         |WHERE vec_id NOT IN (SELECT v FROM losers)
+         |GROUP BY label ORDER BY label""".stripMargin,
     "dd_cluster" ->
       s"""WITH RECURSIVE ${lshCandCte(3)},
          |edges AS (
@@ -684,6 +733,7 @@ object Dedup {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_near" -> (ddEmbedNear _),
     "dd_embed_cluster" -> (ddEmbedCluster _),
+    "dd_semantic_keep_one" -> (ddSemanticKeepOne _),
     "dd_cluster" -> (ddCluster _),
     "dd_keep_one" -> (ddKeepOne _),
   )

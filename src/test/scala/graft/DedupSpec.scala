@@ -104,6 +104,16 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters.map(_._1).distinct.length == clusters.length)
   }
 
+  test("dd_semantic_keep_one drops exactly the non-canonical embed-cluster members") {
+    val dir = "/root/testdata/sf0.001"
+    val keptPerLabel = Dedup.ddSemanticKeepOne(spark, dir)
+      .as[(Int, Long)].collect().toMap
+    val clusters = Dedup.ddEmbedCluster(spark, dir).as[(Long, Long)].collect()
+    val losers = clusters.map { case (_, members) => members - 1 }.sum
+    val total = graft.sources.Tables.load(spark, dir, "embeddings").count()
+    assert(keptPerLabel.values.sum == total - losers)
+  }
+
   test("identity-collapsed lshCandidates equals the naive band join on a skewed corpus") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions._
