@@ -133,6 +133,30 @@ object Media {
         col("resizedChecksum").as("resized_checksum"))
       .orderBy("id")
 
+  /** Exact media dedup by payload content hash — the multimodal face of
+    * the §2.D exact-dedup family (crawled image/video corpora are
+    * heavily content-duplicated): per modality, asset counts, distinct
+    * payloads, duplicate count and the payload bytes a keep-one pass
+    * reclaims. Payloads never compare byte-to-byte: the 128-bit content
+    * hash is computed in one narrow scan, then two partial-agg levels —
+    * (kind, fp) groups first (all members share one payload size, so
+    * the reclaimable bytes are (cnt-1)·nb without identifying dupes
+    * row-wise), then the per-kind rollup. No window, no countDistinct
+    * Expand, shuffle carries O(distinct payloads). */
+  def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    val groups = fromDocuments(s, dir).toDF()
+      .select(col("kind"), md5(col("bytes")).as("fp"), col("nBytes"))
+      .groupBy("kind", "fp")
+      .agg(count(lit(1)).as("cnt"), max(col("nBytes")).as("nb"))
+    groups.groupBy("kind")
+      .agg(
+        sum(col("cnt")).as("n_assets"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") - 1).as("n_dupes"),
+        sum((col("cnt") - 1) * col("nb")).as("dupe_bytes"))
+      .orderBy("kind")
+  }
+
   /** Oracle-checkable metadata extraction (no stubbed values). */
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -195,6 +219,21 @@ object Media {
         |                                        i -> codes[i])), 0) AS BIGINT)
         |    AS resized_checksum
         |FROM m ORDER BY id""".stripMargin,
+    // payload = utf8(text), so md5(payload) == md5(text) in both engines
+    "mm_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS nb, md5(text) AS fp
+        |  FROM documents),
+        |g AS (SELECT kind, fp, COUNT(*) AS cnt, MAX(nb) AS nb
+        |      FROM m GROUP BY 1, 2)
+        |SELECT kind, CAST(SUM(cnt) AS BIGINT) AS n_assets,
+        |  COUNT(*) AS n_distinct,
+        |  CAST(SUM(cnt - 1) AS BIGINT) AS n_dupes,
+        |  CAST(SUM((cnt - 1) * nb) AS BIGINT) AS dupe_bytes
+        |FROM g GROUP BY kind ORDER BY kind""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -202,5 +241,6 @@ object Media {
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_decode_stats" -> (mmDecodeStats _),
     "mm_resize" -> (mmResize _),
+    "mm_dedup" -> (mmDedup _),
   )
 }

@@ -15,6 +15,20 @@ class MediaSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("mm_dedup counts reconcile with the media table per modality") {
+    val got = Media.mmDedup(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val m = Media.fromDocuments(spark, sf)
+    val byKind = m.groupByKey(_.kind).count().collect().toMap
+    assert(got.keySet == byKind.keySet)
+    got.values.foreach { case (kind, nAssets, nDistinct, nDupes, dupeBytes) =>
+      assert(nAssets == byKind(kind))
+      assert(nDupes == nAssets - nDistinct)
+      assert(dupeBytes >= 0L && (nDupes > 0L || dupeBytes == 0L))
+    }
+  }
+
   test("media table carries opaque binary payload + typed metadata") {
     val m = Media.fromDocuments(spark, sf)
     val row = m.filter(_.id == 0L).head()
