@@ -105,7 +105,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level phrase statistics: the global top-20 word bigrams by
+    * frequency (ties to the byte-order-smaller n-gram) — the vocabulary/
+    * phrase-table pass a tokenizer-training pipeline runs over the raw
+    * corpus. The explode is narrow; map-side partial aggregation
+    * collapses each partition to its distinct bigrams before the
+    * O(distinct)-row shuffle, and the global top-k is a
+    * TakeOrderedAndProject (k rows per partition cross to the driver,
+    * never a full sort shuffle) — at 100 TB the wire carries distinct
+    * phrases and a 20-row head, not token occurrences. */
+  def txtNgramTop(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(org.apache.spark.sql.graftexpr.TextExpressions
+        .wordNgrams(col("text"), 2)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(20)
+
   val oracles: Map[String, String] = Map(
+    "txt_ngram_top" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |g AS (SELECT list_transform(range(1, len(tk)),
+        |               i -> tk[i] || ' ' || tk[i + 1]) AS ngs
+        |      FROM t WHERE len(tk) >= 2),
+        |e AS (SELECT unnest(ngs) AS ngram FROM g)
+        |SELECT ngram, COUNT(*) AS n FROM e
+        |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
     "txt_tokens" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
@@ -187,5 +214,6 @@ object TextAnalysis {
     "txt_langid" -> (txtLangid _),
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_pii" -> (txtPii _),
+    "txt_ngram_top" -> (txtNgramTop _),
   )
 }
