@@ -121,6 +121,39 @@ object Pipeline {
       .orderBy("source", "doc_id")
   }
 
+  /** Deterministic mixture resampling — the domain-reweighting pass that
+    * turns a crawled corpus into a target training mixture (src0 30%,
+    * src1 15%, src2 10%, the rest sharing 45%): each source keeps
+    * `least(1, w·N/n_src)` of its documents (downsampling the
+    * overrepresented, keeping all of the underrepresented), selected by
+    * a pure hash threshold on the doc id — reproducible across engines,
+    * runs and partition layouts, with no RNG state. Scale posture: the
+    * per-source keep fraction comes from a dimension-sized aggregate
+    * (O(#sources) rows) broadcast onto the corpus scan; the filter is a
+    * narrow map, and only the per-source yield rollup shuffles. */
+  def pipeMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "source")
+    val w = when(col("source") === "src0", 0.30)
+      .when(col("source") === "src1", 0.15)
+      .when(col("source") === "src2", 0.10)
+      .otherwise(0.45 / 17)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val total = counts.agg(sum(col("n_src")).as("n_total"))
+    val fracs = counts.crossJoin(broadcast(total))
+      .withColumn("keep_frac",
+        least(lit(1.0), w * col("n_total").cast("double") / col("n_src").cast("double")))
+    val kept = docs
+      .join(broadcast(fracs.select("source", "keep_frac")), Seq("source"))
+      .filter(pmod(hash60(col("doc_id").cast("string")), lit(10000L)) <
+        floor(lit(10000.0) * col("keep_frac")).cast("bigint"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    fracs.select(col("source"), col("n_src").as("n_docs"), col("keep_frac"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("keep_frac"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Gopher-style repetition metrics: duplicate-trigram fraction and
     * top-token mass per document. Pure per-row array math (narrow scan);
     * the O(distinct·n) token-mode fold is bounded by document length,
@@ -373,6 +406,26 @@ object Pipeline {
       |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical double operand order: CASE weight * CAST(total) / CAST(n)
+    "pipe_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+        |t AS (SELECT SUM(n_src) AS n_total FROM c),
+        |f AS (SELECT source, n_src,
+        |        least(1.0,
+        |          CASE source WHEN 'src0' THEN 0.30 WHEN 'src1' THEN 0.15
+        |            WHEN 'src2' THEN 0.10 ELSE 0.45 / 17 END
+        |          * CAST(n_total AS DOUBLE) / CAST(n_src AS DOUBLE)) AS keep_frac
+        |      FROM c CROSS JOIN t),
+        |k AS (SELECT d.source, COUNT(*) AS n_kept
+        |      FROM documents d JOIN f USING (source)
+        |      WHERE (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |               AS BIGINT) % 10000)
+        |        < CAST(floor(10000.0 * keep_frac) AS BIGINT)
+        |      GROUP BY d.source)
+        |SELECT f.source, CAST(n_src AS BIGINT) AS n_docs, keep_frac,
+        |  COALESCE(n_kept, 0) AS n_kept
+        |FROM f LEFT JOIN k ON f.source = k.source
+        |ORDER BY f.source""".stripMargin,
     "pipe_pack" ->
       s"""WITH sd AS (
          |  -- same thresholds as packShardDigits: smallest d with
@@ -547,5 +600,6 @@ object Pipeline {
     "txt_repetition" -> (txtRepetition _),
     "dd_cross_source" -> (ddCrossSource _),
     "txt_contamination" -> (txtContamination _),
+    "pipe_mix" -> (pipeMix _),
   )
 }

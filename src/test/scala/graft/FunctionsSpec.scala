@@ -92,6 +92,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("pipe_mix keeps every doc of uncapped sources and downsamples the rest") {
+    val rows = graft.operators.Pipeline.pipeMix(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Double, Long)].collect()
+    assert(rows.length > 1)
+    rows.foreach { case (src, nDocs, keepFrac, nKept) =>
+      assert(keepFrac > 0.0 && keepFrac <= 1.0, src)
+      if (keepFrac == 1.0) assert(nKept == nDocs, src)
+      else assert(nKept <= nDocs, src)
+    }
+    // the named heavy sources are capped (w*N > n_src on the uniform corpus)
+    val bySrc = rows.map(r => r._1 -> r._3).toMap
+    assert(bySrc("src0") == 1.0 && bySrc("src1") == 1.0)
+    assert(bySrc.exists(_._2 < 1.0))
+  }
+
   test("dedup: minhash candidates all verified with exact jaccard in (0,1]") {
     val rows = Dedup.ddMinhashLsh(spark, sf).collect()
     assert(rows.forall { r =>
