@@ -63,6 +63,7 @@ object SparkEntry {
     "ev_json" -> (Relational.evJson _),
     "ev_asof_join" -> (Relational.evAsofJoin _),
     "ev_top_users_native" -> (Relational.evTopUsersNative _),
+    "ev_anomaly" -> (Relational.evAnomaly _),
   )
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -316,6 +317,34 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same double operand order as the Spark z expression:
+    // (c - sc/n) / sqrt((scc - sc*sc/n) / n)
+    "ev_anomaly" ->
+      """WITH h AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT user_id, hour, c,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_hours,
+        |    SUM(c) OVER (PARTITION BY user_id) AS sc,
+        |    SUM(c * c) OVER (PARTITION BY user_id) AS scc
+        |  FROM h),
+        |sd AS (
+        |  SELECT user_id, hour, c, n_hours, sc,
+        |    sqrt((CAST(scc AS DOUBLE)
+        |          - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |            / CAST(n_hours AS DOUBLE))
+        |         / CAST(n_hours AS DOUBLE)) AS sd
+        |  FROM st),
+        |zs AS (
+        |  SELECT user_id, hour, c AS n_events,
+        |    CASE WHEN sd > 0.0 THEN
+        |      (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE)) / sd
+        |    END AS z
+        |  FROM sd)
+        |SELECT user_id, hour, n_events, z FROM zs
+        |WHERE z > 2.0 ORDER BY user_id, hour""".stripMargin,
     "ev_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view FROM events

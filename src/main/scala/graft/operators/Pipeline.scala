@@ -138,8 +138,12 @@ object Pipeline {
       .when(col("source") === "src2", 0.10)
       .otherwise(0.45 / 17)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
-    val total = counts.agg(sum(col("n_src")).as("n_total"))
-    val fracs = counts.crossJoin(broadcast(total))
+    // corpus total via a global window over the O(#sources) counts
+    // relation — one corpus scan feeds both the counts and the total
+    // (a separate .agg would re-run the aggregate subtree)
+    val fracs = counts
+      .withColumn("n_total", sum(col("n_src")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("keep_frac",
         least(lit(1.0), w * col("n_total").cast("double") / col("n_src").cast("double")))
     val kept = docs

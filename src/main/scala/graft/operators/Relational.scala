@@ -702,6 +702,39 @@ object Relational {
       .orderBy(asc("event_type"), desc("total_value"), asc("user_id"))
   }
 
+  /** Per-user activity anomalies: hours where a user's event count sits
+    * more than 2 population standard deviations above their own mean
+    * hourly rate (over their active hours) — the burst-detection pass a
+    * behavioral pipeline runs for abuse/alerting. The hourly counts are
+    * one partial-agg pass; the per-user moments are unordered window
+    * aggregates over the HOURLY relation (partition width = one user's
+    * active hours, never raw events), so nothing re-shuffles the event
+    * stream and no per-user collection happens. All moments are exact
+    * integers; the single z-score expression replays the identical
+    * double operand order in the oracle, so the >2 cut is bit-stable
+    * cross-engine (an all-constant user has sd = 0 and is excluded by
+    * the guarding CASE in both engines). */
+  def evAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val n = col("n_hours").cast("double")
+    val sc = col("sc").cast("double")
+    val scc = col("scc").cast("double")
+    // an all-constant user has sd = 0 (and every hour at the mean):
+    // the CASE keeps ANSI division happy and the oracle mirrors it
+    val z = when(col("sd") > 0.0, (col("c").cast("double") - sc / n) / col("sd"))
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n_hours", count(lit(1)).over(byUser))
+      .withColumn("sc", sum(col("c")).over(byUser))
+      .withColumn("scc", sum(col("c") * col("c")).over(byUser))
+      .withColumn("sd", sqrt((scc - sc * sc / n) / n))
+      .withColumn("z", z)
+      .filter(col("z") > 2.0)
+      .select(col("user_id"), col("hour"), col("c").as("n_events"), col("z"))
+      .orderBy("user_id", "hour")
+  }
+
   /** Conversion funnel (view -> later click -> later purchase), the
     * classic product-analytics shape: each stage is a per-user MIN
     * aggregate conditioned on the previous stage's first timestamp, so
