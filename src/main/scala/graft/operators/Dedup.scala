@@ -341,6 +341,22 @@ object Dedup {
       .filter(col("cos") > 0.3)
   }
 
+  /** The corpus's embedding near-dup pair relation — ONE persisted
+    * table shared by every consumer of the semantic-dedup chain (the
+    * pair listing `dd_embed_near`, the clustering `dd_embed_cluster`,
+    * the keep-one `dd_semantic_keep_one`), exactly as the minhash
+    * family shares [[verifiedPairs]]: the bucket-blocked multi-probe
+    * join runs once per session, and the persisted relation is
+    * pair-sized (output-bound), never corpus-sized. CacheManager dedups
+    * the entry across queries in a session. */
+  private def corpusEmbedPairs(s: SparkSession, dir: String): DataFrame =
+    embedNearPairs(
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb")),
+      EmbedProbeDepth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Embedding-cosine near-duplicate pairs, blocked on the random-
     * hyperplane LSH bucket (the same 6-plane signature the similarity
     * path uses, [[Similarity.bucketCol]]) with `label` kept as a
@@ -359,11 +375,7 @@ object Dedup {
     * for why no dedup step is needed.
     * Norms are computed once per vector before the pairwise join. */
   def ddEmbedNear(s: SparkSession, dir: String): DataFrame =
-    embedNearPairs(
-      Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("emb")),
-      EmbedProbeDepth)
+    corpusEmbedPairs(s, dir)
       .orderBy("label", "vec_a", "vec_b")
 
   /** Semantic dedup clusters — [[ddCluster]]'s terminal step applied to
@@ -374,13 +386,8 @@ object Dedup {
     * families — at corpus scale the embedding graph is the one a
     * semantic-dedup pass resolves before keep-one. */
   def ddEmbedCluster(s: SparkSession, dir: String): DataFrame = {
-    val edges = embedNearPairs(
-      Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("emb")),
-      EmbedProbeDepth)
-      .select(col("vec_a"), col("vec_b"))
-    connectedComponents(edges)
+    ccLabels(s, dir, "embed", "embeddings")(
+      corpusEmbedPairs(s, dir).select(col("vec_a"), col("vec_b")))
       .groupBy("lbl").agg(count(lit(1)).as("n_members"))
       .select(col("lbl").as("cluster_id"), col("n_members"))
       .orderBy("cluster_id")
@@ -395,14 +402,10 @@ object Dedup {
     * join, so the embedding table never broadcasts and never self-joins
     * outside the bucket-blocked pair generation. */
   def ddSemanticKeepOne(s: SparkSession, dir: String): DataFrame = {
-    val vecs = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("emb"))
-    val edges = embedNearPairs(vecs, EmbedProbeDepth)
-      .select(col("vec_a"), col("vec_b"))
-    val losers = connectedComponents(edges)
+    val losers = ccLabels(s, dir, "embed", "embeddings")(
+      corpusEmbedPairs(s, dir).select(col("vec_a"), col("vec_b")))
       .filter(col("v") =!= col("lbl")).select(col("v"))
-    vecs
+    Tables.load(s, dir, "embeddings").select("vec_id", "label")
       .join(losers.hint("shuffle_hash"), col("vec_id") === col("v"), "left_anti")
       .groupBy("label").agg(count(lit(1)).as("n_kept"))
       .orderBy("label")
@@ -428,10 +431,10 @@ object Dedup {
     * Nothing corpus-sized crosses the driver — the only driver-side
     * action is the one-row convergence probe per round. */
   def ddCluster(s: SparkSession, dir: String): DataFrame = {
-    val edges = verifiedPairs(s, dir)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    connectedComponents(edges)
+    ccLabels(s, dir, "minhash", "documents")(
+      verifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b")))
       .groupBy("lbl").agg(count(lit(1)).as("n_members"))
       .select(col("lbl").as("cluster_id"), col("n_members"))
       .orderBy("cluster_id")
@@ -445,16 +448,49 @@ object Dedup {
     * relative to the corpus — and is keyed on doc_id with a shuffle
     * hash join, so the corpus never broadcasts and never self-joins. */
   def ddKeepOne(s: SparkSession, dir: String): DataFrame = {
-    val edges = verifiedPairs(s, dir)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    val losers = connectedComponents(edges)
+    val losers = ccLabels(s, dir, "minhash", "documents")(
+      verifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b")))
       .filter(col("v") =!= col("lbl")).select(col("v"))
     Tables.load(s, dir, "documents")
       .join(losers.hint("shuffle_hash"), col("doc_id") === col("v"), "left_anti")
       .groupBy("source").agg(count(lit(1)).as("n_kept"))
       .orderBy("source")
   }
+
+  /** Connected-component labels for one pair family of `dir`, memoized
+    * per (session, dir, family) and keyed by the source table's CONTENT
+    * fingerprint (the tokenizedDocs/centroid-memo pattern): the CC loop
+    * is a driver-side iteration whose per-round checkpoints are fresh
+    * relations, so CacheManager can never dedup it — without the memo
+    * the cluster listing and the keep-one pass each run the full loop
+    * over identical edges. The label relation is checkpoint-backed and
+    * O(vertices-in-pairs) — nothing corpus-sized is pinned. The loop
+    * runs OUTSIDE the lock (it executes jobs, unlike the lazy
+    * tokenizedDocs build): a lost first-call race recomputes once and
+    * leaks nothing (labels are not persisted entries). */
+  private val ccCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), (String, DataFrame)]
+  private def ccLabels(s: SparkSession, dir: String, family: String,
+      table: String)(edges: => DataFrame): DataFrame =
+    Tables.fingerprint(s, dir, table) match {
+      case None => connectedComponents(edges) // unverifiable content: no memo
+      case Some(fp) =>
+        val key = (s, dir, family)
+        ccCache.synchronized {
+          if (ccCache.size > 16)
+            ccCache.keys.toSeq.filter(_._1.sparkContext.isStopped)
+              .foreach(ccCache.remove)
+          ccCache.get(key)
+        } match {
+          case Some((`fp`, df)) => df
+          case _ =>
+            val df = connectedComponents(edges)
+            ccCache.synchronized { ccCache.update(key, (fp, df)) }
+            df
+        }
+    }
 
   /** Connected components over an undirected edge list (first two
     * columns = endpoint ids): returns (v, lbl) where lbl is the minimum

@@ -81,6 +81,12 @@ object DumpPlans {
         "Two-phase grouping sets: the fact stream aggregates to the 6-row (flag, status) base FIRST; Expand (x4 grouping sets) applies to the base aggregate, never the scan.",
       "dd_embed_cluster" ->
         "Semantic dedup clusters: bucket-blocked multi-probe pair join feeds the pointer-doubled CC loop — edge-sized shuffles, label relation O(vectors-in-pairs).",
+      "txt_ngram_top" ->
+        "Corpus phrase table: map-side partial agg collapses each partition to distinct bigrams before the shuffle; the global head is TakeOrderedAndProject (k rows per partition), never a full sort.",
+      "pipe_mix" ->
+        "Mixture resampling: the O(#sources) keep-fraction relation (counts + global-window total, ONE corpus scan) broadcasts onto the scan; the filter is a narrow hash threshold.",
+      "ev_anomaly" ->
+        "Burst detection: per-user moments are unordered window aggregates over the HOURLY relation — partition width = one user's active hours; raw events shuffle once into the hourly partial agg.",
     )
 
     val sb = new StringBuilder
