@@ -511,6 +511,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 2L, 5L))
   }
 
+  test("StreamingAnomaly flags the burst hour and stays silent for steady users") {
+    import graft.streaming.StreamingAnomaly
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF().toDF("user_id", "ts")
+    val q = StreamingAnomaly.bursts(events, delay = "1 hour", minHours = 3)
+      .writeStream.format("memory").queryName("burst_out")
+      .outputMode(OutputMode.Append()).start()
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: hours 0-3 alternate 2/3 events (mean 2.5, sd 0.5), hour 4
+    // bursts to 8 (z = 11); user 2: constant 2/hour (sd = 0 -> never
+    // scored, the batch operator's guard). Delivered shuffled in ONE
+    // batch (within-batch disorder is unbounded; ACROSS batches events
+    // behind the watermark are dropped by Spark before the state
+    // function — the standard late-data contract).
+    val steady = for {
+      h <- 0 to 3
+      m <- if (h % 2 == 0) Seq(5, 35) else Seq(5, 25, 45)
+    } yield (1L, at(h, m))
+    val burst = for (m <- 1 to 8) yield (1L, at(4, m))
+    val other = for (h <- 0 to 5; m <- Seq(10, 40)) yield (2L, at(h, m))
+    in.addData(new scala.util.Random(7).shuffle(steady ++ burst ++ other))
+    q.processAllAvailable()
+    // hours 0-3 close here (watermark 04:40): h3 scores z=1.41 < 2 ->
+    // silent; hour 4 stays open. User 1 sends nothing further — closure
+    // must ride the event-time timeout as user 2 advances the watermark.
+    in.addData(Seq((2L, at(7, 0))))
+    q.processAllAvailable()
+    in.addData(Seq((2L, at(7, 30))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("burst_out")
+      .select("user_id", "hour_start", "n_events", "z")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 1)
+    val (u, hs, c, z) = got.head
+    assert(u == 1L && hs == at(4, 0) && c == 8L)
+    assert(z > 2.0)
+  }
+
+  test("StreamingAnomaly idle-TTL drops a silent user's state wholesale") {
+    import graft.streaming.StreamingAnomaly
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF().toDF("user_id", "ts")
+    val q = StreamingAnomaly.bursts(events, delay = "1 hour", minHours = 3,
+        idleTtlMs = 3600000L)
+      .writeStream.format("memory").queryName("burst_ttl_out")
+      .outputMode(OutputMode.Append()).start()
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    in.addData(Seq((1L, at(0, 5)), (1L, at(0, 35)), (2L, at(0, 10))))
+    q.processAllAvailable()
+    // user 1 goes silent; user 2 advances the watermark: hour 0 closes,
+    // then the TTL (1h past the watermark) fires and removes user 1
+    for (h <- Seq(3, 6, 9, 12)) {
+      in.addData(Seq((2L, at(h, 0))))
+      q.processAllAvailable()
+    }
+    val counts = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten.headOption)
+      .map(_.numRowsTotal)
+    q.stop()
+    assert(counts.max >= 2, s"both users held state: $counts")
+    assert(counts.last == 1, s"silent user's state must be dropped: $counts")
+  }
+
   test("StreamingClean gates, dedups and counts survivors per source") {
     import graft.streaming.StreamingClean
     implicit val sc = spark.sqlContext
