@@ -385,9 +385,22 @@ object Dedup {
     * with its size. The same pointer-doubled CC loop serves both pair
     * families — at corpus scale the embedding graph is the one a
     * semantic-dedup pass resolves before keep-one. */
-  def ddEmbedCluster(s: SparkSession, dir: String): DataFrame = {
+  /** The memoized CC labels of the embedding pair graph — the ONE edge
+    * derivation both semantic consumers share (drifting a copy would
+    * silently cross-serve labels through the shared memo key). */
+  private def embedLabels(s: SparkSession, dir: String): DataFrame =
     ccLabels(s, dir, "embed", "embeddings")(
       corpusEmbedPairs(s, dir).select(col("vec_a"), col("vec_b")))
+
+  /** Ditto for the minhash family: verified pairs at jaccard >= 0.5. */
+  private def minhashLabels(s: SparkSession, dir: String): DataFrame =
+    ccLabels(s, dir, "minhash", "documents")(
+      verifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b")))
+
+  def ddEmbedCluster(s: SparkSession, dir: String): DataFrame = {
+    embedLabels(s, dir)
       .groupBy("lbl").agg(count(lit(1)).as("n_members"))
       .select(col("lbl").as("cluster_id"), col("n_members"))
       .orderBy("cluster_id")
@@ -402,8 +415,7 @@ object Dedup {
     * join, so the embedding table never broadcasts and never self-joins
     * outside the bucket-blocked pair generation. */
   def ddSemanticKeepOne(s: SparkSession, dir: String): DataFrame = {
-    val losers = ccLabels(s, dir, "embed", "embeddings")(
-      corpusEmbedPairs(s, dir).select(col("vec_a"), col("vec_b")))
+    val losers = embedLabels(s, dir)
       .filter(col("v") =!= col("lbl")).select(col("v"))
     Tables.load(s, dir, "embeddings").select("vec_id", "label")
       .join(losers.hint("shuffle_hash"), col("vec_id") === col("v"), "left_anti")
@@ -431,10 +443,7 @@ object Dedup {
     * Nothing corpus-sized crosses the driver — the only driver-side
     * action is the one-row convergence probe per round. */
   def ddCluster(s: SparkSession, dir: String): DataFrame = {
-    ccLabels(s, dir, "minhash", "documents")(
-      verifiedPairs(s, dir)
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b")))
+    minhashLabels(s, dir)
       .groupBy("lbl").agg(count(lit(1)).as("n_members"))
       .select(col("lbl").as("cluster_id"), col("n_members"))
       .orderBy("cluster_id")
@@ -448,10 +457,7 @@ object Dedup {
     * relative to the corpus — and is keyed on doc_id with a shuffle
     * hash join, so the corpus never broadcasts and never self-joins. */
   def ddKeepOne(s: SparkSession, dir: String): DataFrame = {
-    val losers = ccLabels(s, dir, "minhash", "documents")(
-      verifiedPairs(s, dir)
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b")))
+    val losers = minhashLabels(s, dir)
       .filter(col("v") =!= col("lbl")).select(col("v"))
     Tables.load(s, dir, "documents")
       .join(losers.hint("shuffle_hash"), col("doc_id") === col("v"), "left_anti")
@@ -469,25 +475,32 @@ object Dedup {
     * O(vertices-in-pairs) — nothing corpus-sized is pinned. The loop
     * runs OUTSIDE the lock (it executes jobs, unlike the lazy
     * tokenizedDocs build): a lost first-call race recomputes once and
-    * leaks nothing (labels are not persisted entries). */
-  private val ccCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), (String, DataFrame)]
+    * leaks nothing (labels are not persisted entries). Eviction is
+    * insertion-ordered beyond the cap (labels recompute cheaply on the
+    * next call), so a long-lived session over many dirs stays bounded.
+    *
+    * FRESHNESS BOUND: a fingerprint change re-runs the loop, but the
+    * edges argument still flows through the family's PERSISTED pair
+    * relation ([[verifiedPairs]] / [[corpusEmbedPairs]]), which — like
+    * [[signatureTable]] — is CacheManager-keyed by plan and never
+    * invalidated in-session. Rewriting a table in place mid-session is
+    * out of contract for the whole dedup family, not just this memo. */
+  private val ccCache = new java.util.LinkedHashMap[(SparkSession, String, String), (String, DataFrame)]
   private def ccLabels(s: SparkSession, dir: String, family: String,
       table: String)(edges: => DataFrame): DataFrame =
     Tables.fingerprint(s, dir, table) match {
       case None => connectedComponents(edges) // unverifiable content: no memo
       case Some(fp) =>
         val key = (s, dir, family)
-        ccCache.synchronized {
-          if (ccCache.size > 16)
-            ccCache.keys.toSeq.filter(_._1.sparkContext.isStopped)
-              .foreach(ccCache.remove)
-          ccCache.get(key)
-        } match {
+        (ccCache.synchronized {
+          val it = ccCache.keySet.iterator
+          while (ccCache.size > 16 && it.hasNext) { it.next(); it.remove() }
+          Option(ccCache.get(key))
+        }) match {
           case Some((`fp`, df)) => df
           case _ =>
             val df = connectedComponents(edges)
-            ccCache.synchronized { ccCache.update(key, (fp, df)) }
+            ccCache.synchronized { ccCache.put(key, (fp, df)) }
             df
         }
     }
@@ -596,6 +609,49 @@ object Dedup {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** CTE chain computing the embedding near-dup pairs `edges` (va, vb)
+    * — the oracle twin of [[corpusEmbedPairs]], shared by the three
+    * semantic-dedup oracles (the [[lshCandCte]] pattern). */
+  private def embedEdgesCte: String =
+    s"""bk AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${Similarity.bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |pr AS (
+       |  SELECT vec_id, label, embedding,
+       |    unnest(list_transform([${probeMasks(EmbedProbeDepth).mkString(", ")}],
+       |      m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
+       |  FROM bk),
+       |edges AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    a.label AS label,
+       |    ${cosSql("a.embedding", "b.embedding")} AS cos
+       |  FROM pr a JOIN bk b
+       |    ON a.probe = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3)""".stripMargin
+
+  /** The minhash family's verified edges (va, vb) over `cand` + `d`
+    * from [[lshCandCte]] — the oracle twin of the [[minhashLabels]]
+    * edge derivation (jaccard >= 0.5). */
+  private def verifiedEdgesCte: String =
+    """edges AS (
+      |  SELECT doc_a AS va, doc_b AS vb FROM cand
+      |  JOIN d sa ON sa.doc_id = doc_a
+      |  JOIN d sb ON sb.doc_id = doc_b
+      |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= 0.5)""".stripMargin
+
+  /** The recursive min-reachability resolution of `edges` into `comp`
+    * (v, cluster_id) — the oracle twin of [[connectedComponents]]. */
+  private def ccCte: String =
+    """eu AS (SELECT va AS s, vb AS t FROM edges
+      |  UNION ALL SELECT vb, va FROM edges),
+      |reach(v, w) AS (
+      |  SELECT s, s FROM eu
+      |  UNION
+      |  SELECT r.v, e.t FROM reach r JOIN eu e ON e.s = r.w),
+      |comp AS (SELECT v, MIN(w) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+
   /** dot/cosine with the exact fold order of graft.functions.cosine. */
   private[operators] def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
@@ -656,106 +712,34 @@ object Dedup {
          |  MAX(jac) AS max_jac
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_embed_near" ->
-      s"""WITH bk AS (
-         |  SELECT vec_id, label, embedding,
-         |    ${Similarity.bucketSql("embedding")} AS bucket
-         |  FROM embeddings),
-         |pr AS (
-         |  SELECT vec_id, label, embedding,
-         |    unnest(list_transform([${probeMasks(EmbedProbeDepth).mkString(", ")}],
-         |      m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
-         |  FROM bk)
-         |SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  ${cosSql("a.embedding", "b.embedding")} AS cos
-         |FROM pr a JOIN bk b
-         |  ON a.probe = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3
-         |ORDER BY label, vec_a, vec_b""".stripMargin,
+      s"""WITH $embedEdgesCte
+         |SELECT label, va AS vec_a, vb AS vec_b, cos
+         |FROM edges ORDER BY label, vec_a, vec_b""".stripMargin,
     // the embedding near-dup pair graph resolved by the same recursive
     // reachability as dd_cluster, keyed by vec ids
     "dd_embed_cluster" ->
-      s"""WITH RECURSIVE bk AS (
-         |  SELECT vec_id, label, embedding,
-         |    ${Similarity.bucketSql("embedding")} AS bucket
-         |  FROM embeddings),
-         |pr AS (
-         |  SELECT vec_id, label, embedding,
-         |    unnest(list_transform([${probeMasks(EmbedProbeDepth).mkString(", ")}],
-         |      m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
-         |  FROM bk),
-         |edges AS (
-         |  SELECT a.vec_id AS va, b.vec_id AS vb
-         |  FROM pr a JOIN bk b
-         |    ON a.probe = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3),
-         |eu AS (SELECT va AS s, vb AS t FROM edges
-         |  UNION ALL SELECT vb, va FROM edges),
-         |reach(v, w) AS (
-         |  SELECT s, s FROM eu
-         |  UNION
-         |  SELECT r.v, e.t FROM reach r JOIN eu e ON e.s = r.w),
-         |comp AS (SELECT v, MIN(w) AS cluster_id FROM reach GROUP BY v)
+      s"""WITH RECURSIVE $embedEdgesCte,
+         |$ccCte
          |SELECT cluster_id, COUNT(*) AS n_members FROM comp
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the embed-cluster reachability with dd_keep_one's terminal step
     "dd_semantic_keep_one" ->
-      s"""WITH RECURSIVE bk AS (
-         |  SELECT vec_id, label, embedding,
-         |    ${Similarity.bucketSql("embedding")} AS bucket
-         |  FROM embeddings),
-         |pr AS (
-         |  SELECT vec_id, label, embedding,
-         |    unnest(list_transform([${probeMasks(EmbedProbeDepth).mkString(", ")}],
-         |      m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
-         |  FROM bk),
-         |edges AS (
-         |  SELECT a.vec_id AS va, b.vec_id AS vb
-         |  FROM pr a JOIN bk b
-         |    ON a.probe = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3),
-         |eu AS (SELECT va AS s, vb AS t FROM edges
-         |  UNION ALL SELECT vb, va FROM edges),
-         |reach(v, w) AS (
-         |  SELECT s, s FROM eu
-         |  UNION
-         |  SELECT r.v, e.t FROM reach r JOIN eu e ON e.s = r.w),
-         |comp AS (SELECT v, MIN(w) AS cluster_id FROM reach GROUP BY v),
+      s"""WITH RECURSIVE $embedEdgesCte,
+         |$ccCte,
          |losers AS (SELECT v FROM comp WHERE v != cluster_id)
          |SELECT label, COUNT(*) AS n_kept FROM embeddings
          |WHERE vec_id NOT IN (SELECT v FROM losers)
          |GROUP BY label ORDER BY label""".stripMargin,
     "dd_cluster" ->
       s"""WITH RECURSIVE ${lshCandCte(3)},
-         |edges AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  JOIN d sa ON sa.doc_id = doc_a
-         |  JOIN d sb ON sb.doc_id = doc_b
-         |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
-         |    CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= 0.5),
-         |eu AS (SELECT doc_a AS s, doc_b AS t FROM edges
-         |  UNION ALL SELECT doc_b, doc_a FROM edges),
-         |reach(v, w) AS (
-         |  SELECT s, s FROM eu
-         |  UNION
-         |  SELECT r.v, e.t FROM reach r JOIN eu e ON e.s = r.w),
-         |comp AS (SELECT v, MIN(w) AS cluster_id FROM reach GROUP BY v)
+         |$verifiedEdgesCte,
+         |$ccCte
          |SELECT cluster_id, COUNT(*) AS n_members FROM comp
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_keep_one" ->
       s"""WITH RECURSIVE ${lshCandCte(3)},
-         |edges AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  JOIN d sa ON sa.doc_id = doc_a
-         |  JOIN d sb ON sb.doc_id = doc_b
-         |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
-         |    CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= 0.5),
-         |eu AS (SELECT doc_a AS s, doc_b AS t FROM edges
-         |  UNION ALL SELECT doc_b, doc_a FROM edges),
-         |reach(v, w) AS (
-         |  SELECT s, s FROM eu
-         |  UNION
-         |  SELECT r.v, e.t FROM reach r JOIN eu e ON e.s = r.w),
-         |comp AS (SELECT v, MIN(w) AS cluster_id FROM reach GROUP BY v),
+         |$verifiedEdgesCte,
+         |$ccCte,
          |losers AS (SELECT v FROM comp WHERE v != cluster_id)
          |SELECT source, COUNT(*) AS n_kept FROM documents
          |WHERE doc_id NOT IN (SELECT v FROM losers)

@@ -133,17 +133,22 @@ object Pipeline {
     * narrow map, and only the per-source yield rollup shuffles. */
   def pipeMix(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select("doc_id", "source")
+    val named = col("source").isin("src0", "src1", "src2")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    // corpus total AND the unnamed-source count via global windows over
+    // the O(#sources) counts relation — one corpus scan feeds counts,
+    // total and the rest-bucket split (a separate .agg would re-run the
+    // aggregate subtree), and the 45% rest share divides by the ACTUAL
+    // number of unnamed sources rather than assuming a corpus shape
+    val everything = org.apache.spark.sql.expressions.Window.partitionBy()
     val w = when(col("source") === "src0", 0.30)
       .when(col("source") === "src1", 0.15)
       .when(col("source") === "src2", 0.10)
-      .otherwise(0.45 / 17)
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
-    // corpus total via a global window over the O(#sources) counts
-    // relation — one corpus scan feeds both the counts and the total
-    // (a separate .agg would re-run the aggregate subtree)
+      .otherwise(lit(0.45) / col("n_rest").cast("double"))
     val fracs = counts
-      .withColumn("n_total", sum(col("n_src")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("n_total", sum(col("n_src")).over(everything))
+      .withColumn("n_rest",
+        sum(when(named, 0L).otherwise(1L)).over(everything))
       .withColumn("keep_frac",
         least(lit(1.0), w * col("n_total").cast("double") / col("n_src").cast("double")))
     val kept = docs
@@ -410,14 +415,19 @@ object Pipeline {
       |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // identical double operand order: CASE weight * CAST(total) / CAST(n)
+    // identical double operand order: CASE weight * CAST(total) / CAST(n);
+    // DuckDB's `/` on the decimal literal promotes to DOUBLE like Spark's
     "pipe_mix" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
-        |t AS (SELECT SUM(n_src) AS n_total FROM c),
+        |t AS (SELECT SUM(n_src) AS n_total,
+        |        SUM(CASE WHEN source IN ('src0', 'src1', 'src2')
+        |              THEN 0 ELSE 1 END) AS n_rest
+        |      FROM c),
         |f AS (SELECT source, n_src,
         |        least(1.0,
         |          CASE source WHEN 'src0' THEN 0.30 WHEN 'src1' THEN 0.15
-        |            WHEN 'src2' THEN 0.10 ELSE 0.45 / 17 END
+        |            WHEN 'src2' THEN 0.10
+        |            ELSE 0.45 / CAST(n_rest AS DOUBLE) END
         |          * CAST(n_total AS DOUBLE) / CAST(n_src AS DOUBLE)) AS keep_frac
         |      FROM c CROSS JOIN t),
         |k AS (SELECT d.source, COUNT(*) AS n_kept

@@ -519,7 +519,11 @@ class StreamingSpec extends AnyFunSuite {
     val q = StreamingAnomaly.bursts(events, delay = "1 hour", minHours = 3)
       .writeStream.format("memory").queryName("burst_out")
       .outputMode(OutputMode.Append()).start()
-    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // UTC-epoch construction: Timestamp.valueOf would parse in the
+    // JVM-default zone and break the fixed epoch-hour buckets on
+    // non-whole-hour-offset zones
+    def at(h: Int, m: Int) =
+      new Timestamp(java.time.Instant.parse(f"2024-01-01T$h%02d:$m%02d:00Z").toEpochMilli)
     // user 1: hours 0-3 alternate 2/3 events (mean 2.5, sd 0.5), hour 4
     // bursts to 8 (z = 11); user 2: constant 2/hour (sd = 0 -> never
     // scored, the batch operator's guard). Delivered shuffled in ONE
@@ -560,7 +564,11 @@ class StreamingSpec extends AnyFunSuite {
         idleTtlMs = 3600000L)
       .writeStream.format("memory").queryName("burst_ttl_out")
       .outputMode(OutputMode.Append()).start()
-    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // UTC-epoch construction: Timestamp.valueOf would parse in the
+    // JVM-default zone and break the fixed epoch-hour buckets on
+    // non-whole-hour-offset zones
+    def at(h: Int, m: Int) =
+      new Timestamp(java.time.Instant.parse(f"2024-01-01T$h%02d:$m%02d:00Z").toEpochMilli)
     in.addData(Seq((1L, at(0, 5)), (1L, at(0, 35)), (2L, at(0, 10))))
     q.processAllAvailable()
     // user 1 goes silent; user 2 advances the watermark: hour 0 closes,
