@@ -45,6 +45,38 @@ object Similarity {
       .orderBy("probe_id", "rk")
   }
 
+  /** k-NN SELF-join: every vector's [[KnnK]] nearest same-label
+    * neighbors — the all-vectors primitive behind semantic dedup,
+    * label-noise detection and kNN classification, distinct from the
+    * probe-based ANN queries (those broadcast <= 5 probes; here BOTH
+    * sides are the corpus). Candidates come from the hyperplane buckets
+    * with multi-probe at depth [[Dedup.EmbedProbeDepth]] — a directed
+    * (q, n) candidate matches through exactly ONE mask (the XOR of the
+    * two buckets), so no dedup step — and the per-vector top-k runs
+    * through the bounded-heap [[org.apache.spark.sql.graftexpr.TopKPerKey]]:
+    * the shuffle moves at most k rows per (vector, partition), never
+    * the candidate relation, and nothing corpus-sized broadcasts. */
+  val KnnK = 3
+
+  def simKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", bucketCol(col("emb")))
+      .withColumn("n2", norm2(col("emb")))
+    val probed = e.withColumn("probe", explode(array(
+        Dedup.probeMasks(Dedup.EmbedProbeDepth)
+          .map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+      .select(col("vec_id").as("probe_id"), col("label").as("qlabel"),
+        col("emb").as("qe"), col("n2").as("qn2"), col("probe"))
+    val cand = probed.join(e.hint("shuffle_hash"),
+        col("probe") === col("bucket") && col("qlabel") === col("label") &&
+          col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosineWithNorms(dot(col("qe"), col("emb")), col("qn2"), col("n2")).as("cos"))
+    rankTopK(cand, KnnK)
+  }
+
   /** Exact cosine top-10 for each probe (vec_id < 5), brute force.
     * Norms are precomputed per side; the scan does one codegen'd dot per
     * (vector, probe). */
@@ -547,11 +579,33 @@ object Similarity {
          |  FROM sc)
          |SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 5
          |ORDER BY probe_id, rk""".stripMargin,
+    "sim_knn_join" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT vec_id, label, embedding,
+         |    unnest(list_transform([${Dedup.probeMasks(Dedup.EmbedProbeDepth).mkString(", ")}],
+         |      m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
+         |  FROM b),
+         |sc AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+         |    ${Dedup.cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM pr a JOIN b
+         |    ON a.probe = b.bucket AND a.label = b.label AND a.vec_id != b.vec_id),
+         |r AS (
+         |  SELECT probe_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM sc)
+         |SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= $KnnK
+         |ORDER BY probe_id, rk""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
+    "sim_knn_join" -> (simKnnJoin _),
     "sim_ivf_ann" -> (simIvfAnn _),
     "sim_ivf_trained" -> (simIvfTrained _),
     "sim_pq_ann" -> (simPqAnn _),

@@ -114,6 +114,26 @@ class FunctionsSpec extends AnyFunSuite {
     })
   }
 
+  test("similarity: knn self-join ranks contiguously within same-label buckets") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.operators.Similarity.simKnnJoin(spark, dir)
+      .as[(Long, Long, Double, Long)].collect()
+    val labels = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    rows.groupBy(_._1).foreach { case (q, nns) =>
+      val rks = nns.map(_._4).sorted.toSeq
+      assert(rks == (1L to rks.length), s"ranks not contiguous for $q")
+      assert(rks.length <= graft.operators.Similarity.KnnK)
+      nns.foreach { case (_, nn, cos, _) =>
+        assert(nn != q && labels(nn) == labels(q))
+        assert(cos >= -1.0000001 && cos <= 1.0000001)
+      }
+      // ranks follow descending cosine
+      val byRk = nns.sortBy(_._4).map(_._3).toSeq
+      assert(byRk == byRk.sorted.reverse)
+    }
+  }
+
   test("similarity: brute-force top-k is 10 per probe, ranked by cosine") {
     val rows = Similarity.simTopkBruteforce(spark, sf).collect()
     val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
