@@ -64,6 +64,8 @@ object SparkEntry {
     "ev_asof_join" -> (Relational.evAsofJoin _),
     "ev_top_users_native" -> (Relational.evTopUsersNative _),
     "ev_anomaly" -> (Relational.evAnomaly _),
+    "ev_markov" -> (Relational.evMarkov _),
+    "q_corr" -> (Relational.qCorr _),
   )
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -317,6 +319,44 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // five exact decimal moments (every unscaled sum < 2^53, so the
+    // decimal->double casts are exact in BOTH engines — price² sums
+    // overflow that bound and DuckDB's conversion double-rounds),
+    // double math replayed operand-for-operand
+    "q_corr" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_discount AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    SUM(CAST(l_discount AS DECIMAL(18,2))
+        |        * CAST(l_discount AS DECIMAL(18,2))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_discount AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |    sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN den > 0.0 THEN num / den END AS corr_qty_disc
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+    "ev_markov" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  COUNT(*) AS n_transitions
+        |FROM t WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same double operand order as the Spark z expression:
     // (c - sc/n) / sqrt((scc - sc*sc/n) / n)
     "ev_anomaly" ->

@@ -735,6 +735,56 @@ object Relational {
       .orderBy("user_id", "hour")
   }
 
+  /** Pearson correlation between quantity and discount per return flag
+    * — the column-statistics pass an optimizer or data-profiling
+    * pipeline runs over a fact table. All five moments fold as exact
+    * decimals in ONE partial-agg pass (2-dec payloads, 4-dec-exact
+    * products — the arr_var recipe on a second column pair); the
+    * single corr expression runs double math once over the exact
+    * operands, replayed in the oracle operand-for-operand, with a
+    * guarding CASE for degenerate zero-variance groups (ANSI-safe).
+    * The column PAIR matters: qty x discount moments keep every sum's
+    * unscaled value below 2^53, so the decimal->double casts are exact
+    * in both engines — sum(price²) overflows that bound and DuckDB's
+    * decimal->double conversion double-rounds 1 ulp off Java's. */
+  def qCorr(s: SparkSession, dir: String): DataFrame = {
+    val q = dec2("l_quantity")
+    val p = dec2("l_discount")
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val den = sqrt(n * col("sxx").cast("double") - sx * sx) *
+      sqrt(n * col("syy").cast("double") - sy * sy)
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(q).as("sx"), sum(p).as("sy"),
+        sum(q * q).as("sxx"), sum(p * p).as("syy"),
+        sum(q * p).as("sxy"))
+      .withColumn("den", den)
+      .select(col("l_returnflag"), col("n"),
+        when(col("den") > 0.0,
+          (n * col("sxy").cast("double") - sx * sy) / col("den"))
+          .as("corr_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Per-user event-type transition matrix (first-order Markov counts)
+    * — the behavioral-model fitting pass over the event stream: each
+    * user's time-ordered lag pairs, counted per (from, to). One window
+    * partitioned by user (width = one user's events, never the stream),
+    * then an O(|types|²)-row partial aggregate; the (ts, event_id)
+    * ordering tie-break replays identically in the oracle. */
+  def evMarkov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Conversion funnel (view -> later click -> later purchase), the
     * classic product-analytics shape: each stage is a per-user MIN
     * aggregate conditioned on the previous stage's first timestamp, so
