@@ -66,6 +66,7 @@ object SparkEntry {
     "ev_anomaly" -> (Relational.evAnomaly _),
     "ev_markov" -> (Relational.evMarkov _),
     "q_corr" -> (Relational.qCorr _),
+    "q_percentiles" -> (Relational.qPercentiles _),
   )
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -347,6 +348,14 @@ object SparkEntry {
         |SELECT l_returnflag, n,
         |  CASE WHEN den > 0.0 THEN num / den END AS corr_qty_disc
         |FROM d ORDER BY l_returnflag""".stripMargin,
+    // percentile_disc semantics: first value whose cumulative count
+    // reaches ceil(q*n) — exact, no interpolation
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS p25,
+        |  quantile_disc(l_quantity, 0.50) AS p50,
+        |  quantile_disc(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_markov" ->
       """WITH t AS (
         |  SELECT event_type,

@@ -545,6 +545,32 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Exact multi-quantile profile (p25/p50/p75 of quantity per return
+    * flag) — [[qMedian]]'s histogram-cumulative technique generalized:
+    * ONE value-histogram pass (O(distinct values) rows shuffle, never
+    * the fact stream), one bounded window over the per-flag histogram,
+    * and each quantile selects the first value whose cumulative count
+    * reaches ceil(q·n) — percentile_disc semantics, exact and
+    * order-stable in both engines (no interpolation, no doubles). */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("l_returnflag")))
+    // each quantile = MIN value whose cumulative count reaches ceil(q·n)
+    // — three conditional aggregates over the one histogram, no joins
+    def pick(q: Double) =
+      min(when(col("cum") >= ceil(col("n") * lit(q)).cast("bigint"),
+        col("l_quantity")))
+    h.groupBy("l_returnflag")
+      .agg(pick(0.25).as("p25"), pick(0.50).as("p50"), pick(0.75).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
   /** Frame window: 7-row moving average of daily order revenue
     * (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW).
     *
