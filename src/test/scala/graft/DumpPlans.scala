@@ -87,6 +87,10 @@ object DumpPlans {
         "Mixture resampling: the O(#sources) keep-fraction relation (counts + global-window total, ONE corpus scan) broadcasts onto the scan; the filter is a narrow hash threshold.",
       "ev_anomaly" ->
         "Burst detection: per-user moments are unordered window aggregates over the HOURLY relation — partition width = one user's active hours; raw events shuffle once into the hourly partial agg.",
+      "sim_knn_join" ->
+        "k-NN self-join: both sides corpus-scale — bucket-keyed shuffle join (22 probe masks, each directed pair via exactly one), bounded-heap TopKPerKey; nothing corpus-sized broadcasts.",
+      "q_percentiles" ->
+        "Multi-quantile: one O(distinct-values) histogram + bounded window; all three quantiles are conditional MINs over the same relation — no joins, no second fact scan.",
     )
 
     val sb = new StringBuilder
