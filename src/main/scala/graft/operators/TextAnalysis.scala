@@ -122,7 +122,32 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("ngram"))
       .limit(20)
 
+  /** Document-frequency table: the top-50 tokens by the NUMBER OF
+    * DOCUMENTS containing them (ties to the byte-order-smaller token) —
+    * the IR statistic behind IDF weighting and data-driven stopword
+    * detection, distinct from occurrence counts ([[txtNgramTop]] /
+    * vocab): a token spammed in one document counts once here. Each
+    * document's tokens dedupe locally (bounded by doc length); map-side
+    * partial aggregation collapses partitions to distinct tokens before
+    * the O(distinct) shuffle; the head is a TakeOrderedAndProject. */
+  def txtDocfreq(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(array_distinct(
+        org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1)))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(50)
+
   val oracles: Map[String, String] = Map(
+    "txt_docfreq" ->
+      """WITH t AS (
+        |  SELECT list_distinct(list_filter(string_split(text, ' '),
+        |                                   x -> len(x) > 0)) AS tk
+        |  FROM documents),
+        |e AS (SELECT unnest(tk) AS token FROM t)
+        |SELECT token, COUNT(*) AS df FROM e
+        |GROUP BY token ORDER BY df DESC, token LIMIT 50""".stripMargin,
     "txt_ngram_top" ->
       """WITH t AS (
         |  SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
@@ -215,5 +240,6 @@ object TextAnalysis {
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_pii" -> (txtPii _),
     "txt_ngram_top" -> (txtNgramTop _),
+    "txt_docfreq" -> (txtDocfreq _),
   )
 }
