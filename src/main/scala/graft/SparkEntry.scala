@@ -67,6 +67,8 @@ object SparkEntry {
     "ev_markov" -> (Relational.evMarkov _),
     "q_corr" -> (Relational.qCorr _),
     "q_percentiles" -> (Relational.qPercentiles _),
+    "q_decile_revenue" -> (Relational.qDecileRevenue _),
+    "ev_active_users" -> (Relational.evActiveUsers _),
   )
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -348,6 +350,32 @@ object SparkEntry {
         |SELECT l_returnflag, n,
         |  CASE WHEN den > 0.0 THEN num / den END AS corr_qty_disc
         |FROM d ORDER BY l_returnflag""".stripMargin,
+    // ntile within nation over the deterministic (rev desc, custkey)
+    // order: SQL-standard floor split, identical in both engines
+    "q_decile_revenue" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT c_nationkey, o_custkey, rev FROM pc
+        |  JOIN customer ON o_custkey = c_custkey),
+        |d AS (
+        |  SELECT c_nationkey, rev,
+        |    NTILE(10) OVER (PARTITION BY c_nationkey
+        |                    ORDER BY rev DESC, o_custkey) AS decile
+        |  FROM j)
+        |SELECT c_nationkey, CAST(decile AS BIGINT) AS decile,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(rev) AS DOUBLE) AS revenue
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_active_users" ->
+      """WITH du AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, COUNT(*) AS dau, CAST(SUM(c) AS BIGINT) AS n_events,
+        |  CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS events_per_user
+        |FROM du GROUP BY 1 ORDER BY 1""".stripMargin,
     // percentile_disc semantics: first value whose cumulative count
     // reaches ceil(q*n) — exact, no interpolation
     "q_percentiles" ->

@@ -545,6 +545,51 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Per-nation customer revenue deciles — the segmentation pass behind
+    * tiered marketing/capacity analytics: per-customer revenue totals
+    * (decimal exact, one partial-agg pass over orders, shuffle-hash
+    * joined to the customer dimension for the nation key), ntile(10)
+    * within each nation over the deterministic (revenue desc, custkey)
+    * order, then the per-(nation, decile) rollup. The window runs over
+    * the CUSTOMER aggregate partitioned BY NATION (the qWindowRank
+    * posture — never a single global partition, never raw orders);
+    * ntile's SQL-standard floor-split replays identically in DuckDB
+    * given the identical total order. */
+  def qDecileRevenue(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.load(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(dec2("o_totalprice")).as("rev"))
+      .hint("shuffle_hash")
+      .join(Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(desc("rev"), asc("o_custkey"))
+    perCust
+      .withColumn("decile", ntile(10).over(w).cast("bigint"))
+      .groupBy("c_nationkey", "decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .orderBy("c_nationkey", "decile")
+  }
+
+  /** Daily active users + per-user event density — the engagement
+    * profile over the event stream: one (day, user) distinct pass
+    * (partial-agg, O(day·user) rows shuffle), then the per-day rollup;
+    * the density ratio divides two exact integers in the same order in
+    * both engines. */
+  def evActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    daily.groupBy("day")
+      .agg(count(lit(1)).as("dau"), sum(col("c")).as("n_events"))
+      .select(col("day"), col("dau"), col("n_events"),
+        (col("n_events").cast("double") / col("dau").cast("double"))
+          .as("events_per_user"))
+      .orderBy("day")
+  }
+
   /** Exact multi-quantile profile (p25/p50/p75 of quantity per return
     * flag) — [[qMedian]]'s histogram-cumulative technique generalized:
     * ONE value-histogram pass (O(distinct values) rows shuffle, never
