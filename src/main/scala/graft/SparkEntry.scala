@@ -340,10 +340,10 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1),
         |d AS (
         |  SELECT l_returnflag, n,
-        |    sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den,
+        |    sqrt(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+        |    * sqrt(greatest(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)) AS den,
         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
         |  FROM a)

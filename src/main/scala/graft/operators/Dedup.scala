@@ -320,16 +320,28 @@ object Dedup {
     (0L until (1L << Similarity.NumPlanes))
       .filter(m => java.lang.Long.bitCount(m) <= depth)
 
-  /** Pair generation for [[ddEmbedNear]] over any `(vec_id, label,
-    * emb)` relation — factored out so the recall contract (a planted
-    * pair straddling two hyperplanes IS recovered at depth 2) is
-    * spec-testable on synthetic vectors. */
-  private[graft] def embedNearPairs(raw: DataFrame, depth: Int): DataFrame = {
+  /** Bucketed relation (`n2`, `bucket`) and its depth-probed twin
+    * (`probe` exploded over the ≤depth masks) for any `(vec_id, label,
+    * emb)` relation — the ONE candidate-generation core shared by the
+    * near-dup pair join ([[embedNearPairs]], undirected `<` + cosine
+    * floor) and the k-NN self-join ([[Similarity.simKnnJoin]], directed
+    * `!=`, no floor): a probing change (depth, planes, the
+    * one-mask-per-pair invariant) lands in both paths by construction. */
+  private[operators] def bucketProbe(raw: DataFrame, depth: Int): (DataFrame, DataFrame) = {
     val e = raw
       .withColumn("n2", norm2(col("emb")))
       .withColumn("bucket", Similarity.bucketCol(col("emb")))
     val probed = e.withColumn("probe", explode(array(
       probeMasks(depth).map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+    (e, probed)
+  }
+
+  /** Pair generation for [[ddEmbedNear]] over any `(vec_id, label,
+    * emb)` relation — factored out so the recall contract (a planted
+    * pair straddling two hyperplanes IS recovered at depth 2) is
+    * spec-testable on synthetic vectors. */
+  private[graft] def embedNearPairs(raw: DataFrame, depth: Int): DataFrame = {
+    val (e, probed) = bucketProbe(raw, depth)
     // corpus-scale on both sides: bucket-keyed shuffle join, no broadcast
     probed.as("a").join(e.as("b").hint("shuffle_hash"),
         col("a.probe") === col("b.bucket") && col("a.label") === col("b.label") &&

@@ -530,7 +530,11 @@ object Relational {
     * the bucket containing position k. No task ever sorts raw rows — the
     * windowed relation is the histogram, so the plan survives a 100x
     * scale-up where the old per-flag full sort of n/3 rows dies. */
-  def qMedian(s: SparkSession, dir: String): DataFrame = {
+  /** Per-flag quantity histogram with cumulative (`cum`) and total
+    * (`n`) counts — the shared quantile scaffold of [[qMedian]] and
+    * [[qPercentiles]]: O(distinct values) rows, both windows bounded
+    * to the histogram, never the fact stream. */
+  private def quantityHistogram(s: SparkSession, dir: String): DataFrame = {
     val hist = Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_quantity")
       .agg(count(lit(1)).as("cnt"))
@@ -539,6 +543,10 @@ object Relational {
     hist
       .withColumn("cum", sum(col("cnt")).over(cum))
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy("l_returnflag")))
+  }
+
+  def qMedian(s: SparkSession, dir: String): DataFrame = {
+    quantityHistogram(s, dir)
       .withColumn("k", ceil(col("n") / lit(2.0)).cast("bigint"))
       .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
       .select(col("l_returnflag"), col("l_quantity").as("median_qty"), col("n").as("n_rows"))
@@ -598,20 +606,12 @@ object Relational {
     * reaches ceil(q·n) — percentile_disc semantics, exact and
     * order-stable in both engines (no interpolation, no doubles). */
   def qPercentiles(s: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.load(s, dir, "lineitem")
-      .groupBy("l_returnflag", "l_quantity")
-      .agg(count(lit(1)).as("cnt"))
-    val cum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val h = hist
-      .withColumn("cum", sum(col("cnt")).over(cum))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("l_returnflag")))
     // each quantile = MIN value whose cumulative count reaches ceil(q·n)
     // — three conditional aggregates over the one histogram, no joins
     def pick(q: Double) =
       min(when(col("cum") >= ceil(col("n") * lit(q)).cast("bigint"),
         col("l_quantity")))
-    h.groupBy("l_returnflag")
+    quantityHistogram(s, dir).groupBy("l_returnflag")
       .agg(pick(0.25).as("p25"), pick(0.50).as("p50"), pick(0.75).as("p75"))
       .orderBy("l_returnflag")
   }
@@ -824,8 +824,12 @@ object Relational {
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")
     val sy = col("sy").cast("double")
-    val den = sqrt(n * col("sxx").cast("double") - sx * sx) *
-      sqrt(n * col("syy").cast("double") - sy * sy)
+    // greatest(·, 0) clamps the ulp-negative a degenerate zero-variance
+    // group can round to: Spark's sqrt(-x) is NaN but DuckDB's hard-
+    // errors, so the clamp (not the den CASE) is what keeps the oracle
+    // alive on such data — both engines compute the sqrt unconditionally
+    val den = sqrt(greatest(n * col("sxx").cast("double") - sx * sx, lit(0.0))) *
+      sqrt(greatest(n * col("syy").cast("double") - sy * sy, lit(0.0)))
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),

@@ -59,14 +59,12 @@ object Similarity {
   val KnnK = 3
 
   def simKnnJoin(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(s, dir, "embeddings")
+    val raw = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
-      .withColumn("bucket", bucketCol(col("emb")))
-      .withColumn("n2", norm2(col("emb")))
-    val probed = e.withColumn("probe", explode(array(
-        Dedup.probeMasks(Dedup.EmbedProbeDepth)
-          .map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+    // the dedup family's candidate core: same buckets, same masks
+    val (e, probed0) = Dedup.bucketProbe(raw, Dedup.EmbedProbeDepth)
+    val probed = probed0
       .select(col("vec_id").as("probe_id"), col("label").as("qlabel"),
         col("emb").as("qe"), col("n2").as("qn2"), col("probe"))
     val cand = probed.join(e.hint("shuffle_hash"),
