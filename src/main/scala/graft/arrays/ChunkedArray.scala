@@ -837,9 +837,15 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
   }
 
   /** Standard deviation along `axis` (dask `arr.std(axis=)`): one sqrt
-    * over [[axisVar]]'s exact-operand variance. */
-  def axisStd(axis: Int): ChunkedArray =
-    axisVar(axis).mapValues(org.apache.spark.sql.functions.sqrt(_))
+    * over [[axisVar]]'s exact-operand variance. The operand is clamped
+    * with `greatest(·, 0)` because a near-constant line's `t*t/n` can
+    * round one ulp above `q`: Spark's sqrt(-x) is NaN but DuckDB's
+    * hard-errors, so BOTH engines clamp before the sqrt (same asymmetry
+    * q_corr documents). */
+  def axisStd(axis: Int): ChunkedArray = {
+    import org.apache.spark.sql.functions.{greatest, sqrt}
+    axisVar(axis).mapValues(v => sqrt(greatest(v, lit(0.0))))
+  }
 
   /** Index of the maximum along `axis` (dask `arr.argmax(axis=)`): the
     * per-line winning GLOBAL axis coordinate, ties to the lowest

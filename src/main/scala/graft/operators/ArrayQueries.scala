@@ -630,7 +630,9 @@ object ArrayQueries {
          |  (total_sq - total * total / 8.0) / 8.0 AS value
          |FROM m ORDER BY 1, 2, 3""".stripMargin,
     // hour-axis std per user: sqrt (correctly rounded in BOTH engines,
-    // IEEE 754) of the exact-moment variance, same operand order
+    // IEEE 754) of the exact-moment variance, same operand order; the
+    // greatest(·, 0) clamp matches the Spark side — a near-constant
+    // line can round ulp-negative and DuckDB's sqrt hard-errors there
     "arr_axis_std" ->
       s"""WITH $CELLS_2D_DENSE,
          |m AS (
@@ -640,7 +642,7 @@ object ArrayQueries {
          |      AS DOUBLE) AS total_sq
          |  FROM cells GROUP BY 1, 2)
          |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
-         |  sqrt((total_sq - total * total / 8.0) / 8.0) AS value
+         |  sqrt(greatest((total_sq - total * total / 8.0) / 8.0, 0.0)) AS value
          |FROM m ORDER BY 1, 2""".stripMargin,
     // per-user argmax hour, ties to the lowest hour (numpy's rule)
     "arr_argmax_axis" ->

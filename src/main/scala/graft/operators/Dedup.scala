@@ -497,7 +497,9 @@ object Dedup {
     * [[signatureTable]] — is CacheManager-keyed by plan and never
     * invalidated in-session. Rewriting a table in place mid-session is
     * out of contract for the whole dedup family, not just this memo. */
-  private val ccCache = new java.util.LinkedHashMap[(SparkSession, String, String), (String, DataFrame)]
+  // accessOrder=true: get() refreshes an entry, so the eviction scan
+  // below walks least-recently-USED first instead of insertion order.
+  private val ccCache = new java.util.LinkedHashMap[(SparkSession, String, String), (String, DataFrame)](32, 0.75f, true)
   private def ccLabels(s: SparkSession, dir: String, family: String,
       table: String)(edges: => DataFrame): DataFrame =
     Tables.fingerprint(s, dir, table) match {
@@ -505,8 +507,18 @@ object Dedup {
       case Some(fp) =>
         val key = (s, dir, family)
         (ccCache.synchronized {
-          val it = ccCache.keySet.iterator
-          while (ccCache.size > 16 && it.hasNext) { it.next(); it.remove() }
+          // Evict stopped-session entries first (the bench's restart-on-
+          // death path would otherwise pin dead sessions), then LRU live
+          // ones — but never the key about to be served, which the old
+          // insertion-order scan could purge right before its own lookup.
+          if (ccCache.size > 16) {
+            val dead = ccCache.keySet.iterator
+            while (dead.hasNext) if (dead.next()._1.sparkContext.isStopped) dead.remove()
+          }
+          val lru = ccCache.keySet.iterator
+          while (ccCache.size > 16 && lru.hasNext) {
+            if (lru.next() != key) lru.remove()
+          }
           Option(ccCache.get(key))
         }) match {
           case Some((`fp`, df)) => df
