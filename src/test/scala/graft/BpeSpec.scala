@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** The BPE merge loop against an exact driver-side reference trainer:
+  * same word-frequency weighting, same (count desc, pair asc) total
+  * order, same greedy left-to-right non-overlapping merge. The engine's
+  * string-replace encoding must reproduce the reference's k-round merge
+  * trajectory exactly — this is the in-JVM twin of the DuckDB replay
+  * oracle (which proves the same thing cross-engine). */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference BPE: words as symbol vectors, greedy scan merge. */
+  private def referenceBpe(texts: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = texts
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, c) => w.map(_.toString).toVector -> c }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((sy, c) <- words; i <- 0 until sy.length - 1)
+        counts((sy(i), sy(i + 1))) = counts.getOrElse((sy(i), sy(i + 1)), 0L) + c
+      if (counts.nonEmpty) {
+        val ((s1, s2), n) = counts.toSeq.minBy { case ((a, b), m) => (-m, a, b) }
+        out += ((r.toLong, s1, s2, n))
+        words = words.groupMapReduce { case (sy, _) =>
+          // greedy left-to-right non-overlapping scan
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < sy.length) {
+            if (i + 1 < sy.length && sy(i) == s1 && sy(i + 1) == s2) {
+              b += s1 + s2; i += 2
+            } else { b += sy(i); i += 1 }
+          }
+          b.result()
+        }(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  private def writeDocs(texts: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("merge trajectory matches the reference trainer, overlap runs included") {
+    // "aaaa bab abab": 'aaaa' exercises the overlapping-run rule
+    // (greedy non-overlapping: [aa][aa], not three overlapping 'aa'),
+    // and repeated merges must cascade (a+b -> ab, then a+ab etc.)
+    val texts = Seq(
+      "aaaa bab abab abab",
+      "aaaa aaaa bab low lower lowest",
+      "low low lower newest newest widest")
+    val dir = writeDocs(texts)
+    val got = TextAnalysis.txtBpeVocab(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val want = referenceBpe(texts, TextAnalysis.BpeRounds)
+    assert(got == want)
+  }
+
+  test("degenerate corpus of 1-char words exhausts merges early, no crash") {
+    val texts = Seq("a b a b c", "c a b")
+    val dir = writeDocs(texts)
+    val got = TextAnalysis.txtBpeVocab(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got.isEmpty) // no adjacent pairs exist within 1-char words
+  }
+}

@@ -46,6 +46,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q15_top_supplier" -> Set("lineitem"),
     // top-100 vocabulary: bounded by the LIMIT, by construction
     "txt_vocab_coverage" -> Set("documents"),
+    // top-100 document-frequency relation: bounded by the LIMIT
+    "txt_tfidf_top" -> Set("documents"),
   )
 
   /** Fact tables scanned INSIDE BroadcastExchange subtrees of `plan`. */
