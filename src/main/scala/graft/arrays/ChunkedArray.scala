@@ -90,6 +90,23 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       zip_with(col("data"), col("r_data"), f).as("data")))
   }
 
+  /** [[zipWith]] across MISMATCHED chunk geometries of the same logical
+    * array (dask zips differently-chunked operands by rechunking to a
+    * common grid first, dask.array.core.unify_chunks): the other side is
+    * re-addressed onto THIS array's grid — one [[rechunk]] shuffle of
+    * the smaller-described operand — then the ordinary aligned zip
+    * applies. Same logical dims required; identical geometries skip the
+    * rechunk entirely. */
+  def zipWithAuto(other: ChunkedArray)(f: (Column, Column) => Column): ChunkedArray = {
+    if (geom == other.geom) zipWith(other)(f)
+    else {
+      require(geom.dims == other.geom.dims &&
+        (0 until geom.dims).forall(d => geom.dimSize(d) == other.geom.dimSize(d)),
+        s"logical shape mismatch: $geom vs ${other.geom}")
+      zipWith(other.rechunk(geom.chunkShape))(f)
+    }
+  }
+
   /** Re-cluster chunks on the (timestep, pos) zip key — the explicit
     * analog of the reference's chunk->worker partitioning strategies
     * (doreisa/_scheduler.py, tests/test_partitioning.py). Partitioning on
@@ -320,6 +337,63 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         e => e.getField("v").cast(t)).as("data"))
     ChunkedArray(out.select("timestep", "pos", "data"),
       ArrayGeometry(newCpd, newShape))
+  }
+
+  /** Reinterpret the global row-major order under a new shape (dask
+    * `reshape`): flattened cell k of the old array becomes flattened
+    * cell k of the new array, so rank can change. Like [[rechunk]] this
+    * necessarily re-addresses every element — one full shuffle of cell
+    * values keyed by the NEW chunk id (dask's reshape moves the same
+    * bytes when the chunking doesn't line up); `newShape` must keep the
+    * element count and `newChunkShape` must tile it exactly. Flat-index
+    * math runs in bigint with the double-quotient floor bounded by
+    * 2^53 elements (well past the 100 TB posture). */
+  def reshape(newShape: Seq[Int], newChunkShape: Seq[Int]): ChunkedArray = {
+    require(newShape.nonEmpty && newShape.length == newChunkShape.length,
+      s"shape/chunk rank mismatch: $newShape vs $newChunkShape")
+    val oldDims = (0 until geom.dims).map(geom.dimSize)
+    require(oldDims.map(_.toLong).product == newShape.map(_.toLong).product,
+      s"element count mismatch: $oldDims vs $newShape")
+    val newCpd = newShape.indices.map { d =>
+      require(newChunkShape(d) > 0 && newShape(d) % newChunkShape(d) == 0,
+        s"dim $d: new chunk size ${newChunkShape(d)} must tile ${newShape(d)}")
+      newShape(d) / newChunkShape(d)
+    }
+    val strides = geom.chunkShape.scanRight(1)(_ * _).tail
+    // global row-major strides over the OLD and NEW dims (long: flat
+    // indices overflow int far below the target scale)
+    val dimStrides = oldDims.map(_.toLong).scanRight(1L)(_ * _).tail
+    val newDimStrides = newShape.map(_.toLong).scanRight(1L)(_ * _).tail
+    val newChunkStrides = newChunkShape.scanRight(1)(_ * _).tail
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    def ldiv(a: Column, s: Long): Column =
+      if (s == 1L) a else floor(a / lit(s)).cast("bigint")
+    val cells = df.select(col("timestep"), col("pos"),
+      posexplode(col("data")).as(Seq("i", "v")))
+    // flat global row-major index from (pos, offset) under the OLD geometry
+    val flat = (0 until geom.dims).map { d =>
+      (fdiv(col("i"), strides(d)) % geom.chunkShape(d) +
+        // widen BEFORE the multiply (int overflow past 2^31 cells/dim)
+        element_at(col("pos"), d + 1).cast("bigint") * geom.chunkShape(d)) *
+        lit(dimStrides(d))
+    }.reduce(_ + _)
+    // decompose under the NEW dims, then address into the new chunk grid
+    val g = newShape.indices.map(d => ldiv(flat, newDimStrides(d)) % newShape(d))
+    val newPos = array(newShape.indices.map(d =>
+      ldiv(g(d), newChunkShape(d).toLong).cast("int")): _*)
+    val newOff = newShape.indices
+      .map(d => (g(d) % newChunkShape(d)) * newChunkStrides(d))
+      .reduce(_ + _)
+    val t = dtype
+    val out = cells
+      .select(col("timestep"), newPos.as("pos"), newOff.as("off"), col("v"))
+      .groupBy("timestep", "pos")
+      .agg(transform(
+        array_sort(collect_list(struct(col("off"), col("v")))),
+        e => e.getField("v").cast(t)).as("data"))
+    ChunkedArray(out.select("timestep", "pos", "data"),
+      ArrayGeometry(newCpd, newChunkShape))
   }
 
   /** Per-timestep global sum: chunk-local decimal fold, then a tiny
@@ -588,6 +662,109 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
           Seq(lo, hi)
         }.reduce(_ + _)
         (center * lit(2 * n) - neighborSum).cast(dtype)
+      }).as("data"))
+    copy(df = out)
+  }
+
+  /** Generalized 1-d stencil along `axis` — dask `map_overlap(depth,
+    * boundary)` for an axis-directed kernel: `out[x] = Σ_k weights(k+r)
+    * * v[x + k·e_axis]`, k ∈ [-r, r], r = depth = weights.length / 2.
+    * [[stencilLaplacian]]'s halo machinery with the parameters exposed:
+    * each chunk ships only its two r-deep boundary SLABS along the axis
+    * (O(surface · depth) shuffle, never O(volume) beyond the self
+    * payload's own re-group), then computes locally. Boundary modes at
+    * the GLOBAL edge: `"zero"` pads with 0; `"reflect"` mirrors without
+    * repeating the edge (numpy `pad(mode='reflect')`: index -j reads
+    * +j). The term fold is fixed left-to-right in increasing k, so the
+    * IEEE double result replays bit-exact cross-engine; with
+    * power-of-two weights every product is itself exact. Absent
+    * interior chunks are implicitly all-zero (the Laplacian's
+    * convention). Requires depth < chunkShape(axis), so ±1 grid
+    * neighbors cover the reach. */
+  def stencilAxis(axis: Int, weights: Seq[Double], boundary: String = "zero"): ChunkedArray = {
+    val n = geom.dims
+    require(axis >= 0 && axis < n, s"axis $axis out of range")
+    require(weights.length % 2 == 1 && weights.length >= 3,
+      s"weights must have odd length >= 3, got ${weights.length}")
+    require(boundary == "zero" || boundary == "reflect",
+      s"boundary must be zero|reflect, got $boundary")
+    val r = weights.length / 2
+    val shape = geom.chunkShape
+    val shapeA = shape(axis)
+    require(r < shapeA, s"depth $r must be < chunk extent $shapeA on axis $axis")
+    val strides = shape.scanRight(1)(_ * _).tail
+    val strideA = strides(axis)
+    val elems = geom.chunkElems
+    val slabElems = elems / shapeA
+    val zeroE = lit(0).cast(dtype)
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    val rem = shape.indices.filterNot(_ == axis)
+    val remSlab = rem.zip(rem.map(shape).scanRight(1)(_ * _).tail)
+    // r planes starting at axis coord `start`, plane-major then row-major
+    // over the remaining dims — the only payload bytes that shuffle
+    def slab(start: Int): Column =
+      transform(sequence(lit(0), lit(r * slabElems - 1)), s => {
+        val p = fdiv(s, slabElems)
+        val flat = remSlab.map { case (j, ss) =>
+          (fdiv(s % slabElems, ss) % shape(j)) * strides(j)
+        }.foldLeft((lit(start) + p) * strideA: Column)(_ + _)
+        col("data")(flat)
+      })
+    def msg(off: Int, kind: String, strip: Column): Column = struct(
+      array(shape.indices.map(d =>
+        (col("pos")(d) + lit(if (d == axis) off else 0)).cast("int")): _*).as("tpos"),
+      lit(kind).as("kind"), strip.as("strip"))
+    val msgs = Seq(
+      msg(0, "c", col("data")),
+      msg(+1, "l", slab(shapeA - r)), // receiver's low-side halo
+      msg(-1, "h", slab(0))) // receiver's high-side halo
+    val sent = df
+      .select(col("timestep"), col("pos"), explode(array(msgs: _*)).as("msg"))
+      .select(col("timestep"), col("msg.tpos").as("tpos"),
+        col("msg.kind").as("kind"), col("msg.strip").as("strip"))
+      .filter(shape.indices.map(d =>
+        col("tpos")(d) >= 0 && col("tpos")(d) < geom.chunksPerDim(d)).reduce(_ && _))
+    val assembled = sent
+      .groupBy(col("timestep"), col("tpos"))
+      .agg(map_from_entries(collect_list(struct(col("kind"), col("strip")))).as("m"))
+    val lastPos = geom.chunksPerDim(axis) - 1
+    val out = assembled.select(
+      col("timestep"), col("tpos").as("pos"),
+      transform(sequence(lit(0), lit(elems - 1)), idx => {
+        val self = coalesce(element_at(col("m"), "c"), array_repeat(zeroE, elems))
+        val cd = fdiv(idx, strideA) % shapeA
+        val baseIdx = idx - cd * strideA // idx with axis coord 0
+        val slabI = remSlab.map { case (j, ss) =>
+          (fdiv(idx, strides(j)) % shape(j)) * lit(ss)
+        }.reduceOption[Column](_ + _).getOrElse(lit(0))
+        // v at axis offset o, out-of-chunk reads from the halo slabs,
+        // out-of-GLOBAL reads by boundary mode
+        def v(o: Int): Column = {
+          val target = cd + lit(o)
+          val inSelf = element_at(self, idx + o * strideA + 1)
+          val fromLow = coalesce(
+            element_at(element_at(col("m"), "l"), (target + r) * slabElems + slabI + 1),
+            zeroE)
+          val fromHigh = coalesce(
+            element_at(element_at(col("m"), "h"), (target - shapeA) * slabElems + slabI + 1),
+            zeroE)
+          val atLowEdge =
+            if (boundary == "zero") zeroE
+            else element_at(self, baseIdx - target * strideA + 1) // coord -target
+          val atHighEdge =
+            if (boundary == "zero") zeroE
+            else element_at(self, baseIdx + (lit(2 * (shapeA - 1)) - target) * strideA + 1)
+          // NB: `tpos`, not the output alias `pos` — a lateral column
+          // alias in the same select list would shadow the input column
+          when(target >= 0 && target < shapeA, inSelf)
+            .when(target < 0,
+              when(col("tpos")(axis) === 0, atLowEdge).otherwise(fromLow))
+            .otherwise(
+              when(col("tpos")(axis) === lastPos, atHighEdge).otherwise(fromHigh))
+        }
+        weights.indices.map(k => lit(weights(k)) * v(k - r))
+          .reduce(_ + _).cast(dtype)
       }).as("data"))
     copy(df = out)
   }
@@ -937,6 +1114,48 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
   def where(pred: Column => Column, replacement: Column): ChunkedArray =
     mapValues(x => when(pred(x), x).otherwise(replacement))
 
+  /** 0/1 truthiness indicators (numpy: nonzero == true), the common
+    * first step of [[axisAny]]/[[axisAll]]. Published as the payload
+    * [[dtype]] so the indicator array composes with every other face. */
+  private def indicator: ChunkedArray =
+    mapValues(x => when(x =!= 0, lit(1)).otherwise(lit(0)))
+
+  /** Truthiness-OR along `axis` (dask `any(axis=)` over a numeric
+    * array): cells collapse to 0/1 chunk-locally, then the indicators
+    * ride [[axisReduce]]'s max wire posture — one small block per chunk
+    * shuffles, never elements. */
+  def axisAny(axis: Int): ChunkedArray = indicator.axisReduce(axis)(greatest(_, _))
+
+  /** Truthiness-AND along `axis` (dask `all(axis=)`). */
+  def axisAll(axis: Int): ChunkedArray = indicator.axisReduce(axis)(least(_, _))
+
+  /** Per-timestep global any/all in ONE pass (dask `a.any()` / `a.all()`
+    * on the timestep slab): each chunk folds to two 0/1 scalars —
+    * nothing else crosses the wire. Returns
+    * `(timestep, any_val, all_val)` as bigint 0/1. */
+  def truthPerTimestep: DataFrame =
+    df.select(col("timestep"),
+        exists(col("data"), _ =!= 0).cast("bigint").as("ca"),
+        forall(col("data"), _ =!= 0).cast("bigint").as("cl"))
+      .groupBy("timestep")
+      .agg(max(col("ca")).as("any_val"), min(col("cl")).as("all_val"))
+
+  /** Product along `axis` (dask `prod(axis=)`) — a multiplicative
+    * [[axisReduce]]. Double products are order-sensitive in general;
+    * the result is EXACT (hence order-independent and replayable
+    * cross-engine) when the payload is integer-valued and every line
+    * product stays below 2^53 — the arr_axis_prod query maps cells to
+    * 1..7 first for precisely that reason. */
+  def axisProd(axis: Int): ChunkedArray = axisReduce(axis)(_ * _)
+
+  /** Per-timestep global product: one scalar per chunk crosses the wire
+    * ([[axisProd]]'s exactness contract applies). */
+  def prodPerTimestep(alias: String = "prod_val"): DataFrame =
+    df.select(col("timestep"),
+        aggregate(col("data"), lit(1.0), _ * _).as("cp"))
+      .groupBy("timestep")
+      .agg(product(col("cp")).as(alias))
+
   /** 2-d convenience over [[axisSum]]: rows `(timestep, idx, value)` of
     * the reduced 1-d array. */
   def axisSumRows(axis: Int): DataFrame = {
@@ -968,4 +1187,22 @@ object ChunkedArray {
   /** Order-independent chunk sum via a decimal fold. */
   def chunkSumDec(data: Column): Column =
     aggregate(data, zeroDec, (acc, x) => addDec(acc, x))
+
+  /** Stack arrays along a NEW leading axis (dask `stack`): input i's
+    * chunks get their grid position prefixed with i on a 1-wide leading
+    * chunk dim — pure metadata like [[ChunkedArray.concatenate]], no
+    * payload moves at all. All inputs must share one geometry (and,
+    * per timestep, cover the same grid for the dense invariant to
+    * hold). */
+  def stack(arrays: Seq[ChunkedArray]): ChunkedArray = {
+    require(arrays.nonEmpty, "stack of an empty sequence")
+    val g = arrays.head.geom
+    require(arrays.forall(_.geom == g),
+      s"stack requires identical geometries, got ${arrays.map(_.geom).distinct}")
+    val dfs = arrays.zipWithIndex.map { case (a, i) =>
+      a.df.withColumn("pos", concat(array(lit(i)), col("pos")))
+    }
+    ChunkedArray(dfs.reduce(_ unionByName _),
+      ArrayGeometry(arrays.length +: g.chunksPerDim, 1 +: g.chunkShape))
+  }
 }

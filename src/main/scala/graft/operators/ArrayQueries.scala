@@ -398,6 +398,68 @@ object ArrayQueries {
       .orderBy("timestep", "i", "j", "k")
   }
 
+  /** dask `reshape` — the 8x8 2-d array re-read as a 1-d 64-vector in
+    * global row-major order (rank change), then the distributed cumsum
+    * scan: any re-addressing error (wrong flat index, wrong chunk,
+    * wrong offset) shifts every later prefix and breaks the hash. */
+  def arrReshapeFlat(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir).reshape(Seq(64), Seq(16)).cumsumRows()
+      .orderBy("timestep", "idx")
+
+  /** dask `stack([a, 2a])` — a NEW leading axis over two same-geometry
+    * arrays (pure metadata, no payload moves), then the per-slab totals
+    * through two decimal-exact axis reductions: slab 0 must reproduce
+    * the plain total, slab 1 exactly twice it — a misfiled chunk breaks
+    * one slab's sum. */
+  def arrStackAxis(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray2dCached(s, dir)
+    ChunkedArray.stack(Seq(a, a.mapValues(_ * lit(2.0))))
+      .axisSum(2).axisSum(1).rowsNd
+      .withColumnsRenamed(Map("i0" -> "idx"))
+      .orderBy("timestep", "idx")
+  }
+
+  /** dask `a.any()` / `a.all()` per timestep (truthiness: nonzero) in
+    * one pass — "did ANY bucket see traffic / did EVERY bucket" — two
+    * 0/1 scalars per chunk cross the wire. */
+  def arrAnyAll(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).truthPerTimestep.orderBy("timestep")
+
+  /** dask `prod(axis=)` on the 2-d array: cells first collapse to small
+    * integers 1..7 (chunk-local), so every 8-long line product stays
+    * below 2^53 and the double result is EXACT — order-independent and
+    * replayable in DuckDB's `product` aggregate. */
+  def arrAxisProd(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir)
+      .mapValues(x => pmod(floor(x).cast("bigint"), lit(7)) + lit(1))
+      .axisProd(axis = 1).rowsNd
+      .withColumnsRenamed(Map("i0" -> "idx"))
+      .orderBy("timestep", "idx")
+
+  /** Generalized stencil (dask `map_overlap(depth=1, boundary='reflect')`)
+    * — a 3-point (0.25, 0.5, 0.25) smoothing kernel along the 1-d array
+    * with mirrored edges: power-of-two weights make every product exact,
+    * and the fixed fold order replays the IEEE sums bit-for-bit. */
+  def arrStencilAvg(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir)
+      .stencilAxis(axis = 0, weights = Seq(0.25, 0.5, 0.25), boundary = "reflect")
+      .rowsNd
+      .withColumnsRenamed(Map("i0" -> "idx"))
+      .orderBy("timestep", "idx")
+
+  /** Elementwise zip across MISMATCHED chunkings (dask auto-rechunks,
+    * `unify_chunks`): the same logical array chunked 4x16 and 8x8 zips
+    * after a rechunk round trip; the THRESHOLDED reduce is what makes
+    * the oracle placement-sensitive — a misaligned pair `a[i] + a[j]`
+    * changes which cells pass the cut (a plain sum would be invariant
+    * under any pairing). */
+  def arrZipMismatch(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray1dCached(s, dir)
+    a.zipWithAuto(a.rechunk(Seq(8)))(_ + _)
+      .maskedSumPerTimestep(_ > lit(1000.0))
+      .orderBy("timestep")
+  }
+
   // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
 
   private val CELLS_1D =
@@ -748,6 +810,89 @@ object ArrayQueries {
          |SELECT CAST(timestep AS BIGINT) AS timestep,
          |  CAST(SUM(CAST(out AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM lap GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the flat row-major order u*8 + h is exactly reshape's contract;
+    // the running decimal window replays the distributed scan over it
+    "arr_reshape_flat" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(u * 8 + h AS BIGINT) AS idx,
+         |  CAST(SUM(CAST(cell AS DECIMAL(28,2)))
+         |    OVER (PARTITION BY timestep ORDER BY u * 8 + h) AS DOUBLE) AS value
+         |FROM cells ORDER BY 1, 2""".stripMargin,
+    // slab 0 = the plain decimal total, slab 1 = the doubled cells'
+    // total — both exact, so a chunk filed under the wrong slab breaks
+    // exactly one of the two rows
+    "arr_stack_axis" ->
+      s"""WITH $CELLS_2D_DENSE,
+         |tot AS (
+         |  SELECT timestep,
+         |    CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS v0,
+         |    CAST(SUM(CAST(cell * 2.0 AS DECIMAL(18,2))) AS DOUBLE) AS v1
+         |  FROM cells GROUP BY 1)
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(0 AS BIGINT) AS idx, v0 AS value FROM tot
+         |UNION ALL
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(1 AS BIGINT) AS idx, v1 AS value FROM tot
+         |ORDER BY 1, 2""".stripMargin,
+    // truthiness over the DENSE array: all_val = 0 whenever any bucket
+    // saw no events that day (zero-filled cell)
+    "arr_any_all" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(MAX(CASE WHEN cell <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS any_val,
+         |  CAST(MIN(CASE WHEN cell <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS all_val
+         |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
+    // cells collapse to 1..7 (pmod of the exact floor), so the 8-long
+    // line products are exact in double and product() is order-free
+    "arr_axis_prod" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
+         |  product(CAST(((CAST(floor(cell) AS BIGINT) % 7) + 7) % 7 + 1
+         |    AS DOUBLE)) AS value
+         |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // mirrored edges (numpy 'reflect': index -1 reads +1); the operand
+    // association (w1*vp + w2*v) + w3*vn matches the Spark fold exactly
+    // and the power-of-two weights make every product exact
+    "arr_stencil_avg" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |nb AS (
+         |  SELECT timestep, u, cell,
+         |    CASE WHEN u = 0 THEN lead(cell) OVER w
+         |         ELSE lag(cell) OVER w END AS vp,
+         |    CASE WHEN u = 63 THEN lag(cell) OVER w
+         |         ELSE lead(cell) OVER w END AS vn
+         |  FROM dense WINDOW w AS (PARTITION BY timestep ORDER BY u))
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
+         |  (0.25 * vp + 0.5 * cell) + 0.25 * vn AS value
+         |FROM nb ORDER BY 1, 2""".stripMargin,
+    // the zip pairs each cell with ITSELF through the 4x16 -> 8x8 -> 4x16
+    // rechunk round trip, so every value is 2*cell; the threshold makes
+    // any misaligned pairing change the kept set
+    "arr_zip_mismatch" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(SUM(CASE WHEN cell + cell > 1000.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN cell + cell > 1000.0
+         |       THEN CAST(cell + cell AS DECIMAL(18,2))
+         |       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total
+         |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -778,5 +923,11 @@ object ArrayQueries {
     "arr_stencil_sum" -> (arrStencilSum _),
     "arr_matmul" -> (arrMatmul _),
     "arr_tensordot" -> (arrTensordot _),
+    "arr_reshape_flat" -> (arrReshapeFlat _),
+    "arr_stack_axis" -> (arrStackAxis _),
+    "arr_any_all" -> (arrAnyAll _),
+    "arr_axis_prod" -> (arrAxisProd _),
+    "arr_stencil_avg" -> (arrStencilAvg _),
+    "arr_zip_mismatch" -> (arrZipMismatch _),
   )
 }

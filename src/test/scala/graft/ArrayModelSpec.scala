@@ -180,6 +180,79 @@ class ArrayModelSpec extends AnyFunSuite {
         .map(d.at)
       assert(arr.sliceNd(ranges).sumPerTimestep().head.getDouble(1) == sliced.sum.toDouble,
         s"$tag slice $ranges")
+
+      // reshape to the flat 1-d vector under a random chunking: cell f of
+      // the flattened row-major order, exactly
+      val total = d.shape.product
+      val flatDivs = (1 to total).filter(total % _ == 0)
+      val flatChunk = flatDivs(rnd.nextInt(flatDivs.length))
+      val fmap = rowsMap(arr.reshape(Seq(total), Seq(flatChunk)))
+      for (f <- 0 until total)
+        assert(fmap(Seq(f.toLong)) == d.cells(f).toDouble, s"$tag reshape flat=$f")
+
+      // stack with the negated twin: slab 0 original, slab 1 negated
+      val smap = rowsMap(ChunkedArray.stack(Seq(arr, arr.mapValues(_ * lit(-1.0)))))
+      for (ix <- cartesian(d.shape)) {
+        assert(smap(0L +: ixKey(ix)) == d.at(ix).toDouble, s"$tag stack slab0 $ix")
+        assert(smap(1L +: ixKey(ix)) == -d.at(ix).toDouble, s"$tag stack slab1 $ix")
+      }
+
+      // truthiness: any/all against the model's nonzero counts after a
+      // random threshold zeroing
+      val zthr = rnd.between(-5000, 5000) / 100.0
+      val zeroed = arr.where(_ > lit(zthr), lit(0.0))
+      val nz = d.cells.count(_.toDouble > zthr)
+      val trow = zeroed.truthPerTimestep.head
+      assert(trow.getLong(1) == (if (nz > 0) 1L else 0L), s"$tag any")
+      assert(trow.getLong(2) == (if (nz == d.cells.length) 1L else 0L), s"$tag all")
+
+      // small-int axis product: pmod(floor(cell), 5) + 1 in 1..5, so every
+      // line product is exact in double and order-free
+      def toSmall(v: BigDecimal): Long =
+        ((math.floor(v.toDouble).toLong % 5) + 5) % 5 + 1
+      if (rank >= 2) {
+        val axis = rnd.nextInt(rank)
+        val small = arr.mapValues(x =>
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.floor(x).cast("bigint"), lit(5)) + lit(1))
+        val pmap = rowsMap(small.axisProd(axis))
+        for ((rix, line) <- d.lines(axis))
+          assert(pmap(ixKey(rix)) == line.map(toSmall).product.toDouble,
+            s"$tag axisProd($axis) at $rix")
+      }
+
+      // zipWithAuto across a random alternative chunking: the cell-wise
+      // product (pairing-sensitive) replayed as the same double multiply
+      val altShape = d.shape.map { s =>
+        val divisors = (1 to s).filter(s % _ == 0)
+        divisors(rnd.nextInt(divisors.length))
+      }
+      val zmap = rowsMap(arr.zipWithAuto(arr.rechunk(altShape))(_ * _))
+      for (ix <- cartesian(d.shape))
+        assert(zmap(ixKey(ix)) == d.at(ix).toDouble * d.at(ix).toDouble,
+          s"$tag zipWithAuto $altShape at $ix")
+
+      // axis stencil, both boundary modes, exact power-of-two weights:
+      // replay the fixed fold order in doubles
+      val sAxis = rnd.nextInt(rank)
+      if (d.shape(sAxis) / cpd(sAxis) >= 2) {
+        val w = Seq(0.25, 0.5, 0.25)
+        for (mode <- Seq("zero", "reflect")) {
+          val out = rowsMap(arr.stencilAxis(sAxis, w, mode))
+          val n = d.shape(sAxis)
+          def vat(ix: Seq[Int], o: Int): Double = {
+            val x = ix(sAxis) + o
+            if (x >= 0 && x < n) d.at(ix.updated(sAxis, x)).toDouble
+            else if (mode == "zero") 0.0
+            else if (x < 0) d.at(ix.updated(sAxis, -x)).toDouble
+            else d.at(ix.updated(sAxis, 2 * (n - 1) - x)).toDouble
+          }
+          for (ix <- cartesian(d.shape)) {
+            val exp = w.indices.map(k => w(k) * vat(ix, k - 1)).reduce(_ + _)
+            assert(out(ixKey(ix)) == exp, s"$tag stencilAxis($sAxis,$mode) at $ix")
+          }
+        }
+      }
     }
   }
 }

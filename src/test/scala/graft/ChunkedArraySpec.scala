@@ -633,4 +633,145 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(arr2.df.storageLevel.useMemory || arr2.df.storageLevel.useDisk)
     ArrayQueries.release(spark)
   }
+
+  /** Flatten to (timestep, global coords) -> value with independent
+    * Scala-side index math (shared by the re-addressing specs). */
+  private def cellMap(a: ChunkedArray): Map[(Long, Seq[Int]), Double] =
+    a.df.collect().flatMap { r =>
+      val ts = r.getLong(0)
+      val pos = r.getSeq[Int](1)
+      val data = r.getSeq[Double](2)
+      val shape = a.geom.chunkShape
+      val strides = shape.scanRight(1)(_ * _).tail
+      data.zipWithIndex.map { case (v, i) =>
+        val g = shape.indices.map(d => pos(d) * shape(d) + (i / strides(d)) % shape(d))
+        (ts, g) -> v
+      }
+    }.toMap
+
+  test("reshape re-reads the flat row-major order under a new rank exactly") {
+    // 4x4 value(i,j) = 10i + j -> 16-vector: cell f = 10*(f/4) + f%4
+    val r1 = twoD.reshape(Seq(16), Seq(4))
+    assert(r1.geom == ArrayGeometry(Seq(4), Seq(4)))
+    val got1 = cellMap(r1)
+    for (f <- 0 until 16)
+      assert(got1((0L, Seq(f))) == 10.0 * (f / 4) + f % 4, s"flat $f")
+    // rank-raising: 1-d [1..8] -> 2x4: cell (i,j) = 4i + j + 1 at t=0
+    val r2 = oneD.reshape(Seq(2, 4), Seq(2, 2))
+    assert(r2.geom == ArrayGeometry(Seq(1, 2), Seq(2, 2)))
+    val got2 = cellMap(r2)
+    for (i <- 0 until 2; j <- 0 until 4)
+      assert(got2((0L, Seq(i, j))) == 4.0 * i + j + 1, s"cell ($i,$j)")
+    // round trip restores the original cells (any chunking of them)
+    assert(cellMap(r2.reshape(Seq(8), Seq(4))) == cellMap(oneD))
+    // stats are invariant under reshape
+    assert(asMap(r1.sumPerTimestep()) == asMap(twoD.sumPerTimestep()))
+  }
+
+  test("stack adds a leading axis as pure metadata, slabs in order") {
+    val s = ChunkedArray.stack(Seq(oneD, oneD.mapValues(_ * 2)))
+    assert(s.geom == ArrayGeometry(Seq(2, 2), Seq(1, 4)))
+    val base = cellMap(oneD)
+    val got = cellMap(s)
+    for (((ts, g), v) <- base) {
+      assert(got((ts, 0 +: g)) == v, s"slab 0 cell $g")
+      assert(got((ts, 1 +: g)) == v * 2, s"slab 1 cell $g")
+    }
+    // no payload movement: the union plan has no Exchange
+    assert(!s.df.queryExecution.executedPlan.toString.contains("Exchange"))
+    // per-slab totals through two axis reductions
+    val slabs = s.axisSum(1).rowsNd.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(slabs((0L, 0L)) == 36.0 && slabs((0L, 1L)) == 72.0)
+  }
+
+  test("stencilAxis matches a dense reference for zero and reflect boundaries") {
+    def dense1d(v: Array[Double], w: Seq[Double], reflect: Boolean): Array[Double] = {
+      val r = w.length / 2
+      val n = v.length
+      def at(x: Int): Double =
+        if (x >= 0 && x < n) v(x)
+        else if (!reflect) 0.0
+        else if (x < 0) v(-x)
+        else v(2 * (n - 1) - x)
+      Array.tabulate(n)(x =>
+        w.indices.map(k => w(k) * at(x + k - r)).reduce(_ + _))
+    }
+    val w = Seq(0.25, 0.5, 0.25)
+    val v0 = Array.tabulate(8)(i => i + 1.0)
+    val v1 = Array.tabulate(8)(i => 2.0 * (i + 1))
+    for (mode <- Seq("zero", "reflect")) {
+      val out = cellMap(oneD.stencilAxis(0, w, mode))
+      for (i <- 0 until 8) {
+        assert(out((0L, Seq(i))) == dense1d(v0, w, mode == "reflect")(i), s"$mode t0 i=$i")
+        assert(out((1L, Seq(i))) == dense1d(v1, w, mode == "reflect")(i), s"$mode t1 i=$i")
+      }
+    }
+    // depth 2 (5-point) crosses a whole chunk face; rank-2 exercises the
+    // slab indexing over the remaining dims
+    val w5 = Seq(1.0, 1.0, 1.0, 1.0, 1.0)
+    val out5 = cellMap(oneD.stencilAxis(0, w5, "zero"))
+    for (i <- 0 until 8)
+      assert(out5((0L, Seq(i))) ==
+        (i - 2 to i + 2).map(x => if (x >= 0 && x < 8) x + 1.0 else 0.0).sum, s"5pt i=$i")
+    val a2 = twoD // value(i,j) = 10i + j, 4x4 in 2x2 chunks
+    val d2 = Array.tabulate(4, 4)((i, j) => 10.0 * i + j)
+    val out2 = cellMap(a2.stencilAxis(0, w, "reflect"))
+    def at2(i: Int, j: Int): Double =
+      if (i >= 0 && i < 4) d2(i)(j) else if (i < 0) d2(-i)(j) else d2(2 * 3 - i)(j)
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(out2((0L, Seq(i, j))) ==
+        w.indices.map(k => w(k) * at2(i + k - 1, j)).reduce(_ + _), s"2d ($i,$j)")
+  }
+
+  test("zipWithAuto rechunks a mismatched operand onto this grid") {
+    val a = oneD
+    val b = oneD.rechunk(Seq(2)) // same logical array, 4 chunks of 2
+    val z = a.zipWithAuto(b)(_ * _) // pairing-sensitive: cell squares
+    assert(z.geom == a.geom)
+    val got = cellMap(z)
+    for (i <- 0 until 8) {
+      assert(got((0L, Seq(i))) == math.pow(i + 1.0, 2), s"t0 i=$i")
+      assert(got((1L, Seq(i))) == math.pow(2.0 * (i + 1), 2), s"t1 i=$i")
+    }
+    // identical geometries skip the rechunk entirely
+    assert(asMap(a.zipWithAuto(a)(_ + _).sumPerTimestep()) ==
+      Map(0L -> 72.0, 1L -> 144.0))
+    intercept[IllegalArgumentException] {
+      a.zipWithAuto(twoD)(_ + _) // different logical shapes
+    }
+  }
+
+  test("any/all/prod faces: truthiness and exact small-int products") {
+    // oneD has no zeros -> any=1, all=1 everywhere
+    val t0 = oneD.truthPerTimestep.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(t0 == Map(0L -> (1L, 1L), 1L -> (1L, 1L)))
+    // zero out cells <= 1.5: t0 loses its 1.0 cell -> all=0; t1 keeps all
+    val z = oneD.where(_ > 1.5, org.apache.spark.sql.functions.lit(0.0))
+    val t1 = z.truthPerTimestep.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(t1 == Map(0L -> (1L, 0L), 1L -> (1L, 1L)))
+    // an all-zero array: any=0, all=0
+    val t2 = oneD.mapValues(_ * 0).truthPerTimestep.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(t2 == Map(0L -> (0L, 0L), 1L -> (0L, 0L)))
+    // axis faces on the thresholded 2-d array: row 0 of twoD is 0..3
+    val z2 = twoD.where(_ >= 10.0, org.apache.spark.sql.functions.lit(0.0))
+    val anyRows = z2.axisAny(1).rowsNd.collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val allRows = z2.axisAll(1).rowsNd.collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(anyRows == Map(0L -> 0.0, 1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+    assert(allRows == Map(0L -> 0.0, 1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+    // global product: 8! and 2^8 * 8! exactly
+    val p = oneD.prodPerTimestep().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p == Map(0L -> 40320.0, 1L -> 256.0 * 40320.0))
+    // axis product along rows of twoD: Π_j (10i + j)
+    val pr = twoD.axisProd(1).rowsNd.collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    for (i <- 0 until 4)
+      assert(pr(i.toLong) == (0 until 4).map(j => 10.0 * i + j).product, s"row $i")
+  }
 }

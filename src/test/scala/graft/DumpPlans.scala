@@ -91,21 +91,39 @@ object DumpPlans {
         "k-NN self-join: both sides corpus-scale — bucket-keyed shuffle join (22 probe masks, each directed pair via exactly one), bounded-heap TopKPerKey; nothing corpus-sized broadcasts.",
       "q_percentiles" ->
         "Multi-quantile: one O(distinct-values) histogram + bounded window; all three quantiles are conditional MINs over the same relation — no joins, no second fact scan.",
+      "arr_reshape_flat" ->
+        "Reshape: one shuffle keyed by the NEW chunk id (posexplode -> flat-index re-address -> groupBy re-pack), then the cumsum carry window over per-chunk totals.",
+      "arr_stencil_avg" ->
+        "Generalized axis stencil: chunks explode into self + two r-deep boundary slabs; ONE groupBy assembles neighborhoods; the kernel computes chunk-locally.",
+      "arr_zip_mismatch" ->
+        "Mismatched-geometry zip: the other operand rechunks onto this grid (one re-addressing shuffle), then the aligned zip is a shuffle-hash join on (timestep, pos).",
+      "arr_stack_axis" ->
+        "Stack: pure metadata union (pos prefix projection, no Exchange); the per-slab totals fold through two decimal axis reductions.",
+      "txt_bpe_vocab" ->
+        "BPE training: each merge round is one bounded pair-count partial agg + a 1-row best-pair collect + a narrow replace-merge; the corpus scans once into the word-frequency relation.",
+      "txt_tfidf_top" ->
+        "TF-IDF: bounded top-100 df relation broadcasts onto the single-pass term counts; the per-doc head is bounded-heap TopKPerKey, no WindowExec.",
     )
 
+    val notes = picks.toMap
+    // Headline picks first (curated order), then every remaining query
+    // alphabetically — the full surface is reviewable without a local run.
+    val rest = SparkEntry.queries.keys.toSeq.filterNot(notes.contains).sorted
     val sb = new StringBuilder
-    sb.append("# PLANS — physical plans of headline queries\n\n")
+    sb.append("# PLANS — physical plans of every SparkEntry query\n\n")
     sb.append("Generated by `sbt \"Test/runMain graft.DumpPlans\"` at sf0.01.\n")
-    sb.append("What to look for in each plan is noted above it; regenerate after\n")
-    sb.append("any operator change.\n")
-    picks.foreach { case (name, note) =>
+    sb.append("Headline queries carry a \"what to look for\" note; regenerate\n")
+    sb.append("after any operator change. Gate notes: no fact-scale broadcast\n")
+    sb.append("(PlanShapeSpec asserts it structurally for every query below).\n")
+    (picks.map(_._1) ++ rest).foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
-      sb.append(s"\n## $name\n\n$note\n\n```\n${plan.trim}\n```\n")
+      val note = notes.get(name).map(n => s"$n\n\n").getOrElse("")
+      sb.append(s"\n## $name\n\n$note```\n${plan.trim}\n```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"wrote PLANS.md (${picks.size} plans)")
+    println(s"wrote PLANS.md (${picks.size} noted + ${rest.size} more plans)")
     spark.stop()
   }
 }

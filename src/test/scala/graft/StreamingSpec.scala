@@ -652,4 +652,66 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
     assert(gotCells == want)
   }
+
+  test("StreamingSessions merges disorder, bridges across batches, closes on timeout") {
+    import graft.streaming.StreamingSessions
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF().toDF("user_id", "ts")
+    val q = StreamingSessions.sessions(events, delay = "1 hour")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    // UTC-epoch construction: Timestamp.valueOf would parse in the
+    // JVM-default zone and break the fixed epoch math
+    def at(h: Int, m: Int) =
+      new Timestamp(java.time.Instant.parse(f"2024-01-01T$h%02d:$m%02d:00Z").toEpochMilli)
+    // batch 1, SHUFFLED (within-batch disorder is unbounded): user 1
+    // has fragments [00:00, 00:10] and [01:00] — 50 min apart, separate
+    in.addData(new scala.util.Random(3).shuffle(
+      Seq((1L, at(0, 0)), (1L, at(0, 10)), (1L, at(1, 0)))))
+    q.processAllAvailable()
+    // batch 2: a LATE event at 00:35 (>= watermark 00:00) lands BETWEEN
+    // the fragments and bridges them into one 4-event session; user 2's
+    // 03:00 pushes the watermark to 02:00 at batch end
+    in.addData(Seq((1L, at(0, 35)), (2L, at(3, 0))))
+    q.processAllAvailable()
+    // batch 3: user 1 sends NOTHING — closure must ride the event-time
+    // timeout (armed at 01:30, passed once user 2 pushes the watermark
+    // to 02:00; processAllAvailable may already fire it via the no-data
+    // follow-up batch Spark runs on watermark advance)
+    in.addData(Seq((2L, at(3, 10))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_out")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, at(0, 0), at(1, 0), 4L)))
+  }
+
+  test("StreamingSessions splits on gap and emits sessions in order") {
+    import graft.streaming.StreamingSessions
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF().toDF("user_id", "ts")
+    val q = StreamingSessions.sessions(events, delay = "30 minutes",
+        idleTtlMs = 3600000L)
+      .writeStream.format("memory").queryName("sess_split_out")
+      .outputMode(OutputMode.Append()).start()
+    def at(h: Int, m: Int) =
+      new Timestamp(java.time.Instant.parse(f"2024-01-01T$h%02d:$m%02d:00Z").toEpochMilli)
+    // three singleton sessions an hour apart (gap 30 min each side)
+    in.addData(Seq((1L, at(0, 0)), (1L, at(1, 0)), (1L, at(2, 0))))
+    q.processAllAvailable()
+    // watermark advances past every end+gap as user 2 streams on; the
+    // single timeout firing closes ALL eligible fragments, in order
+    in.addData(Seq((2L, at(4, 0))))
+    q.processAllAvailable()
+    in.addData(Seq((2L, at(4, 10))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_split_out")
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, at(0, 0), 1L), (1L, at(1, 0), 1L), (1L, at(2, 0), 1L)))
+  }
 }
