@@ -19,6 +19,7 @@ object Verify {
     // the sim_*_trained oracles must embed THIS dir's fits even if some
     // other dir was trained in the same JVM
     graft.operators.Similarity.setOracleDir(sfDir)
+    graft.operators.TextAnalysis.setOracleDir(sfDir)
     new java.io.File(outDir).mkdirs()
     // Delete any previous output FIRST: a query failing at analysis time
     // never reaches the overwrite, and a stale directory from an earlier

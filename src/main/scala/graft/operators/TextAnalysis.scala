@@ -149,6 +149,13 @@ object TextAnalysis {
     * per-doc head goes through the bounded-heap TopKPerKey: <= 3 rows
     * per (doc, partition) cross the wire, never a per-doc sort.
     *
+    * SEMANTIC BOUND: restricting scoring to the top-100 MOST-COMMON
+    * tokens means scores rank rarity only WITHIN that common set — the
+    * opposite emphasis of classic rare-term TF-IDF, where the most
+    * informative terms are the rare ones. This is a declared vocabulary
+    * cap (the oracle replays the identical cap); widen the df relation
+    * to a rarity-aware bounded set if rare-term emphasis is needed.
+    *
     * Scoring is log-free on purpose: tf/df preserves the tf*(N/df)
     * ranking for the constant corpus size N and costs ONE correctly-
     * rounded IEEE division, so both engines produce the identical
@@ -173,12 +180,79 @@ object TextAnalysis {
     * oracle's generated replay has the same depth. */
   val BpeRounds = 12
 
+  /** Tokens eligible for BPE: whitespace words WITHOUT the `|` symbol
+    * delimiter. The `|`-wrapped encoding ([[trainBpe]]) requires a
+    * `|`-free alphabet — a token containing `|` would read as spurious
+    * empty symbols — so the tokenizer's declared precondition is
+    * enforced here, identically in both engines (the oracle filters
+    * `NOT contains(x, '|')`). */
+  private def bpeTokens(c: Column): Column =
+    filter(org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(c, 1),
+      w => not(w.contains("|")))
+
+  /** The oracle-side twin of [[bpeTokens]]. */
+  private val BpeTokensSql =
+    "list_filter(string_split(text, ' '), x -> len(x) > 0 AND NOT contains(x, '|'))"
+
   /** Trained merge tables memoized per (session, dir) and keyed by the
     * documents fingerprint — the [[graft.operators.Similarity]]
     * trained-model posture: Verify/Bench passes reuse one training run
-    * instead of re-looping per query execution. */
-  private val bpeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (String, Seq[(Long, String, String, Long)])]
+    * instead of re-looping per query execution. LRU beyond cap 16 with
+    * stopped-session entries evicted first (the [[Dedup]] ccCache
+    * posture) so a long-lived session over many dirs stays bounded;
+    * entries are k-row merge tables, so recomputation is the only cost
+    * of an eviction. */
+  private val bpeCache = new java.util.LinkedHashMap[
+    (SparkSession, String), (String, Seq[(Long, String, String, Long)])](32, 0.75f, true)
+
+  /** Trained merge tables keyed BY DIR — read by [[oracles]] AFTER the
+    * queries have run (Verify's order) to embed the trained merges into
+    * the txt_bpe_encode/txt_bpe_freq oracle SQL (the
+    * [[Similarity.oracles]] trained-literal posture). */
+  private val mergesByDir =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, String, String, Long)]]
+  private val oracleDirRef =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val lastDirRef =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Pin which dir's trained merges [[oracles]] embeds (Verify sets its
+    * sfDir before dumping oracle_sql.json). */
+  def setOracleDir(dir: String): Unit = oracleDirRef.set(dir)
+
+  private def dirForOracles: Option[String] =
+    Option(oracleDirRef.get).orElse(Option(lastDirRef.get))
+
+  /** The memoized trained merge table for `dir` — trains on first use
+    * (see [[trainBpe]]); every BPE face (vocab/encode/freq) and the
+    * oracle generator serve from the same fit. */
+  private[graft] def trainedMerges(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
+    val merges = Tables.fingerprint(s, dir, "documents") match {
+      case None => trainBpe(s, dir) // unverifiable content: no memo
+      case Some(fp) =>
+        val key = (s, dir)
+        (bpeCache.synchronized {
+          if (bpeCache.size > 16) {
+            val dead = bpeCache.keySet.iterator
+            while (dead.hasNext) if (dead.next()._1.sparkContext.isStopped) dead.remove()
+          }
+          val lru = bpeCache.keySet.iterator
+          while (bpeCache.size > 16 && lru.hasNext) {
+            if (lru.next() != key) lru.remove()
+          }
+          Option(bpeCache.get(key))
+        }) match {
+          case Some((`fp`, m)) => m
+          case _ =>
+            val m = trainBpe(s, dir)
+            bpeCache.synchronized { bpeCache.put(key, (fp, m)): Unit }
+            m
+        }
+    }
+    mergesByDir.update(dir, merges)
+    lastDirRef.set(dir)
+    merges
+  }
 
   /** The BPE pair-merge training loop (tokenizer training's core pass).
     *
@@ -208,8 +282,7 @@ object TextAnalysis {
   private def trainBpe(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
     import org.apache.spark.storage.StorageLevel
     val words = Tables.load(s, dir, "documents")
-      .select(explode(org.apache.spark.sql.graftexpr.TextExpressions
-        .wordNgrams(col("text"), 1)).as("w"))
+      .select(explode(bpeTokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("w"), "(.)", "|$1|").as("enc"), col("cnt"))
     var cur = words.persist(StorageLevel.MEMORY_AND_DISK)
@@ -260,19 +333,80 @@ object TextAnalysis {
     * (bounded, like the k-means centroid hand-off); the training itself
     * is distributed (see [[trainBpe]]). */
   def txtBpeVocab(s: SparkSession, dir: String): DataFrame = {
-    val merges = Tables.fingerprint(s, dir, "documents") match {
-      case None => trainBpe(s, dir) // unverifiable content: no memo
-      case Some(fp) =>
-        bpeCache.get((s, dir)) match {
-          case Some((`fp`, m)) => m
-          case _ =>
-            val m = trainBpe(s, dir)
-            bpeCache.update((s, dir), (fp, m))
-            m
-        }
-    }
+    val merges = trainedMerges(s, dir)
     import s.implicits._
     merges.toDF("merge_rank", "lhs", "rhs", "freq").orderBy("merge_rank")
+  }
+
+  /** The trained merge chain as ONE nested expression over a `|`-wrapped
+    * word: `regexp_replace` wraps every char, then each merge in RANK
+    * ORDER is a literal `replace` — greedy left-to-right non-overlapping,
+    * the exact training-time semantics ([[trainBpe]]). k merges = k
+    * narrow string ops; the "model" rides in the plan as literals, the
+    * broadcast-a-tiny-table pattern collapsed to codegen. */
+  private def applyMerges(merges: Seq[(Long, String, String, Long)], w: Column): Column =
+    merges.foldLeft(regexp_replace(w, "(.)", "|$1|")) { case (acc, (_, s1, s2, _)) =>
+      replace(acc, lit("|" + s1 + "||" + s2 + "|"), lit("|" + s1 + s2 + "|"))
+    }
+
+  /** Persist a trained merge table as a parquet model artifact (the
+    * [[Similarity.saveCentroids]] hand-off posture: train once, serve
+    * from the saved model in later sessions / on the serving cluster). */
+  def saveMerges(s: SparkSession, merges: Seq[(Long, String, String, Long)], path: String): Unit = {
+    import s.implicits._
+    merges.toDF("merge_rank", "lhs", "rhs", "freq")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a merge table written by [[saveMerges]], in rank order. */
+  def loadMerges(s: SparkSession, path: String): Seq[(Long, String, String, Long)] =
+    s.read.parquet(path).orderBy("merge_rank").collect().toIndexedSeq
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("freq")))
+
+  /** BPE encode (the tokenizer's SERVING pass): each document tokenized
+    * with the trained merge table — per-doc word / char / BPE-token
+    * counts and the resulting compression (chars per BPE token), the
+    * statistics a packing pipeline ([[Pipeline]] pipe_pack) budgets
+    * with. Pure narrow map work: the k-row model is embedded as replace
+    * literals ([[applyMerges]]), so at 100 TB this is a single scan
+    * pipeline with zero shuffles before the presentation sort. */
+  def txtBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(s, dir)
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), bpeTokens(col("text")).as("tk"))
+    val enc = base.select(col("doc_id"), col("tk"),
+      transform(col("tk"), w => applyMerges(merges, w)).as("enc"))
+    val m = enc.select(
+      col("doc_id"),
+      size(col("tk")).cast("bigint").as("n_words"),
+      aggregate(col("tk"), lit(0L), (a, w) => a + length(w).cast("long")).as("n_chars"),
+      aggregate(col("enc"), lit(0L), (a, e) =>
+        a + size(split(e.substr(lit(2), length(e) - 2), "\\|\\|")).cast("long")).as("n_bpe"))
+    m.select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe"),
+      when(col("n_bpe") > 0,
+        col("n_chars").cast("double") / col("n_bpe").cast("double")).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus BPE token frequencies (top-30): the token-distribution
+    * relation a vocab-coverage gate consumes. Encoding runs over word
+    * TYPES (the trainer's weighting), so the k-replace chain costs
+    * O(distinct words), not O(corpus); the symbol explode + partial agg
+    * shuffles O(distinct symbols) and the head is a
+    * TakeOrderedAndProject. */
+  def txtBpeFreq(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(s, dir)
+    val words = Tables.load(s, dir, "documents")
+      .select(explode(bpeTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val encoded = words.select(col("cnt"), applyMerges(merges, col("w")).as("enc"))
+    encoded.select(col("cnt"),
+      explode(split(col("enc").substr(lit(2), length(col("enc")) - 2), "\\|\\|"))
+        .as("bpe_token"))
+      .groupBy("bpe_token").agg(sum("cnt").as("n"))
+      .orderBy(col("n").desc, col("bpe_token"))
+      .limit(30)
   }
 
   /** The DuckDB replay of [[trainBpe]]: k generated CTE stages, each
@@ -282,13 +416,13 @@ object TextAnalysis {
     * subqueries), so inlined CTEs would expand 5^k scans. */
   private def bpeOracle: String = {
     val base =
-      """WITH w0 AS MATERIALIZED (
-        |  SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS enc,
-        |         CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w
-        |        FROM documents)
-        |  GROUP BY 1),
-        |r0 AS MATERIALIZED (SELECT enc, cnt FROM w0)""".stripMargin
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS enc,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($BpeTokensSql) AS w
+         |        FROM documents)
+         |  GROUP BY 1),
+         |r0 AS MATERIALIZED (SELECT enc, cnt FROM w0)""".stripMargin
     val stages = (1 to BpeRounds).map { r =>
       s""",
          |p$r AS MATERIALIZED (
@@ -310,7 +444,63 @@ object TextAnalysis {
     base + stages + "\n" + heads + "\nORDER BY merge_rank"
   }
 
-  val oracles: Map[String, String] = Map(
+  /** SQL string literal escape (single quotes doubled) for trained
+    * merge symbols embedded in generated oracle SQL. */
+  private def sqlLit(v: String): String = v.replace("'", "''")
+
+  /** The oracle-side twin of [[applyMerges]]: the same rank-ordered
+    * nested replace chain over `|`-wrapped chars, with the TRAINED
+    * merges as string literals (the [[Similarity]] trained-literal
+    * posture — only trained VALUES cross engines, never engine math). */
+  private def mergeChainSql(w: String, merges: Seq[(Long, String, String, Long)]): String =
+    merges.foldLeft(s"regexp_replace($w, '(.)', '|\\1|', 'g')") { case (acc, (_, s1, s2, _)) =>
+      val a = sqlLit(s1); val b = sqlLit(s2)
+      s"replace($acc, '|$a||$b|', '|$a$b|')"
+    }
+
+  private def bpeEncodeSql(merges: Seq[(Long, String, String, Long)]): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $BpeTokensSql AS tk FROM documents),
+       |e AS (
+       |  SELECT doc_id, tk,
+       |    list_transform(tk, w -> ${mergeChainSql("w", merges)}) AS enc
+       |  FROM t),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(tk) AS BIGINT) AS n_words,
+       |    CAST(list_reduce(list_prepend(0, list_transform(tk, w -> len(w))),
+       |                     (a, b) -> a + b) AS BIGINT) AS n_chars,
+       |    CAST(list_reduce(list_prepend(0, list_transform(enc,
+       |           s -> len(string_split(substring(s, 2, length(s) - 2), '||')))),
+       |                     (a, b) -> a + b) AS BIGINT) AS n_bpe
+       |  FROM e)
+       |SELECT doc_id, n_words, n_chars, n_bpe,
+       |  CASE WHEN n_bpe > 0
+       |    THEN CAST(n_chars AS DOUBLE) / CAST(n_bpe AS DOUBLE) END AS chars_per_token
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  private def bpeFreqSql(merges: Seq[(Long, String, String, Long)]): String =
+    s"""WITH w AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest($BpeTokensSql) AS w FROM documents)
+       |  GROUP BY 1),
+       |e AS (SELECT cnt, ${mergeChainSql("w", merges)} AS enc FROM w),
+       |s AS (SELECT cnt,
+       |        unnest(string_split(substring(enc, 2, length(enc) - 2), '||')) AS bpe_token
+       |      FROM e)
+       |SELECT bpe_token, CAST(SUM(cnt) AS BIGINT) AS n
+       |FROM s GROUP BY 1 ORDER BY n DESC, bpe_token LIMIT 30""".stripMargin
+
+  /** `def`, not `val`: the txt_bpe_encode/txt_bpe_freq oracles exist
+    * only after their queries have trained (Verify runs every query
+    * BEFORE dumping oracle_sql.json — the [[Similarity.oracles]]
+    * contract). */
+  def oracles: Map[String, String] = staticOracles ++
+    dirForOracles.flatMap(mergesByDir.get).map { m =>
+      Map("txt_bpe_encode" -> bpeEncodeSql(m), "txt_bpe_freq" -> bpeFreqSql(m))
+    }.getOrElse(Map.empty)
+
+  private lazy val staticOracles: Map[String, String] = Map(
     "txt_bpe_vocab" -> bpeOracle,
     "txt_tfidf_top" ->
       """WITH t AS (
@@ -430,6 +620,8 @@ object TextAnalysis {
     "txt_ngram_top" -> (txtNgramTop _),
     "txt_docfreq" -> (txtDocfreq _),
     "txt_bpe_vocab" -> (txtBpeVocab _),
+    "txt_bpe_encode" -> (txtBpeEncode _),
+    "txt_bpe_freq" -> (txtBpeFreq _),
     "txt_tfidf_top" -> (txtTfidfTop _),
   )
 }

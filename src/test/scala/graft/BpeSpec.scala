@@ -76,4 +76,74 @@ class BpeSpec extends AnyFunSuite {
       .as[(Long, String, String, Long)].collect().toSeq
     assert(got.isEmpty) // no adjacent pairs exist within 1-char words
   }
+
+  /** Greedy left-to-right encode of one word with a trained merge table,
+    * merges applied in rank order — the reference twin of the engine's
+    * replace chain. */
+  private def referenceEncode(w: String, merges: Seq[(Long, String, String, Long)]): Vector[String] =
+    merges.foldLeft(w.map(_.toString).toVector) { case (sy, (_, s1, s2, _)) =>
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < sy.length) {
+        if (i + 1 < sy.length && sy(i) == s1 && sy(i + 1) == s2) { b += s1 + s2; i += 2 }
+        else { b += sy(i); i += 1 }
+      }
+      b.result()
+    }
+
+  test("encode pass matches reference token counts; freq matches reference distribution") {
+    val texts = Seq(
+      "aaaa bab abab abab lower",
+      "aaaa aaaa bab low lower lowest",
+      "low low lower newest newest widest")
+    val dir = writeDocs(texts)
+    val merges = referenceBpe(texts, TextAnalysis.BpeRounds)
+    val wantCounts = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.split(" ").filter(_.nonEmpty).toSeq
+      (i.toLong, ws.size.toLong, ws.map(_.length.toLong).sum,
+        ws.map(w => referenceEncode(w, merges).size.toLong).sum)
+    }
+    val got = TextAnalysis.txtBpeEncode(spark, dir)
+      .select("doc_id", "n_words", "n_chars", "n_bpe")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == wantCounts)
+
+    val wantFreq = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+      .flatMap(w => referenceEncode(w, merges))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (tok, n) => (-n, tok) }.take(30)
+    val gotFreq = TextAnalysis.txtBpeFreq(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(gotFreq == wantFreq)
+  }
+
+  test("tokens containing the '|' delimiter are excluded from training and encoding") {
+    // 'a|b' would decode as empty symbols under the |-wrapped encoding;
+    // the declared precondition filters it in BOTH the trainer and the
+    // encode/freq faces (and the oracle replays the same filter)
+    val texts = Seq("a|b aaaa aaaa", "aaaa bab bab")
+    val dir = writeDocs(texts)
+    val vocab = TextAnalysis.txtBpeVocab(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(vocab.nonEmpty && vocab.forall { case (_, l, r, _) =>
+      !l.contains("|") && !r.contains("|") })
+    // with 'a|b' excluded, training must equal training on the corpus
+    // that never contained it
+    val want = referenceBpe(Seq("aaaa aaaa", "aaaa bab bab"), TextAnalysis.BpeRounds)
+    assert(vocab == want)
+    val enc = TextAnalysis.txtBpeEncode(spark, dir)
+      .select("doc_id", "n_words").as[(Long, Long)].collect().toMap
+    assert(enc(0L) == 2L) // a|b dropped
+    assert(enc(1L) == 3L)
+  }
+
+  test("saveMerges/loadMerges round-trips the trained model") {
+    val texts = Seq("low lower lowest", "low low newest")
+    val dir = writeDocs(texts)
+    val trained = TextAnalysis.txtBpeVocab(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe_model").toString + "/merges"
+    TextAnalysis.saveMerges(spark, trained, path)
+    assert(TextAnalysis.loadMerges(spark, path) == trained)
+  }
 }
