@@ -1156,6 +1156,73 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       .groupBy("timestep")
       .agg(product(col("cp")).as(alias))
 
+  /** Per-timestep top-k cells with their global row-major flat indices
+    * (dask `da.topk` — "the k hottest cells", the natural next probe
+    * after [[argmaxNd]]): values descending, ties to the LOWEST flat
+    * index (= lowest row-major multi-index, [[argmaxNd]]'s rule).
+    * Rank-generic. Wire posture: each chunk folds to its OWN k best
+    * (value, index) structs — one k-row block per chunk, never cells —
+    * then the per-timestep merge re-sorts O(k · #chunks-per-timestep)
+    * structs and keeps k. Returns `(timestep, rank, idx, value)` with
+    * rank 1..k. Payload cells are assumed non-null (the dense-array
+    * contract shared by every reduction face). */
+  def topkRows(k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    val gdims = (0 until geom.dims).map(geom.dimSize)
+    val gstrides = gdims.map(_.toLong).scanRight(1L)(_ * _).tail
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    // (-v, gidx) sorts ascending as (value desc, ties to lowest index);
+    // double negation is exact, and -0.0/0.0 ties fall through to gidx
+    val structs = transform(sequence(lit(0), lit(geom.chunkElems - 1)), i => {
+      val gflat = (0 until geom.dims).map { d =>
+        (col("pos")(d).cast("bigint") * shape(d) + fdiv(i, strides(d)) % shape(d)) *
+          gstrides(d)
+      }.reduce(_ + _)
+      struct((-col("data")(i)).as("nv"), gflat.as("gidx"))
+    })
+    val chunkTop = slice(array_sort(structs), 1, k)
+    df.select(col("timestep"), chunkTop.as("top"))
+      .groupBy("timestep")
+      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+      .select(col("timestep"), posexplode(col("top")).as(Seq("r", "s")))
+      .select(col("timestep"), (col("r") + 1).cast("bigint").as("rank"),
+        col("s.gidx").as("idx"), (-col("s.nv")).as("value"))
+  }
+
+  /** Per-timestep exact quantiles (dask `da.percentile` with exact /
+    * 'dask' interpolation replaced by percentile_disc semantics — the
+    * deterministic cross-engine definition the relational q_median /
+    * q_percentiles faces use): for each requested q, the smallest cell
+    * value whose cumulative count reaches ceil(q·n). One value-histogram
+    * pass — cells collapse to (timestep, value) counts map-side, so the
+    * shuffle carries O(distinct values per timestep), never cells — then
+    * one window bounded to the per-timestep histogram and one
+    * conditional MIN per quantile. `qs` maps output column name ->
+    * fraction in (0, 1]. */
+  def quantilesPerTimestep(qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile required")
+    qs.foreach { case (_, q) => require(q > 0.0 && q <= 1.0, s"quantile $q out of (0, 1]") }
+    val hist = df.select(col("timestep"), explode(col("data")).as("v"))
+      .groupBy("timestep", "v").agg(count(lit(1)).as("cnt"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy("timestep").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val n = org.apache.spark.sql.expressions.Window.partitionBy("timestep")
+    val staged = hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(n))
+    staged.groupBy("timestep")
+      .agg(
+        min(when(col("cum") >= ceil(col("n") * lit(qs.head._2)).cast("bigint"), col("v")))
+          .as(qs.head._1),
+        qs.tail.map { case (nm, q) =>
+          min(when(col("cum") >= ceil(col("n") * lit(q)).cast("bigint"), col("v"))).as(nm)
+        }: _*)
+  }
+
   /** 2-d convenience over [[axisSum]]: rows `(timestep, idx, value)` of
     * the reduced 1-d array. */
   def axisSumRows(axis: Int): DataFrame = {

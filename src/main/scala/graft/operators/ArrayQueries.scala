@@ -460,6 +460,22 @@ object ArrayQueries {
       .orderBy("timestep")
   }
 
+  /** dask `da.topk(5)` per timestep — the k hottest buckets with their
+    * indices (values desc, ties to the lowest index): each chunk ships
+    * its own 5 best (value, index) structs, the per-timestep merge keeps
+    * 5 — the bounded-heap posture at the array face. */
+  def arrTopk(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).topkRows(5).orderBy("timestep", "rank")
+
+  /** dask `da.percentile` (exact, percentile_disc semantics) per
+    * timestep — p25/p50/p90 of the 64 dense cells through ONE
+    * value-histogram pass + a histogram-bounded window (the q_median /
+    * q_percentiles scaffold at the array face). */
+  def arrQuantile(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir)
+      .quantilesPerTimestep(Seq(("p25", 0.25), ("p50", 0.50), ("p90", 0.90)))
+      .orderBy("timestep")
+
   // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
 
   private val CELLS_1D =
@@ -879,6 +895,36 @@ object ArrayQueries {
     // the zip pairs each cell with ITSELF through the 4x16 -> 8x8 -> 4x16
     // rechunk round trip, so every value is 2*cell; the threshold makes
     // any misaligned pairing change the kept set
+    // top-5 over the dense cells: values desc, ties to the lowest index
+    "arr_topk" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |rk AS (
+         |  SELECT timestep, u, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY timestep
+         |      ORDER BY cell DESC, u) AS rn
+         |  FROM dense)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(rn AS BIGINT) AS rank,
+         |  CAST(u AS BIGINT) AS idx, cell AS value
+         |FROM rk WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
+    // percentile_disc over the dense cells — quantile_disc matches the
+    // conditional-MIN-at-ceil(q*n) definition (verified at q_percentiles)
+    "arr_quantile" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  quantile_disc(cell, 0.25) AS p25,
+         |  quantile_disc(cell, 0.50) AS p50,
+         |  quantile_disc(cell, 0.90) AS p90
+         |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
     "arr_zip_mismatch" ->
       s"""WITH $CELLS_1D,
          |days AS (SELECT DISTINCT timestep FROM cells),
@@ -929,5 +975,7 @@ object ArrayQueries {
     "arr_axis_prod" -> (arrAxisProd _),
     "arr_stencil_avg" -> (arrStencilAvg _),
     "arr_zip_mismatch" -> (arrZipMismatch _),
+    "arr_topk" -> (arrTopk _),
+    "arr_quantile" -> (arrQuantile _),
   )
 }

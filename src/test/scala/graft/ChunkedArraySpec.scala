@@ -105,6 +105,44 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cols == Map(0L -> 60.0, 1L -> 64.0, 2L -> 68.0, 3L -> 72.0))
   }
 
+  test("topkRows keeps the k best per timestep with global indices") {
+    // t=0: [1..8] -> top-3 = 8@7, 7@6, 6@5; t=1: [2,4,..,16] -> 16@7, 14@6, 12@5
+    val r = oneD.topkRows(3).collect()
+      .map(x => (x.getAs[Long]("timestep"), x.getAs[Long]("rank")) ->
+        (x.getAs[Long]("idx"), x.getAs[Double]("value"))).toMap
+    assert(r == Map(
+      (0L, 1L) -> (7L, 8.0), (0L, 2L) -> (6L, 7.0), (0L, 3L) -> (5L, 6.0),
+      (1L, 1L) -> (7L, 16.0), (1L, 2L) -> (6L, 14.0), (1L, 3L) -> (5L, 12.0)))
+  }
+
+  test("topkRows ties break to the lowest global index, crossing chunks") {
+    // two chunks of constant 5.0: ranks follow the flat index order
+    val rows = Seq(
+      (0L, Seq(0), Seq(5.0, 5.0)),
+      (0L, Seq(1), Seq(5.0, 5.0)))
+    val arr = ChunkedArray(rows.toDF("timestep", "pos", "data"), ArrayGeometry(Seq(2), Seq(2)))
+    val r = arr.topkRows(3).orderBy("rank").collect()
+      .map(x => (x.getAs[Long]("rank"), x.getAs[Long]("idx")))
+    assert(r.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("topkRows on a 2-d array ranks by row-major flat index") {
+    // value(i,j) = 10i + j over 4x4: best = (3,3)=33 at flat 15, then 32, 31
+    val r = twoD.topkRows(3).orderBy("rank").collect()
+      .map(x => (x.getAs[Long]("idx"), x.getAs[Double]("value")))
+    assert(r.toSeq == Seq((15L, 33.0), (14L, 32.0), (13L, 31.0)))
+  }
+
+  test("quantilesPerTimestep follows percentile_disc semantics") {
+    // t=0 cells sorted: 1..8 (n=8). p50 -> ceil(4) = position 4 -> 4.0;
+    // p25 -> position 2 -> 2.0; p90 -> ceil(7.2) = position 8 -> 8.0
+    val r = oneD.quantilesPerTimestep(Seq(("p25", 0.25), ("p50", 0.50), ("p90", 0.90)))
+      .filter("timestep = 0").collect().head
+    assert(r.getAs[Double]("p25") == 2.0)
+    assert(r.getAs[Double]("p50") == 4.0)
+    assert(r.getAs[Double]("p90") == 8.0)
+  }
+
   test("cumsumAxis scans any axis of a 2-d array across chunk lines") {
     // value(i,j) = 10i + j; axis 0 scans down columns:
     // out(i,j) = sum_{r<=i} (10r + j) = 10*i*(i+1)/2 + (i+1)*j
