@@ -26,6 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // events.parquet carries TIMESTAMP(NANOS): every session in the forked
+  // JVM must read it as long (Tables.load converts). Set here so the
+  // FIRST builder to win the shared getOrCreate race cannot strand the
+  // suite on an unconverted TIMESTAMP_NTZ column (suite-order dependent).
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   // 24g default: the box has 128 GiB and local[32] shuffles at sf0.1 plus
   // the persisted chunk relations sit comfortably; 8g forced full-GC storms
   // under neighbor load (BENCH_r04 heartbeat death).

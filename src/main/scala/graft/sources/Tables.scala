@@ -27,13 +27,24 @@ object Tables {
     if (cache.size > 256) cache.clear()
     cache.getOrElseUpdate((spark, s"$dir/$name.parquet"), {
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-      // long (spark.sql.legacy.parquet.nanosAsLong=true, set in our session
-      // builders). Normalize to a microsecond timestamp; DuckDB's
-      // CAST(ts AS TIMESTAMP) floors ns->us identically for positive epochs.
-      if (name == "events" &&
-          df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // events.ts has shipped as TIMESTAMP(NANOS) — which Spark only reads
+      // as a long (spark.sql.legacy.parquet.nanosAsLong=true, set in our
+      // session builders) — and as TIMESTAMP(MICROS, isAdjustedToUTC=false),
+      // which it reads as TIMESTAMP_NTZ. Normalize BOTH to a session-tz
+      // (UTC everywhere here) microsecond TIMESTAMP so every consumer sees
+      // one type; DuckDB's CAST(ts AS TIMESTAMP) agrees in both cases
+      // (ns->us floors identically for positive epochs; NTZ wall-clock
+      // reinterprets 1:1 under UTC).
+      if (name == "events") {
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts",
+              org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            df.withColumn("ts",
+              org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+          case _ => df
+        }
       } else df
     })
   }

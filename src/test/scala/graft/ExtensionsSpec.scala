@@ -14,6 +14,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .master("local[2]")
       .appName("graft-ext-test")
       .withExtensions(new GraftExtensions)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
@@ -28,6 +29,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .master("local[2]")
       .appName("graft-ext-test")
       .withExtensions(new GraftExtensions)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
@@ -93,8 +95,8 @@ class ExtensionsSpec extends AnyFunSuite {
         s"purchase ${r.getTimestamp(3)} is after error ${r.getTimestamp(2)}")
     }
     // spot-check one user by hand
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .selectExpr("event_id", "user_id", "timestamp_micros(ts div 1000) AS ts", "event_type")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "ts", "event_type")
     val someUser = rows.filter(!_.isNullAt(3)).head.getLong(1)
     val purchases = ev.where(s"user_id = $someUser AND event_type = 'purchase'")
       .select("ts").as[java.sql.Timestamp].collect()
