@@ -292,6 +292,19 @@ object Pipeline {
       packShardDigits(toks.count()))
   }
 
+  /** [[pipePack]] budgeted with the TRAINED tokenizer instead of
+    * whitespace words: the per-doc `n_bpe` counts from
+    * [[TextAnalysis.bpeDocCounts]] (encode-over-types, O(vocabulary)
+    * chain CPU) feed the same sharded packing report — the end-to-end
+    * form a production pipeline runs, where sequences are cut in REAL
+    * tokenizer units. Same shard-width derivation and window posture as
+    * [[pipePack]]; only the token source differs. */
+  def pipePackBpe(s: SparkSession, dir: String): DataFrame =
+    packedReport(
+      TextAnalysis.bpeDocCounts(s, dir)
+        .select(col("doc_id"), col("n_bpe").as("n_tokens")),
+      packShardDigits(tokenizedDocs(s, dir).count()))
+
   /** [[pipePack]] over an explicit shard-key width (16^shardDigits
     * shards); the spec drives this directly to assert the shard count
     * scales with the width. */
@@ -414,7 +427,56 @@ object Pipeline {
       |         i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2]))
       |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** `def`, not `val`: the pipe_pack_bpe oracle embeds THIS run's
+    * trained merges and so exists only after the query has trained
+    * (the [[TextAnalysis.oracles]] contract — Verify runs every query
+    * before dumping oracle_sql.json). */
+  def oracles: Map[String, String] = staticOracles ++
+    TextAnalysis.oracleMerges
+      .map(m => Map("pipe_pack_bpe" -> pipePackBpeSql(m)))
+      .getOrElse(Map.empty)
+
+  /** The [[pipePack]] packing SQL with the whitespace token counts
+    * swapped for the trained-chain per-doc BPE counts
+    * ([[TextAnalysis.bpeDocTokensSql]]). */
+  private def pipePackBpeSql(merges: Seq[(Long, String, String, Long)]): String =
+    s"""WITH sd AS (
+       |  SELECT CASE WHEN c <= ${16L * PackDocsPerShard} THEN 1
+       |              WHEN c <= ${256L * PackDocsPerShard} THEN 2
+       |              WHEN c <= ${4096L * PackDocsPerShard} THEN 3
+       |              WHEN c <= ${65536L * PackDocsPerShard} THEN 4
+       |              WHEN c <= ${1048576L * PackDocsPerShard} THEN 5
+       |              WHEN c <= ${16777216L * PackDocsPerShard} THEN 6
+       |              WHEN c <= ${268435456L * PackDocsPerShard} THEN 7
+       |              ELSE 8 END AS d
+       |  FROM (SELECT COUNT(*) AS c FROM documents)),
+       |b AS (${TextAnalysis.bpeDocTokensSql(merges)}),
+       |t AS (
+       |  SELECT doc_id, n_bpe AS n_tokens,
+       |    substring(md5(CAST(doc_id AS VARCHAR)), 1, (SELECT d FROM sd)) AS shard
+       |  FROM b),
+       |c AS (
+       |  SELECT shard, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+       |  FROM t),
+       |m AS (
+       |  SELECT shard, n_tokens,
+       |    (n_tokens > 0 AND
+       |     floor((cum - n_tokens) / 128.0) <> floor((cum - 1) / 128.0)) AS straddles
+       |  FROM c),
+       |a AS (
+       |  SELECT shard, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(ceil(SUM(n_tokens) / 128.0) AS BIGINT) AS n_sequences,
+       |    CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+       |  FROM m GROUP BY 1)
+       |SELECT shard, n_docs, total_tokens, n_sequences, n_straddlers,
+       |  CASE WHEN n_sequences > 0
+       |    THEN CAST(total_tokens AS DOUBLE) / (CAST(n_sequences AS DOUBLE) * 128.0)
+       |    ELSE 0.0 END AS fill_frac
+       |FROM a ORDER BY shard""".stripMargin
+
+  private lazy val staticOracles: Map[String, String] = Map(
     // identical double operand order: CASE weight * CAST(total) / CAST(n);
     // DuckDB's `/` on the decimal literal promotes to DOUBLE like Spark's
     "pipe_mix" ->
@@ -606,6 +668,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_pack" -> (pipePack _),
+    "pipe_pack_bpe" -> (pipePackBpe _),
     "txt_vocab_coverage" -> (txtVocabCoverage _),
     "pipe_clean" -> (pipeClean _),
     "smp_stratified" -> (smpStratified _),

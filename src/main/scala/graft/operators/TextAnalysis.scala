@@ -364,30 +364,52 @@ object TextAnalysis {
       .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("lhs"),
         r.getAs[String]("rhs"), r.getAs[Long]("freq")))
 
+  /** Per-document BPE token counts `(doc_id, n_words, n_chars, n_bpe)`
+    * — the relation [[txtBpeEncode]] presents and
+    * [[graft.operators.Pipeline]]'s BPE-budgeted packing consumes.
+    *
+    * Encode-over-TYPES: the k-deep merge chain ([[applyMerges]]) runs
+    * once per DISTINCT word (the trainer's own O(vocabulary) weighting,
+    * [[txtBpeFreq]]'s posture), never per occurrence — at 100 TB the
+    * chain CPU is bounded by the vocabulary while the corpus pays only
+    * one tokenize scan plus two partial-agg shuffles. The occurrence
+    * stream and the dictionary build share one exchange on the word key
+    * (identical subplans, so ReuseExchange collapses the scan), the
+    * dictionary joins back shuffle-hash — it is O(distinct words),
+    * fact-derived, and must never broadcast — and the per-doc rollup
+    * partial-aggregates map-side before the final O(docs) exchange.
+    * `explode_outer` keeps zero-token documents through the left join
+    * (their counts coalesce to 0, `chars_per_token` stays null). */
+  private[operators] def bpeDocCounts(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(s, dir)
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode_outer(bpeTokens(col("text"))).as("w"))
+    val dict = toks.groupBy("w").agg(count(lit(1)).as("occ"))
+      .where(col("w").isNotNull)
+      .select(col("w"), {
+        val enc = applyMerges(merges, col("w"))
+        size(split(enc.substr(lit(2), length(enc) - 2), "\\|\\|"))
+          .cast("bigint").as("w_bpe")
+      })
+    toks.join(dict.hint("shuffle_hash"), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("w")).as("n_words"),
+        coalesce(sum(length(col("w")).cast("long")), lit(0L)).as("n_chars"),
+        coalesce(sum(col("w_bpe")), lit(0L)).as("n_bpe"))
+  }
+
   /** BPE encode (the tokenizer's SERVING pass): each document tokenized
     * with the trained merge table — per-doc word / char / BPE-token
     * counts and the resulting compression (chars per BPE token), the
     * statistics a packing pipeline ([[Pipeline]] pipe_pack) budgets
-    * with. Pure narrow map work: the k-row model is embedded as replace
-    * literals ([[applyMerges]]), so at 100 TB this is a single scan
-    * pipeline with zero shuffles before the presentation sort. */
-  def txtBpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val merges = trainedMerges(s, dir)
-    val base = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), bpeTokens(col("text")).as("tk"))
-    val enc = base.select(col("doc_id"), col("tk"),
-      transform(col("tk"), w => applyMerges(merges, w)).as("enc"))
-    val m = enc.select(
-      col("doc_id"),
-      size(col("tk")).cast("bigint").as("n_words"),
-      aggregate(col("tk"), lit(0L), (a, w) => a + length(w).cast("long")).as("n_chars"),
-      aggregate(col("enc"), lit(0L), (a, e) =>
-        a + size(split(e.substr(lit(2), length(e) - 2), "\\|\\|")).cast("long")).as("n_bpe"))
-    m.select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe"),
-      when(col("n_bpe") > 0,
-        col("n_chars").cast("double") / col("n_bpe").cast("double")).as("chars_per_token"))
+    * with. Served from [[bpeDocCounts]]: the merge chain costs
+    * O(distinct words), not O(corpus). */
+  def txtBpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeDocCounts(s, dir)
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe"),
+        when(col("n_bpe") > 0,
+          col("n_chars").cast("double") / col("n_bpe").cast("double")).as("chars_per_token"))
       .orderBy("doc_id")
-  }
 
   /** Corpus BPE token frequencies (top-30): the token-distribution
     * relation a vocab-coverage gate consumes. Encoding runs over word
@@ -490,6 +512,23 @@ object TextAnalysis {
        |      FROM e)
        |SELECT bpe_token, CAST(SUM(cnt) AS BIGINT) AS n
        |FROM s GROUP BY 1 ORDER BY n DESC, bpe_token LIMIT 30""".stripMargin
+
+  /** The trained merges available to SIBLING operators' generated
+    * oracles ([[Pipeline]]'s BPE-budgeted packing) — same
+    * after-training contract as [[oracles]]. */
+  private[operators] def oracleMerges: Option[Seq[(Long, String, String, Long)]] =
+    dirForOracles.flatMap(mergesByDir.get)
+
+  /** Oracle-side twin of [[bpeDocCounts]]'s `(doc_id, n_bpe)` face, for
+    * composition into sibling operators' generated SQL: per-doc BPE
+    * token count under the trained merge chain. */
+  private[operators] def bpeDocTokensSql(merges: Seq[(Long, String, String, Long)]): String =
+    s"""SELECT doc_id,
+       |  CAST(list_reduce(list_prepend(0, list_transform(
+       |         list_transform($BpeTokensSql, w -> ${mergeChainSql("w", merges)}),
+       |         s -> len(string_split(substring(s, 2, length(s) - 2), '||')))),
+       |       (a, b) -> a + b) AS BIGINT) AS n_bpe
+       |FROM documents""".stripMargin
 
   /** `def`, not `val`: the txt_bpe_encode/txt_bpe_freq oracles exist
     * only after their queries have trained (Verify runs every query
