@@ -272,6 +272,205 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     transpose(Seq(1, 0))
   }
 
+  /** Reverse along `axis` (dask/numpy `flip`) — a pure narrow
+    * projection: the chunk grid mirrors on that axis
+    * (`pos' = C-1-pos`) and each payload re-packs with the axis
+    * coordinate mirrored in place. Chunk boxes map to chunk boxes, so
+    * no cell ever changes chunks and nothing shuffles — at any scale
+    * this is one projection over the chunk relation. Dtype-preserving
+    * (pure element gathers, the [[transpose]] posture). */
+  def flip(axis: Int): ChunkedArray = {
+    require(axis >= 0 && axis < geom.dims, s"axis $axis out of range")
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    // newdata[k] = data[k with coord_axis := shape-1-coord_axis]
+    val t = transform(sequence(lit(0), lit(geom.chunkElems - 1)), k => {
+      val cd = fdiv(k, strides(axis)) % shape(axis)
+      col("data")(k + (lit(shape(axis) - 1) - cd * 2) * strides(axis))
+    })
+    copy(df = df.select(col("timestep"),
+      transform(col("pos"), (p, i) =>
+        when(i === axis, lit(geom.chunksPerDim(axis) - 1) - p)
+          .otherwise(p).cast("int")).as("pos"),
+      t.as("data")))
+  }
+
+  /** Circular shift along `axis` (dask/numpy `roll`): element at global
+    * coord g moves to (g + shift) mod size. Every element changes
+    * position, so the payload bytes must move once (dask rolls the same
+    * bytes) — but they move as at most TWO contiguous SLAB rows per
+    * chunk, never cell rows: writing shift = q·S + r over chunk extent
+    * S, a chunk's leading S-r planes land in grid neighbor p+q at axis
+    * offset r and its trailing r planes in p+q+1 at offset 0 (mod the
+    * chunk count), so one groupBy assembles each destination chunk from
+    * exactly two messages — the [[stencilAxis]] halo-message machinery
+    * with the whole payload riding it. A chunk-aligned shift (r = 0)
+    * degenerates to a single full-payload message — pure re-addressing.
+    * Absent source chunks contribute implicit zeros (the stencil
+    * convention). Dtype-preserving. */
+  def roll(axis: Int, shift: Int): ChunkedArray = {
+    val n = geom.dims
+    require(axis >= 0 && axis < n, s"axis $axis out of range")
+    val size = geom.dimSize(axis)
+    val k = ((shift % size) + size) % size
+    if (k == 0) return this
+    val shape = geom.chunkShape
+    val sA = shape(axis)
+    val cA = geom.chunksPerDim(axis)
+    val q = k / sA
+    val r = k % sA
+    val strides = shape.scanRight(1)(_ * _).tail
+    val strideA = strides(axis)
+    val elems = geom.chunkElems
+    val slabElems = elems / sA
+    val zeroE = lit(0).cast(dtype)
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    val rem = shape.indices.filterNot(_ == axis)
+    val remSlab = rem.zip(rem.map(shape).scanRight(1)(_ * _).tail)
+    // `cnt` axis planes starting at coord `start`, plane-major then
+    // row-major over the remaining dims ([[stencilAxis]]'s slab layout)
+    def slab(start: Int, cnt: Int): Column =
+      transform(sequence(lit(0), lit(cnt * slabElems - 1)), s => {
+        val p = fdiv(s, slabElems)
+        val flat = remSlab.map { case (j, ss) =>
+          (fdiv(s % slabElems, ss) % shape(j)) * strides(j)
+        }.foldLeft((lit(start) + p) * strideA: Column)(_ + _)
+        col("data")(flat)
+      })
+    def msg(destOff: Int, kind: String, strip: Column): Column = struct(
+      array(shape.indices.map(d =>
+        if (d == axis) ((col("pos")(d) + lit(destOff)) % lit(cA)).cast("int")
+        else col("pos")(d).cast("int")): _*).as("tpos"),
+      lit(kind).as("kind"), strip.as("strip"))
+    val msgs =
+      if (r == 0) Seq(msg(q, "a", col("data")))
+      else Seq(
+        msg(q, "a", slab(0, sA - r)), // leading planes -> offset r
+        msg(q + 1, "b", slab(sA - r, r))) // trailing planes -> offset 0
+    val sent = df
+      .select(col("timestep"), col("pos"), explode(array(msgs: _*)).as("m"))
+      .select(col("timestep"), col("m.tpos").as("tpos"),
+        col("m.kind").as("kind"), col("m.strip").as("strip"))
+    val assembled = sent
+      .groupBy(col("timestep"), col("tpos"))
+      .agg(map_from_entries(collect_list(struct(col("kind"), col("strip")))).as("m"))
+    val outData =
+      if (r == 0) coalesce(element_at(col("m"), "a"), array_repeat(zeroE, elems))
+      else transform(sequence(lit(0), lit(elems - 1)), idx => {
+        val cd = fdiv(idx, strideA) % sA
+        val slabI = remSlab.map { case (j, ss) =>
+          (fdiv(idx, strides(j)) % shape(j)) * lit(ss)
+        }.reduceOption[Column](_ + _).getOrElse(lit(0): Column)
+        coalesce(
+          when(cd >= r,
+            element_at(element_at(col("m"), "a"), (cd - r) * slabElems + slabI + 1))
+            .otherwise(
+              element_at(element_at(col("m"), "b"), cd * slabElems + slabI + 1)),
+          zeroE)
+      })
+    copy(df = assembled.select(col("timestep"), col("tpos").as("pos"),
+      outData.cast(ArrayType(dtype)).as("data")))
+  }
+
+  /** Constant-pad along `axis` (dask/numpy `pad(mode='constant')`) —
+    * [[stencilAxis]]'s boundary machinery standalone: the array extends
+    * by `before` cells below and `after` above, new cells holding
+    * `value`. The padded extent must tile the chunk shape (pad to a
+    * chunk multiple — the regular-grid contract every other face
+    * assumes). Payload moves exactly as [[roll]]: at most two slab
+    * messages per source chunk land at the `before`-shifted grid
+    * coordinates, one groupBy assembles; destination positions nothing
+    * covers — pure pad chunks and the uncovered planes of boundary
+    * chunks — fill with `value` from a generated seed grid (O(#chunks)
+    * rows, distributed, never broadcast). Assumes a DENSE source (the
+    * queries' densified convention): an absent interior chunk would
+    * read as pad, not zero. Dtype-preserving (`value` casts to
+    * [[dtype]]). */
+  def pad(axis: Int, before: Int, after: Int, value: Double = 0.0): ChunkedArray = {
+    val n = geom.dims
+    require(axis >= 0 && axis < n, s"axis $axis out of range")
+    require(before >= 0 && after >= 0, "pad extents must be non-negative")
+    if (before == 0 && after == 0) return this
+    val size = geom.dimSize(axis)
+    val shape = geom.chunkShape
+    val sA = shape(axis)
+    require((before + size + after) % sA == 0,
+      s"padded extent ${before + size + after} must tile chunk size $sA on axis $axis")
+    val newCA = (before + size + after) / sA
+    val q = before / sA
+    val r = before % sA
+    val strides = shape.scanRight(1)(_ * _).tail
+    val strideA = strides(axis)
+    val elems = geom.chunkElems
+    val slabElems = elems / sA
+    val padE = lit(value).cast(dtype)
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    val rem = shape.indices.filterNot(_ == axis)
+    val remSlab = rem.zip(rem.map(shape).scanRight(1)(_ * _).tail)
+    def slab(start: Int, cnt: Int): Column =
+      transform(sequence(lit(0), lit(cnt * slabElems - 1)), s => {
+        val p = fdiv(s, slabElems)
+        val flat = remSlab.map { case (j, ss) =>
+          (fdiv(s % slabElems, ss) % shape(j)) * strides(j)
+        }.foldLeft((lit(start) + p) * strideA: Column)(_ + _)
+        col("data")(flat)
+      })
+    def msg(destOff: Int, kind: String, strip: Column): Column = struct(
+      array(shape.indices.map(d =>
+        if (d == axis) (col("pos")(d) + lit(destOff)).cast("int")
+        else col("pos")(d).cast("int")): _*).as("tpos"),
+      lit(kind).as("kind"), strip.as("strip"))
+    val msgs =
+      if (r == 0) Seq(msg(q, "a", col("data")))
+      else Seq(
+        msg(q, "a", slab(0, sA - r)), // leading planes -> offset r
+        msg(q + 1, "b", slab(sA - r, r))) // trailing planes -> offset 0
+    val stripT = ArrayType(dtype)
+    val sent = df
+      .select(col("timestep"), col("pos"), explode(array(msgs: _*)).as("m"))
+      .select(col("timestep"), col("m.tpos").as("tpos"),
+        col("m.kind").as("kind"), col("m.strip").cast(stripT).as("strip"))
+      .filter(col("tpos")(axis) >= 0 && col("tpos")(axis) < newCA)
+    // seed every destination grid position so pure-pad chunks exist:
+    // distinct timesteps x the full (O(#chunks), distributed) grid
+    val ss = df.sparkSession
+    val dims = geom.chunksPerDim.updated(axis, newCA)
+    val grid = dims.zipWithIndex
+      .map { case (c, d) => ss.range(c).select(col("id").cast("int").as(s"p$d")) }
+      .reduce(_.crossJoin(_))
+      .select(array((0 until n).map(d => col(s"p$d")): _*).as("tpos"))
+    val seeds = df.select(col("timestep")).distinct().crossJoin(grid)
+      .select(col("timestep"), col("tpos"),
+        lit("s").as("kind"), lit(null).cast(stripT).as("strip"))
+    val assembled = sent.unionByName(seeds)
+      .groupBy(col("timestep"), col("tpos"))
+      .agg(map_from_entries(collect_list(struct(col("kind"), col("strip")))).as("m"))
+    val outData =
+      if (r == 0)
+        coalesce(element_at(col("m"), "a"), array_repeat(padE, elems))
+      else transform(sequence(lit(0), lit(elems - 1)), idx => {
+        val cd = fdiv(idx, strideA) % sA
+        val slabI = remSlab.map { case (j, ss2) =>
+          (fdiv(idx, strides(j)) % shape(j)) * lit(ss2)
+        }.reduceOption[Column](_ + _).getOrElse(lit(0): Column)
+        // uncovered planes (absent strip or absent message) are pad
+        coalesce(
+          when(cd >= r,
+            element_at(element_at(col("m"), "a"), (cd - r) * slabElems + slabI + 1))
+            .otherwise(
+              element_at(element_at(col("m"), "b"), cd * slabElems + slabI + 1)),
+          padE)
+      })
+    ChunkedArray(
+      assembled.select(col("timestep"), col("tpos").as("pos"),
+        outData.cast(ArrayType(dtype)).as("data")),
+      ArrayGeometry(dims, shape))
+  }
+
   /** Concatenate along `axis` (dask `concatenate`): a pure metadata
     * union — the other array's grid positions shift by this array's
     * chunk count on that axis; no payload moves at all. Chunk shapes

@@ -476,6 +476,31 @@ object ArrayQueries {
       .quantilesPerTimestep(Seq(("p25", 0.25), ("p50", 0.50), ("p90", 0.90)))
       .orderBy("timestep")
 
+  /** dask `da.flip` emitted cell-exact: a pure narrow projection
+    * (mirrored grid pos + in-chunk gather — no cell changes chunks),
+    * zero shuffles before the presentation sort. */
+  def arrFlip(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).flip(0).rowsNd
+      .select(col("timestep"), col("i0").as("idx"), col("value"))
+      .orderBy("timestep", "idx")
+
+  /** dask `da.roll` (circular shift by 5, deliberately NOT a chunk
+    * multiple) emitted cell-exact: payloads move as two slab rows per
+    * chunk into one assembling groupBy — never cell rows. */
+  def arrRoll(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).roll(0, 5).rowsNd
+      .select(col("timestep"), col("i0").as("idx"), col("value"))
+      .orderBy("timestep", "idx")
+
+  /** dask `da.pad(mode='constant')` (8 cells each side, value -1.0 so
+    * the fill is distinguishable from the zero-filled interior) emitted
+    * cell-exact: the roll slab machinery at shifted coordinates plus a
+    * seeded destination grid for the pure-pad chunks. */
+  def arrPad(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).pad(0, 8, 8, -1.0).rowsNd
+      .select(col("timestep"), col("i0").as("idx"), col("value"))
+      .orderBy("timestep", "idx")
+
   // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
 
   private val CELLS_1D =
@@ -939,6 +964,43 @@ object ArrayQueries {
          |       THEN CAST(cell + cell AS DECIMAL(18,2))
          |       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total
          |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
+    // reversed cells: output idx reads the mirrored input position
+    "arr_flip" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(63 - u AS BIGINT) AS idx, cell AS value
+         |FROM dense ORDER BY 1, 2""".stripMargin,
+    // circular shift by +5: the cell at u lands at (u + 5) mod 64
+    "arr_roll" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST((u + 5) % 64 AS BIGINT) AS idx, cell AS value
+         |FROM dense ORDER BY 1, 2""".stripMargin,
+    // 8 pad cells each side at -1.0 (distinguishable from the
+    // zero-filled interior); interior idx reads the cell at idx - 8
+    "arr_pad" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT d.timestep, CAST(r.i AS BIGINT) AS idx,
+         |  COALESCE(c.cell, -1.0) AS value
+         |FROM (SELECT CAST(timestep AS BIGINT) AS timestep FROM days) d
+         |CROSS JOIN (SELECT unnest(range(80)) AS i) r
+         |LEFT JOIN dense c ON c.timestep = d.timestep AND c.u = r.i - 8
+         |ORDER BY 1, 2""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -977,5 +1039,8 @@ object ArrayQueries {
     "arr_zip_mismatch" -> (arrZipMismatch _),
     "arr_topk" -> (arrTopk _),
     "arr_quantile" -> (arrQuantile _),
+    "arr_flip" -> (arrFlip _),
+    "arr_roll" -> (arrRoll _),
+    "arr_pad" -> (arrPad _),
   )
 }

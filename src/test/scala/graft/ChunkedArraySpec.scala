@@ -780,6 +780,74 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("flip reverses an axis in place: pure narrow, no exchange") {
+    val f = twoD.flip(1) // value(i,j) = 10*i + j
+    assert(f.geom == twoD.geom)
+    val got = f.rowsNd.collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(got((i.toLong, j.toLong)) == 10.0 * i + (3 - j), s"cell ($i,$j)")
+    assert(!f.df.queryExecution.executedPlan.toString.contains("Exchange"))
+    val g0 = twoD.flip(0).rowsNd.collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(g0((i.toLong, j.toLong)) == 10.0 * (3 - i) + j, s"cell ($i,$j)")
+    // involution: double flip restores the array
+    assert(asMap(twoD.flip(0).flip(0).zipWith(twoD)((x, y) => y - x)
+      .sumPerTimestep()).apply(0L) == 0.0)
+  }
+
+  test("roll shifts circularly via slab messages (aligned and unaligned)") {
+    // unaligned 1-d: shift 3 over chunks of 4 (q=0, r=3); t0 value at g is g+1
+    val g1 = oneD.roll(0, 3).rowsNd.filter(col("timestep") === 0).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    for (g <- 0 until 8)
+      assert(g1(g.toLong) == ((g - 3 + 8) % 8) + 1.0, s"g=$g")
+    // 2-d row roll crossing a chunk boundary (q=1, r=1)
+    val g2 = twoD.roll(0, 3).rowsNd.collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(g2((i.toLong, j.toLong)) == 10.0 * ((i + 1) % 4) + j, s"cell ($i,$j)")
+    // chunk-aligned column roll (r=0) degenerates to pure re-addressing
+    val g3 = twoD.roll(1, 2).rowsNd.collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(g3((i.toLong, j.toLong)) == 10.0 * i + ((j + 2) % 4), s"cell ($i,$j)")
+    // full-circle shift is the identity; negative shifts wrap
+    assert(asMap(twoD.roll(0, 4).zipWith(twoD)((x, y) => y - x)
+      .sumPerTimestep()).apply(0L) == 0.0)
+    assert(asMap(twoD.roll(0, -1).zipWith(twoD.roll(0, 3))((x, y) => y - x)
+      .sumPerTimestep()).apply(0L) == 0.0)
+  }
+
+  test("pad extends an axis with a constant (aligned and slab-offset)") {
+    // slab-offset 1-d pad: before=2 over chunks of 4 (r=2)
+    val p1 = oneD.pad(0, 2, 2, 9.5)
+    assert(p1.geom == ArrayGeometry(Seq(3), Seq(4)))
+    val g1 = p1.rowsNd.filter(col("timestep") === 0).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(g1.size == 12)
+    for (g <- 0 until 12)
+      assert(g1(g.toLong) == (if (g >= 2 && g < 10) (g - 2) + 1.0 else 9.5), s"g=$g")
+    // chunk-aligned 2-d pad on axis 1 (r=0): pure-pad chunks come from seeds
+    val p2 = twoD.pad(1, 2, 2, -1.0)
+    assert(p2.geom == ArrayGeometry(Seq(2, 4), Seq(2, 2)))
+    val g2 = p2.rowsNd.collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(g2.size == 32)
+    for (i <- 0 until 4; j <- 0 until 8)
+      assert(g2((i.toLong, j.toLong)) ==
+        (if (j >= 2 && j < 6) 10.0 * i + (j - 2) else -1.0), s"cell ($i,$j)")
+    // asymmetric slab pad on axis 0 (before=1, after=3: r=1)
+    val p3 = twoD.pad(0, 1, 3, 0.0)
+    assert(p3.geom == ArrayGeometry(Seq(4, 2), Seq(2, 2)))
+    val g3 = p3.rowsNd.collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    for (i <- 0 until 8; j <- 0 until 4)
+      assert(g3((i.toLong, j.toLong)) ==
+        (if (i >= 1 && i < 5) 10.0 * (i - 1) + j else 0.0), s"cell ($i,$j)")
+  }
+
   test("any/all/prod faces: truthiness and exact small-int products") {
     // oneD has no zeros -> any=1, all=1 everywhere
     val t0 = oneD.truthPerTimestep.collect()
