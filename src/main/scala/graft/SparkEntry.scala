@@ -69,6 +69,7 @@ object SparkEntry {
     "q_percentiles" -> (Relational.qPercentiles _),
     "q_decile_revenue" -> (Relational.qDecileRevenue _),
     "ev_active_users" -> (Relational.evActiveUsers _),
+    "ev_quantiles" -> (Relational.evQuantiles _),
   )
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -376,6 +377,15 @@ object SparkEntry {
         |SELECT day, COUNT(*) AS dau, CAST(SUM(c) AS BIGINT) AS n_events,
         |  CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS events_per_user
         |FROM du GROUP BY 1 ORDER BY 1""".stripMargin,
+    // percentile_disc over the continuous value measure: an actual data
+    // value comes back, so doubles hash identically cross-engine
+    "ev_quantiles" ->
+      """SELECT event_type,
+        |  quantile_disc(value, 0.50) AS p50,
+        |  quantile_disc(value, 0.95) AS p95,
+        |  quantile_disc(value, 0.99) AS p99
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // percentile_disc semantics: first value whose cumulative count
     // reaches ceil(q*n) — exact, no interpolation
     "q_percentiles" ->

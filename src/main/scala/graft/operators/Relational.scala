@@ -616,6 +616,34 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Exact per-event-type latency-style quantiles (p50/p95/p99 of
+    * `value`) — the SLO statistic over the event stream, via the
+    * [[qPercentiles]] histogram-cumulative scaffold applied to a
+    * CONTINUOUS measure: one (type, value) partial-agg pass (the
+    * shuffle carries O(distinct values) rows — collisions collapse
+    * map-side; worst case it degenerates to the fact cardinality of
+    * that type, the inherent cost of any EXACT quantile), one window
+    * bounded to a single event type's value histogram, and each
+    * quantile is a conditional MIN reaching ceil(q·n) —
+    * percentile_disc semantics, so the result is an actual data value
+    * and hashes identically cross-engine (no interpolation). */
+  def evQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.load(s, dir, "events")
+      .where(col("value").isNotNull)
+      .groupBy("event_type", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("event_type")))
+    def pick(q: Double) =
+      min(when(col("cum") >= ceil(col("n") * lit(q)).cast("bigint"), col("value")))
+    h.groupBy("event_type")
+      .agg(pick(0.50).as("p50"), pick(0.95).as("p95"), pick(0.99).as("p99"))
+      .orderBy("event_type")
+  }
+
   /** Frame window: 7-row moving average of daily order revenue
     * (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW).
     *
