@@ -610,6 +610,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("s0", 1L, 3L), ("s1", 1L, 4L)))
   }
 
+  test("StreamingVocab scores windowed OOV drift against a fixed vocabulary") {
+    import graft.streaming.StreamingVocab
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val docs = in.toDF().toDF("ts", "text", "source")
+    val q = StreamingVocab.oovDrift(docs, vocab = Seq("alpha", "beta", "gamma"))
+      .writeStream.format("memory").queryName("vocab_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: in-order docs in the 10:00 window
+    in.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "alpha beta zork", "s0"),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), "gamma gamma", "s1"))
+    q.processAllAvailable()
+    // batch 2: a LATE but in-horizon doc lands back in the same window
+    // (cross-batch disorder must merge, not fork, the open aggregate)
+    in.addData((Timestamp.valueOf("2024-01-01 10:40:00"), "quux alpha", "s0"))
+    q.processAllAvailable()
+    // advance the watermark past 11:00 + delay to close the window
+    in.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "alpha", "s0"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("vocab_out")
+      .select("source", "n_tokens", "n_oov", "oov_frac")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted
+    // s0: 5 tokens, zork + quux OOV; s1: 2 tokens, all in-vocab
+    assert(rows.toSeq == Seq(("s0", 5L, 2L, 0.4), ("s1", 2L, 0L, 0.0)))
+  }
+
   test("HaloStencil fires per chunk incrementally and matches the batch stencil") {
     import graft.arrays.{ArrayGeometry, ChunkedArray}
     import graft.streaming.{HaloChunk, HaloStencil}
