@@ -371,13 +371,13 @@ object TextAnalysis {
     * Encode-over-TYPES: the k-deep merge chain ([[applyMerges]]) runs
     * once per DISTINCT word (the trainer's own O(vocabulary) weighting,
     * [[txtBpeFreq]]'s posture), never per occurrence — at 100 TB the
-    * chain CPU is bounded by the vocabulary while the corpus pays only
-    * one tokenize scan plus two partial-agg shuffles. The occurrence
-    * stream and the dictionary build share one exchange on the word key
-    * (identical subplans, so ReuseExchange collapses the scan), the
-    * dictionary joins back shuffle-hash — it is O(distinct words),
-    * fact-derived, and must never broadcast — and the per-doc rollup
-    * partial-aggregates map-side before the final O(docs) exchange.
+    * chain CPU is bounded by the vocabulary while the corpus pays two
+    * tokenize scans (the dictionary branch prunes to the text column
+    * alone and pre-aggregates map-side, so its exchange carries only
+    * distinct words). The dictionary joins back shuffle-hash — it is
+    * O(distinct words), fact-derived, and must never broadcast — and
+    * the per-doc rollup partial-aggregates map-side before the final
+    * O(docs) exchange.
     * `explode_outer` keeps zero-token documents through the left join
     * (their counts coalesce to 0, `chars_per_token` stays null). */
   private[operators] def bpeDocCounts(s: SparkSession, dir: String): DataFrame = {
