@@ -384,11 +384,14 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * messages per source chunk land at the `before`-shifted grid
     * coordinates, one groupBy assembles; destination positions nothing
     * covers — pure pad chunks and the uncovered planes of boundary
-    * chunks — fill with `value` from a generated seed grid (O(#chunks)
-    * rows, distributed, never broadcast). Assumes a DENSE source (the
-    * queries' densified convention): an absent interior chunk would
-    * read as pad, not zero. Dtype-preserving (`value` casts to
-    * [[dtype]]). */
+    * chunks — fill with `value`: pure-pad positions are SEEDED by the
+    * axis-boundary source chunks (the pos==0 chunk line emits the
+    * below-pad rows for its grid column, the pos==C-1 line the
+    * above-pad rows) — a narrow explode over O(pad chunks) rows,
+    * fully distributed: no generated grid, no crossJoin, no broadcast,
+    * no distinct. Assumes a DENSE source (the queries' densified
+    * convention): an absent interior chunk would read as pad, not
+    * zero. Dtype-preserving (`value` casts to [[dtype]]). */
   def pad(axis: Int, before: Int, after: Int, value: Double = 0.0): ChunkedArray = {
     val n = geom.dims
     require(axis >= 0 && axis < n, s"axis $axis out of range")
@@ -435,18 +438,28 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       .select(col("timestep"), col("m.tpos").as("tpos"),
         col("m.kind").as("kind"), col("m.strip").cast(stripT).as("strip"))
       .filter(col("tpos")(axis) >= 0 && col("tpos")(axis) < newCA)
-    // seed every destination grid position so pure-pad chunks exist:
-    // distinct timesteps x the full (O(#chunks), distributed) grid
-    val ss = df.sparkSession
+    // seed the pure-pad destination positions so they exist in the
+    // output: each axis-BOUNDARY source chunk emits the pad rows of its
+    // own grid column (low edge -> below-pad, high edge -> above-pad) —
+    // a narrow explode, O(pad chunks) rows, no generated grid and no
+    // broadcast. Partially covered boundary chunks need no seed: they
+    // already receive a slab message and coalesce the uncovered planes.
+    val cAOld = geom.chunksPerDim(axis)
     val dims = geom.chunksPerDim.updated(axis, newCA)
-    val grid = dims.zipWithIndex
-      .map { case (c, d) => ss.range(c).select(col("id").cast("int").as(s"p$d")) }
-      .reduce(_.crossJoin(_))
-      .select(array((0 until n).map(d => col(s"p$d")): _*).as("tpos"))
-    val seeds = df.select(col("timestep")).distinct().crossJoin(grid)
-      .select(col("timestep"), col("tpos"),
-        lit("s").as("kind"), lit(null).cast(stripT).as("strip"))
-    val assembled = sent.unionByName(seeds)
+    val lowPads = 0 until q
+    val highPads = (cAOld + q + (if (r == 0) 0 else 1)) until newCA
+    def seedRows(edge: Int, pads: Seq[Int]) =
+      df.filter(col("pos")(axis) === edge)
+        .select(col("timestep"), col("pos"),
+          explode(array(pads.map(lit(_)): _*)).as("a"))
+        .select(col("timestep"),
+          array(shape.indices.map(d =>
+            if (d == axis) col("a").cast("int")
+            else col("pos")(d).cast("int")): _*).as("tpos"),
+          lit("s").as("kind"), lit(null).cast(stripT).as("strip"))
+    val seeds = Seq((0, lowPads), (cAOld - 1, highPads))
+      .filter(_._2.nonEmpty).map { case (e, p) => seedRows(e, p) }
+    val assembled = (sent +: seeds).reduce(_ unionByName _)
       .groupBy(col("timestep"), col("tpos"))
       .agg(map_from_entries(collect_list(struct(col("kind"), col("strip")))).as("m"))
     val outData =
