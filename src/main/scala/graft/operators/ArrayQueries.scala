@@ -501,6 +501,20 @@ object ArrayQueries {
       .select(col("timestep"), col("i0").as("idx"), col("value"))
       .orderBy("timestep", "idx")
 
+  /** dask `da.diff` — first discrete difference along the array
+    * (out[i] = in[i+1] - in[i], 63 rows per timestep): operator
+    * ALGEBRA, composed as roll(-1) zipped with self (slab-message
+    * shift + one aligned shuffle-hash zip), the wrapped final cell
+    * dropped. IEEE double subtraction replays bit-exact in the
+    * oracle's LEAD window. */
+  def arrDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray1dCached(s, dir)
+    a.roll(0, -1).zipWith(a)(_ - _).rowsNd
+      .select(col("timestep"), col("i0").as("idx"), col("value"))
+      .where(col("idx") < geom1d.dimSize(0) - 1)
+      .orderBy("timestep", "idx")
+  }
+
   // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
 
   private val CELLS_1D =
@@ -986,6 +1000,22 @@ object ArrayQueries {
          |SELECT CAST(timestep AS BIGINT) AS timestep,
          |  CAST((u + 5) % 64 AS BIGINT) AS idx, cell AS value
          |FROM dense ORDER BY 1, 2""".stripMargin,
+    // first difference: LEAD over the dense cells replays the same
+    // IEEE double subtraction; the wrapped last cell is dropped
+    "arr_diff" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |ld AS (
+         |  SELECT timestep, u,
+         |    LEAD(cell) OVER (PARTITION BY timestep ORDER BY u) - cell AS value
+         |  FROM dense)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
+         |  value
+         |FROM ld WHERE u < 63 ORDER BY 1, 2""".stripMargin,
     // 8 pad cells each side at -1.0 (distinguishable from the
     // zero-filled interior); interior idx reads the cell at idx - 8
     "arr_pad" ->
@@ -1042,5 +1072,6 @@ object ArrayQueries {
     "arr_flip" -> (arrFlip _),
     "arr_roll" -> (arrRoll _),
     "arr_pad" -> (arrPad _),
+    "arr_diff" -> (arrDiff _),
   )
 }

@@ -255,4 +255,52 @@ class ArrayModelSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("flip/roll/pad geometry faces match the exact dense model on random arrays") {
+    val rnd = new scala.util.Random(20260814L)
+    for (caseNo <- 0 until 8) {
+      val rank = 1 + rnd.nextInt(3)
+      val (d, cpd) = randomCase(rnd, rank)
+      val arr = chunked(d, cpd)
+      val tag = s"case $caseNo shape=${d.shape} cpd=$cpd"
+      val axis = rnd.nextInt(rank)
+      val size = d.shape(axis)
+
+      // flip: out[ix] reads the mirrored axis coordinate
+      val fmap = rowsMap(arr.flip(axis))
+      for (ix <- cartesian(d.shape)) {
+        val src = ix.updated(axis, size - 1 - ix(axis))
+        assert(fmap(ixKey(ix)) == d.at(src).toDouble, s"$tag flip($axis) at $ix")
+      }
+
+      // roll by a random shift (negative and beyond-size included):
+      // out[g] = in[(g - shift) mod size]
+      val shift = rnd.between(-2 * size, 2 * size + 1)
+      val rolled = rowsMap(arr.roll(axis, shift))
+      for (ix <- cartesian(d.shape)) {
+        val src = ix.updated(axis, (((ix(axis) - shift) % size) + size) % size)
+        assert(rolled(ixKey(ix)) == d.at(src).toDouble, s"$tag roll($axis,$shift) at $ix")
+      }
+
+      // pad: random extents tiling the chunk extent; fill value exact
+      val sA = size / cpd(axis)
+      val before = rnd.nextInt(2 * sA + 1)
+      val after = {
+        val rem = (before + size) % sA
+        (sA - rem) % sA + sA * rnd.nextInt(2)
+      }
+      if (before + after > 0) {
+        val pv = rnd.between(-9999, 10000) / 100.0
+        val padShape = d.shape.updated(axis, before + size + after)
+        val pmap = rowsMap(arr.pad(axis, before, after, pv))
+        assert(pmap.size == padShape.product,
+          s"$tag pad($axis,$before,$after) cardinality ${pmap.size}")
+        for (ix <- cartesian(padShape)) {
+          val g = ix(axis) - before
+          val exp = if (g >= 0 && g < size) d.at(ix.updated(axis, g)).toDouble else pv
+          assert(pmap(ixKey(ix)) == exp, s"$tag pad($axis,$before,$after) at $ix")
+        }
+      }
+    }
+  }
 }
