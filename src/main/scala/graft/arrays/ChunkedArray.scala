@@ -375,12 +375,13 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       outData.cast(ArrayType(dtype)).as("data")))
   }
 
-  /** Constant-pad along `axis` (dask/numpy `pad(mode='constant')`) —
+  /** Boundary pad along `axis` (dask/numpy `pad`) —
     * [[stencilAxis]]'s boundary machinery standalone: the array extends
-    * by `before` cells below and `after` above, new cells holding
-    * `value`. The padded extent must tile the chunk shape (pad to a
-    * chunk multiple — the regular-grid contract every other face
-    * assumes). Payload moves exactly as [[roll]]: at most two slab
+    * by `before` cells below and `after` above. `mode = "constant"`
+    * fills new cells with `value` (numpy's default); `mode = "edge"`
+    * replicates the nearest boundary plane (`value` is ignored). The
+    * padded extent must tile the chunk shape (pad to a chunk multiple —
+    * the regular-grid contract every other face assumes). Payload moves exactly as [[roll]]: at most two slab
     * messages per source chunk land at the `before`-shifted grid
     * coordinates, one groupBy assembles; destination positions nothing
     * covers — pure pad chunks and the uncovered planes of boundary
@@ -392,10 +393,13 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * no distinct. Assumes a DENSE source (the queries' densified
     * convention): an absent interior chunk would read as pad, not
     * zero. Dtype-preserving (`value` casts to [[dtype]]). */
-  def pad(axis: Int, before: Int, after: Int, value: Double = 0.0): ChunkedArray = {
+  def pad(axis: Int, before: Int, after: Int, value: Double = 0.0,
+      mode: String = "constant"): ChunkedArray = {
     val n = geom.dims
     require(axis >= 0 && axis < n, s"axis $axis out of range")
     require(before >= 0 && after >= 0, "pad extents must be non-negative")
+    require(mode == "constant" || mode == "edge",
+      s"mode must be constant|edge, got $mode")
     if (before == 0 && after == 0) return this
     val size = geom.dimSize(axis)
     val shape = geom.chunkShape
@@ -442,41 +446,57 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     // output: each axis-BOUNDARY source chunk emits the pad rows of its
     // own grid column (low edge -> below-pad, high edge -> above-pad) —
     // a narrow explode, O(pad chunks) rows, no generated grid and no
-    // broadcast. Partially covered boundary chunks need no seed: they
-    // already receive a slab message and coalesce the uncovered planes.
+    // broadcast. In edge mode the seed strip carries the emitting
+    // chunk's edge PLANE (the boundary chunk is already in hand), so
+    // pad planes replicate it; constant mode ships no payload.
+    // Partially covered boundary chunks need no seed: they already
+    // receive a slab message and coalesce the uncovered planes.
     val cAOld = geom.chunksPerDim(axis)
     val dims = geom.chunksPerDim.updated(axis, newCA)
     val lowPads = 0 until q
     val highPads = (cAOld + q + (if (r == 0) 0 else 1)) until newCA
-    def seedRows(edge: Int, pads: Seq[Int]) =
+    def seedRows(edge: Int, pads: Seq[Int], kind: String) =
       df.filter(col("pos")(axis) === edge)
-        .select(col("timestep"), col("pos"),
+        .select(col("timestep"), col("pos"), col("data"),
           explode(array(pads.map(lit(_)): _*)).as("a"))
         .select(col("timestep"),
           array(shape.indices.map(d =>
             if (d == axis) col("a").cast("int")
             else col("pos")(d).cast("int")): _*).as("tpos"),
-          lit("s").as("kind"), lit(null).cast(stripT).as("strip"))
-    val seeds = Seq((0, lowPads), (cAOld - 1, highPads))
-      .filter(_._2.nonEmpty).map { case (e, p) => seedRows(e, p) }
+          lit(kind).as("kind"),
+          (if (mode == "edge") slab(if (kind == "sl") 0 else sA - 1, 1)
+           else lit(null)).cast(stripT).as("strip"))
+    val seeds = Seq((0, lowPads, "sl"), (cAOld - 1, highPads, "sh"))
+      .filter(_._2.nonEmpty).map { case (e, p, k) => seedRows(e, p, k) }
     val assembled = (sent +: seeds).reduce(_ unionByName _)
       .groupBy(col("timestep"), col("tpos"))
       .agg(map_from_entries(collect_list(struct(col("kind"), col("strip")))).as("m"))
+    def el(kind: String, i: Column): Column =
+      element_at(element_at(col("m"), kind), i + 1)
     val outData =
-      if (r == 0)
+      if (mode == "constant" && r == 0)
         coalesce(element_at(col("m"), "a"), array_repeat(padE, elems))
       else transform(sequence(lit(0), lit(elems - 1)), idx => {
         val cd = fdiv(idx, strideA) % sA
         val slabI = remSlab.map { case (j, ss2) =>
           (fdiv(idx, strides(j)) % shape(j)) * lit(ss2)
         }.reduceOption[Column](_ + _).getOrElse(lit(0): Column)
-        // uncovered planes (absent strip or absent message) are pad
-        coalesce(
-          when(cd >= r,
-            element_at(element_at(col("m"), "a"), (cd - r) * slabElems + slabI + 1))
-            .otherwise(
-              element_at(element_at(col("m"), "b"), cd * slabElems + slabI + 1)),
-          padE)
+        val regular =
+          if (r == 0) el("a", idx)
+          else when(cd >= r, el("a", (cd - r) * slabElems + slabI))
+            .otherwise(el("b", cd * slabElems + slabI))
+        // uncovered planes (absent strip or absent message) are pad. In
+        // edge mode the candidates are mutually exclusive per chunk: a
+        // chunk holding only "a" is the FIRST covered one (uncovered =
+        // below-pad, replicate source plane 0), only "b" the LAST
+        // (replicate source plane sA-1 = strip plane r-1), and pure-pad
+        // chunks hold exactly one seeded edge plane.
+        val fallback =
+          if (mode == "constant") Seq(padE)
+          else Seq(el("a", slabI)) ++
+            (if (r > 0) Seq(el("b", slabI + (r - 1) * slabElems)) else Nil) ++
+            Seq(el("sl", slabI), el("sh", slabI))
+        coalesce(regular +: fallback: _*)
       })
     ChunkedArray(
       assembled.select(col("timestep"), col("tpos").as("pos"),

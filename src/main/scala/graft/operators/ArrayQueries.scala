@@ -501,6 +501,16 @@ object ArrayQueries {
       .select(col("timestep"), col("i0").as("idx"), col("value"))
       .orderBy("timestep", "idx")
 
+  /** dask `da.pad(mode='edge')` — the same 8-cell pad with the
+    * boundary plane REPLICATED instead of a constant: the seed
+    * messages carry the emitting boundary chunk's edge plane, so the
+    * plan shape is identical to arr_pad (slab messages + narrow
+    * boundary-chunk seeds, one assembling groupBy). */
+  def arrPadEdge(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).pad(0, 8, 8, mode = "edge").rowsNd
+      .select(col("timestep"), col("i0").as("idx"), col("value"))
+      .orderBy("timestep", "idx")
+
   /** dask `da.diff` — first discrete difference along the array
     * (out[i] = in[i+1] - in[i], 63 rows per timestep): operator
     * ALGEBRA, composed as roll(-1) zipped with self (slab-message
@@ -1016,6 +1026,20 @@ object ArrayQueries {
          |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
          |  value
          |FROM ld WHERE u < 63 ORDER BY 1, 2""".stripMargin,
+    // edge mode: every padded idx reads the cell at clamp(idx-8, 0, 63)
+    "arr_pad_edge" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT d.timestep, CAST(r.i AS BIGINT) AS idx, c.cell AS value
+         |FROM (SELECT CAST(timestep AS BIGINT) AS timestep FROM days) d
+         |CROSS JOIN (SELECT unnest(range(80)) AS i) r
+         |JOIN dense c ON c.timestep = d.timestep
+         |  AND c.u = greatest(0, least(63, r.i - 8))
+         |ORDER BY 1, 2""".stripMargin,
     // 8 pad cells each side at -1.0 (distinguishable from the
     // zero-filled interior); interior idx reads the cell at idx - 8
     "arr_pad" ->
@@ -1072,6 +1096,7 @@ object ArrayQueries {
     "arr_flip" -> (arrFlip _),
     "arr_roll" -> (arrRoll _),
     "arr_pad" -> (arrPad _),
+    "arr_pad_edge" -> (arrPadEdge _),
     "arr_diff" -> (arrDiff _),
   )
 }

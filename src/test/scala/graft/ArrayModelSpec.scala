@@ -300,6 +300,13 @@ class ArrayModelSpec extends AnyFunSuite {
           val exp = if (g >= 0 && g < size) d.at(ix.updated(axis, g)).toDouble else pv
           assert(pmap(ixKey(ix)) == exp, s"$tag pad($axis,$before,$after) at $ix")
         }
+        // edge mode: every pad cell replicates the clamped boundary plane
+        val emap = rowsMap(arr.pad(axis, before, after, mode = "edge"))
+        for (ix <- cartesian(padShape)) {
+          val g = (ix(axis) - before).max(0).min(size - 1)
+          assert(emap(ixKey(ix)) == d.at(ix.updated(axis, g)).toDouble,
+            s"$tag padEdge($axis,$before,$after) at $ix")
+        }
       }
     }
   }

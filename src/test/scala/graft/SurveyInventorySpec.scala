@@ -81,4 +81,18 @@ class SurveyInventorySpec extends AnyFunSuite {
     val unchecked = section2Lines.filter(_.trim.startsWith("- [ ]"))
     assert(unchecked.isEmpty, s"unchecked SURVEY §2 rows: $unchecked")
   }
+
+  test("PLANS.md carries a physical plan for every query (regenerate via DumpPlans)") {
+    // the full-surface plan dump went stale for four rounds when it was
+    // manual upkeep; this makes the drift structural, like the SURVEY gate
+    val planned = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("PLANS.md")).asScala
+      .collect { case l if l.startsWith("## ") => l.stripPrefix("## ").trim }
+      .toSet
+    val missing = SparkEntry.queries.keySet -- planned
+    assert(missing.isEmpty,
+      s"queries without a PLANS.md section (run sbt 'Test/runMain graft.DumpPlans'): ${missing.toSeq.sorted}")
+    val stale = planned -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"PLANS.md sections for queries that no longer exist: ${stale.toSeq.sorted}")
+  }
 }
