@@ -315,6 +315,18 @@ object ArrayQueries {
       .withColumnsRenamed(Map("i0" -> "idx"))
       .orderBy("timestep", "idx")
 
+  /** dask `da.ptp(axis=1)` (peak-to-peak): per-row dynamic range of
+    * the 2-d array — operator ALGEBRA again: axisMax zipped with
+    * axisMin, one aligned shuffle-hash zip of two O(marginal)-sized
+    * reductions; max/min are exact and the subtraction is the same
+    * IEEE double in both engines. */
+  def arrAxisPtp(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray2dCached(s, dir)
+    a.axisMax(axis = 1).zipWith(a.axisMin(axis = 1))(_ - _).rowsNd
+      .withColumnsRenamed(Map("i0" -> "idx"))
+      .orderBy("timestep", "idx")
+  }
+
   /** dask `arr.mean(axis=1)` on the 2-d array: decimal-exact axis sum,
     * one double divide by the axis extent. */
   def arrAxisMean(s: SparkSession, dir: String): DataFrame =
@@ -735,6 +747,12 @@ object ArrayQueries {
          |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
          |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) / 8.0 AS value
          |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // hour-axis dynamic range per user: MAX - MIN, same IEEE subtract
+    "arr_axis_ptp" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
+         |  MAX(cell) - MIN(cell) AS value
+         |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // hour-axis maxima per user over the dense 2-d cells
     "arr_axis_max" ->
       s"""WITH $CELLS_2D_DENSE
@@ -1072,6 +1090,7 @@ object ArrayQueries {
     "arr_window_delta" -> (arrWindowDelta _),
     "arr_axis_sum" -> (arrAxisSum _),
     "arr_axis_max" -> (arrAxisMax _),
+    "arr_axis_ptp" -> (arrAxisPtp _),
     "arr_axis_mean" -> (arrAxisMean _),
     "arr_axis_sum_3d" -> (arrAxisSum3d _),
     "arr_axis_var" -> (arrAxisVar _),
