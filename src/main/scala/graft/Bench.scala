@@ -114,8 +114,13 @@ object Bench {
     // the min is still the headline, but the artifact names the queries
     // whose slow pass should NOT be read as a regression — BENCH_r08's
     // one 9.68s phantom cost a judge an isolated re-run to adjudicate.
+    // A sustained neighbor-load burst can pollute BOTH passes (ratio
+    // under 3x, e.g. q22 at [12.5, 7.3] vs 0.35s isolated), so any
+    // query whose best pass is still absolutely slow is adjudicated
+    // too — a genuinely slow query just re-measures at the same time.
     val noisy = raw.collect { case (k, ts)
-      if ts.forall(_ >= 0) && ts.max > 3 * ts.min && ts.max - ts.min > 0.2 => k }
+      if ts.forall(_ >= 0) &&
+        ((ts.max > 3 * ts.min && ts.max - ts.min > 0.2) || ts.min > 2.0) => k }
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Automatic isolated re-run of every noisy query AFTER the sweep
     // (the tail of the run is the quietest window this process gets):
