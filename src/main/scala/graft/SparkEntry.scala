@@ -70,6 +70,7 @@ object SparkEntry {
     "q_decile_revenue" -> (Relational.qDecileRevenue _),
     "ev_active_users" -> (Relational.evActiveUsers _),
     "ev_quantiles" -> (Relational.evQuantiles _),
+    "ev_heavy_hitters" -> (Relational.evHeavyHitters _),
   )
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -377,6 +378,11 @@ object SparkEntry {
         |SELECT day, COUNT(*) AS dau, CAST(SUM(c) AS BIGINT) AS n_events,
         |  CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS events_per_user
         |FROM du GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sketch is exact here (k-1 = 7 counters >= 5 event types, no
+    // evictions), so the plain exact GROUP BY is a legitimate oracle
+    "ev_heavy_hitters" ->
+      """SELECT event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin,
     // percentile_disc over the continuous value measure: an actual data
     // value comes back, so doubles hash identically cross-engine
     "ev_quantiles" ->

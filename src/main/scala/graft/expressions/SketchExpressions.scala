@@ -163,6 +163,148 @@ case class SimHash(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Misra-Gries heavy-hitters sketch as a native
+  * [[TypedImperativeAggregate]] — the bounded-state frequent-items
+  * pass a 100 TB stream needs: each partition folds its rows into at
+  * most k-1 (item, counter) pairs, the shuffle moves ONE small sketch
+  * per partition, and merge is the mergeable-summaries combine
+  * (Agarwal et al.: sum counters, then subtract the k-th largest and
+  * drop non-positive), so state never depends on the data volume.
+  *
+  * Guarantees: every reported count is a LOWER bound within N/k of the
+  * true frequency, and every item with true frequency > N/k survives.
+  * When the column's distinct cardinality is at most k-1 the sketch
+  * never evicts, counts are EXACT, and the result equals the plain
+  * GROUP BY — which is what the oracle gate checks (the bound path is
+  * spec-asserted on synthetic skew). Output is sorted (count desc,
+  * item asc) so the exact case is deterministic cross-engine. */
+case class MisraGries(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+    java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]]
+  with ImplicitCastInputTypes {
+
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("lower_bound", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_heavy_hitters"
+
+  override def createAggregationBuffer(): java.util.HashMap[UTF8String, java.lang.Long] =
+    new java.util.HashMap
+
+  private def accumulate(
+      buf: java.util.HashMap[UTF8String, java.lang.Long],
+      item: UTF8String, cnt: Long): Unit = {
+    val cur = buf.get(item)
+    buf.put(item, if (cur == null) cnt else cur + cnt): Unit
+  }
+
+  /** Insert-then-shrink (the mergeable form of the classic decrement):
+    * if more than k-1 counters survive, subtract the k-th largest from
+    * all and drop non-positive ones. */
+  private def shrink(buf: java.util.HashMap[UTF8String, java.lang.Long]): Unit =
+    if (buf.size > k - 1) {
+      val counts = new Array[Long](buf.size)
+      var i = 0
+      val it0 = buf.values().iterator()
+      while (it0.hasNext) { counts(i) = it0.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val sub = counts(buf.size - k) // k-th largest
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val nv = e.getValue - sub
+        if (nv <= 0) it.remove() else e.setValue(nv): Unit
+      }
+    }
+
+  override def update(
+      buf: java.util.HashMap[UTF8String, java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.HashMap[UTF8String, java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      // clone: the UTF8String may be backed by a reused row buffer
+      accumulate(buf, v.asInstanceOf[UTF8String].clone(), 1L)
+      shrink(buf)
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.HashMap[UTF8String, java.lang.Long],
+      other: java.util.HashMap[UTF8String, java.lang.Long]): java.util.HashMap[UTF8String, java.lang.Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      accumulate(buf, e.getKey, e.getValue)
+    }
+    shrink(buf)
+    buf
+  }
+
+  override def eval(buf: java.util.HashMap[UTF8String, java.lang.Long]): Any = {
+    val entries = new Array[(UTF8String, Long)](buf.size)
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+    val sorted = entries.sortWith { case ((ia, ca), (ib, cb)) =>
+      if (ca != cb) ca > cb else ia.compareTo(ib) < 0
+    }
+    new GenericArrayData(sorted.map { case (item, cnt) =>
+      org.apache.spark.sql.catalyst.InternalRow(item, cnt)
+    })
+  }
+
+  override def serialize(buf: java.util.HashMap[UTF8String, java.lang.Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val bytes = e.getKey.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[UTF8String, java.lang.Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.HashMap[UTF8String, java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val cnt = in.readLong()
+      buf.put(UTF8String.fromBytes(b), cnt)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object SketchExpressions {
   /** Column wrapper for [[MinHashSignature]]. */
   def minhashSignature(hs: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
@@ -174,4 +316,10 @@ object SketchExpressions {
 
   /** Back-compat 32-bit wrapper. */
   def simhash32(hs: Column): Column = simhash(hs, 32)
+
+  /** Aggregate Column wrapper for [[MisraGries]]: heavy hitters of a
+    * string column with at most k-1 counters of state. */
+  def heavyHitters(c: Column, k: Int): Column =
+    ExpressionUtils.column(
+      MisraGries(ExpressionUtils.expression(c), k).toAggregateExpression())
 }

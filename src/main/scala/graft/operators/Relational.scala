@@ -644,6 +644,24 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Frequent event types through the native Misra-Gries sketch
+    * ([[org.apache.spark.sql.graftexpr.MisraGries]], §2.I): each
+    * partition folds to at most k-1 counters and the shuffle moves one
+    * small sketch per partition — the bounded-state heavy-hitter pass
+    * for a 100 TB stream, vs the exact GROUP BY whose state is
+    * O(distinct). Here k = 8 exceeds the five event types, so the
+    * sketch never evicts, counts are exact, and the DuckDB GROUP BY is
+    * a legitimate oracle; the approximation bounds (lower-bound counts
+    * within N/k, all above-threshold items kept) are spec-asserted on
+    * synthetic skew with forced partition merges. */
+  def evHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .agg(org.apache.spark.sql.graftexpr.SketchExpressions
+        .heavyHitters(col("event_type"), 8).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.lower_bound").as("n_events"))
+      .orderBy(col("n_events").desc, col("event_type"))
+
   /** Frame window: 7-row moving average of daily order revenue
     * (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW).
     *

@@ -85,6 +85,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows.head.getLong(0) == 499500L)
   }
 
+  test("MisraGries heavy hitters: exact under capacity, bounded under skew") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftexpr.SketchExpressions.heavyHitters
+    // skewed synthetic stream: 600 a, 250 b, 100 c, 50 singletons;
+    // repartition(7) forces per-partition sketches through merge
+    val rows = Seq.fill(600)("a") ++ Seq.fill(250)("b") ++ Seq.fill(100)("c") ++
+      (0 until 50).map(i => s"t$i")
+    val df = rows.toDF("item").repartition(7)
+    val n = rows.length.toLong
+    val k = 4
+    val got = df.agg(heavyHitters(col("item"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.lower_bound"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size <= k - 1, s"state bound violated: $got")
+    val truth = rows.groupBy(identity).map { case (i, xs) => i -> xs.length.toLong }
+    // every item with true frequency > N/k survives the sketch
+    truth.filter(_._2 > n / k).foreach { case (i, c) =>
+      assert(got.contains(i), s"heavy item $i ($c > ${n / k}) evicted: $got")
+    }
+    // every reported count is a lower bound within N/k of the truth
+    got.foreach { case (i, lb) =>
+      val t = truth(i)
+      assert(lb <= t && t - lb <= n / k, s"bound violated for $i: lb=$lb true=$t")
+    }
+    // under capacity (k-1 >= distinct) the sketch is EXACT and ordered
+    val exact = Seq("x", "x", "x", "y", "y", "z").toDF("item").repartition(3)
+      .agg(heavyHitters(col("item"), 8).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.lower_bound"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(exact == Seq(("x", 3L), ("y", 2L), ("z", 1L)))
+  }
+
   test("as-of join picks the latest purchase at-or-before each error") {
     val sf = "/root/testdata/sf0.001"
     val out = Relational.evAsofJoin(spark, sf)
