@@ -639,6 +639,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("s0", 5L, 2L, 0.4), ("s1", 2L, 0L, 0.0)))
   }
 
+  test("StreamingHeavyHitters folds batches into one bounded sketch per window") {
+    import graft.streaming.StreamingHeavyHitters
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val events = in.toDF().toDF("ts", "event_type")
+    val q = StreamingHeavyHitters.windowedHeavyHitters(events, k = 8)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Append()).start()
+    def at(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // batch 1 then a LATE in-horizon batch: the window's sketch state
+    // must absorb both through the aggregate's merge
+    in.addData((at(5), "click"), (at(10), "click"), (at(20), "view"))
+    q.processAllAvailable()
+    in.addData((at(1), "click"), (at(40), "view"), (at(45), "buy"))
+    q.processAllAvailable()
+    // advance the watermark past 11:00 + delay to close the window
+    in.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "click"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hh_out")
+      .select("event_type", "n_events")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    // k-1 = 7 >= 3 distinct: the sketch is exact for the closed window
+    assert(rows == Seq("buy" -> 1L, "click" -> 3L, "view" -> 2L))
+  }
+
   test("HaloStencil fires per chunk incrementally and matches the batch stencil") {
     import graft.arrays.{ArrayGeometry, ChunkedArray}
     import graft.streaming.{HaloChunk, HaloStencil}
