@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import org.apache.spark.sql.graftexpr.{DotProduct, HashWordNgrams, MaxTokenCount, WordNgrams}
+import org.apache.spark.sql.graftexpr.{DotProduct, HashWordNgrams, MaxTokenCount, MisraGries, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL users. Activate with
@@ -16,7 +16,8 @@ import org.apache.spark.sql.graftexpr.{DotProduct, HashWordNgrams, MaxTokenCount
   * `graft_hash_word_ngrams(text, n)`, `graft_max_token_count(text)`)
   * expose the one-pass tokenizer family the operators build on. The
   * `n` argument must be an integer literal (it is baked into the
-  * generated code).
+  * generated code). `graft_heavy_hitters(item, k)` registers the
+  * Misra-Gries frequent-items aggregate (k likewise a literal).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -53,6 +54,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(children.length == 1,
         s"graft_max_token_count requires (text), got ${children.length} arguments")
       MaxTokenCount(children(0))
+    })
+    // aggregate: the analyzer wraps a bare AggregateFunction itself
+    reg(ext, "graft_heavy_hitters", classOf[MisraGries], { children =>
+      require(children.length == 2,
+        s"graft_heavy_hitters requires (item, k), got ${children.length} arguments")
+      MisraGries(children(0), litN("graft_heavy_hitters", children(1)))
     })
     // Plans graft's TopKPerKey logical node as the bounded-heap operator.
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftexpr.TopKStrategy)

@@ -42,6 +42,13 @@ class ExtensionsSpec extends AnyFunSuite {
       val maxTok = s.sql("SELECT graft_max_token_count('x y x x') AS m")
         .head().getLong(0)
       assert(maxTok == 3L)
+      // the aggregate registers too: exact under capacity, sorted output
+      val hh = s.sql(
+        """SELECT graft_heavy_hitters(v, 4) AS hh
+          |FROM VALUES ('a'), ('a'), ('b') AS t(v)""".stripMargin)
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(hh == Seq(("a", 2L), ("b", 1L)))
       // non-literal n must be rejected, not silently miscompiled
       val e = intercept[Exception](
         s.sql("SELECT graft_word_ngrams('a b', 1 + 1)").collect())
