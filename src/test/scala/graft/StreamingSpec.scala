@@ -665,6 +665,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq("buy" -> 1L, "click" -> 3L, "view" -> 2L))
   }
 
+  test("StreamingNearDedup flags in-horizon simhash near-duplicates") {
+    import graft.streaming.StreamingNearDedup
+    import org.apache.spark.sql.graftexpr.{SketchExpressions, TextExpressions}
+    implicit val sc = spark.sqlContext
+    // fixture texts, hamming-validated through the BATCH expressions so
+    // the spec cannot silently drift from its intent
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok40", "other")
+    val far = (1 to 10).map(i => s"w$i").mkString(" ")
+    val tie = "totally different words used only by the tie pair"
+    def sig(t: String): Long = Seq(t).toDF("text")
+      .select(SketchExpressions.simhash(
+        TextExpressions.hashWordNgrams(col("text"), 1),
+        graft.operators.Dedup.SimhashBits).as("s"))
+      .head().getLong(0)
+    val hNear = java.lang.Long.bitCount(sig(base) ^ sig(near))
+    val hFar = java.lang.Long.bitCount(sig(base) ^ sig(far))
+    assert(hNear <= graft.operators.Dedup.SimhashMaxHamming,
+      s"fixture drift: near pair at hamming $hNear — pick closer texts")
+    assert(hFar > graft.operators.Dedup.SimhashMaxHamming,
+      s"fixture drift: far pair at hamming $hFar — pick more distinct texts")
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingNearDedup.nearDupFlags(docs).writeStream
+      .format("memory").queryName("near_out").outputMode(OutputMode.Append()).start()
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    in.addData((at(10, 0), 1L, base), (at(10, 1), 3L, far))
+    q.processAllAvailable()
+    // cross-batch near-dup: doc 2 pairs with doc 1 from the prior batch
+    in.addData((at(10, 20), 2L, near))
+    q.processAllAvailable()
+    // same-batch exact pair at the SAME ts: the id tie-break flags only 5
+    in.addData((at(10, 30), 4L, tie), (at(10, 30), 5L, tie))
+    q.processAllAvailable()
+    // a copy of base far outside the 1h horizon is NOT flagged
+    in.addData((at(13, 0), 6L, base))
+    q.processAllAvailable()
+    in.addData((at(15, 0), 7L, "lone closing document"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("near_out").select("doc_id", "dup_of", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((2L, 1L, hNear.toLong), (5L, 4L, 0L)), s"got $rows")
+  }
+
   test("HaloStencil fires per chunk incrementally and matches the batch stencil") {
     import graft.arrays.{ArrayGeometry, ChunkedArray}
     import graft.streaming.{HaloChunk, HaloStencil}
