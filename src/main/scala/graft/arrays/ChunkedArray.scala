@@ -660,6 +660,16 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       .agg(count(lit(1)).as("n_cells"),
         min(col("v")).as("min_val"), max(col("v")).as("max_val"))
 
+  /** Per-timestep distinct cell values with multiplicities (dask
+    * `da.unique(return_counts=True)` per timestep): cells collapse
+    * map-side into (timestep, value) partial counts, so the shuffle
+    * carries O(distinct values) rows, never cells — the same posture
+    * as [[histogram]] without the bucketing. */
+  def valueCountsPerTimestep: DataFrame =
+    df.select(col("timestep"), explode(col("data")).as("value"))
+      .groupBy("timestep", "value")
+      .agg(count(lit(1)).as("n_cells"))
+
   /** Per-timestep argmax over a 1-d array (dask `argmax` — "where is
     * the hotspot", the classic in-situ monitoring probe): each chunk
     * folds to ONE (value, global index) struct (ties to the lower

@@ -523,6 +523,13 @@ object ArrayQueries {
       .select(col("timestep"), col("i0").as("idx"), col("value"))
       .orderBy("timestep", "idx")
 
+  /** dask `da.unique(return_counts=True)` per timestep — the exact
+    * value-multiplicity relation (which the quantile face's histogram
+    * also rides): one partial-agg pass, shuffle O(distinct values). */
+  def arrUnique(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).valueCountsPerTimestep
+      .orderBy("timestep", "value")
+
   /** dask `da.diff` — first discrete difference along the array
     * (out[i] = in[i+1] - in[i], 63 rows per timestep): operator
     * ALGEBRA, composed as roll(-1) zipped with self (slab-message
@@ -1028,6 +1035,17 @@ object ArrayQueries {
          |SELECT CAST(timestep AS BIGINT) AS timestep,
          |  CAST((u + 5) % 64 AS BIGINT) AS idx, cell AS value
          |FROM dense ORDER BY 1, 2""".stripMargin,
+    // distinct dense cell values with counts per timestep
+    "arr_unique" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, cell AS value,
+         |  COUNT(*) AS n_cells
+         |FROM dense GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // first difference: LEAD over the dense cells replays the same
     // IEEE double subtraction; the wrapped last cell is dropped
     "arr_diff" ->
@@ -1117,5 +1135,6 @@ object ArrayQueries {
     "arr_pad" -> (arrPad _),
     "arr_pad_edge" -> (arrPadEdge _),
     "arr_diff" -> (arrDiff _),
+    "arr_unique" -> (arrUnique _),
   )
 }
