@@ -523,6 +523,15 @@ object ArrayQueries {
       .select(col("timestep"), col("i0").as("idx"), col("value"))
       .orderBy("timestep", "idx")
 
+  /** dask `da.clip(100, 900)` then stats — the clip face proven
+    * through the reduction oracle: a pure narrow [[ChunkedArray.mapValues]]
+    * composition (least∘greatest), zero shuffles before the per-chunk
+    * stat folds. */
+  def arrClip(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir)
+      .mapValues(x => least(greatest(x, lit(100.0)), lit(900.0)))
+      .statsPerTimestep.orderBy("timestep")
+
   /** dask `da.unique(return_counts=True)` per timestep — the exact
     * value-multiplicity relation (which the quantile face's histogram
     * also rides): one partial-agg pass, shuffle O(distinct values). */
@@ -1035,6 +1044,20 @@ object ArrayQueries {
          |SELECT CAST(timestep AS BIGINT) AS timestep,
          |  CAST((u + 5) % 64 AS BIGINT) AS idx, cell AS value
          |FROM dense ORDER BY 1, 2""".stripMargin,
+    // stats over the clipped dense cells: clip is exact on the
+    // 2-decimal values, the stat folds replay arr_stats_ts
+    "arr_clip" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep,
+         |    LEAST(GREATEST(COALESCE(c.cell, 0.0), 100.0), 900.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, COUNT(*) AS n_elems,
+         |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  MIN(cell) AS min_val, MAX(cell) AS max_val
+         |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
     // distinct dense cell values with counts per timestep
     "arr_unique" ->
       s"""WITH $CELLS_1D,
@@ -1136,5 +1159,6 @@ object ArrayQueries {
     "arr_pad_edge" -> (arrPadEdge _),
     "arr_diff" -> (arrDiff _),
     "arr_unique" -> (arrUnique _),
+    "arr_clip" -> (arrClip _),
   )
 }
