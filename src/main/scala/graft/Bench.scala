@@ -38,6 +38,30 @@ object Bench {
     }
     var spark = newSession()
 
+    // 1-minute loadavg sampled at pass start: a contended artifact must
+    // identify itself (BENCH_r12's driver run carried 3-8x uniform
+    // risers with no way to tell host load from regression).
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
+    // Previous round's adjudicated per-query seconds (read BEFORE this
+    // run overwrites the file): the absolute-slow re-run path is gated
+    // on disagreement with this record, so known-slow queries (q4, q7,
+    // q8...) don't re-adjudicate every round.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
+    val prev: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(prevPath))
+        val qsec = txt.split("\"queries\":\\{", 2)
+        if (qsec.length < 2) Map.empty
+        else "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(
+          qsec(1).takeWhile(_ != '}'))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+
     def runOnce(name: String): Double = {
       // A prior query may have taken the SparkContext down with it
       // (heartbeat storm); restart rather than failing the remainder.
@@ -70,7 +94,13 @@ object Bench {
       * passes/agg methodology marker so round-over-round comparisons
       * can detect the aggregation mode and judge variance without
       * isolated re-runs. */
-    def runBoth(name: String): Seq[Double] = Seq(runOnce(name), runOnce(name))
+    val passLoads = scala.collection.mutable.Map.empty[String, Seq[Double]]
+    def runBoth(name: String): Seq[Double] = {
+      val l1 = loadavg(); val t1 = runOnce(name)
+      val l2 = loadavg(); val t2 = runOnce(name)
+      passLoads(name) = passLoads.getOrElse(name, Seq.empty) ++ Seq(l1, l2)
+      Seq(t1, t2)
+    }
     def minOf(ts: Seq[Double]): Double = {
       val ok = ts.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
@@ -118,9 +148,16 @@ object Bench {
     // under 3x, e.g. q22 at [12.5, 7.3] vs 0.35s isolated), so any
     // query whose best pass is still absolutely slow is adjudicated
     // too — a genuinely slow query just re-measures at the same time.
+    // Absolute-slow adjudication is gated on DISAGREEMENT with the
+    // previous round: a query that measured >2s last round too is just
+    // slow, not noisy — re-running it every round adds a fixed
+    // multi-minute tail for no information. No prior record (new query,
+    // first round on a box) keeps the unconditional path.
+    def absSlow(k: String, ts: Seq[Double]): Boolean =
+      ts.min > 2.0 && prev.get(k).forall(p => p <= 0 || ts.min > 2 * p)
     val noisy = raw.collect { case (k, ts)
       if ts.forall(_ >= 0) &&
-        ((ts.max > 3 * ts.min && ts.max - ts.min > 0.2) || ts.min > 2.0) => k }
+        ((ts.max > 3 * ts.min && ts.max - ts.min > 0.2) || absSlow(k, ts)) => k }
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Automatic isolated re-run of every noisy query AFTER the sweep
     // (the tail of the run is the quietest window this process gets):
@@ -141,7 +178,11 @@ object Bench {
     val qsAdj = adjudicated.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val totalAdj = adjudicated.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$totalAdj,"unit":"sec","passes":2,"agg":"min","noisy":$noisyJson,"isolated":$isoJson,"queries":$qsAdj,"runs":$runs,"sf":"$sfDir"}"""
+    val loadJson = passLoads.toSeq.sortBy(_._1).map { case (k, ls) =>
+      "\"" + k + "\":" + ls.map(fmt3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val stamp = java.time.Instant.now().toString
+    val json = s"""{"metric":"total","value":$totalAdj,"unit":"sec","passes":2,"agg":"min","ts":"$stamp","load_end":${fmt3(loadavg())},"noisy":$noisyJson,"isolated":$isoJson,"queries":$qsAdj,"runs":$runs,"load":$loadJson,"sf":"$sfDir"}"""
     println(json)
     // The caller captures a bounded tail of this process's output; the
     // per-query progress trail can push the one parsed JSON line out of

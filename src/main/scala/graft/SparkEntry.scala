@@ -70,6 +70,7 @@ object SparkEntry {
     "q_decile_revenue" -> (Relational.qDecileRevenue _),
     "ev_active_users" -> (Relational.evActiveUsers _),
     "ev_quantiles" -> (Relational.evQuantiles _),
+    "ev_quantiles_cont" -> (Relational.evQuantilesCont _),
     "ev_heavy_hitters" -> (Relational.evHeavyHitters _),
   )
 
@@ -390,6 +391,16 @@ object SparkEntry {
         |  quantile_disc(value, 0.50) AS p50,
         |  quantile_disc(value, 0.95) AS p95,
         |  quantile_disc(value, 0.99) AS p99
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // percentile_cont: linear interpolation between the floor/ceil
+    // order statistics at h = (n-1)*q — the Spark side replays DuckDB's
+    // operand order so the doubles hash identically
+    "ev_quantiles_cont" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.50) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  quantile_cont(value, 0.99) AS p99
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // percentile_disc semantics: first value whose cumulative count

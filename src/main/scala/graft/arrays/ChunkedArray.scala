@@ -767,9 +767,9 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * the final double arithmetic is deterministic from exact inputs.
     * Ships two decimals per chunk, never elements. */
   def variancePerTimestep: DataFrame = {
-    val d2 = (c: Column) => c.cast("decimal(18,2)")
-    val sq = aggregate(col("data"), lit(0).cast("decimal(38,4)"),
-      (acc, x) => (acc + d2(x) * d2(x)).cast("decimal(38,4)"))
+    // native codegen'd square fold, bit-identical to
+    // aggregate(data, 0.0000, (acc, x) => (acc + d2(x)*d2(x)).cast(dec(38,4)))
+    val sq = org.apache.spark.sql.graftexpr.ChunkFolds.chunkSumSqDecNative(col("data"))
     df
       .select(col("timestep"),
         size(col("data")).cast("bigint").as("cn"),
@@ -1404,10 +1404,15 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * index (= lowest row-major multi-index, [[argmaxNd]]'s rule).
     * Rank-generic. Wire posture: each chunk folds to its OWN k best
     * (value, index) structs — one k-row block per chunk, never cells —
-    * then the per-timestep merge re-sorts O(k · #chunks-per-timestep)
-    * structs and keeps k. Returns `(timestep, rank, idx, value)` with
-    * rank 1..k. Payload cells are assumed non-null (the dense-array
-    * contract shared by every reduction face). */
+    * then the per-timestep merge is the k-bounded
+    * [[org.apache.spark.sql.graftexpr.TopKSortedMerge]] aggregate:
+    * map-side partials fold a partition's chunks into ONE k-block, the
+    * shuffle moves one k-block per partition, and no buffer anywhere
+    * holds more than k entries (at 10^6 chunks/timestep the old
+    * collect_list merge made one reducer sort O(k·#chunks) structs).
+    * Returns `(timestep, rank, idx, value)` with rank 1..k. Payload
+    * cells are assumed non-null (the dense-array contract shared by
+    * every reduction face). */
   def topkRows(k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val shape = geom.chunkShape
@@ -1428,7 +1433,8 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     val chunkTop = slice(array_sort(structs), 1, k)
     df.select(col("timestep"), chunkTop.as("top"))
       .groupBy("timestep")
-      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+      .agg(org.apache.spark.sql.graftexpr.SketchExpressions
+        .topkSortedMerge(col("top"), k).as("top"))
       .select(col("timestep"), posexplode(col("top")).as(Seq("r", "s")))
       .select(col("timestep"), (col("r") + 1).cast("bigint").as("rank"),
         col("s.gidx").as("idx"), (-col("s.nv")).as("value"))
@@ -1465,6 +1471,50 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         }: _*)
   }
 
+  /** Per-timestep LINEAR-INTERPOLATION quantiles — dask
+    * `da.percentile(..., method="linear")`'s DEFAULT semantics (the
+    * values the reference's callback users actually get), vs
+    * [[quantilesPerTimestep]]'s percentile_disc. Same one-pass
+    * value-histogram scaffold (shuffle carries O(distinct values),
+    * never cells); each quantile then needs the order statistics at
+    * 0-indexed ranks floor(h) and ceil(h) for h = (n-1)·q — two
+    * conditional MINs on the cumulative histogram — and interpolates
+    * `lo·(1-d) + hi·d`, d = h - floor(h), replaying DuckDB
+    * `quantile_cont`'s operand order exactly: h is the same double
+    * product, d = h - floor(h) is exact (Sterbenz), fl(1-d) ==
+    * fl(ceil(h)-h), multiplication is commutative, and the lo-term
+    * leads the add in both engines — so hashes replay bit-for-bit. */
+  def quantileContPerTimestep(qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile required")
+    qs.foreach { case (_, q) => require(q >= 0.0 && q <= 1.0, s"quantile $q out of [0, 1]") }
+    val hist = df.select(col("timestep"), explode(col("data")).as("v"))
+      .groupBy("timestep", "v").agg(count(lit(1)).as("cnt"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy("timestep").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val n = org.apache.spark.sql.expressions.Window.partitionBy("timestep")
+    val staged = hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(n))
+    // h = (n-1)*q in DOUBLE (DuckDB: (double)(n-1) * q); rank selectors
+    // are exact bigint floors/ceils of it
+    def h(q: Double): Column = (col("n") - 1).cast("double") * lit(q)
+    val aggs = qs.zipWithIndex.flatMap { case ((_, q), i) =>
+      Seq(
+        min(when(col("cum") >= floor(h(q)) + 1, col("v"))).as(s"_lo$i"),
+        min(when(col("cum") >= ceil(h(q)) + 1, col("v"))).as(s"_hi$i"),
+        min(h(q)).as(s"_h$i")) // per-timestep constant; min picks it
+    }
+    val picked = staged.groupBy("timestep").agg(aggs.head, aggs.tail: _*)
+    picked.select(col("timestep") +: qs.zipWithIndex.map { case ((nm, _), i) =>
+      val hh = col(s"_h$i")
+      val d = hh - floor(hh).cast("double") // exact fraction
+      when(floor(hh) === ceil(hh), col(s"_lo$i"))
+        .otherwise(col(s"_lo$i") * (lit(1.0) - d) + col(s"_hi$i") * d)
+        .as(nm)
+    }: _*)
+  }
+
   /** 2-d convenience over [[axisSum]]: rows `(timestep, idx, value)` of
     * the reduced 1-d array. */
   def axisSumRows(axis: Int): DataFrame = {
@@ -1493,9 +1543,14 @@ object ChunkedArray {
     * and keeping the accumulator type stable for `aggregate`. */
   private[arrays] def addDec(acc: Column, x: Column): Column =
     castDec(acc + x.cast("decimal(18,2)"))
-  /** Order-independent chunk sum via a decimal fold. */
+  /** Order-independent chunk sum via a decimal fold. Native codegen'd
+    * expression ([[org.apache.spark.sql.graftexpr.ChunkSumDec]]) —
+    * bit-identical to the interpreted
+    * `aggregate(data, 0.00, (acc, x) => cast(acc + cast(x, dec(18,2)), dec(28,2)))`
+    * HOF it replaced (ChunkFoldSpec equivalence gate), without the
+    * per-cell closure dispatch. */
   def chunkSumDec(data: Column): Column =
-    aggregate(data, zeroDec, (acc, x) => addDec(acc, x))
+    org.apache.spark.sql.graftexpr.ChunkFolds.chunkSumDecNative(data)
 
   /** Stack arrays along a NEW leading axis (dask `stack`): input i's
     * chunks get their grid position prefixed with i on a 1-wide leading

@@ -488,6 +488,19 @@ object ArrayQueries {
       .quantilesPerTimestep(Seq(("p25", 0.25), ("p50", 0.50), ("p90", 0.90)))
       .orderBy("timestep")
 
+  /** dask `da.percentile` DEFAULT (linear interpolation) per timestep —
+    * the interpolated twin of [[arrQuantile]], closing the last semantic
+    * delta with the dask API the reference hands its users
+    * (dask.array.percentile's default method="linear"; the reference's
+    * callbacks get interpolated values, doreisa/head_node.py callbacks).
+    * Same one-histogram-pass wire posture; DuckDB `quantile_cont`
+    * operand order replayed bit-for-bit (see
+    * [[graft.arrays.ChunkedArray.quantileContPerTimestep]]). */
+  def arrQuantileCont(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir)
+      .quantileContPerTimestep(Seq(("p25", 0.25), ("p50", 0.50), ("p90", 0.90)))
+      .orderBy("timestep")
+
   /** dask `da.flip` emitted cell-exact: a pure narrow projection
     * (mirrored grid pos + in-chunk gather — no cell changes chunks),
     * zero shuffles before the presentation sort. */
@@ -1008,6 +1021,20 @@ object ArrayQueries {
          |  quantile_disc(cell, 0.50) AS p50,
          |  quantile_disc(cell, 0.90) AS p90
          |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
+    // quantile_cont: linear interpolation between the floor/ceil order
+    // statistics at h = (n-1)*q — dask da.percentile's default method
+    "arr_quantile_cont" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  quantile_cont(cell, 0.25) AS p25,
+         |  quantile_cont(cell, 0.50) AS p50,
+         |  quantile_cont(cell, 0.90) AS p90
+         |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
     "arr_zip_mismatch" ->
       s"""WITH $CELLS_1D,
          |days AS (SELECT DISTINCT timestep FROM cells),
@@ -1153,6 +1180,7 @@ object ArrayQueries {
     "arr_zip_mismatch" -> (arrZipMismatch _),
     "arr_topk" -> (arrTopk _),
     "arr_quantile" -> (arrQuantile _),
+    "arr_quantile_cont" -> (arrQuantileCont _),
     "arr_flip" -> (arrFlip _),
     "arr_roll" -> (arrRoll _),
     "arr_pad" -> (arrPad _),

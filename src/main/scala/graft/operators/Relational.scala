@@ -644,6 +644,45 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Interpolated per-event-type latency quantiles — [[evQuantiles]]'s
+    * LINEAR-INTERPOLATION twin (SQL `percentile_cont` / dask
+    * `da.percentile` default semantics): same one-histogram-pass wire
+    * posture, but each quantile needs the order statistics at 0-indexed
+    * ranks floor(h) and ceil(h) for h = (n-1)·q — two conditional MINs
+    * over the cumulative histogram — then interpolates
+    * `lo·(1-d) + hi·d`, d = h - floor(h), replaying DuckDB
+    * `quantile_cont`'s double operand order exactly (h is the same
+    * double product; d is exact; fl(1-d) == fl(ceil(h)-h); the lo term
+    * leads the add) so hashes replay bit-for-bit cross-engine. */
+  def evQuantilesCont(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.load(s, dir, "events")
+      .where(col("value").isNotNull)
+      .groupBy("event_type", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("event_type")))
+    def hq(q: Double) = (col("n") - 1).cast("double") * lit(q)
+    val qs = Seq(("p50", 0.50), ("p95", 0.95), ("p99", 0.99))
+    val aggs = qs.zipWithIndex.flatMap { case ((_, q), i) =>
+      Seq(
+        min(when(col("cum") >= floor(hq(q)) + 1, col("value"))).as(s"_lo$i"),
+        min(when(col("cum") >= ceil(hq(q)) + 1, col("value"))).as(s"_hi$i"),
+        min(hq(q)).as(s"_h$i"))
+    }
+    h.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type") +: qs.zipWithIndex.map { case ((nm, _), i) =>
+        val hh = col(s"_h$i")
+        val d = hh - floor(hh).cast("double")
+        when(floor(hh) === ceil(hh), col(s"_lo$i"))
+          .otherwise(col(s"_lo$i") * (lit(1.0) - d) + col(s"_hi$i") * d)
+          .as(nm)
+      }: _*)
+      .orderBy("event_type")
+  }
+
   /** Frequent event types through the native Misra-Gries sketch
     * ([[org.apache.spark.sql.graftexpr.MisraGries]], §2.I): each
     * partition folds to at most k-1 counters and the shuffle moves one

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Equivalence gate for the native decimal chunk folds
+  * (ChunkFoldExpressions.scala): the codegen'd expressions must match
+  * the interpreted `aggregate(...)` HOF spelling they replaced
+  * BIT-FOR-BIT — on the real corpus-shaped payloads (exact 2-decimal
+  * doubles, the fast path) AND on pathological inputs that force the
+  * BigDecimal slow path. Error-domain inputs ((18,2) overflow, NaN)
+  * follow the session cast mode like the HOF's inner Cast did: ANSI
+  * (Spark 4's default) throws, non-ANSI null-poisons — both asserted.
+  * Same gate pattern as the WordNgrams/MinHashSignature equivalence
+  * specs. */
+class ChunkFoldSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  import org.apache.spark.sql.graftexpr.ChunkFolds
+
+  private val DEC = "DECIMAL(28,2)"
+  private def hofSum(data: org.apache.spark.sql.Column) =
+    aggregate(data, lit(0).cast(DEC),
+      (acc, x) => (acc + x.cast("decimal(18,2)")).cast(DEC))
+  private def hofSumSq(data: org.apache.spark.sql.Column) = {
+    val d2 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    aggregate(data, lit(0).cast("decimal(38,4)"),
+      (acc, x) => (acc + d2(x) * d2(x)).cast("decimal(38,4)"))
+  }
+
+  /** In-domain corpus: fast-path 2-decimal values, slow-path full-
+    * precision doubles, nulls, empties — no cast errors. Seeded. */
+  private def probeDf = {
+    val rnd = new scala.util.Random(13)
+    val rows: Seq[Seq[java.lang.Double]] =
+      // corpus-shaped: exact 2-decimal payloads of varied magnitude
+      (0 until 40).map(_ => Seq.fill(rnd.nextInt(50) + 1)(
+        java.lang.Double.valueOf(math.round(rnd.nextGaussian() * 1e5) / 100.0))) ++
+      // slow path: full-precision doubles
+      (0 until 20).map(_ => Seq.fill(rnd.nextInt(30) + 1)(
+        java.lang.Double.valueOf(rnd.nextGaussian() * math.pow(10, rnd.nextInt(12) - 4)))) ++
+      Seq(
+        Seq.empty[java.lang.Double],                       // empty -> seed
+        Seq(java.lang.Double.valueOf(1.5), null),          // null element poisons
+        Seq(null, java.lang.Double.valueOf(3.25)),
+        Seq(java.lang.Double.valueOf(0.005), java.lang.Double.valueOf(-0.005)),
+        Seq(java.lang.Double.valueOf(123.455), java.lang.Double.valueOf(0.015)),
+        // large exact cents near the fast-path magnitude guard
+        Seq(java.lang.Double.valueOf(7.9e12), java.lang.Double.valueOf(-7.9e12)),
+        Seq(java.lang.Double.valueOf(9.5e13), java.lang.Double.valueOf(1.23)))
+    rows.toDF("data")
+  }
+
+  /** Cast-error corpus: (18,2) overflow and specials. */
+  private def errorDf = Seq(
+    Seq(java.lang.Double.valueOf(1e17)),
+    Seq(java.lang.Double.valueOf(-1e17), java.lang.Double.valueOf(2.0)),
+    Seq(java.lang.Double.valueOf(Double.NaN)),
+    Seq(java.lang.Double.valueOf(Double.PositiveInfinity))).toDF("data")
+
+  test("native ChunkSumDec == interpreted HOF fold, incl. slow paths") {
+    val diff = probeDf
+      .select(ChunkFolds.chunkSumDecNative(col("data")).as("nat"),
+        hofSum(col("data")).as("hof"))
+      .filter(!(col("nat") <=> col("hof")))
+    assert(diff.count() == 0, diff.collect().mkString("; "))
+  }
+
+  test("native ChunkSumSqDec == interpreted HOF square fold") {
+    val diff = probeDf
+      .select(ChunkFolds.chunkSumSqDecNative(col("data")).as("nat"),
+        hofSumSq(col("data")).as("hof"))
+      .filter(!(col("nat") <=> col("hof")))
+    assert(diff.count() == 0, diff.collect().mkString("; "))
+  }
+
+  test("error-domain inputs null-poison under non-ANSI, matching the HOF") {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val diff = errorDf
+        .select(ChunkFolds.chunkSumDecNative(col("data")).as("nat"),
+          hofSum(col("data")).as("hof"),
+          ChunkFolds.chunkSumSqDecNative(col("data")).as("natsq"),
+          hofSumSq(col("data")).as("hofsq"))
+        .filter(!(col("nat") <=> col("hof")) || !(col("natsq") <=> col("hofsq")))
+      assert(diff.count() == 0, diff.collect().mkString("; "))
+      // and they really are null (poisoned), not merely equal
+      val r = errorDf.select(ChunkFolds.chunkSumDecNative(col("data"))).collect()
+      assert(r.forall(_.isNullAt(0)))
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
+  test("error-domain inputs throw under ANSI, matching the HOF's Cast") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val overflow = Seq(Seq(java.lang.Double.valueOf(1e17))).toDF("data")
+    intercept[Exception] {
+      overflow.select(ChunkFolds.chunkSumDecNative(col("data"))).collect()
+    }
+    intercept[Exception] {
+      overflow.select(hofSum(col("data"))).collect()
+    }
+  }
+
+  test("null array -> null, matching the HOF") {
+    val df = Seq(Tuple1(null.asInstanceOf[Array[java.lang.Double]]))
+      .toDF("data")
+    val r = df.select(
+      ChunkFolds.chunkSumDecNative(col("data")),
+      ChunkFolds.chunkSumSqDecNative(col("data"))).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("fast-path long-accumulator promotion (many large exact cents)") {
+    // 1000 x 7.9e12 = 7.9e15 dollars: each element is fast-path exact,
+    // the running cents total crosses the 4.5e18 promotion guard mid-fold
+    val big = Seq(Seq.fill(1000)(java.lang.Double.valueOf(7.9e12))).toDF("data")
+    val r = big.select(ChunkFolds.chunkSumDecNative(col("data")).as("nat"),
+      hofSum(col("data")).as("hof")).head()
+    assert(r.getDecimal(0) == r.getDecimal(1))
+    assert(r.getDecimal(0) == new java.math.BigDecimal("7900000000000000.00"))
+  }
+
+  test("folds run on the real events corpus identically (sf0.001)") {
+    val arr = graft.operators.ArrayQueries
+      .eventsArray1dCached(spark, "/root/testdata/sf0.001")
+    val diff = arr.df
+      .select(ChunkFolds.chunkSumDecNative(col("data")).as("nat"),
+        hofSum(col("data")).as("hof"),
+        ChunkFolds.chunkSumSqDecNative(col("data")).as("natsq"),
+        hofSumSq(col("data")).as("hofsq"))
+      .filter(!(col("nat") <=> col("hof")) || !(col("natsq") <=> col("hofsq")))
+    assert(diff.count() == 0)
+  }
+}

@@ -133,6 +133,27 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.toSeq == Seq((15L, 33.0), (14L, 32.0), (13L, 31.0)))
   }
 
+  test("topkRows k-bounded merge == unbounded collect_list merge (random chunks)") {
+    // many chunks with heavy duplication: the two-pointer k-merge must
+    // reproduce the full flatten+sort+slice exactly, ties included
+    val rnd = new scala.util.Random(7)
+    val rows = for (t <- 0L to 2L; c <- 0 until 16)
+      yield (t, Seq(c), Seq.fill(8)(math.floor(rnd.nextDouble() * 10) / 2.0))
+    val arr = ChunkedArray(rows.toDF("timestep", "pos", "data"),
+      ArrayGeometry(Seq(16), Seq(8)))
+    val got = arr.topkRows(5).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).toSet
+    // reference spelling: per-timestep flatten of ALL cells, sort, take 5
+    val cells = rows.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.flatMap { case (_, pos, data) =>
+        data.zipWithIndex.map { case (v, i) => (v, pos.head * 8L + i) }
+      }.sortBy { case (v, i) => (-v, i) }.take(5)
+    }
+    val want = (for ((t, top) <- cells; ((v, i), r) <- top.zipWithIndex)
+      yield (t, r + 1L, i, v)).toSet
+    assert(got == want)
+  }
+
   test("quantilesPerTimestep follows percentile_disc semantics") {
     // t=0 cells sorted: 1..8 (n=8). p50 -> ceil(4) = position 4 -> 4.0;
     // p25 -> position 2 -> 2.0; p90 -> ceil(7.2) = position 8 -> 8.0
@@ -141,6 +162,28 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("p25") == 2.0)
     assert(r.getAs[Double]("p50") == 4.0)
     assert(r.getAs[Double]("p90") == 8.0)
+  }
+
+  test("quantileContPerTimestep interpolates linearly (dask/percentile_cont)") {
+    // t=0 cells sorted 1..8 (n=8), h = 7q; expected values computed with
+    // the SAME double operand order the query (and DuckDB) uses
+    def expect(q: Double): Double = {
+      val h = 7.0 * q
+      val lo = math.floor(h); val d = h - lo
+      val vLo = lo + 1.0 // sorted cells are 1..8, rank r (0-idx) -> r+1
+      val vHi = math.ceil(h) + 1.0
+      if (lo == math.ceil(h)) vLo else vLo * (1.0 - d) + vHi * d
+    }
+    val r = oneD.quantileContPerTimestep(Seq(("p25", 0.25), ("p50", 0.50), ("p90", 0.90)))
+      .filter("timestep = 0").collect().head
+    assert(r.getAs[Double]("p25") == expect(0.25))
+    assert(r.getAs[Double]("p50") == expect(0.50)) // exact midpoint 4.5
+    assert(r.getAs[Double]("p90") == expect(0.90))
+    // integral h hits the order statistic exactly, no interpolation
+    val rr = oneD.quantileContPerTimestep(Seq(("p0", 0.0), ("p100", 1.0)))
+      .filter("timestep = 0").collect().head
+    assert(rr.getAs[Double]("p0") == 1.0)
+    assert(rr.getAs[Double]("p100") == 8.0)
   }
 
   test("cumsumAxis scans any axis of a 2-d array across chunk lines") {

@@ -124,6 +124,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("arr_topk merges through the k-bounded aggregate, not collect_list") {
+    // the collect_list merge buffered O(k · #chunks) structs on one
+    // reducer per timestep; TopKSortedMerge caps every buffer at k
+    val plan = SparkEntry.queries("arr_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk_merge"),
+      s"arr_topk lost its map-side TopKSortedMerge partial:\n$plan")
+    // scope to the merge region: the memoized chunk relation BELOW the
+    // InMemoryTableScan legitimately assembles chunks with collect_list
+    val mergeRegion = plan.substring(0, math.max(0, plan.indexOf("InMemoryTableScan")))
+    assert(!mergeRegion.contains("collect_list"),
+      s"arr_topk still buffers unsliced chunk blocks via collect_list:\n$plan")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
     test(s"no fact-scale broadcast in $name") {
       val plan = q(spark, dir).queryExecution.executedPlan.toString
