@@ -209,6 +209,18 @@ case class MisraGries(
     buf.put(item, if (cur == null) cnt else cur + cnt): Unit
   }
 
+  /** Amortization slack: the working buffer may grow to 2(k-1) counters
+    * between shrinks, so the O(size log size) sort+pass runs at most
+    * once per k-1 insertions instead of once per row — O(log k)
+    * amortized (ADVICE r12). The N/k bound is unchanged: a shrink
+    * subtracts the k-th largest δ while >= k counters hold >= δ, so
+    * every shrink still destroys >= k·δ of the N total weight. The
+    * k-1-counter STATE contract holds at every boundary the outside
+    * world sees: [[serialize]] (the wire sketch) and [[eval]] shrink to
+    * capacity first — one shrink suffices, since only counters STRICTLY
+    * above the k-th largest survive it (<= k-1 of them). */
+  private def slack: Int = 2 * (k - 1)
+
   /** Insert-then-shrink (the mergeable form of the classic decrement):
     * if more than k-1 counters survive, subtract the k-th largest from
     * all and drop non-positive ones. */
@@ -235,7 +247,7 @@ case class MisraGries(
     if (v != null) {
       // clone: the UTF8String may be backed by a reused row buffer
       accumulate(buf, v.asInstanceOf[UTF8String].clone(), 1L)
-      shrink(buf)
+      if (buf.size > slack) shrink(buf)
     }
     buf
   }
@@ -248,11 +260,12 @@ case class MisraGries(
       val e = it.next()
       accumulate(buf, e.getKey, e.getValue)
     }
-    shrink(buf)
+    if (buf.size > slack) shrink(buf)
     buf
   }
 
   override def eval(buf: java.util.HashMap[UTF8String, java.lang.Long]): Any = {
+    shrink(buf) // k-1-counter output contract at the visible boundary
     val entries = new Array[(UTF8String, Long)](buf.size)
     var i = 0
     val it = buf.entrySet().iterator()
@@ -266,6 +279,7 @@ case class MisraGries(
   }
 
   override def serialize(buf: java.util.HashMap[UTF8String, java.lang.Long]): Array[Byte] = {
+    shrink(buf) // the wire sketch stays <= k-1 counters (SURVEY posture)
     val bos = new java.io.ByteArrayOutputStream
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)

@@ -501,6 +501,24 @@ object ArrayQueries {
       .quantileContPerTimestep(Seq(("p25", 0.25), ("p50", 0.50), ("p90", 0.90)))
       .orderBy("timestep")
 
+  /** dask `map_overlap` with a FULL 3x3 kernel (binomial blur, all
+    * power-of-two weights so every product is IEEE-exact) over the 2-d
+    * array, reflect boundary — the corner-halo face
+    * ([[graft.arrays.ChunkedArray.stencil2d]]): each chunk ships 2 row
+    * slabs + 2 column slabs + 4 corner blocks, O(surface·depth)
+    * shuffle. Emitted cell-exact as (timestep, i, j, value); the
+    * row-major kernel fold replays the oracle's linear expression
+    * bit-for-bit. */
+  def arrStencil2d(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir)
+      .stencil2d(Seq(
+        Seq(0.0625, 0.125, 0.0625),
+        Seq(0.125, 0.25, 0.125),
+        Seq(0.0625, 0.125, 0.0625)), boundary = "reflect")
+      .rowsNd
+      .select(col("timestep"), col("i0").as("i"), col("i1").as("j"), col("value"))
+      .orderBy("timestep", "i", "j")
+
   /** dask `da.flip` emitted cell-exact: a pure narrow projection
     * (mirrored grid pos + in-chunk gather — no cell changes chunks),
     * zero shuffles before the presentation sort. */
@@ -1021,6 +1039,35 @@ object ArrayQueries {
          |  quantile_disc(cell, 0.50) AS p50,
          |  quantile_disc(cell, 0.90) AS p90
          |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
+    // full 3x3 binomial blur with reflect boundary: one joined value
+    // alias per off-center kernel tap, coordinates mirrored at the
+    // global edge; the linear +-chain is left-associative like the
+    // Spark row-major fold, and the power-of-two weights make every
+    // product exact, so doubles replay bit-for-bit
+    "arr_stencil_2d" -> {
+      def m(e: String) =
+        s"(CASE WHEN ($e) < 0 THEN -($e) WHEN ($e) > 7 THEN 14 - ($e) ELSE ($e) END)"
+      val w = Seq(
+        Seq(0.0625, 0.125, 0.0625),
+        Seq(0.125, 0.25, 0.125),
+        Seq(0.0625, 0.125, 0.0625))
+      val taps = for (ky <- -1 to 1; kx <- -1 to 1) yield (ky, kx)
+      val joins = taps.collect { case (ky, kx) if (ky, kx) != (0, 0) =>
+        val a = s"t${ky + 1}${kx + 1}"
+        s"JOIN cells $a ON $a.timestep = o.timestep AND $a.u = ${m(s"o.u + $ky")} AND $a.h = ${m(s"o.h + $kx")}"
+      }.mkString("\n")
+      val terms = taps.map { case (ky, kx) =>
+        val cell = if ((ky, kx) == (0, 0)) "o.cell" else s"t${ky + 1}${kx + 1}.cell"
+        s"${w(ky + 1)(kx + 1)} * $cell"
+      }.mkString(" + ")
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(o.timestep AS BIGINT) AS timestep,
+         |  CAST(o.u AS BIGINT) AS i, CAST(o.h AS BIGINT) AS j,
+         |  $terms AS value
+         |FROM cells o
+         |$joins
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
     // quantile_cont: linear interpolation between the floor/ceil order
     // statistics at h = (n-1)*q — dask da.percentile's default method
     "arr_quantile_cont" ->
@@ -1181,6 +1228,7 @@ object ArrayQueries {
     "arr_topk" -> (arrTopk _),
     "arr_quantile" -> (arrQuantile _),
     "arr_quantile_cont" -> (arrQuantileCont _),
+    "arr_stencil_2d" -> (arrStencil2d _),
     "arr_flip" -> (arrFlip _),
     "arr_roll" -> (arrRoll _),
     "arr_pad" -> (arrPad _),

@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
   * The vocabulary is the batch side's bounded top-K relation handed
   * off as values (the trained-model posture: only trained VALUES cross
   * the boundary, like the k-means centroids and BPE merge tables), so
-  * membership rides the plan as a literal IN set — stateless, codegen'd,
-  * no join state. The only stateful operator is the windowed aggregate:
+  * membership rides the plan as a literal IN set — stateless, no join
+  * state. Above `spark.sql.optimizer.inSetConversionThreshold` (10) the
+  * optimizer rewrites the In to an `InSet` hash probe, so a
+  * tens-of-thousands-token vocabulary costs O(1) per token and stays
+  * inside codegen rather than unrolling a giant predicate chain
+  * (spec-asserted on a 20k vocab). The only stateful operator is the
+  * windowed aggregate:
   * state per open (window, source) is four counters, bounded by the
   * watermark delay, never the stream. Tokenization uses the same native
   * one-pass tokenizer as the batch gate, so a document scores

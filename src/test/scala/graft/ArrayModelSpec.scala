@@ -256,6 +256,47 @@ class ArrayModelSpec extends AnyFunSuite {
     }
   }
 
+  test("stencil2d full-neighborhood kernel matches the dense model (corner halos)") {
+    val rnd = new scala.util.Random(20260815L)
+    val w = Seq(
+      Seq(0.0625, 0.125, 0.0625),
+      Seq(0.125, 0.25, 0.125),
+      Seq(0.0625, 0.125, 0.0625))
+    var done = 0
+    var tries = 0
+    while (done < 6 && tries < 60) {
+      tries += 1
+      val (d, cpd) = randomCase(rnd, 2)
+      // kernel reach 1 needs chunk extents >= 2 on both axes
+      if (d.shape(0) / cpd(0) >= 2 && d.shape(1) / cpd(1) >= 2) {
+        done += 1
+        val arr = chunked(d, cpd)
+        val tag = s"shape=${d.shape} cpd=$cpd"
+        val (n0, n1) = (d.shape(0), d.shape(1))
+        for (mode <- Seq("zero", "reflect")) {
+          val out = rowsMap(arr.stencil2d(w, mode))
+          def vat(y: Int, x: Int): Double = {
+            def fold(t: Int, n: Int): Option[Int] =
+              if (t >= 0 && t < n) Some(t)
+              else if (mode == "zero") None
+              else Some(if (t < 0) -t else 2 * (n - 1) - t)
+            (fold(y, n0), fold(x, n1)) match {
+              case (Some(yy), Some(xx)) => d.at(Seq(yy, xx)).toDouble
+              case _ => 0.0
+            }
+          }
+          for (iy <- 0 until n0; ix <- 0 until n1) {
+            // replay the engine's fixed row-major fold in doubles
+            val exp = (for (ky <- -1 to 1; kx <- -1 to 1)
+              yield w(ky + 1)(kx + 1) * vat(iy + ky, ix + kx)).reduce(_ + _)
+            assert(out(Seq(iy.toLong, ix.toLong)) == exp, s"$tag $mode at ($iy,$ix)")
+          }
+        }
+      }
+    }
+    assert(done >= 6, s"only $done valid random cases in $tries tries")
+  }
+
   test("flip/roll/pad geometry faces match the exact dense model on random arrays") {
     val rnd = new scala.util.Random(20260814L)
     for (caseNo <- 0 until 8) {

@@ -639,6 +639,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("s0", 5L, 2L, 0.4), ("s1", 2L, 0L, 0.0)))
   }
 
+  test("oovDrift vocabulary membership plans as a hash-set INSET at scale") {
+    // a realistic top-K vocab is tens of thousands of tokens: the
+    // optimizer must convert the literal In(...) to InSet (O(1) hash
+    // probe, still codegen'd) instead of a giant predicate chain that
+    // would blow codegen limits (ADVICE r12). Batch plan of the same
+    // expression tree (EliminateEventTimeWatermark drops the no-op
+    // watermark), so the physical membership op is inspectable.
+    import graft.streaming.StreamingVocab
+    val bigVocab = (0 until 20000).map(i => s"tok$i")
+    val docs = Seq((Timestamp.valueOf("2024-01-01 10:00:00"), "tok1 tok2 zork", "s0"))
+      .toDF("ts", "text", "source")
+    val out = StreamingVocab.oovDrift(docs, bigVocab)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("INSET"),
+      "vocab membership fell back to a literal In chain")
+    val r = out.select("n_tokens", "n_oov").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 1L)))
+  }
+
   test("StreamingHeavyHitters folds batches into one bounded sketch per window") {
     import graft.streaming.StreamingHeavyHitters
     implicit val sc = spark.sqlContext
