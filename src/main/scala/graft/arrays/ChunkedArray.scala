@@ -1246,14 +1246,21 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     // truncating div == floor for the non-negative indices used here
     def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
     // partial[s] = decimal sum over the reduced axis of the cells at
-    // surviving-coord s (row-major over the remaining dims)
-    val partial = transform(sequence(lit(0), lit(outElems - 1)), s => {
-      val base = rem.zip(outStrides).map { case (j, os) =>
-        (fdiv(s, os) % shape(j)) * strides(j)
-      }.reduce(_ + _)
-      aggregate(sequence(lit(0), lit(shape(axis) - 1)), zeroDec,
-        (acc, i) => addDec(acc, col("data")(base + i * strides(axis))))
-    })
+    // surviving-coord s (row-major over the remaining dims). Double
+    // payloads take the native codegen'd line fold (AxisSumDec —
+    // bit-identical to the HOF, see AxisFoldExpressions); other dtypes
+    // keep the interpreted HOF spelling.
+    val partial =
+      if (dtype == org.apache.spark.sql.types.DoubleType)
+        org.apache.spark.sql.graftexpr.AxisFoldExpressions
+          .axisSumDec(col("data"), shape, axis)
+      else transform(sequence(lit(0), lit(outElems - 1)), s => {
+        val base = rem.zip(outStrides).map { case (j, os) =>
+          (fdiv(s, os) % shape(j)) * strides(j)
+        }.reduce(_ + _)
+        aggregate(sequence(lit(0), lit(shape(axis) - 1)), zeroDec,
+          (acc, i) => addDec(acc, col("data")(base + i * strides(axis))))
+      })
     val zeroVec = array_repeat(zeroDec, outElems)
     val merged = df
       .select(col("timestep"),
@@ -1296,6 +1303,19 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       else aggregate(sequence(lit(1), lit(shape(axis) - 1)), col("data")(base),
         (acc, i) => combine(acc, col("data")(base + i * strides(axis))))
     })
+    axisReducePartial(axis, partial)(combine)
+  }
+
+  /** [[axisReduce]] with the chunk partial supplied — the native
+    * min/max instances pass a codegen'd line fold, everything else the
+    * generic HOF. */
+  private def axisReducePartial(axis: Int, partial: Column)(
+      combine: (Column, Column) => Column): ChunkedArray = {
+    require(geom.dims >= 2, "axisReduce needs rank >= 2")
+    require(axis >= 0 && axis < geom.dims, s"axis $axis out of range")
+    val shape = geom.chunkShape
+    val rem = shape.indices.filterNot(_ == axis)
+    val remShape = rem.map(shape)
     val merged = df
       .select(col("timestep"),
         array(rem.map(d => col("pos")(d)): _*).as("pos"), partial.as("part"))
@@ -1318,11 +1338,22 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     axisSum(axis).mapValues(_ / lit(n.toDouble))
   }
 
-  /** Elementwise maximum along `axis` (dask `arr.max(axis=)`). */
-  def axisMax(axis: Int): ChunkedArray = axisReduce(axis)(greatest(_, _))
+  /** Elementwise maximum along `axis` (dask `arr.max(axis=)`). Double
+    * payloads fold each line in the native codegen'd [[AxisExtreme]]
+    * (greatest semantics: SQL double ordering, nulls skipped); other
+    * dtypes keep the generic interpreted fold. */
+  def axisMax(axis: Int): ChunkedArray =
+    if (dtype == org.apache.spark.sql.types.DoubleType)
+      axisReducePartial(axis, org.apache.spark.sql.graftexpr.AxisFoldExpressions
+        .axisExtreme(col("data"), geom.chunkShape, axis, isMax = true))(greatest(_, _))
+    else axisReduce(axis)(greatest(_, _))
 
   /** Elementwise minimum along `axis` (dask `arr.min(axis=)`). */
-  def axisMin(axis: Int): ChunkedArray = axisReduce(axis)(least(_, _))
+  def axisMin(axis: Int): ChunkedArray =
+    if (dtype == org.apache.spark.sql.types.DoubleType)
+      axisReducePartial(axis, org.apache.spark.sql.graftexpr.AxisFoldExpressions
+        .axisExtreme(col("data"), geom.chunkShape, axis, isMax = false))(least(_, _))
+    else axisReduce(axis)(least(_, _))
 
   /** Population variance along `axis` (dask `arr.var(axis=)`) — the
     * [[variancePerTimestep]] two-moment trick generalized to
@@ -1348,16 +1379,22 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     val d2 = (c: Column) => c.cast("decimal(18,2)")
     val zeroSq = lit(0).cast("decimal(38,4)")
     val zeroM = struct(zeroDec.as("t"), zeroSq.as("q"))
-    val partial = transform(sequence(lit(0), lit(outElems - 1)), s => {
-      val base = rem.zip(outStrides).map { case (j, os) =>
-        (fdiv(s, os) % shape(j)) * strides(j)
-      }.reduce(_ + _)
-      aggregate(sequence(lit(0), lit(shape(axis) - 1)), zeroM, (acc, i) => {
-        val x = col("data")(base + i * strides(axis))
-        struct(addDec(acc("t"), x).as("t"),
-          (acc("q") + d2(x) * d2(x)).cast("decimal(38,4)").as("q"))
+    // double payloads: native codegen'd two-moment line fold
+    // (AxisMomentsDec, bit-identical); other dtypes: interpreted HOF
+    val partial =
+      if (dtype == org.apache.spark.sql.types.DoubleType)
+        org.apache.spark.sql.graftexpr.AxisFoldExpressions
+          .axisMomentsDec(col("data"), shape, axis)
+      else transform(sequence(lit(0), lit(outElems - 1)), s => {
+        val base = rem.zip(outStrides).map { case (j, os) =>
+          (fdiv(s, os) % shape(j)) * strides(j)
+        }.reduce(_ + _)
+        aggregate(sequence(lit(0), lit(shape(axis) - 1)), zeroM, (acc, i) => {
+          val x = col("data")(base + i * strides(axis))
+          struct(addDec(acc("t"), x).as("t"),
+            (acc("q") + d2(x) * d2(x)).cast("decimal(38,4)").as("q"))
+        })
       })
-    })
     val merged = df
       .select(col("timestep"),
         array(rem.map(d => col("pos")(d)): _*).as("pos"), partial.as("part"))
@@ -1423,17 +1460,25 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         (acc("v").isNull && x("v").isNotNull)
     // widen BEFORE the multiply (int overflow past 2^31 cells/dim)
     val gbase = col("pos")(axis).cast("bigint") * shape(axis)
-    val partial = transform(sequence(lit(0), lit(outElems - 1)), s => {
-      val base = rem.zip(outStrides).map { case (j, os) =>
-        (fdiv(s, os) % shape(j)) * strides(j)
-      }.reduce(_ + _)
-      val first = struct(col("data")(base).as("v"), gbase.as("k"))
-      if (shape(axis) == 1) first
-      else aggregate(sequence(lit(1), lit(shape(axis) - 1)), first, (acc, i) => {
-        val x = struct(col("data")(base + i * strides(axis)).as("v"), (gbase + i).as("k"))
-        when(wins(x, acc), x).otherwise(acc)
+    // double payloads: native codegen'd per-line winner fold
+    // (AxisArgExtreme, replaying wins() exactly — within a chunk the
+    // challenger's k only grows, so ties keep the accumulator); other
+    // dtypes: interpreted HOF
+    val partial =
+      if (dtype == org.apache.spark.sql.types.DoubleType)
+        org.apache.spark.sql.graftexpr.AxisFoldExpressions
+          .axisArgExtreme(col("data"), gbase, shape, axis, isMax)
+      else transform(sequence(lit(0), lit(outElems - 1)), s => {
+        val base = rem.zip(outStrides).map { case (j, os) =>
+          (fdiv(s, os) % shape(j)) * strides(j)
+        }.reduce(_ + _)
+        val first = struct(col("data")(base).as("v"), gbase.as("k"))
+        if (shape(axis) == 1) first
+        else aggregate(sequence(lit(1), lit(shape(axis) - 1)), first, (acc, i) => {
+          val x = struct(col("data")(base + i * strides(axis)).as("v"), (gbase + i).as("k"))
+          when(wins(x, acc), x).otherwise(acc)
+        })
       })
-    })
     // partial references col("pos") (the axis coordinate), so it must be
     // computed BEFORE the surviving-dims re-alias of "pos": in one select
     // list Spark's lateral column alias resolution would bind it to the
