@@ -112,6 +112,43 @@ object TextExpressions {
     best
   }
 
+  /** Total character count across tokens — the quality-score numerator.
+    * Replicates `aggregate(transform(tk, length), 0, +)`: a null token
+    * poisons the sum to null (never produced by the tokenizer, kept for
+    * parity). */
+  def tokenCharSumEval(tk: ArrayData): Any = {
+    val n = tk.numElements()
+    var s = 0
+    var i = 0
+    while (i < n) {
+      if (tk.isNullAt(i)) return null
+      s += tk.getUTF8String(i).numChars()
+      i += 1
+    }
+    s
+  }
+
+  /** Count of tokens in `set` — `size(filter(tk, isin(words)))`: null
+    * tokens fail the predicate and are dropped, not poisoning. */
+  def tokenHitCountEval(tk: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = tk.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!tk.isNullAt(i) && set.contains(tk.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Column wrapper for [[TokenCharSum]]. */
+  def tokenCharSum(tk: Column): Column =
+    ExpressionUtils.column(TokenCharSum(ExpressionUtils.expression(tk)))
+
+  /** Column wrapper for [[TokenHitCount]]. */
+  def tokenHitCount(tk: Column, words: Seq[String]): Column =
+    ExpressionUtils.column(TokenHitCount(ExpressionUtils.expression(tk), words))
+
   /** Column wrapper for [[WordNgrams]]. */
   def wordNgrams(text: Column, n: Int): Column =
     ExpressionUtils.column(WordNgrams(ExpressionUtils.expression(text), n))
@@ -161,6 +198,63 @@ case class HashWordNgrams(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.hashNgramsEval($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Total characters across an `array<string>` of tokens (`int`) — one
+  * codegen'd pass replacing the DOUBLE interpreted HOF
+  * `aggregate(transform(tk, length), 0, +)` (two closure dispatches per
+  * token) in the txt_quality / pipe_clean per-document hot path. Null
+  * token poisons to null, matching the fold. */
+case class TokenCharSum(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_token_char_sum"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.tokenCharSumEval(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |Object ${ev.value}_r = org.apache.spark.sql.graftexpr.TextExpressions.tokenCharSumEval($c);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Integer) ${ev.value}_r).intValue(); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of tokens belonging to a fixed word set (`int`) — one hash
+  * probe per token replacing the interpreted `filter(tk, isin(...))`
+  * HOF; null tokens are dropped like the failed predicate. */
+case class TokenHitCount(child: Expression, words: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_token_hit_count"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)): Unit)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.tokenHitCountEval(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("hitSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.tokenHitCountEval($c, $setRef);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

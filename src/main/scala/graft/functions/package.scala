@@ -32,9 +32,12 @@ package object functions {
   def hash60Seeded(seed: Column, c: Column): Column =
     hash60(concat(seed.cast("string"), lit(":"), c))
 
-  /** Count of tokens belonging to a fixed word set. */
+  /** Count of tokens belonging to a fixed word set — native codegen'd
+    * hash probe per token ([[org.apache.spark.sql.graftexpr.TokenHitCount]]),
+    * value-identical to the `size(filter(tk, isin(words)))` HOF it
+    * replaced (FunctionsSpec equivalence gate). */
   def hitCount(tk: Column, words: Seq[String]): Column =
-    size(filter(tk, t => t.isin(words.map(w => lit(w)): _*)))
+    org.apache.spark.sql.graftexpr.TextExpressions.tokenHitCount(tk, words)
 
   /** Local md5-based hash for literal generation (e.g. LSH hyperplanes):
     * the SAME values are embedded as literals into both the Spark plan and

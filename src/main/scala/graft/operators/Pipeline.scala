@@ -28,7 +28,7 @@ object Pipeline {
   def pipeClean(s: SparkSession, dir: String): DataFrame = {
     val nTok = size(col("tk")).cast("double")
     val stop = hitCount(col("tk"), STOP_EN).cast("double")
-    val charSum = aggregate(transform(col("tk"), t => length(t)), lit(0), (a, x) => a + x)
+    val charSum = org.apache.spark.sql.graftexpr.TextExpressions.tokenCharSum(col("tk"))
     val m = Tables.load(s, dir, "documents")
       .withColumn("tk",
         org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))

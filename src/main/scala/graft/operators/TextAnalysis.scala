@@ -35,7 +35,7 @@ object TextAnalysis {
   def txtQuality(s: SparkSession, dir: String): DataFrame = {
     val nTok = size(col("tk")).cast("double")
     val stop = hitCount(col("tk"), STOP_EN).cast("double")
-    val charSum = aggregate(transform(col("tk"), t => length(t)), lit(0), (a, x) => a + x)
+    val charSum = org.apache.spark.sql.graftexpr.TextExpressions.tokenCharSum(col("tk"))
     withTokens(s, dir).select(
       col("doc_id"),
       size(col("tk")).cast("bigint").as("n_tokens"),

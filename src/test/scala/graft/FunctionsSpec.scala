@@ -34,6 +34,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](0).isEmpty)
   }
 
+  test("native TokenCharSum/TokenHitCount == HOF folds over the corpus + edges") {
+    import org.apache.spark.sql.graftexpr.TextExpressions
+    import org.apache.spark.sql.functions.{aggregate, filter, length, size, transform}
+    val words = Seq("the", "a", "and", "of", "to", "in", "is")
+    val corpus = graft.sources.Tables.load(spark, sf, "documents")
+      .select(tokens(col("text")).as("tk"))
+    val edges = Seq(
+      Seq.empty[String], Seq("the"), Seq("zzz"), Seq("", "the", "a", "a"))
+      .toDF("tk")
+    for (df <- Seq(corpus, edges)) {
+      val diff = df.select(
+        TextExpressions.tokenCharSum(col("tk")).as("natc"),
+        aggregate(transform(col("tk"), t => length(t)), lit(0), (a, x) => a + x).as("hofc"),
+        TextExpressions.tokenHitCount(col("tk"), words).as("nath"),
+        size(filter(col("tk"), t => t.isin(words.map(lit(_)): _*))).as("hofh"))
+        .filter(!(col("natc") <=> col("hofc")) || !(col("nath") <=> col("hofh")))
+      assert(diff.count() == 0, diff.collect().take(5).mkString("; "))
+    }
+    // null token: char sum poisons (a + null), hit count drops (isin null)
+    val nt = Seq(Tuple1(Seq[String]("ab", null, "the"))).toDF("tk")
+      .select(TextExpressions.tokenCharSum(col("tk")).as("c"),
+        TextExpressions.tokenHitCount(col("tk"), words).as("h")).head()
+    assert(nt.isNullAt(0) && nt.getInt(1) == 1)
+  }
+
   test("native WordNgrams == HOF shingles(tokens) over the real corpus") {
     import org.apache.spark.sql.graftexpr.TextExpressions
     for (n <- Seq(1, 2, 3)) {
