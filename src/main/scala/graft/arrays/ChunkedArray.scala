@@ -1011,126 +1011,176 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     copy(df = out)
   }
 
-  /** Rank-2 FULL-NEIGHBORHOOD stencil — dask `map_overlap` with a dense
-    * (2r0+1)x(2r1+1) kernel (Sobel / Gaussian blur territory), the
+  /** FULL-NEIGHBORHOOD stencil for ANY rank — dask `map_overlap` with a
+    * dense hypercube kernel (Sobel / Gaussian-blur territory), the
     * corner-halo generalization [[stencilAxis]]'s axis-directed kernels
-    * can't express: `out[y,x] = Σ_{ky,kx} w[ky+r0][kx+r1] ·
-    * v[y+ky, x+kx]`. Each chunk ships its two r0-deep row slabs, two
-    * r1-deep column slabs AND four r0·r1 corner blocks to the 8 grid
-    * neighbors — still O(surface · depth) shuffle, never O(volume)
-    * beyond the self payload's own re-group. Boundary modes at the
-    * GLOBAL edge per axis: `"zero"` pads 0, `"reflect"` mirrors without
-    * repeating the edge (numpy `pad(mode='reflect')`). The kernel fold
-    * is fixed row-major left-to-right, so the IEEE double result
-    * replays bit-exact against a linearly-written oracle expression;
+    * can't express: `out[x⃗] = Σ_{k⃗} w[k⃗] · v[x⃗ + k⃗ - r⃗]` over a
+    * row-major kernel of odd extents `kshape` (reach r⃗ = kshape/2).
+    * Each chunk ships one sub-box to every grid neighbor its reach
+    * touches (3^N - 1 of them at full rank: faces, edges AND corners —
+    * each box is the intersection of last/first-r planes per axis), so
+    * the shuffle stays O(surface · depth), never O(volume) beyond the
+    * self payload's own re-group. Boundary modes at the GLOBAL edge per
+    * axis: `"zero"` pads 0, `"reflect"` mirrors without repeating the
+    * edge (numpy `pad(mode='reflect')`). The kernel fold is fixed
+    * row-major left-to-right, so the IEEE double result replays
+    * bit-exact against a linearly-written oracle expression;
     * power-of-two weights make every product exact. Absent interior
-    * chunks are implicitly all-zero. Requires r0 < chunkShape(0) and
-    * r1 < chunkShape(1) so ±1 grid neighbors cover the reach. */
-  def stencil2d(weights: Seq[Seq[Double]], boundary: String = "zero"): ChunkedArray = {
-    require(geom.dims == 2, "stencil2d requires a rank-2 array")
-    require(weights.nonEmpty && weights.length % 2 == 1,
-      s"kernel must have odd row count, got ${weights.length}")
-    require(weights.forall(_.length == weights.head.length) &&
-      weights.head.length % 2 == 1,
-      "kernel must be rectangular with odd column count")
+    * chunks are implicitly all-zero. Requires r⃗ < chunkShape per axis
+    * so ±1 grid neighbors cover the reach.
+    *
+    * Codegen stays bounded: a tap with offset 0 on an axis resolves to
+    * ONE case there, and a nonzero offset to three (it can only exit
+    * the chunk on its own side), so a 3×3×3 kernel compiles to
+    * (1+2·3)^3 = 343 branches, not 27·5^3. */
+  def stencilNd(kernel: Seq[Double], kshape: Seq[Int], boundary: String = "zero"): ChunkedArray = {
+    val n = geom.dims
+    require(kshape.length == n, s"kernel rank ${kshape.length} != array rank $n")
+    require(kshape.forall(k => k % 2 == 1 && k >= 1),
+      s"kernel extents must be odd and >= 1, got $kshape")
+    require(kernel.length == kshape.product,
+      s"kernel has ${kernel.length} weights for shape $kshape")
     require(boundary == "zero" || boundary == "reflect",
       s"boundary must be zero|reflect, got $boundary")
-    val r0 = weights.length / 2
-    val r1 = weights.head.length / 2
-    val Seq(s0, s1) = geom.chunkShape
-    require(r0 < s0 && r1 < s1,
-      s"kernel reach ($r0,$r1) must be < chunk shape ($s0,$s1)")
-    val elems = s0 * s1
+    val r = kshape.map(_ / 2)
+    val shape = geom.chunkShape
+    require(r.zip(shape).forall { case (rd, sd) => rd < sd },
+      s"kernel reach $r must be < chunk shape $shape per axis")
+    val strides = shape.scanRight(1)(_ * _).tail
+    val elems = geom.chunkElems
     val zeroE = lit(0).cast(dtype)
     // truncating div == floor for the non-negative indices used here
     def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
-    // sender-side submatrix [rowStart, +nr) x [colStart, +nc), row-major
-    def sub(rowStart: Int, nr: Int, colStart: Int, nc: Int): Column =
-      if (nr == s0 && nc == s1) col("data")
-      else transform(sequence(lit(0), lit(nr * nc - 1)), t =>
-        col("data")((fdiv(t, nc) + rowStart) * s1 + (t % nc) + colStart))
-    def msg(dy: Int, dx: Int): Column = {
-      val (rs, nr) = if (dy > 0) (s0 - r0, r0) else if (dy < 0) (0, r0) else (0, s0)
-      val (cs, nc) = if (dx > 0) (s1 - r1, r1) else if (dx < 0) (0, r1) else (0, s1)
-      struct(
-        array((col("pos")(0) + dy).cast("int"), (col("pos")(1) + dx).cast("int")).as("tpos"),
-        // kind = the SENDER's direction as seen from the receiver
-        lit(s"n${-dy},${-dx}").as("kind"), sub(rs, nr, cs, nc).as("strip"))
+    def cart(dims: Seq[Int]): Seq[Seq[Int]] =
+      dims.foldLeft(Seq(Seq.empty[Int]))((acc, m) =>
+        acc.flatMap(p => (0 until m).map(p :+ _)))
+    // neighbor offsets the reach touches: nonzero components only on
+    // axes with reach > 0
+    val offs = cart(Seq.fill(n)(3)).map(_.map(_ - 1))
+      .filter(o => o.exists(_ != 0) &&
+        o.zipWithIndex.forall { case (od, d) => od == 0 || r(d) > 0 })
+    // sub-box (starts, extents) a sender ships toward offset o
+    def boxFor(o: Seq[Int]): (Seq[Int], Seq[Int]) = {
+      val se = o.zipWithIndex.map { case (od, d) =>
+        if (od > 0) (shape(d) - r(d), r(d))
+        else if (od < 0) (0, r(d))
+        else (0, shape(d))
+      }
+      (se.map(_._1), se.map(_._2))
     }
+    def sub(starts: Seq[Int], exts: Seq[Int]): Column =
+      if (exts == shape) col("data")
+      else {
+        val bstr = exts.scanRight(1)(_ * _).tail
+        transform(sequence(lit(0), lit(exts.product - 1)), t =>
+          col("data")((0 until n).map { d =>
+            ((fdiv(t, bstr(d)) % exts(d)) + starts(d)) * strides(d)
+          }.reduce(_ + _)))
+      }
+    // kind = the SENDER's direction as seen from the receiver
+    def kindOf(src: Seq[Int]): String = "n" + src.mkString(",")
     val selfMsg = struct(
-      array(col("pos")(0).cast("int"), col("pos")(1).cast("int")).as("tpos"),
+      array((0 until n).map(d => col("pos")(d).cast("int")): _*).as("tpos"),
       lit("c").as("kind"), col("data").as("strip"))
-    val msgs = selfMsg +: (for {
-      dy <- -1 to 1; dx <- -1 to 1
-      if !(dy == 0 && dx == 0) && (dy == 0 || r0 > 0) && (dx == 0 || r1 > 0)
-    } yield msg(dy, dx))
+    val msgs = selfMsg +: offs.map { o =>
+      val (st, ex) = boxFor(o)
+      struct(
+        array(o.zipWithIndex.map { case (od, d) =>
+          (col("pos")(d) + od).cast("int") }: _*).as("tpos"),
+        lit(kindOf(o.map(-_))).as("kind"), sub(st, ex).as("strip"))
+    }
     val sent = df
       .select(col("timestep"), explode(array(msgs: _*)).as("m"))
       .select(col("timestep"), col("m.tpos").as("tpos"),
         col("m.kind").as("kind"), col("m.strip").as("strip"))
-      .filter(Seq(0, 1).map(d =>
+      .filter((0 until n).map(d =>
         col("tpos")(d) >= 0 && col("tpos")(d) < geom.chunksPerDim(d)).reduce(_ && _))
     val assembled = sent
       .groupBy(col("timestep"), col("tpos"))
       .agg(map_from_entries(collect_list(struct(col("kind"), col("strip")))).as("m"))
-    val last0 = geom.chunksPerDim(0) - 1
-    val last1 = geom.chunksPerDim(1) - 1
+    val lastPos = (0 until n).map(d => geom.chunksPerDim(d) - 1)
+    // kernel taps as offset vectors, row-major — the fold order
+    val taps = cart(kshape).map(_.zip(r).map { case (i, rd) => i - rd })
     val out = assembled.select(
       col("timestep"), col("tpos").as("pos"),
       transform(sequence(lit(0), lit(elems - 1)), idx => {
         val self = coalesce(element_at(col("m"), "c"), array_repeat(zeroE, elems))
-        val y = fdiv(idx, s1)
-        val x = idx % s1
-        // per-axis resolution of target coord t into (guard, source
-        // region -1/0/+1 | None = zero-pad, effective in-source coord);
-        // reflection applies ONLY at the global edge, per axis
-        def resolve(t: Column, axPos: Column, shapeD: Int, lastPos: Int)
-            : Seq[(Column, Option[Int], Column)] = {
-          val edge =
-            if (boundary == "zero")
-              Seq(((t < 0) && (axPos === 0), None, lit(0)),
-                ((t >= shapeD) && (axPos === lastPos), None, lit(0)))
-            else
-              Seq(((t < 0) && (axPos === 0), Some(0), -t),
-                ((t >= shapeD) && (axPos === lastPos), Some(0), lit(2 * (shapeD - 1)) - t))
-          Seq(
-            ((t >= 0) && (t < shapeD), Some(0), t),
-            ((t < 0) && (axPos =!= 0), Some(-1), t),
-            ((t >= shapeD) && (axPos =!= lastPos), Some(1), t)) ++ edge
+        val coords = (0 until n).map(d => fdiv(idx, strides(d)) % shape(d))
+        // per-axis resolution of target coord t = coord + ko into
+        // (guard, source region -1/0/+1 | None = zero-pad, effective
+        // coord), pruned by the tap's sign: ko == 0 never leaves the
+        // chunk; ko > 0 can only exit high; ko < 0 only low
+        def resolve(d: Int, ko: Int): Seq[(Column, Option[Int], Column)] = {
+          val t = coords(d) + lit(ko)
+          if (ko == 0) Seq((lit(true), Some(0), t))
+          else if (ko > 0) {
+            val highEdge =
+              if (boundary == "zero")
+                Seq(((t >= shape(d)) && (col("tpos")(d) === lastPos(d)), None, lit(0)))
+              else
+                Seq(((t >= shape(d)) && (col("tpos")(d) === lastPos(d)),
+                  Some(0), lit(2 * (shape(d) - 1)) - t))
+            Seq((t < shape(d), Some(0), t),
+              ((t >= shape(d)) && (col("tpos")(d) =!= lastPos(d)), Some(1), t)) ++ highEdge
+          } else {
+            val lowEdge =
+              if (boundary == "zero")
+                Seq(((t < 0) && (col("tpos")(d) === 0), None, lit(0)))
+              else
+                Seq(((t < 0) && (col("tpos")(d) === 0), Some(0), -t))
+            Seq((t >= 0, Some(0), t),
+              ((t < 0) && (col("tpos")(d) =!= 0), Some(-1), t)) ++ lowEdge
+          }
         }
-        // read the value at source region (sy, sx), effective coords
-        def read(sy: Int, sx: Int, ey: Column, ex: Column): Column =
-          if (sy == 0 && sx == 0) element_at(self, ey * s1 + ex + 1)
+        // read the value at source region src with effective coords
+        def read(src: Seq[Int], effs: Seq[Column]): Column =
+          if (src.forall(_ == 0))
+            element_at(self,
+              effs.zip(strides).map { case (e, s) => e * s }.reduce(_ + _) + 1)
           else {
-            val rowI = if (sy < 0) ey + r0 else if (sy > 0) ey - s0 else ey
-            val nc = if (sx == 0) s1 else r1
-            val colI = if (sx < 0) ex + r1 else if (sx > 0) ex - s1 else ex
+            // the sender at direction src shipped toward offset -src:
+            // src = -1 (above) sent its LAST r planes -> box-local
+            // coord e + r; src = +1 sent its FIRST r -> e - shape
+            val (_, exts) = boxFor(src.map(-_))
+            val bstr = exts.scanRight(1)(_ * _).tail
+            val flat = (0 until n).map { d =>
+              val bl =
+                if (src(d) < 0) effs(d) + lit(r(d))
+                else if (src(d) > 0) effs(d) - lit(shape(d))
+                else effs(d)
+              bl * bstr(d)
+            }.reduce(_ + _)
             // absent neighbor chunk = implicitly all-zero
-            coalesce(
-              element_at(element_at(col("m"), s"n$sy,$sx"), rowI * nc + colI + 1),
-              zeroE)
+            coalesce(element_at(element_at(col("m"), kindOf(src)), flat + 1), zeroE)
           }
-        def v(ky: Int, kx: Int): Column = {
-          val rcs = resolve(y + lit(ky), col("tpos")(0), s0, last0)
-          val ccs = resolve(x + lit(kx), col("tpos")(1), s1, last1)
-          val cases = for ((rc, rs, ey) <- rcs; (cc, cs, ex) <- ccs) yield {
-            val value = (rs, cs) match {
-              case (Some(sy), Some(sx)) => read(sy, sx, ey, ex)
-              case _ => zeroE
+        def v(ko: Seq[Int]): Column = {
+          val cases = (0 until n).map(d => resolve(d, ko(d)))
+            .foldLeft(Seq((lit(true): Column, Seq.empty[Option[Int]], Seq.empty[Column]))) {
+              (acc, cs) =>
+                for ((c0, ss, es) <- acc; (c, s, e) <- cs)
+                  yield (c0 && c, ss :+ s, es :+ e)
             }
-            (rc && cc, value)
+          val branches = cases.map { case (c, ss, es) =>
+            (c, if (ss.forall(_.isDefined)) read(ss.map(_.get), es) else zeroE)
           }
-          cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+          branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
             case (acc, (c, vv)) => acc.when(c, vv)
           }.otherwise(zeroE) // unreachable: the regions partition the reach
         }
         // fixed row-major kernel fold — the oracle writes the same
         // terms linearly, so left-associative + replays bit-for-bit
-        (for (ky <- -r0 to r0; kx <- -r1 to r1)
-          yield lit(weights(ky + r0)(kx + r1)) * v(ky, kx))
+        taps.zipWithIndex.map { case (ko, ki) => lit(kernel(ki)) * v(ko) }
           .reduce(_ + _).cast(dtype)
       }).as("data"))
     copy(df = out)
+  }
+
+  /** Rank-2 convenience over [[stencilNd]]: `weights` as a row-major
+    * matrix (the 3×3 Sobel/blur case). */
+  def stencil2d(weights: Seq[Seq[Double]], boundary: String = "zero"): ChunkedArray = {
+    require(weights.nonEmpty && weights.forall(_.length == weights.head.length),
+      "kernel must be rectangular")
+    stencilNd(weights.flatten, Seq(weights.length, weights.head.length), boundary)
   }
 
   /** Flatten an array of any rank to `(timestep, i0..i{n-1}, value)` rows

@@ -519,6 +519,23 @@ object ArrayQueries {
       .select(col("timestep"), col("i0").as("i"), col("i1").as("j"), col("value"))
       .orderBy("timestep", "i", "j")
 
+  /** Rank-3 FULL 3×3×3 stencil (separable binomial (1,2,1)⊗³ / 64, all
+    * power-of-two weights) with reflect boundary — the full-hypercube
+    * `map_overlap` face at rank 3: every chunk ships 6 face slabs, 12
+    * edge beams AND 8 corner voxels (26 neighbors) through
+    * [[graft.arrays.ChunkedArray.stencilNd]], O(surface·depth) shuffle.
+    * Emitted cell-exact as (timestep, i, j, k, value). */
+  def arrStencil3d(s: SparkSession, dir: String): DataFrame = {
+    val w1 = Seq(0.25, 0.5, 0.25)
+    val kernel = for (a <- w1; b <- w1; c <- w1) yield a * b * c
+    eventsArray3dCached(s, dir)
+      .stencilNd(kernel, Seq(3, 3, 3), boundary = "reflect")
+      .rowsNd
+      .select(col("timestep"), col("i0").as("i"), col("i1").as("j"),
+        col("i2").as("k"), col("value"))
+      .orderBy("timestep", "i", "j", "k")
+  }
+
   /** dask `da.flip` emitted cell-exact: a pure narrow projection
     * (mirrored grid pos + in-chunk gather — no cell changes chunks),
     * zero shuffles before the presentation sort. */
@@ -1068,6 +1085,35 @@ object ArrayQueries {
          |$joins
          |ORDER BY 1, 2, 3""".stripMargin
     },
+    // full 3x3x3 binomial blur with reflect boundary: 26 joined value
+    // aliases (one per off-center tap), coordinates mirrored at the
+    // global edge; linear +-chain replays the Spark row-major fold and
+    // the power-of-two weights keep every product exact
+    "arr_stencil_3d" -> {
+      def m(e: String) =
+        s"(CASE WHEN ($e) < 0 THEN -($e) WHEN ($e) > 7 THEN 14 - ($e) ELSE ($e) END)"
+      val w1 = Seq(0.25, 0.5, 0.25)
+      val taps = for (du <- -1 to 1; dh <- -1 to 1; dw <- -1 to 1) yield (du, dh, dw)
+      def wt(du: Int, dh: Int, dw: Int): Double = w1(du + 1) * w1(dh + 1) * w1(dw + 1)
+      val joins = taps.collect { case (du, dh, dw) if (du, dh, dw) != (0, 0, 0) =>
+        val a = s"t${du + 1}${dh + 1}${dw + 1}"
+        s"JOIN cells3 $a ON $a.timestep = o.timestep AND $a.u = ${m(s"o.u + $du")}" +
+          s" AND $a.h = ${m(s"o.h + $dh")} AND $a.w = ${m(s"o.w + $dw")}"
+      }.mkString("\n")
+      val terms = taps.map { case (du, dh, dw) =>
+        val cell = if ((du, dh, dw) == (0, 0, 0)) "o.cell"
+          else s"t${du + 1}${dh + 1}${dw + 1}.cell"
+        s"${wt(du, dh, dw)} * $cell"
+      }.mkString(" + ")
+      s"""WITH $CELLS_3D_DENSE
+         |SELECT CAST(o.timestep AS BIGINT) AS timestep,
+         |  CAST(o.u AS BIGINT) AS i, CAST(o.h AS BIGINT) AS j,
+         |  CAST(o.w AS BIGINT) AS k,
+         |  $terms AS value
+         |FROM cells3 o
+         |$joins
+         |ORDER BY 1, 2, 3, 4""".stripMargin
+    },
     // quantile_cont: linear interpolation between the floor/ceil order
     // statistics at h = (n-1)*q — dask da.percentile's default method
     "arr_quantile_cont" ->
@@ -1229,6 +1275,7 @@ object ArrayQueries {
     "arr_quantile" -> (arrQuantile _),
     "arr_quantile_cont" -> (arrQuantileCont _),
     "arr_stencil_2d" -> (arrStencil2d _),
+    "arr_stencil_3d" -> (arrStencil3d _),
     "arr_flip" -> (arrFlip _),
     "arr_roll" -> (arrRoll _),
     "arr_pad" -> (arrPad _),

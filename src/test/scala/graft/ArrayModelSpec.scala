@@ -297,6 +297,45 @@ class ArrayModelSpec extends AnyFunSuite {
     assert(done >= 6, s"only $done valid random cases in $tries tries")
   }
 
+  test("stencilNd full-hypercube kernel matches the dense model at ranks 1-3") {
+    val rnd = new scala.util.Random(20260816L)
+    val w1 = Seq(0.25, 0.5, 0.25)
+    var done = 0
+    var tries = 0
+    while (done < 6 && tries < 80) {
+      tries += 1
+      val rank = 1 + rnd.nextInt(3)
+      val (d, cpd) = randomCase(rnd, rank)
+      if (d.shape.zip(cpd).forall { case (s, c) => s / c >= 2 }) {
+        done += 1
+        val arr = chunked(d, cpd)
+        val tag = s"shape=${d.shape} cpd=$cpd"
+        // separable binomial kernel over the full 3^rank neighborhood,
+        // row-major — same tap order as the engine
+        val taps = cartesian(Seq.fill(rank)(3)).map(_.map(_ - 1))
+        val kernel = taps.map(_.map(o => w1(o + 1)).product)
+        for (mode <- Seq("zero", "reflect")) {
+          val out = rowsMap(arr.stencilNd(kernel, Seq.fill(rank)(3), mode))
+          def vat(ix: Seq[Int]): Double = {
+            val eff = ix.zip(d.shape).map { case (t, nD) =>
+              if (t >= 0 && t < nD) Some(t)
+              else if (mode == "zero") None
+              else Some(if (t < 0) -t else 2 * (nD - 1) - t)
+            }
+            if (eff.forall(_.isDefined)) d.at(eff.map(_.get)).toDouble else 0.0
+          }
+          for (ix <- cartesian(d.shape)) {
+            val exp = taps.zip(kernel).map { case (ko, w) =>
+              w * vat(ix.zip(ko).map { case (i, o) => i + o })
+            }.reduce(_ + _)
+            assert(out(ixKey(ix)) == exp, s"$tag rank=$rank $mode at $ix")
+          }
+        }
+      }
+    }
+    assert(done >= 6, s"only $done valid random cases in $tries tries")
+  }
+
   test("flip/roll/pad geometry faces match the exact dense model on random arrays") {
     val rnd = new scala.util.Random(20260814L)
     for (caseNo <- 0 until 8) {
