@@ -1255,13 +1255,22 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       posSlice(geom.dims - axes until geom.dims).as("ka"), col("data").as("adata"))
     val b = other.df.select(col("timestep").as("bt"), posSlice(0 until axes).as("kb"),
       posSlice(axes until other.geom.dims).as("trail"), col("data").as("bdata"))
-    val block = transform(sequence(lit(0), lit(rI * cI - 1)), idx => {
-      val i = (idx / cI).cast("int")
-      val j = idx % cI
-      aggregate(sequence(lit(0), lit(kI - 1)), zero, (acc, k) =>
-        (acc + (col("adata")(i * kI + k) * col("bdata")(k * cI + j))
-          .cast("decimal(18,4)")).cast("decimal(38,4)"))
-    })
+    // double payloads: native codegen'd block product (BlockMatmulDec,
+    // bit-identical — double multiply then the scale-4 cast, same fold
+    // order); other dtypes keep the interpreted HOF (int*int overflow
+    // semantics differ from the double path)
+    val block =
+      if (dtype == org.apache.spark.sql.types.DoubleType &&
+        other.dtype == org.apache.spark.sql.types.DoubleType)
+        org.apache.spark.sql.graftexpr.ChunkFolds
+          .blockMatmulNative(col("adata"), col("bdata"), rI, kI, cI)
+      else transform(sequence(lit(0), lit(rI * cI - 1)), idx => {
+        val i = (idx / cI).cast("int")
+        val j = idx % cI
+        aggregate(sequence(lit(0), lit(kI - 1)), zero, (acc, k) =>
+          (acc + (col("adata")(i * kI + k) * col("bdata")(k * cI + j))
+            .cast("decimal(18,4)")).cast("decimal(38,4)"))
+      })
     val merged = a
       // both operands are chunk relations: contract join shuffles on
       // (timestep, k), never broadcasts an array

@@ -7,7 +7,7 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.errors.QueryExecutionErrors
 import org.apache.spark.sql.internal.SQLConf
@@ -192,6 +192,79 @@ object ChunkFolds {
     else Decimal(big, 38, 4)
   }
 
+  /** Scale-4 twin of the element cast, for the matmul product fold:
+    * Spark's Cast(double -> decimal(18,4)). */
+  private def cast18_4(x: Double, ansi: Boolean): JBigDecimal = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) {
+      if (ansi) Decimal(x): Unit
+      return null
+    }
+    val bd = JBigDecimal.valueOf(x).setScale(4, RoundingMode.HALF_UP)
+    if (bd.unscaledValue().abs().compareTo(Max18) >= 0) {
+      if (ansi) throw QueryExecutionErrors.cannotChangeDecimalPrecisionError(
+        Decimal(bd), 18, 4, null)
+      return null
+    }
+    bd
+  }
+
+  /** Dense block product out[i·cI + j] = Σ_k cast(a[i·kI+k] · b[k·cI+j],
+    * dec(18,4)) accumulated at decimal(38,4) — the tensordot/matmul
+    * chunk-pair kernel. Replaces the triple-nested interpreted HOF
+    * (rI·cI·kI closure dispatches per chunk pair) with a tight loop;
+    * arithmetic replays the fold bit-for-bit: double multiply, THEN the
+    * scale-4 cast (fast path: products that are provably exact 1e-4
+    * grid values accumulate as longs), null element poisons only its
+    * output cell, ANSI throws where the Cast would. */
+  def blockMatmul(a: ArrayData, b: ArrayData, rI: Int, kI: Int, cI: Int,
+      ansi: Boolean): ArrayData = {
+    val out = new Array[Any](rI * cI)
+    var i = 0
+    while (i < rI) {
+      var j = 0
+      while (j < cI) {
+        var u4 = 0L // unscaled at scale 4
+        var big: JBigDecimal = null
+        var poisoned = false
+        var k = 0
+        while (k < kI && !poisoned) {
+          val ia = i * kI + k
+          val ib = k * cI + j
+          if (a.isNullAt(ia) || b.isNullAt(ib)) poisoned = true
+          else {
+            val p = a.getDouble(ia) * b.getDouble(ib)
+            val c = Math.rint(p * 1e4)
+            if (big == null && c / 1e4 == p && c <= FastMaxCents && c >= -FastMaxCents) {
+              u4 += c.toLong
+              if (u4 > PromoteCents || u4 < -PromoteCents)
+                big = JBigDecimal.valueOf(u4, 4)
+            } else {
+              if (big == null) big = JBigDecimal.valueOf(u4, 4)
+              val bd = cast18_4(p, ansi)
+              if (bd == null) poisoned = true
+              else {
+                big = big.add(bd)
+                if (big.unscaledValue().abs().compareTo(Max38) >= 0) {
+                  if (ansi) throw QueryExecutionErrors.cannotChangeDecimalPrecisionError(
+                    Decimal(big), 38, 4, null)
+                  poisoned = true
+                }
+              }
+            }
+          }
+          k += 1
+        }
+        out(i * cI + j) =
+          if (poisoned) null
+          else if (big == null) Decimal(u4, 38, 4)
+          else Decimal(big, 38, 4)
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Column wrappers; the session's cast mode is captured HERE (query
     * construction time), exactly when the Cast inside the HOF spelling
     * would have captured it. */
@@ -201,4 +274,32 @@ object ChunkFolds {
   def chunkSumSqDecNative(data: Column): Column =
     ExpressionUtils.column(ChunkSumSqDec(
       ExpressionUtils.expression(data), SQLConf.get.ansiEnabled))
+  def blockMatmulNative(a: Column, b: Column, rI: Int, kI: Int, cI: Int): Column =
+    ExpressionUtils.column(BlockMatmulDec(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      rI, kI, cI, SQLConf.get.ansiEnabled))
+}
+
+/** array<decimal(38,4)> block product of two flattened chunk payloads —
+  * see [[ChunkFolds.blockMatmul]]. */
+case class BlockMatmulDec(left: Expression, right: Expression,
+    rI: Int, kI: Int, cI: Int, ansi: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DecimalType(38, 4), containsNull = true)
+  override def prettyName: String = "graft_block_matmul_dec"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ChunkFolds.blockMatmul(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      rI, kI, cI, ansi)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.ChunkFolds.blockMatmul($a, $b, $rI, $kI, $cI, $ansi);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

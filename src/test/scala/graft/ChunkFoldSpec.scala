@@ -122,6 +122,39 @@ class ChunkFoldSpec extends AnyFunSuite {
     assert(r.getDecimal(0) == new java.math.BigDecimal("7900000000000000.00"))
   }
 
+  test("native BlockMatmulDec == interpreted triple-HOF block product") {
+    import org.apache.spark.sql.graftexpr.ChunkFolds
+    val (rI, kI, cI) = (3, 4, 2)
+    def hofBlock(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val zero = lit(0).cast("decimal(38,4)")
+      transform(sequence(lit(0), lit(rI * cI - 1)), idx => {
+        val i = (idx / cI).cast("int")
+        val j = idx % cI
+        aggregate(sequence(lit(0), lit(kI - 1)), zero, (acc, k) =>
+          (acc + (a(i * kI + k) * b(k * cI + j))
+            .cast("decimal(18,4)")).cast("decimal(38,4)"))
+      })
+    }
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 30).map { r =>
+      def mk(n: Int, exact: Boolean): Seq[java.lang.Double] = Seq.fill(n)(
+        java.lang.Double.valueOf(
+          if (exact) math.round(rnd.nextGaussian() * 1e4) / 100.0
+          else rnd.nextGaussian() * 1e3))
+      (mk(rI * kI, r % 2 == 0), mk(kI * cI, r % 3 != 0))
+    } :+ (
+      // null element poisons only the cells that read it
+      (0 until rI * kI).map(i => if (i == 5) null
+        else java.lang.Double.valueOf(i * 1.5)): Seq[java.lang.Double],
+      (0 until kI * cI).map(i => java.lang.Double.valueOf(i * 0.25)): Seq[java.lang.Double])
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+      ChunkFolds.blockMatmulNative(col("a"), col("b"), rI, kI, cI).as("nat"),
+      hofBlock(col("a"), col("b")).as("hof"))
+      .filter(!(col("nat") <=> col("hof")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
   test("folds run on the real events corpus identically (sf0.001)") {
     val arr = graft.operators.ArrayQueries
       .eventsArray1dCached(spark, "/root/testdata/sf0.001")
