@@ -66,6 +66,7 @@ object SparkEntry {
     "ev_anomaly" -> (Relational.evAnomaly _),
     "ev_markov" -> (Relational.evMarkov _),
     "q_corr" -> (Relational.qCorr _),
+    "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_percentiles" -> (Relational.qPercentiles _),
     "q_decile_revenue" -> (Relational.qDecileRevenue _),
     "ev_active_users" -> (Relational.evActiveUsers _),
@@ -548,6 +549,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // non-hierarchical margins — the grouping-sets member of the family
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_setops" ->
       """WITH building AS (

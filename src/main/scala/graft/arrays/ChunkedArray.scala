@@ -649,6 +649,108 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         min(col("cmin")).as("min_val"),
         max(col("cmax")).as("max_val"))
 
+  /** NaN-aware per-timestep stats — the dask `da.nansum` / `da.nanmean`
+    * / `da.nanmin` / `da.nanmax` family (numpy's nan-reductions are a
+    * first-class dask API the reference's callback users reach for as
+    * soon as a simulation emits sentinel cells). Missing cells are
+    * represented as NULL payload elements (an IEEE NaN would poison the
+    * decimal folds; mask with `where(pred, lit(null))`): each chunk
+    * filters to its valid cells and folds them to (count, exact decimal
+    * sum, min, max) partials — the [[statsPerTimestep]] wire posture,
+    * O(1) per chunk on the wire. nansum of an all-missing timestep is
+    * 0.0 (numpy's convention), nanmean/nanmin/nanmax are NULL. */
+  def nanStatsPerTimestep: DataFrame = {
+    val kept = filter(col("data"), _.isNotNull)
+    df.select(col("timestep"),
+        size(kept).cast("bigint").as("cn"),
+        chunkSumDec(kept).as("csum"),
+        array_min(kept).as("cmin"),
+        array_max(kept).as("cmax"))
+      .groupBy("timestep")
+      .agg(
+        sum(col("cn")).as("n_valid"),
+        sum(col("csum")).cast("double").as("nansum"),
+        min(col("cmin")).as("nanmin"),
+        max(col("cmax")).as("nanmax"))
+      .withColumn("nanmean",
+        when(col("n_valid") > 0,
+          col("nansum") / col("n_valid").cast("double")))
+  }
+
+  /** Per-timestep Pearson correlation between two ALIGNED arrays (dask
+    * `da.corrcoef` off-diagonal / `np.corrcoef(x, y)[0, 1]`): one
+    * aligned chunk join (the [[zipWith]] posture, shuffle_hash pinned —
+    * never a fact broadcast) emits per-chunk exact-decimal moment
+    * partials (n, Σx, Σy, Σx², Σy², Σxy — the five-moments scaffold
+    * q_corr proved cross-engine), one tiny groupBy merges them, and the
+    * final double formula replays DuckDB's operand order exactly:
+    * num = n·Σxy − Σx·Σy, den = √(max(n·Σx²−Σx², 0))·√(max(n·Σy²−Σy², 0)),
+    * NULL when den == 0 (a constant side). Σxy is the native
+    * [[org.apache.spark.sql.graftexpr.ChunkDotDec]] fold — cast both
+    * cells to DECIMAL(18,2) first, multiply exactly at scale 4 — i.e.
+    * the SQL `SUM(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)))`
+    * verbatim. */
+  def corrPerTimestep(other: ChunkedArray, alias: String = "corr_val"): DataFrame = {
+    require(geom == other.geom, s"geometry mismatch: $geom vs ${other.geom}")
+    val folds = org.apache.spark.sql.graftexpr.ChunkFolds
+    val r = other.df.select(col("timestep").as("r_ts"), col("pos").as("r_pos"),
+      col("data").as("r_data")).hint("shuffle_hash")
+    val j = df.join(r, col("timestep") === col("r_ts") && col("pos") === col("r_pos"))
+    val merged = j.select(col("timestep"),
+        size(col("data")).cast("bigint").as("cn"),
+        chunkSumDec(col("data")).as("sx"),
+        chunkSumDec(col("r_data")).as("sy"),
+        folds.chunkSumSqDecNative(col("data")).as("sxx"),
+        folds.chunkSumSqDecNative(col("r_data")).as("syy"),
+        folds.chunkDotDecNative(col("data"), col("r_data")).as("sxy"))
+      .groupBy("timestep")
+      .agg(sum(col("cn")).as("n"),
+        sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+        sum(col("sxx")).as("sxx"), sum(col("syy")).as("syy"),
+        sum(col("sxy")).as("sxy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val den = sqrt(greatest(n * col("sxx").cast("double") - sx * sx, lit(0.0))) *
+      sqrt(greatest(n * col("syy").cast("double") - sy * sy, lit(0.0)))
+    merged
+      .withColumn("den", den)
+      .select(col("timestep"), col("n"),
+        when(col("den") > 0.0,
+          (n * col("sxy").cast("double") - sx * sy) / col("den")).as(alias))
+  }
+
+  /** Fancy indexing along the single axis of a 1-d array (dask
+    * `da.take(a, indices)` — indices in ANY order, duplicates allowed):
+    * emits `(timestep, sel, value)` where `sel` is the position in the
+    * index list. The literal index list compiles to a per-chunk
+    * (sel, offset) gather map, so only the touched chunks are read, each
+    * contributes exactly its selected cells, and NOTHING shuffles — a
+    * pure narrow projection (the analog of partition-pruned point
+    * lookups at 100 TB: #indices cells move, never chunks). */
+  def takeRows(indices: Seq[Int]): DataFrame = {
+    require(geom.dims == 1, "takeRows requires a 1-d array")
+    val n0 = geom.chunkShape(0)
+    val size0 = geom.dimSize(0)
+    indices.foreach(i => require(i >= 0 && i < size0, s"index $i out of [0, $size0)"))
+    require(indices.nonEmpty, "empty index list")
+    val byChunk: Map[Int, Seq[(Int, Int)]] = indices.zipWithIndex
+      .map { case (ix, sel) => (ix / n0, (sel, ix % n0)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val selArr: Column = byChunk.foldLeft(
+      lit(null).cast("array<struct<sel:int,off:int>>")) {
+      case (acc, (cpos, sels)) =>
+        when(col("pos")(0) === cpos,
+          array(sels.map { case (s, o) =>
+            struct(lit(s).as("sel"), lit(o).as("off")) }: _*)).otherwise(acc)
+    }
+    df.select(col("timestep"), selArr.as("sels"), col("data"))
+      .where(col("sels").isNotNull)
+      .select(col("timestep"), explode(col("sels")).as("m"), col("data"))
+      .select(col("timestep"), col("m.sel").cast("bigint").as("sel"),
+        col("data")(col("m.off")).as("value"))
+  }
+
   /** Global value histogram (dask `da.histogram` analog, fixed bucket
     * width): each chunk folds its payload to per-bucket partials before
     * the exchange, so the shuffle carries O(#buckets) rows per

@@ -265,6 +265,49 @@ object ChunkFolds {
     new GenericArrayData(out)
   }
 
+  /** Exact decimal dot product of two aligned chunk payloads — the Σxy
+    * partial of [[graft.arrays.ChunkedArray.corrPerTimestep]]: each pair
+    * goes through Spark's double -> DECIMAL(18,2) cast FIRST, the two
+    * decimals multiply exactly at scale 4, and the accumulator re-caps
+    * at DECIMAL(38,4) after every add — i.e. the same arithmetic as the
+    * relational `SUM(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)))`
+    * moments (q_corr), so a DuckDB oracle replays it verbatim. A null
+    * element poisons the fold (the aligned-zip dense contract); mismatched
+    * lengths are a geometry bug and throw. */
+  def dotDec(a: ArrayData, b: ArrayData, ansi: Boolean): Decimal = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dotDec: mismatched chunk payloads (${a.numElements()} vs ${b.numElements()})")
+    var u4 = 0L // unscaled at scale 4: (c1 cents)·(c2 cents)
+    var big: JBigDecimal = null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      val cx = Math.rint(x * 100.0)
+      val cy = Math.rint(y * 100.0)
+      // |c| <= 3e9 keeps cx*cy within a long, like the square fold
+      if (big == null && cx / 100.0 == x && cy / 100.0 == y &&
+          cx <= 3e9 && cx >= -3e9 && cy <= 3e9 && cy >= -3e9) {
+        u4 += cx.toLong * cy.toLong
+        if (u4 > PromoteCents || u4 < -PromoteCents)
+          big = JBigDecimal.valueOf(u4, 4)
+      } else {
+        if (big == null) big = JBigDecimal.valueOf(u4, 4)
+        val bx = cast18_2(x, ansi)
+        val by = cast18_2(y, ansi)
+        if (bx == null || by == null) return null
+        big = big.add(bx.multiply(by)) // scale 4, exact
+        if (capOrNull(big, Max38, 38, 4, ansi)) return null
+      }
+      i += 1
+    }
+    if (big == null) Decimal(u4, 38, 4)
+    else Decimal(big, 38, 4)
+  }
+
   /** Column wrappers; the session's cast mode is captured HERE (query
     * construction time), exactly when the Cast inside the HOF spelling
     * would have captured it. */
@@ -278,6 +321,10 @@ object ChunkFolds {
     ExpressionUtils.column(BlockMatmulDec(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b),
       rI, kI, cI, SQLConf.get.ansiEnabled))
+  def chunkDotDecNative(a: Column, b: Column): Column =
+    ExpressionUtils.column(ChunkDotDec(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      SQLConf.get.ansiEnabled))
 }
 
 /** array<decimal(38,4)> block product of two flattened chunk payloads —
@@ -299,6 +346,32 @@ case class BlockMatmulDec(left: Expression, right: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = org.apache.spark.sql.graftexpr.ChunkFolds.blockMatmul($a, $b, $rI, $kI, $cI, $ansi);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Exact DECIMAL(38,4) dot product of two aligned chunk payloads — see
+  * [[ChunkFolds.dotDec]]. */
+case class ChunkDotDec(left: Expression, right: Expression, ansi: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DecimalType(38, 4)
+  override def prettyName: String = "graft_chunk_dot_dec"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ChunkFolds.dotDec(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ansi)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graftexpr.ChunkFolds.dotDec($a, $b, $ansi);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

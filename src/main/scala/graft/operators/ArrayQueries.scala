@@ -601,6 +601,46 @@ object ArrayQueries {
       .orderBy("timestep", "idx")
   }
 
+  /** dask `da.nansum` / `da.nanmean` / `da.nanmin` / `da.nanmax` /
+    * count of valid cells — the nan-reduction family over an array with
+    * MISSING cells (the zero-filled buckets masked to NULL, the decimal
+    * engine's NaN stand-in): one narrow mask
+    * ([[graft.arrays.ChunkedArray.where]]) then the
+    * [[graft.arrays.ChunkedArray.nanStatsPerTimestep]] chunk-partial
+    * posture — O(1) per chunk on the wire, zero shuffles before the
+    * per-timestep merge. */
+  def arrNanStats(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir)
+      .where(_ =!= 0.0, lit(null))
+      .nanStatsPerTimestep
+      .orderBy("timestep")
+
+  /** dask `da.corrcoef` between the array and its lag-1 roll — the
+    * per-timestep serial correlation of the bucket loads ("is today's
+    * load spatially smooth"): roll moves slab messages (never cells),
+    * the aligned zip joins shuffle_hash on (timestep, pos), each chunk
+    * pair folds to SIX exact-decimal moment partials (native
+    * ChunkSumDec / ChunkSumSqDec / ChunkDotDec), and the final double
+    * formula replays the q_corr oracle operand-for-operand. */
+  def arrCorrRoll(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray1dCached(s, dir)
+    a.corrPerTimestep(a.roll(0, 1), alias = "corr_lag1").orderBy("timestep")
+  }
+
+  /** Deliberately unsorted, duplicate-bearing gather list: order and
+    * multiplicity must survive, proving the take is a gather, not a
+    * filter. */
+  val takeIndices: Seq[Int] = Seq(3, 17, 42, 63, 8, 21, 42)
+
+  /** dask `da.take(a, indices)` — fancy indexing along the axis: the
+    * literal index list compiles to a per-chunk gather map
+    * ([[graft.arrays.ChunkedArray.takeRows]]), so only the touched
+    * chunks are read and #indices cells move per timestep — a pure
+    * narrow projection, zero shuffles before the presentation sort. */
+  def arrTake(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).takeRows(takeIndices)
+      .orderBy("timestep", "sel")
+
   // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
 
   private val CELLS_1D =
@@ -1234,6 +1274,76 @@ object ArrayQueries {
          |CROSS JOIN (SELECT unnest(range(80)) AS i) r
          |LEFT JOIN dense c ON c.timestep = d.timestep AND c.u = r.i - 8
          |ORDER BY 1, 2""".stripMargin,
+    // nan-family over the zero-masked dense array: SQL aggregates skip
+    // NULL exactly like the nan-reductions skip NaN; nansum of an
+    // all-missing timestep is 0.0 (numpy), nanmean NULL
+    "arr_nan_stats" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |m AS (SELECT timestep, NULLIF(cell, 0.0) AS v FROM dense)
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  COUNT(v) AS n_valid,
+         |  CAST(COALESCE(SUM(CAST(v AS DECIMAL(18,2))), 0) AS DOUBLE) AS nansum,
+         |  MIN(v) AS nanmin, MAX(v) AS nanmax,
+         |  CASE WHEN COUNT(v) > 0 THEN
+         |    CAST(COALESCE(SUM(CAST(v AS DECIMAL(18,2))), 0) AS DOUBLE)
+         |      / CAST(COUNT(v) AS DOUBLE) END AS nanmean
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // lag-1 serial correlation: y(u) = x((u+63) % 64) (roll by +1), the
+    // five exact decimal moments + the exact decimal product sum, then
+    // the q_corr double formula operand-for-operand
+    "arr_corr_roll" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |p AS (
+         |  SELECT x.timestep, x.cell AS xv, y.cell AS yv
+         |  FROM dense x JOIN dense y
+         |    ON y.timestep = x.timestep AND y.u = (x.u + 63) % 64),
+         |a AS (
+         |  SELECT timestep, COUNT(*) AS n,
+         |    SUM(CAST(xv AS DECIMAL(18,2))) AS sx,
+         |    SUM(CAST(yv AS DECIMAL(18,2))) AS sy,
+         |    SUM(CAST(xv AS DECIMAL(18,2)) * CAST(xv AS DECIMAL(18,2))) AS sxx,
+         |    SUM(CAST(yv AS DECIMAL(18,2)) * CAST(yv AS DECIMAL(18,2))) AS syy,
+         |    SUM(CAST(xv AS DECIMAL(18,2)) * CAST(yv AS DECIMAL(18,2))) AS sxy
+         |  FROM p GROUP BY 1),
+         |d AS (
+         |  SELECT timestep, n,
+         |    sqrt(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+         |    * sqrt(greatest(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)) AS den,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+         |  FROM a)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, n,
+         |  CASE WHEN den > 0.0 THEN num / den END AS corr_lag1
+         |FROM d ORDER BY 1""".stripMargin,
+    // the gather list verbatim — order (sel) and the duplicate index
+    // must come back exactly
+    "arr_take" -> {
+      val vals = takeIndices.zipWithIndex
+        .map { case (u, sel) => s"($sel, $u)" }.mkString(", ")
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(m.sel AS BIGINT) AS sel, c.cell AS value
+         |FROM (VALUES $vals) m(sel, u)
+         |JOIN dense c ON c.u = m.u
+         |ORDER BY 1, 2""".stripMargin
+    },
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1283,5 +1393,8 @@ object ArrayQueries {
     "arr_diff" -> (arrDiff _),
     "arr_unique" -> (arrUnique _),
     "arr_clip" -> (arrClip _),
+    "arr_nan_stats" -> (arrNanStats _),
+    "arr_corr_roll" -> (arrCorrRoll _),
+    "arr_take" -> (arrTake _),
   )
 }

@@ -199,6 +199,32 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
 
+  /** Sketch-quality audit of the MinHash estimator — for every LSH
+    * candidate pair, the ESTIMATED Jaccard (fraction of agreeing
+    * signature components, the textbook unbiased estimator) next to the
+    * EXACT shingle Jaccard and the absolute error. This is the dedup
+    * twin of sim_ann_recall: a sketch you can't measure is a sketch you
+    * can't tune (banding thresholds, permutation count). Reuses the ONE
+    * persisted signature table (hs + mh in hand — no extra corpus pass)
+    * and the candidate relation; the compare is candidate-sized,
+    * shuffle_hash joined, and every emitted number is an exact small
+    * rational (k/16, |A∩B|/|A∪B|) so doubles replay cross-engine. */
+  def ddMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatureTable(s, dir, 3)
+    val cand = bandCandidates(sig)
+    val a = sig.select(col("doc_id"), col("hs").as("hsa"), col("mh").as("mha"))
+    val b = sig.select(col("doc_id"), col("hs").as("hsb"), col("mh").as("mhb"))
+    val est = size(filter(zip_with(col("mha"), col("mhb"), (x, y) => x === y),
+      p => p)).cast("double") / lit(NumPerms.toDouble)
+    cand
+      .hint("shuffle_hash").join(a, col("doc_a") === col("doc_id")).drop("doc_id")
+      .hint("shuffle_hash").join(b, col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        est.as("est_jaccard"), jaccard("hsa", "hsb").as("jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** LSH candidates with their exact Jaccard — the verified-pairs table
     * a production dedup pipeline materializes ONCE and serves to every
     * consumer (the pair listing `dd_minhash_lsh`, the clustering
@@ -696,6 +722,30 @@ object Dedup {
          |JOIN d sa ON sa.doc_id = doc_a
          |JOIN d sb ON sb.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // estimator audit: k-agreeing-components/16 vs the exact shingle
+    // Jaccard — every number an exact small rational
+    "dd_minhash_est" ->
+      s"""WITH ${lshCandCte(3)},
+         |ag AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS na
+         |  FROM cand c
+         |  JOIN mh a ON a.doc_id = c.doc_a
+         |  JOIN mh b ON b.doc_id = c.doc_b AND b.j = a.j
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS jaccard
+         |  FROM cand
+         |  JOIN d sa ON sa.doc_id = doc_a
+         |  JOIN d sb ON sb.doc_id = doc_b)
+         |SELECT ag.doc_a, ag.doc_b,
+         |  CAST(ag.na AS DOUBLE) / $NumPerms.0 AS est_jaccard,
+         |  ex.jaccard,
+         |  abs(CAST(ag.na AS DOUBLE) / $NumPerms.0 - ex.jaccard) AS abs_err
+         |FROM ag JOIN ex ON ex.doc_a = ag.doc_a AND ex.doc_b = ag.doc_b
+         |ORDER BY 1, 2""".stripMargin,
     "dd_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($TOKENS) AS tk FROM documents
          |  WHERE len(trim(text)) > 0),
@@ -773,6 +823,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_minhash_est" -> (ddMinhashEst _),
     "dd_simhash" -> (ddSimhash _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_near" -> (ddEmbedNear _),

@@ -757,6 +757,20 @@ object Relational {
         sum(col("base_rows")).as("n_rows"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** GROUPING SETS with NON-hierarchical margins — ((flag), (status)):
+    * the member of the cube/rollup family neither of those can express
+    * (rollup nests, cube takes every subset; grouping sets picks the
+    * exact list). Same TWO-PHASE posture as [[qCube]]: aggregate to the
+    * (flag, status) base first, then expand the 6-row BASE — Expand
+    * never multiplies the fact stream. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    groupedQtyBase(s, dir)
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("qty_d")).cast("double").as("sum_qty"),
+        sum(col("base_rows")).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** Set operations: INTERSECT / EXCEPT between big-order buyers and the
     * BUILDING segment. */
   def qSetops(s: SparkSession, dir: String): DataFrame = {

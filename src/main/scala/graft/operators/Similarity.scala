@@ -107,6 +107,92 @@ object Similarity {
     rankTopK(scored, 5)
   }
 
+  /** Recall@5 of the LSH ANN against the exact brute-force ground truth
+    * — the ANN QUALITY metric every production vector pipeline tracks
+    * next to its latency (an index you can't measure is an index you
+    * can't trust). Both sides are the library's own deterministic
+    * pipelines ([[simTopkBruteforce]] cut to 5, [[simLshAnn]]); the
+    * comparison itself is a left join over the <= 5·#probes result rows
+    * (bounded, but probe-derived from fact-scale scans, so it is pinned
+    * shuffle_hash — never a fact-subtree broadcast). Output is integer
+    * hit counts and the exact n/5 recall, so no engine-specific double
+    * ordering is involved at all. */
+  def simAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val bf = simTopkBruteforce(s, dir).filter(col("rk") <= 5)
+      .select(col("probe_id"), col("vec_id"))
+    val ann = simLshAnn(s, dir)
+      .select(col("probe_id").as("a_pid"), col("vec_id").as("a_vid"))
+      .hint("shuffle_hash")
+    bf.join(ann,
+        col("probe_id") === col("a_pid") && col("vec_id") === col("a_vid"), "left")
+      .groupBy("probe_id")
+      .agg(count(col("a_vid")).as("n_hits"))
+      .select(col("probe_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(5.0)).as("recall"))
+      .orderBy("probe_id")
+  }
+
+  /** Class-separability profile of the embedding space — mean pairwise
+    * dot product WITHIN each label vs ACROSS labels, the embedding-
+    * quality diagnostic ("are my classes clustered?") that naively
+    * costs O(n²·d) pairs but collapses to SUFFICIENT STATISTICS:
+    * Σ_{i≠j∈l} xᵢ·xⱼ = ‖S_l‖² − Σ‖x‖² and Σ_{i∈l, j∉l} xᵢ·xⱼ =
+    * S_l·(S_G − S_l), so ONE O(n·d) pass (per-label per-dim sums +
+    * per-vector norms, both map-side combinable into O(labels·d) keys)
+    * replaces the pair join entirely — the only posture that survives
+    * 100 TB. Cross-engine exactness: components floor-quantize to 1e-6
+    * BIGINTs (the emb_label_centroids trick) so every sum is integer-
+    * exact; the two quadratic folds then run in double over the
+    * dimension-ascending order IDENTICALLY in both engines (products
+    * exact-rounded the same, adds left-folded in the same order). */
+  def embClassSep(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.load(s, dir, "embeddings")
+      .select(col("label"),
+        transform(col("embedding").cast("array<double>"),
+          v => floor(v * lit(1e6)).cast("long")).as("q"))
+    // per-label scalars: n and the exact integer Σ‖x‖²
+    val norms = q
+      .select(col("label"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).as("qn2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qn2")).as("ql"))
+    // per-(label, dim) integer sums — O(labels·d) keys, map-side combine
+    val sld = q
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "qv")))
+      .groupBy("label", "d")
+      .agg(sum(col("qv")).as("sld"))
+    // global per-dim sums ride a window over the tiny (labels·d) relation
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("d")
+    val vecs = sld
+      .withColumn("sgd", sum(col("sld")).over(wd))
+      .groupBy("label")
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("sld")))),
+          x => x.getField("sld").cast("double")).as("ls"),
+        transform(array_sort(collect_list(struct(col("d"), col("sgd")))),
+          x => x.getField("sgd").cast("double")).as("gs"))
+      .select(col("label"),
+        aggregate(transform(col("ls"), v => v * v), lit(0.0),
+          (acc, v) => acc + v).as("ssq"),
+        aggregate(zip_with(col("ls"), col("gs"), (a, b) => a * (b - a)), lit(0.0),
+          (acc, v) => acc + v).as("cdot"))
+    // global count as a 1-row aggregate of the O(labels) relation (a
+    // global window would single-partition; the crossJoin is 1-row)
+    val nG = norms.agg(sum(col("n_vecs")).as("n_g"))
+    norms.join(vecs.hint("shuffle_hash"), "label")
+      .crossJoin(nG)
+      .select(col("label"), col("n_vecs"),
+        when(col("n_vecs") > 1,
+          (col("ssq") - col("ql").cast("double")) /
+            (col("n_vecs").cast("double") * (col("n_vecs") - 1).cast("double")) /
+            lit(1e12)).as("within_dot_mean"),
+        when(col("n_g") > col("n_vecs"),
+          col("cdot") /
+            (col("n_vecs").cast("double") * (col("n_g") - col("n_vecs")).cast("double")) /
+            lit(1e12)).as("cross_dot_mean"))
+      .orderBy("label")
+  }
+
   /** IVF ANN with a fixed coarse quantizer: the first [[NumCentroids]]
     * vectors act as centroids (broadcast); every vector is assigned to
     * its nearest centroid by squared L2 (one narrow pass), probes search
@@ -561,6 +647,73 @@ object Similarity {
          |  FROM sc)
          |SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 10
          |ORDER BY probe_id, rk""".stripMargin,
+    // sufficient-statistics separability: 1e-6 floor-quantized BIGINT
+    // sums (integer-exact), then the two quadratic folds left-folded in
+    // dimension-ascending order — identical double bits cross-engine
+    "emb_class_sep" ->
+      """WITH x AS (
+        |  SELECT label, vec_id, unnest(range(len(embedding))) AS d,
+        |    unnest(list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT))) AS qv
+        |  FROM embeddings),
+        |pv AS (SELECT label, vec_id, SUM(qv * qv) AS qn2 FROM x GROUP BY 1, 2),
+        |lq AS (SELECT label, COUNT(*) AS n_vecs,
+        |         CAST(SUM(qn2) AS BIGINT) AS ql FROM pv GROUP BY 1),
+        |sl AS (SELECT label, d, CAST(SUM(qv) AS BIGINT) AS sld FROM x GROUP BY 1, 2),
+        |sg AS (SELECT d, CAST(SUM(sld) AS BIGINT) AS sgd FROM sl GROUP BY 1),
+        |lv AS (SELECT label,
+        |         list(CAST(sld AS DOUBLE) ORDER BY d) AS ls,
+        |         list(CAST(sgd AS DOUBLE) ORDER BY d) AS gs
+        |       FROM sl JOIN sg USING (d) GROUP BY label),
+        |f AS (SELECT label,
+        |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(ls, v -> v * v)), (x, y) -> x + y) AS ssq,
+        |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(range(1, len(ls) + 1),
+        |            i -> ls[i] * (gs[i] - ls[i]))), (x, y) -> x + y) AS cdot
+        |      FROM lv),
+        |t AS (SELECT SUM(n_vecs) AS n_g FROM lq)
+        |SELECT lq.label, lq.n_vecs,
+        |  CASE WHEN lq.n_vecs > 1 THEN (f.ssq - CAST(lq.ql AS DOUBLE))
+        |    / (CAST(lq.n_vecs AS DOUBLE) * CAST(lq.n_vecs - 1 AS DOUBLE))
+        |    / 1e12 END AS within_dot_mean,
+        |  CASE WHEN t.n_g > lq.n_vecs THEN f.cdot
+        |    / (CAST(lq.n_vecs AS DOUBLE) * CAST(t.n_g - lq.n_vecs AS DOUBLE))
+        |    / 1e12 END AS cross_dot_mean
+        |FROM lq JOIN f USING (label) CROSS JOIN t
+        |ORDER BY label""".stripMargin,
+    // recall@5: LSH candidates vs the exact top-5 — id sets only, so no
+    // double crosses engines; n_hits/5.0 is exact
+    "sim_ann_recall" ->
+      s"""WITH p AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe,
+         |    ${bucketSql("embedding")} AS pb
+         |  FROM embeddings WHERE vec_id < 5),
+         |sc AS (
+         |  SELECT probe_id, e.vec_id,
+         |    ${Dedup.cosSql("pe", "e.embedding")} AS cos
+         |  FROM embeddings e CROSS JOIN p WHERE e.vec_id != probe_id),
+         |bf AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM sc) t WHERE rk <= 5),
+         |eb AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |asc_ AS (
+         |  SELECT probe_id, eb.vec_id,
+         |    ${Dedup.cosSql("pe", "eb.embedding")} AS cos
+         |  FROM eb JOIN p ON eb.bucket = p.pb AND eb.vec_id != p.probe_id),
+         |ann AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM asc_) t WHERE rk <= 5)
+         |SELECT bf.probe_id, COUNT(ann.vec_id) AS n_hits,
+         |  CAST(COUNT(ann.vec_id) AS DOUBLE) / 5.0 AS recall
+         |FROM bf LEFT JOIN ann
+         |  ON ann.probe_id = bf.probe_id AND ann.vec_id = bf.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_ivf_ann" -> ivfOracle,
     "sim_lsh_ann" ->
       s"""WITH b AS (
@@ -603,6 +756,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
+    "sim_ann_recall" -> (simAnnRecall _),
+    "emb_class_sep" -> (embClassSep _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_ivf_ann" -> (simIvfAnn _),
     "sim_ivf_trained" -> (simIvfTrained _),

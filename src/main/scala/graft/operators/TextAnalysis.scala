@@ -176,6 +176,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("score").desc, col("token"))
   }
 
+  /** Feature-hashing TF (the "hashing trick", Weinberger et al. 2009 —
+    * the fixed-width featurization large-scale text classifiers and
+    * quality models use when a trained vocabulary is too big or too
+    * slow to ship): every token maps to one of [[HashTfBuckets]] buckets
+    * through a stateless hash, so the feature space is bounded BEFORE
+    * the shuffle — per-bucket partials combine map-side and the exchange
+    * carries O(#buckets) rows per partition regardless of vocabulary
+    * size, the same posture that makes it the 100 TB featurizer. The
+    * hash here is deliberately a simple integer formula over
+    * (length, first/last codepoint) expressible IDENTICALLY in both
+    * engines — a production build swaps in murmur3 without touching the
+    * plan shape. Emits per-bucket total occurrences and exact document
+    * frequency. */
+  val HashTfBuckets = 64
+
+  def txtHashTf(s: SparkSession, dir: String): DataFrame = {
+    val tok = col("tok")
+    val bucket = (lit(31) * length(tok) + lit(7) * ascii(tok) +
+      ascii(substr(tok, length(tok), lit(1)))) % HashTfBuckets
+    withTokens(s, dir)
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .select(col("doc_id"), bucket.cast("bigint").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy("bucket")
+  }
+
   /** Number of BPE merge rounds [[txtBpeVocab]] trains. Fixed so the
     * oracle's generated replay has the same depth. */
   val BpeRounds = 12
@@ -541,6 +569,21 @@ object TextAnalysis {
 
   private lazy val staticOracles: Map[String, String] = Map(
     "txt_bpe_vocab" -> bpeOracle,
+    // the same integer hash formula verbatim — length, first and last
+    // codepoints are engine-identical, so buckets replay exactly
+    "txt_hash_tf" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |                                    x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    (31 * len(tok) + 7 * ascii(substring(tok, 1, 1))
+         |     + ascii(substring(tok, CAST(len(tok) AS INT), 1))) % $HashTfBuckets AS bucket
+         |  FROM t)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_tokens,
+         |  COUNT(DISTINCT doc_id) AS n_docs
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_tfidf_top" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
@@ -662,5 +705,6 @@ object TextAnalysis {
     "txt_bpe_encode" -> (txtBpeEncode _),
     "txt_bpe_freq" -> (txtBpeFreq _),
     "txt_tfidf_top" -> (txtTfidfTop _),
+    "txt_hash_tf" -> (txtHashTf _),
   )
 }

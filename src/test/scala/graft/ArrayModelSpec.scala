@@ -390,4 +390,46 @@ class ArrayModelSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("takeRows gathers order- and duplicate-exactly on random 1-d arrays") {
+    val rnd = new scala.util.Random(424213L)
+    for (caseNo <- 0 until 6) {
+      val (d, cpd) = randomCase(rnd, 1)
+      val arr = chunked(d, cpd)
+      val size = d.shape.head
+      // random unsorted gather with duplicates, mixed chunk targets
+      val k = 1 + rnd.nextInt(2 * size)
+      val idx = Seq.fill(k)(rnd.nextInt(size))
+      val got = arr.takeRows(idx).collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(got.length == k, s"case $caseNo cardinality ${got.length} != $k")
+      idx.zipWithIndex.foreach { case (u, sel) =>
+        assert(got(sel) == (sel.toLong, d.at(Seq(u)).toDouble),
+          s"case $caseNo sel=$sel u=$u")
+      }
+    }
+  }
+
+  test("nanStats matches the exact dense model under a random mask") {
+    val rnd = new scala.util.Random(55511L)
+    for (caseNo <- 0 until 6) {
+      val rank = 1 + rnd.nextInt(3)
+      val (d, cpd) = randomCase(rnd, rank)
+      val thr = BigDecimal(rnd.between(-5000, 5000), 2)
+      val arr = chunked(d, cpd).where(_ > lit(thr.toDouble), lit(null))
+      val kept = d.cells.filter(_ > thr)
+      val r = arr.nanStatsPerTimestep.collect().head
+      assert(r.getLong(1) == kept.size, s"case $caseNo n_valid")
+      assert(r.getDouble(2) == kept.sum.toDouble, s"case $caseNo nansum")
+      if (kept.isEmpty) {
+        assert(r.getDouble(2) == 0.0 && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5),
+          s"case $caseNo all-missing convention")
+      } else {
+        assert(r.getDouble(3) == kept.min.toDouble, s"case $caseNo nanmin")
+        assert(r.getDouble(4) == kept.max.toDouble, s"case $caseNo nanmax")
+        assert(r.getDouble(5) == kept.sum.toDouble / kept.size.toDouble,
+          s"case $caseNo nanmean")
+      }
+    }
+  }
 }

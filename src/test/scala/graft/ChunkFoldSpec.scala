@@ -155,6 +155,52 @@ class ChunkFoldSpec extends AnyFunSuite {
     assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
   }
 
+  /** The interpreted spelling of the dot fold: cast each side to
+    * DECIMAL(18,2) FIRST, multiply the exact decimals (scale 4),
+    * re-cap at DECIMAL(38,4) per add — the q_corr moment verbatim. */
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val d2 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    // zip_with, not sequence(0, size-1): an empty payload would hit
+    // Spark's descending-sequence default and index out of bounds
+    aggregate(zip_with(a, b, (x, y) => d2(x) * d2(y)), lit(0).cast("decimal(38,4)"),
+      (acc, p) => (acc + p).cast("decimal(38,4)"))
+  }
+
+  test("native ChunkDotDec == interpreted cast-first product fold") {
+    val rnd = new scala.util.Random(77)
+    def mk(n: Int, exact: Boolean): Seq[java.lang.Double] = Seq.fill(n)(
+      java.lang.Double.valueOf(
+        if (exact) math.round(rnd.nextGaussian() * 1e5) / 100.0
+        else rnd.nextGaussian() * math.pow(10, rnd.nextInt(10) - 4)))
+    val rows: Seq[(Seq[java.lang.Double], Seq[java.lang.Double])] =
+      (0 until 40).map { r =>
+        val n = rnd.nextInt(50) + 1
+        (mk(n, r % 2 == 0), mk(n, r % 3 != 0))
+      } ++ Seq(
+        (Seq.empty[java.lang.Double], Seq.empty[java.lang.Double]),
+        // null on either side poisons
+        (Seq(java.lang.Double.valueOf(1.5), null),
+          Seq(java.lang.Double.valueOf(2.0), java.lang.Double.valueOf(3.0))),
+        (Seq(java.lang.Double.valueOf(1.5), java.lang.Double.valueOf(2.5)),
+          Seq(null, java.lang.Double.valueOf(3.0))),
+        // fast-path magnitude guard boundary (3e9 cents = 3e7 dollars)
+        (Seq(java.lang.Double.valueOf(2.9e7), java.lang.Double.valueOf(3.1e7)),
+          Seq(java.lang.Double.valueOf(2.9e7), java.lang.Double.valueOf(-3.1e7))))
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+      ChunkFolds.chunkDotDecNative(col("a"), col("b")).as("nat"),
+      hofDot(col("a"), col("b")).as("hof"))
+      .filter(!(col("nat") <=> col("hof")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
+  test("ChunkDotDec rejects mismatched payload lengths") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    intercept[Exception] {
+      df.select(ChunkFolds.chunkDotDecNative(col("a"), col("b"))).collect()
+    }
+  }
+
   test("folds run on the real events corpus identically (sf0.001)") {
     val arr = graft.operators.ArrayQueries
       .eventsArray1dCached(spark, "/root/testdata/sf0.001")

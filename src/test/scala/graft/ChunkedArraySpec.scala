@@ -923,4 +923,22 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     for (i <- 0 until 4)
       assert(pr(i.toLong) == (0 until 4).map(j => 10.0 * i + j).product, s"row $i")
   }
+
+  test("corrPerTimestep: self-correlation ~1, constant side NULL, negation ~-1") {
+    import org.apache.spark.sql.functions.lit
+    // |corr(a, a) - 1| bounded by the sqrt(v)·sqrt(v) rounding only
+    // (the MOMENTS are exact decimals; only the final double formula
+    // rounds — the cross-engine story is bit-replay, not exactness)
+    def vals(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.collect().toSeq.map(_.getDouble(2))
+    assert(vals(oneD.corrPerTimestep(oneD)).forall(v => math.abs(v - 1.0) < 1e-12))
+    // a constant other side: zero variance -> den 0 -> NULL
+    val const = oneD.corrPerTimestep(oneD.mapValues(_ * 0 + lit(3.0))).collect()
+    assert(const.forall(_.isNullAt(2)))
+    // an exact positive affine map keeps corr at ~1, negation at ~-1
+    assert(vals(oneD.corrPerTimestep(oneD.mapValues(x => x * 2 + lit(1.0))))
+      .forall(v => math.abs(v - 1.0) < 1e-12))
+    assert(vals(oneD.corrPerTimestep(oneD.mapValues(x => x * -1)))
+      .forall(v => math.abs(v + 1.0) < 1e-12))
+  }
 }

@@ -26,6 +26,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // <= 5 probe vectors (and, for IVF, k collected centroids)
     "sim_topk_bruteforce" -> Set("embeddings"),
     "sim_lsh_ann" -> Set("embeddings"),
+    // composes the two pipelines above — same <= 5 probe broadcast;
+    // the recall compare join itself is pinned shuffle_hash
+    "sim_ann_recall" -> Set("embeddings"),
     "sim_ivf_ann" -> Set("embeddings"),
     "sim_ivf_trained" -> Set("embeddings"),
     "sim_pq_ann" -> Set("embeddings"),
@@ -34,6 +37,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "txt_contamination" -> Set("documents"),
     // three 1-row stage-count aggregates cross-joined into the summary
     "ev_funnel" -> Set("events"),
+    // the 1-row global vector count cross-joined into the per-label output
+    "emb_class_sep" -> Set("embeddings"),
     // per-source aggregates (O(|sources|) rows)
     "pipe_clean" -> Set("documents"),
     // per-source keep-fraction relation + its 1-row total (O(|sources|))
