@@ -70,6 +70,7 @@ object SparkEntry {
     "q_percentiles" -> (Relational.qPercentiles _),
     "q_decile_revenue" -> (Relational.qDecileRevenue _),
     "ev_active_users" -> (Relational.evActiveUsers _),
+    "ev_wau" -> (Relational.evWau _),
     "ev_quantiles" -> (Relational.evQuantiles _),
     "ev_quantiles_cont" -> (Relational.evQuantilesCont _),
     "ev_heavy_hitters" -> (Relational.evHeavyHitters _),
@@ -372,6 +373,18 @@ object SparkEntry {
         |  COUNT(*) AS n_customers,
         |  CAST(SUM(rev) AS DOUBLE) AS revenue
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sliding-window distinct: expand each (day, user) activity by the
+    // fixed 7-day horizon, re-distinct, count — integers only
+    "ev_wau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |w AS (
+        |  SELECT DISTINCT d.day AS wday, du.user_id
+        |  FROM du JOIN days d ON d.day BETWEEN du.day AND du.day + 6)
+        |SELECT wday AS day, COUNT(*) AS wau
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_active_users" ->
       """WITH du AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,

@@ -781,27 +781,42 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     require(geom.dims == 1, "argmaxRows requires a 1-d array")
     val n = geom.chunkShape(0)
     // fold to struct(v, negIdx): struct max = highest value, and on
-    // ties the HIGHEST negIdx = LOWEST index
-    val best = aggregate(
-      transform(sequence(lit(0), lit(n - 1)), i =>
-        struct(col("data")(i).as("v"),
-          // widen BEFORE the multiply: int pos * chunk size overflows
-          // int for arrays past 2^31 cells
-          (-(col("pos")(0).cast("bigint") * n + i)).as("negIdx"))),
-      struct(lit(Double.NegativeInfinity).as("v"), lit(Long.MinValue).as("negIdx")),
-      (acc, x) => when(x("v") > acc("v") ||
-        (x("v") === acc("v") && x("negIdx") > acc("negIdx")), x).otherwise(acc))
+    // ties the HIGHEST negIdx = LOWEST index. Double payloads take the
+    // native compiled fold (one call per chunk); the Catalyst
+    // transform+aggregate spelling remains for other dtypes and as the
+    // ChunkFoldSpec equivalence reference.
+    val best =
+      if (dtype == org.apache.spark.sql.types.DoubleType)
+        org.apache.spark.sql.graftexpr.ChunkFolds.chunkArgExtremeNative(
+          col("data"), col("pos")(0).cast("bigint") * n,
+          Seq(n), Seq(1L), isMax = true)
+      else catalystArgFold(n)
     df.select(col("timestep"), best.as("b"))
       .groupBy("timestep")
       .agg(max(col("b")).as("m"))
       .select(col("timestep"),
         // all-null payloads leave the seed: publish nulls, not the
         // overflowed negation of Long.MinValue (see argExtremeNd)
-        when(col("m.negIdx") === Long.MinValue, lit(null))
+        when(col("m.k") === Long.MinValue, lit(null))
           .otherwise(col("m.v")).as("max_val"),
-        when(col("m.negIdx") === Long.MinValue, lit(null).cast("bigint"))
-          .otherwise((-col("m.negIdx")).cast("bigint")).as("arg_idx"))
+        when(col("m.k") === Long.MinValue, lit(null).cast("bigint"))
+          .otherwise((-col("m.k")).cast("bigint")).as("arg_idx"))
   }
+
+  /** The interpreted 1-d argmax chunk fold — [[argmaxRows]]' Catalyst
+    * path for non-double dtypes, and ChunkFoldSpec's equivalence
+    * reference for the native fold. Field k = the NEGATED global index
+    * (struct max keeps the lowest index on ties). */
+  private[graft] def catalystArgFold(n: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(n - 1)), i =>
+        struct(col("data")(i).as("v"),
+          // widen BEFORE the multiply: int pos * chunk size overflows
+          // int for arrays past 2^31 cells
+          (-(col("pos")(0).cast("bigint") * n + i)).as("k"))),
+      struct(lit(Double.NegativeInfinity).as("v"), lit(Long.MinValue).as("k")),
+      (acc, x) => when(x("v") > acc("v") ||
+        (x("v") === acc("v") && x("k") > acc("k")), x).otherwise(acc))
 
   /** Per-timestep global argmax for ANY rank (dask/numpy `argmax` on an
     * N-d array): the hotspot's per-dimension indices. Same wire posture
@@ -823,30 +838,23 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
 
   private def argExtremeNd(isMax: Boolean, valName: String): DataFrame = {
     val shape = geom.chunkShape
-    val strides = shape.scanRight(1)(_ * _).tail
     val gdims = (0 until geom.dims).map(geom.dimSize)
     val gstrides = gdims.map(_.toLong).scanRight(1L)(_ * _).tail
-    // truncating div == floor for the non-negative indices used here
-    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
     // the tie key k: for max the NEGATED flat index (struct max = highest
     // value, ties -> highest k = lowest index); for min the flat index
     // itself (struct min = lowest value, ties -> lowest k = lowest index)
     val seedK = if (isMax) Long.MinValue else Long.MaxValue
-    val best = aggregate(
-      transform(sequence(lit(0), lit(geom.chunkElems - 1)), i => {
-        val gflat = (0 until geom.dims).map { d =>
-          (col("pos")(d).cast("bigint") * shape(d) + fdiv(i, strides(d)) % shape(d)) *
-            gstrides(d)
-        }.reduce(_ + _)
-        struct(col("data")(i).as("v"), (if (isMax) -gflat else gflat).as("k"))
-      }),
-      struct(lit(if (isMax) Double.NegativeInfinity else Double.PositiveInfinity).as("v"),
-        lit(seedK).as("k")),
-      // a null cell fails every comparison -> acc retained (nulls skipped)
-      (acc, x) => when(
-        (if (isMax) x("v") > acc("v") else x("v") < acc("v")) ||
-          (x("v") === acc("v") &&
-            (if (isMax) x("k") > acc("k") else x("k") < acc("k"))), x).otherwise(acc))
+    // double payloads: native compiled fold, one call per chunk (the
+    // Catalyst spelling builds a struct per CELL in an interpreted
+    // transform); other dtypes keep the Catalyst path
+    val best =
+      if (dtype == org.apache.spark.sql.types.DoubleType)
+        org.apache.spark.sql.graftexpr.ChunkFolds.chunkArgExtremeNative(
+          col("data"),
+          (0 until geom.dims).map(d =>
+            col("pos")(d).cast("bigint") * (shape(d) * gstrides(d))).reduce(_ + _),
+          shape, gstrides, isMax)
+      else catalystArgFoldNd(isMax)
     val m = df.select(col("timestep"), best.as("b"))
       .groupBy("timestep")
       .agg((if (isMax) max(col("b")) else min(col("b"))).as("m"))
@@ -861,6 +869,33 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         when(isSeed, lit(null).cast("bigint"))
           .otherwise((expr(s"$flatExpr div ${gstrides(d)}") % gdims(d)).cast("bigint"))
           .as(s"i$d")): _*)
+  }
+
+  /** The interpreted N-d arg-extreme chunk fold — `argExtremeNd`'s
+    * Catalyst path for non-double dtypes, and ChunkFoldSpec's
+    * equivalence reference for the native [[org.apache.spark.sql.graftexpr.ChunkArgExtreme]]. */
+  private[graft] def catalystArgFoldNd(isMax: Boolean): Column = {
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    val gdims = (0 until geom.dims).map(geom.dimSize)
+    val gstrides = gdims.map(_.toLong).scanRight(1L)(_ * _).tail
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    val seedK = if (isMax) Long.MinValue else Long.MaxValue
+    aggregate(
+      transform(sequence(lit(0), lit(geom.chunkElems - 1)), i => {
+        val gflat = (0 until geom.dims).map { d =>
+          (col("pos")(d).cast("bigint") * shape(d) + fdiv(i, strides(d)) % shape(d)) *
+            gstrides(d)
+        }.reduce(_ + _)
+        struct(col("data")(i).as("v"), (if (isMax) -gflat else gflat).as("k"))
+      }),
+      struct(lit(if (isMax) Double.NegativeInfinity else Double.PositiveInfinity).as("v"),
+        lit(seedK).as("k")),
+      // a null cell fails every comparison -> acc retained (nulls skipped)
+      (acc, x) => when(
+        (if (isMax) x("v") > acc("v") else x("v") < acc("v")) ||
+          (x("v") === acc("v") &&
+            (if (isMax) x("k") > acc("k") else x("k") < acc("k"))), x).otherwise(acc))
   }
 
   /** Per-timestep population variance (dask `arr.var(axis=time-slice)`):
@@ -1135,7 +1170,8 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * ONE case there, and a nonzero offset to three (it can only exit
     * the chunk on its own side), so a 3×3×3 kernel compiles to
     * (1+2·3)^3 = 343 branches, not 27·5^3. */
-  def stencilNd(kernel: Seq[Double], kshape: Seq[Int], boundary: String = "zero"): ChunkedArray = {
+  def stencilNd(kernel: Seq[Double], kshape: Seq[Int], boundary: String = "zero",
+      native: Boolean = true): ChunkedArray = {
     val n = geom.dims
     require(kshape.length == n, s"kernel rank ${kshape.length} != array rank $n")
     require(kshape.forall(k => k % 2 == 1 && k >= 1),
@@ -1201,6 +1237,18 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       .groupBy(col("timestep"), col("tpos"))
       .agg(map_from_entries(collect_list(struct(col("kind"), col("strip")))).as("m"))
     val lastPos = (0 until n).map(d => geom.chunksPerDim(d) - 1)
+    // Double payloads take the native kernel: ONE compiled JVM call per
+    // chunk instead of the (1+2k)^N-branch Catalyst case chain
+    // interpreted per cell per tap inside `transform` (~20x on the
+    // rank-3 face; equivalence spec-gated in StencilKernelSpec). Other
+    // dtypes keep the Catalyst path below (dtype preservation).
+    if (native && dtype == org.apache.spark.sql.types.DoubleType) {
+      val data = org.apache.spark.sql.graftexpr.StencilExpressions.stencilConvolve(
+        col("m"), col("tpos"), shape, geom.chunksPerDim, kshape, kernel,
+        reflect = boundary == "reflect")
+      return copy(df = assembled.select(
+        col("timestep"), col("tpos").as("pos"), data.as("data")))
+    }
     // kernel taps as offset vectors, row-major — the fold order
     val taps = cart(kshape).map(_.zip(r).map { case (i, rd) => i - rd })
     val out = assembled.select(

@@ -325,6 +325,11 @@ object ChunkFolds {
     ExpressionUtils.column(ChunkDotDec(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b),
       SQLConf.get.ansiEnabled))
+  def chunkArgExtremeNative(data: Column, base: Column, shape: Seq[Int],
+      gstrides: Seq[Long], isMax: Boolean): Column =
+    ExpressionUtils.column(ChunkArgExtreme(
+      ExpressionUtils.expression(data), ExpressionUtils.expression(base),
+      shape, gstrides, isMax))
 }
 
 /** array<decimal(38,4)> block product of two flattened chunk payloads —
@@ -349,6 +354,80 @@ case class BlockMatmulDec(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Per-chunk arg-extreme fold — the chunk-local half of
+  * [[graft.arrays.ChunkedArray.argmaxRows]]/`argExtremeNd`: one
+  * (value, tie-key) struct per chunk, where the tie key is the global
+  * row-major flat index (negated for max, so the downstream struct
+  * max/min keeps the LOWEST index on value ties — numpy's rule). The
+  * Catalyst spelling builds a struct PER CELL inside `transform` and
+  * folds with an interpreted `aggregate` lambda; this runs the same
+  * comparisons (primitive `>`/`==`, exactly what GreaterThan/EqualTo
+  * codegen for doubles) in one compiled loop. Null cells are skipped
+  * (they fail every comparison, acc retained); an all-null/empty chunk
+  * returns the seed sentinel (±Inf, Long.Min/MaxValue) — identical to
+  * the fold's seed, which the final projection maps to null.
+  * Equivalence spec-gated in ChunkFoldSpec. */
+case class ChunkArgExtreme(data: Expression, base: Expression,
+    shape: Seq[Int], gstrides: Seq[Long], isMax: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def left: Expression = data
+  override def right: Expression = base
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), LongType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("v", DoubleType, nullable = false),
+    StructField("k", LongType, nullable = false)))
+  override def prettyName: String = "graft_chunk_arg_extreme"
+
+  private val strides: Array[Int] = shape.scanRight(1)(_ * _).tail.toArray
+  private val shapeA: Array[Int] = shape.toArray
+  private val gstridesA: Array[Long] = gstrides.toArray
+
+  def compute(dataAny: Any, baseAny: Any): Any = {
+    val arr = dataAny.asInstanceOf[ArrayData]
+    val b = baseAny.asInstanceOf[Long]
+    val n = arr.numElements()
+    val dims = shapeA.length
+    var bv = if (isMax) Double.NegativeInfinity else Double.PositiveInfinity
+    var bk = if (isMax) Long.MinValue else Long.MaxValue
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = arr.getDouble(i)
+        var local = 0L
+        var d = 0
+        while (d < dims) {
+          local += ((i / strides(d)) % shapeA(d)).toLong * gstridesA(d)
+          d += 1
+        }
+        val gflat = b + local
+        val k = if (isMax) -gflat else gflat
+        val win =
+          if (isMax) v > bv || (v == bv && k > bk)
+          else v < bv || (v == bv && k < bk)
+        if (win) { bv = v; bk = k }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bv, bk))
+  }
+
+  override def nullSafeEval(d: Any, b: Any): Any = compute(d, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argExtreme", this,
+      classOf[ChunkArgExtreme].getName)
+    nullSafeCodeGen(ctx, ev, (d, b) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($d, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(data = l, base = r)
 }
 
 /** Exact DECIMAL(38,4) dot product of two aligned chunk payloads — see

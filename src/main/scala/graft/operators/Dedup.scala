@@ -211,16 +211,19 @@ object Dedup {
     * rational (k/16, |A∩B|/|A∪B|) so doubles replay cross-engine. */
   def ddMinhashEst(s: SparkSession, dir: String): DataFrame = {
     val sig = signatureTable(s, dir, 3)
-    val cand = bandCandidates(sig)
-    val a = sig.select(col("doc_id"), col("hs").as("hsa"), col("mh").as("mha"))
-    val b = sig.select(col("doc_id"), col("hs").as("hsb"), col("mh").as("mhb"))
+    // the exact Jaccard comes from the SHARED persisted verified-pairs
+    // relation (one cold pipeline per session for the whole family);
+    // only the tiny 16-long mh vectors join on top of it
+    val vp = verifiedPairs(s, dir).select("doc_a", "doc_b", "jaccard")
+    val a = sig.select(col("doc_id"), col("mh").as("mha"))
+    val b = sig.select(col("doc_id"), col("mh").as("mhb"))
     val est = size(filter(zip_with(col("mha"), col("mhb"), (x, y) => x === y),
       p => p)).cast("double") / lit(NumPerms.toDouble)
-    cand
+    vp
       .hint("shuffle_hash").join(a, col("doc_a") === col("doc_id")).drop("doc_id")
       .hint("shuffle_hash").join(b, col("doc_b") === col("doc_id")).drop("doc_id")
       .select(col("doc_a"), col("doc_b"),
-        est.as("est_jaccard"), jaccard("hsa", "hsb").as("jaccard"))
+        est.as("est_jaccard"), col("jaccard"))
       .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
       .orderBy("doc_a", "doc_b")
   }
@@ -238,6 +241,30 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("source"),
         jaccard("hsa", "hsb").as("jaccard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Cross-source duplication matrix — for every (source, source) pair,
+    * how many verified near-dup pairs (Jaccard >= 0.5, the dd_cluster
+    * edge threshold) link them and how many are near-identical
+    * (>= 0.9): the contamination/provenance dashboard a corpus curator
+    * reads before mixing sources ("is crawlA mostly a mirror of
+    * crawlB?"). Another consumer of the ONE persisted verified-pairs
+    * relation — no new corpus pass; one doc_id-keyed shuffle_hash join
+    * fetches doc_b's source and the matrix aggregate is
+    * O(|sources|²). Counts only — no doubles cross engines. */
+  def ddSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val srcB = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source").as("source_b"))
+    verifiedPairs(s, dir)
+      .filter(col("jaccard") >= 0.5)
+      .hint("shuffle_hash").join(srcB, col("doc_b") === col("doc_id"))
+      .select(least(col("source"), col("source_b")).as("src_a"),
+        greatest(col("source"), col("source_b")).as("src_b"),
+        col("jaccard"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_near_identical"))
+      .orderBy("src_a", "src_b")
   }
 
   /** SimHash near-dup pair histogram with GUARANTEED recall at the
@@ -746,6 +773,24 @@ object Dedup {
          |  abs(CAST(ag.na AS DOUBLE) / $NumPerms.0 - ex.jaccard) AS abs_err
          |FROM ag JOIN ex ON ex.doc_a = ag.doc_a AND ex.doc_b = ag.doc_b
          |ORDER BY 1, 2""".stripMargin,
+    // cross-source matrix over the verified (>= 0.5) pairs; counts only
+    "dd_source_overlap" ->
+      s"""WITH ${lshCandCte(3)},
+         |vp AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS jaccard,
+         |    sa.source AS source_a, sb.source AS source_b
+         |  FROM cand
+         |  JOIN d sa ON sa.doc_id = doc_a
+         |  JOIN d sb ON sb.doc_id = doc_b)
+         |SELECT least(source_a, source_b) AS src_a,
+         |  greatest(source_a, source_b) AS src_b,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_near_identical
+         |FROM vp WHERE jaccard >= 0.5
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dd_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($TOKENS) AS tk FROM documents
          |  WHERE len(trim(text)) > 0),
@@ -824,6 +869,7 @@ object Dedup {
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_est" -> (ddMinhashEst _),
+    "dd_source_overlap" -> (ddSourceOverlap _),
     "dd_simhash" -> (ddSimhash _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_near" -> (ddEmbedNear _),

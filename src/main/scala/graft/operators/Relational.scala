@@ -586,6 +586,32 @@ object Relational {
     * (partial-agg, O(day·user) rows shuffle), then the per-day rollup;
     * the density ratio divides two exact integers in the same order in
     * both engines. */
+  /** Trailing-7-day active users per day (WAU) — the SLIDING-WINDOW
+    * DISTINCT shape daily dashboards are built on, and the one a naive
+    * `COUNT(DISTINCT) OVER (RANGE 6 PRECEDING)` cannot express in
+    * Spark (distinct windows unsupported) and would single-partition
+    * anyway. Posture: collapse to distinct (day, user) pairs first
+    * (partial-agg, corpus -> activity-scale), expand each by the FIXED
+    * 7-day horizon (×7, bounded), distinct again on (window-day, user),
+    * count per day — every step a partial-aggregated shuffle on
+    * day-spread keys, no window, no skew pivot. Emitted only for days
+    * that exist in the data. */
+  def evWau(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.load(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = du.select(col("day").as("wday")).distinct()
+    du
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"),
+        col("user_id"))
+      .distinct()
+      .join(days.hint("shuffle_hash"), "wday")
+      .groupBy("wday")
+      .agg(count(lit(1)).as("wau"))
+      .select(col("wday").as("day"), col("wau"))
+      .orderBy("day")
+  }
+
   def evActiveUsers(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.load(s, dir, "events")
       .groupBy(to_date(col("ts")).as("day"), col("user_id"))

@@ -201,6 +201,44 @@ class ChunkFoldSpec extends AnyFunSuite {
     }
   }
 
+  test("native ChunkArgExtreme == interpreted struct fold (ranks 1-3, ties, nulls)") {
+    import graft.arrays.{ArrayGeometry, ChunkedArray}
+    import org.apache.spark.sql.graftexpr.ChunkFolds
+    def cartesian(dims: Seq[Int]): Seq[Seq[Int]] =
+      dims.foldLeft(Seq(Seq.empty[Int]))((acc, m) =>
+        acc.flatMap(p => (0 until m).map(p :+ _)))
+    val rnd = new scala.util.Random(31847L)
+    for (caseNo <- 0 until 8; isMax <- Seq(true, false)) {
+      val rank = 1 + rnd.nextInt(3)
+      val cpd = Seq.fill(rank)(1 + rnd.nextInt(3))
+      val cs = Seq.fill(rank)(1 + rnd.nextInt(4))
+      val rows = cartesian(cpd).map { pos =>
+        // tiny value set -> frequent ties (the tie-break is the point);
+        // occasional nulls; one case with an ALL-null chunk (seed path)
+        val data: Seq[java.lang.Double] = Seq.fill(cs.product)(
+          if (caseNo == 3) null
+          else if (rnd.nextInt(10) == 0) null
+          else java.lang.Double.valueOf(rnd.nextInt(4).toDouble))
+        (0L, pos, data)
+      }
+      val arr = ChunkedArray(rows.toDF("timestep", "pos", "data"),
+        ArrayGeometry(cpd, cs))
+      val gdims = (0 until rank).map(i => cpd(i) * cs(i))
+      val gstrides = gdims.map(_.toLong).scanRight(1L)(_ * _).tail
+      val base = (0 until rank).map(d =>
+        col("pos")(d).cast("bigint") * (cs(d) * gstrides(d))).reduce(_ + _)
+      val nat = ChunkFolds.chunkArgExtremeNative(col("data"), base, cs, gstrides, isMax)
+      val hof =
+        if (rank == 1 && isMax) arr.catalystArgFold(cs.head)
+        else arr.catalystArgFoldNd(isMax)
+      val diff = arr.df.select(nat.as("nat"), hof.as("hof"))
+        .filter(!(col("nat") <=> col("hof")))
+      assert(diff.count() == 0,
+        s"case $caseNo isMax=$isMax cpd=$cpd cs=$cs: " +
+          diff.collect().take(3).mkString("; "))
+    }
+  }
+
   test("folds run on the real events corpus identically (sf0.001)") {
     val arr = graft.operators.ArrayQueries
       .eventsArray1dCached(spark, "/root/testdata/sf0.001")
