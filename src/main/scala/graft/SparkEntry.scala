@@ -71,6 +71,8 @@ object SparkEntry {
     "q_decile_revenue" -> (Relational.qDecileRevenue _),
     "ev_active_users" -> (Relational.evActiveUsers _),
     "ev_wau" -> (Relational.evWau _),
+    "ev_stickiness" -> (Relational.evStickiness _),
+    "ev_funnel_time" -> (Relational.evFunnelTime _),
     "ev_quantiles" -> (Relational.evQuantiles _),
     "ev_quantiles_cont" -> (Relational.evQuantilesCont _),
     "ev_heavy_hitters" -> (Relational.evHeavyHitters _),
@@ -385,6 +387,51 @@ object SparkEntry {
         |  FROM du JOIN days d ON d.day BETWEEN du.day AND du.day + 6)
         |SELECT wday AS day, COUNT(*) AS wau
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-stage conversion delays in exact BIGINT microseconds;
+    // quantile_disc == the conditional-MIN-at-ceil(q*n) definition
+    "ev_funnel_time" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click,
+        |    MIN(v.t_view) AS t_view
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_buy,
+        |    MIN(c.t_click) AS t_click
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT 'view_to_click' AS stage,
+        |    epoch_us(t_click) - epoch_us(t_view) AS delay_us FROM c
+        |  UNION ALL
+        |  SELECT 'click_to_purchase' AS stage,
+        |    epoch_us(t_buy) - epoch_us(t_click) AS delay_us FROM p)
+        |SELECT stage, COUNT(*) AS n_users,
+        |  quantile_disc(delay_us, 0.50) AS med_delay_us,
+        |  quantile_disc(delay_us, 0.90) AS p90_delay_us
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DAU over trailing-7-day AU: both counts from the same distinct
+    // activity relation; one exact integer-ratio double per day
+    "ev_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+        |days AS (SELECT DISTINCT day FROM du),
+        |wau AS (
+        |  SELECT wday AS day, COUNT(*) AS wau FROM (
+        |    SELECT DISTINCT d.day AS wday, du.user_id
+        |    FROM du JOIN days d ON d.day BETWEEN du.day AND du.day + 6) w
+        |  GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau ON wau.day = dau.day
+        |ORDER BY 1""".stripMargin,
     "ev_active_users" ->
       """WITH du AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,

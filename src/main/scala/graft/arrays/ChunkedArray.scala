@@ -1891,6 +1891,47 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     }: _*)
   }
 
+  /** Per-LINE exact quantiles along `axis` of a 2-d array (dask
+    * `da.median(axis=)` / `da.percentile` per row — the "profile of a
+    * row's distribution" face the global [[quantilesPerTimestep]] can't
+    * express). Median is not associative, so a line cannot fold to an
+    * O(1) block like sum/max — the honest posture is the same
+    * value-histogram scaffold keyed by (timestep, line): cells collapse
+    * map-side to per-line (value, count) partials, the shuffle carries
+    * O(distinct values per line), and one histogram-bounded window +
+    * conditional MIN per quantile finishes — percentile_disc semantics,
+    * deterministic cross-engine. Emits `(timestep, idx, <qs...>)`. */
+  def axisQuantileRows(axis: Int, qs: Seq[(String, Double)]): DataFrame = {
+    require(geom.dims == 2, "axisQuantileRows requires a 2-d array")
+    require(axis == 0 || axis == 1)
+    require(qs.nonEmpty, "at least one quantile required")
+    qs.foreach { case (_, q) => require(q > 0.0 && q <= 1.0, s"quantile $q out of (0, 1]") }
+    val keep = 1 - axis
+    val shape = geom.chunkShape
+    val local =
+      if (keep == 0) (col("i") / shape(1)).cast("int") else col("i") % shape(1)
+    val hist = df
+      .select(col("timestep"), col("pos"), posexplode(col("data")).as(Seq("i", "v")))
+      .select(col("timestep"),
+        (col("pos")(keep).cast("bigint") * shape(keep) + local).as("idx"),
+        col("v"))
+      .groupBy("timestep", "idx", "v").agg(count(lit(1)).as("cnt"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy("timestep", "idx").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val n = org.apache.spark.sql.expressions.Window.partitionBy("timestep", "idx")
+    val staged = hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(n))
+    staged.groupBy("timestep", "idx")
+      .agg(
+        min(when(col("cum") >= ceil(col("n") * lit(qs.head._2)).cast("bigint"), col("v")))
+          .as(qs.head._1),
+        qs.tail.map { case (nm, q) =>
+          min(when(col("cum") >= ceil(col("n") * lit(q)).cast("bigint"), col("v"))).as(nm)
+        }: _*)
+  }
+
   /** 2-d convenience over [[axisSum]]: rows `(timestep, idx, value)` of
     * the reduced 1-d array. */
   def axisSumRows(axis: Int): DataFrame = {

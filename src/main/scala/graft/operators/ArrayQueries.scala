@@ -641,6 +641,18 @@ object ArrayQueries {
     eventsArray1dCached(s, dir).takeRows(takeIndices)
       .orderBy("timestep", "sel")
 
+  /** dask `da.median(axis=1)` — per-ROW exact median of the 2-d array
+    * (the row-distribution profile the global quantile face can't
+    * express): median is not associative, so the line rides the
+    * value-histogram scaffold keyed by (timestep, row)
+    * ([[graft.arrays.ChunkedArray.axisQuantileRows]]) — shuffle
+    * O(distinct values per line), percentile_disc semantics,
+    * deterministic cross-engine. */
+  def arrAxisMedian(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir)
+      .axisQuantileRows(axis = 1, Seq(("med", 0.5), ("p90", 0.9)))
+      .orderBy("timestep", "idx")
+
   // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
 
   private val CELLS_1D =
@@ -1274,6 +1286,14 @@ object ArrayQueries {
          |CROSS JOIN (SELECT unnest(range(80)) AS i) r
          |LEFT JOIN dense c ON c.timestep = d.timestep AND c.u = r.i - 8
          |ORDER BY 1, 2""".stripMargin,
+    // per-row percentile_disc over the dense 2-d cells — the
+    // conditional-MIN-at-ceil(q*n) definition per (timestep, u) line
+    "arr_axis_median" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
+         |  quantile_disc(cell, 0.5) AS med,
+         |  quantile_disc(cell, 0.9) AS p90
+         |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // nan-family over the zero-masked dense array: SQL aggregates skip
     // NULL exactly like the nan-reductions skip NaN; nansum of an
     // all-missing timestep is 0.0 (numpy), nanmean NULL
@@ -1396,5 +1416,6 @@ object ArrayQueries {
     "arr_nan_stats" -> (arrNanStats _),
     "arr_corr_roll" -> (arrCorrRoll _),
     "arr_take" -> (arrTake _),
+    "arr_axis_median" -> (arrAxisMedian _),
   )
 }

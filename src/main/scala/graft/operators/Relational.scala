@@ -612,6 +612,74 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Time-to-convert through the funnel (view → click → purchase, the
+    * stage pairing of [[evFunnel]]): per converting user, the delay
+    * between the FIRST view and the first subsequent click (and click →
+    * purchase), summarized per stage as exact user counts and
+    * percentile_disc delay quantiles. Delays are exact BIGINT
+    * microseconds (unix_micros both engines), so the quantile scaffold
+    * — per-stage delay histogram, cumulative window bounded to it,
+    * conditional MIN per quantile — replays deterministically; the
+    * stage relations are the same min-ts shuffle_hash chain as
+    * ev_funnel (no fact broadcast, per-user partials). */
+  def evFunnelTime(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v.hint("shuffle_hash"), "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t_click"), min(col("t_view")).as("t_view"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c.hint("shuffle_hash"), "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t_buy"), min(col("t_click")).as("t_click"))
+    val d1 = c.select(lit("view_to_click").as("stage"),
+      (unix_micros(col("t_click")) - unix_micros(col("t_view"))).as("delay_us"))
+    val d2 = p.select(lit("click_to_purchase").as("stage"),
+      (unix_micros(col("t_buy")) - unix_micros(col("t_click"))).as("delay_us"))
+    val hist = d1.unionByName(d2)
+      .groupBy("stage", "delay_us").agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy("stage").orderBy("delay_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("stage")))
+    def pick(q: Double) =
+      min(when(col("cum") >= ceil(col("n") * lit(q)).cast("bigint"), col("delay_us")))
+    h.groupBy("stage")
+      .agg(max(col("n")).as("n_users"),
+        pick(0.50).as("med_delay_us"), pick(0.90).as("p90_delay_us"))
+      .orderBy("stage")
+  }
+
+  /** Stickiness (DAU / trailing-7-day AU per day) — the engagement
+    * ratio product dashboards put next to WAU: both sides come from
+    * the same distinct (day, user) activity relation ([[evWau]]'s
+    * posture), the ratio is one exact integer division. The WAU side
+    * reuses the fixed-horizon expansion; the join is day-keyed
+    * shuffle_hash (both sides day-scale aggregates, no fact
+    * broadcast). */
+  def evStickiness(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.load(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+        col("user_id"))
+      .distinct()
+      .join(du.select("day").distinct().hint("shuffle_hash"), "day")
+      .groupBy("day")
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau.hint("shuffle_hash"), "day")
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+      .orderBy("day")
+  }
+
   def evActiveUsers(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.load(s, dir, "events")
       .groupBy(to_date(col("ts")).as("day"), col("user_id"))

@@ -834,4 +834,59 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
     assert(got.toSeq == Seq((1L, at(0, 0), 1L), (1L, at(1, 0), 1L), (1L, at(2, 0), 1L)))
   }
+
+  test("StreamingFeatures.hashTf buckets windowed token volume like the batch face") {
+    import graft.streaming.StreamingFeatures
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val docs = in.toDF().toDF("ts", "text")
+    val q = StreamingFeatures.hashTf(docs)
+      .writeStream.format("memory").queryName("htf_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "aa bb aa"),
+      (Timestamp.valueOf("2024-01-01 10:30:00"), "cc"))
+    q.processAllAvailable()
+    // close the 10:00 window
+    in.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "zz"))
+    q.processAllAvailable()
+    q.stop()
+    def bucketOf(t: String): Long =
+      ((31 * t.length + 7 * t.head.toInt + t.last.toInt) % 64).toLong
+    val got = spark.table("htf_out")
+      .select("bucket", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = Seq(bucketOf("aa") -> 2L, bucketOf("bb") -> 1L, bucketOf("cc") -> 1L)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sorted
+    assert(got.toSeq == want)
+  }
+
+  test("StreamingFeatures.slidingActives counts distinct users per sliding window") {
+    import graft.streaming.StreamingFeatures
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val ev = in.toDF().toDF("ts", "user_id")
+    // 2-day windows sliding daily, 1-hour lateness horizon
+    val q = StreamingFeatures.slidingActives(ev,
+        delay = "1 hour", windowLen = "2 days", slide = "1 day")
+      .writeStream.format("memory").queryName("wau_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), 1L), // same user, same day: dedup
+      (Timestamp.valueOf("2024-01-02 10:00:00"), 2L))
+    q.processAllAvailable()
+    // advance the watermark far past every open window
+    in.addData((Timestamp.valueOf("2024-01-10 10:00:00"), 9L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wau_out")
+      .select("win_start", "active_users")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).sortBy(_._1.getTime)
+    // windows [12-31,1-2): {1}; [1-1,1-3): {1,2}; [1-2,1-4): {2}
+    assert(got.toSeq == Seq(
+      (Timestamp.valueOf("2023-12-31 00:00:00"), 1L),
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 2L),
+      (Timestamp.valueOf("2024-01-02 00:00:00"), 1L)))
+  }
 }
