@@ -720,6 +720,28 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
           (n * col("sxy").cast("double") - sx * sy) / col("den")).as(alias))
   }
 
+  /** Per-timestep weighted mean against an ALIGNED weights array (dask
+    * `da.average(a, weights=w)`): one aligned chunk join (the zipWith
+    * posture, shuffle_hash pinned), per-chunk exact-decimal partials —
+    * Σw·x through the native [[org.apache.spark.sql.graftexpr.ChunkDotDec]]
+    * (cast-first decimal products at scale 4), Σw through the decimal
+    * sum fold — one tiny per-timestep merge, one double division
+    * replayed operand-for-operand by the oracle. */
+  def weightedMeanPerTimestep(weights: ChunkedArray, alias: String = "wmean"): DataFrame = {
+    require(geom == weights.geom, s"geometry mismatch: $geom vs ${weights.geom}")
+    val folds = org.apache.spark.sql.graftexpr.ChunkFolds
+    val r = weights.df.select(col("timestep").as("r_ts"), col("pos").as("r_pos"),
+      col("data").as("w_data")).hint("shuffle_hash")
+    val j = df.join(r, col("timestep") === col("r_ts") && col("pos") === col("r_pos"))
+    j.select(col("timestep"),
+        folds.chunkDotDecNative(col("w_data"), col("data")).as("swx"),
+        chunkSumDec(col("w_data")).as("sw"))
+      .groupBy("timestep")
+      .agg(sum(col("swx")).as("swx"), sum(col("sw")).as("sw"))
+      .select(col("timestep"),
+        (col("swx").cast("double") / col("sw").cast("double")).as(alias))
+  }
+
   /** Fancy indexing along the single axis of a 1-d array (dask
     * `da.take(a, indices)` — indices in ANY order, duplicates allowed):
     * emits `(timestep, sel, value)` where `sel` is the position in the
@@ -1930,6 +1952,53 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         qs.tail.map { case (nm, q) =>
           min(when(col("cum") >= ceil(col("n") * lit(q)).cast("bigint"), col("v"))).as(nm)
         }: _*)
+  }
+
+  /** Per-LINE linear-interpolation quantiles along `axis` of a 2-d
+    * array — [[axisQuantileRows]]' dask-default (`method="linear"`)
+    * twin, the same relationship [[quantileContPerTimestep]] has to
+    * [[quantilesPerTimestep]]: floor/ceil order statistics at
+    * h = (n-1)·q per line, interpolated `lo·(1-d) + hi·d` with DuckDB
+    * `quantile_cont`'s operand order replayed (see
+    * [[quantileContPerTimestep]]'s exactness argument — it transfers
+    * verbatim, the only change is the (timestep, idx) key). */
+  def axisQuantileContRows(axis: Int, qs: Seq[(String, Double)]): DataFrame = {
+    require(geom.dims == 2, "axisQuantileContRows requires a 2-d array")
+    require(axis == 0 || axis == 1)
+    require(qs.nonEmpty, "at least one quantile required")
+    qs.foreach { case (_, q) => require(q >= 0.0 && q <= 1.0, s"quantile $q out of [0, 1]") }
+    val keep = 1 - axis
+    val shape = geom.chunkShape
+    val local =
+      if (keep == 0) (col("i") / shape(1)).cast("int") else col("i") % shape(1)
+    val hist = df
+      .select(col("timestep"), col("pos"), posexplode(col("data")).as(Seq("i", "v")))
+      .select(col("timestep"),
+        (col("pos")(keep).cast("bigint") * shape(keep) + local).as("idx"),
+        col("v"))
+      .groupBy("timestep", "idx", "v").agg(count(lit(1)).as("cnt"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy("timestep", "idx").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val n = org.apache.spark.sql.expressions.Window.partitionBy("timestep", "idx")
+    val staged = hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(n))
+    def h(q: Double): Column = (col("n") - 1).cast("double") * lit(q)
+    val aggs = qs.zipWithIndex.flatMap { case ((_, q), i) =>
+      Seq(
+        min(when(col("cum") >= floor(h(q)) + 1, col("v"))).as(s"_lo$i"),
+        min(when(col("cum") >= ceil(h(q)) + 1, col("v"))).as(s"_hi$i"),
+        min(h(q)).as(s"_h$i"))
+    }
+    val picked = staged.groupBy("timestep", "idx").agg(aggs.head, aggs.tail: _*)
+    picked.select(col("timestep") +: col("idx") +: qs.zipWithIndex.map { case ((nm, _), i) =>
+      val hh = col(s"_h$i")
+      val d = hh - floor(hh).cast("double")
+      when(floor(hh) === ceil(hh), col(s"_lo$i"))
+        .otherwise(col(s"_lo$i") * (lit(1.0) - d) + col(s"_hi$i") * d)
+        .as(nm)
+    }: _*)
   }
 
   /** 2-d convenience over [[axisSum]]: rows `(timestep, idx, value)` of

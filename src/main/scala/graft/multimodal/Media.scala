@@ -166,7 +166,40 @@ object Media {
         md5(col("text")).as("content_md5"))
       .orderBy("doc_id")
 
+  /** Payload-size profile per modality — the storage-planning histogram
+    * a media lake reads before sizing partitions/caches (how skewed are
+    * asset sizes per kind?): log2 size buckets computed in EXACT integer
+    * arithmetic (`length(bin(n)) - 1` — floor(log2) without the
+    * floating-point boundary hazard at powers of two), per (kind,
+    * bucket) counts, extremes and exact byte totals. Pure metadata scan
+    * — payload bytes are never touched, the §2.G columnar-metadata
+    * contract at its cheapest. */
+  def mmBytesHist(s: SparkSession, dir: String): DataFrame =
+    fromDocuments(s, dir).toDF()
+      .select(col("kind"),
+        (length(bin(col("nBytes"))) - 1).cast("bigint").as("bucket"),
+        col("nBytes"))
+      .groupBy("kind", "bucket")
+      .agg(count(lit(1)).as("n_assets"),
+        min(col("nBytes")).as("min_bytes"),
+        max(col("nBytes")).as("max_bytes"),
+        sum(col("nBytes")).as("total_bytes"))
+      .orderBy("kind", "bucket")
+
   val oracles: Map[String, String] = Map(
+    "mm_bytes_hist" ->
+      """WITH m AS (
+        |  SELECT
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents)
+        |SELECT kind, CAST(length(bin(nb)) - 1 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_assets,
+        |  CAST(MIN(nb) AS BIGINT) AS min_bytes,
+        |  CAST(MAX(nb) AS BIGINT) AS max_bytes,
+        |  CAST(SUM(nb) AS BIGINT) AS total_bytes
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -242,5 +275,6 @@ object Media {
     "mm_decode_stats" -> (mmDecodeStats _),
     "mm_resize" -> (mmResize _),
     "mm_dedup" -> (mmDedup _),
+    "mm_bytes_hist" -> (mmBytesHist _),
   )
 }

@@ -653,6 +653,27 @@ object ArrayQueries {
       .axisQuantileRows(axis = 1, Seq(("med", 0.5), ("p90", 0.9)))
       .orderBy("timestep", "idx")
 
+  /** dask `da.percentile` per ROW with the DEFAULT linear interpolation
+    * — [[arrAxisMedian]]'s method="linear" twin
+    * ([[graft.arrays.ChunkedArray.axisQuantileContRows]]); DuckDB
+    * `quantile_cont` operand order replayed per line. */
+  def arrAxisQuantileCont(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir)
+      .axisQuantileContRows(axis = 1, Seq(("med", 0.5), ("p90", 0.9)))
+      .orderBy("timestep", "idx")
+
+  /** dask `da.average(a, weights=w)` — per-timestep weighted mean
+    * against an aligned weights array (here the array's own clipped
+    * values, an exact narrow derivation): aligned shuffle_hash zip,
+    * native exact-decimal Σw·x / Σw partials
+    * ([[graft.arrays.ChunkedArray.weightedMeanPerTimestep]]), one
+    * replayed double division. */
+  def arrWeightedMean(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray1dCached(s, dir)
+    val w = a.mapValues(x => least(greatest(x, lit(100.0)), lit(900.0)))
+    a.weightedMeanPerTimestep(w).orderBy("timestep")
+  }
+
   // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
 
   private val CELLS_1D =
@@ -1294,6 +1315,33 @@ object ArrayQueries {
          |  quantile_disc(cell, 0.5) AS med,
          |  quantile_disc(cell, 0.9) AS p90
          |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-row quantile_cont: the dask-default linear interpolation,
+    // operand order replayed per line
+    "arr_axis_quantile_cont" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
+         |  quantile_cont(cell, 0.5) AS med,
+         |  quantile_cont(cell, 0.9) AS p90
+         |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // weighted mean with clip-derived weights: numerator the cast-first
+    // decimal product sum (the ChunkDotDec contract), denominator the
+    // exact decimal weight sum, one replayed double division
+    "arr_weighted_mean" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |w AS (
+         |  SELECT timestep, cell,
+         |    LEAST(GREATEST(cell, 100.0), 900.0) AS wv
+         |  FROM dense)
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(SUM(CAST(wv AS DECIMAL(18,2)) * CAST(cell AS DECIMAL(18,2)))
+         |       AS DOUBLE)
+         |  / CAST(SUM(CAST(wv AS DECIMAL(18,2))) AS DOUBLE) AS wmean
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // nan-family over the zero-masked dense array: SQL aggregates skip
     // NULL exactly like the nan-reductions skip NaN; nansum of an
     // all-missing timestep is 0.0 (numpy), nanmean NULL
@@ -1417,5 +1465,7 @@ object ArrayQueries {
     "arr_corr_roll" -> (arrCorrRoll _),
     "arr_take" -> (arrTake _),
     "arr_axis_median" -> (arrAxisMedian _),
+    "arr_axis_quantile_cont" -> (arrAxisQuantileCont _),
+    "arr_weighted_mean" -> (arrWeightedMean _),
   )
 }
