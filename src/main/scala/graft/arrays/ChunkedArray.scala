@@ -255,11 +255,23 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     val newStrides = newShape.scanRight(1)(_ * _).tail
     // truncating div == floor for the non-negative indices used here
     def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
-    // newdata[k] = data[Σ_d newcoord_d(k) * strides(perm(d))]
-    val t = transform(sequence(lit(0), lit(geom.chunkElems - 1)), k =>
-      col("data")(perm.zipWithIndex.map { case (old, d) =>
-        (fdiv(k, newStrides(d)) % newShape(d)) * strides(old)
-      }.reduce(_ + _)))
+    // newdata[k] = data[Σ_d newcoord_d(k) * strides(perm(d))] — a
+    // STATIC index map: double payloads gather through the compiled
+    // GatherStatic kernel (one call per chunk) instead of evaluating
+    // the index arithmetic per cell in an interpreted transform
+    val t =
+      if (dtype == org.apache.spark.sql.types.DoubleType) {
+        val idxMap = (0 until geom.chunkElems).map { k =>
+          perm.zipWithIndex.map { case (old, d) =>
+            ((k / newStrides(d)) % newShape(d)) * strides(old)
+          }.sum
+        }
+        org.apache.spark.sql.graftexpr.ChunkFolds.gatherStaticNative(col("data"), idxMap)
+      } else
+        transform(sequence(lit(0), lit(geom.chunkElems - 1)), k =>
+          col("data")(perm.zipWithIndex.map { case (old, d) =>
+            (fdiv(k, newStrides(d)) % newShape(d)) * strides(old)
+          }.reduce(_ + _)))
     copy(
       df = df.select(col("timestep"),
         array(perm.map(d => col("pos")(d)): _*).as("pos"), t.as("data")),
@@ -285,11 +297,20 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     val strides = shape.scanRight(1)(_ * _).tail
     // truncating div == floor for the non-negative indices used here
     def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
-    // newdata[k] = data[k with coord_axis := shape-1-coord_axis]
-    val t = transform(sequence(lit(0), lit(geom.chunkElems - 1)), k => {
-      val cd = fdiv(k, strides(axis)) % shape(axis)
-      col("data")(k + (lit(shape(axis) - 1) - cd * 2) * strides(axis))
-    })
+    // newdata[k] = data[k with coord_axis := shape-1-coord_axis] — a
+    // static mirror map, compiled like the transpose gather
+    val t =
+      if (dtype == org.apache.spark.sql.types.DoubleType) {
+        val idxMap = (0 until geom.chunkElems).map { k =>
+          val cd = (k / strides(axis)) % shape(axis)
+          k + (shape(axis) - 1 - cd * 2) * strides(axis)
+        }
+        org.apache.spark.sql.graftexpr.ChunkFolds.gatherStaticNative(col("data"), idxMap)
+      } else
+        transform(sequence(lit(0), lit(geom.chunkElems - 1)), k => {
+          val cd = fdiv(k, strides(axis)) % shape(axis)
+          col("data")(k + (lit(shape(axis) - 1) - cd * 2) * strides(axis))
+        })
     copy(df = df.select(col("timestep"),
       transform(col("pos"), (p, i) =>
         when(i === axis, lit(geom.chunksPerDim(axis) - 1) - p)

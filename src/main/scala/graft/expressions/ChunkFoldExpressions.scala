@@ -330,6 +330,8 @@ object ChunkFolds {
     ExpressionUtils.column(ChunkArgExtreme(
       ExpressionUtils.expression(data), ExpressionUtils.expression(base),
       shape, gstrides, isMax))
+  def gatherStaticNative(data: Column, idxMap: Seq[Int]): Column =
+    ExpressionUtils.column(GatherStatic(ExpressionUtils.expression(data), idxMap))
 }
 
 /** array<decimal(38,4)> block product of two flattened chunk payloads —
@@ -354,6 +356,50 @@ case class BlockMatmulDec(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Static per-chunk gather — the payload permutation of
+  * [[graft.arrays.ChunkedArray.flip]]/`transpose`: `out[i] =
+  * data[idxMap(i)]` for a geometry-derived CONSTANT index map (the
+  * Catalyst spelling evaluates the index arithmetic expression tree
+  * per cell inside an interpreted `transform`; here the map is
+  * computed once at plan time and the gather is one compiled loop per
+  * chunk). Null elements pass through as nulls, exactly like the
+  * `transform` read. Double payloads only — the Catalyst path remains
+  * for other dtypes (dtype preservation). Model-gated by the
+  * flip/transpose dense-model checks plus a null-equivalence spec. */
+case class GatherStatic(child: Expression, idxMap: Seq[Int])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "graft_gather_static"
+
+  private val mapA: Array[Int] = idxMap.toArray
+
+  def compute(dataAny: Any): ArrayData = {
+    val arr = dataAny.asInstanceOf[ArrayData]
+    val n = mapA.length
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val src = mapA(i)
+      out(i) = if (arr.isNullAt(src)) null else java.lang.Double.valueOf(arr.getDouble(src))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(d: Any): Any = compute(d)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gatherStatic", this,
+      classOf[GatherStatic].getName)
+    nullSafeCodeGen(ctx, ev, d => s"${ev.value} = $ref.compute($d);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Per-chunk arg-extreme fold — the chunk-local half of

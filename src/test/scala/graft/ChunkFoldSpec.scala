@@ -239,6 +239,26 @@ class ChunkFoldSpec extends AnyFunSuite {
     }
   }
 
+  test("native GatherStatic == interpreted transform gather, nulls pass through") {
+    import org.apache.spark.sql.graftexpr.ChunkFolds
+    val rnd = new scala.util.Random(6109L)
+    val n = 24
+    val rows: Seq[Seq[java.lang.Double]] = (0 until 20).map(_ =>
+      Seq.fill(n)(if (rnd.nextInt(6) == 0) null
+        else java.lang.Double.valueOf(rnd.nextGaussian() * 100)))
+    val idxMap = Seq.fill(n)(rnd.nextInt(n)) // arbitrary static map, dups fine
+    val df = rows.toDF("data")
+    val hof = transform(sequence(lit(0), lit(n - 1)), k =>
+      element_at(col("data"),
+        idxMap.zipWithIndex.foldLeft(lit(0)) { case (acc, (m, i)) =>
+          when(k === i, lit(m)).otherwise(acc)
+        } + 1))
+    val diff = df.select(
+      ChunkFolds.gatherStaticNative(col("data"), idxMap).as("nat"), hof.as("ref"))
+      .filter(!(col("nat") <=> col("ref")))
+    assert(diff.count() == 0, diff.collect().take(2).mkString("; "))
+  }
+
   test("folds run on the real events corpus identically (sf0.001)") {
     val arr = graft.operators.ArrayQueries
       .eventsArray1dCached(spark, "/root/testdata/sf0.001")
