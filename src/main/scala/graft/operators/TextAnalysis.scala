@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{hash60, hitCount, shingles, tokens}
 import graft.sources.Tables
@@ -202,6 +203,51 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         count_distinct(col("doc_id")).as("n_docs"))
       .orderBy("bucket")
+  }
+
+  /** Per-source language mix — the curation dashboard a corpus builder
+    * reads before setting mixture weights ("how anglophone is crawlB?"):
+    * (source, lang) counts plus each language's exact fraction of its
+    * source. One partial-aggregated pass over metadata columns (text
+    * never read — column pruning leaves a 2-column scan), the
+    * per-source totals ride a window over the O(|sources|·|langs|)
+    * aggregate, and the fraction is one exact integer-ratio double. */
+  def txtLangidMix(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    Tables.load(s, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_source", sum(col("n_docs")).over(bySrc))
+      .select(col("source"), col("lang"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_source").cast("double"))
+          .as("frac"))
+      .orderBy("source", "lang")
+  }
+
+  /** Per-language document-length profile (n_chars quantiles +
+    * extremes) — the length-distribution snapshot behind min/max-length
+    * curation filters, per language so a short-doc-heavy language
+    * doesn't hide inside the global profile. Integer lengths through
+    * the percentile_disc histogram scaffold (per-lang value histogram,
+    * histogram-bounded cumulative window, conditional MIN per
+    * quantile) — deterministic cross-engine, no text read. */
+  def txtLenProfile(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.load(s, dir, "documents")
+      .groupBy("lang", "n_chars")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("lang")))
+    def pick(q: Double) =
+      min(when(col("cum") >= ceil(col("n") * lit(q)).cast("bigint"), col("n_chars")))
+    h.groupBy("lang")
+      .agg(max(col("n")).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        pick(0.50).as("med_chars"), pick(0.90).as("p90_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
   }
 
   /** Number of BPE merge rounds [[txtBpeVocab]] trains. Fixed so the
@@ -569,6 +615,25 @@ object TextAnalysis {
 
   private lazy val staticOracles: Map[String, String] = Map(
     "txt_bpe_vocab" -> bpeOracle,
+    // metadata-only language mix; the fraction is an exact integer ratio
+    "txt_langid_mix" ->
+      """WITH m AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, SUM(n_docs) AS n_source FROM m GROUP BY 1)
+        |SELECT m.source, m.lang, m.n_docs,
+        |  CAST(m.n_docs AS DOUBLE) / CAST(t.n_source AS DOUBLE) AS frac
+        |FROM m JOIN t ON t.source = m.source
+        |ORDER BY 1, 2""".stripMargin,
+    // per-lang length quantiles: quantile_disc == the
+    // conditional-MIN-at-ceil(q*n) scaffold on integer lengths
+    "txt_len_profile" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS med_chars,
+        |  CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same integer hash formula verbatim — length, first and last
     // codepoints are engine-identical, so buckets replay exactly
     "txt_hash_tf" ->
@@ -706,5 +771,7 @@ object TextAnalysis {
     "txt_bpe_freq" -> (txtBpeFreq _),
     "txt_tfidf_top" -> (txtTfidfTop _),
     "txt_hash_tf" -> (txtHashTf _),
+    "txt_langid_mix" -> (txtLangidMix _),
+    "txt_len_profile" -> (txtLenProfile _),
   )
 }
