@@ -117,13 +117,31 @@ object Similarity {
     * shuffle_hash — never a fact-subtree broadcast). Output is integer
     * hit counts and the exact n/5 recall, so no engine-specific double
     * ordering is involved at all. */
-  def simAnnRecall(s: SparkSession, dir: String): DataFrame = {
+  def simAnnRecall(s: SparkSession, dir: String): DataFrame =
+    annRecall(simLshAnn(s, dir), s, dir)
+
+  /** Recall@5 of the IVF index against the same exact ground truth —
+    * with [[simAnnRecall]] (LSH) and [[simPqRecall]], every ANN scale
+    * path ships with its own quality metric. */
+  def simIvfRecall(s: SparkSession, dir: String): DataFrame =
+    annRecall(simIvfAnn(s, dir), s, dir)
+
+  /** Recall@5 of the PQ/ADC index — the quantization-error face: PQ
+    * scores approximate cosines, so its recall is where codebook size
+    * shows up. Same compare harness. */
+  def simPqRecall(s: SparkSession, dir: String): DataFrame =
+    annRecall(simPqAnn(s, dir), s, dir)
+
+  /** The shared compare harness: left-join an index's top-5 onto the
+    * brute-force top-5 per probe; bounded rows, shuffle_hash pinned,
+    * id-sets only (no doubles cross engines). */
+  private def annRecall(ann: DataFrame, s: SparkSession, dir: String): DataFrame = {
     val bf = simTopkBruteforce(s, dir).filter(col("rk") <= 5)
       .select(col("probe_id"), col("vec_id"))
-    val ann = simLshAnn(s, dir)
+    val a = ann
       .select(col("probe_id").as("a_pid"), col("vec_id").as("a_vid"))
       .hint("shuffle_hash")
-    bf.join(ann,
+    bf.join(a,
         col("probe_id") === col("a_pid") && col("vec_id") === col("a_vid"), "left")
       .groupBy("probe_id")
       .agg(count(col("a_vid")).as("n_hits"))
@@ -715,6 +733,8 @@ object Similarity {
          |  ON ann.probe_id = bf.probe_id AND ann.vec_id = bf.vec_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_ivf_ann" -> ivfOracle,
+    "sim_ivf_recall" -> recallOracleSql(ivfOracle),
+    "sim_pq_recall" -> recallOracleSql(pqOracle),
     "sim_lsh_ann" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
@@ -757,6 +777,8 @@ object Similarity {
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_ann_recall" -> (simAnnRecall _),
+    "sim_ivf_recall" -> (simIvfRecall _),
+    "sim_pq_recall" -> (simPqRecall _),
     "emb_class_sep" -> (embClassSep _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_ivf_ann" -> (simIvfAnn _),
@@ -868,6 +890,30 @@ object Similarity {
   }
 
   // lazy: referenced from `oracles`, which is initialized earlier in the file
+  /** Wraps a full top-5 ANN oracle (its ORDER BY is legal in a
+    * subquery) in the shared recall@5 compare — brute-force ground
+    * truth, id-sets only, exact n/5 ratio. */
+  private def recallOracleSql(annSql: String): String =
+    s"""WITH ann AS (
+       |  SELECT probe_id, vec_id FROM ($annSql) t),
+       |p AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe
+       |  FROM embeddings WHERE vec_id < 5),
+       |sc AS (
+       |  SELECT probe_id, e.vec_id,
+       |    ${Dedup.cosSql("pe", "e.embedding")} AS cos
+       |  FROM embeddings e CROSS JOIN p WHERE e.vec_id != probe_id),
+       |bf AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+       |    FROM sc) t WHERE rk <= 5)
+       |SELECT bf.probe_id, COUNT(ann.vec_id) AS n_hits,
+       |  CAST(COUNT(ann.vec_id) AS DOUBLE) / 5.0 AS recall
+       |FROM bf LEFT JOIN ann
+       |  ON ann.probe_id = bf.probe_id AND ann.vec_id = bf.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private lazy val ivfOracle: String = {
     val n2 = Dedup.dotSql("embedding", "embedding")
     s"""WITH e AS (

@@ -26,9 +26,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // <= 5 probe vectors (and, for IVF, k collected centroids)
     "sim_topk_bruteforce" -> Set("embeddings"),
     "sim_lsh_ann" -> Set("embeddings"),
-    // composes the two pipelines above — same <= 5 probe broadcast;
-    // the recall compare join itself is pinned shuffle_hash
+    // compose the probe-broadcast pipelines above — same <= 5 probe
+    // (and, for IVF/PQ, collected-model) broadcasts; the recall compare
+    // join itself is pinned shuffle_hash
     "sim_ann_recall" -> Set("embeddings"),
+    "sim_ivf_recall" -> Set("embeddings"),
+    "sim_pq_recall" -> Set("embeddings"),
     "sim_ivf_ann" -> Set("embeddings"),
     "sim_ivf_trained" -> Set("embeddings"),
     "sim_pq_ann" -> Set("embeddings"),
