@@ -314,6 +314,52 @@ object Dedup {
   /** (hamming, n_pairs) histogram for a signature relation carrying
     * `sig` — the group-product core of [[ddSimhash]] (see its Scaladoc
     * for the degenerate-corpus argument). */
+  /** Sketch-quality audit of the SimHash distance — for every banded
+    * candidate pair (hamming <= [[SimhashMaxHamming]], recall
+    * guaranteed by the Manku pigeonhole), the signature hamming
+    * DISTANCE next to the EXACT token-set Jaccard: the calibration
+    * table ("what similarity does hamming 2 actually mean on MY
+    * corpus?") that turns the banding threshold from folklore into a
+    * measurement — completing the estimator-audit trilogy with
+    * dd_minhash_est and the sim_*_recall family. Unlike dd_simhash's
+    * group-product HISTOGRAM, this face materializes the pairs — the
+    * pairs ARE the answer, so the work is output-bound by definition;
+    * every join is shuffle_hash pinned and all emitted numbers are
+    * integers or exact set-ratio rationals. */
+  def ddSimhashEst(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftexpr.TextExpressions
+          .hashWordNgrams(col("text"), 1).as("hs"))
+      .withColumn("sig", org.apache.spark.sql.graftexpr.SketchExpressions
+        .simhash(col("hs"), SimhashBits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mask = (1L << SimhashBandBits) - 1
+    val bands = docs.select(col("doc_id"), col("sig"),
+        explode(array((0 until SimhashBands).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"(sig >> ${SimhashBandBits * b}) & $mask").as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bv").as("bv"))
+    val pairs = bands.as("a")
+      .join(bands.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.sig ^ b.sig) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .distinct() // a pair may collide in several bands
+    val ha = docs.select(col("doc_id"), col("hs").as("hsa"))
+    val hb = docs.select(col("doc_id"), col("hs").as("hsb"))
+    pairs
+      .hint("shuffle_hash").join(ha, col("doc_a") === col("doc_id")).drop("doc_id")
+      .hint("shuffle_hash").join(hb, col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        jaccard("hsa", "hsb").as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private[graft] def simhashHistogram(sigs: DataFrame): DataFrame = {
     val mask = (1L << SimhashBandBits) - 1
     val groups = sigs
@@ -817,6 +863,41 @@ object Dedup {
          |  WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming)
          |SELECT hamming, COUNT(*) AS n_pairs FROM p
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-pair calibration: hamming distance next to the exact Jaccard
+    // over the same 60-bit token-hash sets the Spark side carries
+    "dd_simhash_est" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($TOKENS) AS tk FROM documents
+         |  WHERE len(trim(text)) > 0),
+         |hsr AS (SELECT doc_id,
+         |  list_distinct(list_transform(tk, x -> ${H60.format("x")})) AS hs FROM t),
+         |e AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+         |hh AS (SELECT doc_id, ${H60.format("tok")} AS h FROM e),
+         |sb AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS sbit
+         |  FROM hh CROSS JOIN (SELECT unnest(range($SimhashBits)) AS b) bb GROUP BY 1, 2),
+         |sg AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN sbit > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+         |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+         |  FROM sb GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, sig, b AS band,
+         |    (sig >> CAST($SimhashBandBits * b AS INT)) & ${(1L << SimhashBandBits) - 1} AS bv
+         |  FROM sg CROSS JOIN (SELECT unnest(range($SimhashBands)) AS b) bb),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming)
+         |SELECT p.doc_a, p.doc_b, p.hamming,
+         |  CAST(len(list_intersect(ja.hs, jb.hs)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(ja.hs, jb.hs))) AS DOUBLE) AS jaccard
+         |FROM p
+         |JOIN hsr ja ON ja.doc_id = p.doc_a
+         |JOIN hsr jb ON jb.doc_id = p.doc_b
+         |ORDER BY 1, 2""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH ${lshCandCte(3)},
          |p AS (
@@ -871,6 +952,7 @@ object Dedup {
     "dd_minhash_est" -> (ddMinhashEst _),
     "dd_source_overlap" -> (ddSourceOverlap _),
     "dd_simhash" -> (ddSimhash _),
+    "dd_simhash_est" -> (ddSimhashEst _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_near" -> (ddEmbedNear _),
     "dd_embed_cluster" -> (ddEmbedCluster _),
