@@ -284,8 +284,13 @@ object Dedup {
   val SimhashBandBits: Int = SimhashBits / SimhashBands // 15
   val SimhashMaxHamming: Int = SimhashBands - 1
 
-  def ddSimhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+  /** The per-doc simhash signature relation SHARED by the whole
+    * simhash family (dd_simhash's histogram and dd_simhash_est's
+    * calibration) — one signature pipeline per session, the
+    * [[signatureTable]] posture; CacheManager dedups the persist across
+    * the queries' identical plans. */
+  private def simhashDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
       // cheap scan-level predicate; a size(tk)>0 filter would inline the
       // token expression into the pushed-down scan filter
       .filter(length(trim(col("text"))) > 0)
@@ -295,6 +300,12 @@ object Dedup {
       .select(col("doc_id"),
         org.apache.spark.sql.graftexpr.TextExpressions
           .hashWordNgrams(col("text"), 1).as("hs"))
+      .withColumn("sig", org.apache.spark.sql.graftexpr.SketchExpressions
+        .simhash(col("hs"), SimhashBits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def ddSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = simhashDocs(s, dir)
     // DEGENERATE-CORPUS DEFENSE (same argument as [[lshCandidates]]):
     // group documents by full signature first, run the band self-join on
     // DISTINCT signatures only, and — because the output is a pair
@@ -306,9 +317,7 @@ object Dedup {
     // factor; the histogram provably equals the naive per-pair count
     // (spec-asserted). Persisted: the group relation feeds both sides
     // of the band self-join.
-    simhashHistogram(docs.select(
-      org.apache.spark.sql.graftexpr.SketchExpressions
-        .simhash(col("hs"), SimhashBits).as("sig")))
+    simhashHistogram(docs.select(col("sig")))
   }
 
   /** (hamming, n_pairs) histogram for a signature relation carrying
@@ -327,15 +336,7 @@ object Dedup {
     * every join is shuffle_hash pinned and all emitted numbers are
     * integers or exact set-ratio rationals. */
   def ddSimhashEst(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-      .filter(length(trim(col("text"))) > 0)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        org.apache.spark.sql.graftexpr.TextExpressions
-          .hashWordNgrams(col("text"), 1).as("hs"))
-      .withColumn("sig", org.apache.spark.sql.graftexpr.SketchExpressions
-        .simhash(col("hs"), SimhashBits))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = simhashDocs(s, dir)
     val mask = (1L << SimhashBandBits) - 1
     val bands = docs.select(col("doc_id"), col("sig"),
         explode(array((0 until SimhashBands).map(b =>
