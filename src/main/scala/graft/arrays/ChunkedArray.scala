@@ -256,17 +256,15 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     // truncating div == floor for the non-negative indices used here
     def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
     // newdata[k] = data[Σ_d newcoord_d(k) * strides(perm(d))] — a
-    // STATIC index map: double payloads gather through the compiled
-    // GatherStatic kernel (one call per chunk) instead of evaluating
-    // the index arithmetic per cell in an interpreted transform
+    // STATIC affine gather: double payloads go through the compiled
+    // GatherStatic kernel (one call per chunk, few-int spec on the
+    // wire) instead of evaluating the index arithmetic per cell in an
+    // interpreted transform
     val t =
       if (dtype == org.apache.spark.sql.types.DoubleType) {
-        val idxMap = (0 until geom.chunkElems).map { k =>
-          perm.zipWithIndex.map { case (old, d) =>
-            ((k / newStrides(d)) % newShape(d)) * strides(old)
-          }.sum
-        }
-        org.apache.spark.sql.graftexpr.ChunkFolds.gatherStaticNative(col("data"), idxMap)
+        org.apache.spark.sql.graftexpr.ChunkFolds.gatherAffineNative(
+          col("data"), newShape, Seq.fill(geom.dims)(1), Seq.fill(geom.dims)(0),
+          perm.map(strides))
       } else
         transform(sequence(lit(0), lit(geom.chunkElems - 1)), k =>
           col("data")(perm.zipWithIndex.map { case (old, d) =>
@@ -298,14 +296,15 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     // truncating div == floor for the non-negative indices used here
     def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
     // newdata[k] = data[k with coord_axis := shape-1-coord_axis] — a
-    // static mirror map, compiled like the transpose gather
+    // static mirror (mult=-1, add=S-1 on the axis), compiled like the
+    // transpose gather
     val t =
       if (dtype == org.apache.spark.sql.types.DoubleType) {
-        val idxMap = (0 until geom.chunkElems).map { k =>
-          val cd = (k / strides(axis)) % shape(axis)
-          k + (shape(axis) - 1 - cd * 2) * strides(axis)
-        }
-        org.apache.spark.sql.graftexpr.ChunkFolds.gatherStaticNative(col("data"), idxMap)
+        org.apache.spark.sql.graftexpr.ChunkFolds.gatherAffineNative(
+          col("data"), shape,
+          shape.indices.map(d => if (d == axis) -1 else 1),
+          shape.indices.map(d => if (d == axis) shape(axis) - 1 else 0),
+          strides)
       } else
         transform(sequence(lit(0), lit(geom.chunkElems - 1)), k => {
           val cd = fdiv(k, strides(axis)) % shape(axis)
@@ -1020,7 +1019,7 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * computes locally from its payload plus received halos — the
     * Spark-first form of dask `map_overlap`. Halo zero-fills are cast to
     * [[dtype]], so float32/int payloads are not widened. */
-  def stencilLaplacian(): ChunkedArray = {
+  def stencilLaplacian(native: Boolean = true): ChunkedArray = {
     val n = geom.dims
     val shape = geom.chunkShape
     val strides = shape.scanRight(1)(_ * _).tail
@@ -1064,6 +1063,19 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     val assembled = sent
       .groupBy(col("timestep"), col("tpos"))
       .agg(map_from_entries(collect_list(struct(col("kind"), col("strip")))).as("m"))
+    // Double payloads take the native Laplacian kernel: ONE compiled JVM
+    // call per chunk instead of the interpreted per-cell case chain (the
+    // arr_stencil_3d precedent, ~10x); the kernel replays this
+    // projection's exact read logic AND fold association (the Laplacian
+    // fold is not a dense-kernel row-major fold, so StencilConvolve
+    // can't host it bit-exactly). Other dtypes keep the Catalyst path
+    // below (dtype preservation). Equivalence gated in StencilKernelSpec.
+    if (native && dtype == org.apache.spark.sql.types.DoubleType) {
+      val data = org.apache.spark.sql.graftexpr.StencilExpressions.stencilLaplacian(
+        col("m"), col("tpos"), shape, geom.chunksPerDim)
+      return copy(df = assembled.select(
+        col("timestep"), col("tpos").as("pos"), data.as("data")))
+    }
     val out = assembled.select(
       col("timestep"), col("tpos").as("pos"),
       transform(sequence(lit(0), lit(elems - 1)), idx => {
@@ -1103,13 +1115,24 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * interior chunks are implicitly all-zero (the Laplacian's
     * convention). Requires depth < chunkShape(axis), so ±1 grid
     * neighbors cover the reach. */
-  def stencilAxis(axis: Int, weights: Seq[Double], boundary: String = "zero"): ChunkedArray = {
+  def stencilAxis(axis: Int, weights: Seq[Double], boundary: String = "zero",
+      native: Boolean = true): ChunkedArray = {
     val n = geom.dims
     require(axis >= 0 && axis < n, s"axis $axis out of range")
     require(weights.length % 2 == 1 && weights.length >= 3,
       s"weights must have odd length >= 3, got ${weights.length}")
     require(boundary == "zero" || boundary == "reflect",
       s"boundary must be zero|reflect, got $boundary")
+    // A 1-d axis kernel IS a hypercube kernel with extent 1 on every
+    // other axis: double payloads route through [[stencilNd]]'s native
+    // StencilConvolve (one compiled call per chunk; same halo volume —
+    // with reach 0 off-axis it ships exactly the two r-deep slabs; same
+    // increasing-k fold order and boundary semantics, so bit-identical —
+    // spec-gated in StencilKernelSpec). Other dtypes keep the
+    // interpreted per-cell path below (dtype preservation).
+    if (native && dtype == org.apache.spark.sql.types.DoubleType)
+      return stencilNd(weights,
+        Seq.tabulate(n)(d => if (d == axis) weights.length else 1), boundary)
     val r = weights.length / 2
     val shape = geom.chunkShape
     val shapeA = shape(axis)

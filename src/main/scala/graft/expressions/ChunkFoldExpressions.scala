@@ -174,8 +174,11 @@ object ChunkFolds {
       if (data.isNullAt(i)) return null
       val x = data.getDouble(i)
       val c = Math.rint(x * 100.0)
-      // squares need the tighter |c| <= 3e9 so c*c fits a long
-      if (big == null && c / 100.0 == x && c <= 3e9 && c >= -3e9) {
+      // squares need the tighter |c| <= 2.1e9: c*c <= 4.41e18, and a
+      // just-under-guard accumulator (PromoteCents = 4.5e18) plus one
+      // more square stays < Long.MaxValue (8.91e18 < 9.22e18) — a 3e9
+      // bound admitted 4.5e18 + 9e18, silently wrapping the long
+      if (big == null && c / 100.0 == x && c <= 2.1e9 && c >= -2.1e9) {
         val cl = c.toLong
         sq += cl * cl
         if (sq > PromoteCents) big = JBigDecimal.valueOf(sq, 4)
@@ -288,9 +291,11 @@ object ChunkFolds {
       val y = b.getDouble(i)
       val cx = Math.rint(x * 100.0)
       val cy = Math.rint(y * 100.0)
-      // |c| <= 3e9 keeps cx*cy within a long, like the square fold
+      // |c| <= 2.1e9 keeps |cx*cy| <= 4.41e18 so a just-under-guard
+      // accumulator (4.5e18) plus one product cannot wrap Long.MaxValue
+      // (see the square fold — 3e9 admitted a silent wrap)
       if (big == null && cx / 100.0 == x && cy / 100.0 == y &&
-          cx <= 3e9 && cx >= -3e9 && cy <= 3e9 && cy >= -3e9) {
+          cx <= 2.1e9 && cx >= -2.1e9 && cy <= 2.1e9 && cy >= -2.1e9) {
         u4 += cx.toLong * cy.toLong
         if (u4 > PromoteCents || u4 < -PromoteCents)
           big = JBigDecimal.valueOf(u4, 4)
@@ -330,8 +335,10 @@ object ChunkFolds {
     ExpressionUtils.column(ChunkArgExtreme(
       ExpressionUtils.expression(data), ExpressionUtils.expression(base),
       shape, gstrides, isMax))
-  def gatherStaticNative(data: Column, idxMap: Seq[Int]): Column =
-    ExpressionUtils.column(GatherStatic(ExpressionUtils.expression(data), idxMap))
+  def gatherAffineNative(data: Column, shape: Seq[Int], mult: Seq[Int],
+      add: Seq[Int], srcStrides: Seq[Int]): Column =
+    ExpressionUtils.column(GatherStatic(ExpressionUtils.expression(data),
+      shape, mult, add, srcStrides))
 }
 
 /** array<decimal(38,4)> block product of two flattened chunk payloads —
@@ -359,23 +366,52 @@ case class BlockMatmulDec(left: Expression, right: Expression,
 }
 
 /** Static per-chunk gather — the payload permutation of
-  * [[graft.arrays.ChunkedArray.flip]]/`transpose`: `out[i] =
-  * data[idxMap(i)]` for a geometry-derived CONSTANT index map (the
-  * Catalyst spelling evaluates the index arithmetic expression tree
-  * per cell inside an interpreted `transform`; here the map is
-  * computed once at plan time and the gather is one compiled loop per
-  * chunk). Null elements pass through as nulls, exactly like the
-  * `transform` read. Double payloads only — the Catalyst path remains
-  * for other dtypes (dtype preservation). Model-gated by the
-  * flip/transpose dense-model checks plus a null-equivalence spec. */
-case class GatherStatic(child: Expression, idxMap: Seq[Int])
+  * [[graft.arrays.ChunkedArray.flip]]/`transpose`: `out[k] =
+  * data[Σ_d (mult_d · coord_d(k) + add_d) · srcStride_d]` where
+  * `coord_d(k)` are k's row-major coordinates in `shape` — the affine
+  * index form that covers every geometry-constant gather the engine
+  * emits (transpose: identity mult/add, permuted strides; flip:
+  * mult=-1/add=S-1 on the mirrored axis). The Catalyst spelling
+  * evaluates the index arithmetic expression tree per cell inside an
+  * interpreted `transform`; here the gather is one compiled loop per
+  * chunk. The expression carries only the few-int spec — a literal
+  * chunkElems-length index map would serialize O(chunkElems) into the
+  * plan shipped to EVERY task (the repo's large-chunk posture); the
+  * map is materialized lazily once per deserialized instance instead.
+  * Null elements pass through as nulls, exactly like the `transform`
+  * read. Double payloads only — the Catalyst path remains for other
+  * dtypes (dtype preservation). Model-gated by the flip/transpose
+  * dense-model checks plus a null-equivalence spec. */
+case class GatherStatic(child: Expression, shape: Seq[Int],
+    mult: Seq[Int], add: Seq[Int], srcStrides: Seq[Int])
     extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def prettyName: String = "graft_gather_static"
 
-  private val mapA: Array[Int] = idxMap.toArray
+  @transient private lazy val mapA: Array[Int] = {
+    val dims = shape.length
+    val shapeA = shape.toArray
+    val multA = mult.toArray
+    val addA = add.toArray
+    val strA = srcStrides.toArray
+    val outStrides = shape.scanRight(1)(_ * _).tail.toArray
+    val n = shapeA.product
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      var s = 0
+      var d = 0
+      while (d < dims) {
+        s += (multA(d) * ((k / outStrides(d)) % shapeA(d)) + addA(d)) * strA(d)
+        d += 1
+      }
+      out(k) = s
+      k += 1
+    }
+    out
+  }
 
   def compute(dataAny: Any): ArrayData = {
     val arr = dataAny.asInstanceOf[ArrayData]
@@ -452,9 +488,14 @@ case class ChunkArgExtreme(data: Expression, base: Expression,
         }
         val gflat = b + local
         val k = if (isMax) -gflat else gflat
+        // Spark SQL double ordering (SQLOrderingUtil.compareDoubles):
+        // NaN is greater than everything and NaN == NaN, -0.0 == 0.0 —
+        // a raw Java '>' never selects NaN, diverging from the Catalyst
+        // fold (and numpy argmax) on NaN payloads.
+        val cmp = if (v == bv) 0 else java.lang.Double.compare(v, bv)
         val win =
-          if (isMax) v > bv || (v == bv && k > bk)
-          else v < bv || (v == bv && k < bk)
+          if (isMax) cmp > 0 || (cmp == 0 && k > bk)
+          else cmp < 0 || (cmp == 0 && k < bk)
         if (win) { bv = v; bk = k }
       }
       i += 1

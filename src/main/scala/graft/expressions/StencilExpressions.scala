@@ -176,6 +176,137 @@ case class StencilConvolve(
     copy(msgs = l, tpos = rr)
 }
 
+/** Native kernel for the (2N+1)-point Laplacian fold
+  * ([[graft.arrays.ChunkedArray.stencilLaplacian]]'s output projection).
+  *
+  * The Laplacian's fold is NOT a row-major dense-kernel fold —
+  * `2N·c − (((lo_0 + hi_0) + lo_1) + hi_1 ...)` associates differently
+  * from `Σ w_k·v_k`, so routing it through [[StencilConvolve]] with an
+  * embedded star kernel would change IEEE rounding against the oracle.
+  * This expression replays the Catalyst projection's exact read logic
+  * and fold association in one compiled JVM call per chunk:
+  *
+  *   - neighbor reads resolve in-chunk from the core, off-chunk from
+  *     the "l$d"/"h$d" face messages, zero at the global boundary
+  *     (the Laplacian is always zero-padded),
+  *   - an absent core is a zero chunk; an absent face message or null
+  *     face element reads 0.0 (the Catalyst coalesce); a null CORE
+  *     element poisons every output cell that reads it (center or
+  *     in-chunk neighbor — those reads have no coalesce),
+  *   - the neighbor sum seeds with lo_0 and adds left-to-right in
+  *     (lo_d, hi_d) axis order, then `center·2N − sum` — bit-for-bit
+  *     the `flatMap(Seq(lo, hi)).reduce(_ + _)` chain.
+  *
+  * Double payloads only — the Catalyst path remains for other dtypes
+  * (dtype preservation). Equivalence spec-gated in StencilKernelSpec.
+  */
+case class StencilLaplacianKernel(msgs: Expression, tpos: Expression,
+    shape: Seq[Int], chunksPerDim: Seq[Int])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = msgs
+  override def right: Expression = tpos
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "graft_stencil_laplacian"
+
+  private val n = shape.length
+  private val strides: Array[Int] = shape.scanRight(1)(_ * _).tail.toArray
+  private val lastPos: Array[Int] = chunksPerDim.map(_ - 1).toArray
+  private val elems: Int = shape.product
+  private val shapeA: Array[Int] = shape.toArray
+  // slabStr(d)(j): j's row-major stride inside the face slab of dim d
+  // (0 on j == d) — ChunkedArray.remWithSlabStrides' contract
+  private val slabStr: Array[Array[Int]] = Array.tabulate(n) { d =>
+    val rem = (0 until n).filterNot(_ == d)
+    val ss = rem.map(shapeA).scanRight(1)(_ * _).tail
+    val out = new Array[Int](n)
+    rem.zip(ss).foreach { case (j, s) => out(j) = s }
+    out
+  }
+
+  def compute(mAny: Any, tposAny: Any): ArrayData = {
+    val m = mAny.asInstanceOf[MapData]
+    val tp = tposAny.asInstanceOf[ArrayData]
+    val tpos = Array.tabulate(n)(tp.getInt)
+    var core: ArrayData = null
+    val faces = new java.util.HashMap[String, ArrayData]()
+    val keys = m.keyArray(); val vals = m.valueArray()
+    var i = 0
+    while (i < m.numElements()) {
+      val k = keys.getUTF8String(i).toString
+      if (k == "c") core = vals.getArray(i) else faces.put(k, vals.getArray(i))
+      i += 1
+    }
+    val out = new Array[Any](elems)
+    val coords = new Array[Int](n)
+    var idx = 0
+    while (idx < elems) {
+      var d = 0
+      while (d < n) { coords(d) = (idx / strides(d)) % shapeA(d); d += 1 }
+      var poisoned = false
+      var center = 0.0
+      if (core != null) {
+        if (core.isNullAt(idx)) poisoned = true else center = core.getDouble(idx)
+      }
+      var ns = 0.0
+      var started = false
+      d = 0
+      while (d < n && !poisoned) {
+        var slabI = 0
+        var j = 0
+        while (j < n) { slabI += coords(j) * slabStr(d)(j); j += 1 }
+        // in-chunk neighbor reads poison on null (no coalesce in the
+        // Catalyst spelling); face reads and global-edge pads are 0.0
+        var lo = 0.0
+        if (coords(d) > 0) {
+          if (core != null) {
+            val f = idx - strides(d)
+            if (core.isNullAt(f)) poisoned = true else lo = core.getDouble(f)
+          }
+        } else if (tpos(d) != 0) {
+          val strip = faces.get("l" + d)
+          if (strip != null && !strip.isNullAt(slabI)) lo = strip.getDouble(slabI)
+        }
+        var hi = 0.0
+        if (!poisoned) {
+          if (coords(d) < shapeA(d) - 1) {
+            if (core != null) {
+              val f = idx + strides(d)
+              if (core.isNullAt(f)) poisoned = true else hi = core.getDouble(f)
+            }
+          } else if (tpos(d) != lastPos(d)) {
+            val strip = faces.get("h" + d)
+            if (strip != null && !strip.isNullAt(slabI)) hi = strip.getDouble(slabI)
+          }
+        }
+        if (!poisoned) {
+          // same association as flatMap(Seq(lo, hi)).reduce(_ + _)
+          if (!started) { ns = lo; started = true } else ns += lo
+          ns += hi
+        }
+        d += 1
+      }
+      out(idx) =
+        if (poisoned) null
+        else java.lang.Double.valueOf(center * (2 * n) - ns)
+      idx += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(m: Any, t: Any): Any = compute(m, t)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stencilLap", this,
+      classOf[StencilLaplacianKernel].getName)
+    nullSafeCodeGen(ctx, ev, (m, t) =>
+      s"${ev.value} = $ref.compute($m, $t);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, rr: Expression): Expression =
+    copy(msgs = l, tpos = rr)
+}
+
 object StencilExpressions {
   def stencilConvolve(msgs: Column, tpos: Column, shape: Seq[Int],
       chunksPerDim: Seq[Int], kshape: Seq[Int], kernel: Seq[Double],
@@ -183,4 +314,10 @@ object StencilExpressions {
     ExpressionUtils.column(StencilConvolve(
       ExpressionUtils.expression(msgs), ExpressionUtils.expression(tpos),
       shape, chunksPerDim, kshape, kernel, reflect))
+
+  def stencilLaplacian(msgs: Column, tpos: Column, shape: Seq[Int],
+      chunksPerDim: Seq[Int]): Column =
+    ExpressionUtils.column(StencilLaplacianKernel(
+      ExpressionUtils.expression(msgs), ExpressionUtils.expression(tpos),
+      shape, chunksPerDim))
 }

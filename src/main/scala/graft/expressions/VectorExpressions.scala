@@ -91,12 +91,19 @@ case class PrefixSumDec(child: Expression)
   override def dataType: DataType = ArrayType(DecimalType(28, 2), containsNull = false)
   override def prettyName: String = "graft_prefix_sum_dec"
 
-  override def nullSafeEval(input: Any): Any =
+  // Entry point for generated code: a plain instance method avoids the
+  // static-forwarder name clash (the companion's eval(ArrayData) vs the
+  // inherited Expression.eval(InternalRow) suppresses the forwarder, so
+  // `PrefixSumDec.eval(...)` does NOT resolve from generated Java).
+  def compute(input: Any): ArrayData =
     PrefixSumDec.eval(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = org.apache.spark.sql.graftexpr.PrefixSumDec.eval($c);")
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("prefixSumDec", this, classOf[PrefixSumDec].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -335,30 +335,64 @@ object Dedup {
     * pairs ARE the answer, so the work is output-bound by definition;
     * every join is shuffle_hash pinned and all emitted numbers are
     * integers or exact set-ratio rationals. */
-  def ddSimhashEst(s: SparkSession, dir: String): DataFrame = {
-    val docs = simhashDocs(s, dir)
+  def ddSimhashEst(s: SparkSession, dir: String): DataFrame =
+    simhashCalibration(simhashDocs(s, dir))
+
+  /** Calibration core of [[ddSimhashEst]] over a (doc_id, sig, hs)
+    * relation — separated so the degenerate-corpus output bound is
+    * fixture-testable (DedupSpec). */
+  private[graft] def simhashCalibration(docs: DataFrame): DataFrame = {
     val mask = (1L << SimhashBandBits) - 1
-    val bands = docs.select(col("doc_id"), col("sig"),
+    // DEGENERATE-CORPUS BOUND (VERDICT r13 item 5): the band self-join
+    // runs on DISTINCT signatures (the dd_simhash wire posture), so join
+    // compute is O(distinct signatures) regardless of duplication; and
+    // hamming-0 identity groups — which would emit C(g,2) per-pair rows
+    // on a mass-duplicated corpus — collapse to ONE representative pair
+    // (the group's two smallest doc ids) carrying the pair multiplicity
+    // in `n_pairs`. Per-pair rows remain only for hamming >= 1, where
+    // the pairs are the calibration answer. Output is O(distinct
+    // signatures + cross-signature pairs), spec-asserted on the
+    // mass-duplicated fixture.
+    val sigs = docs.groupBy("sig").agg(count(lit(1)).as("g"))
+    val bands = sigs.select(col("sig"),
         explode(array((0 until SimhashBands).map(b =>
           struct(lit(b).as("band"),
             expr(s"(sig >> ${SimhashBandBits * b}) & $mask").as("bv"))): _*)).as("e"))
-      .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bv").as("bv"))
-    val pairs = bands.as("a")
+      .select(col("sig"), col("e.band").as("band"), col("e.bv").as("bv"))
+    val sigPairs = bands.as("a")
       .join(bands.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig") < col("b.sig"))
+      .select(col("a.sig").as("sa"), col("b.sig").as("sb"),
         expr("CAST(bit_count(a.sig ^ b.sig) AS BIGINT)").as("hamming"))
-      .filter(col("hamming") <= SimhashMaxHamming)
-      .distinct() // a pair may collide in several bands
-    val ha = docs.select(col("doc_id"), col("hs").as("hsa"))
-    val hb = docs.select(col("doc_id"), col("hs").as("hsb"))
-    pairs
-      .hint("shuffle_hash").join(ha, col("doc_a") === col("doc_id")).drop("doc_id")
-      .hint("shuffle_hash").join(hb, col("doc_b") === col("doc_id")).drop("doc_id")
-      .select(col("doc_a"), col("doc_b"), col("hamming"),
-        jaccard("hsa", "hsb").as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .filter(col("hamming").between(1, SimhashMaxHamming))
+      .distinct() // a signature pair may collide in several bands
+    val da = docs.select(col("sig").as("sa"), col("doc_id").as("ida"), col("hs").as("hsa"))
+    val db = docs.select(col("sig").as("sb"), col("doc_id").as("idb"), col("hs").as("hsb"))
+    val cross = sigPairs
+      .hint("shuffle_hash").join(da, "sa")
+      .hint("shuffle_hash").join(db, "sb")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"),
+        col("hamming"), jaccard("hsa", "hsb").as("jaccard"),
+        lit(1L).as("n_pairs"))
+    // hamming-0 representatives: the two smallest doc ids per signature
+    // group (row_number over a sig-partitioned window — never global)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sig").orderBy("doc_id")
+    val reps = docs.select(col("doc_id"), col("sig"), col("hs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("sig")
+      .agg(count(lit(1)).as("nr"),
+        min(col("doc_id")).as("doc_a"), max(col("doc_id")).as("doc_b"),
+        expr("min_by(hs, doc_id)").as("hsa"), expr("max_by(hs, doc_id)").as("hsb"))
+      .filter(col("nr") === 2)
+      .join(sigs.hint("shuffle_hash"), "sig")
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"),
+        jaccard("hsa", "hsb").as("jaccard"),
+        expr("g * (g - 1) div 2").as("n_pairs"))
+    cross.union(reps).orderBy("doc_a", "doc_b")
   }
 
   private[graft] def simhashHistogram(sigs: DataFrame): DataFrame = {
@@ -864,8 +898,11 @@ object Dedup {
          |  WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming)
          |SELECT hamming, COUNT(*) AS n_pairs FROM p
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // per-pair calibration: hamming distance next to the exact Jaccard
-    // over the same 60-bit token-hash sets the Spark side carries
+    // per-pair calibration for hamming >= 1 (hamming distance next to
+    // the exact Jaccard over the same 60-bit token-hash sets); hamming-0
+    // identity groups collapse to one representative pair (the two
+    // smallest doc ids) with n_pairs = C(g,2) — the Spark side's
+    // degenerate-corpus output bound, replayed here
     "dd_simhash_est" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($TOKENS) AS tk FROM documents
          |  WHERE len(trim(text)) > 0),
@@ -882,22 +919,47 @@ object Dedup {
          |    CAST(SUM(CASE WHEN sbit > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
          |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
          |  FROM sb GROUP BY 1),
+         |gr AS (SELECT sig, COUNT(*) AS g FROM sg GROUP BY 1),
          |bands AS (
-         |  SELECT doc_id, sig, b AS band,
+         |  SELECT sig, b AS band,
          |    (sig >> CAST($SimhashBandBits * b AS INT)) & ${(1L << SimhashBandBits) - 1} AS bv
-         |  FROM sg CROSS JOIN (SELECT unnest(range($SimhashBands)) AS b) bb),
-         |p AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  FROM gr CROSS JOIN (SELECT unnest(range($SimhashBands)) AS b) bb),
+         |sp AS (
+         |  SELECT DISTINCT a.sig AS sa, b.sig AS sb2,
          |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
          |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming)
-         |SELECT p.doc_a, p.doc_b, p.hamming,
-         |  CAST(len(list_intersect(ja.hs, jb.hs)) AS DOUBLE) /
-         |  CAST(len(list_distinct(list_concat(ja.hs, jb.hs))) AS DOUBLE) AS jaccard
-         |FROM p
-         |JOIN hsr ja ON ja.doc_id = p.doc_a
-         |JOIN hsr jb ON jb.doc_id = p.doc_b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.sig < b.sig
+         |  WHERE bit_count(xor(a.sig, b.sig)) BETWEEN 1 AND $SimhashMaxHamming),
+         |crossp AS (
+         |  SELECT least(x.doc_id, y.doc_id) AS doc_a,
+         |    greatest(x.doc_id, y.doc_id) AS doc_b, sp.hamming,
+         |    CAST(len(list_intersect(ja.hs, jb.hs)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(ja.hs, jb.hs))) AS DOUBLE) AS jaccard,
+         |    CAST(1 AS BIGINT) AS n_pairs
+         |  FROM sp
+         |  JOIN sg x ON x.sig = sp.sa
+         |  JOIN sg y ON y.sig = sp.sb2
+         |  JOIN hsr ja ON ja.doc_id = x.doc_id
+         |  JOIN hsr jb ON jb.doc_id = y.doc_id),
+         |reps AS (
+         |  SELECT sig, doc_id,
+         |    row_number() OVER (PARTITION BY sig ORDER BY doc_id) AS rn
+         |  FROM sg),
+         |r2 AS (
+         |  SELECT sig, MIN(doc_id) AS doc_a, MAX(doc_id) AS doc_b
+         |  FROM reps WHERE rn <= 2 GROUP BY 1 HAVING COUNT(*) = 2),
+         |zerop AS (
+         |  SELECT r2.doc_a, r2.doc_b, CAST(0 AS BIGINT) AS hamming,
+         |    CAST(len(list_intersect(ja.hs, jb.hs)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(ja.hs, jb.hs))) AS DOUBLE) AS jaccard,
+         |    CAST((gr.g * (gr.g - 1)) // 2 AS BIGINT) AS n_pairs
+         |  FROM r2
+         |  JOIN gr ON gr.sig = r2.sig
+         |  JOIN hsr ja ON ja.doc_id = r2.doc_a
+         |  JOIN hsr jb ON jb.doc_id = r2.doc_b)
+         |SELECT doc_a, doc_b, hamming, jaccard, n_pairs FROM crossp
+         |UNION ALL
+         |SELECT doc_a, doc_b, hamming, jaccard, n_pairs FROM zerop
          |ORDER BY 1, 2""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH ${lshCandCte(3)},

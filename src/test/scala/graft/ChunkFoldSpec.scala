@@ -194,6 +194,28 @@ class ChunkFoldSpec extends AnyFunSuite {
     assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
   }
 
+  test("near-guard accumulation cannot wrap the long fast path (sumsq/dot)") {
+    // 4 x 1e7-dollar elements leave the long accumulator at 4e18 (just
+    // under the 4.5e18 promotion guard, still on the fast path); the
+    // next element's square/product is ~8.41e18 — with the old 3e9-cent
+    // element guard the add wrapped Long.MaxValue and the corrupted
+    // value was silently promoted to BigDecimal. The 2.1e9 guard routes
+    // the big element through the exact slow path instead.
+    val base = Seq.fill(4)(java.lang.Double.valueOf(1e7))
+    val spike = java.lang.Double.valueOf(2.9e7)
+    val sq = Seq(base :+ spike).toDF("data")
+    val rSq = sq.select(ChunkFolds.chunkSumSqDecNative(col("data")).as("nat"),
+      hofSumSq(col("data")).as("hof")).head()
+    assert(rSq.getDecimal(0) == rSq.getDecimal(1), s"sumsq: $rSq")
+    assert(rSq.getDecimal(0).signum() > 0)
+    val dot = Seq((base :+ spike, base :+ spike)).toDF("a", "b")
+    val rDot = dot.select(
+      ChunkFolds.chunkDotDecNative(col("a"), col("b")).as("nat"),
+      hofDot(col("a"), col("b")).as("hof")).head()
+    assert(rDot.getDecimal(0) == rDot.getDecimal(1), s"dot: $rDot")
+    assert(rDot.getDecimal(0).signum() > 0)
+  }
+
   test("ChunkDotDec rejects mismatched payload lengths") {
     val df = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
     intercept[Exception] {
@@ -214,9 +236,13 @@ class ChunkFoldSpec extends AnyFunSuite {
       val cs = Seq.fill(rank)(1 + rnd.nextInt(4))
       val rows = cartesian(cpd).map { pos =>
         // tiny value set -> frequent ties (the tie-break is the point);
-        // occasional nulls; one case with an ALL-null chunk (seed path)
+        // occasional nulls; one case with an ALL-null chunk (seed path);
+        // one case mixing NaN payloads (Spark SQL ordering: NaN greatest,
+        // NaN == NaN — a raw Java '>' would diverge here)
         val data: Seq[java.lang.Double] = Seq.fill(cs.product)(
           if (caseNo == 3) null
+          else if (caseNo == 4 && rnd.nextInt(3) == 0)
+            java.lang.Double.valueOf(Double.NaN)
           else if (rnd.nextInt(10) == 0) null
           else java.lang.Double.valueOf(rnd.nextInt(4).toDouble))
         (0L, pos, data)
@@ -246,17 +272,34 @@ class ChunkFoldSpec extends AnyFunSuite {
     val rows: Seq[Seq[java.lang.Double]] = (0 until 20).map(_ =>
       Seq.fill(n)(if (rnd.nextInt(6) == 0) null
         else java.lang.Double.valueOf(rnd.nextGaussian() * 100)))
-    val idxMap = Seq.fill(n)(rnd.nextInt(n)) // arbitrary static map, dups fine
     val df = rows.toDF("data")
-    val hof = transform(sequence(lit(0), lit(n - 1)), k =>
-      element_at(col("data"),
-        idxMap.zipWithIndex.foldLeft(lit(0)) { case (acc, (m, i)) =>
-          when(k === i, lit(m)).otherwise(acc)
-        } + 1))
-    val diff = df.select(
-      ChunkFolds.gatherStaticNative(col("data"), idxMap).as("nat"), hof.as("ref"))
-      .filter(!(col("nat") <=> col("ref")))
-    assert(diff.count() == 0, diff.collect().take(2).mkString("; "))
+    // affine specs over a (4,6) output shape: transpose of a row-major
+    // (6,4) source, axis-1 mirror, and a stride-0 broadcast (dup
+    // sources) — the forms the engine's transpose/flip emit
+    val shape = Seq(4, 6)
+    val specs = Seq(
+      (Seq(1, 1), Seq(0, 0), Seq(1, 4)),  // transpose gather
+      (Seq(1, -1), Seq(0, 5), Seq(6, 1)), // flip axis 1
+      (Seq(1, 1), Seq(0, 0), Seq(0, 1)))  // row broadcast (dup reads)
+    for ((mult, add, srcStr) <- specs) {
+      val outStrides = shape.scanRight(1)(_ * _).tail
+      val idxMap = (0 until n).map { k =>
+        shape.indices.map(d =>
+          (mult(d) * ((k / outStrides(d)) % shape(d)) + add(d)) * srcStr(d)).sum
+      }
+      assert(idxMap.forall(i => i >= 0 && i < n))
+      val hof = transform(sequence(lit(0), lit(n - 1)), k =>
+        element_at(col("data"),
+          idxMap.zipWithIndex.foldLeft(lit(0)) { case (acc, (m, i)) =>
+            when(k === i, lit(m)).otherwise(acc)
+          } + 1))
+      val diff = df.select(
+        ChunkFolds.gatherAffineNative(col("data"), shape, mult, add, srcStr).as("nat"),
+        hof.as("ref"))
+        .filter(!(col("nat") <=> col("ref")))
+      assert(diff.count() == 0,
+        s"spec ($mult,$add,$srcStr): " + diff.collect().take(2).mkString("; "))
+    }
   }
 
   test("folds run on the real events corpus identically (sf0.001)") {

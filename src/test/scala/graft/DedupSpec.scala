@@ -191,6 +191,41 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L) == 26L * 3) // cross product of the two near groups
   }
 
+  test("simhashCalibration output is O(distinct signatures) on a mass-duplicated corpus") {
+    import org.apache.spark.sql.functions._
+    // 30-deep identity group at sig 5, a second group at sig 4
+    // (hamming 1 — shares 3 of 4 bands), two far-apart loners; token
+    // sets vary WITHIN the sig-5 group so the representative's jaccard
+    // is a genuine content measurement, not a degenerate 1.0
+    val docs = (
+      (0L until 30L).map(i => (i, 5L, (1L to 10L) :+ (100L + i % 3))) ++
+        (30L until 34L).map(i => (i, 4L, (1L to 10L): Seq[Long])) ++
+        Seq((40L, 1L << 40, Seq(77L, 88L)), (41L, (1L << 40) + 96, Seq(99L))))
+      .toDF("doc_id", "sig", "hs")
+    val out = Dedup.simhashCalibration(docs)
+      .select("doc_a", "doc_b", "hamming", "jaccard", "n_pairs")
+      .as[(Long, Long, Long, Double, Long)].collect()
+    val zero = out.filter(_._3 == 0L)
+    // ONE representative row per identity group, carrying C(g,2)
+    assert(zero.length == 2, zero.mkString("; "))
+    val bySig = zero.map(r => (r._1, r._2)).toSet
+    assert(bySig == Set((0L, 1L), (30L, 31L))) // two smallest ids each
+    assert(zero.map(_._5).sorted.toSeq == Seq(4L * 3 / 2, 30L * 29 / 2))
+    // rep pair (0, 1) has hs {1..10, 0} vs {1..10, 1}: jaccard 10/12
+    assert(zero.find(_._1 == 0L).get._4 == 10.0 / 12.0)
+    // cross-signature pairs stay per-pair with multiplicity 1:
+    // 30 x 4 doc pairs at hamming 1, nothing for the loner pair
+    // (hamming(2^40, 2^40 + 96) = bit_count(96) = 2, but they agree on
+    // NO band: 96 flips bits 5-6, both in band 0... they agree on bands
+    // 1-3, so they DO collide; assert what the band math actually gives
+    val h1 = out.filter(_._3 == 1L)
+    assert(h1.length == 30 * 4)
+    assert(h1.forall(_._5 == 1L))
+    // total pair mass is conserved vs the naive per-pair expansion
+    assert(out.map(_._5).sum == 30L * 29 / 2 + 4L * 3 / 2 + 30 * 4 +
+      out.filter(r => r._3 >= 2).length)
+  }
+
   test("dd_cluster plan has no broadcast of the corpus signature relation") {
     val plan = Dedup.ddCluster(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

@@ -56,17 +56,50 @@ class StencilKernelSpec extends AnyFunSuite {
       val tag = s"case $caseNo rank=$rank boundary=$boundary"
       val nat = rowsOf(arr.stencilNd(kernel, kshape, boundary))
       val cat = rowsOf(arr.stencilNd(kernel, kshape, boundary, native = false))
-      assert(nat.keySet == cat.keySet, tag)
-      for ((k, cv) <- cat) {
-        val nv = nat(k)
-        assert((nv, cv) match {
-          case (None, None) => true
-          case (Some(x), Some(y)) =>
-            java.lang.Double.doubleToRawLongBits(x) ==
-              java.lang.Double.doubleToRawLongBits(y)
-          case _ => false
-        }, s"$tag at $k: native=$nv catalyst=$cv")
-      }
+      assertBitIdentical(nat, cat, tag)
+    }
+  }
+
+  private def assertBitIdentical(nat: Map[Seq[Long], Option[Double]],
+      cat: Map[Seq[Long], Option[Double]], tag: String): Unit = {
+    assert(nat.keySet == cat.keySet, tag)
+    for ((k, cv) <- cat) {
+      val nv = nat(k)
+      assert((nv, cv) match {
+        case (None, None) => true
+        case (Some(x), Some(y)) =>
+          java.lang.Double.doubleToRawLongBits(x) ==
+            java.lang.Double.doubleToRawLongBits(y)
+        case _ => false
+      }, s"$tag at $k: native=$nv catalyst=$cv")
+    }
+  }
+
+  test("stencilAxis routed through StencilConvolve == interpreted axis fold") {
+    val rnd = new scala.util.Random(41927L)
+    for (caseNo <- 0 until 8) {
+      val rank = 1 + rnd.nextInt(3)
+      val arr = chunkedRandom(rnd, rank, withNulls = caseNo % 3 == 0)
+      val axis = rnd.nextInt(rank)
+      // random full-precision weights so products genuinely round
+      val weights = Seq.fill(3)(rnd.nextGaussian())
+      val boundary = if (caseNo % 2 == 0) "zero" else "reflect"
+      val tag = s"case $caseNo rank=$rank axis=$axis boundary=$boundary"
+      val nat = rowsOf(arr.stencilAxis(axis, weights, boundary))
+      val cat = rowsOf(arr.stencilAxis(axis, weights, boundary, native = false))
+      assertBitIdentical(nat, cat, tag)
+    }
+  }
+
+  test("native StencilLaplacianKernel == interpreted Laplacian fold") {
+    val rnd = new scala.util.Random(77113L)
+    for (caseNo <- 0 until 8) {
+      val rank = 1 + rnd.nextInt(3)
+      val arr = chunkedRandom(rnd, rank, withNulls = caseNo % 3 == 0)
+      val tag = s"case $caseNo rank=$rank"
+      val nat = rowsOf(arr.stencilLaplacian())
+      val cat = rowsOf(arr.stencilLaplacian(native = false))
+      assertBitIdentical(nat, cat, tag)
     }
   }
 }
