@@ -395,6 +395,54 @@ object Dedup {
     cross.union(reps).orderBy("doc_a", "doc_b")
   }
 
+  /** Word-k-gram size for [[ddSpanFrac]] — the 8-10 word window Lee et
+    * al. use; long enough that a shared gram means a genuinely repeated
+    * span, short enough that boilerplate sentences register. */
+  val SpanGramN = 8
+
+  /** Cross-document duplicated-SPAN statistics — the public Lee et al.
+    * 2022 finding ("Deduplicating Training Data Makes Language Models
+    * Better"): document-level dedup misses text repeated WITHIN
+    * otherwise-distinct documents (boilerplate, licenses, quoted spans).
+    * Per document: the fraction of its distinct word [[SpanGramN]]-grams
+    * that occur in ANY other document — the doc-granular curation
+    * signal ("how much of this document is corpus-repeated text?").
+    *
+    * Scale posture: gram extraction is one native codegen'd pass
+    * (HashWordNgrams — distinct 60-bit gram hashes per doc, never gram
+    * strings); the occurrence count groups BY GRAM HASH, so the shuffle
+    * carries O(distinct grams) keys with map-side combine (each doc
+    * contributes a gram once), and the count join back is hash-keyed on
+    * the same gram column — the [[ddCrossSource]] wire posture at doc
+    * granularity. No pair relation ever exists, so a mass-duplicated
+    * corpus costs O(total grams) scan, never O(n²). */
+  def ddSpanFrac(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        // distinct-by-hash, matching the oracle's list_distinct over
+        // the hashed grams (HashWordNgrams dedups by gram string)
+        array_distinct(org.apache.spark.sql.graftexpr.TextExpressions
+          .hashWordNgrams(col("text"), SpanGramN)).as("hs"))
+    val e = docs.select(col("doc_id"), explode(col("hs")).as("g"))
+    val gcnt = e.groupBy("g").agg(count(lit(1)).as("n"))
+    val perDoc = e.hint("shuffle_hash").join(gcnt, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    // left join back so sub-k-gram docs (no spans) still report, with a
+    // NULL fraction — the oracle replays the same shape
+    docs.select(col("doc_id"))
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_dup").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def simhashHistogram(sigs: DataFrame): DataFrame = {
     val mask = (1L << SimhashBandBits) - 1
     val groups = sigs
@@ -961,6 +1009,29 @@ object Dedup {
          |UNION ALL
          |SELECT doc_a, doc_b, hamming, jaccard, n_pairs FROM zerop
          |ORDER BY 1, 2""".stripMargin,
+    // duplicated-span fraction: per-doc share of distinct word 8-grams
+    // seen in any other doc; counts are integers, the fraction an exact
+    // small rational, NULL for sub-8-token docs — all cross-engine-safe
+    "dd_span_frac" ->
+      s"""WITH t AS (SELECT doc_id, $TOKENS AS tk FROM documents
+         |  WHERE len(trim(text)) > 0),
+         |d0 AS (SELECT doc_id, ${shSql(SpanGramN)} AS ss FROM t),
+         |d AS (SELECT doc_id,
+         |  list_distinct(list_transform(ss, x -> ${H60.format("x")})) AS hs FROM d0),
+         |e AS (SELECT doc_id, unnest(hs) AS g FROM d),
+         |gc AS (SELECT g, COUNT(*) AS n FROM e GROUP BY 1),
+         |pd AS (
+         |  SELECT doc_id, COUNT(*) AS n_grams,
+         |    CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM e JOIN gc USING (g) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(pd.n_grams, 0) AS n_grams,
+         |  coalesce(pd.n_dup, 0) AS n_dup,
+         |  CASE WHEN coalesce(pd.n_grams, 0) > 0
+         |    THEN CAST(pd.n_dup AS DOUBLE) / CAST(pd.n_grams AS DOUBLE)
+         |  END AS dup_frac
+         |FROM d LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH ${lshCandCte(3)},
          |p AS (
@@ -1017,6 +1088,7 @@ object Dedup {
     "dd_simhash" -> (ddSimhash _),
     "dd_simhash_est" -> (ddSimhashEst _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_span_frac" -> (ddSpanFrac _),
     "dd_embed_near" -> (ddEmbedNear _),
     "dd_embed_cluster" -> (ddEmbedCluster _),
     "dd_semantic_keep_one" -> (ddSemanticKeepOne _),

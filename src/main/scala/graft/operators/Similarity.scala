@@ -366,10 +366,14 @@ object Similarity {
   }
 
   /** The PQ encode/ADC-score/top-k plan shared by the fixed-codebook
-    * [[simPqAnn]] and the k-means-trained [[simPqTrained]] — only the
-    * codebook literals differ. */
+    * [[simPqAnn]], the k-means-trained [[simPqTrained]] and the
+    * IVF-routed [[simIvfpqAnn]] — only the codebook literals (and, for
+    * IVF-PQ, a `cluster` routing column on `e`) differ. With
+    * `routeCluster` the candidate join adds `cluster === pc`, so a probe
+    * ADC-scores only its own inverted list. */
   private def pqSearch(e: DataFrame,
-      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): DataFrame = {
+      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      routeCluster: Boolean = false): DataFrame = {
     // |c|^2 with the same sequential fold order as the dot expressions
     // (and the oracle's list_reduce), so argmin ties break identically
     val cn2 = codebook.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
@@ -386,7 +390,8 @@ object Similarity {
           lit(j).as("cid"))
       }: _*)).getField("cid").as(s"code$m")
     }
-    val enc0 = e.select(col("vec_id") +: codeCols: _*)
+    val routeCols = if (routeCluster) Seq(col("cluster")) else Seq.empty
+    val enc0 = e.select(col("vec_id") +: routeCols ++: codeCols: _*)
     // reconstructed squared norm of the quantized candidate
     val rn2 = (0 until NumSubspaces)
       .map(m => element_at(typedLit(cn2(m).toSeq), col(s"code$m") + 1))
@@ -395,6 +400,7 @@ object Similarity {
     val probes = e.filter(col("vec_id") < 5)
       .withColumn("pn2", norm2(col("emb")))
       .select(Seq(col("vec_id").as("probe_id"), col("pn2")) ++
+        (if (routeCluster) Seq(col("cluster").as("pc")) else Seq.empty) ++
         (0 until NumSubspaces).map { m =>
           array((0 until NumCodes).map(j =>
             dot(subv(col("emb"), m), typedLit(codebook(m)(j)))): _*).as(s"ptab$m")
@@ -402,11 +408,61 @@ object Similarity {
     val approxIp = (0 until NumSubspaces)
       .map(m => element_at(col(s"ptab$m"), col(s"code$m") + 1))
       .reduce(_ + _)
-    val scored = enc.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+    val joinCond =
+      if (routeCluster) col("cluster") === col("pc") && col("vec_id") =!= col("probe_id")
+      else col("vec_id") =!= col("probe_id")
+    val scored = enc.join(broadcast(probes), joinCond)
       .select(col("probe_id"), col("vec_id"),
         (approxIp / sqrt(col("pn2") * col("rn2"))).as("cos"))
     rankTopK(scored, 5).withColumnRenamed("cos", "approx_cos")
   }
+
+  /** IVF-PQ (the FAISS IVFADC composition — Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the coarse
+    * quantizer of [[simIvfAnn]] routes every vector (and probe) to an
+    * inverted list, and [[simPqAnn]]'s PQ codes + per-probe ADC tables
+    * score candidates WITHIN the probe's list — the standard production
+    * posture at 100 TB, where the IVF cut bounds how many candidates are
+    * touched and the PQ codes bound the bytes per candidate (M one-byte
+    * codes instead of Dim doubles; the scan never reads full candidate
+    * vectors). Both components keep their fixed deterministic model
+    * artifacts (first-[[NumCentroids]] centroids, first-[[NumCodes]]
+    * codebook slices), so the whole composition replays in the oracle;
+    * the trained variants would slot in exactly as [[simIvfTrained]]/
+    * [[simPqTrained]] do, without changing this plan shape. */
+  def simIvfpqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("n2", norm2(col("emb")))
+    val centroids = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id"), col("emb"), col("n2"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val distStructs = centroids.map { r =>
+      val cemb = r.getSeq[Double](1)
+      struct(
+        (col("n2") - lit(2.0) * dot(col("emb"), typedLit(cemb)) + lit(r.getDouble(2))).as("d2"),
+        lit(r.getLong(0)).as("cid"))
+    }
+    val assigned = e
+      .withColumn("cluster",
+        array_min(array(distStructs.toIndexedSeq: _*)).getField("cid"))
+      .select(col("vec_id"), col("emb"), col("cluster"))
+    val codeVecs = e.filter(col("vec_id") < NumCodes)
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toIndexedSeq)
+    val codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      (0 until NumSubspaces).map(m => (0 until NumCodes).map(j =>
+        codeVecs(j).slice(m * SubDim, (m + 1) * SubDim)))
+    pqSearch(assigned, codebook, routeCluster = true)
+  }
+
+  /** Recall@5 of the composed IVF-PQ index — it stacks BOTH error
+    * sources (list routing misses + quantization error), so its recall
+    * sits at or below each component's; the same shared harness measures
+    * it against the exact ground truth. */
+  def simIvfpqRecall(s: SparkSession, dir: String): DataFrame =
+    annRecall(simIvfpqAnn(s, dir), s, dir)
 
   /** PQ iterations for [[simPqTrained]] — few on purpose: the fit must
     * be deterministic and cheap, and two Lloyd's rounds already separate
@@ -735,6 +791,8 @@ object Similarity {
     "sim_ivf_ann" -> ivfOracle,
     "sim_ivf_recall" -> recallOracleSql(ivfOracle),
     "sim_pq_recall" -> recallOracleSql(pqOracle),
+    "sim_ivfpq_ann" -> ivfpqOracle,
+    "sim_ivfpq_recall" -> recallOracleSql(ivfpqOracle),
     "sim_lsh_ann" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
@@ -785,6 +843,8 @@ object Similarity {
     "sim_ivf_trained" -> (simIvfTrained _),
     "sim_pq_ann" -> (simPqAnn _),
     "sim_pq_trained" -> (simPqTrained _),
+    "sim_ivfpq_ann" -> (simIvfpqAnn _),
+    "sim_ivfpq_recall" -> (simIvfpqRecall _),
     "emb_label_centroids" -> (embLabelCentroids _),
     "emb_label_assign" -> (embLabelAssign _),
   )
@@ -833,9 +893,18 @@ object Similarity {
     pqOracleSql(s"cb AS (SELECT * FROM (VALUES\n    $rows) AS t(j, cemb))")
   }
 
+  // lazy: referenced from `oracles`, which is initialized earlier in the file
+  /** [[pqOracleSql]] with IVF routing — the oracle twin of
+    * [[simIvfpqAnn]]'s composition. */
+  private lazy val ivfpqOracle: String = pqOracleSql(
+    s"cb AS (SELECT vec_id AS j, embedding AS cemb FROM e WHERE vec_id < $NumCodes)",
+    routed = true)
+
   /** The PQ search oracle over an arbitrary codebook CTE (`cb(j, cemb)`
-    * with cemb [[Dim]]-wide; sub-slicing happens in the SQL). */
-  private def pqOracleSql(cbCte: String): String = {
+    * with cemb [[Dim]]-wide; sub-slicing happens in the SQL). With
+    * `routed`, the [[ivfOracle]] coarse-assignment CTEs are added and
+    * the score join keeps a probe inside its own inverted list. */
+  private def pqOracleSql(cbCte: String, routed: Boolean = false): String = {
     def sl(c: String, m: Int) = s"$c[${m * SubDim + 1}:${(m + 1) * SubDim}]"
     // per-subspace encode CTEs: distances to all codewords, then the
     // (d2, j)-lexicographic argmin — mirrors the Spark struct array_min
@@ -862,9 +931,43 @@ object Similarity {
       .map(m => Dedup.dotSql(sl("p.pe", m), sl(s"cb$m.cemb", m))).mkString(" + ")
     val cbJoins = (0 until NumSubspaces)
       .map(m => s"JOIN cb cb$m ON cb$m.j = r2.code$m").mkString(" ")
+    // coarse-assignment CTEs (the ivfOracle shapes) when IVF-routed:
+    // d2 = ((n2 - 2<x,c>) + cn2), ties to the lower centroid id
+    val routeCtes = if (!routed) "" else {
+      val n2 = Dedup.dotSql("embedding", "embedding")
+      s""",
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS cemb2, $n2 AS cn2 FROM e
+         |  WHERE vec_id < $NumCentroids),
+         |dd AS (
+         |  SELECT e.vec_id, cent.cid,
+         |    $n2 - 2.0 * ${Dedup.dotSql("e.embedding", "cent.cemb2")} + cent.cn2 AS d2
+         |  FROM e CROSS JOIN cent),
+         |asg AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM dd) t WHERE rn = 1)""".stripMargin
+    }
+    val pCte =
+      if (routed)
+        s"""p AS (
+           |  SELECT e.vec_id AS probe_id, embedding AS pe,
+           |    ${Dedup.dotSql("embedding", "embedding")} AS pn2, asg.cluster AS pc
+           |  FROM e JOIN asg USING (vec_id) WHERE e.vec_id < 5)""".stripMargin
+      else
+        s"""p AS (
+           |  SELECT vec_id AS probe_id, embedding AS pe,
+           |    ${Dedup.dotSql("embedding", "embedding")} AS pn2
+           |  FROM e WHERE vec_id < 5)""".stripMargin
+    val scFrom =
+      if (routed)
+        s"FROM r2 JOIN asg USING (vec_id) JOIN p ON asg.cluster = p.pc AND r2.vec_id != p.probe_id $cbJoins"
+      else
+        s"FROM r2 JOIN p ON r2.vec_id != p.probe_id $cbJoins"
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |$cbCte,
-       |$encCtes,
+       |$encCtes$routeCtes,
        |enc AS (
        |  SELECT vec_id, ${(0 until NumSubspaces).map(m => s"code$m").mkString(", ")}
        |  FROM a0 $encJoin),
@@ -872,14 +975,11 @@ object Similarity {
        |  SELECT enc.vec_id, ($rn2) AS rn2,
        |    ${(0 until NumSubspaces).map(m => s"enc.code$m").mkString(", ")}
        |  FROM enc $rn2Joins),
-       |p AS (
-       |  SELECT vec_id AS probe_id, embedding AS pe,
-       |    ${Dedup.dotSql("embedding", "embedding")} AS pn2
-       |  FROM e WHERE vec_id < 5),
+       |$pCte,
        |sc AS (
        |  SELECT probe_id, r2.vec_id,
        |    ($ip) / sqrt(p.pn2 * r2.rn2) AS approx_cos
-       |  FROM r2 JOIN p ON r2.vec_id != p.probe_id $cbJoins),
+       |  $scFrom),
        |r AS (
        |  SELECT probe_id, vec_id, approx_cos,
        |    ROW_NUMBER() OVER (PARTITION BY probe_id

@@ -36,6 +36,11 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_ivf_trained" -> Set("embeddings"),
     "sim_pq_ann" -> Set("embeddings"),
     "sim_pq_trained" -> Set("embeddings"),
+    // the IVFADC composition of the two: the same <= 5 probe broadcast
+    // (now carrying ADC tables + the probe's list id); the recall
+    // compare join stays pinned shuffle_hash
+    "sim_ivfpq_ann" -> Set("embeddings"),
+    "sim_ivfpq_recall" -> Set("embeddings"),
     // benchmark gram set: small by definition (documented in Pipeline)
     "txt_contamination" -> Set("documents"),
     // three 1-row stage-count aggregates cross-joined into the summary

@@ -889,4 +889,66 @@ class StreamingSpec extends AnyFunSuite {
       (Timestamp.valueOf("2024-01-01 00:00:00"), 2L),
       (Timestamp.valueOf("2024-01-02 00:00:00"), 1L)))
   }
+
+  test("slidingActives == the batch ev_wau/ev_stickiness expansion on a shared fixture") {
+    // ev_wau / ev_stickiness and StreamingFeatures.slidingActives share
+    // one definition — distinct actives per trailing window — but until
+    // this spec no gate tied them together (the HaloStencil /
+    // StreamingNearDedup incremental-equals-batch loop, closed here):
+    // batch wday w covers days [w-6, w], i.e. the sliding window with
+    // win_start = w - 6; ev_stickiness's DAU numerator is the 1-day
+    // window face of the same expansion.
+    import graft.streaming.StreamingFeatures
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(8311L)
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = (0 until 200).map { _ =>
+      val ms = base + rnd.nextInt(20) * 86400000L + rnd.nextInt(86400000)
+      (new Timestamp(ms), rnd.nextInt(12).toLong)
+    }
+    def run(name: String, windowLen: String): Map[Timestamp, Long] = {
+      val in = MemoryStream[(Timestamp, Long)]
+      val q = StreamingFeatures.slidingActives(in.toDF().toDF("ts", "user_id"),
+          delay = "1 hour", windowLen = windowLen, slide = "1 day")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      // one batch: arbitrary internal order, nothing late vs the
+      // initial watermark; then a far-future sentinel closes all windows
+      in.addData(rows)
+      q.processAllAvailable()
+      in.addData((new Timestamp(base + 365L * 86400000L), 999L))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+        .filter(col("win_start") < new Timestamp(base + 40L * 86400000L))
+        .select("win_start", "active_users")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    }
+    val wau = run("wau_eq", "7 days")
+    val dau = run("dau_eq", "1 day")
+    // the batch expansion (ev_wau's du -> explode -> distinct -> count,
+    // minus its active-day filter: streaming emits EVERY window with
+    // >= 1 active user) on the same fixture
+    val du = rows.toDF("ts", "user_id")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val wantWau = du
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"),
+        col("user_id"))
+      .distinct().groupBy("wday").agg(count(lit(1)).as("wau"))
+      .collect().map { r =>
+        val start = r.getDate(0).toLocalDate.minusDays(6).atStartOfDay()
+        Timestamp.valueOf(start) -> r.getLong(1)
+      }.toMap
+    val wantDau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      .collect().map { r =>
+        Timestamp.valueOf(r.getDate(0).toLocalDate.atStartOfDay()) -> r.getLong(1)
+      }.toMap
+    assert(wau == wantWau)
+    assert(dau == wantDau)
+    // and the batch ev_wau itself is the active-day-filtered subset:
+    // every (active day d, wau) pair appears as the window starting d-6
+    val activeDays = du.select("day").distinct().collect()
+      .map(r => Timestamp.valueOf(r.getDate(0).toLocalDate.minusDays(6).atStartOfDay()))
+    assert(activeDays.forall(wau.contains))
+  }
 }
