@@ -377,18 +377,28 @@ object Dedup {
         col("hamming"), jaccard("hsa", "hsb").as("jaccard"),
         lit(1L).as("n_pairs"))
     // hamming-0 representatives: the two smallest doc ids per signature
-    // group (row_number over a sig-partitioned window — never global)
+    // group (row_number over a sig-partitioned window — never global).
+    // The window runs on (doc_id, sig) ONLY — dragging the hs token-hash
+    // arrays through the window's exchange+sort costs more than the rest
+    // of the query (bench-measured); the two rep docs' hs join back
+    // doc-keyed afterwards, O(groups) array rows on the wire.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("sig").orderBy("doc_id")
-    val reps = docs.select(col("doc_id"), col("sig"), col("hs"))
+    val reps0 = docs.select(col("doc_id"), col("sig"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
       .groupBy("sig")
       .agg(count(lit(1)).as("nr"),
-        min(col("doc_id")).as("doc_a"), max(col("doc_id")).as("doc_b"),
-        expr("min_by(hs, doc_id)").as("hsa"), expr("max_by(hs, doc_id)").as("hsb"))
+        min(col("doc_id")).as("doc_a"), max(col("doc_id")).as("doc_b"))
       .filter(col("nr") === 2)
       .join(sigs.hint("shuffle_hash"), "sig")
+    val reps = reps0
+      .hint("shuffle_hash")
+      .join(docs.select(col("doc_id").as("ra"), col("hs").as("hsa")),
+        col("doc_a") === col("ra"))
+      .hint("shuffle_hash")
+      .join(docs.select(col("doc_id").as("rb"), col("hs").as("hsb")),
+        col("doc_b") === col("rb"))
       .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"),
         jaccard("hsa", "hsb").as("jaccard"),
         expr("g * (g - 1) div 2").as("n_pairs"))

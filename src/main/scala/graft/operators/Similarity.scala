@@ -434,11 +434,13 @@ object Similarity {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("n2", norm2(col("emb")))
-    val centroids = e.filter(col("vec_id") < NumCentroids)
+    // ONE model-collect scan serves both components (the centroid and
+    // codebook artifacts both come from the first max(k, codes) vectors)
+    val model = e.filter(col("vec_id") < math.max(NumCentroids, NumCodes))
       .select(col("vec_id"), col("emb"), col("n2"))
       .collect()
       .sortBy(_.getLong(0))
-    val distStructs = centroids.map { r =>
+    val distStructs = model.take(NumCentroids).map { r =>
       val cemb = r.getSeq[Double](1)
       struct(
         (col("n2") - lit(2.0) * dot(col("emb"), typedLit(cemb)) + lit(r.getDouble(2))).as("d2"),
@@ -448,9 +450,7 @@ object Similarity {
       .withColumn("cluster",
         array_min(array(distStructs.toIndexedSeq: _*)).getField("cid"))
       .select(col("vec_id"), col("emb"), col("cluster"))
-    val codeVecs = e.filter(col("vec_id") < NumCodes)
-      .collect().sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1).toIndexedSeq)
+    val codeVecs = model.take(NumCodes).map(_.getSeq[Double](1).toIndexedSeq)
     val codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
       (0 until NumSubspaces).map(m => (0 until NumCodes).map(j =>
         codeVecs(j).slice(m * SubDim, (m + 1) * SubDim)))
