@@ -366,14 +366,12 @@ object Similarity {
   }
 
   /** The PQ encode/ADC-score/top-k plan shared by the fixed-codebook
-    * [[simPqAnn]], the k-means-trained [[simPqTrained]] and the
-    * IVF-routed [[simIvfpqAnn]] — only the codebook literals (and, for
-    * IVF-PQ, a `cluster` routing column on `e`) differ. With
-    * `routeCluster` the candidate join adds `cluster === pc`, so a probe
-    * ADC-scores only its own inverted list. */
+    * [[simPqAnn]] and the k-means-trained [[simPqTrained]] — only the
+    * codebook literals differ. ([[simIvfpqAnn]] has its own search:
+    * residual encoding makes both its encode and its score math
+    * cluster-dependent.) */
   private def pqSearch(e: DataFrame,
-      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
-      routeCluster: Boolean = false): DataFrame = {
+      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): DataFrame = {
     // |c|^2 with the same sequential fold order as the dot expressions
     // (and the oracle's list_reduce), so argmin ties break identically
     val cn2 = codebook.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
@@ -390,8 +388,7 @@ object Similarity {
           lit(j).as("cid"))
       }: _*)).getField("cid").as(s"code$m")
     }
-    val routeCols = if (routeCluster) Seq(col("cluster")) else Seq.empty
-    val enc0 = e.select(col("vec_id") +: routeCols ++: codeCols: _*)
+    val enc0 = e.select(col("vec_id") +: codeCols: _*)
     // reconstructed squared norm of the quantized candidate
     val rn2 = (0 until NumSubspaces)
       .map(m => element_at(typedLit(cn2(m).toSeq), col(s"code$m") + 1))
@@ -400,7 +397,6 @@ object Similarity {
     val probes = e.filter(col("vec_id") < 5)
       .withColumn("pn2", norm2(col("emb")))
       .select(Seq(col("vec_id").as("probe_id"), col("pn2")) ++
-        (if (routeCluster) Seq(col("cluster").as("pc")) else Seq.empty) ++
         (0 until NumSubspaces).map { m =>
           array((0 until NumCodes).map(j =>
             dot(subv(col("emb"), m), typedLit(codebook(m)(j)))): _*).as(s"ptab$m")
@@ -408,28 +404,31 @@ object Similarity {
     val approxIp = (0 until NumSubspaces)
       .map(m => element_at(col(s"ptab$m"), col(s"code$m") + 1))
       .reduce(_ + _)
-    val joinCond =
-      if (routeCluster) col("cluster") === col("pc") && col("vec_id") =!= col("probe_id")
-      else col("vec_id") =!= col("probe_id")
-    val scored = enc.join(broadcast(probes), joinCond)
+    val scored = enc.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         (approxIp / sqrt(col("pn2") * col("rn2"))).as("cos"))
     rankTopK(scored, 5).withColumnRenamed("cos", "approx_cos")
   }
 
   /** IVF-PQ (the FAISS IVFADC composition — Jégou et al., "Product
-    * Quantization for Nearest Neighbor Search", TPAMI 2011): the coarse
-    * quantizer of [[simIvfAnn]] routes every vector (and probe) to an
-    * inverted list, and [[simPqAnn]]'s PQ codes + per-probe ADC tables
-    * score candidates WITHIN the probe's list — the standard production
-    * posture at 100 TB, where the IVF cut bounds how many candidates are
-    * touched and the PQ codes bound the bytes per candidate (M one-byte
-    * codes instead of Dim doubles; the scan never reads full candidate
-    * vectors). Both components keep their fixed deterministic model
-    * artifacts (first-[[NumCentroids]] centroids, first-[[NumCodes]]
-    * codebook slices), so the whole composition replays in the oracle;
-    * the trained variants would slot in exactly as [[simIvfTrained]]/
-    * [[simPqTrained]] do, without changing this plan shape. */
+    * Quantization for Nearest Neighbor Search", TPAMI 2011, §IV): the
+    * coarse quantizer of [[simIvfAnn]] routes every vector (and probe)
+    * to an inverted list, and the RESIDUAL x − c(x) — not the raw
+    * vector — is PQ-encoded, the paper's key refinement (residuals have
+    * far less energy than raw vectors, so the same code budget carries
+    * more precision). ADC scoring reconstructs c + r̂: the probe-side
+    * tables are the [[simPqAnn]] codeword dots plus one ⟨q, c⟩ term,
+    * and the candidate norm is |c + r̂|² from a (cluster, code) lookup
+    * — both cluster-dependent, all precomputed driver-side from the
+    * fixed model artifacts (k·M·codes doubles, a broadcast-sized
+    * table). At 100 TB the IVF cut bounds candidates touched and the M
+    * one-byte codes bound bytes per candidate (the scan never reads
+    * full candidate vectors). Cross-engine exactness: every derived
+    * constant (⟨c_m, cb_mj⟩, |c_m + cb_mj|²) is computed with the dot
+    * expression's exact fold (0.0 seed, ascending), which the oracle
+    * recomputes from the same derived tables — identical IEEE
+    * sequences, no literal embedding needed. The trained variants slot
+    * in exactly as [[simIvfTrained]]/[[simPqTrained]] do. */
   def simIvfpqAnn(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
@@ -440,21 +439,88 @@ object Similarity {
       .select(col("vec_id"), col("emb"), col("n2"))
       .collect()
       .sortBy(_.getLong(0))
-    val distStructs = model.take(NumCentroids).map { r =>
-      val cemb = r.getSeq[Double](1)
-      struct(
-        (col("n2") - lit(2.0) * dot(col("emb"), typedLit(cemb)) + lit(r.getDouble(2))).as("d2"),
-        lit(r.getLong(0)).as("cid"))
-    }
-    val assigned = e
-      .withColumn("cluster",
-        array_min(array(distStructs.toIndexedSeq: _*)).getField("cid"))
-      .select(col("vec_id"), col("emb"), col("cluster"))
+    val cents: IndexedSeq[(Long, IndexedSeq[Double], Double)] =
+      model.take(NumCentroids).toIndexedSeq.map(r =>
+        (r.getLong(0), r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
     val codeVecs = model.take(NumCodes).map(_.getSeq[Double](1).toIndexedSeq)
     val codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
       (0 until NumSubspaces).map(m => (0 until NumCodes).map(j =>
         codeVecs(j).slice(m * SubDim, (m + 1) * SubDim)))
-    pqSearch(assigned, codebook, routeCluster = true)
+    // driver-side folds in the dot expression's exact order (0.0 seed,
+    // ascending) so the oracle's dotSql recomputation is bit-identical
+    def fdot(a: Seq[Double], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val cbn2 = codebook.map(_.map(c => fdot(c, c)))
+    def subC(c: IndexedSeq[Double], m: Int) = c.slice(m * SubDim, (m + 1) * SubDim)
+    // ⟨c_k,m , cb_m,j⟩ — the residual-dot correction per (cluster, sub, code)
+    val ccdot = cents.map { case (_, c, _) =>
+      (0 until NumSubspaces).map(m => (0 until NumCodes).map(j =>
+        fdot(subC(c, m), codebook(m)(j))))
+    }
+    // |c_k,m + cb_m,j|² — the reconstructed-norm table (subspaces are
+    // disjoint coordinates, so the full |c + r̂|² is their plain sum)
+    val recn2 = cents.map { case (_, c, _) =>
+      (0 until NumSubspaces).map { m =>
+        val cm = subC(c, m)
+        (0 until NumCodes).map { j =>
+          val cb = codebook(m)(j)
+          (0 until SubDim).foldLeft(0.0) { (acc, i) =>
+            val v = cm(i) + cb(i); acc + v * v
+          }
+        }
+      }
+    }
+    val distStructs = cents.map { case (cid, c, cn2c) =>
+      struct(
+        (col("n2") - lit(2.0) * dot(col("emb"), typedLit(c)) + lit(cn2c)).as("d2"),
+        lit(cid).as("cid"))
+    }
+    val assigned = e
+      .withColumn("cluster", array_min(array(distStructs: _*)).getField("cid"))
+      .select(col("vec_id"), col("emb"), col("cluster"))
+    val cl = col("cluster").cast("int")
+    def subv(c: Column, m: Int): Column = slice(c, m * SubDim + 1, SubDim)
+    // residual encode: argmin_j (|cb|² − 2(⟨x_m, cb⟩ − ⟨c_m, cb⟩)) —
+    // the per-x |r_m|² constant cannot change the argmin; ties to the
+    // lower code id
+    val codeCols = (0 until NumSubspaces).map { m =>
+      array_min(array((0 until NumCodes).map { j =>
+        val ccPerCluster = cents.indices.map(k => ccdot(k)(m)(j))
+        struct(
+          (lit(cbn2(m)(j)) - lit(2.0) *
+            (dot(subv(col("emb"), m), typedLit(codebook(m)(j))) -
+              element_at(typedLit(ccPerCluster), cl + 1))).as("d2"),
+          lit(j).as("cid"))
+      }: _*)).getField("cid").as(s"code$m")
+    }
+    val enc0 = assigned.select(col("vec_id") +: col("cluster") +: codeCols: _*)
+    // |c + r̂|² via the (cluster, code) lookup, summed across subspaces
+    val rn2 = (0 until NumSubspaces).map { m =>
+      val flat = cents.indices.flatMap(k => (0 until NumCodes).map(j => recn2(k)(m)(j)))
+      element_at(typedLit(flat), cl * NumCodes + col(s"code$m").cast("int") + 1)
+    }.reduce(_ + _)
+    val enc = enc0.withColumn("rn2", rn2)
+    val probes = assigned.filter(col("vec_id") < 5)
+      .withColumn("pn2", norm2(col("emb")))
+      // ⟨q, c_pc⟩ — the probe's own-list centroid term of the ADC score
+      .withColumn("qc", element_at(
+        array(cents.map { case (_, c, _) => dot(col("emb"), typedLit(c)) }: _*),
+        cl + 1))
+      .select(Seq(col("vec_id").as("probe_id"), col("pn2"), col("qc"),
+        col("cluster").as("pc")) ++
+        (0 until NumSubspaces).map { m =>
+          array((0 until NumCodes).map(j =>
+            dot(subv(col("emb"), m), typedLit(codebook(m)(j)))): _*).as(s"ptab$m")
+        }: _*)
+    // ⟨q, c + r̂⟩ = ⟨q, c⟩ + Σ_m ptab_m[code_m]
+    val approxIp = (col("qc") +:
+      (0 until NumSubspaces).map(m =>
+        element_at(col(s"ptab$m"), col(s"code$m") + 1))).reduce(_ + _)
+    val scored = enc.join(broadcast(probes),
+        col("cluster") === col("pc") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (approxIp / sqrt(col("pn2") * col("rn2"))).as("cos"))
+    rankTopK(scored, 5).withColumnRenamed("cos", "approx_cos")
   }
 
   /** Recall@5 of the composed IVF-PQ index — it stacks BOTH error
@@ -894,17 +960,94 @@ object Similarity {
   }
 
   // lazy: referenced from `oracles`, which is initialized earlier in the file
-  /** [[pqOracleSql]] with IVF routing — the oracle twin of
-    * [[simIvfpqAnn]]'s composition. */
-  private lazy val ivfpqOracle: String = pqOracleSql(
-    s"cb AS (SELECT vec_id AS j, embedding AS cemb FROM e WHERE vec_id < $NumCodes)",
-    routed = true)
+  /** Oracle twin of [[simIvfpqAnn]]'s residual IVFADC: the coarse
+    * assignment of [[ivfOracle]], residual encoding per subspace
+    * (d2 = |cb|² − 2(⟨x_m,cb⟩ − ⟨c_m,cb⟩), every dot the same
+    * ascending 0.0-seeded fold the Spark side replays), the
+    * |c_m + cb_mj|² reconstructed-norm tables recomputed from the same
+    * derived relations, and the ⟨q,c⟩ + Σ ptab ADC score — association
+    * orders mirrored term for term. */
+  private lazy val ivfpqOracle: String = {
+    val n2 = Dedup.dotSql("embedding", "embedding")
+    def sl(c: String, m: Int) = s"$c[${m * SubDim + 1}:${(m + 1) * SubDim}]"
+    // c_m + cb_m as a list (distinct lambda var: nested inside dotSql's
+    // i). Each element CASTs to DOUBLE BEFORE the add — the Spark side
+    // adds already-widened doubles, and a raw float32 + float32 would
+    // round at float precision first (a ~1e-9 cosine drift, caught by
+    // the oracle gate)
+    def rsum(m: Int) =
+      s"list_transform(range(1, ${SubDim + 1}), rr -> CAST(${sl("cent.cemb", m)}[rr] AS DOUBLE) + CAST(${sl("cb.cemb", m)}[rr] AS DOUBLE))"
+    val encCtes = (0 until NumSubspaces).map { m =>
+      s"""d$m AS (
+         |  SELECT e.vec_id, cb.j,
+         |    ${Dedup.dotSql(sl("cb.cemb", m), sl("cb.cemb", m))}
+         |      - 2.0 * (${Dedup.dotSql(sl("e.embedding", m), sl("cb.cemb", m))}
+         |        - ${Dedup.dotSql(sl("cent.cemb", m), sl("cb.cemb", m))}) AS d2
+         |  FROM e JOIN asg USING (vec_id) JOIN cent ON cent.cid = asg.cluster
+         |  CROSS JOIN cb),
+         |a$m AS (
+         |  SELECT vec_id, j AS code$m FROM (
+         |    SELECT vec_id, j,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+         |    FROM d$m) t WHERE rn = 1),
+         |n$m AS (
+         |  SELECT cent.cid, cb.j, ${Dedup.dotSql(rsum(m), rsum(m))} AS c2
+         |  FROM cent CROSS JOIN cb)"""
+    }.mkString(",\n")
+    val encJoin = (1 until NumSubspaces)
+      .map(m => s"JOIN a$m USING (vec_id)").mkString(" ")
+    val rn2 = (0 until NumSubspaces).map(m => s"c$m.c2").mkString(" + ")
+    val rn2Joins = (0 until NumSubspaces)
+      .map(m => s"JOIN n$m c$m ON c$m.cid = asg.cluster AND c$m.j = enc.code$m")
+      .mkString(" ")
+    val ip = (0 until NumSubspaces)
+      .map(m => Dedup.dotSql(sl("p.pe", m), sl(s"cb$m.cemb", m))).mkString(" + ")
+    val cbJoins = (0 until NumSubspaces)
+      .map(m => s"JOIN cb cb$m ON cb$m.j = r2.code$m").mkString(" ")
+    s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2 FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cid, embedding AS cemb, n2 AS cn2 FROM e
+       |  WHERE vec_id < $NumCentroids),
+       |cb AS (SELECT vec_id AS j, embedding AS cemb FROM e WHERE vec_id < $NumCodes),
+       |dd0 AS (
+       |  SELECT e.vec_id, cent.cid,
+       |    e.n2 - 2.0 * ${Dedup.dotSql("e.embedding", "cent.cemb")} + cent.cn2 AS d2
+       |  FROM e CROSS JOIN cent),
+       |asg AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM dd0) t WHERE rn = 1),
+       |$encCtes,
+       |enc AS (
+       |  SELECT vec_id, ${(0 until NumSubspaces).map(m => s"code$m").mkString(", ")}
+       |  FROM a0 $encJoin),
+       |r2 AS (
+       |  SELECT enc.vec_id, asg.cluster, ($rn2) AS rn2,
+       |    ${(0 until NumSubspaces).map(m => s"enc.code$m").mkString(", ")}
+       |  FROM enc JOIN asg USING (vec_id) $rn2Joins),
+       |p AS (
+       |  SELECT e.vec_id AS probe_id, e.embedding AS pe, e.n2 AS pn2,
+       |    asg.cluster AS pc
+       |  FROM e JOIN asg USING (vec_id) WHERE e.vec_id < 5),
+       |sc AS (
+       |  SELECT probe_id, r2.vec_id,
+       |    (${Dedup.dotSql("p.pe", "pcent.cemb")} + $ip)
+       |      / sqrt(p.pn2 * r2.rn2) AS approx_cos
+       |  FROM r2 JOIN p ON r2.cluster = p.pc AND r2.vec_id != p.probe_id
+       |  JOIN cent pcent ON pcent.cid = p.pc $cbJoins),
+       |r AS (
+       |  SELECT probe_id, vec_id, approx_cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY approx_cos DESC, vec_id) AS rk
+       |  FROM sc)
+       |SELECT probe_id, vec_id, approx_cos, rk FROM r WHERE rk <= 5
+       |ORDER BY probe_id, rk""".stripMargin
+  }
 
   /** The PQ search oracle over an arbitrary codebook CTE (`cb(j, cemb)`
-    * with cemb [[Dim]]-wide; sub-slicing happens in the SQL). With
-    * `routed`, the [[ivfOracle]] coarse-assignment CTEs are added and
-    * the score join keeps a probe inside its own inverted list. */
-  private def pqOracleSql(cbCte: String, routed: Boolean = false): String = {
+    * with cemb [[Dim]]-wide; sub-slicing happens in the SQL). */
+  private def pqOracleSql(cbCte: String): String = {
     def sl(c: String, m: Int) = s"$c[${m * SubDim + 1}:${(m + 1) * SubDim}]"
     // per-subspace encode CTEs: distances to all codewords, then the
     // (d2, j)-lexicographic argmin — mirrors the Spark struct array_min
@@ -931,43 +1074,9 @@ object Similarity {
       .map(m => Dedup.dotSql(sl("p.pe", m), sl(s"cb$m.cemb", m))).mkString(" + ")
     val cbJoins = (0 until NumSubspaces)
       .map(m => s"JOIN cb cb$m ON cb$m.j = r2.code$m").mkString(" ")
-    // coarse-assignment CTEs (the ivfOracle shapes) when IVF-routed:
-    // d2 = ((n2 - 2<x,c>) + cn2), ties to the lower centroid id
-    val routeCtes = if (!routed) "" else {
-      val n2 = Dedup.dotSql("embedding", "embedding")
-      s""",
-         |cent AS (
-         |  SELECT vec_id AS cid, embedding AS cemb2, $n2 AS cn2 FROM e
-         |  WHERE vec_id < $NumCentroids),
-         |dd AS (
-         |  SELECT e.vec_id, cent.cid,
-         |    $n2 - 2.0 * ${Dedup.dotSql("e.embedding", "cent.cemb2")} + cent.cn2 AS d2
-         |  FROM e CROSS JOIN cent),
-         |asg AS (
-         |  SELECT vec_id, cid AS cluster FROM (
-         |    SELECT vec_id, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |    FROM dd) t WHERE rn = 1)""".stripMargin
-    }
-    val pCte =
-      if (routed)
-        s"""p AS (
-           |  SELECT e.vec_id AS probe_id, embedding AS pe,
-           |    ${Dedup.dotSql("embedding", "embedding")} AS pn2, asg.cluster AS pc
-           |  FROM e JOIN asg USING (vec_id) WHERE e.vec_id < 5)""".stripMargin
-      else
-        s"""p AS (
-           |  SELECT vec_id AS probe_id, embedding AS pe,
-           |    ${Dedup.dotSql("embedding", "embedding")} AS pn2
-           |  FROM e WHERE vec_id < 5)""".stripMargin
-    val scFrom =
-      if (routed)
-        s"FROM r2 JOIN asg USING (vec_id) JOIN p ON asg.cluster = p.pc AND r2.vec_id != p.probe_id $cbJoins"
-      else
-        s"FROM r2 JOIN p ON r2.vec_id != p.probe_id $cbJoins"
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |$cbCte,
-       |$encCtes$routeCtes,
+       |$encCtes,
        |enc AS (
        |  SELECT vec_id, ${(0 until NumSubspaces).map(m => s"code$m").mkString(", ")}
        |  FROM a0 $encJoin),
@@ -975,11 +1084,14 @@ object Similarity {
        |  SELECT enc.vec_id, ($rn2) AS rn2,
        |    ${(0 until NumSubspaces).map(m => s"enc.code$m").mkString(", ")}
        |  FROM enc $rn2Joins),
-       |$pCte,
+       |p AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe,
+       |    ${Dedup.dotSql("embedding", "embedding")} AS pn2
+       |  FROM e WHERE vec_id < 5),
        |sc AS (
        |  SELECT probe_id, r2.vec_id,
        |    ($ip) / sqrt(p.pn2 * r2.rn2) AS approx_cos
-       |  $scFrom),
+       |  FROM r2 JOIN p ON r2.vec_id != p.probe_id $cbJoins),
        |r AS (
        |  SELECT probe_id, vec_id, approx_cos,
        |    ROW_NUMBER() OVER (PARTITION BY probe_id
