@@ -134,10 +134,14 @@ object Similarity {
 
   /** The shared compare harness: left-join an index's top-5 onto the
     * brute-force top-5 per probe; bounded rows, shuffle_hash pinned,
-    * id-sets only (no doubles cross engines). */
+    * id-sets only (no doubles cross engines). The ground-truth relation
+    * is persisted — all four recall queries share ONE brute-force pass
+    * per session (CacheManager dedups the identical plan), the
+    * signature-table posture applied to the compare harness. */
   private def annRecall(ann: DataFrame, s: SparkSession, dir: String): DataFrame = {
     val bf = simTopkBruteforce(s, dir).filter(col("rk") <= 5)
       .select(col("probe_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = ann
       .select(col("probe_id").as("a_pid"), col("vec_id").as("a_vid"))
       .hint("shuffle_hash")

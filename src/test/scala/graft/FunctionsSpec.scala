@@ -188,6 +188,50 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("similarity: IVFADC scores the reconstructed residual cosine within its own list") {
+    // Independent semantic check (the oracle gate only proves the two
+    // engines run the same math): replay assignment + residual encoding
+    // in plain driver-side arithmetic, reconstruct c + r-hat, and assert
+    // every returned candidate (a) lives in the probe's inverted list
+    // and (b) carries an approx_cos equal to the reconstruction cosine
+    // up to fold-order noise.
+    import graft.operators.Similarity.{NumCentroids, NumCodes, NumSubspaces}
+    val subDim = Similarity.Dim / NumSubspaces
+    val vecs: Map[Long, IndexedSeq[Double]] = graft.sources.Tables
+      .load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    val cents = (0 until NumCentroids).map(k => vecs(k.toLong))
+    val codebook = (0 until NumSubspaces).map(m => (0 until NumCodes).map(j =>
+      vecs(j.toLong).slice(m * subDim, (m + 1) * subDim)))
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.indices.map(i => { val d = a(i) - b(i); d * d }).sum
+    def assign(x: IndexedSeq[Double]): Int =
+      cents.indices.minBy(k => (d2(x, cents(k)), k))
+    def encode(x: IndexedSeq[Double], k: Int): IndexedSeq[Int] =
+      (0 until NumSubspaces).map { m =>
+        val rm = (0 until subDim).map(i =>
+          x(m * subDim + i) - cents(k)(m * subDim + i))
+        (0 until NumCodes).minBy(j => (d2(rm, codebook(m)(j)), j))
+      }
+    val rows = Similarity.simIvfpqAnn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val q = vecs(r.getAs[Long]("probe_id"))
+      val v = vecs(r.getAs[Long]("vec_id"))
+      val kq = assign(q)
+      assert(assign(v) == kq, "candidate outside the probe's inverted list")
+      val codes = encode(v, kq)
+      val rec = (0 until Similarity.Dim).map(i =>
+        cents(kq)(i) + codebook(i / subDim)(codes(i / subDim))(i % subDim))
+      val exact = q.indices.map(i => q(i) * rec(i)).sum /
+        math.sqrt(q.map(x => x * x).sum * rec.map(x => x * x).sum)
+      assert(math.abs(r.getAs[Double]("approx_cos") - exact) < 1e-9,
+        s"ADC ${r.getAs[Double]("approx_cos")} vs reconstruction $exact")
+    }
+  }
+
   test("similarity: IVF centroid assignment is a narrow scan (no n*k explosion)") {
     val plan = Similarity.simIvfAnn(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
