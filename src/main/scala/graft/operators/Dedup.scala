@@ -392,13 +392,16 @@ object Dedup {
         min(col("doc_id")).as("doc_a"), max(col("doc_id")).as("doc_b"))
       .filter(col("nr") === 2)
       .join(sigs.hint("shuffle_hash"), "sig")
+    // fetch BOTH rep docs' hs through ONE doc-keyed join (explode the
+    // pair, regroup O(groups) rows) — two separate joins would shuffle
+    // the full corpus hs relation twice
     val reps = reps0
+      .select(col("sig"), col("g"), col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("rid"))
       .hint("shuffle_hash")
-      .join(docs.select(col("doc_id").as("ra"), col("hs").as("hsa")),
-        col("doc_a") === col("ra"))
-      .hint("shuffle_hash")
-      .join(docs.select(col("doc_id").as("rb"), col("hs").as("hsb")),
-        col("doc_b") === col("rb"))
+      .join(docs.select(col("doc_id").as("rid"), col("hs")), "rid")
+      .groupBy("sig", "g", "doc_a", "doc_b")
+      .agg(expr("min_by(hs, rid)").as("hsa"), expr("max_by(hs, rid)").as("hsb"))
       .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"),
         jaccard("hsa", "hsb").as("jaccard"),
         expr("g * (g - 1) div 2").as("n_pairs"))

@@ -302,6 +302,45 @@ class ChunkFoldSpec extends AnyFunSuite {
     }
   }
 
+  test("GatherStatic serializes O(dims), not O(chunkElems)") {
+    // The ADVICE r13 finding: a literal index map serialized chunkElems
+    // ints into every task's plan. The affine spec must keep the
+    // expression's serialized form small even for a large chunk.
+    import org.apache.spark.sql.graftexpr.GatherStatic
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val big = GatherStatic(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      shape = Seq(1024, 1024), mult = Seq(1, 1), add = Seq(0, 0),
+      srcStrides = Seq(1, 1024)) // a 1M-cell transpose gather
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(big); oos.close()
+      bos.size()
+    }
+    assert(bytes < 16 * 1024, s"serialized GatherStatic is $bytes bytes")
+    // and the lazily-built map still gathers correctly after a
+    // serialization round-trip (fresh instance, map rebuilt on demand)
+    val small = GatherStatic(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      shape = Seq(2, 3), mult = Seq(1, 1), add = Seq(0, 0),
+      srcStrides = Seq(1, 2)) // transpose of a (3,2) row-major source
+    val restored = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(small); oos.close()
+      new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[GatherStatic]
+    }
+    val data = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](0.0, 1.0, 2.0, 3.0, 4.0, 5.0))
+    val out = restored.compute(data)
+    assert((0 until 6).map(out.getDouble) ==
+      Seq(0.0, 2.0, 4.0, 1.0, 3.0, 5.0))
+  }
+
   test("folds run on the real events corpus identically (sf0.001)") {
     val arr = graft.operators.ArrayQueries
       .eventsArray1dCached(spark, "/root/testdata/sf0.001")
