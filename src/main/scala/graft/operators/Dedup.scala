@@ -437,6 +437,10 @@ object Dedup {
         // the hashed grams (HashWordNgrams dedups by gram string)
         array_distinct(org.apache.spark.sql.graftexpr.TextExpressions
           .hashWordNgrams(col("text"), SpanGramN)).as("hs"))
+      // persisted (the simhashDocs posture): without it, Catalyst's
+      // inferred join-key/Generate filters push the gram expression
+      // into the scan and the full tokenize+hash runs ~3x per document
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = docs.select(col("doc_id"), explode(col("hs")).as("g"))
     val gcnt = e.groupBy("g").agg(count(lit(1)).as("n"))
     val perDoc = e.hint("shuffle_hash").join(gcnt, "g")
