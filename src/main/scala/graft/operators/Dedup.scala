@@ -69,6 +69,10 @@ object Dedup {
       // table a production dedup pipeline writes once. (CacheManager
       // dedups the entry across repeated calls on the same session.)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // NULL-signature (no-shingle) docs drop HERE, above the cache
+      // boundary: below it the predicate reaches the parquet scan with
+      // the whole signature chain inlined (see withReps)
+      .filter(col("mh").isNotNull)
 
   /** MinHash band-bucket candidate pairs (doc_a < doc_b) for a signature
     * relation carrying `doc_id` + `hs`. [[NumPerms]] permutations folded
@@ -97,11 +101,20 @@ object Dedup {
     * inlined.) */
   private[graft] def lshCandidates(docs: DataFrame): DataFrame =
     bandCandidates(withReps(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("mh").isNotNull))
 
   /** Adds the minhash signature (`mh`) and signature-group
-    * representative (`rep`) to a relation carrying `doc_id` + `hs`;
-    * empty-shingle docs (NULL signature) are dropped.
+    * representative (`rep`) to a relation carrying `doc_id` + `hs`.
+    * Empty-shingle docs carry a NULL signature; the CALLER drops them
+    * ON TOP of the cache boundary — a filter here pushes through the
+    * repartition+projections into the parquet scan with the whole
+    * shingle+minhash subtree inlined, so the ONE-TIME signature build
+    * (the family's dominant cost, and at cluster scale the real pass)
+    * ran the full chain TWICE per document (plan-dump verified). The
+    * NULL signatures form one extra window partition in the build;
+    * no-shingle (< n token) docs are rare in a real corpus, and the
+    * group-min over them is trivial either way.
     *
     * All NumPerms minima come from one codegen'd pass over hs (the HOF
     * form — one interpreted array_min(transform(...)) per permutation —
@@ -121,7 +134,6 @@ object Dedup {
       .withColumn("mh",
         org.apache.spark.sql.graftexpr.SketchExpressions
           .minhashSignature(col("hs"), as, bs, MinhashP))
-      .filter(col("mh").isNotNull)
       .withColumn("rep", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("mh")))
   }
