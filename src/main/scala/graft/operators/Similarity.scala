@@ -244,8 +244,12 @@ object Similarity {
         (col("n2") - lit(2.0) * dot(col("emb"), typedLit(cemb)) + lit(r.getDouble(2))).as("d2"),
         lit(r.getLong(0)).as("cid"))
     }
+    // coalesce makes `cluster` provably non-nullable (the argmin never
+    // IS null): otherwise the cluster===pc join infers IsNotNull(cluster)
+    // and pushes it into the scan with the WHOLE assignment argmin
+    // inlined — the 8x64-dim dot chain evaluated twice per row
     val assigned = e.withColumn("cluster",
-      array_min(array(distStructs.toIndexedSeq: _*)).getField("cid"))
+      coalesce(array_min(array(distStructs.toIndexedSeq: _*)).getField("cid"), lit(-1L)))
     val probes = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("emb").as("pe"),
         col("n2").as("pn2"), col("cluster").as("pc"))
@@ -479,8 +483,12 @@ object Similarity {
         (col("n2") - lit(2.0) * dot(col("emb"), typedLit(c)) + lit(cn2c)).as("d2"),
         lit(cid).as("cid"))
     }
+    // coalesce: provably non-nullable, so the cluster===pc join cannot
+    // infer an IsNotNull that re-inlines the argmin into the scan (the
+    // simIvfAnn pattern)
     val assigned = e
-      .withColumn("cluster", array_min(array(distStructs: _*)).getField("cid"))
+      .withColumn("cluster",
+        coalesce(array_min(array(distStructs: _*)).getField("cid"), lit(-1L)))
       .select(col("vec_id"), col("emb"), col("cluster"))
     val cl = col("cluster").cast("int")
     def subv(c: Column, m: Int): Column = slice(c, m * SubDim + 1, SubDim)
@@ -684,8 +692,10 @@ object Similarity {
         (lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("emb"), typedLit(c))).as("d2"),
         lit(i).as("cid"))
     }
+    // coalesce: provably non-nullable — see simIvfAnn (stops the join's
+    // inferred IsNotNull from re-inlining the argmin into the scan)
     val assigned = e.withColumn("cluster",
-      array_min(array(distStructs: _*)).getField("cid"))
+      coalesce(array_min(array(distStructs: _*)).getField("cid"), lit(-1L)))
     val probes = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("emb").as("pe"),
         col("n2").as("pn2"), col("cluster").as("pc"))
