@@ -197,7 +197,13 @@ object TextAnalysis {
     val bucket = (lit(31) * length(tok) + lit(7) * ascii(tok) +
       ascii(substr(tok, length(tok), lit(1)))) % HashTfBuckets
     withTokens(s, dir)
-      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      // explode_OUTER + null filter == explode, but without the
+      // inferred size(tk)>0 / isnotnull(tk) predicates that push into
+      // the scan with the tokenizer expression inlined (tokenization
+      // ran 3x per document, plan-dump verified); the null filter sits
+      // above the Generate and reads the generated column only
+      .select(col("doc_id"), explode_outer(col("tk")).as("tok"))
+      .filter(col("tok").isNotNull)
       .select(col("doc_id"), bucket.cast("bigint").as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_tokens"),
