@@ -459,10 +459,92 @@ object TopKSortedMerge {
   final class Buf(var n: Int, val nv: Array[Double], val gidx: Array[Long])
 }
 
+/** Exact set Jaccard of two `array<bigint>` columns in ONE pass.
+  *
+  * Replaces `size(array_intersect(a, b)) / size(array_union(a, b))` —
+  * two independent hash-set constructions, each MATERIALIZING its
+  * result array only for `size` to discard it — in the dedup family's
+  * per-candidate-pair hot path (verifiedPairs, dd_simhash_est,
+  * dd_span-adjacent faces). One hash set of a's elements, one dedup
+  * set over b, zero intermediate arrays.
+  *
+  * Semantics replicate the Catalyst spelling exactly: DISTINCT-set
+  * counts (duplicates collapse, like array_intersect/array_union), a
+  * null ELEMENT counts as one distinct member on its side (intersect
+  * iff both sides hold a null — Spark's null-as-value collection
+  * semantics), |A∩B| and |A∪B| are exact ints and the result is their
+  * double ratio. A NULL array on either side yields NULL. The one
+  * declared divergence is OUT of the queries' domain: on empty/empty
+  * inputs (every verify pair carries non-empty hs by construction)
+  * this yields pure-IEEE NaN where ANSI's Divide would throw.
+  * Equivalence spec-gated incl. dups, nulls and empties
+  * (FunctionsSpec). */
+case class JaccardSet(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+  override def nullable: Boolean = true
+
+  // returns primitive double (nullSafeCodeGen already guards null arrays)
+  def compute(aAny: Any, bAny: Any): Double = {
+    val a = aAny.asInstanceOf[ArrayData]
+    val b = bAny.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    val setA = new java.util.HashSet[java.lang.Long](Math.max(8, na * 2))
+    var aNull = false
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) aNull = true
+      else setA.add(a.getLong(i)): Unit
+      i += 1
+    }
+    val seenB = new java.util.HashSet[java.lang.Long](Math.max(8, nb * 2))
+    var bNull = false
+    var inter = 0
+    var bOnly = 0
+    i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) bNull = true
+      else {
+        val v = b.getLong(i)
+        if (seenB.add(v)) {
+          if (setA.contains(v)) inter += 1 else bOnly += 1
+        }
+      }
+      i += 1
+    }
+    val interN = inter + (if (aNull && bNull) 1 else 0)
+    val unionN = setA.size + bOnly + (if (aNull || bNull) 1 else 0)
+    // 0/0 -> NaN, exactly like cast(size)/cast(size) on empty inputs
+    interN.toDouble / unionN.toDouble
+  }
+
+  override def nullSafeEval(aAny: Any, bAny: Any): Any = compute(aAny, bAny)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaccardSet", this, classOf[JaccardSet].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object SketchExpressions {
   /** Column wrapper for [[MinHashSignature]]. */
   def minhashSignature(hs: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(hs), a, b, p))
+
+  /** Column wrapper for [[JaccardSet]]. */
+  def jaccardSet(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaccardSet(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Column wrapper for [[SimHash]]. */
   def simhash(hs: Column, bits: Int): Column =

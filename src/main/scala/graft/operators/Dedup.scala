@@ -196,9 +196,12 @@ object Dedup {
       .withColumnRenamed("hs", "hsb").drop("doc_id")
   }
 
+  // One-pass native set Jaccard — semantics identical to
+  // size(array_intersect)/size(array_union) (equivalence spec-gated),
+  // without the two hash passes + discarded intermediate arrays of the
+  // Catalyst spelling, per candidate pair in every verify hot path.
   private def jaccard(a: String, b: String) =
-    size(array_intersect(col(a), col(b))).cast("double") /
-      size(array_union(col(a), col(b))).cast("double")
+    org.apache.spark.sql.graftexpr.SketchExpressions.jaccardSet(col(a), col(b))
 
   /** MinHash (16 int-arithmetic permutations) -> 4x4 LSH bands ->
     * candidate pairs -> exact Jaccard verification.

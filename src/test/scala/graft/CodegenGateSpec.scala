@@ -58,6 +58,7 @@ class CodegenGateSpec extends AnyFunSuite {
       "MinHashSignature" -> MinHashSignature(br(arrL), Seq(3L, 5L), Seq(7L, 11L),
         (1L << 61) - 1),
       "SimHash" -> SimHash(br(arrL), 60),
+      "JaccardSet" -> JaccardSet(br(arrL), br(arrL, 1)),
       "WordNgrams" -> WordNgrams(br(StringType), 3),
       "HashWordNgrams" -> HashWordNgrams(br(StringType), 3),
       "TokenCharSum" -> TokenCharSum(br(arrS)),

@@ -105,6 +105,40 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native JaccardSet == size(array_intersect)/size(array_union), incl. dups/nulls/empties") {
+    import org.apache.spark.sql.graftexpr.SketchExpressions
+    val rnd = new scala.util.Random(50923L)
+    def mk(n: Int): Seq[java.lang.Long] = Seq.fill(n)(
+      if (rnd.nextInt(15) == 0) null
+      else java.lang.Long.valueOf(rnd.nextInt(40).toLong)) // small domain -> dups + overlap
+    val rows: Seq[(Seq[java.lang.Long], Seq[java.lang.Long])] =
+      (0 until 60).map(_ => (mk(rnd.nextInt(28) + 1), mk(rnd.nextInt(28) + 1))) ++ Seq(
+        (Seq.empty, Seq(java.lang.Long.valueOf(1L))), // 0/1
+        (Seq(null), Seq(null)),                       // null element intersects
+        (Seq(null), Seq(java.lang.Long.valueOf(2L))))
+    import org.apache.spark.sql.functions.{array_intersect, array_union, isnan, size}
+    val df = rows.toDF("a", "b")
+    val ref = size(array_intersect(col("a"), col("b"))).cast("double") /
+      size(array_union(col("a"), col("b"))).cast("double")
+    val diff = df.select(SketchExpressions.jaccardSet(col("a"), col("b")).as("nat"),
+        ref.as("ref"))
+      .filter(!(col("nat") <=> col("ref")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+    // out-of-domain empty/empty (unreachable in the queries: every
+    // verify pair carries non-empty hs): the kernel gives pure-IEEE
+    // NaN where ANSI's Divide would throw — declared divergence
+    val nanRow = Seq((Seq.empty[java.lang.Long], Seq.empty[java.lang.Long]))
+      .toDF("a", "b")
+      .select(SketchExpressions.jaccardSet(col("a"), col("b")).as("nat"))
+      .select(isnan(col("nat"))).head()
+    assert(nanRow.getBoolean(0))
+    // null ARRAY propagates
+    val nr = Seq((null.asInstanceOf[Seq[java.lang.Long]], Seq(java.lang.Long.valueOf(1L))))
+      .toDF("a", "b")
+      .select(SketchExpressions.jaccardSet(col("a"), col("b"))).head()
+    assert(nr.isNullAt(0))
+  }
+
   test("cosine matches a hand-computed value") {
     val df = Seq((Seq(1.0f, 0.0f, 1.0f), Seq(1.0f, 1.0f, 0.0f))).toDF("a", "b")
     val c = df.select(cosine(col("a"), col("b"))).head().getDouble(0)
