@@ -39,9 +39,16 @@ object Pipeline {
         (charSum.cast("double") / nTok).as("mean_tok_len"),
         md5(col("text")).as("fp"))
     // n_tokens < 5 is checked first so empty documents are low-quality
-    // regardless of their NULL ratios (three-valued OR: true wins)
+    // regardless of their NULL ratios (three-valued OR: true wins).
+    // Persisted: the metric relation is narrow (7 scalar columns, no
+    // text/token arrays) and feeds BOTH aggregate branches — without
+    // the cache boundary each branch re-scans AND re-tokenizes the
+    // corpus, and the !lowq gate pushes tokenizer-inlined predicates
+    // into the scan (plan-dump verified). One tokenize pass, two cached
+    // reads — the genuinely single-scan posture the query claims.
     val flagged = m.withColumn("lowq",
       col("n_tokens") < 5 || col("stop_ratio") > 0.5 || col("mean_tok_len") > 12.0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = flagged.filter(!col("lowq"))
     // keep-min-id per content hash via an unordered window min: one scan
     // and one exchange keyed by fp, where a groupBy+join-back would scan
