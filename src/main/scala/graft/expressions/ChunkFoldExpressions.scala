@@ -445,8 +445,10 @@ case class GatherStatic(child: Expression, shape: Seq[Int],
   * max/min keeps the LOWEST index on value ties — numpy's rule). The
   * Catalyst spelling builds a struct PER CELL inside `transform` and
   * folds with an interpreted `aggregate` lambda; this runs the same
-  * comparisons (primitive `>`/`==`, exactly what GreaterThan/EqualTo
-  * codegen for doubles) in one compiled loop. Null cells are skipped
+  * comparisons in one compiled loop, under Spark-SQL double ordering
+  * (`Double.compare` — NaN greatest, NaN == NaN, -0.0 == 0.0 — the
+  * semantics GreaterThan/EqualTo codegen via SQLOrderingUtil, NOT raw
+  * primitive `>`/`==`, which would drop every NaN). Null cells are skipped
   * (they fail every comparison, acc retained); an all-null/empty chunk
   * returns the seed sentinel (±Inf, Long.Min/MaxValue) — identical to
   * the fold's seed, which the final projection maps to null.

@@ -418,6 +418,11 @@ object Dedup {
       .groupBy("sig", "g", "doc_a", "doc_b")
       .agg(expr("min_by(hs, rid)").as("hsa"), expr("max_by(hs, rid)").as("hsb"))
       .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"),
+        // REPRESENTATIVE measurement: the group's n_pairs = C(g,2) pairs
+        // need not share one jaccard (simhash-equal docs can have
+        // different token sets — the fixture has 1.0 next to 10/12);
+        // this is the sampled jaccard of the (min, max) rep pair, a
+        // calibration point, not a bound over the collapsed pairs.
         jaccard("hsa", "hsb").as("jaccard"),
         expr("g * (g - 1) div 2").as("n_pairs"))
     cross.union(reps).orderBy("doc_a", "doc_b")
@@ -542,8 +547,15 @@ object Dedup {
     * `!=`, no floor): a probing change (depth, planes, the
     * one-mask-per-pair invariant) lands in both paths by construction. */
   private[operators] def bucketProbe(raw: DataFrame, depth: Int): (DataFrame, DataFrame) = {
+    // coalesce makes n2 provably non-nullable: the post-join `cos > 0.3`
+    // constraint would otherwise infer isnotnull(cos) -> isnotnull(n2),
+    // and push it below the join into BOTH corpus scans WITH THE WHOLE
+    // graft_dot subtree inlined — an extra O(n·d) pass per scan (the
+    // pushdown-duplication class; cure (b), see PlanShapeSpec's
+    // scan-filter gate). A null emb yields n2=0 here, and its pair rows
+    // die at the cos filter anyway (dot(null, ·) is null).
     val e = raw
-      .withColumn("n2", norm2(col("emb")))
+      .withColumn("n2", coalesce(norm2(col("emb")), lit(0.0)))
       .withColumn("bucket", Similarity.bucketCol(col("emb")))
     val probed = e.withColumn("probe", explode(array(
       probeMasks(depth).map(m => col("bucket").bitwiseXOR(lit(m))): _*)))

@@ -454,30 +454,6 @@ object Similarity {
     val codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
       (0 until NumSubspaces).map(m => (0 until NumCodes).map(j =>
         codeVecs(j).slice(m * SubDim, (m + 1) * SubDim)))
-    // driver-side folds in the dot expression's exact order (0.0 seed,
-    // ascending) so the oracle's dotSql recomputation is bit-identical
-    def fdot(a: Seq[Double], b: Seq[Double]): Double =
-      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
-    val cbn2 = codebook.map(_.map(c => fdot(c, c)))
-    def subC(c: IndexedSeq[Double], m: Int) = c.slice(m * SubDim, (m + 1) * SubDim)
-    // ⟨c_k,m , cb_m,j⟩ — the residual-dot correction per (cluster, sub, code)
-    val ccdot = cents.map { case (_, c, _) =>
-      (0 until NumSubspaces).map(m => (0 until NumCodes).map(j =>
-        fdot(subC(c, m), codebook(m)(j))))
-    }
-    // |c_k,m + cb_m,j|² — the reconstructed-norm table (subspaces are
-    // disjoint coordinates, so the full |c + r̂|² is their plain sum)
-    val recn2 = cents.map { case (_, c, _) =>
-      (0 until NumSubspaces).map { m =>
-        val cm = subC(c, m)
-        (0 until NumCodes).map { j =>
-          val cb = codebook(m)(j)
-          (0 until SubDim).foldLeft(0.0) { (acc, i) =>
-            val v = cm(i) + cb(i); acc + v * v
-          }
-        }
-      }
-    }
     val distStructs = cents.map { case (cid, c, cn2c) =>
       struct(
         (col("n2") - lit(2.0) * dot(col("emb"), typedLit(c)) + lit(cn2c)).as("d2"),
@@ -490,6 +466,69 @@ object Similarity {
       .withColumn("cluster",
         coalesce(array_min(array(distStructs: _*)).getField("cid"), lit(-1L)))
       .select(col("vec_id"), col("emb"), col("cluster"))
+    ivfpqSearch(assigned, cents.map(_._2), codebook)
+  }
+
+  /** Driver-side dot in the dot expression's exact order (0.0 seed,
+    * ascending index) so every derived model constant replays
+    * bit-identically when the oracle recomputes it with dotSql. */
+  private def fdot(a: Seq[Double], b: Seq[Double]): Double =
+    a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+
+  /** Coarse-assignment column over an `emb` column against 0-indexed
+    * model centroids (cn2 is the Scala fold, the per-row |x|² constant
+    * dropped — it cannot change the argmin; ties to the lower cluster
+    * id). Coalesced provably non-nullable: no IsNotNull inference can
+    * re-inline the argmin into the scan. Shared by [[simIvfpqTrained]]
+    * and the streaming scorer's probe routing. */
+  private[graft] def trainedAssignCol(cents: IndexedSeq[IndexedSeq[Double]]): Column = {
+    val distStructs = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("emb"), typedLit(c))).as("d2"),
+        lit(i.toLong).as("cid"))
+    }
+    coalesce(array_min(array(distStructs: _*)).getField("cid"), lit(-1L))
+  }
+
+  /** The IVFADC residual-encode/ADC-score/top-k plan shared by the
+    * fixed-model [[simIvfpqAnn]] and the k-means-trained
+    * [[simIvfpqTrained]] — the [[pqSearch]] factoring applied to the
+    * composed index: only the centroid/codebook VALUES differ, and every
+    * derived constant (cbn2, the ⟨c_m, cb_mj⟩ residual correction, the
+    * |c_m + cb_mj|² reconstructed norms) is folded driver-side by
+    * [[fdot]] from whichever model is passed in. `assigned` must carry
+    * (vec_id, emb, cluster) with cluster a NON-NULLABLE 0-based index
+    * into `cents` (both callers coalesce their argmin — the scan-filter
+    * pushdown-duplication cure). */
+  /** Residual-PQ encode of an `(vec_id, emb, cluster)` relation against
+    * a model: emits `(vec_id, cluster, code0..codeM-1, rn2)` — the
+    * bounded-bytes serving relation (M one-byte codes + the
+    * reconstructed norm per candidate; the raw vectors never leave this
+    * projection). Shared by the batch search and the streaming scorer's
+    * static index side. */
+  private[graft] def encodeIvfpq(assigned: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Double]],
+      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): DataFrame = {
+    val cbn2 = codebook.map(_.map(c => fdot(c, c)))
+    def subC(c: IndexedSeq[Double], m: Int) = c.slice(m * SubDim, (m + 1) * SubDim)
+    // ⟨c_k,m , cb_m,j⟩ — the residual-dot correction per (cluster, sub, code)
+    val ccdot = cents.map { c =>
+      (0 until NumSubspaces).map(m => (0 until NumCodes).map(j =>
+        fdot(subC(c, m), codebook(m)(j))))
+    }
+    // |c_k,m + cb_m,j|² — the reconstructed-norm table (subspaces are
+    // disjoint coordinates, so the full |c + r̂|² is their plain sum)
+    val recn2 = cents.map { c =>
+      (0 until NumSubspaces).map { m =>
+        val cm = subC(c, m)
+        (0 until NumCodes).map { j =>
+          val cb = codebook(m)(j)
+          (0 until SubDim).foldLeft(0.0) { (acc, i) =>
+            val v = cm(i) + cb(i); acc + v * v
+          }
+        }
+      }
+    }
     val cl = col("cluster").cast("int")
     def subv(c: Column, m: Int): Column = slice(c, m * SubDim + 1, SubDim)
     // residual encode: argmin_j (|cb|² − 2(⟨x_m, cb⟩ − ⟨c_m, cb⟩)) —
@@ -511,27 +550,51 @@ object Similarity {
       val flat = cents.indices.flatMap(k => (0 until NumCodes).map(j => recn2(k)(m)(j)))
       element_at(typedLit(flat), cl * NumCodes + col(s"code$m").cast("int") + 1)
     }.reduce(_ + _)
-    val enc = enc0.withColumn("rn2", rn2)
-    val probes = assigned.filter(col("vec_id") < 5)
-      .withColumn("pn2", norm2(col("emb")))
+    enc0.withColumn("rn2", rn2)
+  }
+
+  /** Probe-side ADC columns over a relation carrying `(emb, cluster)`:
+    * pn2, the ⟨q, c_cluster⟩ own-list centroid term, and the
+    * per-subspace codeword-dot lookup tables — shared by the batch
+    * probe projection and the streaming scorer. */
+  private[graft] def probeAdcCols(cents: IndexedSeq[IndexedSeq[Double]],
+      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Seq[Column] = {
+    val cl = col("cluster").cast("int")
+    def subv(c: Column, m: Int): Column = slice(c, m * SubDim + 1, SubDim)
+    Seq(
+      norm2(col("emb")).as("pn2"),
       // ⟨q, c_pc⟩ — the probe's own-list centroid term of the ADC score
-      .withColumn("qc", element_at(
-        array(cents.map { case (_, c, _) => dot(col("emb"), typedLit(c)) }: _*),
-        cl + 1))
-      .select(Seq(col("vec_id").as("probe_id"), col("pn2"), col("qc"),
-        col("cluster").as("pc")) ++
-        (0 until NumSubspaces).map { m =>
-          array((0 until NumCodes).map(j =>
-            dot(subv(col("emb"), m), typedLit(codebook(m)(j)))): _*).as(s"ptab$m")
-        }: _*)
-    // ⟨q, c + r̂⟩ = ⟨q, c⟩ + Σ_m ptab_m[code_m]
+      element_at(array(cents.map(c => dot(col("emb"), typedLit(c))): _*),
+        cl + 1).as("qc")) ++
+      (0 until NumSubspaces).map { m =>
+        array((0 until NumCodes).map(j =>
+          dot(subv(col("emb"), m), typedLit(codebook(m)(j)))): _*).as(s"ptab$m")
+      }
+  }
+
+  /** The ADC cosine over a row carrying the probe tables AND the
+    * candidate codes: ⟨q, c + r̂⟩ / sqrt(pn2 · |c + r̂|²) with
+    * ⟨q, c + r̂⟩ = qc + Σ_m ptab_m[code_m]. */
+  private[graft] def adcScore: Column = {
     val approxIp = (col("qc") +:
       (0 until NumSubspaces).map(m =>
         element_at(col(s"ptab$m"), col(s"code$m") + 1))).reduce(_ + _)
+    approxIp / sqrt(col("pn2") * col("rn2"))
+  }
+
+  /** The IVFADC search over an assigned relation: encode the corpus,
+    * broadcast the <= 5 probes with their ADC tables, score inside the
+    * probe's own list only, bounded-heap top-5. */
+  private[graft] def ivfpqSearch(assigned: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Double]],
+      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): DataFrame = {
+    val enc = encodeIvfpq(assigned, cents, codebook)
+    val probes = assigned.filter(col("vec_id") < 5)
+      .select(Seq(col("vec_id").as("probe_id"), col("cluster").as("pc")) ++
+        probeAdcCols(cents, codebook): _*)
     val scored = enc.join(broadcast(probes),
         col("cluster") === col("pc") && col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        (approxIp / sqrt(col("pn2") * col("rn2"))).as("cos"))
+      .select(col("probe_id"), col("vec_id"), adcScore.as("cos"))
     rankTopK(scored, 5).withColumnRenamed("cos", "approx_cos")
   }
 
@@ -541,6 +604,71 @@ object Similarity {
     * it against the exact ground truth. */
   def simIvfpqRecall(s: SparkSession, dir: String): DataFrame =
     annRecall(simIvfpqAnn(s, dir), s, dir)
+
+  /** Residual-codebook memo for [[simIvfpqTrained]] ([[trainedCentroids]]'
+    * pattern: content-fingerprint key, deterministic fit). The coarse
+    * quantizer is THE SAME fit [[simIvfTrained]] memoizes — identical
+    * key on purpose, one trained quantizer serves the whole IVF family. */
+  private val trainedIvfpqCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), IndexedSeq[IndexedSeq[IndexedSeq[Double]]]]()
+  private val ivfpqTrainedByDir = scala.collection.concurrent.TrieMap
+    .empty[String, (IndexedSeq[IndexedSeq[Double]], IndexedSeq[IndexedSeq[IndexedSeq[Double]]])]
+
+  /** [[simIvfpqAnn]] with a fully TRAINED model — the FAISS IVFADC
+    * training recipe (Jégou et al., TPAMI 2011, §IV): [[trainCentroids]]
+    * fits the coarse quantizer (the identical fit AND memo entry
+    * [[simIvfTrained]] uses), every vector's RESIDUAL x − c(x) is formed
+    * against its trained centroid, and each subspace's [[NumCodes]]
+    * codewords come from k-means ON THE RESIDUAL SLICES — residuals
+    * carry far less energy than raw vectors, so the same code budget
+    * carries more precision (the paper's point). The search is
+    * byte-for-byte [[ivfpqSearch]]: only the model values differ,
+    * completing the fixed/trained symmetry the IVF and PQ families
+    * already have. The oracle ([[trainedIvfpqSql]]) replays only the
+    * SEARCH, with every trained double embedded round-trip-exact; the
+    * engine-specific training summation order never crosses engines. */
+  def simIvfpqTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    def fitCoarse() =
+      trainCentroids(e.select(col("vec_id"), col("emb")), NumCentroids, iters = 3)
+    val fp = embFingerprint(s, dir)
+    val cents = fp match {
+      case Some(f) =>
+        trainedCentroids.computeIfAbsent((s"$dir|$f", NumCentroids, 3), _ => fitCoarse())
+      case None => fitCoarse()
+    }
+    val assigned = e
+      .withColumn("cluster", trainedAssignCol(cents))
+      .select(col("vec_id"), col("emb"), col("cluster"))
+    // the residual relation the codebooks train on: x − c(x) against the
+    // trained centroid of the row's own cluster, plain double subtraction
+    val centArr = array(cents.map(c => typedLit(c)): _*)
+    val res = assigned.withColumn("remb",
+      zip_with(col("emb"), element_at(centArr, col("cluster").cast("int") + 1),
+        (x, c) => x - c))
+    def fitCodebooks(): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      (0 until NumSubspaces).map(m =>
+        trainCentroids(
+          res.select(col("vec_id"),
+            slice(col("remb"), m * SubDim + 1, SubDim).as("emb")),
+          NumCodes, PqIters)).toIndexedSeq
+    val codebook = fp match {
+      case Some(f) =>
+        trainedIvfpqCodebooks.computeIfAbsent((s"$dir|$f", NumCodes, PqIters),
+          _ => fitCodebooks())
+      case None => fitCodebooks()
+    }
+    ivfpqTrainedByDir.update(dir, (cents, codebook))
+    lastDir.set(dir)
+    ivfpqSearch(assigned, cents, codebook)
+  }
+
+  /** Recall@5 of the TRAINED IVF-PQ index through the shared compare
+    * harness — measured against the exact brute-force ground truth like
+    * every other index family's recall face. */
+  def simIvfpqTrainedRecall(s: SparkSession, dir: String): DataFrame =
+    annRecall(simIvfpqTrained(s, dir), s, dir)
 
   /** PQ iterations for [[simPqTrained]] — few on purpose: the fit must
     * be deterministic and cheap, and two Lloyd's rounds already separate
@@ -728,6 +856,13 @@ object Similarity {
         .getOrElse(Map.empty) ++
       d.flatMap(pqTrainedByDir.get)
         .map(c => Map("sim_pq_trained" -> trainedPqSql(c)))
+        .getOrElse(Map.empty) ++
+      d.flatMap(ivfpqTrainedByDir.get)
+        .map { case (c, cb) =>
+          val sql = trainedIvfpqSql(c, cb)
+          Map("sim_ivfpq_trained" -> sql,
+            "sim_ivfpq_trained_recall" -> recallOracleSql(sql))
+        }
         .getOrElse(Map.empty)
   }
 
@@ -925,6 +1060,8 @@ object Similarity {
     "sim_pq_trained" -> (simPqTrained _),
     "sim_ivfpq_ann" -> (simIvfpqAnn _),
     "sim_ivfpq_recall" -> (simIvfpqRecall _),
+    "sim_ivfpq_trained" -> (simIvfpqTrained _),
+    "sim_ivfpq_trained_recall" -> (simIvfpqTrainedRecall _),
     "emb_label_centroids" -> (embLabelCentroids _),
     "emb_label_assign" -> (embLabelAssign _),
   )
@@ -981,7 +1118,43 @@ object Similarity {
     * |c_m + cb_mj|² reconstructed-norm tables recomputed from the same
     * derived relations, and the ⟨q,c⟩ + Σ ptab ADC score — association
     * orders mirrored term for term. */
-  private lazy val ivfpqOracle: String = {
+  private lazy val ivfpqOracle: String = ivfpqOracleSql(
+    s"""cent AS (
+       |  SELECT vec_id AS cid, embedding AS cemb, n2 AS cn2 FROM e
+       |  WHERE vec_id < $NumCentroids)""".stripMargin,
+    s"cb AS (SELECT vec_id AS j, embedding AS cemb FROM e WHERE vec_id < $NumCodes)",
+    s"e.n2 - 2.0 * ${Dedup.dotSql("e.embedding", "cent.cemb")} + cent.cn2")
+
+  /** [[ivfpqOracleSql]] with the TRAINED model as literal rows — coarse
+    * centroids with their Scala-fold |c|² ([[trainedIvfSql]]'s posture)
+    * and the per-subspace RESIDUAL codewords concatenated back into one
+    * [[Dim]]-wide list per code id ([[trainedPqSql]]'s trick: the
+    * search only ever reads sub-slices), every double round-trip-exact
+    * via [[fmtD]]. The coarse d2 drops the per-row |x|² term, exactly
+    * as [[simIvfpqTrained]]'s assignment does. */
+  private def trainedIvfpqSql(cents: IndexedSeq[IndexedSeq[Double]],
+      cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): String = {
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(fmtD).mkString("[", ", ", "]")}, ${fmtD(c.map(x => x * x).sum)})"
+    }.mkString(",\n    ")
+    val cbRows = (0 until NumCodes).map { j =>
+      val full = (0 until NumSubspaces).flatMap(m => cb(m)(j))
+      s"($j, ${full.map(fmtD).mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    ivfpqOracleSql(
+      s"cent AS (SELECT * FROM (VALUES\n    $centRows) AS t(cid, cemb, cn2))",
+      s"cb AS (SELECT * FROM (VALUES\n    $cbRows) AS t(j, cemb))",
+      s"cent.cn2 - 2.0 * ${Dedup.dotSql("e.embedding", "cent.cemb")}")
+  }
+
+  /** [[ivfpqOracle]]'s body over arbitrary `cent(cid, cemb, cn2)` /
+    * `cb(j, cemb)` CTEs and coarse-assignment d2 expression — the fixed
+    * variant derives both from the first-k vectors, the trained variant
+    * passes literal VALUES rows; everything downstream (residual
+    * encode, reconstructed norms, ADC score) derives from those CTEs
+    * with the same exact folds either way. */
+  private def ivfpqOracleSql(centCte: String, cbCte: String,
+      assignD2: String): String = {
     val n2 = Dedup.dotSql("embedding", "embedding")
     def sl(c: String, m: Int) = s"$c[${m * SubDim + 1}:${(m + 1) * SubDim}]"
     // c_m + cb_m as a list (distinct lambda var: nested inside dotSql's
@@ -1019,13 +1192,11 @@ object Similarity {
     val cbJoins = (0 until NumSubspaces)
       .map(m => s"JOIN cb cb$m ON cb$m.j = r2.code$m").mkString(" ")
     s"""WITH e AS (SELECT vec_id, embedding, $n2 AS n2 FROM embeddings),
-       |cent AS (
-       |  SELECT vec_id AS cid, embedding AS cemb, n2 AS cn2 FROM e
-       |  WHERE vec_id < $NumCentroids),
-       |cb AS (SELECT vec_id AS j, embedding AS cemb FROM e WHERE vec_id < $NumCodes),
+       |$centCte,
+       |$cbCte,
        |dd0 AS (
        |  SELECT e.vec_id, cent.cid,
-       |    e.n2 - 2.0 * ${Dedup.dotSql("e.embedding", "cent.cemb")} + cent.cn2 AS d2
+       |    $assignD2 AS d2
        |  FROM e CROSS JOIN cent),
        |asg AS (
        |  SELECT vec_id, cid AS cluster FROM (

@@ -140,22 +140,26 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("token"))
       .limit(50)
 
+  /** Minimum document frequency for [[txtTfidfTop]]'s vocabulary: a
+    * token must appear in at least this many documents to be scored —
+    * the standard min_df cut (sklearn's `min_df=2`): single-document
+    * tokens are mostly typos/ids/serials, and their idf is degenerate. */
+  val TfidfMinDf = 2
+
   /** TF-IDF top terms per document: each document's top-3 tokens by
-    * rarity-weighted frequency. The per-doc term counts (tf) are ONE
-    * partial-agg pass over the corpus; the document-frequency relation
-    * derives from tf (no second corpus scan), is bounded to the top-100
-    * vocabulary by (df desc, token asc) — a TakeOrderedAndProject head,
-    * not a sort shuffle — and broadcasts back onto tf (the
-    * [[graft.operators.Pipeline]] txt_vocab_coverage posture). The
-    * per-doc head goes through the bounded-heap TopKPerKey: <= 3 rows
-    * per (doc, partition) cross the wire, never a per-doc sort.
-    *
-    * SEMANTIC BOUND: restricting scoring to the top-100 MOST-COMMON
-    * tokens means scores rank rarity only WITHIN that common set — the
-    * opposite emphasis of classic rare-term TF-IDF, where the most
-    * informative terms are the rare ones. This is a declared vocabulary
-    * cap (the oracle replays the identical cap); widen the df relation
-    * to a rarity-aware bounded set if rare-term emphasis is needed.
+    * rarity-weighted frequency — REAL rare-term emphasis (tf/df scores
+    * the rarest surviving token highest), with the vocabulary bounded
+    * by a document-frequency THRESHOLD (df >= [[TfidfMinDf]]), not a
+    * most-common-token cap. The per-doc term counts (tf) are ONE
+    * partial-agg pass over the corpus, persisted: the narrow
+    * (doc_id, token, tf) relation feeds BOTH the df aggregate and the
+    * scoring join — without the cache boundary each branch would
+    * re-scan AND re-tokenize the corpus (the pipe_clean lesson). The df
+    * relation is vocabulary-scale, so the scoring join is pinned
+    * shuffle_hash on token (hash-partition co-location — a vocabulary
+    * is never broadcastable at 100 TB); the per-doc head goes through
+    * the bounded-heap TopKPerKey: <= 3 rows per (doc, partition) cross
+    * the wire, never a per-doc sort.
     *
     * Scoring is log-free on purpose: tf/df preserves the tf*(N/df)
     * ranking for the constant corpus size N and costs ONE correctly-
@@ -167,9 +171,10 @@ object TextAnalysis {
       .select(col("doc_id"), explode(org.apache.spark.sql.graftexpr.TextExpressions
         .wordNgrams(col("text"), 1)).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfTop = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("token")).limit(100)
-    val scored = tf.join(broadcast(dfTop), "token")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= TfidfMinDf)
+    val scored = tf.join(df.hint("shuffle_hash"), "token")
       .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
     org.apache.spark.sql.graftexpr.TopKPerKey
       .perKey(scored, Seq("doc_id"), Seq(("score", false), ("token", true)), 3)
@@ -185,17 +190,22 @@ object TextAnalysis {
     * the shuffle — per-bucket partials combine map-side and the exchange
     * carries O(#buckets) rows per partition regardless of vocabulary
     * size, the same posture that makes it the 100 TB featurizer. The
-    * hash here is deliberately a simple integer formula over
-    * (length, first/last codepoint) expressible IDENTICALLY in both
-    * engines — a production build swaps in murmur3 without touching the
-    * plan shape. Emits per-bucket total occurrences and exact document
-    * frequency. */
+    * hash is the REAL production one: Spark's native `hash()` —
+    * Murmur3_x86_32 (seed 42) over the token's UTF-8 bytes, codegen'd —
+    * and the oracle replays the identical algorithm in SQL
+    * ([[murmurBucketSql]]: same 4-byte little-endian words, same
+    * sign-extended tail bytes, same avalanche). Bucketing keeps
+    * `pmod(hash, buckets)` equal to the oracle's unsigned `% buckets`
+    * because [[HashTfBuckets]] is a power of two (it divides 2^32, so
+    * the sign wrap is invisible mod buckets). Emits per-bucket total
+    * occurrences and exact document frequency. */
   val HashTfBuckets = 64
+  require(Integer.bitCount(HashTfBuckets) == 1,
+    "HashTfBuckets must be a power of two: the oracle's unsigned % equals pmod only when buckets divides 2^32")
 
   def txtHashTf(s: SparkSession, dir: String): DataFrame = {
     val tok = col("tok")
-    val bucket = (lit(31) * length(tok) + lit(7) * ascii(tok) +
-      ascii(substr(tok, length(tok), lit(1)))) % HashTfBuckets
+    val bucket = pmod(hash(tok), lit(HashTfBuckets))
     withTokens(s, dir)
       // explode_OUTER + null filter == explode, but without the
       // inferred size(tk)>0 / isnotnull(tk) predicates that push into
@@ -619,6 +629,47 @@ object TextAnalysis {
       Map("txt_bpe_encode" -> bpeEncodeSql(m), "txt_bpe_freq" -> bpeFreqSql(m))
     }.getOrElse(Map.empty)
 
+  /** DuckDB spelling of Spark's string `hash()` — Murmur3_x86_32, seed
+    * 42, over the token's UTF-8 bytes (hex(encode(tok)) parsed
+    * pairwise), replayed step-for-step: 4-byte LITTLE-ENDIAN words,
+    * then each remaining tail byte SIGN-EXTENDED (Spark reads the tail
+    * through a signed byte load — bytes >= 0x80 become 0xFFFFFFxx),
+    * then the xor-with-length avalanche. All arithmetic is unsigned
+    * mod 2^32 in BIGINT, with HUGEINT for the three multiplications
+    * whose product can overflow int64; rotl(x, r) splits into the two
+    * disjoint shifted halves. The unsigned result % buckets equals
+    * Spark's pmod(signed_hash, buckets) because buckets divides 2^32
+    * (enforced power-of-two). Emits the CTE chain from a
+    * `t(doc_id, tok)` relation to `b(doc_id, bucket)`; bit-equivalence
+    * against Spark's hash() is additionally spec-gated over the real
+    * corpus (FunctionsSpec). */
+  private def murmurBucketCtes(buckets: Int): String = {
+    def mixK1(k: String) = {
+      val a = s"(CAST((CAST(($k) AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT))"
+      val b = s"(($a * 32768) % 4294967296 + $a // 131072)"
+      s"(($b * 461845907) % 4294967296)"
+    }
+    def mixH1(h: String, k1: String) = {
+      val x = s"xor($h, $k1)"
+      val r = s"(($x * 8192) % 4294967296 + $x // 524288)"
+      s"(CAST((($r * 5 + 3864292196) % 4294967296) AS BIGINT))"
+    }
+    val step = mixH1("h1", mixK1("k"))
+    s"""hx AS (SELECT doc_id, hex(encode(tok)) AS hx, octet_length(encode(tok)) AS n FROM t),
+       |by_ AS (SELECT doc_id, n, list_transform(range(1, n+1),
+       |  i -> CAST((instr('0123456789ABCDEF', substring(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+       |     + (instr('0123456789ABCDEF', substring(hx, CAST(2*i AS INT), 1)) - 1) AS BIGINT)) AS bs FROM hx),
+       |wd AS (SELECT doc_id, n,
+       |  list_transform(range(0, n // 4), w ->
+       |    bs[CAST(4*w+1 AS INT)] + bs[CAST(4*w+2 AS INT)]*256 + bs[CAST(4*w+3 AS INT)]*65536 + bs[CAST(4*w+4 AS INT)]*16777216) ||
+       |  list_transform(range(n - n % 4, n), i ->
+       |    CASE WHEN bs[CAST(i+1 AS INT)] >= 128 THEN bs[CAST(i+1 AS INT)] + 4294967040 ELSE bs[CAST(i+1 AS INT)] END) AS ks FROM by_),
+       |hh AS (SELECT doc_id, n, list_reduce(list_prepend(CAST(42 AS BIGINT), ks), (h1, k) -> $step) AS h1 FROM wd),
+       |f1 AS (SELECT doc_id, CAST((CAST(xor(xor(h1, n), xor(h1, n) // 65536) AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS v FROM hh),
+       |f2 AS (SELECT doc_id, CAST((CAST(xor(v, v // 8192) AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS v FROM f1),
+       |b AS (SELECT doc_id, xor(v, v // 65536) % $buckets AS bucket FROM f2)""".stripMargin
+  }
+
   private lazy val staticOracles: Map[String, String] = Map(
     "txt_bpe_vocab" -> bpeOracle,
     // metadata-only language mix; the fraction is an exact integer ratio
@@ -640,30 +691,26 @@ object TextAnalysis {
         |  CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90_chars,
         |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    // the same integer hash formula verbatim — length, first and last
-    // codepoints are engine-identical, so buckets replay exactly
+    // real murmur3 on both sides: Spark's native hash() vs the
+    // algorithm replayed in SQL over the identical UTF-8 bytes
     "txt_hash_tf" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
          |                                    x -> len(x) > 0)) AS tok
          |  FROM documents),
-         |b AS (
-         |  SELECT doc_id,
-         |    (31 * len(tok) + 7 * ascii(substring(tok, 1, 1))
-         |     + ascii(substring(tok, CAST(len(tok) AS INT), 1))) % $HashTfBuckets AS bucket
-         |  FROM t)
+         |${murmurBucketCtes(HashTfBuckets)}
          |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_tokens,
          |  COUNT(DISTINCT doc_id) AS n_docs
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_tfidf_top" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
         |                                    x -> len(x) > 0)) AS token
         |  FROM documents),
         |tq AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
         |       FROM t GROUP BY 1, 2),
         |dq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tq
-        |       GROUP BY 1 ORDER BY df DESC, token LIMIT 100),
+        |       GROUP BY 1 HAVING COUNT(*) >= $TfidfMinDf),
         |sc AS (SELECT tq.doc_id, tq.token, tq.tf, dq.df,
         |         CAST(tq.tf AS DOUBLE) / CAST(dq.df AS DOUBLE) AS score
         |       FROM tq JOIN dq USING (token)),

@@ -27,9 +27,9 @@ object StreamingFeatures {
       windowLen: String = "1 hour"): DataFrame = {
     val tk = org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1)
     val tok = col("tok")
-    // the batch face's hash verbatim: (31·len + 7·first + last) mod m
-    val bucket = (lit(31) * length(tok) + lit(7) * ascii(tok) +
-      ascii(substr(tok, length(tok), lit(1)))) % buckets
+    // the batch face's hash verbatim: murmur3 (Spark's native hash())
+    // over the token's UTF-8 bytes, positive-mod into the bucket space
+    val bucket = pmod(hash(tok), lit(buckets))
     docs
       .withWatermark("ts", delay)
       .select(col("ts"), explode(tk).as("tok"))

@@ -75,6 +75,11 @@ class CodegenGateSpec extends AnyFunSuite {
 
   test("cumsum-family queries run clean under CODEGEN_ONLY (r13's silent-fallback bug)") {
     val sf = "/root/testdata/sf0.001"
+    // restore the PRE-TEST values, not hardcoded defaults: suites share
+    // this session, and restoring a wrong baseline would leave sibling
+    // tests running under CODEGEN_ONLY/fallback=false
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
@@ -83,8 +88,13 @@ class CodegenGateSpec extends AnyFunSuite {
         assert(n > 0, s"$q returned no rows")
       }
     } finally {
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
-      spark.conf.set("spark.sql.codegen.fallback", "true")
+      def restore(key: String, prev: Option[String], default: String): Unit =
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.set(key, default)
+        }
+      restore("spark.sql.codegen.factoryMode", prevMode, "FALLBACK")
+      restore("spark.sql.codegen.fallback", prevFallback, "true")
     }
   }
 }

@@ -485,4 +485,64 @@ class FunctionsSpec extends AnyFunSuite {
       .select("pred_lang").distinct().as[String].collect().toSet
     assert(langs.subsetOf(Set("en", "es", "de", "fr", "und")))
   }
+
+  /** Reference Murmur3_x86_32 (seed 42) over UTF-8 bytes with Spark's
+    * exact byte handling: 4-byte little-endian words, then each
+    * remaining tail byte SIGN-EXTENDED (Spark's hashUnsafeBytes reads
+    * the tail through a signed byte load). This is the algorithm the
+    * txt_hash_tf DuckDB oracle spells in SQL — pinning Spark's hash()
+    * to it here pins the oracle too. */
+  private def mm3Ref(s: String, seed: Int = 42): Int = {
+    val data = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def mixK1(k: Int): Int = {
+      var k1 = k * 0xcc9e2d51
+      k1 = Integer.rotateLeft(k1, 15)
+      k1 * 0x1b873593
+    }
+    def mixH1(h: Int, k1: Int): Int = {
+      var h1 = h ^ k1
+      h1 = Integer.rotateLeft(h1, 13)
+      h1 * 5 + 0xe6546b64
+    }
+    var h1 = seed
+    val aligned = data.length - data.length % 4
+    var i = 0
+    while (i < aligned) {
+      val w = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      h1 = mixH1(h1, mixK1(w))
+      i += 4
+    }
+    while (i < data.length) {
+      h1 = mixH1(h1, mixK1(data(i).toInt)) // signed byte, sign-extended
+      i += 1
+    }
+    var h = h1 ^ data.length
+    h ^= h >>> 16; h *= 0x85ebca6b
+    h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^ (h >>> 16)
+  }
+
+  test("Spark hash() == the reference murmur3 the txt_hash_tf oracle replays") {
+    import org.apache.spark.sql.functions.hash
+    // fixed probes exercise every path: word-aligned lengths, 1-3 byte
+    // tails, multi-byte UTF-8 (sign-extended tail bytes), empty string
+    val fixed = Seq("hello", "a", "ab", "abc", "abcd", "the", "héllo",
+      "x" * 13, "", "üö", "date2024")
+    val gotF = fixed.toDF("tok").select(hash(col("tok"))).collect().map(_.getInt(0))
+    fixed.zip(gotF).foreach { case (t, g) =>
+      assert(g == mm3Ref(t), s"hash('$t') diverges from the reference murmur3")
+    }
+    // and the real corpus's tokens, end to end
+    val toks = graft.sources.Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1)).as("tok"))
+      .distinct().limit(2000)
+    val rows = toks.select(col("tok"), hash(col("tok"))).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) == mm3Ref(r.getString(0)),
+        s"corpus token '${r.getString(0)}' diverges")
+    }
+  }
 }

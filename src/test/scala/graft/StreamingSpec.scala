@@ -951,4 +951,62 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => Timestamp.valueOf(r.getDate(0).toLocalDate.minusDays(6).atStartOfDay()))
     assert(activeDays.forall(wau.contains))
   }
+
+  test("StreamingSimilarity.annFlags scores ≡ the batch IVFADC search on a shared fixture") {
+    import java.sql.Timestamp
+    import graft.streaming.StreamingSimilarity
+    import graft.operators.Similarity
+    implicit val sc = spark.sqlContext
+
+    // 16 deterministic dim-64 vectors; the model is the fixed-posture
+    // construction (first-8 centroids, first-8 codeword sources)
+    val dim = 64
+    def vec(i: Int): IndexedSeq[Double] =
+      IndexedSeq.tabulate(dim)(d => (((i * 31 + d * 7) % 13) - 6) / 4.0)
+    val vecs = (0 until 16).map(i => (i.toLong, vec(i)))
+    val cents = (0 until 8).map(i => vec(i))
+    val sub = dim / 4
+    val codebook = (0 until 4).map(m => (0 until 8).map(j =>
+      vec(j).slice(m * sub, (m + 1) * sub)))
+
+    val e = vecs.toDF("vec_id", "emb")
+    val assigned = e
+      .withColumn("cluster", Similarity.trainedAssignCol(cents))
+      .select(col("vec_id"), col("emb"), col("cluster"))
+    val enc = Similarity.encodeIvfpq(assigned, cents, codebook)
+    val batch = Similarity.ivfpqSearch(assigned, cents, codebook)
+      .select("probe_id", "vec_id", "approx_cos", "rk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty, "fixture produced no batch neighbors")
+
+    // the same 5 probes arrive as a stream across two batches (one late
+    // but in-horizon row must merge into the open window, not fork it)
+    val in = MemoryStream[(Timestamp, Long, Seq[Double])]
+    val stream = in.toDF().toDF("ts", "probe_id", "emb")
+    val q = StreamingSimilarity.annFlags(stream, enc, cents, codebook, k = 5)
+      .writeStream.format("memory").queryName("ann_flags_out")
+      .outputMode(OutputMode.Append()).start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    in.addData((0 until 3).map(i => (t0, i.toLong, vec(i).toSeq)): _*)
+    q.processAllAvailable()
+    in.addData((3 until 5).map(i =>
+      (Timestamp.valueOf("2024-01-01 10:30:00"), i.toLong, vec(i).toSeq)): _*)
+    q.processAllAvailable()
+    // advance the watermark past 11:00 + delay to close the window
+    in.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 99L, vec(0).toSeq))
+    q.processAllAvailable()
+    q.stop()
+
+    val stream0 = spark.table("ann_flags_out")
+      .filter(col("win_start") === lit(t0))
+      .select("probe_id", "vec_id", "approx_cos", "rk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // bit-exact: same routing, same ADC tables, same score expressions
+    assert(stream0 == batch,
+      s"stream-vs-batch divergence: only-stream=${stream0 -- batch}, only-batch=${batch -- stream0}")
+  }
 }
