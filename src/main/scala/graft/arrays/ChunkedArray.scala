@@ -649,7 +649,18 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
   }
 
   /** Per-timestep global sum: chunk-local decimal fold, then a tiny
-    * partial-agg shuffle of one scalar per chunk. */
+    * partial-agg shuffle of one scalar per chunk.
+    *
+    * PAYLOAD DOMAIN: the decimal-fold family (sum/stats total/var/
+    * cumsum) is defined over FINITE decimals — the exactness contract.
+    * A NaN/±Infinity cell follows the session's Cast semantics exactly
+    * (the native kernels replay it: cast18_2): ANSI errors like any
+    * ANSI double→decimal Cast; non-ANSI yields the null that poisons
+    * the fold to null. Neither silently skips, and neither is numpy's
+    * NaN-propagation — missing data is NULL, handled by the nanStats
+    * family. The ordering ops (min/max/arg-extremes) and re-addressing
+    * ops accept every double bit pattern under SQL double semantics
+    * (NaN greatest) — model-checked with NaN/Inf draws. */
   def sumPerTimestep(alias: String = "total"): DataFrame =
     df.select(col("timestep"), chunkSumDec(col("data")).as("csum"))
       .groupBy("timestep")
@@ -1854,7 +1865,13 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * collect_list merge made one reducer sort O(k·#chunks) structs).
     * Returns `(timestep, rank, idx, value)` with rank 1..k. Payload
     * cells are assumed non-null (the dense-array contract shared by
-    * every reduction face). */
+    * every reduction face). DECLARED NaN DIVERGENCE: the negated
+    * ascending merge cannot represent "NaN is the largest value"
+    * (-NaN is still NaN, and SQL sorts NaN greatest regardless of
+    * sign), so NaN cells sort LAST here — numpy's sort would rank them
+    * first among the top-k. NaN payloads are out of topk's contract;
+    * mask them to null (dropped by the sort) or use argmaxNd, which
+    * implements NaN-greatest exactly. */
   def topkRows(k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val shape = geom.chunkShape

@@ -473,11 +473,13 @@ object TopKSortedMerge {
   * null ELEMENT counts as one distinct member on its side (intersect
   * iff both sides hold a null — Spark's null-as-value collection
   * semantics), |A∩B| and |A∪B| are exact ints and the result is their
-  * double ratio. A NULL array on either side yields NULL. Empty/empty
-  * inputs yield IEEE NaN — same as the Catalyst spelling (ANSI's
-  * DIVIDE_BY_ZERO applies to integral/decimal division; double 0.0/0.0
-  * is NaN in both), so there is no divergence, and the case is out of
-  * the queries' domain anyway (every verify pair carries non-empty hs).
+  * double ratio. A NULL array on either side yields NULL. The one
+  * declared divergence is OUT of the queries' domain: on empty/empty
+  * inputs (every verify pair carries non-empty hs by construction)
+  * this yields pure-IEEE NaN where the ANSI Catalyst spelling throws —
+  * Spark 4's ANSI Divide raises DIVIDE_BY_ZERO even for DOUBLE 0.0/0.0
+  * (probe-verified against this build; the "doubles are IEEE under
+  * ANSI" folklore does not hold here).
   * Equivalence spec-gated incl. dups, nulls and empties
   * (FunctionsSpec). */
 case class JaccardSet(left: Expression, right: Expression)

@@ -410,6 +410,132 @@ class ArrayModelSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN/Infinity payloads keep SQL double semantics across ordering and re-addressing ops") {
+    // The decimal-fold family (sum/stats total/var/cumsum) declares a
+    // finite-decimal payload domain (NULL is the missing sentinel —
+    // nanStats' contract); the ORDERING ops (min/max/arg-extremes) and
+    // the RE-ADDRESSING ops (flip/roll/transpose/rechunk/reshape) are
+    // defined for every double bit pattern. This check draws NaN and
+    // ±Infinity with ~15% probability and replays Spark-SQL double
+    // semantics exactly: NaN greatest, NaN == NaN, ties to the lowest
+    // index; moved cells compare BIT-exactly (NaN != NaN under ==, so
+    // equality goes through doubleToLongBits).
+    val rnd = new scala.util.Random(77714L)
+    val ord: Ordering[Double] = (a, b) => java.lang.Double.compare(a, b)
+    def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+    for (caseNo <- 0 until 6) {
+      val rank = 1 + rnd.nextInt(3)
+      val cpd = Seq.fill(rank)(1 + rnd.nextInt(3))
+      val cs = Seq.fill(rank)(1 + rnd.nextInt(3))
+      val shape = cpd.zip(cs).map { case (a, b) => a * b }
+      val cells: Vector[Double] = Vector.fill(shape.product) {
+        rnd.nextInt(20) match {
+          case 0 => Double.NaN
+          case 1 => Double.PositiveInfinity
+          case 2 => Double.NegativeInfinity
+          case _ => rnd.between(-9999, 10000) / 100.0
+        }
+      }
+      val st = strides(shape)
+      def at(ix: Seq[Int]): Double = cells(ix.zip(st).map { case (i, s) => i * s }.sum)
+      val rows = cartesian(cpd).map { pos =>
+        val data = cartesian(cs).map(local =>
+          at(pos.zip(local).zip(cs).map { case ((p, l), w) => p * w + l }))
+        (0L, pos, data)
+      }
+      val arr = ChunkedArray(rows.toDF("timestep", "pos", "data"),
+        ArrayGeometry(cpd, cs))
+      val tag = s"case $caseNo shape=$shape cpd=$cpd " +
+        s"nan=${cells.count(_.isNaN)} inf=${cells.count(_.isInfinite)}"
+
+      // (statsPerTimestep's decimal total is OUT of this domain: under
+      // the session's ANSI default a NaN/Inf cell errors like any ANSI
+      // double→decimal Cast — the ordering ops below carry the global
+      // min/max instead)
+      // global arg-extremes: NaN greatest, ties to the lowest flat index
+      def bestIx(c: Seq[Double], isMax: Boolean): Int =
+        c.indices.reduceLeft { (b, i) =>
+          val cmp = ord.compare(c(i), c(b))
+          if ((isMax && cmp > 0) || (!isMax && cmp < 0)) i else b
+        }
+      val amx = arr.argmaxNd().head
+      val mxIx = bestIx(cells, isMax = true)
+      assert(bits(amx.getDouble(1)) == bits(cells(mxIx)), s"$tag argmax val")
+      (0 until rank).foreach { k =>
+        assert(amx.getLong(2 + k) == (mxIx / st(k)) % shape(k), s"$tag argmax i$k")
+      }
+      val amn = arr.argminNd().head
+      val mnIx = bestIx(cells, isMax = false)
+      assert(bits(amn.getDouble(1)) == bits(cells(mnIx)), s"$tag argmin val")
+      (0 until rank).foreach { k =>
+        assert(amn.getLong(2 + k) == (mnIx / st(k)) % shape(k), s"$tag argmin i$k")
+      }
+
+      // axis extremes + axis arg-extremes against the dense lines
+      if (rank >= 2) for (axis <- 0 until rank) {
+        val linesD: Seq[(Seq[Int], Seq[Double])] = {
+          val rem = shape.indices.filterNot(_ == axis)
+          cartesian(rem.map(shape)).map { rix =>
+            val full = Array.fill(rank)(0)
+            rem.zip(rix).foreach { case (d2, i) => full(d2) = i }
+            val line = (0 until shape(axis)).map { i => full(axis) = i; at(full.toSeq) }
+            (rix, line)
+          }
+        }
+        val maxs = rowsMap(arr.axisMax(axis))
+        val mins = rowsMap(arr.axisMin(axis))
+        val amaxs = arr.axisArgmax(axis).rowsNd.collect().map { r =>
+          val len = r.length
+          ((1 until len - 1).map(r.getLong): Seq[Long]) -> r.getLong(len - 1)
+        }.toMap
+        for ((rix, line) <- linesD) {
+          val k = ixKey(rix)
+          assert(bits(maxs(k)) == bits(line.max(ord)), s"$tag axisMax($axis) at $rix")
+          assert(bits(mins(k)) == bits(line.min(ord)), s"$tag axisMin($axis) at $rix")
+          assert(amaxs(k) == bestIx(line, isMax = true).toLong,
+            s"$tag axisArgmax($axis) at $rix")
+        }
+      }
+
+      // re-addressing moves every bit pattern intact
+      val axis = rnd.nextInt(rank)
+      val size = shape(axis)
+      val fmap = rowsMap(arr.flip(axis))
+      val shift = rnd.between(-size, size + 1)
+      val rolled = rowsMap(arr.roll(axis, shift))
+      val newShape = shape.map { s =>
+        val divisors = (1 to s).filter(s % _ == 0)
+        divisors(rnd.nextInt(divisors.length))
+      }
+      val rmap = rowsMap(arr.rechunk(newShape))
+      val total = shape.product
+      val flatDivs = (1 to total).filter(total % _ == 0)
+      val fchunk = flatDivs(rnd.nextInt(flatDivs.length))
+      val remap = rowsMap(arr.reshape(Seq(total), Seq(fchunk)))
+      for (ix <- cartesian(shape)) {
+        assert(bits(fmap(ixKey(ix))) == bits(at(ix.updated(axis, size - 1 - ix(axis)))),
+          s"$tag flip at $ix")
+        val rsrc = ix.updated(axis, (((ix(axis) - shift) % size) + size) % size)
+        assert(bits(rolled(ixKey(ix))) == bits(at(rsrc)), s"$tag roll at $ix")
+        assert(bits(rmap(ixKey(ix))) == bits(at(ix)), s"$tag rechunk at $ix")
+        val flat = ix.zip(st).map { case (i, s) => i * s }.sum
+        assert(bits(remap(Seq(flat.toLong))) == bits(at(ix)), s"$tag reshape at $ix")
+      }
+      if (rank >= 2) {
+        val perm = rnd.shuffle((0 until rank).toList)
+        val tmap = rowsMap(arr.transpose(perm))
+        for (ix <- cartesian(shape))
+          assert(bits(tmap(ixKey(perm.map(ix)))) == bits(at(ix)), s"$tag transpose at $ix")
+      }
+
+      // truthiness: NaN and ±Inf are nonzero, hence truthy
+      val trow = arr.truthPerTimestep.head
+      val nz = cells.count(v => bits(v) != bits(0.0) && bits(v) != bits(-0.0))
+      assert(trow.getLong(1) == (if (nz > 0) 1L else 0L), s"$tag any")
+      assert(trow.getLong(2) == (if (nz == cells.length) 1L else 0L), s"$tag all")
+    }
+  }
+
   test("nanStats matches the exact dense model under a random mask") {
     val rnd = new scala.util.Random(55511L)
     for (caseNo <- 0 until 6) {
