@@ -1514,6 +1514,35 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       geom.chunkShape.dropRight(axes) ++ other.geom.chunkShape.drop(axes)))
   }
 
+  /** Full dask/numpy `tensordot(a, b, axes=(axesA, axesB))`
+    * (ref window_api.py's dask-expression surface): contract a's
+    * axesA(i) with b's axesB(i) for ARBITRARY — possibly non-contiguous
+    * and non-sorted — axis lists. numpy's own recipe, Spark-first:
+    * [[transpose]] re-addresses chunks so the contracted axes become
+    * a's LAST / b's FIRST axes in pair order (a transpose is a chunk
+    * re-key plus a compiled intra-chunk gather — NO shuffle of its own;
+    * the contraction's (timestep, kpos) exchange is the plan's only
+    * one), then the contiguous [[tensordot]] SUMMA join finishes.
+    * Output axes: a's kept axes in order, then b's kept axes (numpy's
+    * layout). Identity permutations are skipped, so
+    * axes = (last k, first k) degrades to exactly the contiguous plan. */
+  def tensordot(other: ChunkedArray, axesA: Seq[Int], axesB: Seq[Int]): ChunkedArray = {
+    require(axesA.nonEmpty && axesA.length == axesB.length,
+      s"axes lists must be non-empty and pair 1:1, got $axesA vs $axesB")
+    require(axesA.distinct == axesA && axesB.distinct == axesB,
+      s"axes within one operand must be distinct, got $axesA and $axesB")
+    require(axesA.forall(a => a >= 0 && a < geom.dims) &&
+      axesB.forall(b => b >= 0 && b < other.geom.dims),
+      s"axes ($axesA, $axesB) out of range for ranks (${geom.dims}, ${other.geom.dims})")
+    val keepA = (0 until geom.dims).filterNot(axesA.contains)
+    val keepB = (0 until other.geom.dims).filterNot(axesB.contains)
+    val permA = keepA ++ axesA
+    val permB = axesB ++ keepB
+    val at = if (permA == (0 until geom.dims)) this else transpose(permA)
+    val bt = if (permB == (0 until other.geom.dims)) other else other.transpose(permB)
+    at.tensordot(bt, axesA.length)
+  }
+
   /** Sum along `axis` for ANY rank >= 2 (dask `arr.sum(axis=)`):
     * chunk-local fold along the axis (narrow, one decimal accumulator
     * per surviving cell), then an elementwise decimal merge of the

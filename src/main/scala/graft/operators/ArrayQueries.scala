@@ -410,6 +410,20 @@ object ArrayQueries {
       .orderBy("timestep", "i", "j", "k")
   }
 
+  /** Arbitrary-axis-list contraction `tensordot(A3, A2,
+    * axes=((0, 2), (1, 0)))` (the full dask/numpy axes form): contracts
+    * the 3-d array's user axis with the 2-d array's HOUR axis and its
+    * event-id axis with the 2-d array's USER axis — axesA non-contiguous,
+    * axesB non-sorted, so BOTH transpose re-addressings run before the
+    * shared SUMMA join. Output is the surviving hour axis per timestep. */
+  def arrTensordotAxes(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray3dCached(s, dir)
+    val b = eventsArray2dCached(s, dir)
+    a.tensordot(b, Seq(0, 2), Seq(1, 0)).rowsNd
+      .withColumnsRenamed(Map("i0" -> "i"))
+      .orderBy("timestep", "i")
+  }
+
   /** dask `reshape` — the 8x8 2-d array re-read as a 1-d 64-vector in
     * global row-major order (rank change), then the distributed cumsum
     * scan: any re-addressing error (wrong flat index, wrong chunk,
@@ -725,6 +739,18 @@ object ArrayQueries {
          |FROM cells3 x JOIN cells y
          |  ON x.timestep = y.timestep AND x.w = y.u
          |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    // axes=((0,2),(1,0)): a.u pairs with b.h, a.w pairs with b.u; only
+    // a's hour axis survives. Same decimal(18,4) product posture as
+    // arr_tensordot (order-independent exact sums).
+    "arr_tensordot_axes" ->
+      s"""WITH $CELLS_3D_DENSE,
+         |$CELLS_2D_DENSE
+         |SELECT CAST(x.timestep AS BIGINT) AS timestep,
+         |  CAST(x.h AS BIGINT) AS i,
+         |  CAST(SUM(CAST(x.cell * y.cell AS DECIMAL(18,4))) AS DOUBLE) AS value
+         |FROM cells3 x JOIN cells y
+         |  ON x.timestep = y.timestep AND x.u = y.h AND x.w = y.u
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "arr_sum_ts" ->
       s"""WITH $CELLS_1D
          |SELECT CAST(timestep AS BIGINT) AS timestep,
@@ -1443,6 +1469,7 @@ object ArrayQueries {
     "arr_stencil_sum" -> (arrStencilSum _),
     "arr_matmul" -> (arrMatmul _),
     "arr_tensordot" -> (arrTensordot _),
+    "arr_tensordot_axes" -> (arrTensordotAxes _),
     "arr_reshape_flat" -> (arrReshapeFlat _),
     "arr_stack_axis" -> (arrStackAxis _),
     "arr_any_all" -> (arrAnyAll _),

@@ -157,10 +157,16 @@ object Dedup {
     val bands = reps
       .select(col("rep"), explode(array(bandStructs: _*)).as("e"))
       .select(col("rep"), col("e.band").as("band"), col("e.bh").as("bh"))
-    // distinct-content-scale self-join: shuffle on the band hash
-    val repPairs = bands.as("a")
-      .join(bands.as("b").hint("shuffle_hash"),
+    // distinct-content-scale self-join: shuffle on the band hash. A hot
+    // band value (one near-universal shingle pattern) would serialize
+    // its whole cell into one reduce task — skew-bounded adaptively
+    // (Joins.skewBound: per-cell rows <= ~cap, exact pair set).
+    val (bandsS, bandsR) = Joins.skewBound(bands, bands,
+      Seq("band", "bh"), Seq("band", "bh"), hash(col("rep")))
+    val repPairs = bandsR.as("a")
+      .join(bandsS.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.__split_r") === col("b.__split") &&
           col("a.rep") < col("b.rep"))
       .select(col("a.rep").as("ra"), col("b.rep").as("rb"))
       .distinct()
@@ -374,9 +380,12 @@ object Dedup {
           struct(lit(b).as("band"),
             expr(s"(sig >> ${SimhashBandBits * b}) & $mask").as("bv"))): _*)).as("e"))
       .select(col("sig"), col("e.band").as("band"), col("e.bv").as("bv"))
-    val sigPairs = bands.as("a")
-      .join(bands.as("b").hint("shuffle_hash"),
+    val (bandsS, bandsR) = Joins.skewBound(bands, bands,
+      Seq("band", "bv"), Seq("band", "bv"), hash(col("sig")))
+    val sigPairs = bandsR.as("a")
+      .join(bandsS.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.__split_r") === col("b.__split") &&
           col("a.sig") < col("b.sig"))
       .select(col("a.sig").as("sa"), col("b.sig").as("sb"),
         expr("CAST(bit_count(a.sig ^ b.sig) AS BIGINT)").as("hamming"))
@@ -490,10 +499,15 @@ object Dedup {
           struct(lit(b).as("band"),
             expr(s"(sig >> ${SimhashBandBits * b}) & $mask").as("bv"))): _*)).as("e"))
       .select(col("sig"), col("g"), col("e.band").as("band"), col("e.bv").as("bv"))
-    // distinct-signature-scale self-join: shuffle on the band value
-    val cross = bands.as("a")
-      .join(bands.as("b").hint("shuffle_hash"),
+    // distinct-signature-scale self-join: shuffle on the band value,
+    // skew-bounded (a hot 15-bit band value — e.g. one shared by every
+    // near-boilerplate signature — would otherwise own one reduce task)
+    val (bandsS, bandsR) = Joins.skewBound(bands, bands,
+      Seq("band", "bv"), Seq("band", "bv"), hash(col("sig")))
+    val cross = bandsR.as("a")
+      .join(bandsS.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.__split_r") === col("b.__split") &&
           col("a.sig") < col("b.sig"))
       .select(col("a.sig").as("sa"), col("b.sig").as("sb"),
         expr("CAST(bit_count(a.sig ^ b.sig) AS BIGINT)").as("hamming"),
@@ -568,9 +582,20 @@ object Dedup {
     * spec-testable on synthetic vectors. */
   private[graft] def embedNearPairs(raw: DataFrame, depth: Int): DataFrame = {
     val (e, probed) = bucketProbe(raw, depth)
-    // corpus-scale on both sides: bucket-keyed shuffle join, no broadcast
-    probed.as("a").join(e.as("b").hint("shuffle_hash"),
+    // corpus-scale on both sides: bucket-keyed shuffle join, no
+    // broadcast of the corpus. Skew-bounded (Joins.skewBound): a
+    // crowded hyperplane region — half the corpus on one side of every
+    // plane is the pathological-but-real embedding distribution — lands
+    // a hot bucket whose cell would serialize one reduce task; the
+    // count relation is O(2^planes × |labels|) rows (key-space bounded
+    // BY CONSTRUCTION, hence the broadcast — see PlanShapeSpec's
+    // reasoned allowlist).
+    val (eS, probedR) = Joins.skewBound(e, probed,
+      Seq("bucket", "label"), Seq("probe", "label"),
+      hash(col("vec_id")), broadcastCounts = true)
+    probedR.as("a").join(eS.as("b").hint("shuffle_hash"),
         col("a.probe") === col("b.bucket") && col("a.label") === col("b.label") &&
+          col("a.__split_r") === col("b.__split") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -62,13 +62,21 @@ object Similarity {
     val raw = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
-    // the dedup family's candidate core: same buckets, same masks
+    // the dedup family's candidate core: same buckets, same masks —
+    // and the same skew bound (Joins.skewBound, broadcastable counts:
+    // the key space is 2^planes buckets × labels by construction), so a
+    // crowded hyperplane region spreads over ceil(n/cap) reduce tasks
+    // instead of serializing one.
     val (e, probed0) = Dedup.bucketProbe(raw, Dedup.EmbedProbeDepth)
     val probed = probed0
       .select(col("vec_id").as("probe_id"), col("label").as("qlabel"),
         col("emb").as("qe"), col("n2").as("qn2"), col("probe"))
-    val cand = probed.join(e.hint("shuffle_hash"),
+    val (eS, probedR) = Joins.skewBound(e, probed,
+      Seq("bucket", "label"), Seq("probe", "qlabel"),
+      hash(col("vec_id")), broadcastCounts = true)
+    val cand = probedR.join(eS.hint("shuffle_hash"),
         col("probe") === col("bucket") && col("qlabel") === col("label") &&
+          col("__split_r") === col("__split") &&
           col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"),
         cosineWithNorms(dot(col("qe"), col("emb")), col("qn2"), col("n2")).as("cos"))

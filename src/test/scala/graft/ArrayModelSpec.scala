@@ -536,6 +536,66 @@ class ArrayModelSpec extends AnyFunSuite {
     }
   }
 
+  test("arbitrary-axis-list tensordot matches the exact dense model") {
+    // The full axes=(axesA, axesB) form across random ranks, random
+    // (possibly non-contiguous, non-sorted) axis lists and random
+    // chunkings — the transpose-then-SUMMA composition has to get the
+    // pair ORDER right (axesA(i) contracts with axesB(i)), which no
+    // fixed fixture pins as hard as shuffled axis draws. Products of
+    // 2-decimal cells are exactly 4-decimal, the engine folds them in
+    // decimal(38,4), so every comparison is `==`.
+    val rnd = new scala.util.Random(99315L)
+    for (caseNo <- 0 until 8) {
+      val k = 1 + rnd.nextInt(2)
+      val rankA = k + rnd.nextInt(4 - k)
+      val rankB = k + rnd.nextInt(4 - k)
+      val axesA = rnd.shuffle((0 until rankA).toList).take(k)
+      val axesB = rnd.shuffle((0 until rankB).toList).take(k)
+      // contracted pair i shares BOTH chunk grid and chunk shape
+      val pairCpd = Seq.fill(k)(1 + rnd.nextInt(3))
+      val pairCs = Seq.fill(k)(1 + rnd.nextInt(3))
+      def operand(rank: Int, axes: Seq[Int]): (Dense, Seq[Int]) = {
+        val cpd = Array.fill(rank)(0)
+        val cs = Array.fill(rank)(0)
+        axes.zipWithIndex.foreach { case (ax, i) =>
+          cpd(ax) = pairCpd(i); cs(ax) = pairCs(i)
+        }
+        for (d <- 0 until rank if cpd(d) == 0) {
+          cpd(d) = 1 + rnd.nextInt(3); cs(d) = 1 + rnd.nextInt(3)
+        }
+        val shape = cpd.zip(cs).map { case (a, b) => a * b }.toSeq
+        (Dense(shape, Vector.fill(shape.product)(
+          BigDecimal(rnd.between(-9999, 10000), 2))), cpd.toSeq)
+      }
+      val (da, cpdA) = operand(rankA, axesA)
+      val (db, cpdB) = operand(rankB, axesB)
+      val res = rowsMap(chunked(da, cpdA).tensordot(chunked(db, cpdB), axesA, axesB))
+      val keepA = (0 until rankA).filterNot(axesA.contains)
+      val keepB = (0 until rankB).filterNot(axesB.contains)
+      val pairShape = axesA.map(da.shape)
+      val tag = s"case $caseNo ranks=($rankA,$rankB) axes=($axesA,$axesB) " +
+        s"shapes=(${da.shape},${db.shape}) cpd=($cpdA,$cpdB)"
+      val expected = cartesian(keepA.map(da.shape)).flatMap { ia =>
+        cartesian(keepB.map(db.shape)).map { ib =>
+          val exp = cartesian(pairShape).map { kx =>
+            val fullA = Array.fill(rankA)(0)
+            keepA.zip(ia).foreach { case (d, i) => fullA(d) = i }
+            axesA.zipWithIndex.foreach { case (ax, i) => fullA(ax) = kx(i) }
+            val fullB = Array.fill(rankB)(0)
+            keepB.zip(ib).foreach { case (d, i) => fullB(d) = i }
+            axesB.zipWithIndex.foreach { case (ax, i) => fullB(ax) = kx(i) }
+            da.at(fullA.toSeq) * db.at(fullB.toSeq)
+          }.sum
+          ixKey(ia ++ ib) -> exp.toDouble
+        }
+      }.toMap
+      assert(res.keySet == expected.keySet, s"$tag output index set")
+      expected.foreach { case (ix, v) =>
+        assert(res(ix) == v, s"$tag at $ix")
+      }
+    }
+  }
+
   test("nanStats matches the exact dense model under a random mask") {
     val rnd = new scala.util.Random(55511L)
     for (caseNo <- 0 until 6) {

@@ -20,6 +20,56 @@ class JoinsSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("skewBound reproduces the exact pair set and bounds per-cell rows under 100x skew") {
+    import org.apache.spark.sql.functions.{col, hash}
+    // hot-bucket fixture: one key with 700 rows vs 50 keys of 7 rows
+    // (100x skew), small cap so the hot key genuinely splits
+    val cap = 32
+    val rows = ((0 until 700).map(i => ("hot", i.toLong)) ++
+      (0 until 350).map(i => (s"k${i % 50}", 1000L + i))).toDF("k", "id")
+    val naive = rows.as("a")
+      .join(rows.as("b"), col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (s, r) = Joins.skewBound(rows, rows, Seq("k"), Seq("k"),
+      hash(col("id")), cap = cap)
+    val salted = r.as("a")
+      .join(s.as("b"), col("a.k") === col("b.k") &&
+        col("a.__split_r") === col("b.__split") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"))
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+    // exactness AND exactly-once: every pair meets in precisely one cell
+    assert(salted.toSet == naive.toSet, "pair sets must match")
+    assert(salted.length == naive.length, "no pair may be duplicated or lost")
+    // bound: no (key, split) reduce cell on the salted side exceeds the
+    // cap by more than hash imbalance (3x is generous; expected ~cap)
+    val cells = s.groupBy("k", "__split").count().collect()
+    assert(cells.map(_.getLong(2)).max <= 3L * cap,
+      s"per-cell rows must be bounded by ~cap=$cap")
+    // the hot key spreads over exactly ceil(700/32) = 22 cells...
+    assert(cells.count(_.getString(0) == "hot") == math.ceil(700.0 / cap).toInt)
+    // ...while every non-hot key keeps m = 1 (zero replication cost)
+    val nonHotSplits = r.filter(col("k") =!= "hot")
+      .groupBy("k").count().collect().map(_.getLong(1))
+    assert(nonHotSplits.forall(_ == 7L), "non-hot keys must not replicate")
+  }
+
+  test("skewBound keeps keys absent from the salted side (left-outer counts)") {
+    import org.apache.spark.sql.functions.{col, hash}
+    val left = Seq(("a", 1L), ("a", 2L)).toDF("k", "id")
+    val right = Seq(("a", 10L), ("zzz", 11L)).toDF("k", "id")
+    val (s, r) = Joins.skewBound(left, right, Seq("k"), Seq("k"),
+      hash(col("id")), cap = 1)
+    // the replicated side keeps its unmatched key (m defaults to 1)...
+    assert(r.filter(col("k") === "zzz").count() == 1L)
+    // ...and the join still produces exactly the naive pair set
+    val pairs = s.as("b").join(r.as("a"),
+        col("a.k") === col("b.k") && col("a.__split_r") === col("b.__split"))
+      .select(col("b.id"), col("a.id"))
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L), (2L, 10L)))
+  }
+
   test("q5 plan broadcasts dimensions and pushes filters to the scan") {
     val plan = Relational.q5RegionVolume(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

@@ -45,6 +45,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // k-means fit itself collects only O(k * dim) sums per iteration)
     "sim_ivfpq_trained" -> Set("embeddings"),
     "sim_ivfpq_trained_recall" -> Set("embeddings"),
+    // O(2^planes × |labels|) bucket-count relation broadcast for the
+    // skew bound (Joins.skewBound, broadcastCounts): key-space bounded
+    // BY CONSTRUCTION (64 buckets × labels), never corpus-proportional
+    "dd_embed_near" -> Set("embeddings"),
+    "dd_embed_cluster" -> Set("embeddings"),
+    "dd_semantic_keep_one" -> Set("embeddings"),
+    "sim_knn_join" -> Set("embeddings"),
     // benchmark gram set: small by definition (documented in Pipeline)
     "txt_contamination" -> Set("documents"),
     // three 1-row stage-count aggregates cross-joined into the summary

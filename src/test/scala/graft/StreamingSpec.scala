@@ -851,8 +851,13 @@ class StreamingSpec extends AnyFunSuite {
     in.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "zz"))
     q.processAllAvailable()
     q.stop()
-    def bucketOf(t: String): Long =
-      ((31 * t.length + 7 * t.head.toInt + t.last.toInt) % 64).toLong
+    // the batch face's hash verbatim: murmur3 over UTF-8 bytes (Spark's
+    // native hash()), positive-mod into the bucket space
+    def bucketOf(t: String): Long = {
+      import org.apache.spark.sql.functions.{hash, lit, pmod}
+      spark.range(1).select(pmod(hash(lit(t)), lit(64)).cast("bigint"))
+        .head().getLong(0)
+    }
     val got = spark.table("htf_out")
       .select("bucket", "n_tokens")
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted

@@ -66,7 +66,8 @@ class SurveyInventorySpec extends AnyFunSuite {
     // def registered only after the query has trained (Verify's contract),
     // so at spec time the entry is legitimately absent
     val trainedOracles =
-      Set("sim_ivf_trained", "sim_pq_trained", "txt_bpe_vocab", "txt_bpe_encode",
+      Set("sim_ivf_trained", "sim_pq_trained", "sim_ivfpq_trained",
+        "sim_ivfpq_trained_recall", "txt_bpe_vocab", "txt_bpe_encode",
         "txt_bpe_freq", "pipe_pack_bpe")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly -- trainedOracles
