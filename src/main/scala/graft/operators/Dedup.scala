@@ -586,10 +586,10 @@ object Dedup {
     // broadcast of the corpus. Skew-bounded (Joins.skewBound): a
     // crowded hyperplane region — half the corpus on one side of every
     // plane is the pathological-but-real embedding distribution — lands
-    // a hot bucket whose cell would serialize one reduce task; the
-    // count relation is O(2^planes × |labels|) rows (key-space bounded
-    // BY CONSTRUCTION, hence the broadcast — see PlanShapeSpec's
-    // reasoned allowlist).
+    // a hot bucket whose cell would serialize one reduce task; the hot
+    // relation is bounded by O(2^planes × |labels|) keys (key-space
+    // bounded BY CONSTRUCTION, hence the plan-time broadcast — see
+    // PlanShapeSpec's reasoned allowlist).
     val (eS, probedR) = Joins.skewBound(e, probed,
       Seq("bucket", "label"), Seq("probe", "label"),
       hash(col("vec_id")), broadcastCounts = true)

@@ -40,6 +40,26 @@ object Joins {
     * makes the cost identical). */
   val SkewCap: Int = 1 << 16
 
+  /** Hot-key sets at most this large are inlined as literal when-chains
+    * (the trained-model posture: a bounded driver-side artifact shaping
+    * the plan). Larger sets — skew so broad that per-key literals would
+    * bloat codegen — take the sound DataFrame-join fallback. */
+  val MaxInlineHot: Int = 64
+
+  /** Operational escape hatch (and A/B profiling seam): `false` makes
+    * [[skewBound]] emit the degenerate single-split columns without
+    * running the detection pass — exactly the naive self-join plan. */
+  @volatile var skewBoundEnabled: Boolean = true
+
+  /** Session-lifetime memo of resolved hot-key sets, keyed by the
+    * salted plan's canonicalized semantic hash + keys + cap (the
+    * trained-model fingerprint posture: sources are static within a
+    * session, so the detection pass runs ONCE per distinct input plan,
+    * not once per query construction — a measured ~0.3 s fixed job
+    * cost at sf0.1 that would otherwise recur on every re-run). */
+  private val hotMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+
   /** Adaptive salted split for a skewed band/bucket equi-join — the
     * self-join twin of [[saltedJoin]] (which replicates the ENTIRE small
     * side `buckets`×; here replication is per-key ceil(n/cap), i.e. 1
@@ -51,11 +71,9 @@ object Joins {
     * after the fact (and not below a key). This bound is structural.
     *
     * `salted` gets ONE split per row: `__split` = pmod(saltExpr, m)
-    * with m = ceil(count(key in salted) / cap). `replicated` is
-    * exploded to all m splits of its matching key (`__split_r`; a key
-    * absent from `salted` gets m = 1 and produces no pairs anyway —
-    * left-outer + coalesce, so no row is lost and, being provably
-    * non-null, no isnotnull is inferred into scans). Joining on
+    * with m = ceil(count(key in salted) / cap); `replicated` gets every
+    * split of its matching key (`__split_r`), a key absent from
+    * `salted` defaulting to m = 1. Joining on
     *   saltedKeys == replicatedKeys && __split === __split_r
     * reproduces EXACTLY the original equi-join pair set — a matching
     * pair meets in precisely the one cell the salted row's split picks —
@@ -63,14 +81,28 @@ object Joins {
     * key, so a 100×-hot bucket spreads over ceil(n/cap) tasks
     * (spec: JoinsSpec hot-bucket fixture).
     *
-    * Cost: the per-key count aggregate (map-side combinable) joined
-    * onto both sides. With `broadcastCounts` — ONLY for key spaces
-    * bounded by construction (e.g. the 2^planes LSH buckets × labels) —
-    * the count joins are broadcasts and no extra shuffle exists
-    * anywhere; otherwise they are pinned shuffle_hash and cost one
-    * extra skinny shuffle per side (the band relations at the call
-    * sites are key-only projections of already-persisted signature
-    * tables, so that shuffle carries a few columns, never payloads). */
+    * The hot-key set is resolved EAGERLY, at query-construction time
+    * (the trained-model posture — one exact, map-side-combinable count
+    * pass over the skinny keys, collecting only keys with count > cap,
+    * a driver artifact bounded by n/cap and truncated at
+    * [[MaxInlineHot]]), because the split plan must stay CHEAP when no
+    * skew exists — the overwhelmingly common case:
+    *  - no hot keys → both split columns are literal 0 and the join is
+    *    byte-identical to the naive self-join, whose two identical
+    *    subtrees ReuseExchange serves from ONE shuffle. Measured: the
+    *    lazy count-relation variant of this helper cost +30–65% on the
+    *    simhash/minhash family at sf0.1 purely from losing that reuse
+    *    and serializing cache/count/broadcast stages.
+    *  - ≤ [[MaxInlineHot]] hot keys → m is a literal when-chain
+    *    (null-safe key equality, so no IsNotNull is inferred into any
+    *    scan); only the replicated side grows a Generate node.
+    *  - more (adversarially broad skew) → the DataFrame-join fallback:
+    *    the count>cap hot relation (≤ n/cap skinny rows, `__skb_`
+    *    columns) left-joins onto both sides — broadcast at plan time
+    *    when `broadcastCounts` says the key space is bounded by
+    *    construction, else unpinned for AQE's runtime choice — and the
+    *    multiply-read input is persisted (ReuseExchange can't serve
+    *    structurally different sides). */
   def skewBound(salted: DataFrame, replicated: DataFrame,
       saltedKeys: Seq[String], replicatedKeys: Seq[String],
       saltExpr: Column, cap: Int = SkewCap,
@@ -78,23 +110,60 @@ object Joins {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     require(saltedKeys.length == replicatedKeys.length,
       "saltedKeys and replicatedKeys must pair up 1:1")
-    val cnt = salted.groupBy(saltedKeys.map(col): _*)
-      .agg(count(lit(1L)).as("__skb_n"))
-      .withColumn("__skb_m",
-        greatest(lit(1L), ceil(col("__skb_n") / lit(cap.toDouble))).cast("int"))
-      .drop("__skb_n")
-    def pin(df: DataFrame): DataFrame =
-      if (broadcastCounts) broadcast(df) else df.hint("shuffle_hash")
-    val s = salted.join(pin(cnt), saltedKeys)
-      .withColumn("__split", pmod(saltExpr, col("__skb_m")))
-      .drop("__skb_m")
-    val cntR = saltedKeys.zip(replicatedKeys).foldLeft(cnt) {
-      case (d, (sk, rk)) => if (sk == rk) d else d.withColumnRenamed(sk, rk)
+    def degenerate = (salted.withColumn("__split", lit(0)),
+      replicated.withColumn("__split_r", lit(0)))
+    if (!skewBoundEnabled) return degenerate
+    // Phase 1 (eager, bounded, memoized): exact per-key counts, hot
+    // keys only.
+    val memoKey = salted.queryExecution.logical.canonicalized.semanticHash() +
+      "|" + saltedKeys.mkString(",") + "|" + cap
+    val hotRows = hotMemo.computeIfAbsent(memoKey, _ =>
+      salted.groupBy(saltedKeys.map(col): _*)
+        .agg(count(lit(1L)).as("__skb_n"))
+        .filter(col("__skb_n") > cap.toLong)
+        .limit(MaxInlineHot + 1)
+        .collect())
+    if (hotRows.isEmpty) return degenerate
+    if (hotRows.length <= MaxInlineHot) {
+      // Phase 2a: literal split plan from the bounded hot set.
+      def mExpr(keys: Seq[String]): Column = {
+        def keyEq(row: org.apache.spark.sql.Row): Column =
+          keys.zipWithIndex.map { case (k, i) =>
+            col(k) <=> lit(row.get(i))
+          }.reduce(_ && _)
+        def mOf(row: org.apache.spark.sql.Row): Int =
+          math.ceil(row.getLong(keys.length).toDouble / cap).toInt
+        hotRows.tail.foldLeft(when(keyEq(hotRows.head), mOf(hotRows.head))) {
+          (acc, row) => acc.when(keyEq(row), mOf(row))
+        }.otherwise(lit(1))
+      }
+      (salted.withColumn("__split", pmod(saltExpr, mExpr(saltedKeys))),
+        replicated.withColumn("__split_r",
+          explode(sequence(lit(0), mExpr(replicatedKeys) - 1))))
+    } else {
+      // Phase 2b: skew too broad to inline — count-relation joins.
+      val saltedP =
+        salted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val replicatedP = if (replicated eq salted) saltedP else replicated
+      val hot = saltedP.groupBy(saltedKeys.map(col): _*)
+        .agg(count(lit(1L)).as("__skb_n"))
+        .filter(col("__skb_n") > cap.toLong)
+        .withColumn("__skb_m",
+          ceil(col("__skb_n") / lit(cap.toDouble)).cast("int"))
+        .drop("__skb_n")
+      def pin(df: DataFrame): DataFrame =
+        if (broadcastCounts) broadcast(df) else df
+      val m = coalesce(col("__skb_m"), lit(1))
+      val s = saltedP.join(pin(hot), saltedKeys, "left")
+        .withColumn("__split", pmod(saltExpr, m))
+        .drop("__skb_m")
+      val hotR = saltedKeys.zip(replicatedKeys).foldLeft(hot) {
+        case (d, (sk, rk)) => if (sk == rk) d else d.withColumnRenamed(sk, rk)
+      }
+      val r = replicatedP.join(pin(hotR), replicatedKeys, "left")
+        .withColumn("__split_r", explode(sequence(lit(0), m - 1)))
+        .drop("__skb_m")
+      (s, r)
     }
-    val r = replicated.join(pin(cntR), replicatedKeys, "left")
-      .withColumn("__split_r",
-        explode(sequence(lit(0), coalesce(col("__skb_m"), lit(1)) - 1)))
-      .drop("__skb_m")
-    (s, r)
   }
 }

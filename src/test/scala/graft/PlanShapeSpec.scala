@@ -45,13 +45,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // k-means fit itself collects only O(k * dim) sums per iteration)
     "sim_ivfpq_trained" -> Set("embeddings"),
     "sim_ivfpq_trained_recall" -> Set("embeddings"),
-    // O(2^planes × |labels|) bucket-count relation broadcast for the
-    // skew bound (Joins.skewBound, broadcastCounts): key-space bounded
-    // BY CONSTRUCTION (64 buckets × labels), never corpus-proportional
-    "dd_embed_near" -> Set("embeddings"),
-    "dd_embed_cluster" -> Set("embeddings"),
-    "dd_semantic_keep_one" -> Set("embeddings"),
-    "sim_knn_join" -> Set("embeddings"),
+    // (the dd_embed_*/sim_knn_join skew-bound count broadcasts are
+    // covered by the structural __skb_ exemption in broadcastFacts)
     // benchmark gram set: small by definition (documented in Pipeline)
     "txt_contamination" -> Set("documents"),
     // three 1-row stage-count aggregates cross-joined into the summary
@@ -93,9 +88,16 @@ class PlanShapeSpec extends AnyFunSuite {
       else {
         // A markerless line is the plan root: its subtree is everything below.
         val base = if (indent(lines(i)) == Int.MaxValue) -1 else indent(lines(i))
-        lines.drop(i + 1)
+        val subtree = lines.drop(i + 1)
           .takeWhile(l => indent(l) > base) // stay inside the subtree
-          .flatMap(l => scanRe.findFirstMatchIn(l).map(_.group(1)))
+        // Structural exemption: Joins.skewBound's hot-key relation (its
+        // private __skb_ columns mark the subtree). It is count>cap
+        // FILTERED — 0 rows on a well-behaved corpus, <= n/cap skinny
+        // rows ever — and reaches a plan-time broadcast only when
+        // Catalyst's size estimate (proportional to the scan) is small,
+        // so the choice de-escalates to a shuffle join at fact scale.
+        if (subtree.exists(_.contains("__skb_"))) Nil
+        else subtree.flatMap(l => scanRe.findFirstMatchIn(l).map(_.group(1)))
       }
     }.toSet.intersect(fact)
   }
