@@ -170,6 +170,47 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Temperature-scaled source mixing (α = 1/2) — the multinomial
+    * mixture-weight recipe of the GPT-3/PaLM data-mixing literature:
+    * source s is sampled with weight ∝ n_s^α, flattening the crawl's
+    * natural distribution so head sources stop drowning the tail.
+    * Cross-engine determinism: α = 1/2 makes the per-source weight a
+    * single `sqrt` (correctly rounded IEEE in every engine, unlike
+    * `pow`/`ln`), and the weight is quantized to floor(sqrt(n)·1e6)
+    * BEFORE normalizing so the cross-source normalizer is an exact,
+    * ORDER-FREE integer sum — a double Σ√n would make every weight
+    * depend on the engines' summation order. Targeting half the corpus,
+    * keep_frac = min(1, tgt·w/n_s) (downsampling heads, keeping tails
+    * whole), and the document gate is the [[pipeMix]] posture: the
+    * deterministic md5 hash threshold, O(#sources) fracs broadcast onto
+    * a narrow corpus scan, one per-source rollup shuffle. */
+  def smpTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "source")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val everything = org.apache.spark.sql.expressions.Window.partitionBy()
+    val fracs = counts
+      .withColumn("q",
+        floor(sqrt(col("n_src").cast("double")) * lit(1000000.0)).cast("bigint"))
+      .withColumn("q_sum", sum(col("q")).over(everything))
+      .withColumn("n_total", sum(col("n_src")).over(everything))
+      .withColumn("tgt", floor(lit(0.5) * col("n_total").cast("double")))
+      .withColumn("weight", col("q").cast("double") / col("q_sum").cast("double"))
+      .withColumn("keep_frac",
+        least(lit(1.0),
+          col("tgt").cast("double") * col("weight") / col("n_src").cast("double")))
+    val kept = docs
+      .join(broadcast(fracs.select("source", "keep_frac")), Seq("source"))
+      .filter(pmod(hash60(col("doc_id").cast("string")), lit(10000L)) <
+        floor(lit(10000.0) * col("keep_frac")).cast("bigint"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    fracs.select(col("source"), col("n_src").as("n_docs"),
+        col("weight"), col("keep_frac"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("weight"), col("keep_frac"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Gopher-style repetition metrics: duplicate-trigram fraction and
     * top-token mass per document. Pure per-row array math (narrow scan);
     * the O(distinct·n) token-mode fold is bounded by document length,
@@ -509,6 +550,32 @@ object Pipeline {
         |  COALESCE(n_kept, 0) AS n_kept
         |FROM f LEFT JOIN k ON f.source = k.source
         |ORDER BY f.source""".stripMargin,
+    // same sqrt/quantize/normalize spelling and operand order as
+    // smpTemperature: floor(sqrt·1e6) integer weights sum order-free,
+    // then ((tgt * (q/q_sum)) / n_src) with every operand cast DOUBLE
+    "smp_temperature" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+        |q AS (SELECT source, n_src,
+        |        CAST(floor(sqrt(CAST(n_src AS DOUBLE)) * 1000000.0) AS BIGINT) AS q
+        |      FROM c),
+        |t AS (SELECT SUM(q) AS q_sum, SUM(n_src) AS n_total FROM q),
+        |f AS (SELECT source, n_src,
+        |        CAST(q AS DOUBLE) / CAST(q_sum AS DOUBLE) AS weight,
+        |        least(1.0,
+        |          CAST(CAST(floor(0.5 * CAST(n_total AS DOUBLE)) AS BIGINT) AS DOUBLE)
+        |            * (CAST(q AS DOUBLE) / CAST(q_sum AS DOUBLE))
+        |            / CAST(n_src AS DOUBLE)) AS keep_frac
+        |      FROM q CROSS JOIN t),
+        |k AS (SELECT d.source, COUNT(*) AS n_kept
+        |      FROM documents d JOIN f USING (source)
+        |      WHERE (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |               AS BIGINT) % 10000)
+        |        < CAST(floor(10000.0 * keep_frac) AS BIGINT)
+        |      GROUP BY d.source)
+        |SELECT f.source, CAST(n_src AS BIGINT) AS n_docs, weight, keep_frac,
+        |  COALESCE(n_kept, 0) AS n_kept
+        |FROM f LEFT JOIN k ON f.source = k.source
+        |ORDER BY f.source""".stripMargin,
     "pipe_pack" ->
       s"""WITH sd AS (
          |  -- same thresholds as packShardDigits: smallest d with
@@ -681,6 +748,7 @@ object Pipeline {
     "smp_stratified" -> (smpStratified _),
     "smp_split" -> (smpSplit _),
     "smp_source_cap" -> (smpSourceCap _),
+    "smp_temperature" -> (smpTemperature _),
     "txt_repetition" -> (txtRepetition _),
     "dd_cross_source" -> (ddCrossSource _),
     "txt_contamination" -> (txtContamination _),

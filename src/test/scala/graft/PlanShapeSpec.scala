@@ -57,6 +57,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "pipe_clean" -> Set("documents"),
     // per-source keep-fraction relation + its 1-row total (O(|sources|))
     "pipe_mix" -> Set("documents"),
+    "smp_temperature" -> Set("documents"),
     // the aggregated heavy-supplier set (O(#suppliers) rows)
     "q20_heavy_parts" -> Set("lineitem"),
     // O(#parts) per-part average — the schema's dim-scale posture
