@@ -54,6 +54,38 @@ class JoinsSpec extends AnyFunSuite {
     assert(nonHotSplits.forall(_ == 7L), "non-hot keys must not replicate")
   }
 
+  test("skewBound falls back to count-relation joins beyond MaxInlineHot keys") {
+    import org.apache.spark.sql.functions.{col, hash}
+    // 70 hot keys (> MaxInlineHot = 64) of 12 rows each, plus 30 cold
+    // singletons: skew too BROAD to inline, so the DataFrame-join
+    // fallback (the __skb_ hot relation) must carry the plan.
+    val cap = 4
+    val rows = ((0 until 70).flatMap(k =>
+        (0 until 12).map(i => (s"h$k", (k * 100 + i).toLong))) ++
+      (0 until 30).map(i => (s"c$i", 100000L + i))).toDF("k", "id")
+    val naive = rows.as("a")
+      .join(rows.as("b"), col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (s, r) = Joins.skewBound(rows, rows, Seq("k"), Seq("k"),
+      hash(col("id")), cap = cap)
+    assert(s.queryExecution.analyzed.toString.contains("__skb_"),
+      "70 hot keys must take the count-relation fallback, not the inline path")
+    val salted = r.as("a")
+      .join(s.as("b"), col("a.k") === col("b.k") &&
+        col("a.__split_r") === col("b.__split") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"))
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+    assert(salted.toSet == naive.toSet, "fallback pair sets must match")
+    assert(salted.length == naive.length, "no pair duplicated or lost")
+    // replication is exact and per-key: hot keys explode to ceil(12/4)=3
+    // splits (12 rows -> 36), cold singletons stay unreplicated
+    val rCounts = r.groupBy("k").count().collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert((0 until 70).forall(k => rCounts(s"h$k") == 36L))
+    assert((0 until 30).forall(i => rCounts(s"c$i") == 1L))
+  }
+
   test("skewBound keeps keys absent from the salted side (left-outer counts)") {
     import org.apache.spark.sql.functions.{col, hash}
     val left = Seq(("a", 1L), ("a", 2L)).toDF("k", "id")
