@@ -86,6 +86,43 @@ class JoinsSpec extends AnyFunSuite {
     assert((0 until 30).forall(i => rCounts(s"c$i") == 1L))
   }
 
+  test("skewBound matches the naive self-join under randomized distributions") {
+    import org.apache.spark.sql.functions.{col, hash}
+    // random key multiplicities (including heavy skew) x random caps:
+    // the pair set must equal the naive join's EXACTLY — no pair lost,
+    // none duplicated — and every (key, split) cell must stay bounded.
+    // Exercises all three paths (degenerate / inline / fallback shapes
+    // vary with the draw because cap and the key histogram do).
+    val rnd = new scala.util.Random(20260814L)
+    for (caseNo <- 0 until 4) {
+      val nKeys = 3 + rnd.nextInt(8)
+      var id = 0L
+      val rows = (0 until nKeys).flatMap { k =>
+        val mult = if (rnd.nextInt(3) == 0) 40 + rnd.nextInt(80) else 1 + rnd.nextInt(6)
+        (0 until mult).map { _ => id += 1; (s"k$k", id) }
+      }.toDF("k", "id")
+      val cap = 1 + rnd.nextInt(24)
+      val naive = rows.as("a")
+        .join(rows.as("b"), col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val (s, r) = Joins.skewBound(rows, rows, Seq("k"), Seq("k"),
+        hash(col("id")), cap = cap)
+      val salted = r.as("a")
+        .join(s.as("b"), col("a.k") === col("b.k") &&
+          col("a.__split_r") === col("b.__split") && col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"))
+        .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+      val tag = s"case $caseNo cap=$cap keys=$nKeys rows=$id"
+      assert(salted.toSet == naive.toSet, s"$tag pair sets differ")
+      assert(salted.length == naive.length, s"$tag pair multiplicity differs")
+      // per-cell bound: a cell's rows may exceed cap only by hash
+      // imbalance across a key's ceil(n/cap) splits (3x is generous)
+      val worst = s.groupBy("k", "__split").count().collect().map(_.getLong(2)).max
+      assert(worst <= math.max(3L * cap, 6L), s"$tag cell of $worst rows exceeds ~cap=$cap")
+    }
+  }
+
   test("skewBound keeps keys absent from the salted side (left-outer counts)") {
     import org.apache.spark.sql.functions.{col, hash}
     val left = Seq(("a", 1L), ("a", 2L)).toDF("k", "id")
