@@ -374,7 +374,12 @@ object Dedup {
     // the pairs are the calibration answer. Output is O(distinct
     // signatures + cross-signature pairs), spec-asserted on the
     // mass-duplicated fixture.
+    // persisted (the simhashHistogram `groups` posture): the distinct-
+    // signature relation feeds the band self-join subtree AND the reps
+    // group join — without the cache the corpus-distinct aggregate runs
+    // once per reference
     val sigs = docs.groupBy("sig").agg(count(lit(1)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col("sig"),
         explode(array((0 until SimhashBands).map(b =>
           struct(lit(b).as("band"),
