@@ -409,7 +409,13 @@ object Similarity {
     val rn2 = (0 until NumSubspaces)
       .map(m => element_at(typedLit(cn2(m).toSeq), col(s"code$m") + 1))
       .reduce(_ + _)
+    // persisted (signature-table posture): the encode — M argmins over
+    // NumCodes codeword dots per row — is the index BUILD; caching the
+    // skinny (vec_id, codes, rn2) relation lets the recall face (which
+    // re-derives the same plan) and re-runs serve it without
+    // re-quantizing the corpus
     val enc = enc0.withColumn("rn2", rn2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = e.filter(col("vec_id") < 5)
       .withColumn("pn2", norm2(col("emb")))
       .select(Seq(col("vec_id").as("probe_id"), col("pn2")) ++
@@ -596,7 +602,11 @@ object Similarity {
   private[graft] def ivfpqSearch(assigned: DataFrame,
       cents: IndexedSeq[IndexedSeq[Double]],
       codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): DataFrame = {
+    // persisted index build (the pqSearch posture): the residual encode
+    // is the expensive pass; the skinny (vec_id, cluster, codes, rn2)
+    // cache serves the ann AND recall faces of the same model
     val enc = encodeIvfpq(assigned, cents, codebook)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = assigned.filter(col("vec_id") < 5)
       .select(Seq(col("vec_id").as("probe_id"), col("cluster").as("pc")) ++
         probeAdcCols(cents, codebook): _*)
