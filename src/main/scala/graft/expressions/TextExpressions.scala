@@ -112,6 +112,40 @@ object TextExpressions {
     best
   }
 
+  /** `[n_tok, max_token_count, n_3grams, n_distinct_3grams]` in ONE
+    * tokenize pass — the Gopher repetition statistics fused
+    * ([[MaxTokenCount]] + the 3-gram size/distinct pair each tokenized
+    * the text again; this kernel is the single-pass spelling with
+    * identical values). Distinctness is by gram STRING (token triples
+    * joined by one space), exactly `array_distinct` over
+    * [[ngramsEval]]'s output — whitespace tokens can't contain the
+    * joiner, so triple equality == string equality. */
+  def repetitionStatsEval(text: UTF8String): ArrayData = {
+    val tk = tokenize(text)
+    val n = tk.length
+    var best = 0L
+    if (n > 0) {
+      val counts = new java.util.HashMap[String, Long](n * 2)
+      var i = 0
+      while (i < n) {
+        val c = counts.merge(tk(i), 1L, (a, b) => a + b)
+        if (c > best) best = c
+        i += 1
+      }
+    }
+    val m = n - 2
+    var d3 = 0L
+    if (m > 0) {
+      val seen = new java.util.HashSet[String](m * 2)
+      var i = 0
+      while (i < m) {
+        if (seen.add(gram(tk, i, 3))) d3 += 1
+        i += 1
+      }
+    }
+    new GenericArrayData(Array[Long](n.toLong, best, math.max(0, m).toLong, d3))
+  }
+
   /** Total character count across tokens — the quality-score numerator.
     * Replicates `aggregate(transform(tk, length), 0, +)`: a null token
     * poisons the sum to null (never produced by the tokenizer, kept for
@@ -152,6 +186,10 @@ object TextExpressions {
   /** Column wrapper for [[WordNgrams]]. */
   def wordNgrams(text: Column, n: Int): Column =
     ExpressionUtils.column(WordNgrams(ExpressionUtils.expression(text), n))
+
+  /** Column wrapper for [[RepetitionStats]]. */
+  def repetitionStats(text: Column): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(text)))
 
   /** Column wrapper for [[MaxTokenCount]]. */
   def maxTokenCount(text: Column): Column =
@@ -255,6 +293,30 @@ case class TokenHitCount(child: Expression, words: Seq[String])
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.tokenHitCountEval($c, $setRef);")
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<bigint>` of `[n_tok, max_token_count, n_3grams,
+  * n_distinct_3grams]` in ONE tokenize pass
+  * ([[TextExpressions.repetitionStatsEval]]) — the fused Gopher
+  * repetition-statistics kernel: the three-expression spelling
+  * (WordNgrams(1) + WordNgrams(3)/array_distinct + MaxTokenCount)
+  * tokenized every document three times. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.repetitionStatsEval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.repetitionStatsEval($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

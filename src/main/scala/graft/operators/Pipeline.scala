@@ -216,21 +216,25 @@ object Pipeline {
     * the O(distinct·n) token-mode fold is bounded by document length,
     * not corpus size. */
   def txtRepetition(s: SparkSession, dir: String): DataFrame = {
-    // Top-token multiplicity is one native hash-count pass per row
-    // ([[org.apache.spark.sql.graftexpr.MaxTokenCount]]): the previous
-    // sort + run-length `aggregate` HOF was interpreted per element and
-    // dominated this query. Value is identical to the oracle's
-    // count-per-distinct-token max.
-    val tk3 = org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 3)
-    val dup3 = when(size(tk3) > 0,
-      lit(1.0) - size(array_distinct(tk3)).cast("double") / size(tk3).cast("double"))
-      .otherwise(0.0)
-    val nTok = size(
-      org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
+    // One fused native pass per row
+    // ([[org.apache.spark.sql.graftexpr.RepetitionStats]]): the prior
+    // spelling tokenized every document THREE times (3-gram build,
+    // 1-gram size, token-count pass). st = [n_tok, max_count, n_3grams,
+    // n_distinct_3grams]; values identical to the oracle's HOF chain
+    // (codegen subexpression elimination serves the repeated st refs
+    // from one evaluation).
+    val st = org.apache.spark.sql.graftexpr.TextExpressions
+      .repetitionStats(col("text"))
+    val nTok = element_at(col("st"), 1)
+    val maxC = element_at(col("st"), 2)
+    val n3 = element_at(col("st"), 3)
+    val d3 = element_at(col("st"), 4)
+    val dup3 = when(n3 > 0,
+      lit(1.0) - d3.cast("double") / n3.cast("double")).otherwise(0.0)
     val topTok = when(nTok > 0,
-      org.apache.spark.sql.graftexpr.TextExpressions.maxTokenCount(col("text"))
-        .cast("double") / nTok.cast("double")).otherwise(0.0)
+      maxC.cast("double") / nTok.cast("double")).otherwise(0.0)
     Tables.load(s, dir, "documents")
+      .withColumn("st", st)
       .select(col("doc_id"),
         dup3.as("dup3_frac"),
         topTok.as("top_tok_frac"),

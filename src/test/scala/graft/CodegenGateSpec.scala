@@ -63,7 +63,8 @@ class CodegenGateSpec extends AnyFunSuite {
       "HashWordNgrams" -> HashWordNgrams(br(StringType), 3),
       "TokenCharSum" -> TokenCharSum(br(arrS)),
       "TokenHitCount" -> TokenHitCount(br(arrS), Seq("the", "a")),
-      "MaxTokenCount" -> MaxTokenCount(br(StringType)))
+      "MaxTokenCount" -> MaxTokenCount(br(StringType)),
+      "RepetitionStats" -> RepetitionStats(br(StringType)))
     for ((name, e) <- exprs) {
       try GenerateMutableProjection.generate(Seq(e))
       catch {

@@ -87,6 +87,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("native RepetitionStats == the three-expression spelling over the corpus") {
+    import org.apache.spark.sql.functions.{array, array_distinct, element_at, size}
+    import org.apache.spark.sql.graftexpr.TextExpressions
+    val tk3 = TextExpressions.wordNgrams(col("text"), 3)
+    val composed = array(
+      size(TextExpressions.wordNgrams(col("text"), 1)).cast("bigint"),
+      TextExpressions.maxTokenCount(col("text")),
+      size(tk3).cast("bigint"),
+      size(array_distinct(tk3)).cast("bigint"))
+    val corpus = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("text"))
+      .unionAll(Seq("", "one", "one two", "a a a", "x y x y x y")
+        .toDF("text")) // sub-3-token and repetition edge shapes
+    val diff = corpus
+      .select(TextExpressions.repetitionStats(col("text")).as("nat"),
+        composed.as("hof"))
+      .filter(!(col("nat") <=> col("hof")) ||
+        element_at(col("nat"), 3) =!= element_at(col("hof"), 3))
+      .count()
+    assert(diff == 0)
+  }
+
   test("native HashWordNgrams == distinct HOF gram hashes over the corpus") {
     import org.apache.spark.sql.functions.{array_distinct, transform}
     import org.apache.spark.sql.graftexpr.TextExpressions
