@@ -406,16 +406,16 @@ object Dedup {
         col("hamming"), jaccard("hsa", "hsb").as("jaccard"),
         lit(1L).as("n_pairs"))
     // hamming-0 representatives: the two smallest doc ids per signature
-    // group (row_number over a sig-partitioned window — never global).
-    // The window runs on (doc_id, sig) ONLY — dragging the hs token-hash
-    // arrays through the window's exchange+sort costs more than the rest
-    // of the query (bench-measured); the two rep docs' hs join back
-    // doc-keyed afterwards, O(groups) array rows on the wire.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("sig").orderBy("doc_id")
-    val reps0 = docs.select(col("doc_id"), col("sig"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2)
+    // group through the bounded-heap TopKPerKey (k=2 per (sig,
+    // partition) on the wire, no corpus-wide sig-partitioned sort — the
+    // prior row_number window exchanged AND sorted the whole skinny
+    // corpus). Runs on (doc_id, sig) ONLY — dragging the hs token-hash
+    // arrays through it costs more than the rest of the query
+    // (bench-measured); the two rep docs' hs join back doc-keyed
+    // afterwards, O(groups) array rows on the wire.
+    val reps0 = org.apache.spark.sql.graftexpr.TopKPerKey
+      .perKey(docs.select(col("doc_id"), col("sig")),
+        Seq("sig"), Seq(("doc_id", true)), 2)
       .groupBy("sig")
       .agg(count(lit(1)).as("nr"),
         min(col("doc_id")).as("doc_a"), max(col("doc_id")).as("doc_b"))
