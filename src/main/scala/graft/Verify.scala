@@ -20,6 +20,7 @@ object Verify {
     // other dir was trained in the same JVM
     graft.operators.Similarity.setOracleDir(sfDir)
     graft.operators.TextAnalysis.setOracleDir(sfDir)
+    graft.operators.ArrayQueries.setOracleDir(sfDir)
     new java.io.File(outDir).mkdirs()
     // Delete any previous output FIRST: a query failing at analysis time
     // never reaches the overwrite, and a stale directory from an earlier

@@ -554,11 +554,22 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * tile each dimension exactly. Rank-generic, row-major both sides;
     * all index math is integer-exact (floor of a small non-negative
     * double quotient). */
-  def rechunk(newShape: Seq[Int]): ChunkedArray = {
+  def rechunk(newShape: Seq[Int]): ChunkedArray =
+    rechunkTo((0 until geom.dims).map(geom.dimSize), newShape)
+
+  /** [[rechunk]] onto a TRIMMED global box: cells at global coord >=
+    * `trimDims(d)` on any axis are dropped, the rest re-addressed into
+    * `newShape` chunks (which must tile the trimmed dims). The dask
+    * `coarsen(..., trim_excess=True)` alignment path rides this — same
+    * single value shuffle as a plain rechunk, with the ragged tail
+    * filtered before it ever moves. */
+  private def rechunkTo(trimDims: Seq[Int], newShape: Seq[Int]): ChunkedArray = {
     require(newShape.length == geom.dims,
       s"rank mismatch: ${newShape.length} vs ${geom.dims}")
     val newCpd = (0 until geom.dims).map { d =>
-      val size = geom.dimSize(d)
+      val size = trimDims(d)
+      require(size > 0 && size <= geom.dimSize(d),
+        s"dim $d: trimmed extent $size must stay within ${geom.dimSize(d)}")
       require(newShape(d) > 0 && size % newShape(d) == 0,
         s"dim $d: new chunk size ${newShape(d)} must tile $size")
       size / newShape(d)
@@ -580,8 +591,13 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     val newOff = (0 until geom.dims)
       .map(d => (g(d) % newShape(d)) * newStrides(d))
       .reduce(_ + _)
+    val trimming = (0 until geom.dims).exists(d => trimDims(d) < geom.dimSize(d))
+    val keepTrim =
+      if (!trimming) lit(true)
+      else (0 until geom.dims).map(d => g(d) < lit(trimDims(d).toLong)).reduce(_ && _)
     val t = dtype
     val out = cells
+      .filter(keepTrim)
       .select(col("timestep"), newPos.as("pos"), newOff.as("off"), col("v"))
       .groupBy("timestep", "pos")
       .agg(transform(
@@ -646,6 +662,88 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         e => e.getField("v").cast(t)).as("data"))
     ChunkedArray(out.select("timestep", "pos", "data"),
       ArrayGeometry(newCpd, newChunkShape))
+  }
+
+  /** Block-reduction downsampling — dask
+    * `da.coarsen(np.sum/mean/max/min, x, {d: factors(d)})`, the standard
+    * "thumbnail the simulation field" probe over the reference's
+    * streamed arrays (the callback gets an unrestricted dask array,
+    * doreisa/window_api.py:38-119). Every `factors(0) x ... x
+    * factors(n-1)` block of cells folds to one output cell.
+    *
+    * Scale posture: when each factor divides its chunk extent (the
+    * normal production layout — block sizes are picked to tile chunks)
+    * this is a pure chunk-local narrow map: ZERO shuffle, chunk count
+    * unchanged, payloads shrink by prod(factors). Otherwise one
+    * value-shuffle rechunk aligns the grid first ([[rechunkTo]], which
+    * also drops the ragged tail when `trimExcess` — dask
+    * `trim_excess=True` — allows a non-dividing dim).
+    *
+    * `sum` folds in DECIMAL(28,2) (order-free, exact — the engine's
+    * reduction contract, SURVEY §5); `mean` divides the exact block sum
+    * by the block's element count once, in double; `max`/`min` are
+    * dtype-preserving [[axisReduce]]-style ordering folds. */
+  def coarsen(factors: Seq[Int], op: String = "sum",
+      trimExcess: Boolean = false): ChunkedArray = {
+    require(factors.length == geom.dims,
+      s"rank mismatch: ${factors.length} factors for ${geom.dims} dims")
+    require(factors.forall(_ >= 1), s"factors must be >= 1, got $factors")
+    require(Set("sum", "mean", "max", "min")(op), s"unsupported op $op")
+    val divides = factors.zipWithIndex.forall { case (f, d) => geom.dimSize(d) % f == 0 }
+    require(divides || trimExcess,
+      s"factors $factors do not tile dims " +
+        s"${(0 until geom.dims).map(geom.dimSize)}; pass trimExcess=true " +
+        "to drop the ragged tail (dask trim_excess)")
+    @annotation.tailrec def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+    val aligned: ChunkedArray =
+      if (divides && factors.zipWithIndex.forall { case (f, d) => geom.chunkShape(d) % f == 0 })
+        this
+      else {
+        // one rechunk shuffle: trimmed dims = the tiled prefix, new chunk
+        // extent = the largest factor multiple that both tiles the
+        // trimmed dim and stays near the original chunk size
+        val outDims = factors.zipWithIndex.map { case (f, d) => geom.dimSize(d) / f }
+        val trimDims = outDims.zip(factors).map { case (o, f) => o * f }
+        val nc = factors.zipWithIndex.map { case (f, d) =>
+          f * gcd(outDims(d), math.max(1, geom.chunkShape(d) / f))
+        }
+        rechunkTo(trimDims, nc)
+      }
+    val g = aligned.geom
+    val shape = g.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    val oShape = shape.zip(factors).map { case (s, f) => s / f }
+    val oStrides = oShape.scanRight(1)(_ * _).tail
+    val fStrides = factors.scanRight(1)(_ * _).tail
+    val blockElems = factors.product
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    def cellAt(s: Column, kb: Int): Column = {
+      val idx = (0 until geom.dims).map { d =>
+        val bo = fdiv(s, oStrides(d)) % oShape(d)
+        (bo * factors(d) + (kb / fStrides(d)) % factors(d)) * strides(d)
+      }.reduce(_ + _)
+      col("data")(idx)
+    }
+    val t = aligned.dtype
+    val folded = transform(sequence(lit(0), lit(oShape.product - 1)), s => op match {
+      case "sum" =>
+        (1 until blockElems).foldLeft(ChunkedArray.castDec(cellAt(s, 0)))(
+          (acc, kb) => ChunkedArray.addDec(acc, cellAt(s, kb))).cast("double")
+      case "mean" =>
+        ((1 until blockElems).foldLeft(ChunkedArray.castDec(cellAt(s, 0)))(
+          (acc, kb) => ChunkedArray.addDec(acc, cellAt(s, kb))).cast("double")
+          / lit(blockElems.toDouble))
+      case "max" =>
+        (1 until blockElems).foldLeft(cellAt(s, 0))(
+          (acc, kb) => greatest(acc, cellAt(s, kb))).cast(t)
+      case "min" =>
+        (1 until blockElems).foldLeft(cellAt(s, 0))(
+          (acc, kb) => least(acc, cellAt(s, kb))).cast(t)
+    })
+    ChunkedArray(
+      aligned.df.withColumn("data", folded),
+      ArrayGeometry(g.chunksPerDim, oShape))
   }
 
   /** Per-timestep global sum: chunk-local decimal fold, then a tiny
@@ -1512,6 +1610,50 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     ChunkedArray(out, ArrayGeometry(
       geom.chunksPerDim.dropRight(axes) ++ other.geom.chunksPerDim.drop(axes),
       geom.chunkShape.dropRight(axes) ++ other.geom.chunkShape.drop(axes)))
+  }
+
+  /** Cross-timestep Gram matrix `G = Σ_t A_tᵀ A_t` of a rank-2 array
+    * stacked over its timesteps — the tall-skinny half of distributed
+    * SVD/PCA (a doreisa callback runs `dask.array.linalg.svd` on the
+    * assembled array, ref window_api.py:38-119; for a T·R x C matrix
+    * the scale-honest route is the C x C Gram, then a driver-side
+    * eigensolve of the tiny artifact — the TSQR/`svd_compressed`
+    * posture). ONE partial-agg pass: [[transpose2d]] re-addresses
+    * chunks narrowly (no shuffle), the SUMMA pair join shuffles on
+    * (timestep, row-chunk) exactly like [[tensordot]], then each pair's
+    * decimal block product explodes to scalar cells feeding a plain
+    * decimal SUM keyed on the GLOBAL (i, j) — map-side combine crushes
+    * the per-timestep partials, so no per-timestep relation and no
+    * block list is ever materialized (the `collect_list` merge of
+    * [[tensordot]] would hold T·k blocks per group here). Products of
+    * 2-decimal cells are exact 4-decimal; the one double cast happens
+    * at the very end — order-free and reproducible cross-engine
+    * (SURVEY §5). Output: `(i, j, value)` — C x C rows. */
+  def gramRows(): DataFrame = {
+    require(geom.dims == 2, "gram requires a rank-2 array")
+    require(dtype == org.apache.spark.sql.types.DoubleType,
+      "gram is defined over double payloads (the decimal-fold family)")
+    val at = transpose2d()
+    val rI = at.geom.chunkShape(0) // A-cols extent per chunk (output rows)
+    val kI = at.geom.chunkShape(1) // A-rows extent per chunk (contracted)
+    val cI = geom.chunkShape(1)    // A-cols extent per chunk (output cols)
+    val a = at.df.select(col("timestep"),
+      col("pos")(0).as("lead"), col("pos")(1).as("ka"), col("data").as("adata"))
+    val b = df.select(col("timestep").as("bt"),
+      col("pos")(0).as("kb"), col("pos")(1).as("trail"), col("data").as("bdata"))
+    val block = org.apache.spark.sql.graftexpr.ChunkFolds
+      .blockMatmulNative(col("adata"), col("bdata"), rI, kI, cI)
+    a // both sides are chunk relations: the contract join shuffles on
+      // (timestep, k-chunk), never broadcasts an array
+      .join(b.hint("shuffle_hash"), col("timestep") === col("bt") && col("ka") === col("kb"))
+      .select(col("lead"), col("trail"), posexplode(block).as(Seq("local", "pv")))
+      .select(
+        // widen BEFORE the multiply (int overflow past 2^31 cells/dim)
+        (col("lead").cast("bigint") * rI + (col("local") / cI).cast("int")).as("i"),
+        (col("trail").cast("bigint") * cI + col("local") % cI).as("j"),
+        col("pv"))
+      .groupBy("i", "j")
+      .agg(sum(col("pv")).cast("double").as("value"))
   }
 
   /** Full dask/numpy `tensordot(a, b, axes=(axesA, axesB))`

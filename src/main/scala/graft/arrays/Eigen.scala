@@ -1,0 +1,83 @@
+package graft.arrays
+
+/** Deterministic driver-side symmetric eigensolver for the tiny k x k
+  * artifacts the distributed passes produce (the Gram matrix of
+  * [[ChunkedArray.gramRows]]; k = a column count, never data-scale).
+  * Cyclic Jacobi with a FIXED sweep order and a fixed convergence
+  * threshold: given identical input doubles it performs the identical
+  * rotation sequence, so the eigenvalues are bit-reproducible across
+  * runs — the property the trained-literal oracle posture needs
+  * (SURVEY §5; same discipline as Similarity's k-means fits).
+  *
+  * Classic cyclic Jacobi (Golub & Van Loan §8.5): each sweep visits
+  * (p, q) in row-major order and zeroes a(p)(q) with a Givens rotation;
+  * off-diagonal mass falls quadratically, ~8 sweeps suffice at k <= 64.
+  */
+object Eigen {
+
+  /** Eigenvalues of symmetric `a0`, descending. `a0` is not mutated. */
+  def symEigenvalues(a0: Array[Array[Double]]): IndexedSeq[Double] = {
+    val n = a0.length
+    require(n > 0 && a0.forall(_.length == n), "matrix must be square")
+    val a = Array.tabulate(n, n)((i, j) => a0(i)(j))
+    // scale for the absolute convergence floor: Frobenius norm
+    val fro = math.sqrt(a.map(_.map(x => x * x).sum).sum)
+    val eps = 1e-14 * math.max(fro, 1e-300)
+    def off(): Double = {
+      var s = 0.0
+      var p = 0
+      while (p < n) { var q = p + 1; while (q < n) { s += math.abs(a(p)(q)); q += 1 }; p += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > eps) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > eps / (n.toLong * n)) {
+            // rotation angle: t = tan(theta), the smaller root (|t|<=1)
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            val tau = s / (1.0 + c)
+            val app = a(p)(p)
+            val aqq = a(q)(q)
+            a(p)(p) = app - t * apq
+            a(q)(q) = aqq + t * apq
+            a(p)(q) = 0.0
+            a(q)(p) = 0.0
+            var k = 0
+            while (k < n) {
+              if (k != p && k != q) {
+                val akp = a(k)(p)
+                val akq = a(k)(q)
+                a(k)(p) = akp - s * (akq + tau * akp)
+                a(p)(k) = a(k)(p)
+                a(k)(q) = akq + s * (akp - tau * akq)
+                a(q)(k) = a(k)(q)
+              }
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (0 until n).map(i => a(i)(i)).sorted(Ordering[Double].reverse)
+  }
+
+  /** Singular values (descending) of the matrix whose Gram is `gram`:
+    * sigma_i = sqrt(max(lambda_i, 0)) — the clamp absorbs the tiny
+    * negative eigenvalues a positive-semidefinite Gram can acquire from
+    * rotation round-off. sqrt is IEEE correctly-rounded, so the values
+    * are as deterministic as the eigenvalues. */
+  def singularValuesFromGram(gram: Array[Array[Double]]): IndexedSeq[Double] =
+    symEigenvalues(gram).map(l => math.sqrt(math.max(l, 0.0)))
+}

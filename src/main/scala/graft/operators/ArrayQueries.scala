@@ -391,6 +391,45 @@ object ArrayQueries {
   def arrStencilSum(s: SparkSession, dir: String): DataFrame =
     eventsArray2dCached(s, dir).stencilLaplacian().sumPerTimestep("total").orderBy("timestep")
 
+  /** dask `da.coarsen(np.sum, arr, {0: 2, 1: 2})` — block-reduction
+    * downsampling of the 8x8 field to 4x4 (the "thumbnail the
+    * simulation output" probe): 2x2 blocks fold chunk-locally (2
+    * divides the 4x4 chunk extent), so the plan adds ZERO shuffle over
+    * the cached chunk relation — payloads shrink 4x in place. */
+  def arrCoarsen(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir).coarsen(Seq(2, 2), "sum").rows2d
+      .orderBy("timestep", "i", "j")
+
+  /** dask `A.T @ A` over the WHOLE timestep-stacked array — the
+    * distributed half of tall-skinny SVD/PCA (`da.linalg.svd` runs
+    * inside reference callbacks, window_api.py:38-119): the 8x8 Gram of
+    * the (T·8) x 8 matrix whose row blocks are the daily fields, in ONE
+    * partial-agg pass ([[graft.arrays.ChunkedArray.gramRows]] — SUMMA
+    * chunk join + global decimal sum, no per-timestep materialization). */
+  def arrGram(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir).gramRows().orderBy("i", "j")
+
+  /** dask `da.linalg.svd(A)[1]` — the singular spectrum of the
+    * timestep-stacked field: sigma_i = sqrt(eig_i(AᵀA)). The distributed
+    * work is [[arrGram]]'s one-pass exact Gram; the eigensolve runs
+    * driver-side on the 8x8 artifact ([[graft.arrays.Eigen]], cyclic
+    * Jacobi — deterministic rotation sequence, bounded k x k cost: the
+    * TSQR/svd_compressed posture, like the sim_*_trained k-means fits).
+    * The collect is k² = 64 doubles — a model artifact, not data. */
+  def arrSvdVals(s: SparkSession, dir: String): DataFrame = {
+    val n = geom2d.dimSize(1)
+    val g = Array.ofDim[Double](n, n)
+    arrGram(s, dir).collect().foreach { r =>
+      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2)
+    }
+    val sv = graft.arrays.Eigen.singularValuesFromGram(g)
+    svdByDir.update(dir, sv)
+    lastDirRef.set(dir)
+    import s.implicits._
+    sv.zipWithIndex.map { case (v, k) => (k.toLong, v) }
+      .toDF("k", "sigma").orderBy("k")
+  }
+
   /** Distributed block matmul `A @ A` on the 8x8 array (dask linear
     * algebra), flattened to (timestep, i, j, value) rows. */
   def arrMatmul(s: SparkSession, dir: String): DataFrame = {
@@ -728,7 +767,58 @@ object ArrayQueries {
       |  LEFT JOIN raw3 r ON r.timestep = d.timestep AND r.u = uu.u
       |    AND r.h = hh.h AND r.w = ww.w)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** [[arrSvdVals]]' computed singular values, keyed by dir — the
+    * trained-artifact memo the literal oracle reads (the Similarity
+    * `trainedByDir` posture: Verify runs every query BEFORE dumping
+    * oracle_sql.json, so by then the fit for [[dirForOracles]] exists). */
+  private val svdByDir =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[Double]]
+  private val oracleDirRef =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val lastDirRef =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Pin which dir's computed spectrum [[oracles]] embeds (Verify sets
+    * its sfDir before dumping oracle_sql.json). */
+  def setOracleDir(dir: String): Unit = oracleDirRef.set(dir)
+
+  private def dirForOracles: Option[String] =
+    Option(oracleDirRef.get).orElse(Option(lastDirRef.get))
+
+  /** `CAST('<shortest-roundtrip-repr>' AS DOUBLE)` — string->double
+    * parsing is correctly-rounded in DuckDB, so the literal comes back
+    * bit-identical to the Spark-side double. */
+  private def fmtD(d: Double): String =
+    s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
+
+  /** The full dask `da.linalg` surface the reference's callbacks can
+    * reach needs a factorization face; see [[arrGram]]/[[arrSvdVals]].
+    * The svd oracle embeds the driver-computed spectrum as round-trip
+    * exact literals — the engine-side eigensolve ([[graft.arrays.Eigen]])
+    * never crosses engines, exactly like the sim_*_trained k-means fits;
+    * the distributed math it rests on (the Gram) is hash-gated by
+    * arr_gram's own exact oracle. */
+  def oracles: Map[String, String] =
+    staticOracles ++
+      dirForOracles.flatMap(svdByDir.get).map { sv =>
+        val rows = sv.zipWithIndex
+          .map { case (v, k) => s"(CAST($k AS BIGINT), ${fmtD(v)})" }
+          .mkString(", ")
+        Map("arr_svd_vals" ->
+          s"SELECT k, sigma FROM (VALUES $rows) AS t(k, sigma) ORDER BY k")
+      }.getOrElse(Map.empty)
+
+  private val staticOracles: Map[String, String] = Map(
+    // AᵀA summed over every timestep: products of 2-decimal cells are
+    // exact 4-decimal, the global per-(i,j) sum is one exact decimal —
+    // order-free cross-engine, single double cast at the end
+    "arr_gram" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(x.h AS BIGINT) AS i, CAST(y.h AS BIGINT) AS j,
+         |  CAST(SUM(CAST(x.cell * y.cell AS DECIMAL(18,4))) AS DOUBLE) AS value
+         |FROM cells x JOIN cells y
+         |  ON x.timestep = y.timestep AND x.u = y.u
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "arr_tensordot" ->
       s"""WITH $CELLS_3D_DENSE,
          |$CELLS_2D_DENSE
@@ -1042,6 +1132,14 @@ object ArrayQueries {
          |FROM cells x JOIN cells y
          |  ON x.timestep = y.timestep AND x.h = y.u
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // 2x2 block sums over the dense field: every block folds in exact
+    // decimal, so a cell filed under the wrong block breaks its row
+    "arr_coarsen" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(u // 2 AS BIGINT) AS i, CAST(h // 2 AS BIGINT) AS j,
+         |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS value
+         |FROM cells GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "arr_stencil_sum" ->
       s"""WITH $CELLS_2D_DENSE,
          |lap AS (
@@ -1468,6 +1566,9 @@ object ArrayQueries {
     "arr_slice_sum" -> (arrSliceSum _),
     "arr_stencil_sum" -> (arrStencilSum _),
     "arr_matmul" -> (arrMatmul _),
+    "arr_coarsen" -> (arrCoarsen _),
+    "arr_gram" -> (arrGram _),
+    "arr_svd_vals" -> (arrSvdVals _),
     "arr_tensordot" -> (arrTensordot _),
     "arr_tensordot_axes" -> (arrTensordotAxes _),
     "arr_reshape_flat" -> (arrReshapeFlat _),

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.arrays.{ArrayGeometry, ChunkedArray, Eigen}
+
+/** Specs for the distributed linear-algebra faces (gram / svd) and
+  * coarsen block-downsampling — VERDICT r15 next-round items 1 and 4. */
+class ArrayLinalgSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  /** 4x4 2-d array as 2x2 chunks of 2x2; value(i,j) = 10*i + j at t=0. */
+  def twoD: ChunkedArray = {
+    val chunks = for (cr <- 0 to 1; cc <- 0 to 1) yield {
+      val data = for (i <- 0 to 1; j <- 0 to 1)
+        yield 10.0 * (2 * cr + i) + (2 * cc + j)
+      (0L, Seq(cr, cc), data)
+    }
+    ChunkedArray(chunks.toDF("timestep", "pos", "data"), ArrayGeometry(Seq(2, 2), Seq(2, 2)))
+  }
+
+  def oneD: ChunkedArray = {
+    val rows = Seq(
+      (0L, Seq(0), Seq(1.0, 2.0, 3.0, 4.0)),
+      (0L, Seq(1), Seq(5.0, 6.0, 7.0, 8.0)),
+      (1L, Seq(0), Seq(2.0, 4.0, 6.0, 8.0)),
+      (1L, Seq(1), Seq(10.0, 12.0, 14.0, 16.0)))
+    ChunkedArray(rows.toDF("timestep", "pos", "data"), ArrayGeometry(Seq(2), Seq(4)))
+  }
+
+  private def cells2d(a: ChunkedArray): Map[(Long, Long, Long), Double] =
+    a.rows2d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+
+  // ---- coarsen ----
+
+  test("coarsen sum: 2x2 blocks fold chunk-locally to the 2x2 thumbnail") {
+    val c = cells2d(twoD.coarsen(Seq(2, 2), "sum"))
+    assert(c == Map(
+      (0L, 0L, 0L) -> 22.0, (0L, 0L, 1L) -> 30.0,
+      (0L, 1L, 0L) -> 102.0, (0L, 1L, 1L) -> 110.0))
+  }
+
+  test("coarsen mean/max/min over the same blocks") {
+    val m = cells2d(twoD.coarsen(Seq(2, 2), "mean"))
+    assert(m((0L, 0L, 0L)) == 5.5 && m((0L, 1L, 1L)) == 27.5)
+    val mx = cells2d(twoD.coarsen(Seq(2, 2), "max"))
+    assert(mx((0L, 0L, 0L)) == 11.0 && mx((0L, 1L, 0L)) == 31.0)
+    val mn = cells2d(twoD.coarsen(Seq(2, 2), "min"))
+    assert(mn((0L, 0L, 0L)) == 0.0 && mn((0L, 1L, 1L)) == 22.0)
+  }
+
+  test("coarsen preserves the global sum (block partition of the cells)") {
+    val m = oneD.coarsen(Seq(2)).sumPerTimestep().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m == Map(0L -> 36.0, 1L -> 72.0))
+  }
+
+  test("coarsen factor wider than the chunk rechunks, then folds") {
+    // factor 8 on chunks of 4: one aligning rechunk, then a single block
+    val rows = oneD.coarsen(Seq(8)).rowsNd.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows == Map((0L, 0L) -> 36.0, (1L, 0L) -> 72.0))
+  }
+
+  test("coarsen trim_excess drops the ragged tail (dask semantics)") {
+    // 8 cells, factor 3: keep cells [0, 6), blocks of 3
+    val rows = oneD.coarsen(Seq(3), "sum", trimExcess = true).rowsNd.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows == Map(
+      (0L, 0L) -> 6.0, (0L, 1L) -> 15.0,
+      (1L, 0L) -> 12.0, (1L, 1L) -> 30.0))
+  }
+
+  test("coarsen without trimExcess refuses non-tiling factors") {
+    assertThrows[IllegalArgumentException](oneD.coarsen(Seq(3)))
+  }
+
+  // ---- gram ----
+
+  /** Rank-2 single-chunk array per timestep from explicit row-major data. */
+  private def mat(ts: Seq[(Long, Seq[Double])], rows: Int, cols: Int): ChunkedArray =
+    ChunkedArray(
+      ts.map { case (t, d) => (t, Seq(0, 0), d) }.toDF("timestep", "pos", "data"),
+      ArrayGeometry(Seq(1, 1), Seq(rows, cols)))
+
+  test("gramRows matches the hand-computed AᵀA on the chunked 4x4") {
+    val g = twoD.gramRows().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val a = Array.tabulate(4, 4)((i, j) => 10.0 * i + j)
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val want = (0 until 4).map(r => a(r)(i) * a(r)(j)).sum
+      assert(g((i.toLong, j.toLong)) == want, s"G[$i][$j]")
+    }
+  }
+
+  test("gramRows sums across timesteps (stacked tall matrix)") {
+    // t0 rows [[1,0],[0,2]], t1 rows [[2,0],[0,1]] -> G = diag(5, 5)
+    val a = mat(Seq(0L -> Seq(1.0, 0.0, 0.0, 2.0), 1L -> Seq(2.0, 0.0, 0.0, 1.0)), 2, 2)
+    val g = a.gramRows().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(g == Map((0L, 0L) -> 5.0, (0L, 1L) -> 0.0, (1L, 0L) -> 0.0, (1L, 1L) -> 5.0))
+  }
+
+  // ---- eigensolve / singular values ----
+
+  test("sigma_i^2 equal the Gram eigenvalues on a known factorization") {
+    // A = [[3,4],[0,0]]: G = [[9,12],[12,16]], eig {25, 0}, sigma {5, 0}
+    val a = mat(Seq(0L -> Seq(3.0, 4.0, 0.0, 0.0)), 2, 2)
+    val g = Array.ofDim[Double](2, 2)
+    a.gramRows().collect().foreach(r =>
+      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
+    assert(g(0)(0) == 9.0 && g(0)(1) == 12.0 && g(1)(0) == 12.0 && g(1)(1) == 16.0)
+    val eig = Eigen.symEigenvalues(g)
+    // the null eigenvalue lands at rotation round-off (~1e-15 * ||G||);
+    // its sqrt amplifies to ~1e-7 — tolerances are scale-relative
+    assert(math.abs(eig(0) - 25.0) < 1e-12 * 25.0 && math.abs(eig(1)) < 1e-13 * 25.0)
+    val sv = Eigen.singularValuesFromGram(g)
+    assert(math.abs(sv(0) - 5.0) < 1e-12 * 5.0 && math.abs(sv(1)) < 1e-6 * 5.0)
+  }
+
+  test("Jacobi eigenvalues: trace and Frobenius identities, descending order") {
+    // deterministic symmetric 8x8 (no RNG in specs feeding literals)
+    val n = 8
+    val m = Array.tabulate(n, n)((i, j) =>
+      math.sin(i * 7 + j * 3 + 1.0) + math.sin(j * 7 + i * 3 + 1.0) +
+        (if (i == j) n.toDouble else 0.0))
+    val eig = Eigen.symEigenvalues(m)
+    assert(eig.sliding(2).forall(p => p(0) >= p(1)), "descending")
+    val trace = (0 until n).map(i => m(i)(i)).sum
+    val fro2 = m.flatten.map(x => x * x).sum
+    assert(math.abs(eig.sum - trace) < 1e-9 * math.abs(trace))
+    assert(math.abs(eig.map(x => x * x).sum - fro2) < 1e-9 * fro2)
+  }
+
+  test("Jacobi is exact on an already-diagonal matrix") {
+    val m = Array.tabulate(4, 4)((i, j) => if (i == j) (4 - i).toDouble else 0.0)
+    assert(Eigen.symEigenvalues(m) == IndexedSeq(4.0, 3.0, 2.0, 1.0))
+  }
+
+  test("Jacobi is deterministic: identical input bits, identical output bits") {
+    val n = 6
+    def m = Array.tabulate(n, n)((i, j) => 1.0 / (i + j + 1)) // Hilbert
+    val a = Eigen.symEigenvalues(m)
+    val b = Eigen.symEigenvalues(m)
+    assert(a.zip(b).forall { case (x, y) =>
+      java.lang.Double.doubleToRawLongBits(x) == java.lang.Double.doubleToRawLongBits(y)
+    })
+  }
+}
