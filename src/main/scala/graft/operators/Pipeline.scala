@@ -25,19 +25,36 @@ object Pipeline {
 
   private val STOP_EN = Seq("the", "a", "and", "of", "to", "in", "is")
 
-  def pipeClean(s: SparkSession, dir: String): DataFrame = {
+  def pipeClean(s: SparkSession, dir: String): DataFrame =
+    pipeClean(s, dir, classifierGate = false)
+
+  /** `classifierGate = true` adds the [[TextAnalysis.txtClassifierScore]]
+    * trained-model filter beside the heuristics (the production curation
+    * posture: rules AND model must both pass) — a document whose margin
+    * is <= 0 is low-quality even if every rule passes. The margin is the
+    * same narrow integer fold the classifier query ships, computed in
+    * the SAME single tokenize pass (no extra scan); the default path is
+    * byte-identical to the ungated plan, so the oracle-gated `pipe_clean`
+    * face is untouched. Gate composition is spec-gated (ClassifierSpec). */
+  def pipeClean(s: SparkSession, dir: String, classifierGate: Boolean): DataFrame = {
     val nTok = size(col("tk")).cast("double")
     val stop = hitCount(col("tk"), STOP_EN).cast("double")
     val charSum = org.apache.spark.sql.graftexpr.TextExpressions.tokenCharSum(col("tk"))
+    val marginCols: Seq[org.apache.spark.sql.Column] =
+      if (!classifierGate) Nil
+      else {
+        val (w, b) = TextAnalysis.trainedClassifier(s, dir)
+        Seq(TextAnalysis.clfMarginCol(w, b, col("tk")).as("clf_margin"))
+      }
     val m = Tables.load(s, dir, "documents")
       .withColumn("tk",
         org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
-      .select(
+      .select(Seq(
         col("doc_id"), col("source"),
         size(col("tk")).cast("bigint").as("n_tokens"),
         (stop / nTok).as("stop_ratio"),
         (charSum.cast("double") / nTok).as("mean_tok_len"),
-        md5(col("text")).as("fp"))
+        md5(col("text")).as("fp")) ++ marginCols: _*)
     // n_tokens < 5 is checked first so empty documents are low-quality
     // regardless of their NULL ratios (three-valued OR: true wins).
     // Persisted: the metric relation is narrow (7 scalar columns, no
@@ -46,8 +63,10 @@ object Pipeline {
     // corpus, and the !lowq gate pushes tokenizer-inlined predicates
     // into the scan (plan-dump verified). One tokenize pass, two cached
     // reads — the genuinely single-scan posture the query claims.
+    val heurLowq =
+      col("n_tokens") < 5 || col("stop_ratio") > 0.5 || col("mean_tok_len") > 12.0
     val flagged = m.withColumn("lowq",
-      col("n_tokens") < 5 || col("stop_ratio") > 0.5 || col("mean_tok_len") > 12.0)
+      if (classifierGate) heurLowq || col("clf_margin") <= 0L else heurLowq)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = flagged.filter(!col("lowq"))
     // keep-min-id per content hash via an unordered window min: one scan

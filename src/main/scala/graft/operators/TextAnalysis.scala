@@ -221,6 +221,134 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** Model-based quality scoring — the trained-classifier gate every
+    * modern curation stack runs beside the heuristics (CCNet/fastText,
+    * Gopher, LLaMA: a linear model over cheap features filters what
+    * rules can't): a perceptron over the [[txtHashTf]] 64-bucket
+    * murmur3 hash-TF features, DISTILLED from the [[Pipeline.pipeClean]]
+    * heuristic gate on a bounded deterministic sample (the CCNet
+    * posture — train against a trusted signal, serve corpus-wide).
+    *
+    * Everything is INTEGER: features are token counts, the perceptron
+    * update is `w += y·x`, so the trained weights are exact longs and
+    * the serving margin `Σ_tok w[bucket(tok)] + bias` is one exact
+    * BIGINT fold — order-free, replayed bit-for-bit by the DuckDB
+    * oracle from literal weights (no sigmoid: exp/ln don't cross
+    * engines, the margin and its sign do — SURVEY §5).
+    *
+    * Scale posture: training collects <= [[ClfSampleCap]] bucket-index
+    * lists (a bounded model artifact, the sim_*_trained discipline);
+    * serving is a pure narrow per-document map over the tokenizer
+    * column — no explode, no join, no shuffle beyond the final sort. */
+  val ClfSampleMod = 7
+  val ClfSampleCap = 4096
+  val ClfEpochs = 10
+
+  private val clfByDir =
+    scala.collection.concurrent.TrieMap.empty[String, (IndexedSeq[Long], Long)]
+  private val clfCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), (String, (IndexedSeq[Long], Long))]
+
+  /** Train (or serve the memoized fit of) the quality perceptron for
+    * `dir`. Deterministic: the sample is doc_id-filtered and
+    * doc_id-ordered, epochs visit it in that order, and all arithmetic
+    * is integer — identical data yields identical weights. */
+  private[graft] def trainedClassifier(s: SparkSession, dir: String): (IndexedSeq[Long], Long) = {
+    def fit(): (IndexedSeq[Long], Long) = {
+      val nTokD = size(col("tk")).cast("double")
+      val stop = hitCount(col("tk"), STOP_EN).cast("double")
+      val charSum = org.apache.spark.sql.graftexpr.TextExpressions.tokenCharSum(col("tk"))
+      // the pipe_clean heuristic gate, verbatim, as the training label
+      val lowq = size(col("tk")) < 5 || (stop / nTokD) > 0.5 ||
+        (charSum.cast("double") / nTokD) > 12.0
+      val sample = withTokens(s, dir)
+        .filter(col("doc_id") % lit(ClfSampleMod) === 0)
+        .select(col("doc_id"),
+          transform(col("tk"),
+            t => pmod(hash(t), lit(HashTfBuckets)).cast("int")).as("bks"),
+          lowq.as("lowq"))
+        .orderBy("doc_id").limit(ClfSampleCap)
+        .collect()
+      val data = sample.map { r =>
+        val x = new Array[Long](HashTfBuckets)
+        r.getSeq[Int](1).foreach(b => x(b) += 1L)
+        (x, if (r.getBoolean(2)) -1L else 1L) // +1 = keep
+      }
+      val w = new Array[Long](HashTfBuckets)
+      var b = 0L
+      var ep = 0
+      while (ep < ClfEpochs) {
+        data.foreach { case (x, y) =>
+          var m = b
+          var i = 0
+          while (i < HashTfBuckets) { m += w(i) * x(i); i += 1 }
+          if (y * m <= 0L) {
+            i = 0
+            while (i < HashTfBuckets) { w(i) += y * x(i); i += 1 }
+            b += y
+          }
+        }
+        ep += 1
+      }
+      (w.toIndexedSeq, b)
+    }
+    // an unfingerprintable table trains fresh rather than risking a
+    // stale memo hit (the Similarity.trainedCentroids posture)
+    val model = Tables.fingerprint(s, dir, "documents") match {
+      case None => fit()
+      case Some(fp) =>
+        clfCache.get((s, dir)) match {
+          case Some((`fp`, m)) => m
+          case _ =>
+            val m = fit()
+            clfCache.update((s, dir), (fp, m))
+            m
+        }
+    }
+    clfByDir.update(dir, model)
+    lastDirRef.set(dir)
+    model
+  }
+
+  /** The serving margin as a Column over the token-array column: one
+    * exact integer fold per document (narrow, codegen'd hash). Shared
+    * with [[Pipeline.pipeClean]]'s optional classifier gate. */
+  private[operators] def clfMarginCol(w: IndexedSeq[Long], bias: Long, tk: Column): Column = {
+    val warr = array(w.map(lit(_)): _*)
+    aggregate(tk, lit(bias),
+      (acc, t) => acc + element_at(warr, pmod(hash(t), lit(HashTfBuckets)).cast("int") + 1))
+  }
+
+  def txtClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    val (w, bias) = trainedClassifier(s, dir)
+    withTokens(s, dir)
+      .select(col("doc_id"), clfMarginCol(w, bias, col("tk")).as("margin"))
+      .select(col("doc_id"), col("margin"),
+        when(col("margin") > 0L, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: replay the scoring from LITERAL trained weights — murmur3
+    * re-derived in SQL over the same tokens ([[murmurBucketCtes]]),
+    * margin as an exact integer sum, left join for zero-token docs. */
+  private def clfScoreSql(w: IndexedSeq[Long], bias: Long): String = {
+    val vals = w.zipWithIndex.map { case (wt, k) => s"($k, $wt)" }.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |                                    x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |${murmurBucketCtes(HashTfBuckets)},
+       |wts(bucket, wgt) AS (VALUES $vals),
+       |sc AS (SELECT b.doc_id, SUM(wts.wgt) AS s
+       |       FROM b JOIN wts USING (bucket) GROUP BY 1)
+       |SELECT d.doc_id, CAST(COALESCE(sc.s, 0) + ($bias) AS BIGINT) AS margin,
+       |  CAST(CASE WHEN COALESCE(sc.s, 0) + ($bias) > 0 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS keep
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Per-source language mix — the curation dashboard a corpus builder
     * reads before setting mixture weights ("how anglophone is crawlB?"):
     * (source, lang) counts plus each language's exact fraction of its
@@ -627,6 +755,9 @@ object TextAnalysis {
   def oracles: Map[String, String] = staticOracles ++
     dirForOracles.flatMap(mergesByDir.get).map { m =>
       Map("txt_bpe_encode" -> bpeEncodeSql(m), "txt_bpe_freq" -> bpeFreqSql(m))
+    }.getOrElse(Map.empty) ++
+    dirForOracles.flatMap(clfByDir.get).map { case (w, b) =>
+      Map("txt_classifier_score" -> clfScoreSql(w, b))
     }.getOrElse(Map.empty)
 
   /** DuckDB spelling of Spark's string `hash()` — Murmur3_x86_32, seed
@@ -824,6 +955,7 @@ object TextAnalysis {
     "txt_bpe_freq" -> (txtBpeFreq _),
     "txt_tfidf_top" -> (txtTfidfTop _),
     "txt_hash_tf" -> (txtHashTf _),
+    "txt_classifier_score" -> (txtClassifierScore _),
     "txt_langid_mix" -> (txtLangidMix _),
     "txt_len_profile" -> (txtLenProfile _),
   )
