@@ -218,22 +218,42 @@ object Bench {
     val loadMax = (passLoads.values.flatten.toSeq :+ loadavg()).max
     val cpu1 = cpuSample()
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    val extCores =
-      if (cpu0._1 < 0 || cpu1._1 < 0 || wallSec <= 0) -1.0
+    // ticks/sec from the system, not an assumed USER_HZ=100 (ADVICE r15)
+    val clkTck: Double =
+      try {
+        val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        p.waitFor()
+        val v = out.toDouble
+        if (v > 0) v else 100.0
+      } catch { case _: Throwable => 100.0 }
+    // None = idleness could NOT be measured (/proc unreadable) — distinct
+    // from "neighbors busy"; the seal gate warns instead of refusing, and
+    // the artifact records null rather than a fake -1 load (ADVICE r15)
+    val extCores: Option[Double] =
+      if (cpu0._1 < 0 || cpu1._1 < 0 || wallSec <= 0) None
       // clamp: per-process vs global tick accounting disagrees by a few
       // percent, which on a near-idle box can put the difference below 0
-      else math.max(0.0,
-        ((cpu1._1 - cpu0._1) - (cpu1._2 - cpu0._2)) / 100.0 / wallSec)
-    val extOk = extCores >= 0 && extCores < 1.0
-    val json = s"""{"metric":"total","value":$totalAdj,"unit":"sec","passes":2,"agg":"min","ts":"$stamp","load_end":${fmt3(loadavg())},"load_max":${fmt3(loadMax)},"ext_cores":${fmt3(extCores)},"load_ok":$extOk,"noisy":$noisyJson,"isolated":$isoJson,"queries":$qsAdj,"runs":$runs,"load":$loadJson,"sf":"$sfDir"}"""
-    if (!extOk && sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_IDLE").contains("1")) {
-      System.err.println(
-        s"[bench] REFUSING to seal: neighbor processes averaged " +
-          s"${fmt3(extCores)} cpu cores during the run (>= 1.0; re-run " +
-          "on an idle box — numbers measured under neighbor load " +
-          "misattribute regressions)")
-      spark.stop()
-      sys.exit(1)
+      else Some(math.max(0.0,
+        ((cpu1._1 - cpu0._1) - (cpu1._2 - cpu0._2)) / clkTck / wallSec))
+    val extOk: Option[Boolean] = extCores.map(_ < 1.0)
+    val extJson = extCores.map(fmt3).getOrElse("null")
+    val okJson = extOk.map(_.toString).getOrElse("null")
+    val json = s"""{"metric":"total","value":$totalAdj,"unit":"sec","passes":2,"agg":"min","ts":"$stamp","load_end":${fmt3(loadavg())},"load_max":${fmt3(loadMax)},"ext_cores":$extJson,"load_ok":$okJson,"noisy":$noisyJson,"isolated":$isoJson,"queries":$qsAdj,"runs":$runs,"load":$loadJson,"sf":"$sfDir"}"""
+    if (sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_IDLE").contains("1")) {
+      if (extOk.contains(false)) {
+        System.err.println(
+          s"[bench] REFUSING to seal: neighbor processes averaged " +
+            s"${extCores.map(fmt3).getOrElse("?")} cpu cores during the " +
+            "run (>= 1.0; re-run on an idle box — numbers measured under " +
+            "neighbor load misattribute regressions)")
+        spark.stop()
+        sys.exit(1)
+      }
+      if (extOk.isEmpty)
+        System.err.println(
+          "[bench] WARNING: idleness could not be measured (/proc " +
+            "unreadable); sealing anyway with ext_cores: null")
     }
     println(json)
     // The caller parses the LAST JSON line of a bounded stdout tail; the
@@ -242,7 +262,7 @@ object Bench {
     // second, truly minimal line printed AFTER it always fits — per-query
     // values grow with the query count (167+) and stay in the full line
     // and the artifact file, never here.
-    println(s"""{"metric":"total","value":$totalAdj,"unit":"sec","load_ok":$extOk,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalAdj,"unit":"sec","load_ok":$okJson,"sf":"$sfDir"}""")
     // The caller captures a bounded tail of this process's output; the
     // per-query progress trail can push the one parsed JSON line out of
     // that window (it truncated BENCH_r05's total). Persist the line to

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{cosineWithNorms, dot, hash60, norm2, shingles, tokens}
 import graft.sources.Tables
+import graft.operators.Persists.PersistOps
 
 /** SURVEY §2.D — deduplication for training-data pipelines.
   *
@@ -68,7 +69,7 @@ object Dedup {
       // pathological. At cluster scale this is exactly the signature
       // table a production dedup pipeline writes once. (CacheManager
       // dedups the entry across repeated calls on the same session.)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedPersist()
       // NULL-signature (no-shingle) docs drop HERE, above the cache
       // boundary: below it the predicate reaches the parquet scan with
       // the whole signature chain inlined (see withReps)
@@ -101,7 +102,7 @@ object Dedup {
     * inlined.) */
   private[graft] def lshCandidates(docs: DataFrame): DataFrame =
     bandCandidates(withReps(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedPersist()
       .filter(col("mh").isNotNull))
 
   /** Adds the minhash signature (`mh`) and signature-group
@@ -128,7 +129,7 @@ object Dedup {
     * array equality is exactly minhash-tuple equality (no collision
     * caveat, no 32-byte string shuffle, and a far smaller codegen unit:
     * the string spelling dominated this stage's cost). */
-  private def withReps(docs: DataFrame): DataFrame = {
+  private[graft] def withReps(docs: DataFrame): DataFrame = {
     val (as, bs) = (0 until NumPerms).map(perm).unzip
     docs
       .withColumn("mh",
@@ -261,7 +262,7 @@ object Dedup {
     joinSignatures(bandCandidates(sig), sig)
       .select(col("doc_a"), col("doc_b"), col("source"),
         jaccard("hsa", "hsb").as("jaccard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedPersist()
   }
 
   /** Cross-source duplication matrix — for every (source, source) pair,
@@ -323,7 +324,7 @@ object Dedup {
           .hashWordNgrams(col("text"), 1).as("hs"))
       .withColumn("sig", org.apache.spark.sql.graftexpr.SketchExpressions
         .simhash(col("hs"), SimhashBits))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedPersist()
 
   def ddSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = simhashDocs(s, dir)
@@ -379,7 +380,7 @@ object Dedup {
     // group join — without the cache the corpus-distinct aggregate runs
     // once per reference
     val sigs = docs.groupBy("sig").agg(count(lit(1)).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedPersist()
     val bands = sigs.select(col("sig"),
         explode(array((0 until SimhashBands).map(b =>
           struct(lit(b).as("band"),
@@ -474,7 +475,7 @@ object Dedup {
       // persisted (the simhashDocs posture): without it, Catalyst's
       // inferred join-key/Generate filters push the gram expression
       // into the scan and the full tokenize+hash runs ~3x per document
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedPersist()
     val e = docs.select(col("doc_id"), explode(col("hs")).as("g"))
     val gcnt = e.groupBy("g").agg(count(lit(1)).as("n"))
     val perDoc = e.hint("shuffle_hash").join(gcnt, "g")
@@ -498,7 +499,7 @@ object Dedup {
     val mask = (1L << SimhashBandBits) - 1
     val groups = sigs
       .groupBy("sig").agg(count(lit(1)).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedPersist()
     val bands = groups.select(col("sig"), col("g"),
         explode(array((0 until SimhashBands).map(b =>
           struct(lit(b).as("band"),
@@ -623,7 +624,7 @@ object Dedup {
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("emb")),
       EmbedProbeDepth)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedPersist()
 
   /** Embedding-cosine near-duplicate pairs, blocked on the random-
     * hyperplane LSH bucket (the same 6-plane signature the similarity

@@ -60,6 +60,13 @@ object Joins {
   private val hotMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
 
+  /** Invalidation hook for the hot-set memo (ADVICE r15): call after
+    * replacing a table's data in place mid-session (the memo key is the
+    * canonicalized PLAN, which doesn't see file contents) or from test
+    * harnesses that re-measure detection cost. Safe anytime — the next
+    * construction simply re-runs the bounded detection pass. */
+  def clearSkewMemo(): Unit = hotMemo.clear()
+
   /** Adaptive salted split for a skewed band/bucket equi-join — the
     * self-join twin of [[saltedJoin]] (which replicates the ENTIRE small
     * side `buckets`×; here replication is per-key ceil(n/cap), i.e. 1
@@ -117,12 +124,25 @@ object Joins {
     // keys only.
     val memoKey = salted.queryExecution.logical.canonicalized.semanticHash() +
       "|" + saltedKeys.mkString(",") + "|" + cap
-    val hotRows = hotMemo.computeIfAbsent(memoKey, _ =>
-      salted.groupBy(saltedKeys.map(col): _*)
-        .agg(count(lit(1L)).as("__skb_n"))
-        .filter(col("__skb_n") > cap.toLong)
-        .limit(MaxInlineHot + 1)
-        .collect())
+    // compute OUTSIDE any map lock (a Spark job inside computeIfAbsent
+    // would hold the bin lock for the collect's duration, blocking
+    // concurrent query constructions hashing to the same bin); the
+    // putIfAbsent race at worst runs the bounded pass twice and both
+    // winners see one consistent value
+    val hotRows = {
+      val cached = hotMemo.get(memoKey)
+      if (cached != null) cached
+      else {
+        val computed = salted.groupBy(saltedKeys.map(col): _*)
+          .agg(count(lit(1L)).as("__skb_n"))
+          .filter(col("__skb_n") > cap.toLong)
+          .limit(MaxInlineHot + 1)
+          .collect()
+        if (hotMemo.size > 256) hotMemo.clear() // crude bound, like Tables.cache
+        val prev = hotMemo.putIfAbsent(memoKey, computed)
+        if (prev != null) prev else computed
+      }
+    }
     if (hotRows.isEmpty) return degenerate
     if (hotRows.length <= MaxInlineHot) {
       // Phase 2a: literal split plan from the bounded hot set.
@@ -142,8 +162,7 @@ object Joins {
           explode(sequence(lit(0), mExpr(replicatedKeys) - 1))))
     } else {
       // Phase 2b: skew too broad to inline — count-relation joins.
-      val saltedP =
-        salted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val saltedP = Persists.cached(salted)
       val replicatedP = if (replicated eq salted) saltedP else replicated
       val hot = saltedP.groupBy(saltedKeys.map(col): _*)
         .agg(count(lit(1L)).as("__skb_n"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{hash60, hitCount, shingles, tokens}
 import graft.sources.Tables
+import graft.operators.Persists.PersistOps
 
 /** SURVEY §2.F/§2.D composite — the end-to-end training-data cleaning
   * pass every LLM corpus pipeline runs before tokenization: per-document
@@ -67,7 +68,7 @@ object Pipeline {
       col("n_tokens") < 5 || col("stop_ratio") > 0.5 || col("mean_tok_len") > 12.0
     val flagged = m.withColumn("lowq",
       if (classifierGate) heurLowq || col("clf_margin") <= 0L else heurLowq)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedPersist()
     val keepers = flagged.filter(!col("lowq"))
     // keep-min-id per content hash via an unordered window min: one scan
     // and one exchange keyed by fp, where a groupBy+join-back would scan

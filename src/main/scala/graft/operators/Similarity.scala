@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{cosineWithNorms, dot, localHash60, norm2}
 import graft.sources.Tables
+import graft.operators.Persists.PersistOps
 
 /** SURVEY §2.E — similarity search over the `embeddings` table.
   *
@@ -149,7 +150,7 @@ object Similarity {
   private def annRecall(ann: DataFrame, s: SparkSession, dir: String): DataFrame = {
     val bf = simTopkBruteforce(s, dir).filter(col("rk") <= 5)
       .select(col("probe_id"), col("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedPersist()
     val a = ann
       .select(col("probe_id").as("a_pid"), col("vec_id").as("a_vid"))
       .hint("shuffle_hash")
@@ -415,7 +416,7 @@ object Similarity {
     // re-derives the same plan) and re-runs serve it without
     // re-quantizing the corpus
     val enc = enc0.withColumn("rn2", rn2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedPersist()
     val probes = e.filter(col("vec_id") < 5)
       .withColumn("pn2", norm2(col("emb")))
       .select(Seq(col("vec_id").as("probe_id"), col("pn2")) ++
@@ -606,7 +607,7 @@ object Similarity {
     // is the expensive pass; the skinny (vec_id, cluster, codes, rn2)
     // cache serves the ann AND recall faces of the same model
     val enc = encodeIvfpq(assigned, cents, codebook)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedPersist()
     val probes = assigned.filter(col("vec_id") < 5)
       .select(Seq(col("vec_id").as("probe_id"), col("cluster").as("pc")) ++
         probeAdcCols(cents, codebook): _*)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{hash60, hitCount, shingles, tokens}
 import graft.sources.Tables
+import graft.operators.Persists.PersistOps
 
 /** SURVEY §2.F — text analysis over `documents`: token counting, quality
   * scoring, heuristic language ID, fingerprinting. All per-document map
@@ -171,7 +172,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(org.apache.spark.sql.graftexpr.TextExpressions
         .wordNgrams(col("text"), 1)).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedPersist()
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") >= TfidfMinDf)
     val scored = tf.join(df.hint("shuffle_hash"), "token")
@@ -497,7 +498,173 @@ object TextAnalysis {
     * = a 1-row collect (bounded driver artifact, like the CC convergence
     * probe); merge = one narrow map, persisted so the next round reads
     * the cache, previous round unpersisted once superseded. */
-  private def trainBpe(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
+  private def trainBpe(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
+    trainBpeDriver(s, dir, BpeRounds)
+
+  /** Cap on the word-TYPE table the driver-side trainer collects. BPE
+    * training state is O(distinct word types), not O(corpus) — the
+    * production trainers (HF tokenizers, SentencePiece, GPT-2's
+    * encoder) all collect the type-frequency table and train in
+    * memory. Under the cap the trajectory is EXACTLY full training
+    * (every type collected); above it, training runs on the
+    * top-[[BpeMaxTrainTypes]] types by (count, word) — a deterministic
+    * bounded sample, the posture VERDICT r15 #1 prescribes for a real
+    * 32k vocabulary. The tail types a cap drops are the rarest; their
+    * pair mass is the long tail a 32k-merge greedy never reaches. */
+  val BpeMaxTrainTypes: Int = 1 << 20
+
+  /** Vocabulary-scale BPE training: ONE distributed pass (the word-type
+    * frequency aggregate — the only corpus scan), then the classic
+    * in-memory greedy trainer with INCREMENTAL pair-count maintenance
+    * on the bounded type table. Per merge: only the words containing
+    * the merged pair update their adjacency counts (a lazy-invalidation
+    * heap orders candidates), so 32k merges cost minutes driver-side
+    * instead of 32k sequential Spark jobs — the driver-loop ceiling
+    * VERDICT r15 flagged. Trajectory-equivalence with the distributed
+    * loop (and the reference trainer) is spec-gated (BpeSpec). */
+  private[graft] def trainBpeDriver(s: SparkSession, dir: String,
+      maxMerges: Int): Seq[(Long, String, String, Long)] = {
+    val types = Tables.load(s, dir, "documents")
+      .select(explode(bpeTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(BpeMaxTrainTypes)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    fastBpe(types, maxMerges)
+  }
+
+  /** The in-memory exact greedy BPE trainer over a (word, count) type
+    * table. Selection counts OVERLAPPING adjacencies (the Spark loop's
+    * explode semantics: "aaaa" holds three (a,a) positions) while
+    * application merges greedy left-to-right NON-overlapping (SQL
+    * `replace`'s contract) — both exactly [[trainBpeLoop]]'s math, so
+    * the recorded (rank, lhs, rhs, freq) rows are identical. Ties break
+    * (freq desc, lhs asc, rhs asc) like the distributed orderBy. */
+  private[graft] def fastBpe(types: Seq[(String, Long)],
+      maxMerges: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val words = types.map { case (w, c) =>
+      (mutable.ArrayBuffer(w.map(_.toString): _*), c)
+    }.toIndexedSeq
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // word indices that EVER contained a pair (never shrunk — stale
+    // entries are filtered by re-scanning the word on use)
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def sweep(wi: Int, sign: Long, track: Boolean): Unit = {
+      val (syms, c) = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val n = counts.getOrElse(p, 0L) + sign * c
+        if (n == 0L) counts.remove(p) else counts.update(p, n)
+        if (track) where.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(sweep(_, 1L, track = true))
+    // lazy-invalidation heap: entries carry the count at push time and
+    // are discarded on pop unless still current
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(1, counts.size),
+      (a: (Long, String, String), b: (Long, String, String)) => {
+        val byN = java.lang.Long.compare(b._1, a._1)
+        if (byN != 0) byN
+        else {
+          val by1 = a._2.compareTo(b._2)
+          if (by1 != 0) by1 else a._3.compareTo(b._3)
+        }
+      })
+    counts.foreach { case ((s1, s2), n) => heap.add((n, s1, s2)): Unit }
+    val out = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    while (out.size < maxMerges && !done) {
+      var top: (Long, String, String) = null
+      while (top == null && !heap.isEmpty) {
+        val c = heap.poll()
+        if (counts.getOrElse((c._2, c._3), 0L) == c._1) top = c
+      }
+      if (top == null) done = true
+      else {
+        val (n, s1, s2) = top
+        out += (((out.size + 1).toLong, s1, s2, n))
+        val touched = mutable.HashSet.empty[(String, String)]
+        val affected = where.getOrElse((s1, s2), mutable.BitSet.empty).toSeq
+        affected.foreach { wi =>
+          val syms = words(wi)._1
+          // stale `where` entry: the word may no longer hold the pair
+          var holds = false
+          var i = 0
+          while (!holds && i < syms.length - 1) {
+            holds = syms(i) == s1 && syms(i + 1) == s2
+            i += 1
+          }
+          if (holds) {
+            var j = 0
+            while (j < syms.length - 1) {
+              touched += ((syms(j), syms(j + 1))); j += 1
+            }
+            sweep(wi, -1L, track = false)
+            // greedy left-to-right non-overlapping merge
+            j = 0
+            while (j < syms.length - 1) {
+              if (syms(j) == s1 && syms(j + 1) == s2) {
+                syms(j) = s1 + s2
+                syms.remove(j + 1): Unit
+              }
+              j += 1
+            }
+            sweep(wi, 1L, track = true)
+            j = 0
+            while (j < syms.length - 1) {
+              touched += ((syms(j), syms(j + 1))); j += 1
+            }
+          }
+        }
+        touched.foreach { p =>
+          val c = counts.getOrElse(p, 0L)
+          if (c > 0L) heap.add((c, p._1, p._2)): Unit
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** How many non-interacting merges one training round may apply.
+    * VERDICT r15 #1: one Spark round per merge cannot reach a real 32k
+    * vocabulary (32k sequential jobs, driver-bound by construction);
+    * k-batched greedy keeps the EXACT k=1 trajectory (proof sketch in
+    * [[trainBpeLoop]]) while cutting rounds ~k-fold. */
+  val BpeBatchK = 8
+
+  /** The batched merge loop; returns (ordered merge table, rounds run).
+    *
+    * Each round ranks the pair counts once and applies a PREFIX of that
+    * ranking — candidates accepted while (a) pairwise symbol-DISJOINT
+    * from every already-accepted merge this round and (b) strictly
+    * above the count ceiling `S` = the first (highest-count) skipped
+    * pair that SHARES a symbol with an accepted merge. This reproduces
+    * the one-merge-at-a-time trajectory exactly:
+    *  - a merge only changes the counts of pairs sharing one of its
+    *    symbols, so every accepted candidate's count is still exact
+    *    when its turn comes;
+    *  - any pair CREATED by an accepted merge (x, ab) is bounded by a
+    *    parent pair (x, a)/(b, y) that shares a symbol with it — and
+    *    every such sharing pair ranks below the last accepted candidate
+    *    (the scan stops at the first one), so created pairs count <= S
+    *    < every accepted count: they cannot outrank the batch, even on
+    *    ties (the bound is strict);
+    *  - non-sharing pairs keep both their counts and their tiebreak
+    *    order below the accepted prefix.
+    * Disjoint `replace`s cannot interfere textually (patterns match
+    * complete `|`-wrapped symbols), so the batch applies as one fused
+    * k-deep narrow projection — ONE Spark job per round. When the list
+    * may be truncated (collected == limit), S falls back to the last
+    * collected count — conservative, never wrong. A round always
+    * applies at least the top-1 merge, so progress matches k=1 in the
+    * worst (fully interacting) case. */
+  private[graft] def trainBpeLoop(s: SparkSession, dir: String, maxMerges: Int,
+      kBatch: Int): (Seq[(Long, String, String, Long)], Int) = {
     import org.apache.spark.storage.StorageLevel
     val words = Tables.load(s, dir, "documents")
       .select(explode(bpeTokens(col("text"))).as("w"))
@@ -506,10 +673,10 @@ object TextAnalysis {
     var cur = words.persist(StorageLevel.MEMORY_AND_DISK)
     var prev: DataFrame = null
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rounds = 0
     try {
-      var r = 1
       var exhausted = false
-      while (r <= BpeRounds && !exhausted) {
+      while (out.size < maxMerges && !exhausted) {
         val sy = split(col("enc").substr(lit(2), length(col("enc")) - 2), "\\|\\|")
         val pairs = cur.select(col("cnt"), sy.as("sy"))
           // guard BEFORE sequence(): size-2 would go negative on 1-symbol
@@ -520,29 +687,68 @@ object TextAnalysis {
             i => struct(col("sy")(i).as("s1"), col("sy")(i + 1).as("s2")))).as("p"))
           .select(col("cnt"), col("p.s1").as("s1"), col("p.s2").as("s2"))
           .groupBy("s1", "s2").agg(sum("cnt").as("n"))
-        val best = pairs.orderBy(col("n").desc, col("s1").asc, col("s2").asc)
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true // every word is one symbol
+        val lim = math.max(4 * kBatch, 64)
+        val ranked = pairs.orderBy(col("n").desc, col("s1").asc, col("s2").asc)
+          .limit(lim).collect()
+        if (ranked.isEmpty) exhausted = true // every word is one symbol
         else {
-          val s1 = best(0).getAs[String]("s1")
-          val s2 = best(0).getAs[String]("s2")
-          out += ((r.toLong, s1, s2, best(0).getAs[Long]("n")))
+          rounds += 1
+          val cap = math.min(kBatch, maxMerges - out.size)
+          val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+          val symbols = scala.collection.mutable.HashSet.empty[String]
+          // ceiling for merge-created pairs: first sharing pair's count,
+          // or the truncation floor when the list may continue below
+          var ceil = if (ranked.length == lim) ranked.last.getAs[Long]("n") else Long.MinValue
+          var i = 0
+          var stopped = false
+          while (i < ranked.length && !stopped) {
+            val (p1, p2, n) = (ranked(i).getAs[String]("s1"),
+              ranked(i).getAs[String]("s2"), ranked(i).getAs[Long]("n"))
+            if (symbols(p1) || symbols(p2)) {
+              ceil = math.max(ceil, n) // first sharing pair: scan order => max
+              stopped = true
+            } else if (accepted.size < cap) {
+              accepted += ((p1, p2, n))
+              symbols += p1
+              symbols += p2
+            }
+            i += 1
+          }
+          // strict guard: drop accepted tail at or below the ceiling
+          while (accepted.nonEmpty && accepted.last._3 <= ceil)
+            accepted.remove(accepted.size - 1): Unit
+          // progress guarantee: the global top-1 is always trajectory-exact
+          if (accepted.isEmpty) {
+            val h = ranked.head
+            accepted += ((h.getAs[String]("s1"), h.getAs[String]("s2"), h.getAs[Long]("n")))
+          }
+          accepted.foreach { case (p1, p2, n) =>
+            out += (((out.size + 1).toLong, p1, p2, n))
+          }
           // the collect above materialized cur, so the round before it
           // can release its blocks now
           if (prev != null) prev.unpersist(blocking = false)
           prev = cur
-          cur = cur.select(
-            replace(col("enc"), lit("|" + s1 + "||" + s2 + "|"),
-              lit("|" + s1 + s2 + "|")).as("enc"),
-            col("cnt")).persist(StorageLevel.MEMORY_AND_DISK)
-          r += 1
+          val enc2 = accepted.foldLeft(col("enc")) { case (acc, (p1, p2, _)) =>
+            replace(acc, lit("|" + p1 + "||" + p2 + "|"), lit("|" + p1 + p2 + "|"))
+          }
+          val next = cur.select(enc2.as("enc"), col("cnt"))
+          // truncate lineage on a cadence (the CC-loop posture): the
+          // cumulative plan otherwise deepens by k replaces + one cache
+          // layer per round, and ANALYSIS cost over a 32k-merge run
+          // grows quadratically even though execution reads the cache.
+          // A truncated round skips the extra persist — the checkpoint
+          // itself caches its partitions.
+          cur =
+            if (rounds % 8 == 0) Checkpoints.truncate(next)
+            else next.persist(StorageLevel.MEMORY_AND_DISK)
         }
       }
     } finally {
       if (prev != null) prev.unpersist(blocking = false)
       cur.unpersist(blocking = false)
     }
-    out.toSeq
+    (out.toSeq, rounds)
   }
 
   /** BPE vocabulary training: the ordered k-round merge table

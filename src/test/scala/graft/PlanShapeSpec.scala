@@ -91,13 +91,21 @@ class PlanShapeSpec extends AnyFunSuite {
         val base = if (indent(lines(i)) == Int.MaxValue) -1 else indent(lines(i))
         val subtree = lines.drop(i + 1)
           .takeWhile(l => indent(l) > base) // stay inside the subtree
-        // Structural exemption: Joins.skewBound's hot-key relation (its
-        // private __skb_ columns mark the subtree). It is count>cap
-        // FILTERED — 0 rows on a well-behaved corpus, <= n/cap skinny
-        // rows ever — and reaches a plan-time broadcast only when
-        // Catalyst's size estimate (proportional to the scan) is small,
-        // so the choice de-escalates to a shuffle join at fact scale.
-        if (subtree.exists(_.contains("__skb_"))) Nil
+        // Structural exemption: Joins.skewBound's hot-key relation. It
+        // is count>cap FILTERED — 0 rows on a well-behaved corpus,
+        // <= n/cap skinny rows ever — and reaches a plan-time broadcast
+        // only when Catalyst's size estimate (proportional to the scan)
+        // is small, so the choice de-escalates to a shuffle join at
+        // fact scale. NARROW (ADVICE r15): the exemption requires the
+        // subtree to BE the hot relation — the __skb_-producing
+        // HashAggregate with no Join above or below it in the broadcast
+        // — so a corpus-scale relation that merely CARRIES __skb_
+        // lineage (e.g. the fallback path's left-joined salted side)
+        // is still counted if it ever gets broadcast.
+        val isHotRelation = subtree.exists(l =>
+          l.contains("HashAggregate") && l.contains("__skb_")) &&
+          !subtree.exists(_.contains("Join"))
+        if (isHotRelation) Nil
         else subtree.flatMap(l => scanRe.findFirstMatchIn(l).map(_.group(1)))
       }
     }.toSet.intersect(fact)
@@ -130,6 +138,35 @@ class PlanShapeSpec extends AnyFunSuite {
         |   +- FileScan parquet ... file:/root/testdata/sf0.001/embeddings.parquet""".stripMargin
     assert(broadcastFacts(nested) === Set("events"),
       "subtree walk must stop at the broadcast's sibling, not leak into it")
+  }
+
+  test("__skb_ exemption covers ONLY the hot-key relation, not lineage carriers") {
+    // the genuine hot relation: count>cap aggregate, no join — exempt
+    val hotRel =
+      """*(3) ShuffledHashJoin [k], [k], Inner
+        |:- BroadcastExchange HashedRelationBroadcastMode(...)
+        |:  +- *(2) Project [k, __skb_m]
+        |:     +- *(2) Filter (__skb_n > 65536)
+        |:        +- *(2) HashAggregate(keys=[k], functions=[count(1) AS __skb_n])
+        |:           +- FileScan parquet [k] ... file:/root/testdata/sf0.001/lineitem.parquet
+        |+- FileScan parquet [k] ... file:/root/testdata/sf0.001/lineitem.parquet""".stripMargin
+    assert(broadcastFacts(hotRel) === Set.empty,
+      "the count>cap hot relation itself stays exempt")
+    // regression shape (ADVICE r15): a CORPUS-SCALE side that merely
+    // carries __skb_ lineage (hot relation left-joined onto the fact)
+    // gets broadcast — the gate must flag it
+    val lineageCarrier =
+      """*(5) ShuffledHashJoin [k], [k], Inner
+        |:- BroadcastExchange HashedRelationBroadcastMode(...)
+        |:  +- *(4) Project [k, pmod(salt, coalesce(__skb_m, 1)) AS __split]
+        |:     +- *(4) BroadcastHashJoin [k], [k], LeftOuter, BuildRight
+        |:        :- FileScan parquet [k] ... file:/root/testdata/sf0.001/lineitem.parquet
+        |:        +- BroadcastExchange HashedRelationBroadcastMode(...)
+        |:           +- *(3) HashAggregate(keys=[k], functions=[count(1) AS __skb_n])
+        |:              +- FileScan parquet [k] ... file:/root/testdata/sf0.001/lineitem.parquet
+        |+- FileScan parquet [k] ... file:/root/testdata/sf0.001/orders.parquet""".stripMargin
+    assert(broadcastFacts(lineageCarrier).contains("lineitem"),
+      "a broadcast fact-scale relation is not exempt just for carrying __skb_ lineage")
   }
 
   test("cube/rollup expand the 6-row base aggregate, never the fact stream") {

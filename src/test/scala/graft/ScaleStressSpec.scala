@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Joins}
+
+/** VERDICT r15 next-round item 6: empirical scale-claim checks for the
+  * dedup/ANN families beyond sf0.1 — adversarially duplicated and
+  * hot-keyed fixtures 10-100x the bench corpus, asserting ROW COUNTS
+  * per stage (the O(distinct)/output-bounded claims), never wall time.
+  * Testdata is read-only and capped at sf0.1; these corpora are
+  * spec-local and deterministic. */
+class ScaleStressSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  test("minhash LSH compute tracks DISTINCT content under 100x duplication") {
+    // 500 distinct documents (disjoint vocabularies), each duplicated
+    // 100x -> 50k docs, 100x the sf0.01 corpus. The claim (SURVEY §4):
+    // the band self-join runs on distinct signatures; member pairs are
+    // expansion-only (output-bound).
+    val nDistinct = 500
+    val dup = 100
+    val docs = spark.range(nDistinct.toLong * dup)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit(s"w${j}_"), (col("id") % nDistinct).cast("string"))): _*)
+          .as("text"))
+      .withColumn("hs", org.apache.spark.sql.graftexpr.TextExpressions
+        .hashWordNgrams(col("text"), 3))
+      .select("doc_id", "hs")
+    val sigs = Dedup.withReps(docs)
+    // stage bound: the signature-group collapse leaves <= nDistinct
+    // representatives — the band join's ENTIRE input is reps x bands
+    val nReps = sigs.filter(col("doc_id") === col("rep")).count()
+    assert(nReps <= nDistinct.toLong, s"$nReps reps for $nDistinct contents")
+    // output bound: disjoint vocabularies -> candidates are exactly the
+    // within-group pairs; the 2.475M pairs ARE the answer
+    val pairs = Dedup.lshCandidates(docs).count()
+    val want = nDistinct.toLong * (dup.toLong * (dup - 1) / 2)
+    assert(pairs == want, s"pairs $pairs != within-group $want")
+  }
+
+  test("simhash histogram is group-product exact under a 5000x hot signature") {
+    // one signature duplicated 5000x + 2000 distinct signatures: the
+    // pair count at hamming 0 must be C(5000,2) WITHOUT any stage
+    // materializing the 12.5M member pairs (output is a histogram; the
+    // group relation the band join consumes is 2001 rows)
+    val hot = 0x123456789abcdL & ((1L << 60) - 1)
+    val rng = spark.range(2000)
+      .select((abs(hash(col("id"))).cast("bigint") * 1048583L + col("id"))
+        .mod(1L << 60).as("sig"))
+      .filter(col("sig") =!= hot)
+    val sigs = rng.union(
+      spark.range(5000).select(lit(hot).as("sig")))
+    val nGroups = sigs.select("sig").distinct().count()
+    assert(nGroups <= 2001L)
+    val hist = Dedup.simhashHistogram(sigs.select("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val withinHot = 5000L * 4999L / 2
+    assert(hist.getOrElse(0L, 0L) >= withinHot,
+      s"hamming-0 pairs ${hist.get(0L)} lost the hot group's $withinHot")
+    // distinct sigs are pseudo-random 60-bit values: any hamming<=3
+    // cross pair would need a ~miracle collision; the histogram's 0-row
+    // must be EXACTLY the group products of duplicated signatures
+    assert(hist(0L) == withinHot,
+      s"hamming-0 ${hist(0L)} != group-product $withinHot")
+  }
+
+  test("embedding near-dup pairs are exact under a 1000x hot bucket") {
+    // three orthogonal directions x 1000 copies: every direction's
+    // copies land in ONE hyperplane bucket (the adversarial crowded
+    // cell); within-direction cos = 1, cross-direction cos = 0 (dies at
+    // the 0.3 gate). The crowded cells stay exact — output is exactly
+    // 3 x C(1000,2) pairs (the skew SPLIT machinery itself is
+    // row-bounded in the next test; 1000 rows sits below SkewCap by
+    // design, so this asserts the no-split path's correctness under
+    // crowding while the split path's spread is asserted separately).
+    val dirs = Seq(
+      Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    val rows = for (d <- dirs.indices; i <- 0 until 1000)
+      yield ((d * 1000 + i).toLong, "L", dirs(d).toSeq)
+    val df = rows.toDF("vec_id", "label", "emb")
+    val pairs = Dedup.embedNearPairs(df, depth = 2)
+    val want = 3L * (1000L * 999L / 2)
+    assert(pairs.count() == want)
+  }
+
+  test("skewBound spreads a 50k-row hot key into ~n/cap bounded cells") {
+    val cap = 512
+    val hotN = 50000L
+    val df = spark.range(hotN).select(lit("HOT").as("k"), col("id"))
+      .union(spark.range(1000).select(
+        concat(lit("c"), (col("id") % 100).cast("string")).as("k"), col("id")))
+    val (s, r) = Joins.skewBound(df, df, Seq("k"), Seq("k"), hash(col("id")), cap = cap)
+    val m = math.ceil(hotN.toDouble / cap).toInt
+    // the salted side's hot key spreads over exactly m splits...
+    val splits = s.filter(col("k") === "HOT").select("__split").distinct().count()
+    assert(splits == m.toLong, s"hot key spread over $splits cells, want $m")
+    // ...and no (key, split) reduce cell holds more than ~2x cap rows
+    // (pmod of a hash is near-uniform, never exact)
+    val maxCell = s.groupBy("k", "__split").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxCell <= 2L * cap, s"a reduce cell holds $maxCell rows (cap $cap)")
+    // the replicated side mirrors the spread: every hot row appears m
+    // times (once per split), non-hot rows once
+    val hotRepl = r.filter(col("k") === "HOT").count()
+    assert(hotRepl == hotN * m, s"replicated hot rows $hotRepl != ${hotN * m}")
+    val coldRepl = r.filter(col("k") =!= "HOT").count()
+    assert(coldRepl == 1000L, s"non-hot rows must not replicate: $coldRepl")
+  }
+}
