@@ -16,10 +16,20 @@ package graft.arrays
 object Eigen {
 
   /** Eigenvalues of symmetric `a0`, descending. `a0` is not mutated. */
-  def symEigenvalues(a0: Array[Array[Double]]): IndexedSeq[Double] = {
+  def symEigenvalues(a0: Array[Array[Double]]): IndexedSeq[Double] =
+    symEigen(a0)._1
+
+  /** Eigen-decomposition of symmetric `a0`: (eigenvalues descending,
+    * eigenvectors as ROWS in the matching order). The rotation sequence
+    * is the same fixed cyclic sweep as [[symEigenvalues]], with the
+    * vector matrix accumulated column-wise per rotation — deterministic
+    * bit-for-bit, like the values. Ties in the descending sort keep the
+    * pre-sort (diagonal-index) order. */
+  def symEigen(a0: Array[Array[Double]]): (IndexedSeq[Double], IndexedSeq[IndexedSeq[Double]]) = {
     val n = a0.length
     require(n > 0 && a0.forall(_.length == n), "matrix must be square")
     val a = Array.tabulate(n, n)((i, j) => a0(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
     // scale for the absolute convergence floor: Frobenius norm
     val fro = math.sqrt(a.map(_.map(x => x * x).sum).sum)
     val eps = 1e-14 * math.max(fro, 1e-300)
@@ -61,6 +71,11 @@ object Eigen {
                 a(k)(q) = akq + s * (akp - tau * akq)
                 a(q)(k) = a(k)(q)
               }
+              // accumulate the rotation into the eigenvector columns
+              val vkp = v(k)(p)
+              val vkq = v(k)(q)
+              v(k)(p) = vkp - s * (vkq + tau * vkp)
+              v(k)(q) = vkq + s * (vkp - tau * vkq)
               k += 1
             }
           }
@@ -70,7 +85,9 @@ object Eigen {
       }
       sweep += 1
     }
-    (0 until n).map(i => a(i)(i)).sorted(Ordering[Double].reverse)
+    val order = (0 until n).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)),
+      order.map(c => (0 until n).map(r => v(r)(c)): IndexedSeq[Double]))
   }
 
   /** Singular values (descending) of the matrix whose Gram is `gram`:

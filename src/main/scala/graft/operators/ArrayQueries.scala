@@ -430,6 +430,41 @@ object ArrayQueries {
       .toDF("k", "sigma").orderBy("k")
   }
 
+  /** How many principal components [[arrPcaProject]] keeps. */
+  val PcaK = 2
+
+  /** dask PCA of the simulation field — `A @ V[:, :k]` with V the
+    * eigenbasis of [[arrGram]]'s exact Gram (the standard in-situ
+    * "reduce the field to its dominant modes" analysis; a doreisa
+    * callback reaches it via `da.linalg`): the eigenVECTORS come from
+    * the same driver-side deterministic Jacobi ([[graft.arrays.Eigen]]
+    * — a k×k model artifact), and the projection is a distributed
+    * per-row fold over the dense cells in ascending-column order — the
+    * SAME left-fold sequence the oracle replays (identical cell doubles
+    * × identical literal weights × identical fold order = identical
+    * result bits, SURVEY §5's ordered-fold discipline). */
+  def arrPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val n = geom2d.dimSize(1)
+    val g = Array.ofDim[Double](n, n)
+    arrGram(s, dir).collect().foreach { r =>
+      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2)
+    }
+    val top = graft.arrays.Eigen.symEigen(g)._2.take(PcaK)
+    pcaByDir.update(dir, top)
+    lastDirRef.set(dir)
+    val cells = eventsArray2dCached(s, dir).rows2d
+    val byRow = cells.groupBy("timestep", "i")
+      .agg(array_sort(collect_list(struct(col("j"), col("value")))).as("lv"))
+    val projCols = top.zipWithIndex.map { case (vk, k) =>
+      val varr = array(vk.map(lit(_)): _*)
+      aggregate(col("lv"), lit(0.0), (acc, e) =>
+        acc + e.getField("value") *
+          element_at(varr, e.getField("j").cast("int") + 1)).as(s"pc$k")
+    }
+    byRow.select(col("timestep") +: col("i") +: projCols: _*)
+      .orderBy("timestep", "i")
+  }
+
   /** Distributed block matmul `A @ A` on the 8x8 array (dask linear
     * algebra), flattened to (timestep, i, j, value) rows. */
   def arrMatmul(s: SparkSession, dir: String): DataFrame = {
@@ -773,6 +808,8 @@ object ArrayQueries {
     * oracle_sql.json, so by then the fit for [[dirForOracles]] exists). */
   private val svdByDir =
     scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[Double]]
+  private val pcaByDir =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[IndexedSeq[Double]]]
   private val oracleDirRef =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastDirRef =
@@ -806,6 +843,25 @@ object ArrayQueries {
           .mkString(", ")
         Map("arr_svd_vals" ->
           s"SELECT k, sigma FROM (VALUES $rows) AS t(k, sigma) ORDER BY k")
+      }.getOrElse(Map.empty) ++
+      dirForOracles.flatMap(pcaByDir.get).map { top =>
+        // replay the projection from LITERAL eigenvectors with the
+        // identical ascending-column left fold (see arrPcaProject)
+        val pcs = top.zipWithIndex.map { case (vk, k) =>
+          val lst = vk.map(fmtD).mkString("[", ", ", "]")
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |    list_transform(range(1, ${vk.length + 1}),
+             |      jj -> lv[CAST(jj AS INT)] * ($lst)[CAST(jj AS INT)])),
+             |    (x, y) -> x + y) AS pc$k""".stripMargin
+        }.mkString(",\n  ")
+        Map("arr_pca_project" ->
+          s"""WITH $CELLS_2D_DENSE,
+             |rows_ AS (
+             |  SELECT timestep, u, list(cell ORDER BY h) AS lv
+             |  FROM cells GROUP BY 1, 2)
+             |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS i,
+             |  $pcs
+             |FROM rows_ ORDER BY 1, 2""".stripMargin)
       }.getOrElse(Map.empty)
 
   private val staticOracles: Map[String, String] = Map(
@@ -1569,6 +1625,7 @@ object ArrayQueries {
     "arr_coarsen" -> (arrCoarsen _),
     "arr_gram" -> (arrGram _),
     "arr_svd_vals" -> (arrSvdVals _),
+    "arr_pca_project" -> (arrPcaProject _),
     "arr_tensordot" -> (arrTensordot _),
     "arr_tensordot_axes" -> (arrTensordotAxes _),
     "arr_reshape_flat" -> (arrReshapeFlat _),

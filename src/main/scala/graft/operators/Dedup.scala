@@ -375,12 +375,15 @@ object Dedup {
     // the pairs are the calibration answer. Output is O(distinct
     // signatures + cross-signature pairs), spec-asserted on the
     // mass-duplicated fixture.
-    // persisted (the simhashHistogram `groups` posture): the distinct-
-    // signature relation feeds the band self-join subtree AND the reps
-    // group join — without the cache the corpus-distinct aggregate runs
-    // once per reference
+    // NOT persisted (r16 same-JVM A/B, ProfSimhashAB): the distinct-
+    // signature aggregate feeds the band subtree AND the reps group
+    // join, but both consumers live in the ONE final job, where
+    // ReuseExchange serves them from a single shuffle — the cache
+    // boundary only added its own materialization job (cold 9.97 s vs
+    // 4.43 s fused; warm 2.95 vs 2.84, never faster). Contrast the
+    // corpus-sized `docs` relation above, whose persist stays: it
+    // crosses QUERY boundaries (the whole simhash family reads it).
     val sigs = docs.groupBy("sig").agg(count(lit(1)).as("g"))
-      .cachedPersist()
     val bands = sigs.select(col("sig"),
         explode(array((0 until SimhashBands).map(b =>
           struct(lit(b).as("band"),

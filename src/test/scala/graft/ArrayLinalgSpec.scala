@@ -140,6 +140,38 @@ class ArrayLinalgSpec extends AnyFunSuite {
     assert(Eigen.symEigenvalues(m) == IndexedSeq(4.0, 3.0, 2.0, 1.0))
   }
 
+  test("symEigen vectors: A v = lambda v, orthonormal, value-aligned") {
+    val n = 6
+    val m = Array.tabulate(n, n)((i, j) =>
+      1.0 / (i + j + 1) + (if (i == j) 2.0 else 0.0))
+    val (vals, vecs) = Eigen.symEigen(m)
+    assert(vals == Eigen.symEigenvalues(m), "values must match the value-only face")
+    for (k <- 0 until n) {
+      val v = vecs(k)
+      // residual ||A v - lambda v||
+      val res = (0 until n).map { r =>
+        val av = (0 until n).map(c => m(r)(c) * v(c)).sum
+        math.pow(av - vals(k) * v(r), 2)
+      }.sum
+      assert(math.sqrt(res) < 1e-9, s"eigenpair $k residual")
+      // normal, and orthogonal to the others
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12)
+      for (k2 <- k + 1 until n)
+        assert(math.abs(v.zip(vecs(k2)).map { case (a, b) => a * b }.sum) < 1e-9)
+    }
+  }
+
+  test("PCA projection of a known factorization recovers sigma") {
+    // A = [[3,4],[0,0]]: top eigenvector of G is (0.6, 0.8) up to sign;
+    // row 0 projects to +-5 (= sigma_1), row 1 to 0
+    val g = Array(Array(9.0, 12.0), Array(12.0, 16.0))
+    val (vals, vecs) = Eigen.symEigen(g)
+    assert(math.abs(vals(0) - 25.0) < 1e-12 * 25.0)
+    val v = vecs(0)
+    val proj0 = 3.0 * v(0) + 4.0 * v(1)
+    assert(math.abs(math.abs(proj0) - 5.0) < 1e-9)
+  }
+
   test("Jacobi is deterministic: identical input bits, identical output bits") {
     val n = 6
     def m = Array.tabulate(n, n)((i, j) => 1.0 / (i + j + 1)) // Hilbert
