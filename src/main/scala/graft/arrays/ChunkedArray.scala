@@ -1218,7 +1218,10 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * payload's own re-group), then computes locally. Boundary modes at
     * the GLOBAL edge: `"zero"` pads with 0; `"reflect"` mirrors without
     * repeating the edge (numpy `pad(mode='reflect')`: index -j reads
-    * +j). The term fold is fixed left-to-right in increasing k, so the
+    * +j); `"linear"` extrapolates the edge line linearly (index -j
+    * reads `2·f[0] - f[j]` — what makes a central-difference kernel
+    * degrade to numpy's one-sided edge formula, see [[gradientAxis]]).
+    * The term fold is fixed left-to-right in increasing k, so the
     * IEEE double result replays bit-exact cross-engine; with
     * power-of-two weights every product is itself exact. Absent
     * interior chunks are implicitly all-zero (the Laplacian's
@@ -1230,16 +1233,18 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     require(axis >= 0 && axis < n, s"axis $axis out of range")
     require(weights.length % 2 == 1 && weights.length >= 3,
       s"weights must have odd length >= 3, got ${weights.length}")
-    require(boundary == "zero" || boundary == "reflect",
-      s"boundary must be zero|reflect, got $boundary")
+    require(boundary == "zero" || boundary == "reflect" || boundary == "linear",
+      s"boundary must be zero|reflect|linear, got $boundary")
     // A 1-d axis kernel IS a hypercube kernel with extent 1 on every
     // other axis: double payloads route through [[stencilNd]]'s native
     // StencilConvolve (one compiled call per chunk; same halo volume —
     // with reach 0 off-axis it ships exactly the two r-deep slabs; same
     // increasing-k fold order and boundary semantics, so bit-identical —
     // spec-gated in StencilKernelSpec). Other dtypes keep the
-    // interpreted per-cell path below (dtype preservation).
-    if (native && dtype == org.apache.spark.sql.types.DoubleType)
+    // interpreted per-cell path below (dtype preservation); so does the
+    // "linear" boundary (the native kernel covers zero|reflect).
+    if (native && boundary != "linear" &&
+        dtype == org.apache.spark.sql.types.DoubleType)
       return stencilNd(weights,
         Seq.tabulate(n)(d => if (d == axis) weights.length else 1), boundary)
     val r = weights.length / 2
@@ -1303,12 +1308,22 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
           val fromHigh = coalesce(
             element_at(element_at(col("m"), "h"), (target - shapeA) * slabElems + slabI + 1),
             zeroE)
-          val atLowEdge =
-            if (boundary == "zero") zeroE
-            else element_at(self, baseIdx - target * strideA + 1) // coord -target
-          val atHighEdge =
-            if (boundary == "zero") zeroE
-            else element_at(self, baseIdx + (lit(2 * (shapeA - 1)) - target) * strideA + 1)
+          val atLowEdge = boundary match {
+            case "zero" => zeroE
+            case "reflect" => element_at(self, baseIdx - target * strideA + 1) // coord -target
+            case _ => // linear: 2·f[0] - f[-target]
+              (lit(2.0).cast(dtype) * element_at(self, baseIdx + 1)).cast(dtype) -
+                element_at(self, baseIdx - target * strideA + 1)
+          }
+          val atHighEdge = boundary match {
+            case "zero" => zeroE
+            case "reflect" =>
+              element_at(self, baseIdx + (lit(2 * (shapeA - 1)) - target) * strideA + 1)
+            case _ => // linear: 2·f[n-1] - f[2(n-1) - target]
+              (lit(2.0).cast(dtype) *
+                element_at(self, baseIdx + lit((shapeA - 1) * strideA) + 1)).cast(dtype) -
+                element_at(self, baseIdx + (lit(2 * (shapeA - 1)) - target) * strideA + 1)
+          }
           // NB: `tpos`, not the output alias `pos` — a lateral column
           // alias in the same select list would shadow the input column
           when(target >= 0 && target < shapeA, inSelf)
@@ -1322,6 +1337,21 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       }).as("data"))
     copy(df = out)
   }
+
+  /** numpy/dask `gradient(arr, axis=)` — second-order central
+    * differences `(f[x+1] - f[x-1]) / 2` in the interior with numpy's
+    * one-sided first-order edges `f[1] - f[0]` / `f[n-1] - f[n-2]`
+    * (the derivative of the assembled simulation field; a doreisa
+    * callback reaches it as `da.gradient`, ref window_api.py:38-119).
+    * Expressed as [[stencilAxis]]'s central kernel over the `"linear"`
+    * boundary: extrapolating `f[-1] := 2·f[0] - f[1]` makes the central
+    * formula algebraically equal to the one-sided edge formula, so the
+    * whole output is ONE kernel pass — each chunk still ships only its
+    * two depth-1 boundary slabs, nothing resembling a per-edge special
+    * pass exists in the plan. The fixed term fold replays bit-exact
+    * cross-engine (SURVEY §5). */
+  def gradientAxis(axis: Int): ChunkedArray =
+    stencilAxis(axis, Seq(-0.5, 0.0, 0.5), boundary = "linear")
 
   /** FULL-NEIGHBORHOOD stencil for ANY rank — dask `map_overlap` with a
     * dense hypercube kernel (Sobel / Gaussian-blur territory), the

@@ -547,6 +547,16 @@ object ArrayQueries {
       .withColumnsRenamed(Map("i0" -> "idx"))
       .orderBy("timestep", "idx")
 
+  /** numpy/dask `gradient(arr)` along the 1-d array — central
+    * differences `(f[x+1] - f[x-1])/2` with numpy's one-sided edges,
+    * as ONE central-kernel halo pass over the `"linear"` boundary
+    * ([[graft.arrays.ChunkedArray.gradientAxis]]): the in-situ "slope
+    * of the simulation field" probe. */
+  def arrGradient(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).gradientAxis(axis = 0).rowsNd
+      .withColumnsRenamed(Map("i0" -> "idx"))
+      .orderBy("timestep", "idx")
+
   /** Elementwise zip across MISMATCHED chunkings (dask auto-rechunks,
     * `unify_chunks`): the same logical array chunked 4x16 and 8x8 zips
     * after a rechunk round trip; the THRESHOLDED reduce is what makes
@@ -1276,6 +1286,26 @@ object ArrayQueries {
          |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
          |  (0.25 * vp + 0.5 * cell) + 0.25 * vn AS value
          |FROM nb ORDER BY 1, 2""".stripMargin,
+    // numpy gradient: the central kernel over the LINEAR-extrapolated
+    // edge (vp at u=0 := 2·f0 - f1, vn at u=63 := 2·f63 - f62) — the
+    // (-0.5·vp + 0.0·cell) + 0.5·vn fold replays Spark's term order
+    "arr_gradient" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |nb AS (
+         |  SELECT timestep, u, cell,
+         |    CASE WHEN u = 0 THEN 2.0 * cell - lead(cell) OVER w
+         |         ELSE lag(cell) OVER w END AS vp,
+         |    CASE WHEN u = 63 THEN 2.0 * cell - lag(cell) OVER w
+         |         ELSE lead(cell) OVER w END AS vn
+         |  FROM dense WINDOW w AS (PARTITION BY timestep ORDER BY u))
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS idx,
+         |  (-0.5 * vp + 0.0 * cell) + 0.5 * vn AS value
+         |FROM nb ORDER BY 1, 2""".stripMargin,
     // the zip pairs each cell with ITSELF through the 4x16 -> 8x8 -> 4x16
     // rechunk round trip, so every value is 2*cell; the threshold makes
     // any misaligned pairing change the kept set
@@ -1633,6 +1663,7 @@ object ArrayQueries {
     "arr_any_all" -> (arrAnyAll _),
     "arr_axis_prod" -> (arrAxisProd _),
     "arr_stencil_avg" -> (arrStencilAvg _),
+    "arr_gradient" -> (arrGradient _),
     "arr_zip_mismatch" -> (arrZipMismatch _),
     "arr_topk" -> (arrTopk _),
     "arr_quantile" -> (arrQuantile _),

@@ -805,6 +805,43 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
         w.indices.map(k => w(k) * at2(i + k - 1, j)).reduce(_ + _), s"2d ($i,$j)")
   }
 
+  test("gradientAxis reproduces numpy gradient: central interior, one-sided edges") {
+    // numpy np.gradient: interior (f[x+1]-f[x-1])/2, edges f[1]-f[0] and
+    // f[n-1]-f[n-2]. The linear-boundary central kernel must equal it
+    // exactly on integer-valued cells (both spellings are exact there).
+    def npGrad(v: Array[Double]): Array[Double] = {
+      val n = v.length
+      Array.tabulate(n) { x =>
+        if (x == 0) v(1) - v(0)
+        else if (x == n - 1) v(n - 1) - v(n - 2)
+        else (v(x + 1) - v(x - 1)) / 2.0
+      }
+    }
+    val v0 = Array.tabulate(8)(i => i + 1.0)       // ramp -> constant 1.0
+    val v1 = Array.tabulate(8)(i => 2.0 * (i + 1)) // 2x ramp -> constant 2.0
+    val out = cellMap(oneD.gradientAxis(0))
+    for (i <- 0 until 8) {
+      assert(out((0L, Seq(i))) == npGrad(v0)(i), s"t0 i=$i")
+      assert(out((1L, Seq(i))) == npGrad(v1)(i), s"t1 i=$i")
+    }
+    // non-linear values still agree exactly (integers: both formulas exact)
+    val sq = ChunkedArray(Seq(
+      (0L, Seq(0), Seq(0.0, 1.0, 4.0, 9.0)),
+      (0L, Seq(1), Seq(16.0, 25.0, 36.0, 49.0))).toDF("timestep", "pos", "data"),
+      ArrayGeometry(Seq(2), Seq(4)))
+    val gotSq = cellMap(sq.gradientAxis(0))
+    val refSq = npGrad(Array.tabulate(8)(i => (i * i).toDouble))
+    for (i <- 0 until 8) assert(gotSq((0L, Seq(i))) == refSq(i), s"sq i=$i")
+    // rank-2 along axis 0: per-column gradients, edges one-sided
+    val d2 = Array.tabulate(4, 4)((i, j) => 10.0 * i + j)
+    val out2 = cellMap(twoD.gradientAxis(0))
+    for (j <- 0 until 4) {
+      val colV = Array.tabulate(4)(i => d2(i)(j))
+      val g = npGrad(colV)
+      for (i <- 0 until 4) assert(out2((0L, Seq(i, j))) == g(i), s"2d ($i,$j)")
+    }
+  }
+
   test("zipWithAuto rechunks a mismatched operand onto this grid") {
     val a = oneD
     val b = oneD.rechunk(Seq(2)) // same logical array, 4 chunks of 2
