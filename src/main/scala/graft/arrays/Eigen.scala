@@ -97,4 +97,40 @@ object Eigen {
     * are as deterministic as the eigenvalues. */
   def singularValuesFromGram(gram: Array[Array[Double]]): IndexedSeq[Double] =
     symEigenvalues(gram).map(l => math.sqrt(math.max(l, 0.0)))
+
+  /** Upper-triangular Cholesky factor R of symmetric positive-definite
+    * `g` (RᵀR = g, diagonal > 0) — which IS the R of the thin QR
+    * factorization A = QR when g = AᵀA (the factor TSQR materializes;
+    * Q never needs to exist: Q = A·R⁻¹ row-locally if a caller wants
+    * it). Classic right-looking Cholesky with a FIXED loop order: the
+    * inner dot products fold k = 0..i-1 left-to-right, so identical
+    * input doubles give identical output bits (the trained-literal
+    * oracle property, SURVEY §5). A non-positive pivot (rank-deficient
+    * Gram) zeroes its row — the defensive convention, never hit by a
+    * full-column-rank field. `g` is not mutated. */
+  def cholUpper(g: Array[Array[Double]]): IndexedSeq[IndexedSeq[Double]] = {
+    val n = g.length
+    require(n > 0 && g.forall(_.length == n), "matrix must be square")
+    val r = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var s = g(i)(i)
+      var k = 0
+      while (k < i) { s -= r(k)(i) * r(k)(i); k += 1 }
+      if (s > 0.0) {
+        val d = math.sqrt(s)
+        r(i)(i) = d
+        var j = i + 1
+        while (j < n) {
+          var t = g(i)(j)
+          k = 0
+          while (k < i) { t -= r(k)(i) * r(k)(j); k += 1 }
+          r(i)(j) = t / d
+          j += 1
+        }
+      } // else: row stays zero (degenerate column)
+      i += 1
+    }
+    (0 until n).map(ii => (0 until n).map(jj => r(ii)(jj)))
+  }
 }

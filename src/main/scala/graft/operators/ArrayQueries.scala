@@ -465,6 +465,74 @@ object ArrayQueries {
       .orderBy("timestep", "i")
   }
 
+  /** dask `da.corrcoef` between the COLUMNS of the timestep-stacked
+    * field — the full C x C correlation matrix from sufficient
+    * statistics only (the emb_class_sep posture — the only shape that
+    * survives 100 TB): pairwise second moments are [[arrGram]]'s
+    * one-pass exact Gram (its diagonal doubles as the per-column
+    * square sums), first moments one chunk-local axis-reduce + exact
+    * decimal rollup, and the tiny moment relations (C rows, C² rows,
+    * one scalar) meet in broadcast joins — nothing row-scale moves.
+    * Every operand is an exact decimal cast to double; the Pearson
+    * formula is spelled operand-for-operand like the oracle (sqrt
+    * correctly rounded, ulp-negative variances clamped, zero variance
+    * guarded to NULL before the ANSI divide). */
+  def arrCorrcoef(s: SparkSession, dir: String): DataFrame = {
+    val arr = eventsArray2dCached(s, dir)
+    val gram = arr.gramRows().withColumnRenamed("value", "sxy")
+    // per-column first moments: fold the user axis chunk-locally, then
+    // one exact decimal rollup across timesteps (per-timestep sums are
+    // exact 2-decimal doubles, so the decimal cast loses nothing)
+    val colSums = arr.axisSum(0).rowsNd
+      .groupBy(col("i0").as("c"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+    val nRel = arr.df.select(
+      (countDistinct(col("timestep")) * lit(geom2d.dimSize(0).toLong)).as("n"))
+    val diag = gram.filter(col("i") === col("j"))
+      .select(col("i").as("dc"), col("sxy").as("s2"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("si") * col("sj")
+    val deni = sqrt(greatest(nD * col("sii") - col("si") * col("si"), lit(0.0)))
+    val denj = sqrt(greatest(nD * col("sjj") - col("sj") * col("sj"), lit(0.0)))
+    gram
+      .join(broadcast(colSums.select(col("c").as("c_i"), col("s").as("si"))),
+        col("i") === col("c_i"))
+      .join(broadcast(colSums.select(col("c").as("c_j"), col("s").as("sj"))),
+        col("j") === col("c_j"))
+      .join(broadcast(diag.select(col("dc").as("d_i"), col("s2").as("sii"))),
+        col("i") === col("d_i"))
+      .join(broadcast(diag.select(col("dc").as("d_j"), col("s2").as("sjj"))),
+        col("j") === col("d_j"))
+      .crossJoin(broadcast(nRel))
+      .select(col("i"), col("j"),
+        when(deni * denj === lit(0.0), lit(null).cast("double"))
+          .otherwise(num / (deni * denj)).as("corr"))
+      .orderBy("i", "j")
+  }
+
+  /** dask `da.linalg.qr(A)[1]` — the R factor of the thin QR of the
+    * timestep-stacked field: R = the upper Cholesky factor of AᵀA
+    * ([[graft.arrays.Eigen.cholUpper]]), exactly the factor TSQR
+    * materializes. The distributed work is [[arrGram]]'s one-pass
+    * exact Gram; the k x k factorization runs driver-side on the
+    * 64-double artifact, and Q is never formed (Q = A·R⁻¹ applies
+    * row-locally if a caller wants it) — the TSQR/svd_compressed
+    * posture of [[arrSvdVals]]. Emits the upper triangle (i <= j);
+    * the oracle embeds the factor as round-trip-exact literals. */
+  def arrQrR(s: SparkSession, dir: String): DataFrame = {
+    val n = geom2d.dimSize(1)
+    val g = Array.ofDim[Double](n, n)
+    arrGram(s, dir).collect().foreach { r =>
+      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2)
+    }
+    val ru = graft.arrays.Eigen.cholUpper(g)
+    qrByDir.update(dir, ru)
+    lastDirRef.set(dir)
+    import s.implicits._
+    (for (i <- 0 until n; j <- i until n) yield (i.toLong, j.toLong, ru(i)(j)))
+      .toDF("i", "j", "r_val").orderBy("i", "j")
+  }
+
   /** Distributed block matmul `A @ A` on the 8x8 array (dask linear
     * algebra), flattened to (timestep, i, j, value) rows. */
   def arrMatmul(s: SparkSession, dir: String): DataFrame = {
@@ -820,6 +888,8 @@ object ArrayQueries {
     scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[Double]]
   private val pcaByDir =
     scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[IndexedSeq[Double]]]
+  private val qrByDir =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[IndexedSeq[Double]]]
   private val oracleDirRef =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastDirRef =
@@ -872,6 +942,14 @@ object ArrayQueries {
              |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS i,
              |  $pcs
              |FROM rows_ ORDER BY 1, 2""".stripMargin)
+      }.getOrElse(Map.empty) ++
+      dirForOracles.flatMap(qrByDir.get).map { ru =>
+        val n = ru.length
+        val rows = (for (i <- 0 until n; j <- i until n)
+          yield s"(CAST($i AS BIGINT), CAST($j AS BIGINT), ${fmtD(ru(i)(j))})")
+          .mkString(", ")
+        Map("arr_qr_r" ->
+          s"SELECT i, j, r_val FROM (VALUES $rows) AS t(i, j, r_val) ORDER BY i, j")
       }.getOrElse(Map.empty)
 
   private val staticOracles: Map[String, String] = Map(
@@ -885,6 +963,38 @@ object ArrayQueries {
          |FROM cells x JOIN cells y
          |  ON x.timestep = y.timestep AND x.u = y.u
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Pearson over the column pairs from the SAME exact sufficient
+    // statistics the Spark side computes (Gram + decimal column sums +
+    // n = T·8), with the formula spelled operand-for-operand: sqrt is
+    // correctly rounded in both engines, greatest clamps the
+    // ulp-negative variances, zero variance guards the divide
+    "arr_corrcoef" ->
+      s"""WITH $CELLS_2D_DENSE,
+         |nn AS (SELECT COUNT(DISTINCT timestep) * 8 AS n FROM cells),
+         |cs AS (SELECT CAST(h AS BIGINT) AS c,
+         |    CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS s
+         |  FROM cells GROUP BY 1),
+         |gram AS (SELECT CAST(x.h AS BIGINT) AS i, CAST(y.h AS BIGINT) AS j,
+         |    CAST(SUM(CAST(x.cell * y.cell AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+         |  FROM cells x JOIN cells y
+         |    ON x.timestep = y.timestep AND x.u = y.u
+         |  GROUP BY 1, 2),
+         |dg AS (SELECT i AS dc, sxy AS s2 FROM gram WHERE i = j)
+         |SELECT g.i, g.j,
+         |  CASE WHEN sqrt(greatest(CAST(nn.n AS DOUBLE) * di.s2 - ci.s * ci.s, 0.0))
+         |         * sqrt(greatest(CAST(nn.n AS DOUBLE) * dj.s2 - cj.s * cj.s, 0.0)) = 0.0
+         |       THEN NULL
+         |       ELSE (CAST(nn.n AS DOUBLE) * g.sxy - ci.s * cj.s)
+         |         / (sqrt(greatest(CAST(nn.n AS DOUBLE) * di.s2 - ci.s * ci.s, 0.0))
+         |            * sqrt(greatest(CAST(nn.n AS DOUBLE) * dj.s2 - cj.s * cj.s, 0.0)))
+         |  END AS corr
+         |FROM gram g
+         |JOIN cs ci ON g.i = ci.c
+         |JOIN cs cj ON g.j = cj.c
+         |JOIN dg di ON g.i = di.dc
+         |JOIN dg dj ON g.j = dj.dc
+         |CROSS JOIN nn
+         |ORDER BY 1, 2""".stripMargin,
     "arr_tensordot" ->
       s"""WITH $CELLS_3D_DENSE,
          |$CELLS_2D_DENSE
@@ -1656,6 +1766,8 @@ object ArrayQueries {
     "arr_gram" -> (arrGram _),
     "arr_svd_vals" -> (arrSvdVals _),
     "arr_pca_project" -> (arrPcaProject _),
+    "arr_corrcoef" -> (arrCorrcoef _),
+    "arr_qr_r" -> (arrQrR _),
     "arr_tensordot" -> (arrTensordot _),
     "arr_tensordot_axes" -> (arrTensordotAxes _),
     "arr_reshape_flat" -> (arrReshapeFlat _),

@@ -181,4 +181,95 @@ class ArrayLinalgSpec extends AnyFunSuite {
       java.lang.Double.doubleToRawLongBits(x) == java.lang.Double.doubleToRawLongBits(y)
     })
   }
+
+  // ---- Cholesky (the QR R factor) ----
+
+  test("cholUpper on a known factorization: G = [[4,2],[2,2]] -> R = [[2,1],[0,1]]") {
+    val r = Eigen.cholUpper(Array(Array(4.0, 2.0), Array(2.0, 2.0)))
+    assert(r == IndexedSeq(IndexedSeq(2.0, 1.0), IndexedSeq(0.0, 1.0)))
+  }
+
+  test("cholUpper: RᵀR reconstructs the Gram, upper structure, positive diagonal") {
+    val n = 6
+    // SPD by construction: diagonally dominant deterministic symmetric
+    val g = Array.tabulate(n, n)((i, j) =>
+      1.0 / (i + j + 1) + (if (i == j) 2.0 else 0.0))
+    val r = Eigen.cholUpper(g)
+    for (i <- 0 until n) {
+      assert(r(i)(i) > 0.0, s"diag $i")
+      for (j <- 0 until i) assert(r(i)(j) == 0.0, s"below-diag ($i,$j)")
+    }
+    for (i <- 0 until n; j <- 0 until n) {
+      val got = (0 until n).map(k => r(k)(i) * r(k)(j)).sum
+      assert(math.abs(got - g(i)(j)) < 1e-12 * 3.0, s"RᵀR ($i,$j)")
+    }
+    // deterministic bit-for-bit
+    val r2 = Eigen.cholUpper(g)
+    for (i <- 0 until n; j <- 0 until n)
+      assert(java.lang.Double.doubleToRawLongBits(r(i)(j)) ==
+        java.lang.Double.doubleToRawLongBits(r2(i)(j)))
+  }
+
+  test("cholUpper zeroes the row of a degenerate (rank-deficient) column") {
+    // G of A = [[3,4],[0,0]]: rank 1 — the second pivot vanishes
+    val r = Eigen.cholUpper(Array(Array(9.0, 12.0), Array(12.0, 16.0)))
+    assert(r(0)(0) == 3.0 && r(0)(1) == 4.0 && r(1)(0) == 0.0)
+    assert(r(1)(1) == 0.0, "degenerate pivot zeroes, never NaNs")
+  }
+
+  // ---- corrcoef query (moment identities on the real fixture) ----
+
+  test("arr_corrcoef: symmetric, unit diagonal, bounded, matches a direct compute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.ArrayQueries.arrCorrcoef(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(got.size == 64)
+    for (((i, j), v) <- got if !v.isNaN) {
+      assert(math.abs(v) <= 1.0 + 1e-12, s"|corr($i,$j)| <= 1")
+      // exact symmetry: operand-symmetric formula -> identical bits
+      assert(java.lang.Double.doubleToRawLongBits(v) ==
+        java.lang.Double.doubleToRawLongBits(got((j, i))), s"sym ($i,$j)")
+      if (i == j) assert(math.abs(v - 1.0) < 1e-12, s"diag $i")
+    }
+    // independent dense reference from the flattened cells
+    val cells = graft.operators.ArrayQueries.eventsArray2dCached(spark, dir)
+      .rows2d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ts = cells.map(_._1).distinct
+    val cols = Array.fill(8)(scala.collection.mutable.ArrayBuffer.empty[Double])
+    for (t <- ts.sorted; u <- 0 until 8) {
+      val row = Array.fill(8)(0.0)
+      cells.filter(c => c._1 == t && c._2 == u).foreach(c => row(c._3.toInt) = c._4)
+      for (h <- 0 until 8) cols(h) += row(h)
+    }
+    def pearson(x: Seq[Double], y: Seq[Double]): Double = {
+      val n = x.length.toDouble
+      val (sx, sy) = (x.sum, y.sum)
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      val sxx = x.map(a => a * a).sum
+      val syy = y.map(a => a * a).sum
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    for (i <- 0 until 8; j <- 0 until 8 if !got((i.toLong, j.toLong)).isNaN)
+      assert(math.abs(got((i.toLong, j.toLong)) -
+        pearson(cols(i).toSeq, cols(j).toSeq)) < 1e-9, s"ref ($i,$j)")
+  }
+
+  test("arr_qr_r: R reconstructs the Gram and matches the svd spectrum scale") {
+    val dir = "/root/testdata/sf0.001"
+    val rRows = graft.operators.ArrayQueries.arrQrR(spark, dir).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    assert(rRows.size == 36, "upper triangle of 8x8")
+    val g = Array.ofDim[Double](8, 8)
+    graft.operators.ArrayQueries.arrGram(spark, dir).collect().foreach(r =>
+      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
+    def rAt(i: Int, j: Int): Double = if (i <= j) rRows((i, j)) else 0.0
+    val fro = math.sqrt(g.flatten.map(x => x * x).sum)
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val got = (0 until 8).map(k => rAt(k, i) * rAt(k, j)).sum
+      assert(math.abs(got - g(i)(j)) < 1e-12 * fro, s"RᵀR ($i,$j)")
+    }
+    for (i <- 0 until 8) assert(rAt(i, i) >= 0.0, s"diag sign $i")
+  }
 }

@@ -53,6 +53,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "ev_funnel" -> Set("events"),
     // the 1-row global vector count cross-joined into the per-label output
     "emb_class_sep" -> Set("embeddings"),
+    // the C-row column-sum, C-row Gram-diagonal and 1-row n moment
+    // aggregates meeting the C^2-row Gram (all bounded by the column
+    // count, never data-scale)
+    "arr_corrcoef" -> Set("events"),
     // per-source aggregates (O(|sources|) rows)
     "pipe_clean" -> Set("documents"),
     // per-source keep-fraction relation + its 1-row total (O(|sources|))
