@@ -1659,7 +1659,15 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * 2-decimal cells are exact 4-decimal; the one double cast happens
     * at the very end — order-free and reproducible cross-engine
     * (SURVEY §5). Output: `(i, j, value)` — C x C rows. */
-  def gramRows(): DataFrame = {
+  def gramRows(): DataFrame =
+    gramRowsExact().withColumn("value", col("value").cast("double"))
+
+  /** [[gramRows]] BEFORE the final double cast: `value` is the exact
+    * DECIMAL(38,4) sum. Exact partials are what a streaming consumer
+    * must accumulate ([[graft.streaming.StreamingGram]]): decimal sums
+    * are associative and exact, so partial Grams over any timestep
+    * split re-combine to the bit-identical total. */
+  private[graft] def gramRowsExact(): DataFrame = {
     require(geom.dims == 2, "gram requires a rank-2 array")
     require(dtype == org.apache.spark.sql.types.DoubleType,
       "gram is defined over double payloads (the decimal-fold family)")
@@ -1683,7 +1691,7 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         (col("trail").cast("bigint") * cI + col("local") % cI).as("j"),
         col("pv"))
       .groupBy("i", "j")
-      .agg(sum(col("pv")).cast("double").as("value"))
+      .agg(sum(col("pv")).as("value"))
   }
 
   /** Full dask/numpy `tensordot(a, b, axes=(axesA, axesB))`

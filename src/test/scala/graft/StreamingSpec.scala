@@ -277,6 +277,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(masked.synchronized(masked.toMap) == Map(0L -> ((8L, 212.0))))
   }
 
+  test("StreamingGram: running Gram is bit-equal to batch gramRows at every prefix") {
+    implicit val sc = spark.sqlContext
+    import graft.arrays.{ArrayGeometry, ChunkedArray}
+    import graft.streaming.StreamingGram
+    import spark.implicits._
+    val geom = ArrayGeometry(Seq(2, 2), Seq(2, 2))
+    // 4x4 field with 2-decimal cells varying per timestep (the real
+    // payload shape: decimal products must stay exact across the split)
+    def cell(t: Long, i: Int, j: Int): Double = 10.0 * i + j + 0.25 * (t + 1)
+    def chunk(t: Long, cr: Int, cc: Int): (String, Long, Int, Seq[Int], Seq[Double]) = {
+      val data = for (i <- 0 to 1; j <- 0 to 1)
+        yield cell(t, 2 * cr + i, 2 * cc + j)
+      ("g", t, 4, Seq(cr, cc), data)
+    }
+    def batchGram(ts: Seq[Long]): Map[(Long, Long), Double] = {
+      val rows = for (t <- ts; cr <- 0 to 1; cc <- 0 to 1)
+        yield (t, Seq(cr, cc),
+          (for (i <- 0 to 1; j <- 0 to 1) yield cell(t, 2 * cr + i, 2 * cc + j)))
+      ChunkedArray(rows.toDF("timestep", "pos", "data"), geom).gramRows()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    def bits(m: Map[(Long, Long), Double]): Map[(Long, Long), Long] =
+      m.view.mapValues(java.lang.Double.doubleToRawLongBits).toMap
+    val state = new StreamingGram.RunningGram
+    val in = MemoryStream[(String, Long, Int, Seq[Int], Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "nbChunks", "pos", "data")
+    val q = StreamingGram.run(chunks, "g", geom, state)
+    // prefix 1: t=0 complete, t=2 partial (must not contribute yet)
+    in.addData(chunk(0, 1, 1), chunk(0, 0, 0), chunk(0, 1, 0), chunk(0, 0, 1),
+      chunk(2, 0, 0))
+    q.processAllAvailable()
+    def snap(): Map[(Long, Long), Double] = state.snapshot(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(bits(snap()) == bits(batchGram(Seq(0L))), "prefix {0}")
+    // prefix 2: t=1 and the t=2 straggler arrive out of order, split
+    // across micro-batches
+    in.addData(chunk(1, 0, 0), chunk(1, 1, 1))
+    q.processAllAvailable()
+    in.addData(chunk(2, 1, 0), chunk(2, 0, 1), chunk(2, 1, 1), chunk(1, 0, 1),
+      chunk(1, 1, 0))
+    q.processAllAvailable()
+    q.stop()
+    assert(bits(snap()) == bits(batchGram(Seq(0L, 1L, 2L))), "full set")
+    // the k x k artifact feeds the live spectrum: same Eigen input as
+    // the batch arr_svd_vals route over the same timesteps
+    val gm = state.gram(4)
+    val gb = Array.ofDim[Double](4, 4)
+    batchGram(Seq(0L, 1L, 2L)).foreach { case ((i, j), v) => gb(i.toInt)(j.toInt) = v }
+    val svStream = graft.arrays.Eigen.singularValuesFromGram(gm)
+    val svBatch = graft.arrays.Eigen.singularValuesFromGram(gb)
+    assert(svStream.zip(svBatch).forall { case (a, b) =>
+      java.lang.Double.doubleToRawLongBits(a) == java.lang.Double.doubleToRawLongBits(b)
+    }, "live singular spectrum == batch spectrum, bit-for-bit")
+  }
+
   test("assembleChunks done-markers honor the state TTL (memory release)") {
     implicit val sc = spark.sqlContext
     // Processing-time timeouts make Spark schedule batches continuously,
