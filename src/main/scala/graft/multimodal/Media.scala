@@ -157,6 +157,76 @@ object Media {
       .orderBy("kind")
   }
 
+  /** Average-hash bits of one payload — the perceptual-hash (aHash)
+    * recipe over the decode stub: the byte stream splits into 64
+    * BALANCED contiguous segments (position p lands in segment
+    * ⌊p·64/n⌋ — the 8×8 thumbnail a real aHash box-filters pixels
+    * into), and bit k is 1 iff segment k's mean exceeds the global
+    * mean. The comparison cross-multiplies (`seg_sum·n > total·seg_len`
+    * — all BIGINT) so it is EXACT with no division anywhere; segments
+    * empty at n < 64 read 0. Emitted as a 64-char '0'/'1' string
+    * (bit-k ascending): a signed-64 integer hash would overflow
+    * differently across engines at bit 63, a string replays anywhere. */
+  private[graft] def ahashBits(bytes: Array[Byte]): String = {
+    val n = bytes.length
+    val segSum = new Array[Long](64)
+    val segLen = new Array[Long](64)
+    var total = 0L
+    var p = 0
+    while (p < n) {
+      val k = ((p.toLong * 64L) / n).toInt
+      val v = (bytes(p) & 0xff).toLong
+      segSum(k) += v
+      segLen(k) += 1
+      total += v
+      p += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var k = 0
+    while (k < 64) {
+      sb.append(if (segSum(k) * n > total * segLen(k)) '1' else '0')
+      k += 1
+    }
+    sb.toString
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Perceptual near-dup groups for image-kind assets — the multimodal
+    * near-dedup face (crawled image corpora are full of re-encoded /
+    * lightly-edited copies an exact hash misses; production stacks run
+    * pHash/aHash exactly here): per asset ONE narrow per-partition pass
+    * computes the 64-bit average-hash over the decode stub
+    * ([[ahashBits]] — swap the byte stream for decoded grayscale pixels
+    * and the pipeline is unchanged) plus the exact content fingerprint;
+    * then the mm_dedup two-level aggregate shape — (ahash, fp) groups
+    * first, per-ahash rollup second — yields per bucket the asset
+    * count, DISTINCT exact payloads (n_assets > n_distinct = exact
+    * copies, n_distinct > 1 = true near-dups) and the min-id
+    * representative; a keep-one consumer filters n_assets >= 2. Output
+    * is the dedup map: O(distinct buckets) rows, shuffle carries
+    * O(distinct (ahash, fp)); payload bytes never move. */
+  def mmAhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = fromDocuments(s, dir)
+      .filter(_.kind == "image")
+      .mapPartitions(_.map(m => (m.id, ahashBits(m.bytes), md5Hex(m.bytes))))
+      .toDF("id", "ahash", "fp")
+    hashed
+      .groupBy("ahash", "fp")
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("mid"))
+      .groupBy("ahash")
+      .agg(sum(col("cnt")).as("n_assets"),
+        count(lit(1)).as("n_distinct"),
+        min(col("mid")).as("rep_id"))
+      .orderBy("ahash", "rep_id")
+  }
+
   /** Oracle-checkable metadata extraction (no stubbed values). */
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -252,6 +322,41 @@ object Media {
         |                                        i -> codes[i])), 0) AS BIGINT)
         |    AS resized_checksum
         |FROM m ORDER BY id""".stripMargin,
+    // replay the aHash byte math over the all-ASCII codes: position p in
+    // segment (p*64)//n, bit k = seg_sum*n > total*seg_len (exact BIGINT
+    // cross-multiply), empty segments read 0 via the 64-row scaffold
+    "mm_ahash" ->
+      """WITH m AS (
+        |  SELECT doc_id, md5(text) AS fp,
+        |    list_transform(regexp_extract_all(text, '(?s).'),
+        |                   c -> ascii(c)) AS codes
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |docs AS (SELECT doc_id, fp, len(codes) AS n, codes FROM m),
+        |pos AS (
+        |  SELECT doc_id, CAST((p * 64) // n AS INT) AS k,
+        |    codes[CAST(p + 1 AS INT)] AS v
+        |  FROM (SELECT doc_id, n, codes, unnest(range(0, n)) AS p FROM docs)),
+        |segs AS (SELECT doc_id, k, SUM(v) AS ssum, COUNT(*) AS slen
+        |         FROM pos GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(ssum) AS total FROM segs GROUP BY 1),
+        |bits AS (
+        |  SELECT d.doc_id, d.fp, kk.k,
+        |    CASE WHEN COALESCE(s.ssum, 0) * d.n
+        |           > COALESCE(t.total, 0) * COALESCE(s.slen, 0)
+        |         THEN '1' ELSE '0' END AS b
+        |  FROM docs d
+        |  CROSS JOIN (SELECT unnest(range(64)) AS k) kk
+        |  LEFT JOIN segs s ON s.doc_id = d.doc_id AND s.k = kk.k
+        |  LEFT JOIN tot t ON t.doc_id = d.doc_id),
+        |hashed AS (
+        |  SELECT doc_id, fp, string_agg(b, '' ORDER BY k) AS ahash
+        |  FROM bits GROUP BY 1, 2),
+        |g AS (SELECT ahash, fp, COUNT(*) AS cnt, MIN(doc_id) AS mid
+        |      FROM hashed GROUP BY 1, 2)
+        |SELECT ahash, CAST(SUM(cnt) AS BIGINT) AS n_assets,
+        |  COUNT(*) AS n_distinct, CAST(MIN(mid) AS BIGINT) AS rep_id
+        |FROM g GROUP BY ahash
+        |ORDER BY ahash, rep_id""".stripMargin,
     // payload = utf8(text), so md5(payload) == md5(text) in both engines
     "mm_dedup" ->
       """WITH m AS (
@@ -276,5 +381,6 @@ object Media {
     "mm_resize" -> (mmResize _),
     "mm_dedup" -> (mmDedup _),
     "mm_bytes_hist" -> (mmBytesHist _),
+    "mm_ahash" -> (mmAhash _),
   )
 }

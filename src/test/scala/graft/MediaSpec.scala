@@ -29,6 +29,39 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("ahashBits: structure-sensitive, tail-noise-invariant, exact edges") {
+    def bits(s: String): String = Media.ahashBits(s.getBytes("UTF-8"))
+    // strong two-level structure: low half 'a', high half 'z'
+    val base = "a" * 128 + "z" * 128
+    assert(bits(base) == "0" * 32 + "1" * 32)
+    // a small local edit preserves the hash (the near-dup property)
+    val edited = "a" * 127 + "b" + "z" * 128
+    assert(bits(edited) == bits(base), "lightly-edited copy shares the bucket")
+    // inverted structure produces a different hash
+    assert(bits("z" * 128 + "a" * 128) != bits(base))
+    // constant payload: no segment exceeds the mean (strict >) -> all zeros
+    assert(bits("m" * 100) == "0" * 64)
+    // empty payload: all segments empty -> all zeros, no division anywhere
+    assert(bits("") == "0" * 64)
+    // shorter than 64 bytes: empty segments read 0, populated ones exact
+    val short = bits("a" * 10 + "z" * 10)
+    assert(short.length == 64 && short.count(_ == '1') > 0)
+    // determinism: same bytes, same bits
+    assert(bits(base) == bits(base))
+  }
+
+  test("mm_ahash groups image near-dups through the two-level aggregate") {
+    val out = Media.mmAhash(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(0).length == 64)
+      assert(r.getLong(2) <= r.getLong(1), "distinct payloads <= assets")
+    }
+    // the bucket map accounts for every image asset exactly once
+    val images = Media.fromDocuments(spark, sf).filter(_.kind == "image").count()
+    assert(out.map(_.getLong(1)).sum == images)
+  }
+
   test("media table carries opaque binary payload + typed metadata") {
     val m = Media.fromDocuments(spark, sf)
     val row = m.filter(_.id == 0L).head()
