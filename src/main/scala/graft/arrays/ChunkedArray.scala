@@ -1634,9 +1634,15 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       .groupBy("timestep", "lead", "trail")
       .agg(aggregate(collect_list(col("part")), array_repeat(zero, rI * cI),
         (acc, v) => zip_with(acc, v, (x, y) => (x + y).cast("decimal(38,4)"))).as("vec"))
+    // coalesce never fires (the aggregate of an inner join is non-null)
+    // but makes `data` PROVABLY non-nullable, so a downstream Generate
+    // (rowsNd after an output transpose, e.g. einsum's) infers no
+    // isnotnull over the inlined gather — the §4 pushdown-duplication
+    // cure (the same trick as the IVF cluster key)
     val out = merged.select(col("timestep"),
       concat(col("lead"), col("trail")).as("pos"),
-      transform(col("vec"), v => v.cast("double")).as("data"))
+      transform(coalesce(col("vec"), array_repeat(zero, rI * cI)),
+        v => v.cast("double")).as("data"))
     ChunkedArray(out, ArrayGeometry(
       geom.chunksPerDim.dropRight(axes) ++ other.geom.chunksPerDim.drop(axes),
       geom.chunkShape.dropRight(axes) ++ other.geom.chunkShape.drop(axes)))
@@ -2324,5 +2330,48 @@ object ChunkedArray {
     }
     ChunkedArray(dfs.reduce(_ unionByName _),
       ArrayGeometry(arrays.length +: g.chunksPerDim, 1 +: g.chunkShape))
+  }
+
+  /** Two-operand dask/numpy `einsum(spec, a, b)` for contraction specs —
+    * the string front-end of the tensordot machinery (ref
+    * window_api.py's dask-expression surface includes `da.einsum`): a
+    * PLANNER, not an executor — the subscripts resolve at plan time to
+    * the axis lists of [[ChunkedArray.tensordot]] plus (only when the
+    * requested output order differs from tensordot's `keptA ++ keptB`
+    * layout) one output [[ChunkedArray.transpose]], which is itself a
+    * narrow re-key. So `einsum("uh,vh->vu", a, b)` costs exactly the
+    * one SUMMA contraction shuffle, whatever the spelling.
+    *
+    * Supported spec shape (the classic contraction class): each
+    * operand's subscripts distinct; shared letters are contracted and
+    * must not appear in the output; the output names each kept letter
+    * exactly once in any order. Repeated-within-operand (diagonal) and
+    * batch (shared-and-kept) subscripts are out of scope — the first
+    * needs a gather face, the second a grouped join neither dask
+    * callback in the reference exercises. */
+  def einsum(spec: String, a: ChunkedArray, b: ChunkedArray): ChunkedArray = {
+    val cleaned = spec.replaceAll("\\s", "")
+    val parts = cleaned.split("->", -1)
+    require(parts.length == 2 && parts(1).nonEmpty,
+      s"einsum spec must be 'ab,bc->ac' shaped with an explicit output, got '$spec'")
+    val ins = parts(0).split(",", -1)
+    require(ins.length == 2, s"einsum here is two-operand, got '$spec'")
+    val (sa, sb, so) = (ins(0), ins(1), parts(1))
+    require(sa.distinct == sa && sb.distinct == sb && so.distinct == so,
+      s"repeated subscripts within one term are out of scope, got '$spec'")
+    require(sa.length == a.geom.dims && sb.length == b.geom.dims,
+      s"subscript ranks (${sa.length}, ${sb.length}) must match operand ranks " +
+        s"(${a.geom.dims}, ${b.geom.dims})")
+    val shared = sa.filter(sb.contains(_))
+    require(shared.nonEmpty, s"no contracted subscript in '$spec'")
+    require(shared.forall(c => !so.contains(c)),
+      s"batch subscripts (shared and kept, ${shared.filter(so.contains(_))}) " +
+        s"are out of scope in '$spec'")
+    val kept = sa.filterNot(shared.contains(_)) ++ sb.filterNot(shared.contains(_))
+    require(so.sorted.sameElements(kept.sorted),
+      s"output must name each kept subscript exactly once: '$so' vs kept '$kept'")
+    val td = a.tensordot(b, shared.map(sa.indexOf(_)), shared.map(sb.indexOf(_)))
+    val perm = so.map(kept.indexOf(_)).toSeq
+    if (perm == perm.indices.toSeq) td else td.transpose(perm)
   }
 }

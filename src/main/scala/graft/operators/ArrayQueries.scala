@@ -566,6 +566,21 @@ object ArrayQueries {
       .orderBy("timestep", "i")
   }
 
+  /** dask `da.einsum("uh,vh->vu", a, a)` — the einsum string front-end
+    * over the tensordot machinery ([[graft.arrays.ChunkedArray.einsum]]
+    * is a PLANNER: subscripts resolve to tensordot axis lists + one
+    * narrow output transpose when the requested order differs, so this
+    * costs exactly one SUMMA contraction shuffle): contract the hour
+    * axis of the field with itself, output in the PERMUTED (v, u)
+    * order — exercising both the axes mapping and the output
+    * re-addressing the spec string can ask for. */
+  def arrEinsum(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray2dCached(s, dir)
+    ChunkedArray.einsum("uh,vh->vu", a, a).rowsNd
+      .withColumnsRenamed(Map("i0" -> "i", "i1" -> "j"))
+      .orderBy("timestep", "i", "j")
+  }
+
   /** dask `reshape` — the 8x8 2-d array re-read as a 1-d 64-vector in
     * global row-major order (rank change), then the distributed cumsum
     * scan: any re-addressing error (wrong flat index, wrong chunk,
@@ -1005,6 +1020,17 @@ object ArrayQueries {
          |FROM cells3 x JOIN cells y
          |  ON x.timestep = y.timestep AND x.w = y.u
          |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    // einsum("uh,vh->vu") on (a, a): out[v][u] = sum_h a(u,h)*a(v,h),
+    // i = v = y.u, j = u = x.u — the permuted-output spelling; same
+    // decimal(18,4) product posture as arr_tensordot
+    "arr_einsum" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(x.timestep AS BIGINT) AS timestep,
+         |  CAST(y.u AS BIGINT) AS i, CAST(x.u AS BIGINT) AS j,
+         |  CAST(SUM(CAST(x.cell * y.cell AS DECIMAL(18,4))) AS DOUBLE) AS value
+         |FROM cells x JOIN cells y
+         |  ON x.timestep = y.timestep AND x.h = y.h
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // axes=((0,2),(1,0)): a.u pairs with b.h, a.w pairs with b.u; only
     // a's hour axis survives. Same decimal(18,4) product posture as
     // arr_tensordot (order-independent exact sums).
@@ -1768,6 +1794,7 @@ object ArrayQueries {
     "arr_pca_project" -> (arrPcaProject _),
     "arr_corrcoef" -> (arrCorrcoef _),
     "arr_qr_r" -> (arrQrR _),
+    "arr_einsum" -> (arrEinsum _),
     "arr_tensordot" -> (arrTensordot _),
     "arr_tensordot_axes" -> (arrTensordotAxes _),
     "arr_reshape_flat" -> (arrReshapeFlat _),

@@ -842,6 +842,27 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("einsum plans contraction specs onto tensordot + output transpose") {
+    // identity-order spec == plain tensordot, cell for cell
+    val td = cellMap(twoD.tensordot(twoD))
+    assert(cellMap(ChunkedArray.einsum("ij,jk->ik", twoD, twoD)) == td)
+    // permuted output: einsum("ij,kj->ki") -> out[k][i] = sum_j a(i,j)*a(k,j)
+    val d2 = Array.tabulate(4, 4)((i, j) => 10.0 * i + j)
+    val got = cellMap(ChunkedArray.einsum("ij,kj->ki", twoD, twoD))
+    for (k <- 0 until 4; i <- 0 until 4) {
+      val want = (0 until 4).map(j => d2(i)(j) * d2(k)(j)).sum
+      assert(got((0L, Seq(k, i))) == want, s"($k,$i)")
+    }
+    // out-of-scope and malformed specs refuse loudly
+    for (bad <- Seq(
+        "ij,jk->ij", // j is shared AND kept: a batch subscript
+        "ii,ik->k", // repeated within a term (diagonal)
+        "ij,jk", // no explicit output
+        "ij,jk->ikz", // unknown output subscript
+        "ij,kl->ijkl")) // nothing contracted
+      assertThrows[IllegalArgumentException](ChunkedArray.einsum(bad, twoD, twoD))
+  }
+
   test("zipWithAuto rechunks a mismatched operand onto this grid") {
     val a = oneD
     val b = oneD.rechunk(Seq(2)) // same logical array, 4 chunks of 2
