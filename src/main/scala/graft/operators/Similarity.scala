@@ -453,6 +453,18 @@ object Similarity {
     * sequences, no literal embedding needed. The trained variants slot
     * in exactly as [[simIvfTrained]]/[[simPqTrained]] do. */
   def simIvfpqAnn(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, cents, codebook, _) = fixedIvfpqModel(s, dir)
+    ivfpqSearch(assigned, cents, codebook)
+  }
+
+  /** The fixed-model IVFADC setup shared by [[simIvfpqAnn]] and
+    * [[simIvfpqRerank]]: raw embeddings with norms, the first-k
+    * centroid/codebook artifacts (ONE model-collect scan serves both
+    * components) and the coalesced-non-nullable coarse assignment.
+    * Returns (assigned, centroid vectors, codebook, raw-with-norms). */
+  private def fixedIvfpqModel(s: SparkSession, dir: String): (DataFrame,
+      IndexedSeq[IndexedSeq[Double]],
+      IndexedSeq[IndexedSeq[IndexedSeq[Double]]], DataFrame) = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("n2", norm2(col("emb")))
@@ -481,7 +493,35 @@ object Similarity {
       .withColumn("cluster",
         coalesce(array_min(array(distStructs: _*)).getField("cid"), lit(-1L)))
       .select(col("vec_id"), col("emb"), col("cluster"))
-    ivfpqSearch(assigned, cents.map(_._2), codebook)
+    (assigned, cents.map(_._2), codebook, e)
+  }
+
+  /** Shortlist width of [[simIvfpqRerank]]'s exact tier. */
+  val RerankR = 20
+
+  /** Two-tier ANN serving — the production FAISS/ScaNN deployment shape
+    * (Jégou et al. §V evaluate exactly this refinement): tier 1 is the
+    * IVFADC scan of [[simIvfpqAnn]] widened to a [[RerankR]]-deep
+    * shortlist (same persisted encoded index — CacheManager serves the
+    * ann, recall and rerank faces from ONE residual encode), tier 2
+    * re-ranks ONLY the shortlist with the exact cosine over the raw
+    * vectors (the [[simTopkBruteforce]] spelling). The shortlist is
+    * bounded (R × #probes rows), so the candidate fetch is a broadcast
+    * semi-prune of the raw scan and the exact tier touches R vectors
+    * per probe, never the corpus — at 100 TB the full-precision reads
+    * are R point-lookups per query, the two-tier contract. Output is
+    * the final exact-cosine top-5 (rank ties to the lower vec_id). */
+  def simIvfpqRerank(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, cents, codebook, e) = fixedIvfpqModel(s, dir)
+    val short = ivfpqSearch(assigned, cents, codebook, RerankR)
+      .select(col("probe_id"), col("vec_id"))
+    val cands = e.join(broadcast(short), Seq("vec_id"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), col("emb").as("pe"), col("n2").as("pn2"))
+    val scored = cands.join(broadcast(probes), col("probe_id") === col("pid"))
+      .select(col("probe_id"), col("vec_id"),
+        cosineWithNorms(dot(col("pe"), col("emb")), col("pn2"), col("n2")).as("cos"))
+    rankTopK(scored, 5)
   }
 
   /** Driver-side dot in the dot expression's exact order (0.0 seed,
@@ -602,7 +642,8 @@ object Similarity {
     * probe's own list only, bounded-heap top-5. */
   private[graft] def ivfpqSearch(assigned: DataFrame,
       cents: IndexedSeq[IndexedSeq[Double]],
-      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): DataFrame = {
+      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      k: Int = 5): DataFrame = {
     // persisted index build (the pqSearch posture): the residual encode
     // is the expensive pass; the skinny (vec_id, cluster, codes, rn2)
     // cache serves the ann AND recall faces of the same model
@@ -614,7 +655,7 @@ object Similarity {
     val scored = enc.join(broadcast(probes),
         col("cluster") === col("pc") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), adcScore.as("cos"))
-    rankTopK(scored, 5).withColumnRenamed("cos", "approx_cos")
+    rankTopK(scored, k).withColumnRenamed("cos", "approx_cos")
   }
 
   /** Recall@5 of the composed IVF-PQ index — it stacks BOTH error
@@ -1026,6 +1067,7 @@ object Similarity {
     "sim_ivf_recall" -> recallOracleSql(ivfOracle),
     "sim_pq_recall" -> recallOracleSql(pqOracle),
     "sim_ivfpq_ann" -> ivfpqOracle,
+    "sim_ivfpq_rerank" -> ivfpqRerankOracle,
     "sim_ivfpq_recall" -> recallOracleSql(ivfpqOracle),
     "sim_lsh_ann" ->
       s"""WITH b AS (
@@ -1078,6 +1120,7 @@ object Similarity {
     "sim_pq_ann" -> (simPqAnn _),
     "sim_pq_trained" -> (simPqTrained _),
     "sim_ivfpq_ann" -> (simIvfpqAnn _),
+    "sim_ivfpq_rerank" -> (simIvfpqRerank _),
     "sim_ivfpq_recall" -> (simIvfpqRecall _),
     "sim_ivfpq_trained" -> (simIvfpqTrained _),
     "sim_ivfpq_trained_recall" -> (simIvfpqTrainedRecall _),
@@ -1144,6 +1187,16 @@ object Similarity {
     s"cb AS (SELECT vec_id AS j, embedding AS cemb FROM e WHERE vec_id < $NumCodes)",
     s"e.n2 - 2.0 * ${Dedup.dotSql("e.embedding", "cent.cemb")} + cent.cn2")
 
+  /** [[ivfpqOracle]] with the exact-cosine rerank tier over the
+    * [[RerankR]]-deep ADC shortlist. */
+  private lazy val ivfpqRerankOracle: String = ivfpqOracleSql(
+    s"""cent AS (
+       |  SELECT vec_id AS cid, embedding AS cemb, n2 AS cn2 FROM e
+       |  WHERE vec_id < $NumCentroids)""".stripMargin,
+    s"cb AS (SELECT vec_id AS j, embedding AS cemb FROM e WHERE vec_id < $NumCodes)",
+    s"e.n2 - 2.0 * ${Dedup.dotSql("e.embedding", "cent.cemb")} + cent.cn2",
+    RerankR)
+
   /** [[ivfpqOracleSql]] with the TRAINED model as literal rows — coarse
     * centroids with their Scala-fold |c|² ([[trainedIvfSql]]'s posture)
     * and the per-subspace RESIDUAL codewords concatenated back into one
@@ -1173,7 +1226,7 @@ object Similarity {
     * encode, reconstructed norms, ADC score) derives from those CTEs
     * with the same exact folds either way. */
   private def ivfpqOracleSql(centCte: String, cbCte: String,
-      assignD2: String): String = {
+      assignD2: String, rerankR: Int = 0): String = {
     val n2 = Dedup.dotSql("embedding", "embedding")
     def sl(c: String, m: Int) = s"$c[${m * SubDim + 1}:${(m + 1) * SubDim}]"
     // c_m + cb_m as a list (distinct lambda var: nested inside dotSql's
@@ -1245,8 +1298,29 @@ object Similarity {
        |    ROW_NUMBER() OVER (PARTITION BY probe_id
        |      ORDER BY approx_cos DESC, vec_id) AS rk
        |  FROM sc)
-       |SELECT probe_id, vec_id, approx_cos, rk FROM r WHERE rk <= 5
-       |ORDER BY probe_id, rk""".stripMargin
+       |""".stripMargin + (if (rerankR <= 0)
+      s"""SELECT probe_id, vec_id, approx_cos, rk FROM r WHERE rk <= 5
+         |ORDER BY probe_id, rk""".stripMargin
+    else
+      // tier 2: exact cosine over the R-deep ADC shortlist — the same
+      // dot/sqrt spelling as sim_topk_bruteforce, norms re-derived by
+      // the identical fold (cosSql), so doubles match the Spark
+      // cosineWithNorms path bit-for-bit
+      s""",
+         |short AS (SELECT probe_id, vec_id FROM r WHERE rk <= $rerankR),
+         |ex AS (
+         |  SELECT s.probe_id, s.vec_id,
+         |    ${Dedup.cosSql("p.pe", "c.embedding")} AS cos
+         |  FROM short s
+         |  JOIN e c ON c.vec_id = s.vec_id
+         |  JOIN p ON p.probe_id = s.probe_id),
+         |rr AS (
+         |  SELECT probe_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, vec_id) AS rk
+         |  FROM ex)
+         |SELECT probe_id, vec_id, cos, rk FROM rr WHERE rk <= 5
+         |ORDER BY probe_id, rk""".stripMargin)
   }
 
   /** The PQ search oracle over an arbitrary codebook CTE (`cb(j, cemb)`

@@ -288,6 +288,49 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("similarity: rerank tier re-scores the ADC shortlist with exact cosine") {
+    val vecs: Map[Long, IndexedSeq[Double]] = graft.sources.Tables
+      .load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    // the same ascending 0.0-seeded fold the native dot runs
+    def fdot(a: Seq[Double], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val rr = Similarity.simIvfpqRerank(spark, sf).collect()
+    assert(rr.nonEmpty)
+    // ranks contiguous from 1 per probe; cos non-increasing in rank
+    rr.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length),
+        s"probe $p ranks")
+      assert(sorted.sliding(2).forall(w =>
+        w.length < 2 || w(0).getAs[Double]("cos") >= w(1).getAs[Double]("cos")),
+        s"probe $p ordering")
+      assert(sorted.length <= 5)
+    }
+    // every emitted score IS the exact cosine of the raw vectors (the
+    // tier-2 contract: full precision, not ADC) — bit-for-bit
+    for (r <- rr) {
+      val q = vecs(r.getAs[Long]("probe_id"))
+      val v = vecs(r.getAs[Long]("vec_id"))
+      val exact = fdot(q, v) / math.sqrt(fdot(q, q) * fdot(v, v))
+      assert(java.lang.Double.doubleToRawLongBits(r.getAs[Double]("cos")) ==
+        java.lang.Double.doubleToRawLongBits(exact),
+        s"rerank cos ${r.getAs[Double]("cos")} vs exact $exact")
+    }
+    // the shortlist really is the ADC tier: every rerank hit appears in
+    // the R-deep approximate ranking of the same index
+    val short = Similarity.simIvfpqAnn(spark, sf)
+    val shortIds = short.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val hits = rr.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")))
+    // ann is top-5; rerank draws from top-RerankR >= top-5, so any pair
+    // ranked <= 5 by ADC that survives exact re-ranking must be present
+    assert(hits.exists(shortIds.contains),
+      "rerank output shares no pair with the ADC top-5 — shortlist broken")
+  }
+
   test("similarity: IVF centroid assignment is a narrow scan (no n*k explosion)") {
     val plan = Similarity.simIvfAnn(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),

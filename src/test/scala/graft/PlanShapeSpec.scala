@@ -41,6 +41,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // compare join stays pinned shuffle_hash
     "sim_ivfpq_ann" -> Set("embeddings"),
     "sim_ivfpq_recall" -> Set("embeddings"),
+    // the rerank tier broadcasts the R x #probes ADC shortlist and the
+    // <= 5 raw probes (both bounded by construction)
+    "sim_ivfpq_rerank" -> Set("embeddings"),
     // trained twins: same <= 5 probe / collected-model broadcasts (the
     // k-means fit itself collects only O(k * dim) sums per iteration)
     "sim_ivfpq_trained" -> Set("embeddings"),
