@@ -100,6 +100,9 @@ object ArrayQueries {
       .foreach(k => cache.remove(k).foreach(_.df.unpersist(blocking = true)))
     auxCache.keys.filter(k => s == null || k._1 == s).toSeq
       .foreach(k => auxCache.remove(k).foreach(_.unpersist(blocking = true)))
+    // the k x k Gram artifact derives from the released relations —
+    // drop it with them so a data refresh can't serve a stale model
+    gramByDir.clear()
   }
 
   def eventsArray1d(s: SparkSession, dir: String, filter: Column = lit(true)): ChunkedArray =
@@ -417,12 +420,7 @@ object ArrayQueries {
     * TSQR/svd_compressed posture, like the sim_*_trained k-means fits).
     * The collect is k² = 64 doubles — a model artifact, not data. */
   def arrSvdVals(s: SparkSession, dir: String): DataFrame = {
-    val n = geom2d.dimSize(1)
-    val g = Array.ofDim[Double](n, n)
-    arrGram(s, dir).collect().foreach { r =>
-      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2)
-    }
-    val sv = graft.arrays.Eigen.singularValuesFromGram(g)
+    val sv = graft.arrays.Eigen.singularValuesFromGram(gramMatrix(s, dir))
     svdByDir.update(dir, sv)
     lastDirRef.set(dir)
     import s.implicits._
@@ -444,12 +442,7 @@ object ArrayQueries {
     * × identical literal weights × identical fold order = identical
     * result bits, SURVEY §5's ordered-fold discipline). */
   def arrPcaProject(s: SparkSession, dir: String): DataFrame = {
-    val n = geom2d.dimSize(1)
-    val g = Array.ofDim[Double](n, n)
-    arrGram(s, dir).collect().foreach { r =>
-      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2)
-    }
-    val top = graft.arrays.Eigen.symEigen(g)._2.take(PcaK)
+    val top = graft.arrays.Eigen.symEigen(gramMatrix(s, dir))._2.take(PcaK)
     pcaByDir.update(dir, top)
     lastDirRef.set(dir)
     val cells = eventsArray2dCached(s, dir).rows2d
@@ -521,11 +514,7 @@ object ArrayQueries {
     * the oracle embeds the factor as round-trip-exact literals. */
   def arrQrR(s: SparkSession, dir: String): DataFrame = {
     val n = geom2d.dimSize(1)
-    val g = Array.ofDim[Double](n, n)
-    arrGram(s, dir).collect().foreach { r =>
-      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2)
-    }
-    val ru = graft.arrays.Eigen.cholUpper(g)
+    val ru = graft.arrays.Eigen.cholUpper(gramMatrix(s, dir))
     qrByDir.update(dir, ru)
     lastDirRef.set(dir)
     import s.implicits._
@@ -905,6 +894,22 @@ object ArrayQueries {
     scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[IndexedSeq[Double]]]
   private val qrByDir =
     scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[IndexedSeq[Double]]]
+  private val gramByDir =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  /** The collected k × k Gram artifact of [[arrGram]], memoized per dir
+    * (the trained-model fingerprint posture: deterministic input →
+    * deterministic 64-double artifact) so the svd/pca/qr faces run ONE
+    * Gram job between them instead of three. */
+  private def gramMatrix(s: SparkSession, dir: String): Array[Array[Double]] =
+    gramByDir.getOrElseUpdate(dir, {
+      val n = geom2d.dimSize(1)
+      val g = Array.ofDim[Double](n, n)
+      arrGram(s, dir).collect().foreach { r =>
+        g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2)
+      }
+      g
+    })
   private val oracleDirRef =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastDirRef =
