@@ -350,6 +350,212 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ── txt_lm_score: n-gram language-model quality scoring ───────────
+
+  /** Trained-LM table sizes: top-V unigrams and top-B bigrams by corpus
+    * count (ties broken by token text) — bounded literal artifacts, the
+    * [[trainedClassifier]] / sim_*_trained discipline. */
+  val LmUniV = 96
+  val LmBiB = 96
+  /** Keep gate: mean quantized log-prob per token >= this (micro-nats).
+    * The comparison is the exact BIGINT cross-multiplication
+    * `qlog_sum >= n_tokens * thr` — no division crosses engines. */
+  val LmKeepThrQ = -10000000L
+
+  /** The trained LM artifact: per-token and per-bigram quantized
+    * log-probs (micro-nats, `floor(1e6 * ln p)` — quantized DRIVER-side
+    * so no transcendental ever evaluates inside either engine), the
+    * out-of-vocabulary score and the stupid-backoff penalty. */
+  private[graft] final case class LmModel(
+      uniQ: IndexedSeq[(String, Long)],
+      biQ: IndexedSeq[(String, String, Long)],
+      unkQ: Long,
+      backQ: Long)
+
+  private val lmByDir =
+    scala.collection.concurrent.TrieMap.empty[String, LmModel]
+  private val lmCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), (String, LmModel)]
+
+  /** Train (or serve the memoized fit of) the stupid-backoff bigram LM
+    * for `dir` — the perplexity-style quality signal every modern
+    * curation stack runs beside the classifier (CCNet scores documents
+    * with a reference LM; Brants et al. 2007's stupid backoff is the
+    * published web-scale spelling: `S(c|p) = count(pc)/count(p)` when
+    * the bigram is in the table, else `0.4 * S(c)` with relative
+    * unigram frequencies — no discounting, which is what makes every
+    * probability an exact corpus-count ratio).
+    *
+    * Distributed work is two partial-aggregated count passes — unigram
+    * counts O(distinct tokens) (persisted: the total, top-V and context
+    * probes all read it) and bigram counts O(distinct bigrams) — with
+    * bounded TakeOrdered heads. Everything collected is a model
+    * artifact: <= V + B count rows plus the contexts of the top
+    * bigrams. The log quantization runs driver-side on exact count
+    * ratios, so identical data yields identical literal tables. */
+  private[graft] def trainedLm(s: SparkSession, dir: String): LmModel = {
+    def fit(): LmModel = {
+      val toks = withTokens(s, dir).select(col("doc_id"), col("tk"))
+      // explode_outer + null filter (not explode): no inferred
+      // size(tk) > 0 predicate re-tokenizing inside the scan
+      val uni = toks
+        .select(explode_outer(col("tk")).as("t"))
+        .filter(col("t").isNotNull)
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .cachedPersist()
+      val totalN = uni.agg(coalesce(sum("c"), lit(0L)).as("n"))
+        .collect().head.getLong(0)
+      val topU = uni.orderBy(col("c").desc, col("t")).limit(LmUniV)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+      // consecutive-pair counts from the already-tokenized column: two
+      // length-(n-1) slices zipped, no second tokenize pass
+      val len1 = greatest(size(col("tk")) - 1, lit(0))
+      val bi = toks
+        .select(explode_outer(zip_with(
+          slice(col("tk"), lit(1), len1), slice(col("tk"), lit(2), len1),
+          (p, c) => struct(p.as("p"), c.as("c")))).as("pc"))
+        .filter(col("pc").isNotNull)
+        .groupBy(col("pc.p").as("p"), col("pc.c").as("c"))
+        .agg(count(lit(1)).as("cb"))
+      val topB = bi.orderBy(col("cb").desc, col("p"), col("c")).limit(LmBiB)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toIndexedSeq
+      // counts of bigram CONTEXTS outside the top-V vocabulary (the
+      // backoff denominator) — one bounded probe of the same relation
+      val uniCount = topU.toMap
+      val ctxNeeded = topB.map(_._1).distinct.filterNot(uniCount.contains)
+      val ctx =
+        if (ctxNeeded.isEmpty) Map.empty[String, Long]
+        else uni.filter(col("t").isin(ctxNeeded: _*))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cAll = uniCount ++ ctx
+      def q(num: Long, den: Long): Long =
+        if (num <= 0L || den <= 0L) 0L
+        else math.floor(1e6 * math.log(num.toDouble / den.toDouble)).toLong
+      LmModel(
+        topU.map { case (t, c) => (t, q(c, totalN)) },
+        topB.map { case (p, c, cb) => (p, c, q(cb, cAll(p))) },
+        if (totalN > 0L) q(1L, 2L * totalN) else 0L,
+        math.floor(1e6 * math.log(0.4)).toLong)
+    }
+    // an unfingerprintable table trains fresh rather than risking a
+    // stale memo hit (the trainedClassifier posture)
+    val model = Tables.fingerprint(s, dir, "documents") match {
+      case None => fit()
+      case Some(fp) =>
+        lmCache.get((s, dir)) match {
+          case Some((`fp`, m)) => m
+          case _ =>
+            val m = fit()
+            lmCache.update((s, dir), (fp, m))
+            m
+        }
+    }
+    lmByDir.update(dir, model)
+    lastDirRef.set(dir)
+    model
+  }
+
+  /** LM quality scoring (serving): per-document total and mean
+    * quantized log-prob under the trained stupid-backoff bigram LM,
+    * plus the keep decision of the threshold gate. The first token
+    * scores by unigram, each consecutive pair by bigram-with-backoff;
+    * the whole score is ONE narrow per-document integer fold over
+    * literal lookup maps — no explode, no join, order-free exact BIGINT
+    * adds ([[txtClassifierScore]]'s serving posture), which is why it
+    * survives 100 TB: corpus rows never shuffle, only the final sort.
+    * `try_element_at` (not `element_at`): out-of-table lookups must
+    * yield the backoff path, not an ANSI MAP_KEY_DOES_NOT_EXIST. */
+  def txtLmScore(s: SparkSession, dir: String): DataFrame = {
+    val m = trainedLm(s, dir)
+    val uniMap =
+      if (m.uniQ.isEmpty) map()
+      else map(m.uniQ.flatMap { case (t, q) => Seq(lit(t), lit(q)) }: _*)
+    val biMap =
+      if (m.biQ.isEmpty) map()
+      else map(m.biQ.flatMap { case (p, c, q) =>
+        Seq(lit(s"$p $c"), lit(q))
+      }: _*)
+    val tk = col("tk")
+    val n = size(tk)
+    def uq(t: Column): Column =
+      coalesce(try_element_at(uniMap, t), lit(m.unkQ))
+    val len1 = greatest(n - 1, lit(0))
+    val pairQ = aggregate(
+      zip_with(slice(tk, lit(1), len1), slice(tk, lit(2), len1),
+        (p, c) => coalesce(try_element_at(biMap, concat(p, lit(" "), c)),
+          lit(m.backQ) + coalesce(try_element_at(uniMap, c), lit(m.unkQ)))),
+      lit(0L), (acc, q) => acc + q)
+    val qsum = when(n === 0, lit(0L))
+      .otherwise(uq(element_at(tk, 1)) + pairQ)
+    withTokens(s, dir)
+      .select(col("doc_id"), n.cast("bigint").as("n_tokens"),
+        qsum.as("qlog_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("qlog_sum"),
+        when(col("n_tokens") > 0L,
+          col("qlog_sum").cast("double") / col("n_tokens").cast("double"))
+          .as("avg_qlog"),
+        when(col("n_tokens") > 0L &&
+          col("qlog_sum") >= col("n_tokens") * lit(LmKeepThrQ), 1L)
+          .otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: replay the scoring from the LITERAL trained tables — the
+    * same whitespace tokens, first-token unigram + per-pair
+    * bigram-or-backoff via LEFT JOINs (the relational spelling of the
+    * Spark fold; both sides are exact BIGINT sums so order never
+    * matters), the identical integer threshold cross-multiplication. */
+  private def lmScoreSql(m: LmModel): String = {
+    // a zero-row VALUES list is illegal; the empty token is unreachable
+    // (tokens are len > 0), so a ('', 0) dummy row never matches
+    val uniVals =
+      if (m.uniQ.isEmpty) "('', 0)"
+      else m.uniQ.map { case (t, q) => s"('${sqlLit(t)}', $q)" }.mkString(", ")
+    val biVals =
+      if (m.biQ.isEmpty) "('', '', 0)"
+      else m.biQ.map { case (p, c, q) =>
+        s"('${sqlLit(p)}', '${sqlLit(c)}', $q)"
+      }.mkString(", ")
+    s"""WITH tkt AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '),
+       |                             x -> len(x) > 0) AS tk
+       |  FROM documents),
+       |lm_u(tok, q) AS (VALUES $uniVals),
+       |lm_b(p, c, q) AS (VALUES $biVals),
+       |fu AS (
+       |  SELECT f.doc_id, COALESCE(u.q, ${m.unkQ}) AS q
+       |  FROM (SELECT doc_id, tk[1] AS tok FROM tkt WHERE len(tk) > 0) f
+       |  LEFT JOIN lm_u u ON f.tok = u.tok),
+       |pr AS (
+       |  SELECT doc_id, pc.p AS p, pc.c AS c FROM (
+       |    SELECT doc_id, unnest(list_transform(range(2, len(tk) + 1),
+       |        i -> {'p': tk[i - 1], 'c': tk[i]})) AS pc
+       |    FROM tkt WHERE len(tk) >= 2)),
+       |pq AS (
+       |  SELECT pr.doc_id,
+       |    COALESCE(b.q, (${m.backQ}) + COALESCE(u.q, ${m.unkQ})) AS q
+       |  FROM pr
+       |  LEFT JOIN lm_b b ON pr.p = b.p AND pr.c = b.c
+       |  LEFT JOIN lm_u u ON pr.c = u.tok),
+       |sm AS (
+       |  SELECT doc_id, CAST(SUM(q) AS BIGINT) AS qs
+       |  FROM (SELECT * FROM fu UNION ALL SELECT * FROM pq)
+       |  GROUP BY 1)
+       |SELECT k.doc_id,
+       |  CAST(len(k.tk) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(s.qs, 0) AS BIGINT) AS qlog_sum,
+       |  CASE WHEN len(k.tk) > 0
+       |    THEN CAST(COALESCE(s.qs, 0) AS DOUBLE) / CAST(len(k.tk) AS DOUBLE)
+       |  END AS avg_qlog,
+       |  CAST(CASE WHEN len(k.tk) > 0
+       |         AND COALESCE(s.qs, 0) >= CAST(len(k.tk) AS BIGINT) * ($LmKeepThrQ)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM tkt k LEFT JOIN sm s ON k.doc_id = s.doc_id
+       |ORDER BY k.doc_id""".stripMargin
+  }
+
   /** Per-source language mix — the curation dashboard a corpus builder
     * reads before setting mixture weights ("how anglophone is crawlB?"):
     * (source, lang) counts plus each language's exact fraction of its
@@ -964,6 +1170,9 @@ object TextAnalysis {
     }.getOrElse(Map.empty) ++
     dirForOracles.flatMap(clfByDir.get).map { case (w, b) =>
       Map("txt_classifier_score" -> clfScoreSql(w, b))
+    }.getOrElse(Map.empty) ++
+    dirForOracles.flatMap(lmByDir.get).map { m =>
+      Map("txt_lm_score" -> lmScoreSql(m))
     }.getOrElse(Map.empty)
 
   /** DuckDB spelling of Spark's string `hash()` — Murmur3_x86_32, seed
@@ -1162,6 +1371,7 @@ object TextAnalysis {
     "txt_tfidf_top" -> (txtTfidfTop _),
     "txt_hash_tf" -> (txtHashTf _),
     "txt_classifier_score" -> (txtClassifierScore _),
+    "txt_lm_score" -> (txtLmScore _),
     "txt_langid_mix" -> (txtLangidMix _),
     "txt_len_profile" -> (txtLenProfile _),
   )
