@@ -133,4 +133,43 @@ object Eigen {
     }
     (0 until n).map(ii => (0 until n).map(jj => r(ii)(jj)))
   }
+
+  /** Solve the symmetric positive-definite system `g x = v` through the
+    * [[cholUpper]] factor: forward-substitute Rᵀ z = v, back-substitute
+    * R x = z. Fixed left-to-right substitution order, so identical
+    * input doubles give identical solution bits (the trained-literal
+    * oracle property). A zeroed pivot row (rank-deficient `g`, see
+    * [[cholUpper]]) zeroes its solution component — the pseudo-inverse
+    * convention for a redundant regressor, never hit by a
+    * full-column-rank design. */
+  def cholSolve(g: Array[Array[Double]], v: Array[Double]): IndexedSeq[Double] = {
+    val n = g.length
+    require(v.length == n, "rhs length must match the matrix")
+    val r = cholUpper(g)
+    val z = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (r(i)(i) == 0.0) z(i) = 0.0
+      else {
+        var s = v(i)
+        var k = 0
+        while (k < i) { s -= r(k)(i) * z(k); k += 1 }
+        z(i) = s / r(i)(i)
+      }
+      i += 1
+    }
+    val x = new Array[Double](n)
+    i = n - 1
+    while (i >= 0) {
+      if (r(i)(i) == 0.0) x(i) = 0.0
+      else {
+        var s = z(i)
+        var k = i + 1
+        while (k < n) { s -= r(i)(k) * x(k); k += 1 }
+        x(i) = s / r(i)(i)
+      }
+      i -= 1
+    }
+    x.toIndexedSeq
+  }
 }

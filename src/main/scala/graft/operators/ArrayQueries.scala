@@ -100,9 +100,12 @@ object ArrayQueries {
       .foreach(k => cache.remove(k).foreach(_.df.unpersist(blocking = true)))
     auxCache.keys.filter(k => s == null || k._1 == s).toSeq
       .foreach(k => auxCache.remove(k).foreach(_.unpersist(blocking = true)))
-    // the k x k Gram artifact derives from the released relations —
-    // drop it with them so a data refresh can't serve a stale model
+    // the k x k Gram artifact (and the fits/moments derived from it)
+    // derive from the released relations — drop them together so a
+    // data refresh can't serve a stale model
     gramByDir.clear()
+    momentsByDir.clear()
+    lstsqByDir.clear()
   }
 
   def eventsArray1d(s: SparkSession, dir: String, filter: Column = lit(true)): ChunkedArray =
@@ -520,6 +523,121 @@ object ArrayQueries {
     import s.implicits._
     (for (i <- 0 until n; j <- i until n) yield (i.toLong, j.toLong, ru(i)(j)))
       .toDF("i", "j", "r_val").orderBy("i", "j")
+  }
+
+  /** The fitted least-squares artifact of [[arrLstsq]]: slopes over
+    * field columns 0..k-2, intercept, and the exact-moment RSS / R². */
+  private[graft] final case class LstsqFit(
+      beta: IndexedSeq[Double], icept: Double, rss: Double, r2: Double)
+
+  private val lstsqByDir =
+    scala.collection.concurrent.TrieMap.empty[String, LstsqFit]
+  private val momentsByDir =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[Double], Long)]
+
+  /** Column sums + stacked row count of the 2-d field — arr_corrcoef's
+    * first moments (chunk-local axis fold, exact decimal rollup),
+    * collected as a bounded artifact (C doubles + one long) and
+    * memoized per dir like [[gramMatrix]]. */
+  private def moments2d(s: SparkSession, dir: String): (Array[Double], Long) =
+    momentsByDir.getOrElseUpdate(dir, {
+      val arr = eventsArray2dCached(s, dir)
+      val cs = new Array[Double](geom2d.dimSize(1))
+      arr.axisSum(0).rowsNd
+        .groupBy(col("i0").as("c"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+        .collect().foreach(r => cs(r.getLong(0).toInt) = r.getDouble(1))
+      val t = arr.df.select(countDistinct(col("timestep"))).head().getLong(0)
+      (cs, t * geom2d.dimSize(0).toLong)
+    })
+
+  /** Fit `column k-1 ~ columns 0..k-2 + intercept` over the
+    * timestep-stacked field by the normal equations — dask
+    * `da.linalg.lstsq(A, b)` re-expressed through the sufficient-
+    * statistics posture: every entry of the (k x k) extended normal
+    * matrix [X|1]ᵀ[X|1] and its right-hand side already lives in
+    * [[gramMatrix]] + [[moments2d]] (regressor block = Gram minor,
+    * Xᵀ1 = column sums, 1ᵀ1 = n, Xᵀy = the Gram's target column), so
+    * the fit costs ZERO new row-scale passes; the k x k solve runs
+    * driver-side ([[graft.arrays.Eigen.cholSolve]], fixed substitution
+    * order — bit-reproducible). RSS/R² come from the same exact
+    * moments: rss = yᵀy - 2βᵀv + βᵀMβ, tss = yᵀy - (1ᵀy)²/n, both
+    * folded in fixed order. */
+  private[graft] def lstsqFit(s: SparkSession, dir: String): LstsqFit =
+    lstsqByDir.getOrElseUpdate(dir, {
+      val p = geom2d.dimSize(1) - 1
+      val g = gramMatrix(s, dir)
+      val (cs, nRows) = moments2d(s, dir)
+      val m = Array.ofDim[Double](p + 1, p + 1)
+      val v = new Array[Double](p + 1)
+      for (a <- 0 until p; b <- 0 until p) m(a)(b) = g(a)(b)
+      for (a <- 0 until p) { m(a)(p) = cs(a); m(p)(a) = cs(a) }
+      m(p)(p) = nRows.toDouble
+      for (a <- 0 until p) v(a) = g(a)(p)
+      v(p) = cs(p)
+      val sol = graft.arrays.Eigen.cholSolve(m, v)
+      val yy = g(p)(p)
+      var bv = 0.0
+      var i = 0
+      while (i <= p) { bv += sol(i) * v(i); i += 1 }
+      var bmb = 0.0
+      i = 0
+      while (i <= p) {
+        var row = 0.0
+        var j = 0
+        while (j <= p) { row += m(i)(j) * sol(j); j += 1 }
+        bmb += sol(i) * row
+        i += 1
+      }
+      val rss = yy - 2.0 * bv + bmb
+      val tss = yy - cs(p) * cs(p) / nRows.toDouble
+      val r2 = if (tss != 0.0) 1.0 - rss / tss else 0.0
+      LstsqFit(sol.take(p), sol(p), rss, r2)
+    })
+
+  /** dask `da.linalg.lstsq` — the fitted model as a (term, value)
+    * relation: slopes x0..x_{k-2}, intercept, rss, r2. The oracle
+    * embeds the fit as round-trip-exact literals (the [[arrSvdVals]]
+    * trained-literal posture; the distributed math underneath is
+    * hash-gated through arr_gram's exact oracle). */
+  def arrLstsq(s: SparkSession, dir: String): DataFrame = {
+    val f = lstsqFit(s, dir)
+    lastDirRef.set(dir)
+    import s.implicits._
+    (f.beta.zipWithIndex.map { case (b, j) => (s"x$j", b) } :+
+      (("intercept", f.icept)) :+ (("rss", f.rss)) :+ (("r2", f.r2)))
+      .toDF("term", "value").orderBy("term")
+  }
+
+  /** Residual diagnostics of the [[arrLstsq]] fit, served DISTRIBUTED
+    * from the literal trained slopes (the emb_label_assign
+    * train-distributed/serve-distributed posture): per-timestep sum of
+    * squared residuals. Prediction is the [[arrPcaProject]] ordered
+    * per-row fold (identical cell doubles x identical literal weights x
+    * identical fold order = identical bits); each residual square is
+    * quantized to micro-units BEFORE the per-timestep sum (floor(sq *
+    * 1e6) BIGINT) so the cross-row sum is order-free exact in both
+    * engines (SURVEY §5's quantized-integer rollup discipline). */
+  def arrLstsqResid(s: SparkSession, dir: String): DataFrame = {
+    val f = lstsqFit(s, dir)
+    lastDirRef.set(dir)
+    val k = geom2d.dimSize(1)
+    val cells = eventsArray2dCached(s, dir).rows2d
+    val byRow = cells.groupBy("timestep", "i")
+      .agg(array_sort(collect_list(struct(col("j"), col("value")))).as("lv"))
+    val barr = array(f.beta.map(lit(_)): _*)
+    val pred = aggregate(slice(col("lv"), 1, k - 1), lit(f.icept),
+      (acc, e) => acc + e.getField("value") *
+        element_at(barr, e.getField("j").cast("int") + 1))
+    val y = element_at(col("lv"), k).getField("value")
+    val sq = (y - pred) * (y - pred)
+    byRow
+      .select(col("timestep"), floor(sq * lit(1e6)).cast("long").as("qe"))
+      .groupBy("timestep")
+      .agg(count(lit(1)).as("n_rows"), sum(col("qe")).as("sse_q"))
+      .select(col("timestep"), col("n_rows"), col("sse_q"),
+        (col("sse_q").cast("double") / lit(1e6)).as("sse"))
+      .orderBy("timestep")
   }
 
   /** Distributed block matmul `A @ A` on the 8x8 array (dask linear
@@ -970,6 +1088,39 @@ object ArrayQueries {
           .mkString(", ")
         Map("arr_qr_r" ->
           s"SELECT i, j, r_val FROM (VALUES $rows) AS t(i, j, r_val) ORDER BY i, j")
+      }.getOrElse(Map.empty) ++
+      dirForOracles.flatMap(lstsqByDir.get).map { f =>
+        val k = geom2d.dimSize(1)
+        val terms = (f.beta.zipWithIndex.map { case (b, j) => (s"x$j", b) } :+
+          (("intercept", f.icept)) :+ (("rss", f.rss)) :+ (("r2", f.r2)))
+          .map { case (t, x) => s"('$t', ${fmtD(x)})" }.mkString(", ")
+        val bl = f.beta.map(fmtD).mkString("[", ", ", "]")
+        Map(
+          "arr_lstsq" ->
+            s"SELECT term, value FROM (VALUES $terms) AS t(term, value) ORDER BY term",
+          // the serving replay: the SAME ordered per-row fold from the
+          // SAME literal slopes, residual squares quantized BEFORE the
+          // per-timestep sum so the rollup is order-free exact
+          "arr_lstsq_resid" ->
+            s"""WITH $CELLS_2D_DENSE,
+               |rows_ AS (
+               |  SELECT timestep, u, list(cell ORDER BY h) AS lv
+               |  FROM cells GROUP BY 1, 2),
+               |pe AS (
+               |  SELECT timestep, (lv[$k] - pred) * (lv[$k] - pred) AS sq
+               |  FROM (SELECT timestep, lv,
+               |      list_reduce(list_prepend(${fmtD(f.icept)},
+               |        list_transform(range(1, $k),
+               |          jj -> lv[CAST(jj AS INT)] * ($bl)[CAST(jj AS INT)])),
+               |        (x, y) -> x + y) AS pred
+               |    FROM rows_)),
+               |qq AS (SELECT timestep,
+               |         CAST(floor(sq * 1000000.0) AS BIGINT) AS qe FROM pe)
+               |SELECT CAST(timestep AS BIGINT) AS timestep,
+               |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+               |  CAST(SUM(qe) AS BIGINT) AS sse_q,
+               |  CAST(SUM(qe) AS DOUBLE) / 1000000.0 AS sse
+               |FROM qq GROUP BY 1 ORDER BY 1""".stripMargin)
       }.getOrElse(Map.empty)
 
   private val staticOracles: Map[String, String] = Map(
@@ -1799,6 +1950,8 @@ object ArrayQueries {
     "arr_pca_project" -> (arrPcaProject _),
     "arr_corrcoef" -> (arrCorrcoef _),
     "arr_qr_r" -> (arrQrR _),
+    "arr_lstsq" -> (arrLstsq _),
+    "arr_lstsq_resid" -> (arrLstsqResid _),
     "arr_einsum" -> (arrEinsum _),
     "arr_tensordot" -> (arrTensordot _),
     "arr_tensordot_axes" -> (arrTensordotAxes _),

@@ -272,4 +272,78 @@ class ArrayLinalgSpec extends AnyFunSuite {
     }
     for (i <- 0 until 8) assert(rAt(i, i) >= 0.0, s"diag sign $i")
   }
+
+  test("cholSolve on a known system and on a rank-deficient one") {
+    val g = Array(Array(4.0, 2.0), Array(2.0, 2.0))
+    val x = Eigen.cholSolve(g, Array(10.0, 8.0))
+    assert(x == IndexedSeq(1.0, 3.0)) // exact: every pivot is exact
+    // duplicate column: the degenerate component is zeroed, the rest
+    // still satisfies its equation
+    val d = Array(Array(1.0, 1.0), Array(1.0, 1.0))
+    val xd = Eigen.cholSolve(d, Array(3.0, 3.0))
+    assert(xd == IndexedSeq(3.0, 0.0))
+  }
+
+  test("arr_lstsq: matches an independent Gaussian-elimination fit") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.ArrayQueries.arrLstsq(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.size == 10, "7 slopes + intercept + rss + r2")
+    // dense reference: collect the stacked rows, build the normal
+    // system independently, solve by Gaussian elimination w/ pivoting
+    val cells = graft.operators.ArrayQueries.eventsArray2dCached(spark, dir)
+      .rows2d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val rows = cells.groupBy(c => (c._1, c._2)).values.toSeq.map { cs =>
+      val v = Array.fill(8)(0.0)
+      cs.foreach(c => v(c._3.toInt) = c._4)
+      v
+    }
+    val m = Array.ofDim[Double](8, 8)
+    val v = Array.fill(8)(0.0)
+    for (r <- rows) {
+      val x = r.take(7) :+ 1.0
+      for (a <- 0 until 8; b <- 0 until 8) m(a)(b) += x(a) * x(b)
+      for (a <- 0 until 8) v(a) += x(a) * r(7)
+    }
+    // Gaussian elimination with partial pivoting (independent path)
+    val aug = m.zip(v).map { case (row, rhs) => row :+ rhs }
+    for (c <- 0 until 8) {
+      val piv = (c until 8).maxBy(r => math.abs(aug(r)(c)))
+      val t = aug(c); aug(c) = aug(piv); aug(piv) = t
+      for (r <- 0 until 8 if r != c && aug(c)(c) != 0.0) {
+        val f = aug(r)(c) / aug(c)(c)
+        for (k <- c to 8) aug(r)(k) -= f * aug(c)(k)
+      }
+    }
+    val ref = (0 until 8).map(i => aug(i)(8) / aug(i)(i))
+    val scale = ref.map(math.abs).max
+    for (j <- 0 until 7)
+      assert(math.abs(got(s"x$j") - ref(j)) < 1e-6 * scale, s"beta x$j")
+    assert(math.abs(got("intercept") - ref(7)) < 1e-6 * scale)
+    // rss against the direct residual sum from the reference fit
+    val rssRef = rows.map { r =>
+      val pred = (0 until 7).map(j => ref(j) * r(j)).sum + ref(7)
+      val e = r(7) - pred; e * e
+    }.sum
+    assert(math.abs(got("rss") - rssRef) < 1e-6 * math.max(rssRef, 1.0))
+    assert(got("r2") <= 1.0 + 1e-12)
+  }
+
+  test("arr_lstsq_resid: per-timestep SSE sums to rss within quantization") {
+    val dir = "/root/testdata/sf0.001"
+    val fit = graft.operators.ArrayQueries.arrLstsq(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val resid = graft.operators.ArrayQueries.arrLstsqResid(spark, dir).collect()
+    val nCells = resid.map(_.getLong(1)).sum
+    val total = resid.map(_.getDouble(3)).sum
+    // each quantized square under-counts by < 1e-6; rss is the exact-
+    // moment spelling, so allow the quantization band plus float slack
+    assert(math.abs(total - fit("rss")) <=
+      nCells * 1e-6 + 1e-6 * math.max(fit("rss"), 1.0),
+      s"sum sse $total vs rss ${fit("rss")} over $nCells cells")
+    // sse_q is exactly floor-sum consistent with the emitted double
+    resid.foreach { r =>
+      assert(r.getDouble(3) == r.getLong(2).toDouble / 1e6)
+    }
+  }
 }
