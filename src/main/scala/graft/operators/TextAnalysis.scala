@@ -315,7 +315,7 @@ object TextAnalysis {
   /** The serving margin as a Column over the token-array column: one
     * exact integer fold per document (narrow, codegen'd hash). Shared
     * with [[Pipeline.pipeClean]]'s optional classifier gate. */
-  private[operators] def clfMarginCol(w: IndexedSeq[Long], bias: Long, tk: Column): Column = {
+  private[graft] def clfMarginCol(w: IndexedSeq[Long], bias: Long, tk: Column): Column = {
     val warr = array(w.map(lit(_)): _*)
     aggregate(tk, lit(bias),
       (acc, t) => acc + element_at(warr, pmod(hash(t), lit(HashTfBuckets)).cast("int") + 1))
@@ -467,8 +467,7 @@ object TextAnalysis {
     * survives 100 TB: corpus rows never shuffle, only the final sort.
     * `try_element_at` (not `element_at`): out-of-table lookups must
     * yield the backoff path, not an ANSI MAP_KEY_DOES_NOT_EXIST. */
-  def txtLmScore(s: SparkSession, dir: String): DataFrame = {
-    val m = trainedLm(s, dir)
+  private[graft] def lmQsumCol(m: LmModel, tk: Column): Column = {
     val uniMap =
       if (m.uniQ.isEmpty) map()
       else map(m.uniQ.flatMap { case (t, q) => Seq(lit(t), lit(q)) }: _*)
@@ -477,7 +476,6 @@ object TextAnalysis {
       else map(m.biQ.flatMap { case (p, c, q) =>
         Seq(lit(s"$p $c"), lit(q))
       }: _*)
-    val tk = col("tk")
     val n = size(tk)
     def uq(t: Column): Column =
       coalesce(try_element_at(uniMap, t), lit(m.unkQ))
@@ -487,11 +485,17 @@ object TextAnalysis {
         (p, c) => coalesce(try_element_at(biMap, concat(p, lit(" "), c)),
           lit(m.backQ) + coalesce(try_element_at(uniMap, c), lit(m.unkQ)))),
       lit(0L), (acc, q) => acc + q)
-    val qsum = when(n === 0, lit(0L))
-      .otherwise(uq(element_at(tk, 1)) + pairQ)
+    when(n === 0, lit(0L)).otherwise(uq(element_at(tk, 1)) + pairQ)
+  }
+
+  /** LM quality scoring (serving) — see [[lmQsumCol]], the fold shared
+    * with [[graft.streaming.StreamingQuality]] so stream and batch
+    * score a document identically. */
+  def txtLmScore(s: SparkSession, dir: String): DataFrame = {
+    val m = trainedLm(s, dir)
     withTokens(s, dir)
-      .select(col("doc_id"), n.cast("bigint").as("n_tokens"),
-        qsum.as("qlog_sum"))
+      .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tokens"),
+        lmQsumCol(m, col("tk")).as("qlog_sum"))
       .select(col("doc_id"), col("n_tokens"), col("qlog_sum"),
         when(col("n_tokens") > 0L,
           col("qlog_sum").cast("double") / col("n_tokens").cast("double"))
