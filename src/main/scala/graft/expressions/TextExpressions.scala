@@ -97,6 +97,62 @@ object TextExpressions {
     new GenericArrayData(arr)
   }
 
+  // ── content-defined chunking (LBFS posture) ──────────────────────
+
+  /** Rolling window width in CODEPOINTS. */
+  val CdcW = 8
+  /** Polynomial base. */
+  val CdcB = 257L
+  /** Modulus: a prime below 2^30, so `codepoint * power` products stay
+    * inside exact BIGINT range in both engines. */
+  val CdcM = 1000000007L
+  /** Boundary divisor — expected chunk length ~[[CdcD]] codepoints. */
+  val CdcD = 64L
+  /** `CdcB^t mod CdcM` for t = 0..w-1. */
+  val CdcPw: Array[Long] = {
+    val a = new Array[Long](CdcW)
+    a(0) = 1L
+    var i = 1
+    while (i < CdcW) { a(i) = (a(i - 1) * CdcB) % CdcM; i += 1 }
+    a
+  }
+
+  /** Content-defined chunks of the text — LBFS-style chunking
+    * (Muthitacharoen et al., SOSP '01; the rsync/CDC family): the
+    * polynomial rolling hash `h_i = Σ_t cp[i-t]·B^t mod M` over the
+    * last [[CdcW]] codepoints picks boundaries (`h mod D == D-1`
+    * splits AFTER position i), so a boundary depends only on LOCAL
+    * content — an edit re-chunks its own neighborhood and nothing
+    * downstream, which is what lets chunk-level dedup catch partially
+    * overlapping documents that whole-document hashing misses.
+    * CODEPOINT (not UTF-16) indexing, matching SQL character
+    * semantics; all arithmetic is exact BIGINT mod a prime. Texts
+    * shorter than the window emit one chunk; empty text emits none;
+    * a boundary on the last position emits no empty tail. */
+  def cdcChunksEval(text: UTF8String): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(new Array[Any](0))
+    val out = new java.util.ArrayList[Any]()
+    var start = 0
+    var i = CdcW - 1
+    while (i < n) {
+      var h = 0L
+      var t = 0
+      while (t < CdcW) {
+        h = (h + (cps(i - t).toLong * CdcPw(t)) % CdcM) % CdcM
+        t += 1
+      }
+      if (h % CdcD == CdcD - 1L) {
+        out.add(UTF8String.fromString(new String(cps, start, i + 1 - start)))
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < n) out.add(UTF8String.fromString(new String(cps, start, n - start)))
+    new GenericArrayData(out.toArray)
+  }
+
   /** Max multiplicity of any whitespace token — one hash-count pass. */
   def maxTokenCountEval(text: UTF8String): Long = {
     val tk = tokenize(text)
@@ -191,6 +247,10 @@ object TextExpressions {
   def repetitionStats(text: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(text)))
 
+  /** Column wrapper for [[CdcChunks]]. */
+  def cdcChunks(text: Column): Column =
+    ExpressionUtils.column(CdcChunks(ExpressionUtils.expression(text)))
+
   /** Column wrapper for [[MaxTokenCount]]. */
   def maxTokenCount(text: Column): Column =
     ExpressionUtils.column(MaxTokenCount(ExpressionUtils.expression(text)))
@@ -215,6 +275,26 @@ case class WordNgrams(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.ngramsEval($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Content-defined chunks of the text (`array<string>`) — see
+  * [[TextExpressions.cdcChunksEval]]. */
+case class CdcChunks(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.cdcChunksEval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.cdcChunksEval($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

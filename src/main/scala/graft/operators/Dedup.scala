@@ -467,6 +467,38 @@ object Dedup {
     * the same gram column — the [[ddCrossSource]] wire posture at doc
     * granularity. No pair relation ever exists, so a mass-duplicated
     * corpus costs O(total grams) scan, never O(n²). */
+  /** Content-defined-chunk dedup map (the rsync/LBFS posture,
+    * Muthitacharoen et al. SOSP '01 — the chunk-store shape modern
+    * dataset dedup reuses): each document splits at rolling-hash-chosen
+    * boundaries ([[org.apache.spark.sql.graftexpr.TextExpressions
+    * .cdcChunksEval]], ~64-codepoint expected chunks), so two documents
+    * sharing ANY long span — even at different offsets, which defeats
+    * both whole-doc hashing and fixed-stride shingling windows tuned
+    * short — share the interior chunks of that span verbatim. Emits the
+    * cross-document shared-chunk relation: md5 identity, length,
+    * document/occurrence counts, min-doc representative.
+    *
+    * Scale: chunking is one narrow codegen'd kernel pass; the only
+    * shuffle is the partial-aggregated groupBy on the chunk hash
+    * (O(total chunks) rows of ~50 bytes, no text moves — md5 computed
+    * before the exchange); output is bounded by DISTINCT shared chunks.
+    * Nothing all-pairs exists at any stage, so a 100x-duplicated corpus
+    * grows the shuffle linearly and the output not at all. */
+  def ddCdcChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode_outer(org.apache.spark.sql.graftexpr.TextExpressions
+          .cdcChunks(col("text"))).as("chunk"))
+      .filter(col("chunk").isNotNull)
+      .select(col("doc_id"), md5(col("chunk")).as("ch"),
+        length(col("chunk")).cast("bigint").as("chunk_len"))
+      .groupBy("ch", "chunk_len")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("rep_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("ch")
+
   def ddSpanFrac(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
@@ -914,6 +946,49 @@ object Dedup {
        |    ON a.probe = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
        |  WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3)""".stripMargin
 
+  /** The dd_cdc_chunks oracle: replay the LBFS chunker relationally —
+    * per-character codepoints, the same polynomial rolling hash in
+    * exact BIGINT mod-prime arithmetic (powers embedded as literals
+    * from the SAME constants), boundary rule `h mod D == D-1`, chunk
+    * substrings between consecutive boundaries (DuckDB substring/len
+    * index by codepoint, matching the kernel's codepoint semantics). */
+  private def cdcChunksOracle: String = {
+    import org.apache.spark.sql.graftexpr.TextExpressions.{CdcD, CdcM, CdcPw, CdcW}
+    val pw = CdcPw.mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+       |cp AS (
+       |  SELECT doc_id, text, n,
+       |    list_transform(range(1, n + 1),
+       |      i -> CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT)) AS cs
+       |  FROM d WHERE n > 0),
+       |bs AS (
+       |  SELECT doc_id, text, n,
+       |    list_filter(range($CdcW, n + 1), i ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(0, $CdcW),
+       |          t -> (cs[CAST(i - t AS INT)] * ($pw)[CAST(t + 1 AS INT)]) % $CdcM)),
+       |        (a, b) -> a + b) % $CdcM % $CdcD = ${CdcD - 1}) AS bnd
+       |  FROM cp),
+       |chx AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(list_transform(range(1, len(bnd) + 2), j ->
+       |      substring(text,
+       |        CAST(CASE WHEN j = 1 THEN 1
+       |             ELSE bnd[CAST(j - 1 AS INT)] + 1 END AS INT),
+       |        CAST((CASE WHEN j <= len(bnd) THEN bnd[CAST(j AS INT)] ELSE n END)
+       |           - (CASE WHEN j = 1 THEN 1
+       |              ELSE bnd[CAST(j - 1 AS INT)] + 1 END) + 1 AS INT))),
+       |      c -> len(c) > 0)) AS chunk
+       |  FROM bs)
+       |SELECT md5(chunk) AS ch, CAST(len(chunk) AS BIGINT) AS chunk_len,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+       |  MIN(doc_id) AS rep_doc
+       |FROM chx GROUP BY 1, 2
+       |HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY ch""".stripMargin
+  }
+
   /** The minhash family's verified edges (va, vb) over `cand` + `d`
     * from [[lshCandCte]] — the oracle twin of the [[minhashLabels]]
     * edge derivation (jaccard >= 0.5). */
@@ -943,6 +1018,7 @@ object Dedup {
     s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
 
   val oracles: Map[String, String] = Map(
+    "dd_cdc_chunks" -> cdcChunksOracle,
     "dd_exact" ->
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
         |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
@@ -1167,6 +1243,7 @@ object Dedup {
     "dd_simhash_est" -> (ddSimhashEst _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_span_frac" -> (ddSpanFrac _),
+    "dd_cdc_chunks" -> (ddCdcChunks _),
     "dd_embed_near" -> (ddEmbedNear _),
     "dd_embed_cluster" -> (ddEmbedCluster _),
     "dd_semantic_keep_one" -> (ddSemanticKeepOne _),

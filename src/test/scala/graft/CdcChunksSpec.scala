@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.graftexpr.TextExpressions
+
+/** dd_cdc_chunks — content-defined chunking (LBFS, Muthitacharoen et
+  * al. SOSP '01): rolling-hash boundaries, chunk-level cross-document
+  * dedup. */
+class CdcChunksSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def chunksOf(texts: String*): Seq[Seq[String]] =
+    texts.toDF("text")
+      .select(TextExpressions.cdcChunks(col("text")).as("cs"))
+      .collect().toSeq.map(_.getSeq[String](0))
+
+  /** Independent reference chunker: boundary positions recomputed with
+    * BigInt arithmetic and a different split mechanism. */
+  private def refChunks(text: String): Seq[String] = {
+    import TextExpressions.{CdcB, CdcD, CdcM, CdcW}
+    val cps = text.codePoints().toArray
+    if (cps.isEmpty) return Seq.empty
+    val pw = (0 until CdcW).map(t => BigInt(CdcB).pow(t) % BigInt(CdcM))
+    val bounds = (CdcW - 1 until cps.length).filter { i =>
+      val h = (0 until CdcW).map(t => BigInt(cps(i - t)) * pw(t) % CdcM)
+        .sum % CdcM
+      h % CdcD == CdcD - 1
+    }
+    val cuts = (-1 +: bounds :+ (cps.length - 1)).distinct
+    cuts.sliding(2).map { case Seq(a, b) =>
+      new String(cps, a + 1, b - a)
+    }.filter(_.nonEmpty).toSeq
+  }
+
+  // deterministic pseudo-random text: LCG over a small alphabet with
+  // spaces, long enough to contain many boundaries
+  private def synth(seed: Long, n: Int): String = {
+    val sb = new StringBuilder
+    var x = seed
+    for (_ <- 0 until n) {
+      x = (x * 6364136223846793005L + 1442695040888963407L)
+      val r = ((x >>> 33) % 27).toInt
+      sb.append(if (r == 26) ' ' else ('a' + r).toChar)
+    }
+    sb.toString
+  }
+
+  test("chunks concatenate back to the original text") {
+    val texts = Seq(synth(1, 2000), synth(2, 700), "short", "", "x",
+      synth(3, 63), synth(4, 64), "ab " * 100)
+    for ((t, cs) <- texts.zip(chunksOf(texts: _*))) {
+      assert(cs.mkString("") == t, s"reconstruction for len ${t.length}")
+      assert(cs.forall(_.nonEmpty), "no empty chunks")
+    }
+  }
+
+  test("kernel matches the independent BigInt reference chunker") {
+    val texts = Seq(synth(10, 3000), synth(11, 500), synth(12, 8),
+      synth(13, 7), "", "exactly8")
+    for ((t, cs) <- texts.zip(chunksOf(texts: _*)))
+      assert(cs == refChunks(t), s"chunking of len ${t.length}")
+  }
+
+  test("boundaries are local: a prefix edit leaves the shared tail's chunks") {
+    val shared = synth(20, 2500)
+    val a = synth(21, 300) + shared
+    val b = synth(22, 137) + shared
+    val Seq(ca, cb) = chunksOf(a, b)
+    // every chunk fully inside the shared tail (i.e. after the first
+    // boundary past the junction) must appear in both chunkings
+    val common = ca.toSet.intersect(cb.toSet)
+    // the shared region is ~39x the expected chunk length, so the vast
+    // majority of its chunks must coincide
+    assert(common.size >= 15,
+      s"only ${common.size} common chunks between overlapping docs")
+    // and the tails beyond the first re-sync point are IDENTICAL
+    val sa = ca.indexWhere(common.contains)
+    val sb2 = cb.indexWhere(common.contains)
+    assert(ca.drop(sa + 1).takeRight(5) == cb.drop(sb2 + 1).takeRight(5))
+  }
+
+  test("dd_cdc_chunks surfaces cross-document shared spans only") {
+    val span = synth(30, 1500)
+    val docs = Seq(
+      (0L, synth(31, 400) + span, "en", "a", 0L),
+      (1L, span + synth(32, 250), "en", "b", 0L), // same span, other offset
+      (2L, synth(33, 1200), "en", "c", 0L)) // unrelated
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Dedup.ddCdcChunks(spark, dir).collect()
+    assert(rows.nonEmpty, "shared interior chunks must surface")
+    rows.foreach { r =>
+      assert(r.getLong(2) == 2L, "every shared chunk is in docs 0 and 1")
+      assert(r.getLong(4) == 0L, "representative = min doc_id")
+    }
+    // the shared chunks reconstruct a large part of the shared span
+    val sharedLen = rows.map(_.getLong(1)).sum
+    assert(sharedLen >= 1000, s"shared chunk mass $sharedLen of 1500-cp span")
+  }
+}

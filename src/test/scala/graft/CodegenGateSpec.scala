@@ -64,6 +64,7 @@ class CodegenGateSpec extends AnyFunSuite {
       "TokenCharSum" -> TokenCharSum(br(arrS)),
       "TokenHitCount" -> TokenHitCount(br(arrS), Seq("the", "a")),
       "MaxTokenCount" -> MaxTokenCount(br(StringType)),
+      "CdcChunks" -> CdcChunks(br(StringType)),
       "RepetitionStats" -> RepetitionStats(br(StringType)))
     for ((name, e) <- exprs) {
       try GenerateMutableProjection.generate(Seq(e))
