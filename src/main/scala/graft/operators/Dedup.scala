@@ -499,6 +499,50 @@ object Dedup {
       .filter(col("n_docs") >= 2)
       .orderBy("ch")
 
+  /** Per-document chunk-level duplication coverage — the consumer face
+    * of [[ddCdcChunks]]'s chunk map, and the offset-robust analogue of
+    * [[ddSpanFrac]]: the fraction of each document's codepoint mass
+    * lying in chunks that also occur in ANOTHER document. dd_span_frac
+    * counts fixed-width word 8-grams, so a shared span shifted by
+    * whitespace-collapsing edits still matches but a long verbatim
+    * block is counted gram-by-gram; the CDC face counts the block once
+    * per ~64-codepoint chunk and survives arbitrary surrounding edits.
+    *
+    * Same wire shape as dd_span_frac: the chunk relation (persisted —
+    * the per-chunk doc counts and the per-doc join-back both read it,
+    * and the filter sits above the cache boundary so no kernel
+    * expression re-inlines into the scan), occurrence counts grouped by
+    * chunk hash (O(total chunks), map-side combinable), a hash-keyed
+    * count join back, and a left join so chunkless (empty) documents
+    * still report with a NULL fraction. */
+  def ddCdcCoverage(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode_outer(org.apache.spark.sql.graftexpr.TextExpressions
+          .cdcChunks(col("text"))).as("chunk"))
+      .filter(col("chunk").isNotNull)
+      .select(col("doc_id"), md5(col("chunk")).as("ch"),
+        length(col("chunk")).cast("bigint").as("clen"))
+      .cachedPersist()
+    val shared = chunks.groupBy("ch")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    val perDoc = chunks.hint("shuffle_hash").join(shared, "ch")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("n_cps"),
+        sum(when(col("nd") >= 2, col("clen")).otherwise(0L)).as("shared_cps"))
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_cps"), lit(0L)).as("n_cps"),
+        coalesce(col("shared_cps"), lit(0L)).as("shared_cps"),
+        when(coalesce(col("n_cps"), lit(0L)) > 0,
+          col("shared_cps").cast("double") / col("n_cps").cast("double"))
+          .as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
   def ddSpanFrac(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
@@ -952,10 +996,17 @@ object Dedup {
     * from the SAME constants), boundary rule `h mod D == D-1`, chunk
     * substrings between consecutive boundaries (DuckDB substring/len
     * index by codepoint, matching the kernel's codepoint semantics). */
-  private def cdcChunksOracle: String = {
+  /** CTE chain replaying the LBFS chunker to `chx(doc_id, chunk)` —
+    * per-character codepoints, the same polynomial rolling hash in
+    * exact BIGINT mod-prime arithmetic (powers embedded as literals
+    * from the SAME constants), boundary rule `h mod D == D-1`, chunk
+    * substrings between consecutive boundaries (DuckDB substring/len
+    * index by codepoint, matching the kernel's codepoint semantics).
+    * Shared by the dd_cdc_* oracles. */
+  private def cdcChunkCtes: String = {
     import org.apache.spark.sql.graftexpr.TextExpressions.{CdcD, CdcM, CdcPw, CdcW}
     val pw = CdcPw.mkString("[", ", ", "]")
-    s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+    s"""d AS (SELECT doc_id, text, len(text) AS n FROM documents),
        |cp AS (
        |  SELECT doc_id, text, n,
        |    list_transform(range(1, n + 1),
@@ -979,7 +1030,11 @@ object Dedup {
        |           - (CASE WHEN j = 1 THEN 1
        |              ELSE bnd[CAST(j - 1 AS INT)] + 1 END) + 1 AS INT))),
        |      c -> len(c) > 0)) AS chunk
-       |  FROM bs)
+       |  FROM bs)""".stripMargin
+  }
+
+  private def cdcChunksOracle: String =
+    s"""WITH $cdcChunkCtes
        |SELECT md5(chunk) AS ch, CAST(len(chunk) AS BIGINT) AS chunk_len,
        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        |  CAST(COUNT(*) AS BIGINT) AS n_occ,
@@ -987,7 +1042,26 @@ object Dedup {
        |FROM chx GROUP BY 1, 2
        |HAVING COUNT(DISTINCT doc_id) >= 2
        |ORDER BY ch""".stripMargin
-  }
+
+  private def cdcCoverageOracle: String =
+    s"""WITH $cdcChunkCtes,
+       |cc AS (SELECT doc_id, md5(chunk) AS ch,
+       |         CAST(len(chunk) AS BIGINT) AS clen FROM chx),
+       |sh AS (SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM cc GROUP BY 1),
+       |pd AS (SELECT cc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |         CAST(SUM(clen) AS BIGINT) AS n_cps,
+       |         CAST(SUM(CASE WHEN sh.nd >= 2 THEN clen ELSE 0 END)
+       |           AS BIGINT) AS shared_cps
+       |       FROM cc JOIN sh USING (ch) GROUP BY 1)
+       |SELECT dd.doc_id,
+       |  CAST(COALESCE(pd.n_chunks, 0) AS BIGINT) AS n_chunks,
+       |  CAST(COALESCE(pd.n_cps, 0) AS BIGINT) AS n_cps,
+       |  CAST(COALESCE(pd.shared_cps, 0) AS BIGINT) AS shared_cps,
+       |  CASE WHEN COALESCE(pd.n_cps, 0) > 0
+       |    THEN CAST(pd.shared_cps AS DOUBLE) / CAST(pd.n_cps AS DOUBLE)
+       |  END AS shared_frac
+       |FROM documents dd LEFT JOIN pd ON dd.doc_id = pd.doc_id
+       |ORDER BY dd.doc_id""".stripMargin
 
   /** The minhash family's verified edges (va, vb) over `cand` + `d`
     * from [[lshCandCte]] — the oracle twin of the [[minhashLabels]]
@@ -1019,6 +1093,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dd_cdc_chunks" -> cdcChunksOracle,
+    "dd_cdc_coverage" -> cdcCoverageOracle,
     "dd_exact" ->
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
         |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
@@ -1244,6 +1319,7 @@ object Dedup {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_span_frac" -> (ddSpanFrac _),
     "dd_cdc_chunks" -> (ddCdcChunks _),
+    "dd_cdc_coverage" -> (ddCdcCoverage _),
     "dd_embed_near" -> (ddEmbedNear _),
     "dd_embed_cluster" -> (ddEmbedCluster _),
     "dd_semantic_keep_one" -> (ddSemanticKeepOne _),

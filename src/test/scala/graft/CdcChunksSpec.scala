@@ -102,4 +102,30 @@ class CdcChunksSpec extends AnyFunSuite {
     val sharedLen = rows.map(_.getLong(1)).sum
     assert(sharedLen >= 1000, s"shared chunk mass $sharedLen of 1500-cp span")
   }
+
+  test("dd_cdc_coverage: per-doc shared mass, offset-robust, empty-doc edge") {
+    val span = synth(40, 1500)
+    val docs = Seq(
+      (0L, synth(41, 400) + span, "en", "a", 0L),
+      (1L, span + synth(42, 250), "en", "b", 0L),
+      (2L, synth(43, 1200), "en", "c", 0L), // unrelated
+      (3L, "", "en", "d", 0L)) // chunkless
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcc").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Dedup.ddCdcCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    assert(rows.size == 4)
+    // total codepoint mass equals the text length (chunks partition it)
+    assert(rows(0L)._2 == 1900L && rows(1L)._2 == 1750L && rows(2L)._2 == 1200L)
+    // the overlapping pair shares most of its mass despite offsets
+    assert(rows(0L)._4 > 0.5 && rows(1L)._4 > 0.5,
+      s"coverage ${rows(0L)._4} / ${rows(1L)._4}")
+    // the unrelated doc shares nothing; the empty doc reports NULL frac
+    assert(rows(2L)._3 == 0L && rows(2L)._4 == 0.0)
+    assert(rows(3L)._1 == 0L && rows(3L)._4.isNaN)
+    rows.values.foreach { case (_, n, sh, _) => assert(sh <= n) }
+  }
 }
