@@ -128,4 +128,31 @@ class CdcChunksSpec extends AnyFunSuite {
     assert(rows(3L)._1 == 0L && rows(3L)._4.isNaN)
     rows.values.foreach { case (_, n, sh, _) => assert(sh <= n) }
   }
+
+  test("output is bounded by DISTINCT chunks under 100x duplication") {
+    // 100 verbatim copies of one document + 1 unique: the shared-chunk
+    // map must be exactly the copied doc's distinct chunks — decoupled
+    // from the duplication factor (the O(distinct) scale claim,
+    // asserted on row counts like the dedup/ANN stress fixtures)
+    val copied = synth(50, 2000)
+    val docs = ((0 until 100).map(i => (i.toLong, copied, "en", "a", 0L)) :+
+      ((100L, synth(51, 900), "en", "b", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcs").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val map = graft.operators.Dedup.ddCdcChunks(spark, dir).collect()
+    val distinctChunks = refChunks(copied).distinct.size
+    assert(map.length == distinctChunks,
+      s"${map.length} output rows vs $distinctChunks distinct chunks")
+    map.foreach { r =>
+      assert(r.getLong(2) == 100L, "n_docs = the duplication factor")
+      assert(r.getLong(4) == 0L, "representative = min doc_id")
+    }
+    // and the per-doc coverage of every copy is total
+    val cov = graft.operators.Dedup.ddCdcCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+      .toMap
+    (0 until 100).foreach(i => assert(cov(i.toLong) == 1.0, s"copy $i"))
+    assert(cov(100L) == 0.0, "the unique doc shares nothing")
+  }
 }
