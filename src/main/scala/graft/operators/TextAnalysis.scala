@@ -357,6 +357,12 @@ object TextAnalysis {
     * [[trainedClassifier]] / sim_*_trained discipline. */
   val LmUniV = 96
   val LmBiB = 96
+  /** Training-sample modulus (the [[ClfSampleMod]] discipline): the LM
+    * fits on documents with `doc_id % LmSampleMod == 0` and serves
+    * corpus-wide — the CCNet posture (the reference LM never trains on
+    * the full target corpus), and the only posture whose training cost
+    * stays a fixed fraction at 100 TB. */
+  val LmSampleMod = 7
   /** Keep gate: mean quantized log-prob per token >= this (micro-nats).
     * The comparison is the exact BIGINT cross-multiplication
     * `qlog_sum >= n_tokens * thr` — no division crosses engines. */
@@ -387,7 +393,8 @@ object TextAnalysis {
     * unigram frequencies — no discounting, which is what makes every
     * probability an exact corpus-count ratio).
     *
-    * Distributed work is two partial-aggregated count passes — unigram
+    * Distributed work is two partial-aggregated count passes over the
+    * [[LmSampleMod]] doc_id-deterministic training sample — unigram
     * counts O(distinct tokens) (persisted: the total, top-V and context
     * probes all read it) and bigram counts O(distinct bigrams) — with
     * bounded TakeOrdered heads. Everything collected is a model
@@ -396,7 +403,9 @@ object TextAnalysis {
     * ratios, so identical data yields identical literal tables. */
   private[graft] def trainedLm(s: SparkSession, dir: String): LmModel = {
     def fit(): LmModel = {
-      val toks = withTokens(s, dir).select(col("doc_id"), col("tk"))
+      val toks = withTokens(s, dir)
+        .filter(col("doc_id") % lit(LmSampleMod) === 0)
+        .select(col("doc_id"), col("tk"))
       // explode_outer + null filter (not explode): no inferred
       // size(tk) > 0 predicate re-tokenizing inside the scan
       val uni = toks

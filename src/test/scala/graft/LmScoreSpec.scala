@@ -51,19 +51,23 @@ class LmScoreSpec extends AnyFunSuite {
     assert(m1 == m2)
   }
 
-  test("trained probabilities are the exact corpus count ratios") {
+  test("trained probabilities are exact count ratios over the training sample") {
     val dir = writeDocs(corpus)
     val m = TextAnalysis.trainedLm(spark, dir)
-    // corpus counts by hand: 20 fluent docs x 11 tokens + 4 noise x 3
-    val toks = corpus.flatMap(_.split(" ").filter(_.nonEmpty))
+    // training sees only doc_id % LmSampleMod == 0 (the CCNet posture:
+    // the reference LM never trains on the full target corpus)
+    val sampled = corpus.zipWithIndex
+      .collect { case (t, i) if i % TextAnalysis.LmSampleMod == 0 => t }
+    val toks = sampled.flatMap(_.split(" ").filter(_.nonEmpty))
     val n = toks.size.toLong
     val cThe = toks.count(_ == "the").toLong
+    val nFluent = sampled.count(_.startsWith("the cat")).toLong
     val uni = m.uniQ.toMap
     assert(uni("the") == math.floor(1e6 * math.log(cThe.toDouble / n)).toLong)
-    // bigram "the cat" occurs once per fluent doc; context "the" 3x per
+    // bigram "the cat" occurs once per sampled fluent doc
     val bi = m.biQ.map { case (p, c, q) => (p, c) -> q }.toMap
     assert(bi(("the", "cat")) ==
-      math.floor(1e6 * math.log(20.0 / cThe.toDouble)).toLong)
+      math.floor(1e6 * math.log(nFluent.toDouble / cThe.toDouble)).toLong)
     assert(m.unkQ == math.floor(1e6 * math.log(1.0 / (2.0 * n))).toLong)
     assert(m.backQ == math.floor(1e6 * math.log(0.4)).toLong)
   }
@@ -79,10 +83,13 @@ class LmScoreSpec extends AnyFunSuite {
   }
 
   test("out-of-table pairs take the backoff path, in-table pairs don't") {
-    // overflow both top-96 tables: 120 count-1 filler bigrams (240
-    // count-1 unigrams) that all sort BEFORE the zzz probe tokens, so
-    // the tie-break (count desc, text asc) provably excludes the probe
-    val filler = (0 until 120).map(i => f"aa$i%03d ab$i%03d")
+    // overflow both top-96 tables WITHIN the doc_id % 7 training
+    // sample: ~129 sampled count-1 filler bigrams (~258 count-1
+    // unigrams) that all sort BEFORE the zzz probe tokens, so the
+    // tie-break (count desc, text asc) provably excludes the probe;
+    // the probe doc itself sits at a sampled id (910 = 7*130), so its
+    // exclusion is the tie-break, not mere absence from the sample
+    val filler = (0 until 900).map(i => f"aa$i%03d ab$i%03d")
     val fluent = (0 until 10).map(_ => "the cat sat")
     val probe = "zzz1 zzz2 zzz3"
     val dir = writeDocs(fluent ++ filler :+ probe)
