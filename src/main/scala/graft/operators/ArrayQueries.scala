@@ -412,8 +412,16 @@ object ArrayQueries {
     * the (T·8) x 8 matrix whose row blocks are the daily fields, in ONE
     * partial-agg pass ([[graft.arrays.ChunkedArray.gramRows]] — SUMMA
     * chunk join + global decimal sum, no per-timestep materialization). */
+  /** The exact Gram relation, persisted (the Persists registry): six
+    * faces read it — arr_gram, arr_corrcoef's second moments, and the
+    * [[gramMatrix]] collect behind svd/pca/qr/lstsq — and at 100 TB
+    * the one pairwise-product pass over the corpus is the expensive
+    * step, so it must materialize once, not per face. */
+  private def gramRel(s: SparkSession, dir: String): DataFrame =
+    Persists.cached(eventsArray2dCached(s, dir).gramRows())
+
   def arrGram(s: SparkSession, dir: String): DataFrame =
-    eventsArray2dCached(s, dir).gramRows().orderBy("i", "j")
+    gramRel(s, dir).orderBy("i", "j")
 
   /** dask `da.linalg.svd(A)[1]` — the singular spectrum of the
     * timestep-stacked field: sigma_i = sqrt(eig_i(AᵀA)). The distributed
@@ -475,7 +483,7 @@ object ArrayQueries {
     * guarded to NULL before the ANSI divide). */
   def arrCorrcoef(s: SparkSession, dir: String): DataFrame = {
     val arr = eventsArray2dCached(s, dir)
-    val gram = arr.gramRows().withColumnRenamed("value", "sxy")
+    val gram = gramRel(s, dir).withColumnRenamed("value", "sxy")
     // per-column first moments: fold the user axis chunk-locally, then
     // one exact decimal rollup across timesteps (per-timestep sums are
     // exact 2-decimal doubles, so the decimal cast loses nothing)
