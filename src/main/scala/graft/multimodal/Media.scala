@@ -190,6 +190,66 @@ object Media {
     sb.toString
   }
 
+  /** Walsh-Hadamard hash bits of one payload — the frequency-structure
+    * perceptual hash (the wHash recipe: pHash's DCT swapped for the
+    * Walsh-Hadamard transform, whose ±1 basis keeps every coefficient
+    * an EXACT integer, so the hash replays bit-for-bit cross-engine
+    * with no cosine anywhere). The first 64·⌊n/64⌋ bytes form an 8×8
+    * thumbnail of equal-length segment sums (equal lengths, unlike
+    * [[ahashBits]]'s balanced split, so transform signs over sums equal
+    * signs over means); coef(u,v) = Σᵢⱼ (-1)^(pop(u&i)+pop(v&j))·S(i,j)
+    * is the 2-d WHT (H = Sylvester H₈, H[u][i] = (-1)^popcount(u&i));
+    * bit b is 1 iff AC coefficient b exceeds the MEDIAN of the 63 AC
+    * coefficients (classic wHash median binarization — balanced by
+    * construction). aHash thresholds brightness per cell; wHash
+    * thresholds coarse frequency structure, so the two catch different
+    * near-dup edits. Undersized payloads (n < 64) return "" — no
+    * thumbnail exists. 63-char '0'/'1' string, coefficient-(u,v)
+    * row-major ascending, DC skipped. */
+  private[graft] def whashBits(bytes: Array[Byte]): String = {
+    val n = bytes.length
+    val q = n / 64
+    if (q == 0) return ""
+    val s = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      var p = k * q
+      val end = p + q
+      var acc = 0L
+      while (p < end) { acc += (bytes(p) & 0xff).toLong; p += 1 }
+      s(k) = acc
+      k += 1
+    }
+    val coef = new Array[Long](64)
+    var u = 0
+    while (u < 64) {
+      val uu = u / 8
+      val vv = u % 8
+      var acc = 0L
+      var i = 0
+      while (i < 8) {
+        var j = 0
+        while (j < 8) {
+          val par = Integer.bitCount(uu & i) + Integer.bitCount(vv & j)
+          val v = s(i * 8 + j)
+          acc += (if ((par & 1) == 0) v else -v)
+          j += 1
+        }
+        i += 1
+      }
+      coef(u) = acc
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    val sorted = ac.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    val sb = new java.lang.StringBuilder(63)
+    var b = 0
+    while (b < 63) { sb.append(if (ac(b) > med) '1' else '0'); b += 1 }
+    sb.toString
+  }
+
   private def md5Hex(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     val sb = new java.lang.StringBuilder(32)
@@ -227,6 +287,33 @@ object Media {
       .orderBy("ahash", "rep_id")
   }
 
+  /** Frequency-structure near-dup groups for image-kind assets — the
+    * [[mmAhash]] dedup-map shape over [[whashBits]] (Walsh-Hadamard
+    * median-binarized bits instead of brightness-vs-mean bits): the
+    * second perceptual index a production image-dedup stack runs
+    * because the two hashes disagree on different edit classes
+    * (brightness shifts flip aHash cells but barely move the WHT
+    * spectrum's ordering; structural edits do the reverse). Undersized
+    * payloads (< 64 bytes — no 8×8 thumbnail) are excluded. Same scale
+    * posture: one narrow per-partition pass, O(distinct (whash, fp))
+    * shuffle, payload bytes never move. */
+  def mmWhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = fromDocuments(s, dir)
+      .filter(_.kind == "image")
+      .mapPartitions(_.map(m => (m.id, whashBits(m.bytes), md5Hex(m.bytes))))
+      .toDF("id", "whash", "fp")
+      .filter(length(col("whash")) > 0)
+    hashed
+      .groupBy("whash", "fp")
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("mid"))
+      .groupBy("whash")
+      .agg(sum(col("cnt")).as("n_assets"),
+        count(lit(1)).as("n_distinct"),
+        min(col("mid")).as("rep_id"))
+      .orderBy("whash", "rep_id")
+  }
+
   /** Oracle-checkable metadata extraction (no stubbed values). */
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -257,6 +344,50 @@ object Media {
       .orderBy("kind", "bucket")
 
   val oracles: Map[String, String] = Map(
+    // wHash replayed relationally: EXACT payload bytes via hex-pair
+    // parsing (not ascii(char) — byte-faithful beyond ASCII), 64
+    // equal-length q-byte segments over the first 64q bytes, the 2-d
+    // Walsh-Hadamard via the popcount sign rule, median binarization
+    // over the 63 AC coefficients — everything integer, so the hash
+    // string matches bit-for-bit
+    "mm_whash" ->
+      """WITH m AS (
+        |  SELECT doc_id, md5(text) AS fp, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |d2 AS (SELECT doc_id, fp, nb // 64 AS q, hx FROM m WHERE nb // 64 > 0),
+        |codes AS (
+        |  SELECT doc_id, fp, q, list_transform(range(0, q * 64),
+        |    p -> CAST((instr('0123456789ABCDEF', substring(hx, CAST(2*p+1 AS INT), 1)) - 1) * 16
+        |       + (instr('0123456789ABCDEF', substring(hx, CAST(2*p+2 AS INT), 1)) - 1) AS BIGINT)) AS cs
+        |  FROM d2),
+        |segs AS (
+        |  SELECT doc_id, fp, list_transform(range(0, 64),
+        |    k -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           cs[CAST(k * q + 1 AS INT):CAST((k + 1) * q AS INT)]),
+        |         (a, b) -> a + b)) AS sg
+        |  FROM codes),
+        |coefs AS (
+        |  SELECT doc_id, fp, list_transform(range(0, 64), u ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 64),
+        |      w -> CASE WHEN (bit_count(CAST((u // 8) & (w // 8) AS BIGINT))
+        |                    + bit_count(CAST((u % 8) & (w % 8) AS BIGINT))) % 2 = 0
+        |           THEN sg[CAST(w + 1 AS INT)] ELSE -sg[CAST(w + 1 AS INT)] END)),
+        |      (a, b) -> a + b)) AS cf
+        |  FROM segs),
+        |med AS (SELECT doc_id, fp, cf[2:64] AS ac,
+        |          list_sort(cf[2:64])[32] AS md FROM coefs),
+        |h AS (SELECT doc_id, fp,
+        |        list_reduce(list_prepend('', list_transform(ac,
+        |          x -> CASE WHEN x > md THEN '1' ELSE '0' END)),
+        |          (a, b) -> a || b) AS whash
+        |      FROM med),
+        |g AS (SELECT whash, fp, COUNT(*) AS cnt, MIN(doc_id) AS mid
+        |      FROM h GROUP BY 1, 2)
+        |SELECT whash, CAST(SUM(cnt) AS BIGINT) AS n_assets,
+        |  COUNT(*) AS n_distinct, CAST(MIN(mid) AS BIGINT) AS rep_id
+        |FROM g GROUP BY whash
+        |ORDER BY whash, rep_id""".stripMargin,
     "mm_bytes_hist" ->
       """WITH m AS (
         |  SELECT
@@ -382,5 +513,6 @@ object Media {
     "mm_dedup" -> (mmDedup _),
     "mm_bytes_hist" -> (mmBytesHist _),
     "mm_ahash" -> (mmAhash _),
+    "mm_whash" -> (mmWhash _),
   )
 }

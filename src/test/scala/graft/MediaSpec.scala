@@ -50,6 +50,71 @@ class MediaSpec extends AnyFunSuite {
     assert(bits(base) == bits(base))
   }
 
+  test("whashBits: matches an explicit-H8 reference, median-balanced, edges") {
+    def bits(s: String): String = Media.whashBits(s.getBytes("UTF-8"))
+    // independent reference: build Sylvester H8 explicitly and apply
+    // H·S·Hᵀ by matrix multiplication (different code path from the
+    // kernel's popcount sign rule)
+    def ref(payload: Array[Byte]): String = {
+      val n = payload.length
+      val q = n / 64
+      if (q == 0) return ""
+      val s = Array.tabulate(8, 8)((i, j) =>
+        (0 until q).map(t => (payload((i * 8 + j) * q + t) & 0xff).toLong).sum)
+      var h = Array(Array(1L))
+      while (h.length < 8) { // Sylvester doubling
+        val m = h.length
+        val nx = Array.ofDim[Long](2 * m, 2 * m)
+        for (i <- 0 until m; j <- 0 until m) {
+          nx(i)(j) = h(i)(j); nx(i)(j + m) = h(i)(j)
+          nx(i + m)(j) = h(i)(j); nx(i + m)(j + m) = -h(i)(j)
+        }
+        h = nx
+      }
+      val coef = Array.tabulate(8, 8)((u, v) =>
+        (for (i <- 0 until 8; j <- 0 until 8) yield h(u)(i) * s(i)(j) * h(v)(j)).sum)
+      val acFlat = coef.flatten.drop(1) // row-major, DC skipped
+      val med = acFlat.sorted.apply(31)
+      acFlat.map(x => if (x > med) '1' else '0').mkString
+    }
+    val payloads = Seq(
+      (0 until 640).map(i => ('a' + (i * 7 % 26)).toChar).mkString,
+      "a" * 128 + "z" * 128,
+      (0 until 200).map(i => ('0' + i % 10).toChar).mkString)
+    for (p <- payloads)
+      assert(bits(p) == ref(p.getBytes("UTF-8")), s"ref mismatch len ${p.length}")
+    // median binarization balances the hash: strictly-greater-than-median
+    // over 63 mostly-distinct values -> at most 31 ones
+    assert(bits(payloads.head).count(_ == '1') <= 31)
+    // undersized payloads have no 8x8 thumbnail
+    assert(bits("tiny") == "" && bits("") == "")
+    // tail bytes beyond 64*q are outside the thumbnail by construction
+    val base = "x" * 640
+    assert(bits(base + "EXTRA") == bits(base + "OTHER"))
+    // a global brightness shift (+1 every byte) lands entirely in the
+    // DC coefficient: the whole AC spectrum — and so the hash — is
+    // invariant (the edit class aHash also survives, but for a
+    // different reason: every segment mean moves with the global mean)
+    val rich = payloads.head.getBytes("UTF-8")
+    val shifted = rich.map(b => (b + 1).toByte)
+    assert(Media.whashBits(shifted) == Media.whashBits(rich))
+    // distinct rich structures produce distinct hashes
+    assert(bits(payloads.head) != bits(payloads(2)))
+  }
+
+  test("mm_whash groups image assets and excludes undersized payloads") {
+    val out = Media.mmWhash(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(0).length == 63)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    val eligible = Media.fromDocuments(spark, sf)
+      .filter(m => m.kind == "image" && m.nBytes >= 64).count()
+    assert(out.map(_.getLong(1)).sum == eligible,
+      "every >=64-byte image asset appears exactly once")
+  }
+
   test("mm_ahash groups image near-dups through the two-level aggregate") {
     val out = Media.mmAhash(spark, sf).collect()
     assert(out.nonEmpty)
