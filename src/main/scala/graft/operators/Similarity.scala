@@ -511,6 +511,52 @@ object Similarity {
     * per probe, never the corpus — at 100 TB the full-precision reads
     * are R point-lookups per query, the two-tier contract. Output is
     * the final exact-cosine top-5 (rank ties to the lower vec_id). */
+  /** Matryoshka tier-1 prefix width (of the 64 embedding dims). */
+  val MrlDims = 16
+  /** Matryoshka shortlist depth for the exact re-rank. */
+  val MrlR = 20
+
+  /** Matryoshka two-tier ANN (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning" — the truncation-based serving shape MRL
+    * embeddings are trained for, deployed by production retrieval
+    * stacks as adaptive retrieval): tier 1 scores EVERY vector with
+    * only the first [[MrlDims]] dimensions — ¼ of the flops, and in
+    * the production layout the prefix is a separately-stored column so
+    * the scan reads ¼ of the bytes too — then tier 2 re-ranks the
+    * [[MrlR]]-deep shortlist with the exact full-dimension cosine.
+    * The same two-tier latency/recall contract as [[simIvfpqRerank]]
+    * with truncation instead of quantization as the compression; the
+    * full-precision reads are R point lookups per probe (a broadcast
+    * semi-prune of the raw scan), never the corpus. Both tiers'
+    * cosines replay bit-exactly (dot / sqrt(n2·n2), the established
+    * spelling) and ties break on vec_id in both engines. */
+  def simMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("n2", norm2(col("emb")))
+      .withColumn("pre", slice(col("emb"), 1, MrlDims))
+      .withColumn("pren2", norm2(col("pre")))
+    val probes = e.filter(col("vec_id") < 5)
+    val t1 = e.join(broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("pre").as("qpre"), col("pren2").as("qpn2"))),
+        col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosineWithNorms(dot(col("qpre"), col("pre")),
+          col("qpn2"), col("pren2")).as("cos"))
+    val short = org.apache.spark.sql.graftexpr.TopKPerKey
+      .perKey(t1, Seq("probe_id"), Seq(("cos", false), ("vec_id", true)), MrlR)
+      .select(col("probe_id"), col("vec_id"))
+    val cands = e.select(col("vec_id"), col("emb"), col("n2"))
+      .join(broadcast(short), Seq("vec_id"))
+    val scored = cands.join(broadcast(probes.select(col("vec_id").as("pid"),
+        col("emb").as("qe"), col("n2").as("qn2"))),
+        col("probe_id") === col("pid"))
+      .select(col("probe_id"), col("vec_id"),
+        cosineWithNorms(dot(col("qe"), col("emb")),
+          col("qn2"), col("n2")).as("cos"))
+    rankTopK(scored, 5)
+  }
+
   def simIvfpqRerank(s: SparkSession, dir: String): DataFrame = {
     val (assigned, cents, codebook, e) = fixedIvfpqModel(s, dir)
     val short = ivfpqSearch(assigned, cents, codebook, RerankR)
@@ -1068,6 +1114,36 @@ object Similarity {
     "sim_pq_recall" -> recallOracleSql(pqOracle),
     "sim_ivfpq_ann" -> ivfpqOracle,
     "sim_ivfpq_rerank" -> ivfpqRerankOracle,
+    // both tiers replayed relationally: prefix-16 cosine shortlist
+    // (same dot/sqrt spelling, float->double casts inside the fold),
+    // exact full-dim re-rank, vec_id tie-breaks at both tiers
+    "sim_matryoshka" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, embedding[1:$MrlDims] AS pre
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, pre AS qpre, embedding AS qe
+         |      FROM e WHERE vec_id < 5),
+         |t1 AS (
+         |  SELECT probe_id, e.vec_id, ${Dedup.cosSql("qpre", "e.pre")} AS cos
+         |  FROM e CROSS JOIN p WHERE e.vec_id != probe_id),
+         |s1 AS (
+         |  SELECT probe_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos DESC, vec_id) AS rk
+         |  FROM t1),
+         |short AS (SELECT probe_id, vec_id FROM s1 WHERE rk <= $MrlR),
+         |sc AS (
+         |  SELECT short.probe_id, e.vec_id,
+         |    ${Dedup.cosSql("p2.qe", "e.embedding")} AS cos
+         |  FROM short JOIN e ON e.vec_id = short.vec_id
+         |  JOIN p p2 ON p2.probe_id = short.probe_id),
+         |r AS (
+         |  SELECT probe_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos DESC, vec_id) AS rk
+         |  FROM sc)
+         |SELECT probe_id, vec_id, cos, rk FROM r WHERE rk <= 5
+         |ORDER BY probe_id, rk""".stripMargin,
     "sim_ivfpq_recall" -> recallOracleSql(ivfpqOracle),
     "sim_lsh_ann" ->
       s"""WITH b AS (
@@ -1121,6 +1197,7 @@ object Similarity {
     "sim_pq_trained" -> (simPqTrained _),
     "sim_ivfpq_ann" -> (simIvfpqAnn _),
     "sim_ivfpq_rerank" -> (simIvfpqRerank _),
+    "sim_matryoshka" -> (simMatryoshka _),
     "sim_ivfpq_recall" -> (simIvfpqRecall _),
     "sim_ivfpq_trained" -> (simIvfpqTrained _),
     "sim_ivfpq_trained_recall" -> (simIvfpqTrainedRecall _),

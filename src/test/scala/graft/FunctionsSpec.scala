@@ -331,6 +331,52 @@ class FunctionsSpec extends AnyFunSuite {
       "rerank output shares no pair with the ADC top-5 — shortlist broken")
   }
 
+  test("similarity: matryoshka tier-1 shortlist is prefix-ranked, tier-2 exact") {
+    val vecs: Map[Long, IndexedSeq[Double]] = graft.sources.Tables
+      .load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    def fdot(a: Seq[Double], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      fdot(a, b) / math.sqrt(fdot(a, a) * fdot(b, b))
+    val mr = Similarity.simMatryoshka(spark, sf).collect()
+    assert(mr.nonEmpty)
+    // every emitted score is the exact FULL-dimension cosine, bit-exact
+    for (r <- mr) {
+      val exact = cos(vecs(r.getAs[Long]("probe_id")), vecs(r.getAs[Long]("vec_id")))
+      assert(java.lang.Double.doubleToRawLongBits(r.getAs[Double]("cos")) ==
+        java.lang.Double.doubleToRawLongBits(exact))
+    }
+    // the shortlist really is the PREFIX tier: recompute the tier-1
+    // top-R per probe from the first MrlDims dims driver-side; every
+    // emitted pair must be inside it
+    for ((p, rows) <- mr.groupBy(_.getAs[Long]("probe_id"))) {
+      val q = vecs(p).take(Similarity.MrlDims)
+      val short = vecs.keys.filter(_ != p).toSeq
+        .map(v => v -> cos(vecs(v).take(Similarity.MrlDims), q))
+        .sortBy { case (v, c) => (-c, v) }.take(Similarity.MrlR).map(_._1).toSet
+      rows.foreach(r => assert(short.contains(r.getAs[Long]("vec_id")),
+        s"probe $p: hit outside the prefix shortlist"))
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq ==
+        (1L to rows.length), s"probe $p ranks")
+    }
+    // recall floor vs the exact top-5: the synthetic embeddings are NOT
+    // matryoshka-trained (MRL trains the prefix to rank like the full
+    // vector; random prefixes only weakly correlate), so this pins the
+    // measured property of the fixed corpus (9/25) as a smoke floor,
+    // not a quality claim — the structural contracts above are the test
+    val exactTop = vecs.keys.filter(_ < 5).map { p =>
+      p -> vecs.keys.filter(_ != p).toSeq
+        .map(v => v -> cos(vecs(v), vecs(p)))
+        .sortBy { case (v, c) => (-c, v) }.take(5).map(_._1).toSet
+    }.toMap
+    val hits = mr.count(r =>
+      exactTop(r.getAs[Long]("probe_id")).contains(r.getAs[Long]("vec_id")))
+    assert(hits >= mr.length / 4, s"matryoshka recall $hits/${mr.length}")
+  }
+
   test("similarity: IVF centroid assignment is a narrow scan (no n*k explosion)") {
     val plan = Similarity.simIvfAnn(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),

@@ -44,6 +44,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // the rerank tier broadcasts the R x #probes ADC shortlist and the
     // <= 5 raw probes (both bounded by construction)
     "sim_ivfpq_rerank" -> Set("embeddings"),
+    // matryoshka: the R x #probes prefix-tier shortlist (TopKPerKey
+    // output, bounded by construction) and the <= 5 raw probes
+    "sim_matryoshka" -> Set("embeddings"),
     // trained twins: same <= 5 probe / collected-model broadcasts (the
     // k-means fit itself collects only O(k * dim) sums per iteration)
     "sim_ivfpq_trained" -> Set("embeddings"),
