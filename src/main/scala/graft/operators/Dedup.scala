@@ -515,8 +515,10 @@ object Dedup {
     * chunk hash (O(total chunks), map-side combinable), a hash-keyed
     * count join back, and a left join so chunkless (empty) documents
     * still report with a NULL fraction. */
-  def ddCdcCoverage(s: SparkSession, dir: String): DataFrame = {
-    val chunks = Tables.load(s, dir, "documents")
+  /** The (doc_id, ch, clen) chunk relation, persisted — the coverage
+    * face's two consumers and the cluster face all read it. */
+  private def cdcChunksRel(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         explode_outer(org.apache.spark.sql.graftexpr.TextExpressions
           .cdcChunks(col("text"))).as("chunk"))
@@ -524,6 +526,9 @@ object Dedup {
       .select(col("doc_id"), md5(col("chunk")).as("ch"),
         length(col("chunk")).cast("bigint").as("clen"))
       .cachedPersist()
+
+  def ddCdcCoverage(s: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunksRel(s, dir)
     val shared = chunks.groupBy("ch")
       .agg(count_distinct(col("doc_id")).as("nd"))
     val perDoc = chunks.hint("shuffle_hash").join(shared, "ch")
@@ -541,6 +546,45 @@ object Dedup {
           col("shared_cps").cast("double") / col("n_cps").cast("double"))
           .as("shared_frac"))
       .orderBy("doc_id")
+  }
+
+  /** Chunk-sharing near-dup clusters — the CDC family's cluster face,
+    * completing its map→coverage→cluster shape to match the minhash
+    * family: documents whose chunk mass is MOSTLY shared
+    * (`shared_cps·2 >= n_cps`, exact integer cross-multiplication)
+    * enter the graph, an edge links each such document to the minimum
+    * qualifying document of every chunk they share (a STAR per chunk —
+    * O(distinct (chunk, doc)) edges by construction, never the
+    * all-pairs m² a clique expansion would emit on an m-way-shared
+    * chunk), and connected components ([[connectedComponents]] pointer
+    * doubling, O(log diameter) rounds) label the clusters. A document
+    * that shares chunks but is mostly unique (boilerplate lines inside
+    * otherwise-distinct pages) stays out of the graph — the qualifying
+    * gate is what keeps "share a common footer" from merging the
+    * corpus into one cluster. Emits (cluster_id, n_members). */
+  def ddCdcCluster(s: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunksRel(s, dir)
+    val sh = chunks.groupBy("ch")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    val perDoc = chunks.hint("shuffle_hash").join(sh, "ch")
+      .groupBy("doc_id")
+      .agg(sum(col("clen")).as("n_cps"),
+        sum(when(col("nd") >= 2, col("clen")).otherwise(0L)).as("shared_cps"))
+    val nodes = perDoc
+      .filter(col("n_cps") > 0L && col("shared_cps") * 2 >= col("n_cps"))
+      .select("doc_id")
+    val de = chunks
+      .join(sh.filter(col("nd") >= 2), "ch")
+      .join(nodes.hint("shuffle_hash"), "doc_id")
+      .select("ch", "doc_id").distinct()
+    val mn = de.groupBy("ch").agg(min(col("doc_id")).as("mv"))
+    val edges = de.hint("shuffle_hash").join(mn, "ch")
+      .filter(col("doc_id") =!= col("mv"))
+      .select(col("mv").as("doc_a"), col("doc_id").as("doc_b")).distinct()
+    ccLabels(s, dir, "cdc", "documents")(edges)
+      .groupBy("lbl").agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("cluster_id"), col("n_members"))
+      .orderBy("cluster_id")
   }
 
   def ddSpanFrac(s: SparkSession, dir: String): DataFrame = {
@@ -1063,6 +1107,30 @@ object Dedup {
        |FROM documents dd LEFT JOIN pd ON dd.doc_id = pd.doc_id
        |ORDER BY dd.doc_id""".stripMargin
 
+  /** The dd_cdc_cluster oracle: the same qualifying gate, star edges
+    * and min-reachability components over the relational chunker. */
+  private def cdcClusterOracle: String =
+    s"""WITH RECURSIVE $cdcChunkCtes,
+       |cc0 AS (SELECT doc_id, md5(chunk) AS ch,
+       |          CAST(len(chunk) AS BIGINT) AS clen FROM chx),
+       |sh AS (SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM cc0 GROUP BY 1),
+       |pd AS (SELECT cc0.doc_id,
+       |         CAST(SUM(clen) AS BIGINT) AS n_cps,
+       |         CAST(SUM(CASE WHEN sh.nd >= 2 THEN clen ELSE 0 END)
+       |           AS BIGINT) AS shared_cps
+       |       FROM cc0 JOIN sh USING (ch) GROUP BY 1),
+       |nodes AS (SELECT doc_id FROM pd
+       |          WHERE n_cps > 0 AND shared_cps * 2 >= n_cps),
+       |de AS (SELECT DISTINCT cc0.ch, cc0.doc_id
+       |       FROM cc0 JOIN sh USING (ch) JOIN nodes USING (doc_id)
+       |       WHERE sh.nd >= 2),
+       |mn AS (SELECT ch, MIN(doc_id) AS mv FROM de GROUP BY 1),
+       |edges AS (SELECT DISTINCT mn.mv AS va, de.doc_id AS vb
+       |          FROM de JOIN mn USING (ch) WHERE de.doc_id != mn.mv),
+       |$ccCte
+       |SELECT cluster_id, COUNT(*) AS n_members FROM comp
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The minhash family's verified edges (va, vb) over `cand` + `d`
     * from [[lshCandCte]] — the oracle twin of the [[minhashLabels]]
     * edge derivation (jaccard >= 0.5). */
@@ -1094,6 +1162,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd_cdc_chunks" -> cdcChunksOracle,
     "dd_cdc_coverage" -> cdcCoverageOracle,
+    "dd_cdc_cluster" -> cdcClusterOracle,
     "dd_exact" ->
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
         |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
@@ -1320,6 +1389,7 @@ object Dedup {
     "dd_span_frac" -> (ddSpanFrac _),
     "dd_cdc_chunks" -> (ddCdcChunks _),
     "dd_cdc_coverage" -> (ddCdcCoverage _),
+    "dd_cdc_cluster" -> (ddCdcCluster _),
     "dd_embed_near" -> (ddEmbedNear _),
     "dd_embed_cluster" -> (ddEmbedCluster _),
     "dd_semantic_keep_one" -> (ddSemanticKeepOne _),

@@ -154,5 +154,34 @@ class CdcChunksSpec extends AnyFunSuite {
       .toMap
     (0 until 100).foreach(i => assert(cov(i.toLong) == 1.0, s"copy $i"))
     assert(cov(100L) == 0.0, "the unique doc shares nothing")
+    // and the cluster face resolves the copies into ONE cluster
+    val cl = graft.operators.Dedup.ddCdcCluster(spark, dir).collect()
+    assert(cl.length == 1 && cl.head.getLong(1) == 100L,
+      s"expected one 100-member cluster, got ${cl.toSeq}")
+  }
+
+  test("dd_cdc_cluster: the qualifying gate keeps boilerplate from merging") {
+    // two heavy near-dups (share a 1500-cp span = most of their mass)
+    // plus two mostly-unique docs that share only a short common
+    // boilerplate tail: the near-dups cluster, the others stay out
+    val span = synth(60, 1500)
+    val boiler = synth(61, 200)
+    val docs = Seq(
+      (0L, synth(62, 300) + span, "en", "a", 0L),
+      (1L, span + synth(63, 200), "en", "b", 0L),
+      (2L, synth(64, 2000) + boiler, "en", "c", 0L),
+      (3L, synth(65, 2200) + boiler, "en", "d", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdccl").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // sanity: the boilerplate docs really are mostly unique
+    val cov = graft.operators.Dedup.ddCdcCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(cov(0L) > 0.5 && cov(1L) > 0.5)
+    assert(cov(2L) < 0.5 && cov(3L) < 0.5,
+      s"boilerplate coverage ${cov(2L)} / ${cov(3L)}")
+    val cl = graft.operators.Dedup.ddCdcCluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(0L -> 2L), s"got $cl")
   }
 }
