@@ -562,29 +562,44 @@ object Dedup {
     * otherwise-distinct pages) stays out of the graph — the qualifying
     * gate is what keeps "share a common footer" from merging the
     * corpus into one cluster. Emits (cluster_id, n_members). */
-  def ddCdcCluster(s: SparkSession, dir: String): DataFrame = {
-    val chunks = cdcChunksRel(s, dir)
-    val sh = chunks.groupBy("ch")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-    val perDoc = chunks.hint("shuffle_hash").join(sh, "ch")
-      .groupBy("doc_id")
-      .agg(sum(col("clen")).as("n_cps"),
-        sum(when(col("nd") >= 2, col("clen")).otherwise(0L)).as("shared_cps"))
-    val nodes = perDoc
-      .filter(col("n_cps") > 0L && col("shared_cps") * 2 >= col("n_cps"))
-      .select("doc_id")
-    val de = chunks
-      .join(sh.filter(col("nd") >= 2), "ch")
-      .join(nodes.hint("shuffle_hash"), "doc_id")
-      .select("ch", "doc_id").distinct()
-    val mn = de.groupBy("ch").agg(min(col("doc_id")).as("mv"))
-    val edges = de.hint("shuffle_hash").join(mn, "ch")
-      .filter(col("doc_id") =!= col("mv"))
-      .select(col("mv").as("doc_a"), col("doc_id").as("doc_b")).distinct()
-    ccLabels(s, dir, "cdc", "documents")(edges)
+  private def cdcLabels(s: SparkSession, dir: String): DataFrame =
+    ccLabels(s, dir, "cdc", "documents") {
+      val chunks = cdcChunksRel(s, dir)
+      val sh = chunks.groupBy("ch")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+      val perDoc = chunks.hint("shuffle_hash").join(sh, "ch")
+        .groupBy("doc_id")
+        .agg(sum(col("clen")).as("n_cps"),
+          sum(when(col("nd") >= 2, col("clen")).otherwise(0L)).as("shared_cps"))
+      val nodes = perDoc
+        .filter(col("n_cps") > 0L && col("shared_cps") * 2 >= col("n_cps"))
+        .select("doc_id")
+      val de = chunks
+        .join(sh.filter(col("nd") >= 2), "ch")
+        .join(nodes.hint("shuffle_hash"), "doc_id")
+        .select("ch", "doc_id").distinct()
+      val mn = de.groupBy("ch").agg(min(col("doc_id")).as("mv"))
+      de.hint("shuffle_hash").join(mn, "ch")
+        .filter(col("doc_id") =!= col("mv"))
+        .select(col("mv").as("doc_a"), col("doc_id").as("doc_b")).distinct()
+    }
+
+  def ddCdcCluster(s: SparkSession, dir: String): DataFrame =
+    cdcLabels(s, dir)
       .groupBy("lbl").agg(count(lit(1)).as("n_members"))
       .select(col("lbl").as("cluster_id"), col("n_members"))
       .orderBy("cluster_id")
+
+  /** Keep-one over the chunk-sharing clusters — the [[ddKeepOne]]
+    * consumer shape on the CDC labels: drop every non-representative
+    * cluster member, report surviving volume per source. */
+  def ddCdcKeepOne(s: SparkSession, dir: String): DataFrame = {
+    val losers = cdcLabels(s, dir)
+      .filter(col("v") =!= col("lbl")).select(col("v"))
+    Tables.load(s, dir, "documents")
+      .join(losers.hint("shuffle_hash"), col("doc_id") === col("v"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
   }
 
   def ddSpanFrac(s: SparkSession, dir: String): DataFrame = {
@@ -1107,10 +1122,11 @@ object Dedup {
        |FROM documents dd LEFT JOIN pd ON dd.doc_id = pd.doc_id
        |ORDER BY dd.doc_id""".stripMargin
 
-  /** The dd_cdc_cluster oracle: the same qualifying gate, star edges
-    * and min-reachability components over the relational chunker. */
-  private def cdcClusterOracle: String =
-    s"""WITH RECURSIVE $cdcChunkCtes,
+  /** Qualifying gate + star edges over the relational chunker — the
+    * shared CTE chain of the dd_cdc_cluster / dd_cdc_keep_one
+    * oracles (to `edges(va, vb)`, ready for [[ccCte]]). */
+  private def cdcEdgeCtes: String =
+    s"""$cdcChunkCtes,
        |cc0 AS (SELECT doc_id, md5(chunk) AS ch,
        |          CAST(len(chunk) AS BIGINT) AS clen FROM chx),
        |sh AS (SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM cc0 GROUP BY 1),
@@ -1126,10 +1142,23 @@ object Dedup {
        |       WHERE sh.nd >= 2),
        |mn AS (SELECT ch, MIN(doc_id) AS mv FROM de GROUP BY 1),
        |edges AS (SELECT DISTINCT mn.mv AS va, de.doc_id AS vb
-       |          FROM de JOIN mn USING (ch) WHERE de.doc_id != mn.mv),
+       |          FROM de JOIN mn USING (ch) WHERE de.doc_id != mn.mv)""".stripMargin
+
+  /** The dd_cdc_cluster oracle: the same qualifying gate, star edges
+    * and min-reachability components over the relational chunker. */
+  private def cdcClusterOracle: String =
+    s"""WITH RECURSIVE $cdcEdgeCtes,
        |$ccCte
        |SELECT cluster_id, COUNT(*) AS n_members FROM comp
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def cdcKeepOneOracle: String =
+    s"""WITH RECURSIVE $cdcEdgeCtes,
+       |$ccCte,
+       |losers AS (SELECT v FROM comp WHERE v != cluster_id)
+       |SELECT source, COUNT(*) AS n_kept FROM documents
+       |WHERE doc_id NOT IN (SELECT v FROM losers)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   /** The minhash family's verified edges (va, vb) over `cand` + `d`
     * from [[lshCandCte]] — the oracle twin of the [[minhashLabels]]
@@ -1163,6 +1192,7 @@ object Dedup {
     "dd_cdc_chunks" -> cdcChunksOracle,
     "dd_cdc_coverage" -> cdcCoverageOracle,
     "dd_cdc_cluster" -> cdcClusterOracle,
+    "dd_cdc_keep_one" -> cdcKeepOneOracle,
     "dd_exact" ->
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
         |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
@@ -1390,6 +1420,7 @@ object Dedup {
     "dd_cdc_chunks" -> (ddCdcChunks _),
     "dd_cdc_coverage" -> (ddCdcCoverage _),
     "dd_cdc_cluster" -> (ddCdcCluster _),
+    "dd_cdc_keep_one" -> (ddCdcKeepOne _),
     "dd_embed_near" -> (ddEmbedNear _),
     "dd_embed_cluster" -> (ddEmbedCluster _),
     "dd_semantic_keep_one" -> (ddSemanticKeepOne _),

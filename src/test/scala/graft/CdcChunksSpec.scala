@@ -183,5 +183,10 @@ class CdcChunksSpec extends AnyFunSuite {
     val cl = graft.operators.Dedup.ddCdcCluster(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cl == Map(0L -> 2L), s"got $cl")
+    // keep-one: doc 1 (the non-representative near-dup) is dropped,
+    // the boilerplate docs survive untouched
+    val kept = graft.operators.Dedup.ddCdcKeepOne(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("a" -> 1L, "c" -> 1L, "d" -> 1L), s"got $kept")
   }
 }
