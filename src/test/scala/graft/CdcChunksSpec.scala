@@ -65,6 +65,23 @@ class CdcChunksSpec extends AnyFunSuite {
       assert(cs == refChunks(t), s"chunking of len ${t.length}")
   }
 
+  test("randomized incl. non-ASCII: kernel == reference, chunks partition") {
+    // seeded Random over a mixed-alphabet pool including 2-byte (é),
+    // 3-byte (中) and supplementary (emoji, a surrogate PAIR in UTF-16)
+    // codepoints — the chunker must index by CODEPOINT, exactly like
+    // the oracle's substring/unicode
+    val rnd = new scala.util.Random(8161016L)
+    val alphabet: IndexedSeq[String] =
+      ('a' to 'z').map(_.toString) ++ Seq(" ", "é", "ß", "中", "文", "😀")
+    for (trial <- 0 until 25) {
+      val n = rnd.nextInt(1200)
+      val t = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+      val Seq(cs) = chunksOf(t)
+      assert(cs == refChunks(t), s"trial $trial (len $n)")
+      assert(cs.mkString("") == t, s"trial $trial reconstruction")
+    }
+  }
+
   test("boundaries are local: a prefix edit leaves the shared tail's chunks") {
     val shared = synth(20, 2500)
     val a = synth(21, 300) + shared

@@ -123,6 +123,39 @@ class LmScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized: served scores equal the reference fold on 20 corpora") {
+    // seeded Random (the ArrayModelSpec discipline): zipf-ish repeated
+    // vocab + singleton junk + empty/whitespace/single-token edges, so
+    // table tie-breaks, backoff and unk paths are all hit in
+    // combinations no hand fixture covers; every comparison is ==
+    val rnd = new scala.util.Random(20260815L)
+    val pool = (0 until 150).map(i => s"w$i")
+    for (trial <- 0 until 20) {
+      val nDocs = 5 + rnd.nextInt(30)
+      val corpus = (0 until nDocs).map { _ =>
+        rnd.nextInt(10) match {
+          case 0 => ""
+          case 1 => "   "
+          case 2 => pool(rnd.nextInt(pool.size))
+          case _ =>
+            val n = 1 + rnd.nextInt(25)
+            (0 until n).map { _ =>
+              // zipf-ish: low indices dominate, plus fresh junk tokens
+              if (rnd.nextInt(5) == 0) s"junk${rnd.nextInt(100000)}"
+              else pool(math.min(rnd.nextInt(8) * rnd.nextInt(8), pool.size - 1))
+            }.mkString(" ")
+        }
+      }
+      val dir = writeDocs(corpus)
+      val m = TextAnalysis.trainedLm(spark, dir)
+      val got = TextAnalysis.txtLmScore(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = corpus.zipWithIndex
+        .map { case (t, i) => i.toLong -> refScore(m, t) }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("zero-token and single-token documents") {
     val dir = writeDocs(Seq("", "   ", "hello", "the cat"))
     val m = TextAnalysis.trainedLm(spark, dir)
