@@ -62,6 +62,7 @@ object SparkEntry {
     "ev_top_users" -> (Relational.evTopUsers _),
     "ev_json" -> (Relational.evJson _),
     "ev_asof_join" -> (Relational.evAsofJoin _),
+    "ev_asof_nearest" -> (Relational.evAsofNearest _),
     "ev_top_users_native" -> (Relational.evTopUsersNative _),
     "ev_anomaly" -> (Relational.evAnomaly _),
     "ev_markov" -> (Relational.evMarkov _),
@@ -660,5 +661,34 @@ object SparkEntry {
         |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
         |SELECT k % 10 AS k_bucket, COUNT(*) AS n_events, MAX(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // forward + nearest as-of replayed through the same union-interleave
+    // windows (equal-ts purchases join both directions; nearest decides
+    // on exact microsecond BIGINTs, ties backward)
+    "ev_asof_nearest" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |wi AS (
+        |  SELECT user_id, ts, event_id, isp,
+        |    MAX(CASE WHEN isp = 1 THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, isp DESC, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |    ) AS last_purchase_ts,
+        |    MIN(CASE WHEN isp = 1 THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, isp, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+        |    ) AS next_purchase_ts
+        |  FROM u)
+        |SELECT event_id, user_id, ts, last_purchase_ts, next_purchase_ts,
+        |  CASE
+        |    WHEN last_purchase_ts IS NULL THEN next_purchase_ts
+        |    WHEN next_purchase_ts IS NULL THEN last_purchase_ts
+        |    WHEN epoch_us(ts) - epoch_us(last_purchase_ts)
+        |       <= epoch_us(next_purchase_ts) - epoch_us(ts)
+        |      THEN last_purchase_ts
+        |    ELSE next_purchase_ts
+        |  END AS nearest_purchase_ts
+        |FROM wi WHERE isp = 0 ORDER BY event_id""".stripMargin,
   )
 }

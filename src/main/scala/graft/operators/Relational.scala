@@ -937,6 +937,47 @@ object Relational {
     * (user, time), no range-join pair explosion. Purchases sort before
     * errors at equal timestamps to match ASOF `>=` semantics (the DuckDB
     * oracle uses its native ASOF LEFT JOIN). */
+  /** Forward + nearest as-of lookups (pandas `merge_asof`
+    * direction='forward'/'nearest', both with exact matches allowed) —
+    * the two companions of [[evAsofJoin]]'s backward as-of, through the
+    * same union-interleave trick: one shuffle on user_id carries BOTH
+    * window passes (same partition key, two sort orders), the backward
+    * running max and the forward running min of purchase timestamps.
+    * At equal timestamps a purchase joins BOTH directions (exact
+    * matches: it precedes the error in the backward order and follows
+    * it in the forward order). `nearest` picks the closer side by
+    * exact microsecond arithmetic (BIGINT — no interval comparison
+    * crosses engines), ties to the backward side (the pandas rule).
+    * Same per-user window-width posture as ev_asof_join (SURVEY §4). */
+  def evAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val u = ev.filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("isp"))
+    val wB = Window.partitionBy("user_id")
+      .orderBy(asc("ts"), desc("isp"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("user_id")
+      .orderBy(asc("ts"), asc("isp"), asc("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withW = u
+      .withColumn("last_purchase_ts",
+        max(when(col("isp") === 1, col("ts"))).over(wB))
+      .withColumn("next_purchase_ts",
+        min(when(col("isp") === 1, col("ts"))).over(wF))
+    val tsU = unix_micros(col("ts"))
+    val lU = unix_micros(col("last_purchase_ts"))
+    val nU = unix_micros(col("next_purchase_ts"))
+    withW.filter(col("isp") === 0)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_purchase_ts"), col("next_purchase_ts"),
+        when(col("last_purchase_ts").isNull, col("next_purchase_ts"))
+          .when(col("next_purchase_ts").isNull, col("last_purchase_ts"))
+          .when(tsU - lU <= nU - tsU, col("last_purchase_ts"))
+          .otherwise(col("next_purchase_ts")).as("nearest_purchase_ts"))
+      .orderBy("event_id")
+  }
+
   def evAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
     val purch = ev.filter(col("event_type") === "purchase")

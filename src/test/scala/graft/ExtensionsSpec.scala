@@ -146,4 +146,39 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getTimestamp(3) == expected)
     }
   }
+
+  test("as-of nearest: directions, exact-ts matches, backward tie rule") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Relational.evAsofNearest(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val purchByUser = ev.filter(_._3 == "purchase")
+      .groupBy(_._1).map { case (u, ps) => u -> ps.map(_._2) }
+    out.foreach { r =>
+      val ts = r.getTimestamp(2)
+      val ps = purchByUser.getOrElse(r.getLong(1), Array.empty[java.sql.Timestamp])
+      // backward = latest at-or-before; forward = earliest at-or-after
+      val back = ps.filter(p => !p.after(ts)).sorted.lastOption
+      val fwd = ps.filter(p => !p.before(ts)).sorted.headOption
+      assert(Option(r.getTimestamp(3)) == back, s"backward at ${r.getLong(0)}")
+      assert(Option(r.getTimestamp(4)) == fwd, s"forward at ${r.getLong(0)}")
+      // nearest = closer side by micros; ties and equal-ts -> backward
+      val want = (back, fwd) match {
+        case (None, f) => f
+        case (b, None) => b
+        case (Some(b), Some(f)) =>
+          def us(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+          if (us(ts) - us(b) <= us(f) - us(ts)) Some(b) else Some(f)
+      }
+      assert(Option(r.getTimestamp(5)) == want, s"nearest at ${r.getLong(0)}")
+      // an exact-ts purchase must satisfy BOTH directions
+      if (ps.contains(ts)) {
+        assert(r.getTimestamp(3) == ts && r.getTimestamp(4) == ts)
+        assert(r.getTimestamp(5) == ts)
+      }
+    }
+  }
 }
