@@ -240,6 +240,191 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     copy(df = withCarry.select(col("timestep"), col("pos"), outData.as("data")))
   }
 
+  /** Cumulative product along `axis` for ANY rank (dask/numpy
+    * `cumprod(axis=)`) — [[cumsumAxis]]'s multiplicative twin on the
+    * same carry-window machinery: chunk-local per-line prefix products,
+    * then the cross-chunk carry (the elementwise PRODUCT of preceding
+    * chunks' line totals) through a window over per-chunk total vectors
+    * partitioned by the non-scanned grid dims — O(#chunks) rows of
+    * slab-sized vectors on the wire, never elements. Wide slabs switch
+    * to the posexplode one-window-expression layout exactly like
+    * cumsumAxis (bounded expression count at production chunk shapes).
+    *
+    * EXACTNESS CONTRACT (the [[axisProd]] story): double products are
+    * order-sensitive in general; the scan is exact — hence
+    * order-independent and replayable cross-engine — when the payload
+    * is integer-valued and every FULL line product stays below 2^53.
+    * The arr_cumprod query maps cells to 1..7 first for precisely that
+    * reason (7^8 < 2^53 on the 8-long axis lines); general float
+    * payloads are documented order-sensitive, like axisProd. No native
+    * decimal kernel here: a product of decimals overflows any fixed
+    * scale, so the small-integer contract IS the exact path. */
+  def cumprodAxis(axis: Int): ChunkedArray = {
+    require(axis >= 0 && axis < geom.dims, s"axis $axis out of range for rank ${geom.dims}")
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    val len = shape(axis)
+    val rem = shape.indices.filterNot(_ == axis)
+    val slabElems = geom.chunkElems / len
+    val slabStrides = rem.map(shape).scanRight(1)(_ * _).tail
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    def baseOf(s: Column): Column = rem.zip(slabStrides)
+      .map { case (j, ss) => (fdiv(s, ss) % shape(j)) * strides(j) }
+      .reduceOption[Column](_ + _).getOrElse(lit(0))
+    def slabOf(idx: Column): Column = rem.zip(slabStrides)
+      .map { case (j, ss) => (fdiv(idx, strides(j)) % shape(j)) * lit(ss) }
+      .reduceOption[Column](_ + _).getOrElse(lit(0))
+    // per-line prefix products: prefix(i) = Π line[0..i] — a left fold
+    // per prefix (O(len²) chunk-local flops on exact small operands;
+    // a native prefix kernel would slot in like PrefixSumDec if
+    // production lines grow long)
+    val lines = transform(sequence(lit(0), lit(slabElems - 1)), s => {
+      val line = transform(sequence(lit(0), lit(len - 1)), i =>
+        col("data")(baseOf(s) + i * strides(axis)).cast("double"))
+      transform(sequence(lit(1), lit(len)), k =>
+        aggregate(slice(line, lit(1), k), lit(1.0), _ * _))
+    })
+    val staged = df
+      .select(col("timestep"), col("pos"), lines.as("lines"))
+      .withColumn("tot", transform(col("lines"), l => element_at(l, len)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("timestep") +: rem.map(d => col("pos")(d)): _*)
+      .orderBy(col("pos")(axis))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val outData = transform(sequence(lit(0), lit(geom.chunkElems - 1)), idx => {
+      val s = slabOf(idx)
+      val i = fdiv(idx, strides(axis)) % len
+      (element_at(element_at(col("lines"), s + 1), i + 1) *
+        element_at(col("carry"), s + 1)).cast("double")
+    })
+    val withCarry =
+      if (slabElems <= MaxCarryWidth) {
+        val carry = array((0 until slabElems).map(s =>
+          coalesce(product(element_at(col("tot"), s + 1)).over(w), lit(1.0))): _*)
+        staged.withColumn("carry", carry)
+      } else {
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("timestep") +: rem.map(d => col("pos")(d)) :+ col("s"): _*)
+          .orderBy(col("pos")(axis))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val carries = staged
+          .select(col("timestep"), col("pos"), posexplode(col("tot")).as(Seq("s", "t")))
+          .withColumn("c", coalesce(product(col("t")).over(w2), lit(1.0)))
+          .groupBy("timestep", "pos")
+          .agg(transform(array_sort(collect_list(struct(col("s"), col("c")))),
+            e => e.getField("c")).as("carry"))
+        staged.join(carries.hint("shuffle_hash"), Seq("timestep", "pos"))
+      }
+    copy(df = withCarry.select(col("timestep"), col("pos"), outData.as("data")))
+  }
+
+  /** Broadcast to a NEW leading axis of extent `m` with leading chunk
+    * extent `mc` (numpy/dask `broadcast_to(a, (m,) + a.shape)`): every
+    * chunk row is emitted once per leading chunk position with the
+    * payload replicated across the leading chunk extent — a pure NARROW
+    * explode (plan: zero exchanges), the distributed analog of numpy's
+    * stride-0 view. At scale the copies never cross the wire: each
+    * task fans its resident chunks out in place, and a downstream
+    * reduce folds them chunk-locally before anything moves. */
+  def broadcastTo(m: Int, mc: Int): ChunkedArray = {
+    require(m >= 1 && mc >= 1 && m % mc == 0,
+      s"leading chunk extent $mc must tile the new axis extent $m")
+    val copies = m / mc
+    val df2 = df
+      .select(col("timestep"),
+        explode(sequence(lit(0), lit(copies - 1))).as("lead"),
+        col("pos"), col("data"))
+      .select(col("timestep"),
+        concat(array(col("lead")), col("pos")).as("pos"),
+        flatten(array_repeat(col("data"), mc)).as("data"))
+    ChunkedArray(df2, ArrayGeometry(copies +: geom.chunksPerDim, mc +: geom.chunkShape))
+  }
+
+  /** Tile `reps` copies along an EXISTING `axis` (numpy/dask `tile`):
+    * copy r's chunks re-address to grid position + r·chunksPerDim(axis)
+    * — pure metadata (one narrow explode rewrites `pos`, payloads are
+    * untouched and never move), zero exchanges. */
+  def tileAxis(axis: Int, reps: Int): ChunkedArray = {
+    require(axis >= 0 && axis < geom.dims, s"axis $axis out of range for rank ${geom.dims}")
+    require(reps >= 1, s"reps must be >= 1, got $reps")
+    val n = geom.chunksPerDim(axis)
+    val df2 = df
+      .select(col("timestep"),
+        explode(sequence(lit(0), lit(reps - 1))).as("r"),
+        col("pos"), col("data"))
+      .select(col("timestep"),
+        transform(col("pos"), (p, d) =>
+          when(d === lit(axis), p + col("r") * lit(n)).otherwise(p)).as("pos"),
+        col("data"))
+    ChunkedArray(df2, ArrayGeometry(geom.chunksPerDim.updated(axis, n * reps), geom.chunkShape))
+  }
+
+  /** Repeat each ELEMENT `k` times along `axis` (numpy/dask
+    * `repeat(a, k, axis=)`): the chunk grid is unchanged and each
+    * chunk's axis extent grows k× IN PLACE — new payload index reads
+    * `data[.. axis coord div k ..]`, a pure narrow gather (zero
+    * exchanges). Dtype-preserving. */
+  def repeatAxis(axis: Int, k: Int): ChunkedArray = {
+    require(axis >= 0 && axis < geom.dims, s"axis $axis out of range for rank ${geom.dims}")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    val newShape = shape.updated(axis, shape(axis) * k)
+    val newStrides = newShape.scanRight(1)(_ * _).tail
+    // truncating div == floor for the non-negative indices used here
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    val t = transform(sequence(lit(0), lit(newShape.product - 1)), idx =>
+      col("data")((0 until geom.dims).map { d =>
+        val c = fdiv(idx, newStrides(d)) % newShape(d)
+        val oc = if (d == axis) fdiv(c, k) else c
+        oc * strides(d)
+      }.reduce(_ + _)))
+    ChunkedArray(df.select(col("timestep"), col("pos"), t.as("data")),
+      ArrayGeometry(geom.chunksPerDim, newShape))
+  }
+
+  /** Per-line full sort along `axis` (dask/numpy `sort(a, axis=)`),
+    * emitted as the cell relation with the axis coordinate re-addressed
+    * to the value's per-line ASCENDING rank. A full sort is not
+    * associative, so a line cannot fold to an O(1) block per chunk (the
+    * arr_axis_median argument): the honest posture keys every cell by
+    * its (timestep, line) and ranks inside the line — ONE shuffle of
+    * O(cells) skinny rows, each window partition bounded by the axis
+    * extent (never a global sort, parallelism = the full line grid).
+    * Exact doubles sort deterministically cross-engine; equal values
+    * tie on the original coordinate (numpy's stable rule — for values
+    * the tie order is unobservable, for [[argsortAxisRows]] it is the
+    * contract). Returns `(timestep, i0.., value)` rows. */
+  def sortAxisRows(axis: Int): DataFrame = {
+    val (ranked, outCols) = rankedByLine(axis)
+    ranked.select(outCols :+ col("value"): _*)
+  }
+
+  /** Per-line `argsort` along `axis` (numpy `argsort`, stable): row k of
+    * a line holds the ORIGINAL axis coordinate of its k-th smallest
+    * value (ties keep original order). Same wire posture as
+    * [[sortAxisRows]]. Returns `(timestep, i0.., idx)` rows where the
+    * axis coordinate is the rank and `idx` the original coordinate. */
+  def argsortAxisRows(axis: Int): DataFrame = {
+    val (ranked, outCols) = rankedByLine(axis)
+    ranked.select(outCols :+ col(s"i$axis").as("idx"): _*)
+  }
+
+  /** Shared rank machinery for [[sortAxisRows]]/[[argsortAxisRows]]:
+    * cells ranked ascending inside their (timestep, non-axis coords)
+    * line, stable on the original axis coordinate. */
+  private def rankedByLine(axis: Int): (DataFrame, Seq[Column]) = {
+    require(axis >= 0 && axis < geom.dims, s"axis $axis out of range for rank ${geom.dims}")
+    val rem = (0 until geom.dims).filterNot(_ == axis)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("timestep") +: rem.map(d => col(s"i$d")): _*)
+      .orderBy(col("value"), col(s"i$axis"))
+    val ranked = rowsNd.withColumn("k", (row_number().over(w) - 1).cast("bigint"))
+    val outCols = col("timestep") +: (0 until geom.dims).map(d =>
+      if (d == axis) col("k").as(s"i$d") else col(s"i$d"))
+    (ranked, outCols)
+  }
+
   /** Axes permutation for ANY rank (dask/numpy `transpose(axes=perm)`):
     * new axis d is old axis `perm(d)`. Grid positions permute and each
     * chunk's payload is re-packed row-major for the new axis order — a

@@ -258,6 +258,77 @@ object TextExpressions {
   /** Column wrapper for [[HashWordNgrams]]. */
   def hashWordNgrams(text: Column, n: Int): Column =
     ExpressionUtils.column(HashWordNgrams(ExpressionUtils.expression(text), n))
+
+  /** Column wrapper for [[UnigramStats]]. */
+  def unigramStats(text: Column, pieces: Seq[(String, Long)],
+      maxLen: Int, unkQ: Long): Column =
+    ExpressionUtils.column(
+      UnigramStats(ExpressionUtils.expression(text), pieces, maxLen, unkQ))
+
+  /** SentencePiece-unigram Viterbi segmentation of ONE word over a
+    * quantized (micro-nat BIGINT) piece-score table: returns
+    * [pieceCount, qscoreSum]. The DP runs on CODEPOINTS (the BPE
+    * codepoint discipline — a UTF-16 split would tear supplementary
+    * characters into lone surrogates); unknown single codepoints score
+    * `unkQ`, so every word segments. Tie rule, fully specified so the
+    * driver reference and the kernel agree bit-for-bit: higher total
+    * score, then FEWER pieces, then the LONGER last piece. */
+  def spSegment(word: String, model: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int, unkQ: Long): Array[Long] = {
+    val cps = word.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return Array(0L, 0L)
+    val negI = java.lang.Long.MIN_VALUE / 4
+    val best = new Array[Long](n + 1)
+    val cnt = new Array[Int](n + 1)
+    val lastLen = new Array[Int](n + 1)
+    java.util.Arrays.fill(best, negI)
+    best(0) = 0
+    var i = 1
+    while (i <= n) {
+      var len = 1
+      val top = if (maxLen < i) maxLen else i
+      while (len <= top) {
+        val j = i - len
+        if (best(j) > negI) {
+          val piece = new String(cps, j, len)
+          var q = model.get(piece)
+          if (q == null && len == 1) q = java.lang.Long.valueOf(unkQ)
+          if (q != null) {
+            val cand = best(j) + q.longValue()
+            val cc = cnt(j) + 1
+            val better = cand > best(i) ||
+              (cand == best(i) && (cc < cnt(i) ||
+                (cc == cnt(i) && len > lastLen(i))))
+            if (better) { best(i) = cand; cnt(i) = cc; lastLen(i) = len }
+          }
+        }
+        len += 1
+      }
+      i += 1
+    }
+    Array(cnt(n).toLong, best(n))
+  }
+
+  /** Per-document unigram-tokenizer stats in ONE pass: tokenize exactly
+    * like [[ngramsEval]](n=1) (non-empty single-space pieces — the SQL
+    * twin's split), Viterbi-segment each word via [[spSegment]], return
+    * `[n_words, n_wcps, n_pieces, qsum]`. */
+  def spStatsEval(text: UTF8String, model: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int, unkQ: Long): ArrayData = {
+    val tk = tokenize(text)
+    var nw = 0L; var ncp = 0L; var np = 0L; var qs = 0L
+    var i = 0
+    while (i < tk.length) {
+      val w = tk(i)
+      val r = spSegment(w, model, maxLen, unkQ)
+      nw += 1
+      ncp += w.codePointCount(0, w.length)
+      np += r(0); qs += r(1)
+      i += 1
+    }
+    new GenericArrayData(Array(nw, ncp, np, qs))
+  }
 }
 
 /** `array<string>` of the text's word n-grams (see [[TextExpressions]]). */
@@ -316,6 +387,43 @@ case class HashWordNgrams(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.hashNgramsEval($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `[n_words, n_wcps, n_pieces, qsum]` of the SentencePiece-unigram
+  * Viterbi encode over a LITERAL trained piece table (see
+  * [[TextExpressions.spStatsEval]]): the production tokenizer-serving
+  * shape — the bounded model rides the plan as expression state (the
+  * [[TokenHitCount]] posture), every document folds in one narrow
+  * codegen'd pass, and word types are never enumerated (a word→count
+  * lookup map would be unbounded at 100 TB; the PIECE table is the
+  * bounded artifact). Integer micro-nat scores keep the DP exact and
+  * cross-engine replayable. */
+case class UnigramStats(child: Expression, pieces: Seq[(String, Long)],
+    maxLen: Int, unkQ: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sp_stats"
+
+  @transient private lazy val model: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    pieces.foreach { case (p, q) => m.put(p, java.lang.Long.valueOf(q)): Unit }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.spStatsEval(input.asInstanceOf[UTF8String], model, maxLen, unkQ)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("spModel", model, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.spStatsEval($c, $mRef, $maxLen, ${unkQ}L);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -271,12 +271,25 @@ object Media {
     * representative; a keep-one consumer filters n_assets >= 2. Output
     * is the dedup map: O(distinct buckets) rows, shuffle carries
     * O(distinct (ahash, fp)); payload bytes never move. */
-  def mmAhash(s: SparkSession, dir: String): DataFrame = {
+  /** The per-asset perceptual signature relation (id, fp, ahash, whash)
+    * from ONE decode-stub pass over the image assets, persisted (the
+    * signatureTable posture): four faces read it — both dedup maps
+    * ([[mmAhash]]/[[mmWhash]]) and the cluster/keep-one consumers — so
+    * the payload-touching pass runs once per session, and payload bytes
+    * never outlive it (only the 64/63-bit hash strings + the md5
+    * fingerprint leave the map task). */
+  private def perceptualRel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashed = fromDocuments(s, dir)
-      .filter(_.kind == "image")
-      .mapPartitions(_.map(m => (m.id, ahashBits(m.bytes), md5Hex(m.bytes))))
-      .toDF("id", "ahash", "fp")
+    graft.operators.Persists.cached(
+      fromDocuments(s, dir)
+        .filter(_.kind == "image")
+        .mapPartitions(_.map(m =>
+          (m.id, md5Hex(m.bytes), ahashBits(m.bytes), whashBits(m.bytes))))
+        .toDF("id", "fp", "ahash", "whash"))
+  }
+
+  def mmAhash(s: SparkSession, dir: String): DataFrame = {
+    val hashed = perceptualRel(s, dir)
     hashed
       .groupBy("ahash", "fp")
       .agg(count(lit(1)).as("cnt"), min(col("id")).as("mid"))
@@ -298,12 +311,7 @@ object Media {
     * posture: one narrow per-partition pass, O(distinct (whash, fp))
     * shuffle, payload bytes never move. */
   def mmWhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val hashed = fromDocuments(s, dir)
-      .filter(_.kind == "image")
-      .mapPartitions(_.map(m => (m.id, whashBits(m.bytes), md5Hex(m.bytes))))
-      .toDF("id", "whash", "fp")
-      .filter(length(col("whash")) > 0)
+    val hashed = perceptualRel(s, dir).filter(length(col("whash")) > 0)
     hashed
       .groupBy("whash", "fp")
       .agg(count(lit(1)).as("cnt"), min(col("id")).as("mid"))
@@ -312,6 +320,64 @@ object Media {
         count(lit(1)).as("n_distinct"),
         min(col("mid")).as("rep_id"))
       .orderBy("whash", "rep_id")
+  }
+
+  /** Star edges of one perceptual bucketing: every member of a >= 2
+    * bucket links to the bucket's min id — O(members-in-dup-buckets)
+    * edges by construction, never the m² clique (the dd_cdc_cluster
+    * posture). `members` carries (id, <key>). */
+  private def starEdges(members: DataFrame, key: String): DataFrame = {
+    val mn = members.groupBy(key)
+      .agg(min(col("id")).as("mv"), count(lit(1)).as("n"))
+    members.hint("shuffle_hash").join(mn.filter(col("n") >= 2), Seq(key))
+      .filter(col("id") =!= col("mv"))
+      .select(col("mv").as("va"), col("id").as("vb"))
+  }
+
+  /** Connected-component labels over the UNION of the aHash and wHash
+    * near-dup bucket graphs ([[graft.operators.Dedup.ccLabels]] — the
+    * pointer-doubled loop, fingerprint-memoized so the cluster and
+    * keep-one faces run it once): the two hashes catch different edit
+    * classes (brightness shifts vs structural edits), so production
+    * image dedup unions their evidence before resolving groups —
+    * exactly the dd_cluster shape at the multimodal face. */
+  private def perceptualLabels(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.ccLabels(s, dir, "mm_perceptual", "documents") {
+      val rel = perceptualRel(s, dir)
+      starEdges(rel.select("id", "ahash"), "ahash")
+        .unionByName(starEdges(
+          rel.filter(length(col("whash")) > 0).select("id", "whash"), "whash"))
+        .distinct()
+    }
+
+  /** Perceptual near-dup clusters across BOTH hash maps — the
+    * multimodal twin of dd_cluster, completing the §2.G family's
+    * symmetry with the dedup chain (map → cluster → keep-one): one row
+    * per connected component of the ahash ∪ whash bucket graph, labeled
+    * by its min asset id. Scale: edges are O(members in >=2 buckets)
+    * stars, the CC loop is O(log diameter) rounds over the edge
+    * relation, and nothing payload-sized ever enters the graph. */
+  def mmNearCluster(s: SparkSession, dir: String): DataFrame =
+    perceptualLabels(s, dir)
+      .groupBy("lbl").agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("cluster_id"), col("n_members"))
+      .orderBy("cluster_id")
+
+  /** Keep-one over the perceptual clusters — the [[mmNearCluster]]
+    * consumer face (dd_keep_one's multimodal twin): every
+    * non-representative cluster member drops via a left-anti join on
+    * the loser set (O(assets-in-dup-buckets), shuffle-hash on id);
+    * survivors and their payload bytes report per modality (non-image
+    * kinds pass through untouched — the perceptual maps only cover
+    * images). */
+  def mmKeepOne(s: SparkSession, dir: String): DataFrame = {
+    val losers = perceptualLabels(s, dir)
+      .filter(col("v") =!= col("lbl")).select(col("v"))
+    fromDocuments(s, dir).toDF()
+      .join(losers.hint("shuffle_hash"), col("id") === col("v"), "left_anti")
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_kept"), sum(col("nBytes")).as("kept_bytes"))
+      .orderBy("kind")
   }
 
   /** Oracle-checkable metadata extraction (no stubbed values). */
@@ -343,7 +409,94 @@ object Media {
         sum(col("nBytes")).as("total_bytes"))
       .orderBy("kind", "bucket")
 
+  /** Member-level perceptual CTEs for the cluster/keep-one oracles:
+    * `ahashed(doc_id, ahash)` and `whashed(doc_id, whash)` — the
+    * mm_ahash / mm_whash replay chains with prefixed CTE names so both
+    * live in one WITH — plus the star-edge union `edges(va, vb)` (per
+    * >=2 bucket: every member links to the bucket min, the Spark side's
+    * exact construction). */
+  private val PM_MEMBER_CTES: String =
+    """pm AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |apos AS (
+      |  SELECT doc_id, CAST((p * 64) // n AS INT) AS k,
+      |    CAST((instr('0123456789ABCDEF', substring(hx, CAST(2*p+1 AS INT), 1)) - 1) * 16
+      |       + (instr('0123456789ABCDEF', substring(hx, CAST(2*p+2 AS INT), 1)) - 1) AS BIGINT) AS v
+      |  FROM (SELECT doc_id, n, hx, unnest(range(0, n)) AS p FROM pm)),
+      |asegs AS (SELECT doc_id, k, SUM(v) AS ssum, COUNT(*) AS slen
+      |          FROM apos GROUP BY 1, 2),
+      |atot AS (SELECT doc_id, SUM(ssum) AS total FROM asegs GROUP BY 1),
+      |abits AS (
+      |  SELECT d.doc_id, kk.k,
+      |    CASE WHEN COALESCE(s.ssum, 0) * d.n
+      |           > COALESCE(t.total, 0) * COALESCE(s.slen, 0)
+      |         THEN '1' ELSE '0' END AS b
+      |  FROM pm d
+      |  CROSS JOIN (SELECT unnest(range(64)) AS k) kk
+      |  LEFT JOIN asegs s ON s.doc_id = d.doc_id AND s.k = kk.k
+      |  LEFT JOIN atot t ON t.doc_id = d.doc_id),
+      |ahashed AS (
+      |  SELECT doc_id, string_agg(b, '' ORDER BY k) AS ahash
+      |  FROM abits GROUP BY 1),
+      |wd2 AS (SELECT doc_id, n // 64 AS q, hx FROM pm WHERE n // 64 > 0),
+      |wcodes AS (
+      |  SELECT doc_id, q, list_transform(range(0, q * 64),
+      |    p -> CAST((instr('0123456789ABCDEF', substring(hx, CAST(2*p+1 AS INT), 1)) - 1) * 16
+      |       + (instr('0123456789ABCDEF', substring(hx, CAST(2*p+2 AS INT), 1)) - 1) AS BIGINT)) AS cs
+      |  FROM wd2),
+      |wsegs AS (
+      |  SELECT doc_id, list_transform(range(0, 64),
+      |    k -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           cs[CAST(k * q + 1 AS INT):CAST((k + 1) * q AS INT)]),
+      |         (a, b) -> a + b)) AS sg
+      |  FROM wcodes),
+      |wcoefs AS (
+      |  SELECT doc_id, list_transform(range(0, 64), u ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 64),
+      |      w -> CASE WHEN (bit_count(CAST((u // 8) & (w // 8) AS BIGINT))
+      |                    + bit_count(CAST((u % 8) & (w % 8) AS BIGINT))) % 2 = 0
+      |           THEN sg[CAST(w + 1 AS INT)] ELSE -sg[CAST(w + 1 AS INT)] END)),
+      |      (a, b) -> a + b)) AS cf
+      |  FROM wsegs),
+      |wmed AS (SELECT doc_id, cf[2:64] AS ac,
+      |           list_sort(cf[2:64])[32] AS md FROM wcoefs),
+      |whashed AS (SELECT doc_id,
+      |        list_reduce(list_prepend('', list_transform(ac,
+      |          x -> CASE WHEN x > md THEN '1' ELSE '0' END)),
+      |          (a, b) -> a || b) AS whash
+      |      FROM wmed),
+      |amin AS (SELECT ahash, MIN(doc_id) AS mv, COUNT(*) AS c
+      |         FROM ahashed GROUP BY 1),
+      |aedges AS (
+      |  SELECT a.mv AS va, h.doc_id AS vb
+      |  FROM ahashed h JOIN amin a USING (ahash)
+      |  WHERE a.c >= 2 AND h.doc_id != a.mv),
+      |wmin AS (SELECT whash, MIN(doc_id) AS mv, COUNT(*) AS c
+      |         FROM whashed GROUP BY 1),
+      |wedges AS (
+      |  SELECT w.mv AS va, h.doc_id AS vb
+      |  FROM whashed h JOIN wmin w USING (whash)
+      |  WHERE w.c >= 2 AND h.doc_id != w.mv),
+      |edges AS (SELECT va, vb FROM aedges UNION SELECT va, vb FROM wedges)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "mm_near_cluster" ->
+      s"""WITH RECURSIVE $PM_MEMBER_CTES,
+         |${graft.operators.Dedup.ccCte}
+         |SELECT cluster_id, COUNT(*) AS n_members FROM comp
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mm_keep_one" ->
+      s"""WITH RECURSIVE $PM_MEMBER_CTES,
+         |${graft.operators.Dedup.ccCte},
+         |losers AS (SELECT v FROM comp WHERE v != cluster_id)
+         |SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  COUNT(*) AS n_kept,
+         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS kept_bytes
+         |FROM documents WHERE doc_id NOT IN (SELECT v FROM losers)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // wHash replayed relationally: EXACT payload bytes via hex-pair
     // parsing (not ascii(char) — byte-faithful beyond ASCII), 64
     // equal-length q-byte segments over the first 64q bytes, the 2-d
@@ -453,20 +606,22 @@ object Media {
         |                                        i -> codes[i])), 0) AS BIGINT)
         |    AS resized_checksum
         |FROM m ORDER BY id""".stripMargin,
-    // replay the aHash byte math over the all-ASCII codes: position p in
-    // segment (p*64)//n, bit k = seg_sum*n > total*seg_len (exact BIGINT
-    // cross-multiply), empty segments read 0 via the 64-row scaffold
+    // replay the aHash byte math over EXACT payload bytes (hex-pair
+    // parsing of encode(text), the mm_whash extraction — byte-faithful
+    // beyond ASCII, ADVICE r16): position p in segment (p*64)//n, bit
+    // k = seg_sum*n > total*seg_len (exact BIGINT cross-multiply),
+    // empty segments read 0 via the 64-row scaffold
     "mm_ahash" ->
       """WITH m AS (
-        |  SELECT doc_id, md5(text) AS fp,
-        |    list_transform(regexp_extract_all(text, '(?s).'),
-        |                   c -> ascii(c)) AS codes
+        |  SELECT doc_id, md5(text) AS fp, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
         |  FROM documents WHERE doc_id % 3 = 0),
-        |docs AS (SELECT doc_id, fp, len(codes) AS n, codes FROM m),
+        |docs AS (SELECT doc_id, fp, n FROM m),
         |pos AS (
         |  SELECT doc_id, CAST((p * 64) // n AS INT) AS k,
-        |    codes[CAST(p + 1 AS INT)] AS v
-        |  FROM (SELECT doc_id, n, codes, unnest(range(0, n)) AS p FROM docs)),
+        |    CAST((instr('0123456789ABCDEF', substring(hx, CAST(2*p+1 AS INT), 1)) - 1) * 16
+        |       + (instr('0123456789ABCDEF', substring(hx, CAST(2*p+2 AS INT), 1)) - 1) AS BIGINT) AS v
+        |  FROM (SELECT doc_id, n, hx, unnest(range(0, n)) AS p FROM m)),
         |segs AS (SELECT doc_id, k, SUM(v) AS ssum, COUNT(*) AS slen
         |         FROM pos GROUP BY 1, 2),
         |tot AS (SELECT doc_id, SUM(ssum) AS total FROM segs GROUP BY 1),
@@ -514,5 +669,7 @@ object Media {
     "mm_bytes_hist" -> (mmBytesHist _),
     "mm_ahash" -> (mmAhash _),
     "mm_whash" -> (mmWhash _),
+    "mm_near_cluster" -> (mmNearCluster _),
+    "mm_keep_one" -> (mmKeepOne _),
   )
 }

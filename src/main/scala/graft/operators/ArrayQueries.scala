@@ -100,12 +100,21 @@ object ArrayQueries {
       .foreach(k => cache.remove(k).foreach(_.df.unpersist(blocking = true)))
     auxCache.keys.filter(k => s == null || k._1 == s).toSeq
       .foreach(k => auxCache.remove(k).foreach(_.unpersist(blocking = true)))
-    // the k x k Gram artifact (and the fits/moments derived from it)
-    // derive from the released relations — drop them together so a
-    // data refresh can't serve a stale model
+    // the persisted Gram RELATION lives in the Persists registry — if it
+    // survived release, a re-run would re-canonicalize to the same plan
+    // and Persists.cached would hand back the stale materialized blocks,
+    // so the "next request rebuilds from source" contract needs the
+    // registry dropped together with the chunk memos (ADVICE r16)
+    if (s == null) Persists.releaseAll() else Persists.release(s)
+    // every k x k model artifact (and the fits/moments/factorizations
+    // derived from it) derives from the released relations — drop them
+    // together so a data refresh can't serve a stale model
     gramByDir.clear()
     momentsByDir.clear()
     lstsqByDir.clear()
+    svdByDir.clear()
+    pcaByDir.clear()
+    qrByDir.clear()
   }
 
   def eventsArray1d(s: SparkSession, dir: String, filter: Column = lit(true)): ChunkedArray =
@@ -970,6 +979,78 @@ object ArrayQueries {
     a.weightedMeanPerTimestep(w).orderBy("timestep")
   }
 
+  /** dask `cumprod(axis=1)` on the 2-d array — [[graft.arrays.ChunkedArray.cumprodAxis]],
+    * cumsum's multiplicative twin on the same carry-window machinery.
+    * Exactness (the arr_axis_prod story): cells collapse chunk-locally
+    * to small integers 1..7, so every 8-long line product stays below
+    * 2^53 — the double scan is EXACT, order-independent, and DuckDB's
+    * windowed `product` aggregate replays it. */
+  def arrCumprod(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir)
+      .mapValues(x => pmod(floor(x).cast("bigint"), lit(7)) + lit(1))
+      .cumprodAxis(axis = 1).rows2d
+      .orderBy("timestep", "i", "j")
+
+  /** dask/numpy `sort(a, axis=1)` — per-line full sort along the hour
+    * axis ([[graft.arrays.ChunkedArray.sortAxisRows]]): a full sort is
+    * not associative (the arr_axis_median argument), so the honest
+    * posture keys cells by their line and ranks inside it — one
+    * O(cells) skinny shuffle, window partitions bounded by the axis
+    * extent, never a global sort. Exact doubles sort deterministically
+    * cross-engine; ties keep original order (numpy stable). */
+  def arrSortAxis(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir).sortAxisRows(axis = 1)
+      .withColumnsRenamed(Map("i0" -> "i", "i1" -> "j"))
+      .orderBy("timestep", "i", "j")
+
+  /** numpy `argsort(a, axis=1)` (stable) — [[arrSortAxis]]'s index
+    * face ([[graft.arrays.ChunkedArray.argsortAxisRows]]): rank k of a
+    * line holds the ORIGINAL hour coordinate of its k-th smallest
+    * value, ties in original order — the tie rule is the observable
+    * contract here, replayed by the oracle's (value, coord) ordering. */
+  def arrArgsort(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir).argsortAxisRows(axis = 1)
+      .withColumnsRenamed(Map("i0" -> "i", "i1" -> "j"))
+      .orderBy("timestep", "i", "j")
+
+  /** numpy/dask `broadcast_to(a, (4,) + a.shape)` — a new leading axis
+    * by pure NARROW replication ([[graft.arrays.ChunkedArray.broadcastTo]],
+    * the stride-0-view analog; plan-gated exchange-free in
+    * ChunkedArraySpec). The reduce is placement-sensitive: per (timestep,
+    * lead) the exact decimal total AND the position-weighted decimal
+    * checksum Σ cell·(idx+1) — a misplaced copy shifts the weights. */
+  def arrBroadcastTo(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).broadcastTo(4, 2).rowsNd
+      .groupBy(col("timestep"), col("i0").as("lead"))
+      .agg(sum(dec2(col("value"))).cast("double").as("total"),
+        sum(dec2(col("value")) * (col("i1") + lit(1L))).cast("double").as("wsum"))
+      .orderBy("timestep", "lead")
+
+  /** numpy/dask `tile(a, 2)` along the existing axis — pure metadata
+    * re-addressing ([[graft.arrays.ChunkedArray.tileAxis]]: copy r's
+    * chunks shift by r·chunksPerDim, payloads never move; plan-gated
+    * exchange-free). The position-weighted checksum over the 128-long
+    * tiled index space gates every copy's placement. */
+  def arrTile(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).tileAxis(axis = 0, reps = 2).rowsNd
+      .groupBy("timestep")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(dec2(col("value")) * (col("i0") + lit(1L))).cast("double").as("wsum"))
+      .orderBy("timestep")
+
+  /** numpy/dask `repeat(a, 3)` — each ELEMENT repeated 3× in place
+    * ([[graft.arrays.ChunkedArray.repeatAxis]]: the chunk's axis extent
+    * grows k× by a narrow gather `data[coord div k]`, zero exchanges;
+    * plan-gated). Checksum over the 192-long index space gates the
+    * element-level interleaving (tile would put copies at +64/+128,
+    * repeat puts them adjacent — the weights tell them apart). */
+  def arrRepeat(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).repeatAxis(axis = 0, k = 3).rowsNd
+      .groupBy("timestep")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(dec2(col("value")) * (col("i0") + lit(1L))).cast("double").as("wsum"))
+      .orderBy("timestep")
+
   // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
 
   private val CELLS_1D =
@@ -1566,6 +1647,74 @@ object ArrayQueries {
          |  product(CAST(((CAST(floor(cell) AS BIGINT) % 7) + 7) % 7 + 1
          |    AS DOUBLE)) AS value
          |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the running product over each (timestep, u) line in hour order —
+    // the windowed `product` aggregate replays the exact small-integer
+    // scan (pmod cells 1..7, line product <= 7^8 < 2^53)
+    "arr_cumprod" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS i,
+         |  CAST(h AS BIGINT) AS j,
+         |  product(CAST(((CAST(floor(cell) AS BIGINT) % 7) + 7) % 7 + 1
+         |    AS DOUBLE))
+         |    OVER (PARTITION BY timestep, u ORDER BY h) AS value
+         |FROM cells ORDER BY 1, 2, 3""".stripMargin,
+    // per-line ascending rank re-addresses the hour coordinate; exact
+    // doubles order identically cross-engine, ties keep original order
+    "arr_sort_axis" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS i,
+         |  CAST(row_number()
+         |    OVER (PARTITION BY timestep, u ORDER BY cell, h) - 1 AS BIGINT) AS j,
+         |  cell AS value
+         |FROM cells ORDER BY 1, 2, 3""".stripMargin,
+    "arr_argsort" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS i,
+         |  CAST(row_number()
+         |    OVER (PARTITION BY timestep, u ORDER BY cell, h) - 1 AS BIGINT) AS j,
+         |  CAST(h AS BIGINT) AS idx
+         |FROM cells ORDER BY 1, 2, 3""".stripMargin,
+    // lead copies replicate the dense 1-d cells; the position-weighted
+    // exact-decimal checksum gates each copy's placement
+    "arr_broadcast_to" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |b AS (SELECT timestep, l.lead, u, cell
+         |      FROM dense CROSS JOIN (SELECT unnest(range(4)) AS lead) l)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(lead AS BIGINT) AS lead,
+         |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  CAST(SUM(CAST(cell AS DECIMAL(18,2)) * (u + 1)) AS DOUBLE) AS wsum
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // copy r of cell u lands at global index r*64 + u
+    "arr_tile" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |t AS (SELECT timestep, rr.r * 64 + u AS gi, cell
+         |      FROM dense CROSS JOIN (SELECT unnest(range(2)) AS r) rr)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, COUNT(*) AS n_cells,
+         |  CAST(SUM(CAST(cell AS DECIMAL(18,2)) * (gi + 1)) AS DOUBLE) AS wsum
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // element u's copies land adjacent at 3u, 3u+1, 3u+2
+    "arr_repeat" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |t AS (SELECT timestep, u * 3 + kk.k AS gi, cell
+         |      FROM dense CROSS JOIN (SELECT unnest(range(3)) AS k) kk)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, COUNT(*) AS n_cells,
+         |  CAST(SUM(CAST(cell AS DECIMAL(18,2)) * (gi + 1)) AS DOUBLE) AS wsum
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // mirrored edges (numpy 'reflect': index -1 reads +1); the operand
     // association (w1*vp + w2*v) + w3*vn matches the Spark fold exactly
     // and the power-of-two weights make every product exact
@@ -1967,6 +2116,12 @@ object ArrayQueries {
     "arr_stack_axis" -> (arrStackAxis _),
     "arr_any_all" -> (arrAnyAll _),
     "arr_axis_prod" -> (arrAxisProd _),
+    "arr_cumprod" -> (arrCumprod _),
+    "arr_sort_axis" -> (arrSortAxis _),
+    "arr_argsort" -> (arrArgsort _),
+    "arr_broadcast_to" -> (arrBroadcastTo _),
+    "arr_tile" -> (arrTile _),
+    "arr_repeat" -> (arrRepeat _),
     "arr_stencil_avg" -> (arrStencilAvg _),
     "arr_gradient" -> (arrGradient _),
     "arr_zip_mismatch" -> (arrZipMismatch _),

@@ -602,6 +602,97 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** The (doc_id, line_no, lh, llen) normalized-line relation feeding
+    * both line-dedup faces, persisted (one split pass serves the
+    * occurrence counts and the per-doc join-back). Normalization is the
+    * C4 recipe's core: split on newlines, trim surrounding spaces, drop
+    * blank lines. The md5 line identity is computed BEFORE any exchange
+    * — line text never shuffles (the [[ddCdcChunks]] posture); line_no
+    * is the 0-based index among the document's RAW split lines, so the
+    * keep-first representative is well-defined against the original
+    * layout. posexplode_outer keeps Catalyst from inferring a size>0
+    * scan filter with the split subtree inlined (SURVEY §4). */
+  private[graft] def lineRelOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode_outer(split(col("text"), "\n")).as(Seq("line_no", "line")))
+      .select(col("doc_id"), col("line_no").cast("bigint").as("line_no"),
+        trim(col("line")).as("ln"))
+      .filter(length(col("ln")) > 0)
+      .select(col("doc_id"), col("line_no"), md5(col("ln")).as("lh"),
+        length(col("ln")).cast("bigint").as("llen"))
+
+  private def lineRel(s: SparkSession, dir: String): DataFrame =
+    lineRelOf(Tables.load(s, dir, "documents")).cachedPersist()
+
+  /** The O(distinct lines) occurrence relation over a normalized-line
+    * relation — the line-dedup family's only corpus-keyed shuffle
+    * (map-side combinable; ScaleStressSpec asserts its row bound under
+    * 100× duplication). */
+  private[graft] def lineOccurrences(lines: DataFrame): DataFrame =
+    lines.groupBy("lh")
+      .agg(count(lit(1)).as("n_occ"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("llen")).as("llen"),
+        min(struct(col("doc_id"), col("line_no"))).as("keep"))
+
+  /** C4/RefinedWeb-style exact line-level dedup — the production pass
+    * document-level dedup (dd_exact/dd_minhash_lsh) misses: a line or
+    * paragraph duplicated corpus-wide (boilerplate navigation, cookie
+    * banners, licence footers) is removed EVERYWHERE except its first
+    * occurrence (C4, Raffel et al. 2020 §2.2 dedups three-sentence
+    * spans; RefinedWeb dedups exact lines). Per document: total lines,
+    * lines whose normalized text occurs anywhere else in the corpus,
+    * lines the keep-first rule drops (every occurrence except the
+    * lexicographic-min (doc_id, line_no)), and the dropped/kept
+    * codepoint mass.
+    *
+    * Scale: the split is a narrow explode, identity is md5'd before the
+    * exchange, the occurrence counts are one map-side-combinable groupBy
+    * on the line hash (O(distinct lines) state, the [[ddSpanFrac]] wire
+    * posture), the join-back is shuffle-hash keyed on the hash, and the
+    * output is one row per document. Nothing is all-pairs; a
+    * 100x-duplicated corpus grows the shuffle linearly and distinct-line
+    * state not at all (ScaleStressSpec). */
+  def ddLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val lines = lineRel(s, dir)
+    val occ = lineOccurrences(lines).select("lh", "n_occ", "keep")
+    val isKeep = col("keep").getField("doc_id") === col("doc_id") &&
+      col("keep").getField("line_no") === col("line_no")
+    val perDoc = lines.hint("shuffle_hash").join(occ, "lh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("llen")).as("n_cps"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_lines"),
+        sum(when(col("n_occ") >= 2 && !isKeep, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("n_occ") >= 2 && !isKeep, col("llen")).otherwise(0L))
+          .as("dropped_cps"))
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_cps"), lit(0L)).as("n_cps"),
+        coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("dropped_cps"), lit(0L)).as("dropped_cps"))
+      .orderBy("doc_id")
+  }
+
+  /** The corpus keep-first map over duplicated lines — [[ddLineDedup]]'s
+    * other output face: one row per DISTINCT corpus-duplicated line
+    * (hash identity), its occurrence/document counts, codepoint length
+    * and the keep-first (doc_id, line_no) representative every other
+    * occurrence defers to. O(distinct duplicated lines) rows — the
+    * relation a production line-dedup pass broadcasts per partition or
+    * semi-joins against at apply time. */
+  def ddLineMap(s: SparkSession, dir: String): DataFrame =
+    lineOccurrences(lineRel(s, dir))
+      .filter(col("n_occ") >= 2)
+      .select(col("lh"), col("llen"), col("n_occ"), col("n_docs"),
+        col("keep").getField("doc_id").as("keep_doc"),
+        col("keep").getField("line_no").as("keep_line"))
+      .orderBy("lh")
+
   def ddSpanFrac(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
@@ -895,7 +986,7 @@ object Dedup {
   // accessOrder=true: get() refreshes an entry, so the eviction scan
   // below walks least-recently-USED first instead of insertion order.
   private val ccCache = new java.util.LinkedHashMap[(SparkSession, String, String), (String, DataFrame)](32, 0.75f, true)
-  private def ccLabels(s: SparkSession, dir: String, family: String,
+  private[graft] def ccLabels(s: SparkSession, dir: String, family: String,
       table: String)(edges: => DataFrame): DataFrame =
     Tables.fingerprint(s, dir, table) match {
       case None => connectedComponents(edges) // unverifiable content: no memo
@@ -1173,7 +1264,7 @@ object Dedup {
 
   /** The recursive min-reachability resolution of `edges` into `comp`
     * (v, cluster_id) — the oracle twin of [[connectedComponents]]. */
-  private def ccCte: String =
+  private[graft] def ccCte: String =
     """eu AS (SELECT va AS s, vb AS t FROM edges
       |  UNION ALL SELECT vb, va FROM edges),
       |reach(v, w) AS (
@@ -1188,7 +1279,51 @@ object Dedup {
   private[operators] def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
 
+  /** The normalized-line relation + occurrence counts replayed
+    * relationally (split on chr(10), trim, drop blanks, 0-based raw
+    * index; keep-first = lexicographic-min (doc_id, line_no) struct) —
+    * shared by the two line-dedup oracles. */
+  private def lineCtes: String =
+    """lines AS (
+      |  SELECT doc_id, i - 1 AS line_no, md5(trim(ln)) AS lh,
+      |    CAST(length(trim(ln)) AS BIGINT) AS llen
+      |  FROM (
+      |    SELECT doc_id, unnest(string_split(text, chr(10))) AS ln,
+      |      generate_subscripts(string_split(text, chr(10)), 1) AS i
+      |    FROM documents)
+      |  WHERE length(trim(ln)) > 0),
+      |occ AS (
+      |  SELECT lh, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+      |    MIN(llen) AS llen, min({'d': doc_id, 'l': line_no}) AS keep
+      |  FROM lines GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dd_line_dedup" ->
+      s"""WITH $lineCtes,
+         |per AS (
+         |  SELECT l.doc_id, COUNT(*) AS n_lines, SUM(l.llen) AS n_cps,
+         |    SUM(CASE WHEN o.n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup_lines,
+         |    SUM(CASE WHEN o.n_occ >= 2 AND NOT
+         |          (o.keep.d = l.doc_id AND o.keep.l = l.line_no)
+         |        THEN 1 ELSE 0 END) AS n_dropped,
+         |    SUM(CASE WHEN o.n_occ >= 2 AND NOT
+         |          (o.keep.d = l.doc_id AND o.keep.l = l.line_no)
+         |        THEN l.llen ELSE 0 END) AS dropped_cps
+         |  FROM lines l JOIN occ o ON o.lh = l.lh GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(p.n_lines, 0) AS BIGINT) AS n_lines,
+         |  CAST(COALESCE(p.n_cps, 0) AS BIGINT) AS n_cps,
+         |  CAST(COALESCE(p.n_dup_lines, 0) AS BIGINT) AS n_dup_lines,
+         |  CAST(COALESCE(p.n_dropped, 0) AS BIGINT) AS n_dropped,
+         |  CAST(COALESCE(p.dropped_cps, 0) AS BIGINT) AS dropped_cps
+         |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "dd_line_map" ->
+      s"""WITH $lineCtes
+         |SELECT lh, llen, CAST(n_occ AS BIGINT) AS n_occ,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  keep.d AS keep_doc, keep.l AS keep_line
+         |FROM occ WHERE n_occ >= 2 ORDER BY lh""".stripMargin,
     "dd_cdc_chunks" -> cdcChunksOracle,
     "dd_cdc_coverage" -> cdcCoverageOracle,
     "dd_cdc_cluster" -> cdcClusterOracle,
@@ -1426,5 +1561,7 @@ object Dedup {
     "dd_semantic_keep_one" -> (ddSemanticKeepOne _),
     "dd_cluster" -> (ddCluster _),
     "dd_keep_one" -> (ddKeepOne _),
+    "dd_line_dedup" -> (ddLineDedup _),
+    "dd_line_map" -> (ddLineMap _),
   )
 }

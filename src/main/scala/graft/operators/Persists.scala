@@ -41,7 +41,20 @@ object Persists {
         stopped.foreach(k => reg.remove(k).foreach(_.foreach { case (_, _, d) =>
           try d.unpersist(blocking = false) catch { case _: Throwable => () }
         }))
-        if (reg.size > 512) releaseAll()
+        // Never purge the CURRENT session's live entries here (ADVICE
+        // r16): a global releaseAll would strand callers holding
+        // previously-returned instances on unpersisted plans while new
+        // constructions persist fresh ones — the memo identity guarantee
+        // (same entry ⇒ CacheManager reuse) silently degrading. Evict
+        // other sessions' entries instead; if this one session alone
+        // holds >512 relations, keep them — persist is a cache and the
+        // guarantee is worth more than the bound.
+        if (reg.size > 512) {
+          reg.keys.filter(_._1 ne s).toSeq.foreach(k =>
+            reg.remove(k).foreach(_.foreach { case (_, _, d) =>
+              try d.unpersist(blocking = false) catch { case _: Throwable => () }
+            }))
+        }
       }
       val bucket = reg.getOrElse(key, Nil)
       bucket.find { case (p, sch, _) => sch == schema && p.sameResult(canon) } match {

@@ -763,8 +763,16 @@ object TextAnalysis {
   private[graft] def fastBpe(types: Seq[(String, Long)],
       maxMerges: Int): Seq[(Long, String, String, Long)] = {
     import scala.collection.mutable
+    // symbols are CODEPOINTS, not UTF-16 code units: the distributed
+    // loop splits per codepoint (Java regex `(.)` matches code points),
+    // as do the serving encoder and the DuckDB replay — a char-level
+    // split would hand a supplementary character (emoji) to the trainer
+    // as two lone surrogates, a trajectory the codepoint-wrapped
+    // serving encoding can never match (ADVICE r16)
     val words = types.map { case (w, c) =>
-      (mutable.ArrayBuffer(w.map(_.toString): _*), c)
+      val cps = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      (mutable.ArrayBuffer(cps: _*), c)
     }.toIndexedSeq
     val counts = mutable.HashMap.empty[(String, String), Long]
     // word indices that EVER contained a pair (never shrunk — stale

@@ -15,12 +15,18 @@ class BpeSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   import spark.implicits._
 
+  /** Split into CODEPOINT symbols (the engine's `(.)` regex granularity
+    * — a UTF-16 char split would hand supplementary characters to the
+    * trainer as lone surrogates, ADVICE r16). */
+  private def cpSyms(w: String): Vector[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toVector
+
   /** Reference BPE: words as symbol vectors, greedy scan merge. */
   private def referenceBpe(texts: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] = {
     var words: Map[Vector[String], Long] = texts
       .flatMap(_.split(" ").filter(_.nonEmpty))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
-      .map { case (w, c) => w.map(_.toString).toVector -> c }
+      .map { case (w, c) => cpSyms(w) -> c }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (r <- 1 to rounds) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -81,7 +87,7 @@ class BpeSpec extends AnyFunSuite {
     * merges applied in rank order — the reference twin of the engine's
     * replace chain. */
   private def referenceEncode(w: String, merges: Seq[(Long, String, String, Long)]): Vector[String] =
-    merges.foldLeft(w.map(_.toString).toVector) { case (sy, (_, s1, s2, _)) =>
+    merges.foldLeft(cpSyms(w)) { case (sy, (_, s1, s2, _)) =>
       val b = Vector.newBuilder[String]
       var i = 0
       while (i < sy.length) {
@@ -181,6 +187,38 @@ class BpeSpec extends AnyFunSuite {
     val loop = TextAnalysis.trainBpeLoop(spark, dir, TextAnalysis.BpeRounds, 1)._1
     assert(fast == want, "incremental in-memory trainer drifted from the reference")
     assert(loop == want, "distributed loop drifted from the reference")
+  }
+
+  test("supplementary characters train/encode at codepoint granularity (ADVICE r16)") {
+    // 😀 is a surrogate pair in UTF-16; a char-level split would give
+    // the driver trainer lone-surrogate symbols, drifting it from both
+    // the distributed loop and the serving encoder. All three trainers
+    // must agree on the codepoint trajectory, and the emitted merge
+    // symbols must be well-formed strings (no unpaired surrogates).
+    val texts = Seq(
+      "a😀b a😀b a😀b 😀😀 😀😀",
+      "a😀b 😀😀 aaaa aaaa bab")
+    val dir = writeDocs(texts)
+    val want = referenceBpe(texts, TextAnalysis.BpeRounds)
+    val fast = TextAnalysis.trainBpeDriver(spark, dir, TextAnalysis.BpeRounds)
+    val loop = TextAnalysis.trainBpeLoop(spark, dir, TextAnalysis.BpeRounds, 1)._1
+    assert(fast == want, "driver trainer drifted on supplementary chars")
+    assert(loop == want, "distributed loop drifted on supplementary chars")
+    // a lone surrogate shows up as a length-1 symbol whose char is a
+    // surrogate; whole codepoints never do
+    def wellFormed(sym: String): Boolean =
+      !(sym.length == 1 && Character.isSurrogate(sym.charAt(0)))
+    assert(want.nonEmpty && want.forall { case (_, l, r, _) =>
+      wellFormed(l) && wellFormed(r)
+    }, "merge symbols must be whole codepoints")
+    val enc = TextAnalysis.txtBpeEncode(spark, dir)
+      .select("doc_id", "n_bpe").as[(Long, Long)].collect().toMap
+    val merges = want
+    val wantBpe = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.split(" ").filter(_.nonEmpty)
+        .map(w => referenceEncode(w, merges).size.toLong).sum
+    }.toMap
+    assert(enc == wantBpe, "serving encoder disagrees with the codepoint reference")
   }
 
   test("a 1024-merge vocabulary trains in ONE distributed pass (scale path)") {

@@ -999,4 +999,96 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vals(oneD.corrPerTimestep(oneD.mapValues(x => x * -1)))
       .forall(v => math.abs(v + 1.0) < 1e-12))
   }
+
+  test("cumprodAxis rank-1 equals the scalar scan, carry crosses chunks") {
+    // [1..8] -> 1, 2, 6, 24, 120, 720, 5040, 40320 (cells 5..8 live in
+    // chunk 1, so their prefixes carry chunk 0's total product 24)
+    val got = cellMap(oneD.cumprodAxis(0))
+    val want0 = Array(1.0, 2.0, 6.0, 24.0, 120.0, 720.0, 5040.0, 40320.0)
+    for (i <- 0 until 8) assert(got((0L, Seq(i))) == want0(i), s"idx $i")
+    // t=1: evens 2,4,..,16 — products stay exact below 2^53
+    val evens = (1 to 8).map(_ * 2.0)
+    val want1 = evens.scanLeft(1.0)(_ * _).tail
+    for (i <- 0 until 8) assert(got((1L, Seq(i))) == want1(i), s"t1 idx $i")
+  }
+
+  test("cumprodAxis matches a dense model on both 2-d axes") {
+    // values 10i + j <= 33; any 4-long line product < 33^4 — exact
+    val dense = Array.tabulate(4, 4)((i, j) => 10.0 * i + j)
+    for (axis <- 0 to 1) {
+      val got = cellMap(twoD.cumprodAxis(axis))
+      for (i <- 0 until 4; j <- 0 until 4) {
+        val want =
+          if (axis == 0) (0 to i).map(k => dense(k)(j)).product
+          else (0 to j).map(k => dense(i)(k)).product
+        assert(got((0L, Seq(i, j))) == want, s"axis $axis cell ($i,$j)")
+      }
+    }
+  }
+
+  test("sortAxisRows/argsortAxisRows: cross-chunk lines, stable ties (numpy rule)") {
+    // one 8-long line split across 2 chunks, with a 3-way tie at 2.0
+    val rows = Seq(
+      (0L, Seq(0), Seq(5.0, 2.0, 2.0, 7.0)),
+      (0L, Seq(1), Seq(1.0, 2.0, 9.0, 0.0)))
+    val a = ChunkedArray(rows.toDF("timestep", "pos", "data"), ArrayGeometry(Seq(2), Seq(4)))
+    val sorted = a.sortAxisRows(0).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val wantVals = Seq(0.0, 1.0, 2.0, 2.0, 2.0, 5.0, 7.0, 9.0)
+    for (k <- 0 until 8) assert(sorted(k.toLong) == wantVals(k), s"rank $k")
+    val arg = a.argsortAxisRows(0).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // numpy argsort (stable): ties keep original order -> 1, 2, 5
+    val wantIdx = Seq(7L, 4L, 1L, 2L, 5L, 0L, 3L, 6L)
+    for (k <- 0 until 8) assert(arg(k.toLong) == wantIdx(k), s"arg rank $k")
+  }
+
+  test("sortAxisRows 2-d sorts each line independently (dense model)") {
+    // make rows non-monotonic: x -> (x * 3) mod 17, exact small ints
+    val m = twoD.mapValues(x => org.apache.spark.sql.functions.pmod(
+      (x * 3).cast("bigint"), org.apache.spark.sql.functions.lit(17L)).cast("double"))
+    val dense = Array.tabulate(4, 4)((i, j) => (10.0 * i + j) * 3 % 17)
+    val got = m.sortAxisRows(1).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    for (i <- 0 until 4) {
+      val want = dense(i).sorted
+      for (k <- 0 until 4) assert(got((i.toLong, k.toLong)) == want(k), s"($i,$k)")
+    }
+  }
+
+  test("broadcastTo replicates chunks narrowly (zero exchanges, view semantics)") {
+    val b = oneD.broadcastTo(4, 2)
+    assert(b.geom == ArrayGeometry(Seq(2, 2), Seq(2, 4)))
+    assert(!b.df.queryExecution.executedPlan.toString.contains("Exchange"))
+    val base = cellMap(oneD)
+    val got = cellMap(b)
+    assert(got.size == base.size * 4)
+    for (((ts, g), v) <- base; lead <- 0 until 4)
+      assert(got((ts, lead +: g)) == v, s"lead $lead cell $g")
+  }
+
+  test("tileAxis re-addresses copies as pure metadata (zero exchanges)") {
+    val t = oneD.tileAxis(0, 3)
+    assert(t.geom == ArrayGeometry(Seq(6), Seq(4)))
+    assert(!t.df.queryExecution.executedPlan.toString.contains("Exchange"))
+    val base = cellMap(oneD)
+    val got = cellMap(t)
+    assert(got.size == base.size * 3)
+    for (((ts, g), v) <- base; r <- 0 until 3)
+      assert(got((ts, Seq(g.head + 8 * r))) == v, s"copy $r cell $g")
+  }
+
+  test("repeatAxis repeats elements in place (zero exchanges, dtype kept)") {
+    val rep = oneD.repeatAxis(0, 3)
+    assert(rep.geom == ArrayGeometry(Seq(2), Seq(12)))
+    assert(!rep.df.queryExecution.executedPlan.toString.contains("Exchange"))
+    val base = cellMap(oneD)
+    val got = cellMap(rep)
+    assert(got.size == base.size * 3)
+    for (((ts, g), v) <- base; k <- 0 until 3)
+      assert(got((ts, Seq(g.head * 3 + k))) == v, s"cell $g copy $k")
+    // dtype preservation through the gather
+    val ints = oneD.astype(org.apache.spark.sql.types.LongType).repeatAxis(0, 2)
+    assert(ints.dtype == org.apache.spark.sql.types.LongType)
+  }
 }

@@ -52,6 +52,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("line dedup: keep-first rule, normalization, per-doc accounting") {
+    // doc 0: "hello" twice (within-doc dup), a blank line, " padded "
+    // doc 1: "hello" again (cross-doc dup) + a unique line
+    // doc 2: "padded" (trim-normalized match with doc 0's line 3)
+    val docs = Seq(
+      (0L, "hello\nworld\n\nhello\n  padded  "),
+      (1L, "hello\nunique line"),
+      (2L, "padded")).toDF("doc_id", "text")
+    val lines = Dedup.lineRelOf(docs)
+    // normalization: blanks dropped, trim applied before hashing/length
+    assert(lines.count() == 7L)
+    val occ = Dedup.lineOccurrences(lines).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(occ.size == 4) // hello, world, padded, unique line
+    val hello = occ.values.find(_.getAs[Long]("n_occ") == 3L).get
+    assert(hello.getAs[Long]("n_docs") == 2L)
+    val keep = hello.getAs[org.apache.spark.sql.Row]("keep")
+    assert(keep.getLong(0) == 0L && keep.getLong(1) == 0L,
+      "keep-first = lexicographic-min (doc_id, line_no)")
+    // "padded" normalizes identically in both docs: llen = 6 (trimmed)
+    val padded = occ.values.find(r =>
+      r.getAs[Long]("n_occ") == 2L && r.getAs[Long]("llen") == 6L).get
+    assert(padded.getAs[org.apache.spark.sql.Row]("keep").getLong(0) == 0L)
+  }
+
   test("connectedComponents on an empty edge list is empty") {
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(edges).isEmpty)

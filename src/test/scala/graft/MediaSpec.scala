@@ -127,6 +127,43 @@ class MediaSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).sum == images)
   }
 
+  test("mm_near_cluster/mm_keep_one reconcile with the pair maps (conservation)") {
+    // every >=2 bucket of either map must land inside ONE cluster, and
+    // keep-one must drop exactly (cluster members - #clusters) images
+    val ahashBuckets = Media.mmAhash(spark, sf).collect()
+      .filter(_.getLong(1) >= 2)
+    val whashBuckets = Media.mmWhash(spark, sf).collect()
+      .filter(_.getLong(1) >= 2)
+    val clusters = Media.mmNearCluster(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty, "the corpus has near-dup buckets, so clusters exist")
+    // each cluster has >= 2 members (CC vertices only exist via edges)
+    assert(clusters.values.forall(_ >= 2L))
+    // a bucket representative is in some cluster whose label <= rep id
+    // (labels are component minima)
+    val inClusters = clusters.keySet
+    assert(inClusters.forall(lbl => clusters(lbl) >= 2L))
+    // every bucket's min id can't be smaller than its cluster's label
+    for (b <- ahashBuckets ++ whashBuckets) {
+      val rep = b.getLong(3)
+      assert(clusters.keys.exists(_ <= rep),
+        s"bucket rep $rep has no plausible cluster label")
+    }
+    // member conservation: total clustered members == distinct ids in
+    // >=2 buckets of the union graph (star edges touch exactly those)
+    val clustered = clusters.values.sum
+    // keep-one: survivors per kind; images drop (clustered - #clusters)
+    val keep = Media.mmKeepOne(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byKind = Media.fromDocuments(spark, sf)
+      .groupByKey(_.kind).count().collect().toMap
+    assert(keep("audio")._1 == byKind("audio"), "non-image kinds pass through")
+    assert(keep("video")._1 == byKind("video"), "non-image kinds pass through")
+    val droppedImages = byKind("image") - keep("image")._1
+    assert(droppedImages == clustered - clusters.size,
+      s"keep-one dropped $droppedImages, clusters imply ${clustered - clusters.size}")
+  }
+
   test("media table carries opaque binary payload + typed metadata") {
     val m = Media.fromDocuments(spark, sf)
     val row = m.filter(_.id == 0L).head()
