@@ -148,9 +148,28 @@ object Bench {
     // Optional comma-separated subset for isolating one query's cost on
     // a noisy machine (e.g. SPARK_GRAFT_ONLY=ev_json,q_topn).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Between FAMILIES (the alphabetic prefix groups: arr, dd, ev, mm,
+    // pipe, q, sim, smp, txt), drop the finished family's persisted
+    // relations and memoized arrays: they are dead weight for the rest
+    // of the sweep, and accumulated cache blocks were the r16 drift —
+    // the r17 A/B measured the common-171 subset ALONE at 49.6 s
+    // (ext_cores 0.0) vs 58.5-59.2 s inside r16's full-sweep JVM with
+    // unchanged plans. Trained-model memos (merge tables, centroids,
+    // LM/classifier artifacts) survive — only storage blocks go. The
+    // isolated re-run tail rebuilds cold if it revisits a family; the
+    // headline stays min over all passes.
+    var lastFamily: String = null
+    def familyBoundary(n: String): Unit = {
+      val fam = n.takeWhile(_.isLetter)
+      if (lastFamily != null && fam != lastFamily) {
+        try graft.operators.ArrayQueries.release(spark)
+        catch { case _: Throwable => () }
+      }
+      lastFamily = fam
+    }
     val raw = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-      .map(n => n -> runBoth(n))
+      .map { n => familyBoundary(n); n -> runBoth(n) }
     val results = raw.map { case (k, ts) => k -> minOf(ts) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1185,7 +1185,312 @@ object TextAnalysis {
     * only after their queries have trained (Verify runs every query
     * BEFORE dumping oracle_sql.json — the [[Similarity.oracles]]
     * contract). */
+  // ---- SentencePiece unigram-LM tokenizer (Kudo 2018) ----
+
+  /** Final cap on MULTI-codepoint pieces (single codepoints are always
+    * kept — the segmentation fallback, like SentencePiece's
+    * required_chars). */
+  val SpTargetMulti: Int = 192
+  /** Longest candidate piece, in codepoints. */
+  val SpMaxPieceLen: Int = 6
+  /** Seed candidate pool cap (top substrings by corpus mass). */
+  val SpSeedSize: Int = 1024
+  /** Micro-nat score of a single codepoint ABSENT from the trained
+    * vocabulary (serve-time OOV): far below every trained piece, so an
+    * unknown character segments alone and the DP never dead-ends. */
+  val SpUnkQ: Long = -30000000L
+
+  /** One trained unigram piece: surface, probability, micro-nat score
+    * floor(1e6·ln p) — ln evaluated DRIVER-side only (the txt_lm_score
+    * quantization discipline: no transcendental crosses engines). */
+  private[graft] final case class SpPiece(piece: String, p: Double, q: Long)
+
+  /** SentencePiece unigram-LM tokenizer TRAINING (Kudo 2018 §3.2 /
+    * SentencePiece's unigram trainer) on the [[fastBpe]] word-type
+    * posture — BPE's production sibling: instead of greedy merges, a
+    * vocabulary of candidate pieces is fit as a unigram language model
+    * by EM and PRUNED until the target size.
+    *
+    * - Seed: every substring of every word type up to [[SpMaxPieceLen]]
+    *   codepoints (codepoint discipline — ADVICE r16), weighted by
+    *   corpus frequency; multi-codepoint candidates capped at the
+    *   top-[[SpSeedSize]] by (mass desc, piece asc); ALL single
+    *   codepoints kept and never pruned.
+    * - EM rounds: the E-step computes EXPECTED piece counts over ALL
+    *   segmentations of every type by forward-backward in log space
+    *   (the real soft-EM recipe, not a Viterbi-hard shortcut — the
+    *   spec checks it against brute-force segmentation enumeration);
+    *   the M-step re-estimates p(piece) with add-half smoothing.
+    * - Prune: after each 2-iteration EM round, the lowest fifth of the
+    *   multi-codepoint pieces by (expected count asc, piece asc) drops
+    *   (SentencePiece's shrinking_factor posture with expected-count
+    *   ranking standing in for its leave-one-out likelihood loss),
+    *   until the multi set fits `targetMulti`; two polish iterations
+    *   finish.
+    *
+    * Determinism: every reduction runs in a FIXED order (types in
+    * their given order, vocabulary sorted) so identical type tables
+    * give identical doubles, hence identical quantized scores. Scale:
+    * driver cost is O(types · wordLen · maxLen) per iteration over the
+    * BOUNDED type table — the one corpus pass is the distributed
+    * word-type aggregate ([[trainBpeDriver]]'s posture). */
+  /** The soft-EM E-step: EXPECTED piece counts over ALL segmentations
+    * of every word type, by forward-backward in log space. Exposed for
+    * the spec's brute-force-enumeration check (SpUnigramSpec). Sums run
+    * in fixed (types order, position order) sequence — deterministic. */
+  private[graft] def spEStep(words: Seq[(Array[Int], Long)], vocab: Vector[String],
+      probs: Map[String, Double]): scala.collection.mutable.HashMap[String, Double] = {
+    import scala.collection.mutable
+    val NegInf = Double.NegativeInfinity
+    def lse(a: Double, b: Double): Double =
+      if (a == NegInf) b else if (b == NegInf) a
+      else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+    val logp = mutable.HashMap.empty[String, Double]
+    vocab.foreach(p => logp.update(p, math.log(probs(p))))
+    val exp = mutable.HashMap.empty[String, Double]
+    for ((cps, c) <- words) {
+      val n = cps.length
+      val alpha = Array.fill(n + 1)(NegInf); alpha(0) = 0.0
+      for (i <- 1 to n; len <- 1 to math.min(SpMaxPieceLen, i)) {
+        logp.get(new String(cps, i - len, len)).foreach { lp =>
+          if (alpha(i - len) != NegInf)
+            alpha(i) = lse(alpha(i), alpha(i - len) + lp)
+        }
+      }
+      val beta = Array.fill(n + 1)(NegInf); beta(n) = 0.0
+      for (j <- (0 until n).reverse; len <- 1 to math.min(SpMaxPieceLen, n - j)) {
+        logp.get(new String(cps, j, len)).foreach { lp =>
+          if (beta(j + len) != NegInf)
+            beta(j) = lse(beta(j), lp + beta(j + len))
+        }
+      }
+      val z = alpha(n)
+      if (z != NegInf) {
+        for (j <- 0 until n; len <- 1 to math.min(SpMaxPieceLen, n - j)) {
+          val piece = new String(cps, j, len)
+          logp.get(piece).foreach { lp =>
+            if (alpha(j) != NegInf && beta(j + len) != NegInf) {
+              val post = alpha(j) + lp + beta(j + len) - z
+              // deterministic underflow guard (exp(-745) == 0.0 anyway)
+              if (post > -745.0)
+                exp.update(piece, exp.getOrElse(piece, 0.0) + c * math.exp(post))
+            }
+          }
+        }
+      }
+    }
+    exp
+  }
+
+  private[graft] def trainUnigram(types: Seq[(String, Long)],
+      targetMulti: Int = SpTargetMulti): Seq[SpPiece] = {
+    import scala.collection.mutable
+    val words = types.map { case (w, c) => (w.codePoints().toArray, c) }
+    val seedCounts = mutable.HashMap.empty[String, Double]
+    for ((cps, c) <- words; i <- cps.indices;
+         len <- 1 to math.min(SpMaxPieceLen, cps.length - i)) {
+      val sub = new String(cps, i, len)
+      seedCounts.update(sub, seedCounts.getOrElse(sub, 0.0) + c.toDouble)
+    }
+    def isSingle(p: String): Boolean = p.codePointCount(0, p.length) == 1
+    val singles = seedCounts.keys.filter(isSingle).toVector.sorted
+    val multis0 = seedCounts.keys.filterNot(isSingle).toVector
+      .sortBy(p => (-seedCounts(p), p)).take(SpSeedSize)
+    var vocab: Vector[String] = (singles ++ multis0).sorted
+    var probs: Map[String, Double] = {
+      val tot = vocab.iterator.map(seedCounts).sum
+      vocab.iterator.map(p => p -> seedCounts(p) / tot).toMap
+    }
+    /** One soft-EM iteration over the type table ([[spEStep]] +
+      * add-half M-step); returns the expected counts. */
+    def emStep(): collection.Map[String, Double] = {
+      val exp = spEStep(words, vocab, probs)
+      val tot = vocab.iterator.map(p => exp.getOrElse(p, 0.0)).sum + 0.5 * vocab.size
+      probs = vocab.iterator.map(p => p -> (exp.getOrElse(p, 0.0) + 0.5) / tot).toMap
+      exp
+    }
+    var nMulti = vocab.count(p => !isSingle(p))
+    while (nMulti > targetMulti) {
+      emStep()
+      val exp = emStep()
+      val multis = vocab.filterNot(isSingle)
+      val drop = math.min(multis.size - targetMulti, math.max(1, multis.size / 5))
+      val victims = multis.sortBy(p => (exp.getOrElse(p, 0.0), p)).take(drop).toSet
+      vocab = vocab.filterNot(victims)
+      val tot = vocab.iterator.map(probs).sum
+      probs = vocab.iterator.map(p => p -> probs(p) / tot).toMap
+      nMulti = vocab.count(p => !isSingle(p))
+    }
+    emStep(); emStep()
+    vocab.map(p => SpPiece(p, probs(p), math.floor(1e6 * math.log(probs(p))).toLong))
+  }
+
+  /** Trained unigram models, memoized like [[bpeCache]]; the per-dir
+    * maps feed the trained-literal oracles. `spWordsByDir` additionally
+    * carries the driver Viterbi segmentation of every collected word
+    * TYPE — the bounded artifact the encode oracle joins against (total
+    * over the test corpora; capped at [[BpeMaxTrainTypes]] like
+    * training itself, a declared precondition of the oracle replay —
+    * SERVING has no such bound, the kernel segments any word live). */
+  private val spCache = new java.util.LinkedHashMap[
+    (SparkSession, String), (String, Seq[SpPiece])](32, 0.75f, true)
+  private val spByDir =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[SpPiece]]
+  private val spWordsByDir =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Long, Long)]]
+
+  private def spModelMap(m: Seq[SpPiece]): java.util.HashMap[String, java.lang.Long] = {
+    val h = new java.util.HashMap[String, java.lang.Long](m.size * 2)
+    m.foreach(p => h.put(p.piece, java.lang.Long.valueOf(p.q)): Unit)
+    h
+  }
+
+  private[graft] def trainedSp(s: SparkSession, dir: String): Seq[SpPiece] = {
+    def fit(): Seq[SpPiece] = trainUnigram(spTrainTypes(s, dir))
+    val m = Tables.fingerprint(s, dir, "documents") match {
+      case None => fit() // unverifiable content: no memo
+      case Some(fp) =>
+        val key = (s, dir)
+        (spCache.synchronized {
+          if (spCache.size > 16) {
+            val dead = spCache.keySet.iterator
+            while (dead.hasNext) if (dead.next()._1.sparkContext.isStopped) dead.remove()
+          }
+          val lru = spCache.keySet.iterator
+          while (spCache.size > 16 && lru.hasNext) {
+            if (lru.next() != key) lru.remove()
+          }
+          Option(spCache.get(key))
+        }) match {
+          case Some((`fp`, mm)) => mm
+          case _ =>
+            val mm = fit()
+            spCache.synchronized { spCache.put(key, (fp, mm)): Unit }
+            mm
+        }
+    }
+    spByDir.update(dir, m)
+    // the encode-oracle artifact: driver Viterbi over the word types
+    // through the SAME spSegment the kernel calls
+    val h = spModelMap(m)
+    spWordsByDir.update(dir, spTrainTypes(s, dir).map { case (w, _) =>
+      val r = org.apache.spark.sql.graftexpr.TextExpressions
+        .spSegment(w, h, SpMaxPieceLen, SpUnkQ)
+      (w, r(0), r(1))
+    })
+    lastDirRef.set(dir)
+    m
+  }
+
+  /** The one distributed pass of unigram training: the word-type
+    * frequency table over the PLAIN whitespace tokens (no '|' carve-out
+    * — unigram needs no delimiter encoding), top-[[BpeMaxTrainTypes]]
+    * by (count, word). Memoized per (session, dir, fingerprint) via the
+    * same collect the driver trainer reads. */
+  private val spTypesCache = new java.util.LinkedHashMap[
+    (SparkSession, String), (String, Seq[(String, Long)])](32, 0.75f, true)
+  private def spTrainTypes(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    def run(): Seq[(String, Long)] = Tables.load(s, dir, "documents")
+      .select(explode(org.apache.spark.sql.graftexpr.TextExpressions
+        .wordNgrams(col("text"), 1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(BpeMaxTrainTypes)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    Tables.fingerprint(s, dir, "documents") match {
+      case None => run()
+      case Some(fp) =>
+        val key = (s, dir)
+        (spTypesCache.synchronized {
+          val lru = spTypesCache.keySet.iterator
+          while (spTypesCache.size > 16 && lru.hasNext) {
+            if (lru.next() != key) lru.remove()
+          }
+          Option(spTypesCache.get(key))
+        }) match {
+          case Some((`fp`, t)) => t
+          case _ =>
+            val t = run()
+            spTypesCache.synchronized { spTypesCache.put(key, (fp, t)): Unit }
+            t
+        }
+    }
+  }
+
+  /** The TRAINED unigram piece table (piece, micro-nat score) — the
+    * model artifact a serving stack ships (txt_bpe_vocab's sibling for
+    * the SentencePiece-unigram recipe). Oracle = round-trip-exact
+    * trained literals (the arr_svd_vals posture; the ln quantization
+    * never evaluates in either engine). */
+  def txtSpUnigram(s: SparkSession, dir: String): DataFrame = {
+    val m = trainedSp(s, dir)
+    import s.implicits._
+    m.map(p => (p.piece, p.q)).toDF("piece", "qlogp").orderBy("piece")
+  }
+
+  /** Unigram tokenizer SERVING — per document word/codepoint/piece
+    * counts + the total micro-nat score, through ONE narrow codegen'd
+    * kernel pass ([[org.apache.spark.sql.graftexpr.UnigramStats]]): the
+    * bounded PIECE table rides the plan as expression state and every
+    * word Viterbi-segments live (word types are never enumerated at
+    * serve time — the only posture that survives 100 TB, where the
+    * piece table is bounded and the word-type table is not). Oracle:
+    * per-word-TYPE (count, score) literals from the driver's own
+    * segmentation of the training type table (total over the test
+    * corpora), joined against the replayed tokenization. */
+  def txtSpEncode(s: SparkSession, dir: String): DataFrame = {
+    val m = trainedSp(s, dir)
+    val st = org.apache.spark.sql.graftexpr.TextExpressions
+      .unigramStats(col("text"), m.map(p => (p.piece, p.q)), SpMaxPieceLen, SpUnkQ)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), 1).as("n_words"),
+        element_at(col("st"), 2).as("n_wcps"),
+        element_at(col("st"), 3).as("n_pieces"),
+        element_at(col("st"), 4).as("qscore_sum"))
+      .orderBy("doc_id")
+  }
+
+  private def spUnigramSql(m: Seq[SpPiece]): String = {
+    val rows = m
+      .map(p => s"('${sqlLit(p.piece)}', CAST(${p.q} AS BIGINT))")
+      .mkString(", ")
+    s"SELECT piece, qlogp FROM (VALUES $rows) AS t(piece, qlogp) ORDER BY piece"
+  }
+
+  private def spEncodeSql(ws: Seq[(String, Long, Long)]): String = {
+    val rows = ws
+      .map { case (w, np, qs) =>
+        s"('${sqlLit(w)}', CAST($np AS BIGINT), CAST($qs AS BIGINT))"
+      }
+      .mkString(", ")
+    s"""WITH m(word, np, qs) AS (VALUES $rows),
+       |w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |                                        x -> len(x) > 0)) AS wo
+       |      FROM documents),
+       |j AS (SELECT w.doc_id, COUNT(*) AS n_words,
+       |        CAST(SUM(length(w.wo)) AS BIGINT) AS n_wcps,
+       |        CAST(SUM(m.np) AS BIGINT) AS n_pieces,
+       |        CAST(SUM(m.qs) AS BIGINT) AS qscore_sum
+       |      FROM w JOIN m ON m.word = w.wo GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(j.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(j.n_wcps, 0) AS BIGINT) AS n_wcps,
+       |  CAST(COALESCE(j.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |  CAST(COALESCE(j.qscore_sum, 0) AS BIGINT) AS qscore_sum
+       |FROM documents d LEFT JOIN j ON j.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = staticOracles ++
+    dirForOracles.flatMap(spByDir.get).map { m =>
+      Map("txt_sp_unigram" -> spUnigramSql(m))
+    }.getOrElse(Map.empty) ++
+    dirForOracles.flatMap(spWordsByDir.get).map { ws =>
+      Map("txt_sp_encode" -> spEncodeSql(ws))
+    }.getOrElse(Map.empty) ++
     dirForOracles.flatMap(mergesByDir.get).map { m =>
       Map("txt_bpe_encode" -> bpeEncodeSql(m), "txt_bpe_freq" -> bpeFreqSql(m))
     }.getOrElse(Map.empty) ++
@@ -1387,6 +1692,8 @@ object TextAnalysis {
     "txt_ngram_top" -> (txtNgramTop _),
     "txt_docfreq" -> (txtDocfreq _),
     "txt_bpe_vocab" -> (txtBpeVocab _),
+    "txt_sp_unigram" -> (txtSpUnigram _),
+    "txt_sp_encode" -> (txtSpEncode _),
     "txt_bpe_encode" -> (txtBpeEncode _),
     "txt_bpe_freq" -> (txtBpeFreq _),
     "txt_tfidf_top" -> (txtTfidfTop _),
