@@ -63,6 +63,7 @@ object SparkEntry {
     "ev_json" -> (Relational.evJson _),
     "ev_asof_join" -> (Relational.evAsofJoin _),
     "ev_asof_nearest" -> (Relational.evAsofNearest _),
+    "ev_asof_tol" -> (Relational.evAsofTol _),
     "ev_top_users_native" -> (Relational.evTopUsersNative _),
     "ev_anomaly" -> (Relational.evAnomaly _),
     "ev_markov" -> (Relational.evMarkov _),
@@ -664,6 +665,26 @@ object SparkEntry {
     // forward + nearest as-of replayed through the same union-interleave
     // windows (equal-ts purchases join both directions; nearest decides
     // on exact microsecond BIGINTs, ties backward)
+    // the tolerance cut replayed on the same backward window, decided
+    // on exact microsecond BIGINTs (24h = 86400000000 us)
+    "ev_asof_tol" ->
+      s"""WITH u AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+         |  FROM events WHERE event_type IN ('purchase', 'error')),
+         |wi AS (
+         |  SELECT user_id, ts, event_id, isp,
+         |    MAX(CASE WHEN isp = 1 THEN ts END) OVER (
+         |      PARTITION BY user_id ORDER BY ts, isp DESC, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         |    ) AS lp
+         |  FROM u)
+         |SELECT event_id, user_id, ts,
+         |  CASE WHEN epoch_us(ts) - epoch_us(lp) <= ${Relational.AsofTolUs}
+         |    THEN lp END AS last_purchase_ts,
+         |  CASE WHEN lp IS NOT NULL
+         |    THEN epoch_us(ts) - epoch_us(lp) END AS staleness_us
+         |FROM wi WHERE isp = 0 ORDER BY event_id""".stripMargin,
     "ev_asof_nearest" ->
       """WITH u AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -265,6 +265,12 @@ object TextExpressions {
     ExpressionUtils.column(
       UnigramStats(ExpressionUtils.expression(text), pieces, maxLen, unkQ))
 
+  /** Column wrapper for [[UnigramPieces]]. */
+  def unigramPieces(word: Column, pieces: Seq[(String, Long)],
+      maxLen: Int, unkQ: Long): Column =
+    ExpressionUtils.column(
+      UnigramPieces(ExpressionUtils.expression(word), pieces, maxLen, unkQ))
+
   /** SentencePiece-unigram Viterbi segmentation of ONE word over a
     * quantized (micro-nat BIGINT) piece-score table: returns
     * [pieceCount, qscoreSum]. The DP runs on CODEPOINTS (the BPE
@@ -308,6 +314,57 @@ object TextExpressions {
       i += 1
     }
     Array(cnt(n).toLong, best(n))
+  }
+
+  /** The Viterbi PIECES of one word under the same DP and tie rule as
+    * [[spSegment]] (backpointer trace; `spSegment(w).{count,score}` ==
+    * `(spPieces(w).length, Σ score(piece))` by construction —
+    * spec-asserted). Unknown single codepoints come back as their own
+    * pieces. */
+  def spPiecesEval(word: UTF8String, model: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int, unkQ: Long): ArrayData = {
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(new Array[Any](0))
+    val negI = java.lang.Long.MIN_VALUE / 4
+    val best = new Array[Long](n + 1)
+    val cnt = new Array[Int](n + 1)
+    val lastLen = new Array[Int](n + 1)
+    java.util.Arrays.fill(best, negI)
+    best(0) = 0
+    var i = 1
+    while (i <= n) {
+      var len = 1
+      val top = if (maxLen < i) maxLen else i
+      while (len <= top) {
+        val j = i - len
+        if (best(j) > negI) {
+          val piece = new String(cps, j, len)
+          var q = model.get(piece)
+          if (q == null && len == 1) q = java.lang.Long.valueOf(unkQ)
+          if (q != null) {
+            val cand = best(j) + q.longValue()
+            val cc = cnt(j) + 1
+            val better = cand > best(i) ||
+              (cand == best(i) && (cc < cnt(i) ||
+                (cc == cnt(i) && len > lastLen(i))))
+            if (better) { best(i) = cand; cnt(i) = cc; lastLen(i) = len }
+          }
+        }
+        len += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](cnt(n))
+    var pos = n
+    var k = cnt(n) - 1
+    while (pos > 0) {
+      val len = lastLen(pos)
+      out(k) = UTF8String.fromString(new String(cps, pos - len, len))
+      pos -= len
+      k -= 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Per-document unigram-tokenizer stats in ONE pass: tokenize exactly
@@ -423,6 +480,38 @@ case class UnigramStats(child: Expression, pieces: Seq[(String, Long)],
     val mRef = ctx.addReferenceObj("spModel", model, "java.util.HashMap")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.spStatsEval($c, $mRef, $maxLen, ${unkQ}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<string>` of ONE WORD's Viterbi pieces under a literal trained
+  * unigram table (see [[TextExpressions.spPiecesEval]]) — the
+  * token-sequence face behind txt_sp_freq: called on word TYPES so the
+  * per-word DP runs O(vocabulary) times, never per occurrence. */
+case class UnigramPieces(child: Expression, pieces: Seq[(String, Long)],
+    maxLen: Int, unkQ: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_sp_pieces"
+
+  @transient private lazy val model: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    pieces.foreach { case (p, q) => m.put(p, java.lang.Long.valueOf(q)): Unit }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.spPiecesEval(input.asInstanceOf[UTF8String], model, maxLen, unkQ)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("spModel", model, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.spPiecesEval($c, $mRef, $maxLen, ${unkQ}L);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

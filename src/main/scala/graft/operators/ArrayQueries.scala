@@ -523,6 +523,35 @@ object ArrayQueries {
       .orderBy("i", "j")
   }
 
+  /** dask `da.cov(A, rowvar=False)` — the C×C POPULATION covariance
+    * matrix of the stacked field's columns: [[arrCorrcoef]]'s
+    * unnormalized sibling from the SAME sufficient statistics (the
+    * persisted exact Gram's pairwise second moments + the one
+    * first-moment axis-reduce + n), so the marginal cost over the
+    * family is zero row-scale passes. Formula spelled
+    * operand-for-operand with the oracle:
+    * `(n·sxy − si·sj) / (n·n)` — exact decimal-derived operands, one
+    * double expression, no sqrt, no zero guard needed. */
+  def arrCov(s: SparkSession, dir: String): DataFrame = {
+    val arr = eventsArray2dCached(s, dir)
+    val gram = gramRel(s, dir).withColumnRenamed("value", "sxy")
+    val colSums = arr.axisSum(0).rowsNd
+      .groupBy(col("i0").as("c"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+    val nRel = arr.df.select(
+      (countDistinct(col("timestep")) * lit(geom2d.dimSize(0).toLong)).as("n"))
+    val nD = col("n").cast("double")
+    gram
+      .join(broadcast(colSums.select(col("c").as("c_i"), col("s").as("si"))),
+        col("i") === col("c_i"))
+      .join(broadcast(colSums.select(col("c").as("c_j"), col("s").as("sj"))),
+        col("j") === col("c_j"))
+      .crossJoin(broadcast(nRel))
+      .select(col("i"), col("j"),
+        ((nD * col("sxy") - col("si") * col("sj")) / (nD * nD)).as("cov"))
+      .orderBy("i", "j")
+  }
+
   /** dask `da.linalg.qr(A)[1]` — the R factor of the thin QR of the
     * timestep-stacked field: R = the upper Cholesky factor of AᵀA
     * ([[graft.arrays.Eigen.cholUpper]]), exactly the factor TSQR
@@ -1253,6 +1282,27 @@ object ArrayQueries {
          |JOIN cs cj ON g.j = cj.c
          |JOIN dg di ON g.i = di.dc
          |JOIN dg dj ON g.j = dj.dc
+         |CROSS JOIN nn
+         |ORDER BY 1, 2""".stripMargin,
+    // the covariance formula over the SAME exact sufficient statistics
+    // (Gram + decimal column sums + n), operand-for-operand
+    "arr_cov" ->
+      s"""WITH $CELLS_2D_DENSE,
+         |nn AS (SELECT COUNT(DISTINCT timestep) * 8 AS n FROM cells),
+         |cs AS (SELECT CAST(h AS BIGINT) AS c,
+         |    CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS s
+         |  FROM cells GROUP BY 1),
+         |gram AS (SELECT CAST(x.h AS BIGINT) AS i, CAST(y.h AS BIGINT) AS j,
+         |    CAST(SUM(CAST(x.cell * y.cell AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+         |  FROM cells x JOIN cells y
+         |    ON x.timestep = y.timestep AND x.u = y.u
+         |  GROUP BY 1, 2)
+         |SELECT g.i, g.j,
+         |  (CAST(nn.n AS DOUBLE) * g.sxy - ci.s * cj.s)
+         |    / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)) AS cov
+         |FROM gram g
+         |JOIN cs ci ON g.i = ci.c
+         |JOIN cs cj ON g.j = cj.c
          |CROSS JOIN nn
          |ORDER BY 1, 2""".stripMargin,
     "arr_tensordot" ->
@@ -2117,6 +2167,7 @@ object ArrayQueries {
     "arr_any_all" -> (arrAnyAll _),
     "arr_axis_prod" -> (arrAxisProd _),
     "arr_cumprod" -> (arrCumprod _),
+    "arr_cov" -> (arrCov _),
     "arr_sort_axis" -> (arrSortAxis _),
     "arr_argsort" -> (arrArgsort _),
     "arr_broadcast_to" -> (arrBroadcastTo _),

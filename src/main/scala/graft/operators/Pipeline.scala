@@ -377,6 +377,19 @@ object Pipeline {
         .select(col("doc_id"), col("n_bpe").as("n_tokens")),
       packShardDigits(tokenizedDocs(s, dir).count()))
 
+  /** [[pipePackBpe]]'s twin budgeted in UNIGRAM tokenizer units: the
+    * per-doc piece counts come from the trained SentencePiece-unigram
+    * model through the ONE narrow [[TextAnalysis.spDocCounts]] kernel
+    * pass (Viterbi per word, the bounded piece table as expression
+    * state), feeding the same sharded packing report — a production
+    * pipeline packs in whichever tokenizer's units it trains with, and
+    * the two reports differ exactly by the tokenizers' compression. */
+  def pipePackSp(s: SparkSession, dir: String): DataFrame =
+    packedReport(
+      TextAnalysis.spDocCounts(s, dir)
+        .select(col("doc_id"), col("n_sp").as("n_tokens")),
+      packShardDigits(tokenizedDocs(s, dir).count()))
+
   /** [[pipePack]] over an explicit shard-key width (16^shardDigits
     * shards); the spec drives this directly to assert the shard count
     * scales with the width. */
@@ -506,6 +519,9 @@ object Pipeline {
   def oracles: Map[String, String] = staticOracles ++
     TextAnalysis.oracleMerges
       .map(m => Map("pipe_pack_bpe" -> pipePackBpeSql(m)))
+      .getOrElse(Map.empty) ++
+    TextAnalysis.oracleSpWords
+      .map(ws => Map("pipe_pack_sp" -> pipePackSpSql(ws)))
       .getOrElse(Map.empty)
 
   /** The [[pipePack]] packing SQL with the whitespace token counts
@@ -525,6 +541,46 @@ object Pipeline {
        |b AS (${TextAnalysis.bpeDocTokensSql(merges)}),
        |t AS (
        |  SELECT doc_id, n_bpe AS n_tokens,
+       |    substring(md5(CAST(doc_id AS VARCHAR)), 1, (SELECT d FROM sd)) AS shard
+       |  FROM b),
+       |c AS (
+       |  SELECT shard, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+       |  FROM t),
+       |m AS (
+       |  SELECT shard, n_tokens,
+       |    (n_tokens > 0 AND
+       |     floor((cum - n_tokens) / 128.0) <> floor((cum - 1) / 128.0)) AS straddles
+       |  FROM c),
+       |a AS (
+       |  SELECT shard, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(ceil(SUM(n_tokens) / 128.0) AS BIGINT) AS n_sequences,
+       |    CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+       |  FROM m GROUP BY 1)
+       |SELECT shard, n_docs, total_tokens, n_sequences, n_straddlers,
+       |  CASE WHEN n_sequences > 0
+       |    THEN CAST(total_tokens AS DOUBLE) / (CAST(n_sequences AS DOUBLE) * 128.0)
+       |    ELSE 0.0 END AS fill_frac
+       |FROM a ORDER BY shard""".stripMargin
+
+  /** The [[pipePack]] packing SQL with the token counts swapped for the
+    * trained unigram per-doc piece counts
+    * ([[TextAnalysis.spDocTokensSql]]). */
+  private def pipePackSpSql(ws: Seq[(String, Long, Long, String)]): String =
+    s"""WITH sd AS (
+       |  SELECT CASE WHEN c <= ${16L * PackDocsPerShard} THEN 1
+       |              WHEN c <= ${256L * PackDocsPerShard} THEN 2
+       |              WHEN c <= ${4096L * PackDocsPerShard} THEN 3
+       |              WHEN c <= ${65536L * PackDocsPerShard} THEN 4
+       |              WHEN c <= ${1048576L * PackDocsPerShard} THEN 5
+       |              WHEN c <= ${16777216L * PackDocsPerShard} THEN 6
+       |              WHEN c <= ${268435456L * PackDocsPerShard} THEN 7
+       |              ELSE 8 END AS d
+       |  FROM (SELECT COUNT(*) AS c FROM documents)),
+       |b AS (${TextAnalysis.spDocTokensSql(ws)}),
+       |t AS (
+       |  SELECT doc_id, n_sp AS n_tokens,
        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, (SELECT d FROM sd)) AS shard
        |  FROM b),
        |c AS (
@@ -767,6 +823,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_pack" -> (pipePack _),
     "pipe_pack_bpe" -> (pipePackBpe _),
+    "pipe_pack_sp" -> (pipePackSp _),
     "txt_vocab_coverage" -> (txtVocabCoverage _),
     "pipe_clean" -> (pipeClean _),
     "smp_stratified" -> (smpStratified _),

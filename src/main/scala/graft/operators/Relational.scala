@@ -978,6 +978,36 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** pandas `merge_asof(tolerance=)` — the staleness-bounded backward
+    * as-of, completing merge_asof's parameter surface next to
+    * [[evAsofJoin]] (backward) and [[evAsofNearest]] (forward/nearest):
+    * the feature-serving rule that context older than the tolerance is
+    * no context. Identical one-shuffle union-interleave machinery; the
+    * cut is decided on exact microsecond BIGINTs (the ev_asof_nearest
+    * discipline — no interval comparison crosses engines), emitting the
+    * tolerance-filtered match plus the raw staleness for observability.
+    * Same per-user window-width posture as ev_asof_join (SURVEY §4). */
+  val AsofTolUs: Long = 24L * 3600L * 1000000L // 24 hours
+
+  def evAsofTol(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("isp"), col("event_id"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(0).as("isp"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc("ts"), desc("isp"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stale = unix_micros(col("ts")) - unix_micros(col("lp"))
+    purch.unionByName(err)
+      .withColumn("lp", max(when(col("isp") === 1, col("ts"))).over(w))
+      .filter(col("isp") === 0)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(stale <= AsofTolUs, col("lp")).as("last_purchase_ts"),
+        when(col("lp").isNotNull, stale).as("staleness_us"))
+      .orderBy("event_id")
+  }
+
   def evAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
     val purch = ev.filter(col("event_type") === "purchase")

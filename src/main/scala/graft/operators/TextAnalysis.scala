@@ -1337,7 +1337,13 @@ object TextAnalysis {
   private val spByDir =
     scala.collection.concurrent.TrieMap.empty[String, Seq[SpPiece]]
   private val spWordsByDir =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Long, Long)]]
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Long, Long, String)]]
+
+  /** The trained word-type segmentation artifact available to SIBLING
+    * operators' generated oracles ([[Pipeline]]'s sp-budgeted packing)
+    * — same after-training contract as [[oracles]]. */
+  private[operators] def oracleSpWords: Option[Seq[(String, Long, Long, String)]] =
+    dirForOracles.flatMap(spWordsByDir.get)
 
   private def spModelMap(m: Seq[SpPiece]): java.util.HashMap[String, java.lang.Long] = {
     val h = new java.util.HashMap[String, java.lang.Long](m.size * 2)
@@ -1370,13 +1376,19 @@ object TextAnalysis {
         }
     }
     spByDir.update(dir, m)
-    // the encode-oracle artifact: driver Viterbi over the word types
-    // through the SAME spSegment the kernel calls
+    // the encode/freq-oracle artifact: driver Viterbi over the word
+    // types through the SAME spSegment/spPiecesEval the kernels call
     val h = spModelMap(m)
     spWordsByDir.update(dir, spTrainTypes(s, dir).map { case (w, _) =>
       val r = org.apache.spark.sql.graftexpr.TextExpressions
         .spSegment(w, h, SpMaxPieceLen, SpUnkQ)
-      (w, r(0), r(1))
+      val ps = org.apache.spark.sql.graftexpr.TextExpressions.spPiecesEval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), h, SpMaxPieceLen, SpUnkQ)
+      // pieces are substrings of a whitespace token — space-free by
+      // construction, so a space join round-trips through string_split
+      val pcs = (0 until ps.numElements())
+        .map(i => ps.getUTF8String(i).toString).mkString(" ")
+      (w, r(0), r(1), pcs)
     })
     lastDirRef.set(dir)
     m
@@ -1453,6 +1465,70 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus unigram piece distribution (top-30) — txt_bpe_freq's twin
+    * for the unigram tokenizer: the per-word Viterbi DP runs over word
+    * TYPES (O(vocabulary) kernel calls, never per occurrence — the
+    * encode-over-types posture), piece explode + map-side partial agg
+    * shuffles O(distinct pieces) (bounded by the trained vocabulary +
+    * seen codepoints), TakeOrderedAndProject head. The relation a
+    * vocab-coverage gate or a sampling-temperature fit consumes. */
+  def txtSpFreq(s: SparkSession, dir: String): DataFrame = {
+    val m = trainedSp(s, dir)
+    val lits = m.map(p => (p.piece, p.q))
+    Tables.load(s, dir, "documents")
+      .select(explode(org.apache.spark.sql.graftexpr.TextExpressions
+        .wordNgrams(col("text"), 1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(explode(org.apache.spark.sql.graftexpr.TextExpressions
+        .unigramPieces(col("w"), lits, SpMaxPieceLen, SpUnkQ)).as("piece"),
+        col("cnt"))
+      .groupBy("piece").agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("piece").asc)
+      .limit(30)
+  }
+
+  /** Per-doc `(doc_id, n_sp)` unigram token counts for composition into
+    * sibling operators ([[Pipeline]]'s sp-budgeted packing) — the
+    * [[txtSpEncode]] kernel without the presentation columns. */
+  private[operators] def spDocCounts(s: SparkSession, dir: String): DataFrame = {
+    val m = trainedSp(s, dir)
+    val st = org.apache.spark.sql.graftexpr.TextExpressions
+      .unigramStats(col("text"), m.map(p => (p.piece, p.q)), SpMaxPieceLen, SpUnkQ)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), element_at(st, 3).as("n_sp"))
+  }
+
+  /** Oracle-side twin of [[spDocCounts]] — per-doc unigram token counts
+    * from the per-word-TYPE literals, as a plain SELECT (no WITH) so
+    * sibling oracles can embed it as a CTE body. */
+  private[operators] def spDocTokensSql(ws: Seq[(String, Long, Long, String)]): String = {
+    val rows = ws
+      .map { case (w, np, _, _) => s"('${sqlLit(w)}', CAST($np AS BIGINT))" }
+      .mkString(", ")
+    s"""SELECT d.doc_id, CAST(COALESCE(j.np, 0) AS BIGINT) AS n_sp
+       |FROM documents d LEFT JOIN (
+       |  SELECT w.doc_id, SUM(m.np) AS np
+       |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |                                          x -> len(x) > 0)) AS wo
+       |        FROM documents) w
+       |  JOIN (VALUES $rows) AS m(word, np) ON m.word = w.wo
+       |  GROUP BY 1) j ON j.doc_id = d.doc_id""".stripMargin
+  }
+
+  private def spFreqSql(ws: Seq[(String, Long, Long, String)]): String = {
+    val rows = ws
+      .map { case (w, _, _, pcs) => s"('${sqlLit(w)}', '${sqlLit(pcs)}')" }
+      .mkString(", ")
+    s"""WITH m(word, pcs) AS (VALUES $rows),
+       |t AS (SELECT unnest(list_filter(string_split(text, ' '),
+       |                                x -> len(x) > 0)) AS wo FROM documents),
+       |ty AS (SELECT wo, COUNT(*) AS c FROM t GROUP BY 1),
+       |e AS (SELECT ty.c, unnest(string_split(m.pcs, ' ')) AS piece
+       |      FROM ty JOIN m ON m.word = ty.wo)
+       |SELECT piece, CAST(SUM(c) AS BIGINT) AS n
+       |FROM e GROUP BY 1 ORDER BY n DESC, piece LIMIT 30""".stripMargin
+  }
+
   private def spUnigramSql(m: Seq[SpPiece]): String = {
     val rows = m
       .map(p => s"('${sqlLit(p.piece)}', CAST(${p.q} AS BIGINT))")
@@ -1460,9 +1536,9 @@ object TextAnalysis {
     s"SELECT piece, qlogp FROM (VALUES $rows) AS t(piece, qlogp) ORDER BY piece"
   }
 
-  private def spEncodeSql(ws: Seq[(String, Long, Long)]): String = {
+  private def spEncodeSql(ws: Seq[(String, Long, Long, String)]): String = {
     val rows = ws
-      .map { case (w, np, qs) =>
+      .map { case (w, np, qs, _) =>
         s"('${sqlLit(w)}', CAST($np AS BIGINT), CAST($qs AS BIGINT))"
       }
       .mkString(", ")
@@ -1489,7 +1565,7 @@ object TextAnalysis {
       Map("txt_sp_unigram" -> spUnigramSql(m))
     }.getOrElse(Map.empty) ++
     dirForOracles.flatMap(spWordsByDir.get).map { ws =>
-      Map("txt_sp_encode" -> spEncodeSql(ws))
+      Map("txt_sp_encode" -> spEncodeSql(ws), "txt_sp_freq" -> spFreqSql(ws))
     }.getOrElse(Map.empty) ++
     dirForOracles.flatMap(mergesByDir.get).map { m =>
       Map("txt_bpe_encode" -> bpeEncodeSql(m), "txt_bpe_freq" -> bpeFreqSql(m))
@@ -1694,6 +1770,7 @@ object TextAnalysis {
     "txt_bpe_vocab" -> (txtBpeVocab _),
     "txt_sp_unigram" -> (txtSpUnigram _),
     "txt_sp_encode" -> (txtSpEncode _),
+    "txt_sp_freq" -> (txtSpFreq _),
     "txt_bpe_encode" -> (txtBpeEncode _),
     "txt_bpe_freq" -> (txtBpeFreq _),
     "txt_tfidf_top" -> (txtTfidfTop _),

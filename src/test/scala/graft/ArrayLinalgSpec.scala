@@ -256,6 +256,38 @@ class ArrayLinalgSpec extends AnyFunSuite {
         pearson(cols(i).toSeq, cols(j).toSeq)) < 1e-9, s"ref ($i,$j)")
   }
 
+  test("arr_cov: symmetric, diagonal = population variance, matches a direct compute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.ArrayQueries.arrCov(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 64)
+    // exact symmetry: the formula is operand-symmetric in (i, j)
+    for (((i, j), v) <- got)
+      assert(java.lang.Double.doubleToRawLongBits(v) ==
+        java.lang.Double.doubleToRawLongBits(got((j, i))), s"sym ($i,$j)")
+    // independent dense reference from the flattened cells
+    val cells = graft.operators.ArrayQueries.eventsArray2dCached(spark, dir)
+      .rows2d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ts = cells.map(_._1).distinct
+    val cols = Array.fill(8)(scala.collection.mutable.ArrayBuffer.empty[Double])
+    for (t <- ts.sorted; u <- 0 until 8) {
+      val row = Array.fill(8)(0.0)
+      cells.filter(c => c._1 == t && c._2 == u).foreach(c => row(c._3.toInt) = c._4)
+      for (h <- 0 until 8) cols(h) += row(h)
+    }
+    def cov(x: Seq[Double], y: Seq[Double]): Double = {
+      val n = x.length.toDouble
+      (n * x.zip(y).map { case (a, b) => a * b }.sum - x.sum * y.sum) / (n * n)
+    }
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val want = cov(cols(i).toSeq, cols(j).toSeq)
+      val tol = 1e-9 * math.max(1.0, math.abs(want))
+      assert(math.abs(got((i.toLong, j.toLong)) - want) < tol, s"ref ($i,$j)")
+    }
+    // diagonal = population variance (non-negative)
+    for (i <- 0 until 8) assert(got((i.toLong, i.toLong)) >= -1e-9, s"var $i")
+  }
+
   test("arr_qr_r: R reconstructs the Gram and matches the svd spectrum scale") {
     val dir = "/root/testdata/sf0.001"
     val rRows = graft.operators.ArrayQueries.arrQrR(spark, dir).collect()

@@ -67,6 +67,8 @@ class CodegenGateSpec extends AnyFunSuite {
       "CdcChunks" -> CdcChunks(br(StringType)),
       "RepetitionStats" -> RepetitionStats(br(StringType)),
       "UnigramStats" -> UnigramStats(br(StringType),
+        Seq("ab" -> -100000L, "a" -> -2000000L, "b" -> -2500000L), 6, -30000000L),
+      "UnigramPieces" -> UnigramPieces(br(StringType),
         Seq("ab" -> -100000L, "a" -> -2000000L, "b" -> -2500000L), 6, -30000000L))
     for ((name, e) <- exprs) {
       try GenerateMutableProjection.generate(Seq(e))

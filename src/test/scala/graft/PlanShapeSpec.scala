@@ -63,6 +63,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // aggregates meeting the C^2-row Gram (all bounded by the column
     // count, never data-scale)
     "arr_corrcoef" -> Set("events"),
+    // same bounded moment relations as arr_corrcoef (C-row column sums
+    // + the 1-row n), meeting the C^2-row Gram
+    "arr_cov" -> Set("events"),
     // per-source aggregates (O(|sources|) rows)
     "pipe_clean" -> Set("documents"),
     // per-source keep-fraction relation + its 1-row total (O(|sources|))

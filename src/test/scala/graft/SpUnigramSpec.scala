@@ -151,6 +151,47 @@ class SpUnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("UnigramPieces backpointer trace agrees with the stats DP and reassembles the word") {
+    val pieces = Seq("a" -> -2000000L, "b" -> -2200000L, "ab" -> -3000000L,
+      "ba" -> -3100000L, "bab" -> -4200000L)
+    val model = new java.util.HashMap[String, java.lang.Long]()
+    pieces.foreach { case (p, q) => model.put(p, java.lang.Long.valueOf(q)): Unit }
+    val qmap = pieces.toMap
+    for (w <- Seq("abab", "aabba", "babab", "bbbb", "a", "ababab", "xay", "")) {
+      val st = TextExpressions.spSegment(w, model, 6, TextAnalysis.SpUnkQ)
+      val ps = TextExpressions.spPiecesEval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), model, 6,
+        TextAnalysis.SpUnkQ)
+      val trace = (0 until ps.numElements()).map(i => ps.getUTF8String(i).toString)
+      assert(trace.mkString == w, s"'$w': pieces must concatenate back")
+      assert(trace.length.toLong == st(0), s"'$w': piece count")
+      val score = trace.map(p => qmap.getOrElse(p, TextAnalysis.SpUnkQ)).sum
+      assert(score == st(1), s"'$w': trace score")
+    }
+  }
+
+  test("txt_sp_freq matches a driver recomputation over the corpus word types") {
+    val model = TextAnalysis.trainedSp(spark, sf)
+    val h = new java.util.HashMap[String, java.lang.Long]()
+    model.foreach(p => h.put(p.piece, java.lang.Long.valueOf(p.q)): Unit)
+    val got = TextAnalysis.txtSpFreq(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(got.nonEmpty && got.size <= 30)
+    val words = graft.sources.Tables.load(spark, sf, "documents")
+      .select("text").as[String].collect()
+      .flatMap(_.split(" ", -1).filter(_.nonEmpty))
+    val want = words
+      .flatMap { w =>
+        val ps = TextExpressions.spPiecesEval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(w), h,
+          TextAnalysis.SpMaxPieceLen, TextAnalysis.SpUnkQ)
+        (0 until ps.numElements()).map(i => ps.getUTF8String(i).toString)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(30)
+    assert(got == want)
+  }
+
   test("compression sanity: the trained tokenizer beats characters on its own corpus") {
     val enc = TextAnalysis.txtSpEncode(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect()
