@@ -224,6 +224,138 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Quantization scale for the embedding Gram: q = floor(1e3·x)
+    * BIGINT keeps every pairwise-product SUM below 2^53 at the test
+    * scale factors (|q| ≲ 2·10³, so q_i·q_j ≲ 4·10⁶ and 10⁵ rows sum
+    * to ≲ 4·10¹¹) — exact, order-free, and the BIGINT→anything casts
+    * agree cross-engine. At a true 100 TB row count the sums widen to
+    * DECIMAL(38,0) (same plan, wider accumulator — the arr_gram
+    * posture); the coarser scale is fine for a spectrum DIAGNOSTIC. */
+  val EmbGramScale = 1e3
+
+  /** The exact quantized-integer Gram of the embedding matrix,
+    * persisted (two faces read it: [[embGram]] and [[embPcaVar]]'s
+    * 64×64 collect): one narrow quantize pass, one posexplode
+    * self-join pinned shuffle_hash on vec_id (each side n·Dim skinny
+    * rows), and a map-side-combined partial aggregate onto Dim² keys —
+    * the SUMMA posture at the embedding face. Nothing broadcasts and
+    * nothing is all-pairs over ROWS (the join key is the row id; the
+    * Dim² blowup is the bounded OUTPUT dimension, not data). */
+  private def embGramRel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding").cast("array<double>"),
+          v => floor(v * lit(EmbGramScale)).cast("long"))).as(Seq("d", "qv")))
+    e.join(
+        e.select(col("vec_id"), col("d").as("d2"), col("qv").as("qv2"))
+          .hint("shuffle_hash"),
+        "vec_id")
+      .groupBy(col("d").as("i"), col("d2").as("j"))
+      .agg(sum(col("qv") * col("qv2")).as("g"))
+      .cachedPersist()
+  }
+
+  /** The embedding-space Gram itself — the distributed half of every
+    * second-moment diagnostic over the corpus's embedding matrix (PCA
+    * spectrum, whitening, covariance): Dim² exact-integer rows. */
+  def embGram(s: SparkSession, dir: String): DataFrame =
+    embGramRel(s, dir)
+      .select(col("i").cast("bigint").as("i"), col("j").cast("bigint").as("j"),
+        col("g"))
+      .orderBy("i", "j")
+
+  /** The trained PCA spectra keyed by dir (the [[trainedByDir]]
+    * trained-literal oracle posture). */
+  private val embPcaByDir =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[Double]]
+
+  /** PCA spectrum of the embedding corpus (eigenvalues of the CENTERED
+    * quantized second-moment matrix, top 16) — the intrinsic-
+    * dimensionality diagnostic an embedding-quality dashboard shows
+    * next to [[embClassSep]]: how many directions carry the corpus's
+    * variance, and how fast the tail decays. Distributed work =
+    * [[embGramRel]]'s one persisted pass + the per-dim integer sums;
+    * centering runs driver-side in EXACT Long arithmetic
+    * (n·G_ij − S_i·S_j, every operand bounded well under 2^63 at the
+    * quantized scale), and the 64×64 eigensolve is the deterministic
+    * cyclic Jacobi ([[graft.arrays.Eigen]]) on a model artifact — the
+    * arr_svd_vals posture at the embedding face. Eigenvalues are
+    * emitted in the RAW centered-integer units (exact inputs →
+    * deterministic doubles; the oracle embeds them as round-trip-exact
+    * literals). */
+  def embPcaVar(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(s, dir, "embeddings").count()
+    val g = Array.ofDim[Long](Dim, Dim)
+    embGramRel(s, dir).collect().foreach { r =>
+      g(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+    }
+    val sums = new Array[Long](Dim)
+    Tables.load(s, dir, "embeddings")
+      .select(posexplode(transform(col("embedding").cast("array<double>"),
+        v => floor(v * lit(EmbGramScale)).cast("long"))).as(Seq("d", "qv")))
+      .groupBy("d").agg(sum(col("qv")).as("sd"))
+      .collect().foreach(r => sums(r.getInt(0)) = r.getLong(1))
+    val cov = Array.tabulate(Dim, Dim)((i, j) =>
+      (n * g(i)(j) - sums(i) * sums(j)).toDouble)
+    val eig = graft.arrays.Eigen.symEigenvalues(cov).take(16)
+    embPcaByDir.update(dir, eig)
+    lastDir.set(dir)
+    import s.implicits._
+    eig.zipWithIndex.map { case (v, k) => (k.toLong, v) }
+      .toDF("k", "lam").orderBy("k")
+  }
+
+  /** How many principal components [[embPcaProject]] keeps. */
+  val EmbPcaK = 2
+
+  /** The trained eigenVECTORS keyed by dir (rows of Eigen.symEigen's
+    * descending-order basis), for the projection oracle. */
+  private val embPcaVecsByDir =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[IndexedSeq[Double]]]
+
+  /** Project every embedding onto the corpus's top-[[EmbPcaK]]
+    * principal directions — [[graft.operators.ArrayQueries.arrPcaProject]]'s
+    * twin at the embedding face (the dimensionality-reduction/whitening
+    * serve step after [[embPcaVar]]'s diagnostic): the eigenbasis comes
+    * from the SAME deterministic Jacobi on the SAME exact centered
+    * integer matrix (one persisted Gram pass + per-dim sums, zero new
+    * row-scale work), and the projection is a distributed per-vector
+    * LEFT FOLD over the QUANTIZED integer components in ascending-dim
+    * order — identical exact integers × identical literal weights ×
+    * identical fold sequence = identical result bits, the §5
+    * ordered-fold discipline (projection of the uncentered quantized
+    * vector; subtracting the constant mean offset shifts every score
+    * equally and is left to the consumer, documented). */
+  def embPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(s, dir, "embeddings").count()
+    val g = Array.ofDim[Long](Dim, Dim)
+    embGramRel(s, dir).collect().foreach { r =>
+      g(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+    }
+    val sums = new Array[Long](Dim)
+    Tables.load(s, dir, "embeddings")
+      .select(posexplode(transform(col("embedding").cast("array<double>"),
+        v => floor(v * lit(EmbGramScale)).cast("long"))).as(Seq("d", "qv")))
+      .groupBy("d").agg(sum(col("qv")).as("sd"))
+      .collect().foreach(r => sums(r.getInt(0)) = r.getLong(1))
+    val cov = Array.tabulate(Dim, Dim)((i, j) =>
+      (n * g(i)(j) - sums(i) * sums(j)).toDouble)
+    val top = graft.arrays.Eigen.symEigen(cov)._2.take(EmbPcaK)
+    embPcaVecsByDir.update(dir, top)
+    lastDir.set(dir)
+    val q = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          v => floor(v * lit(EmbGramScale)).cast("long")).as("q"))
+    val projCols = top.zipWithIndex.map { case (vk, k) =>
+      val varr = array(vk.map(lit(_)): _*)
+      aggregate(
+        zip_with(col("q"), varr, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, t) => acc + t).as(s"pc$k")
+    }
+    q.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
+  }
+
   /** IVF ANN with a fixed coarse quantizer: the first [[NumCentroids]]
     * vectors act as centroids (broadcast); every vector is assigned to
     * its nearest centroid by squared L2 (one narrow pass), probes search
@@ -969,6 +1101,36 @@ object Similarity {
           Map("sim_ivfpq_trained" -> sql,
             "sim_ivfpq_trained_recall" -> recallOracleSql(sql))
         }
+        .getOrElse(Map.empty) ++
+      d.flatMap(embPcaByDir.get)
+        .map { eig =>
+          val rows = eig.zipWithIndex
+            .map { case (v, k) => s"(CAST($k AS BIGINT), ${fmtD(v)})" }
+            .mkString(", ")
+          Map("emb_pca_var" ->
+            s"SELECT k, lam FROM (VALUES $rows) AS t(k, lam) ORDER BY k")
+        }
+        .getOrElse(Map.empty) ++
+      d.flatMap(embPcaVecsByDir.get)
+        .map { top =>
+          // the identical ascending-dim left fold over the identical
+          // quantized integers × round-trip-exact literal weights
+          val pcs = top.zipWithIndex.map { case (vk, k) =>
+            val lst = vk.map(fmtD).mkString("[", ", ", "]")
+            s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               |    list_transform(range(1, ${vk.length + 1}),
+               |      i -> CAST(q[CAST(i AS INT)] AS DOUBLE) * ($lst)[CAST(i AS INT)])),
+               |    (x, y) -> x + y) AS pc$k""".stripMargin
+          }.mkString(",\n  ")
+          Map("emb_pca_project" ->
+            s"""WITH qq AS (
+               |  SELECT vec_id, list_transform(embedding,
+               |    v -> CAST(floor(CAST(v AS DOUBLE) * $EmbGramScale) AS BIGINT)) AS q
+               |  FROM embeddings)
+               |SELECT vec_id,
+               |  $pcs
+               |FROM qq ORDER BY vec_id""".stripMargin)
+        }
         .getOrElse(Map.empty)
   }
 
@@ -1015,6 +1177,20 @@ object Similarity {
   }
 
   private lazy val staticOracles: Map[String, String] = Map(
+    // the quantized-integer Gram replayed relationally: CAST to DOUBLE
+    // BEFORE the scale multiply (float32 parquet values round at float
+    // precision otherwise), floor to BIGINT, exact integer sums
+    "emb_gram" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    v -> CAST(floor(CAST(v AS DOUBLE) * $EmbGramScale) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |e AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS d, unnest(q) AS qv
+         |      FROM q)
+         |SELECT CAST(a.d AS BIGINT) AS i, CAST(b.d AS BIGINT) AS j,
+         |  CAST(SUM(a.qv * b.qv) AS BIGINT) AS g
+         |FROM e a JOIN e b USING (vec_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sim_pq_ann" -> pqOracle,
     "emb_label_assign" -> assignOracle,
     // parallel unnests zip positionally in DuckDB; floor(v * 1e6) is
@@ -1190,6 +1366,9 @@ object Similarity {
     "sim_ivf_recall" -> (simIvfRecall _),
     "sim_pq_recall" -> (simPqRecall _),
     "emb_class_sep" -> (embClassSep _),
+    "emb_gram" -> (embGram _),
+    "emb_pca_var" -> (embPcaVar _),
+    "emb_pca_project" -> (embPcaProject _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_ivf_ann" -> (simIvfAnn _),
     "sim_ivf_trained" -> (simIvfTrained _),

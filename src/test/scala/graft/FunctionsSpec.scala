@@ -13,6 +13,71 @@ class FunctionsSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("emb_gram is exact vs a driver recomputation; emb_pca_var spectrum checks out") {
+    val dim = Similarity.Dim
+    val got = Similarity.embGram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == dim * dim)
+    val embs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v => math.floor(v.toDouble * 1000.0).toLong).toArray)
+    val ref = Array.ofDim[Long](dim, dim)
+    for (q <- embs; i <- 0 until dim; j <- 0 until dim) ref(i)(j) += q(i) * q(j)
+    for (i <- 0 until dim; j <- 0 until dim)
+      assert(got((i.toLong, j.toLong)) == ref(i)(j), s"gram ($i,$j)")
+    // the spectrum: the distributed sums + driver centering must equal a
+    // spec-side centering of the SAME exact integers (identical doubles),
+    // and a covariance spectrum is PSD and descending
+    val eig = Similarity.embPcaVar(spark, sf).collect().map(_.getDouble(1)).toSeq
+    assert(eig.size == 16)
+    val n = embs.length.toLong
+    val sums = new Array[Long](dim)
+    for (q <- embs; i <- 0 until dim) sums(i) += q(i)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      (n * ref(i)(j) - sums(i) * sums(j)).toDouble)
+    val want = graft.arrays.Eigen.symEigenvalues(cov)
+    assert(eig == want.take(16).toSeq,
+      "query spectrum must equal the spec-side exact recomputation")
+    assert(eig == eig.sorted.reverse, "descending")
+    val tol = 1e-9 * math.max(1.0, math.abs(want.head))
+    assert(want.forall(_ >= -tol), "covariance spectrum is PSD up to rounding")
+    // trace preservation: Jacobi rotations keep the trace
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    assert(math.abs(want.sum - trace) <= 1e-9 * math.abs(trace), "trace identity")
+  }
+
+  test("emb_pca_project: distributed fold == driver replay bit-for-bit") {
+    val dim = Similarity.Dim
+    val got = Similarity.embPcaProject(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    // rebuild the basis exactly as the query does, then replay the
+    // ascending-dim left fold on the same quantized integers
+    val rows = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1000.0).toLong).toArray)
+    val n = rows.length.toLong
+    val ref = Array.ofDim[Long](dim, dim)
+    val sums = new Array[Long](dim)
+    for ((_, q) <- rows) {
+      for (i <- 0 until dim) {
+        sums(i) += q(i)
+        for (j <- 0 until dim) ref(i)(j) += q(i) * q(j)
+      }
+    }
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      (n * ref(i)(j) - sums(i) * sums(j)).toDouble)
+    val top = graft.arrays.Eigen.symEigen(cov)._2.take(Similarity.EmbPcaK)
+    for ((id, q) <- rows; k <- 0 until Similarity.EmbPcaK) {
+      var acc = 0.0
+      for (d <- 0 until dim) acc += q(d).toDouble * top(k)(d)
+      val gotK = if (k == 0) got(id)._1 else got(id)._2
+      assert(java.lang.Double.doubleToRawLongBits(gotK) ==
+        java.lang.Double.doubleToRawLongBits(acc), s"vec $id pc$k")
+    }
+  }
+
   test("hash60 column matches localHash60 (literal generation parity)") {
     val s = "3:the quick fox"
     val got = Seq(s).toDF("x").select(hash60(col("x"))).head().getLong(0)

@@ -71,7 +71,7 @@ class SurveyInventorySpec extends AnyFunSuite {
         "txt_bpe_freq", "pipe_pack_bpe", "arr_svd_vals", "txt_classifier_score",
         "arr_pca_project", "arr_qr_r", "txt_lm_score",
         "arr_lstsq", "arr_lstsq_resid", "txt_sp_unigram", "txt_sp_encode",
-        "txt_sp_freq", "pipe_pack_sp")
+        "txt_sp_freq", "pipe_pack_sp", "emb_pca_var", "emb_pca_project")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly -- trainedOracles
     assert(noOracle.isEmpty,
