@@ -459,6 +459,92 @@ object TopKSortedMerge {
   final class Buf(var n: Int, val nv: Array[Double], val gidx: Array[Long])
 }
 
+/** One-pass outer-product accumulation of a quantized integer vector
+  * column: the dim×dim Gram, the per-dim sums AND the row count in a
+  * SINGLE [[org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate]]
+  * — the mergeable-summaries posture (MisraGries' contract) for
+  * second-moment statistics over embedding space. Buffer layout:
+  * `[0, dim²)` = row-major Gram, `[dim², dim²+dim)` = sums, last = n;
+  * ~33 KB at dim 64. Map-side partials fold every row where it sits
+  * and the shuffle moves ONE buffer per partition — vs the posexplode
+  * self-join spelling, which shuffled n·dim rows per side and
+  * materialized n·dim² join rows through the aggregate (measured r17:
+  * that intermediate churn pressured the whole bench JVM, a uniform
+  * +5 s across unrelated queries). Exact integer arithmetic throughout
+  * (the caller bounds |q| so products can't overflow). */
+case class GramLong(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+    Array[Long]] with ImplicitCastInputTypes {
+
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+  private val len = dim * dim + dim + 1
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_long"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](len)
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val a = v.asInstanceOf[ArrayData]
+    require(a.numElements() == dim,
+      s"expected $dim components, got ${a.numElements()}")
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { q(i) = a.getLong(i); i += 1 }
+    i = 0
+    while (i < dim) {
+      val qi = q(i)
+      val base = i * dim
+      var j = 0
+      while (j < dim) { buf(base + j) += qi * q(j); j += 1 }
+      buf(dim * dim + i) += qi
+      i += 1
+    }
+    buf(len - 1) += 1L
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < len) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(len * 8)
+    var i = 0
+    while (i < len) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](len)
+    var i = 0
+    while (i < len) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 /** Exact set Jaccard of two `array<bigint>` columns in ONE pass.
   *
   * Replaces `size(array_intersect(a, b)) / size(array_union(a, b))` —
@@ -567,4 +653,10 @@ object SketchExpressions {
   def topkSortedMerge(c: Column, k: Int): Column =
     ExpressionUtils.column(
       TopKSortedMerge(ExpressionUtils.expression(c), k).toAggregateExpression())
+
+  /** Aggregate Column wrapper for [[GramLong]]: one-pass Gram + sums +
+    * count of a quantized integer vector column. */
+  def gramLong(c: Column, dim: Int): Column =
+    ExpressionUtils.column(
+      GramLong(ExpressionUtils.expression(c), dim).toAggregateExpression())
 }

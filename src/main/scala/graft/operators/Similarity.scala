@@ -233,35 +233,45 @@ object Similarity {
     * posture); the coarser scale is fine for a spectrum DIAGNOSTIC. */
   val EmbGramScale = 1e3
 
-  /** The exact quantized-integer Gram of the embedding matrix,
-    * persisted (two faces read it: [[embGram]] and [[embPcaVar]]'s
-    * 64×64 collect): one narrow quantize pass, one posexplode
-    * self-join pinned shuffle_hash on vec_id (each side n·Dim skinny
-    * rows), and a map-side-combined partial aggregate onto Dim² keys —
-    * the SUMMA posture at the embedding face. Nothing broadcasts and
-    * nothing is all-pairs over ROWS (the join key is the row id; the
-    * Dim² blowup is the bounded OUTPUT dimension, not data). */
-  private def embGramRel(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"),
-        posexplode(transform(col("embedding").cast("array<double>"),
-          v => floor(v * lit(EmbGramScale)).cast("long"))).as(Seq("d", "qv")))
-    e.join(
-        e.select(col("vec_id"), col("d").as("d2"), col("qv").as("qv2"))
-          .hint("shuffle_hash"),
-        "vec_id")
-      .groupBy(col("d").as("i"), col("d2").as("j"))
-      .agg(sum(col("qv") * col("qv2")).as("g"))
+  /** The exact quantized-integer second moments of the embedding
+    * matrix — Gram + per-dim sums + count — in ONE pass through the
+    * native [[org.apache.spark.sql.graftexpr.GramLong]]
+    * TypedImperativeAggregate (the mergeable-summaries posture): every
+    * row folds into a ~33 KB per-partition buffer where it sits, the
+    * shuffle moves ONE buffer per partition, and the output is one
+    * (Dim²+Dim+1)-long row. Persisted: three faces read it ([[embGram]],
+    * [[embPcaVar]], [[embPcaProject]]'s basis). The first spelling —
+    * posexplode self-join on vec_id — was correct but shuffled n·Dim
+    * rows per side and pushed n·Dim² rows through the aggregate; the
+    * measured cost was not the query itself but a uniform +5 s of JVM
+    * pressure across the REST of the bench sweep (r17; the sketch
+    * spelling is also the only shape whose wire cost is independent of
+    * the row count at 100 TB). */
+  private def embGramRel(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(transform(col("embedding").cast("array<double>"),
+        v => floor(v * lit(EmbGramScale)).cast("long")).as("q"))
+      .agg(org.apache.spark.sql.graftexpr.SketchExpressions
+        .gramLong(col("q"), Dim).as("gb"))
       .cachedPersist()
+
+  /** The collected (gram, sums, n) model artifact — one bounded row. */
+  private def embMoments(s: SparkSession, dir: String): (Array[Array[Long]], Array[Long], Long) = {
+    val arr = embGramRel(s, dir).collect().head.getSeq[Long](0).toArray
+    val g = Array.tabulate(Dim, Dim)((i, j) => arr(i * Dim + j))
+    val sums = Array.tabulate(Dim)(i => arr(Dim * Dim + i))
+    (g, sums, arr.last)
   }
 
   /** The embedding-space Gram itself — the distributed half of every
     * second-moment diagnostic over the corpus's embedding matrix (PCA
-    * spectrum, whitening, covariance): Dim² exact-integer rows. */
+    * spectrum, whitening, covariance): Dim² exact-integer rows, read
+    * off the one persisted aggregate row. */
   def embGram(s: SparkSession, dir: String): DataFrame =
     embGramRel(s, dir)
-      .select(col("i").cast("bigint").as("i"), col("j").cast("bigint").as("j"),
-        col("g"))
+      .select(posexplode(slice(col("gb"), 1, Dim * Dim)).as(Seq("idx", "g")))
+      .select(floor(col("idx") / lit(Dim)).cast("bigint").as("i"),
+        (col("idx") % lit(Dim)).cast("bigint").as("j"), col("g"))
       .orderBy("i", "j")
 
   /** The trained PCA spectra keyed by dir (the [[trainedByDir]]
@@ -284,17 +294,7 @@ object Similarity {
     * deterministic doubles; the oracle embeds them as round-trip-exact
     * literals). */
   def embPcaVar(s: SparkSession, dir: String): DataFrame = {
-    val n = Tables.load(s, dir, "embeddings").count()
-    val g = Array.ofDim[Long](Dim, Dim)
-    embGramRel(s, dir).collect().foreach { r =>
-      g(r.getInt(0))(r.getInt(1)) = r.getLong(2)
-    }
-    val sums = new Array[Long](Dim)
-    Tables.load(s, dir, "embeddings")
-      .select(posexplode(transform(col("embedding").cast("array<double>"),
-        v => floor(v * lit(EmbGramScale)).cast("long"))).as(Seq("d", "qv")))
-      .groupBy("d").agg(sum(col("qv")).as("sd"))
-      .collect().foreach(r => sums(r.getInt(0)) = r.getLong(1))
+    val (g, sums, n) = embMoments(s, dir)
     val cov = Array.tabulate(Dim, Dim)((i, j) =>
       (n * g(i)(j) - sums(i) * sums(j)).toDouble)
     val eig = graft.arrays.Eigen.symEigenvalues(cov).take(16)
@@ -327,17 +327,7 @@ object Similarity {
     * vector; subtracting the constant mean offset shifts every score
     * equally and is left to the consumer, documented). */
   def embPcaProject(s: SparkSession, dir: String): DataFrame = {
-    val n = Tables.load(s, dir, "embeddings").count()
-    val g = Array.ofDim[Long](Dim, Dim)
-    embGramRel(s, dir).collect().foreach { r =>
-      g(r.getInt(0))(r.getInt(1)) = r.getLong(2)
-    }
-    val sums = new Array[Long](Dim)
-    Tables.load(s, dir, "embeddings")
-      .select(posexplode(transform(col("embedding").cast("array<double>"),
-        v => floor(v * lit(EmbGramScale)).cast("long"))).as(Seq("d", "qv")))
-      .groupBy("d").agg(sum(col("qv")).as("sd"))
-      .collect().foreach(r => sums(r.getInt(0)) = r.getLong(1))
+    val (g, sums, n) = embMoments(s, dir)
     val cov = Array.tabulate(Dim, Dim)((i, j) =>
       (n * g(i)(j) - sums(i) * sums(j)).toDouble)
     val top = graft.arrays.Eigen.symEigen(cov)._2.take(EmbPcaK)
