@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import org.apache.spark.sql.graftexpr.{DotProduct, HashWordNgrams, MaxTokenCount, MisraGries, WordNgrams}
+import org.apache.spark.sql.graftexpr.{CdcChunks, DotProduct, GramLong, HashWordNgrams, JaccardSet, MaxTokenCount, MisraGries, RepetitionStats, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL users. Activate with
@@ -16,8 +16,13 @@ import org.apache.spark.sql.graftexpr.{DotProduct, HashWordNgrams, MaxTokenCount
   * `graft_hash_word_ngrams(text, n)`, `graft_max_token_count(text)`)
   * expose the one-pass tokenizer family the operators build on. The
   * `n` argument must be an integer literal (it is baked into the
-  * generated code). `graft_heavy_hitters(item, k)` registers the
-  * Misra-Gries frequent-items aggregate (k likewise a literal).
+  * generated code). `graft_cdc_chunks(text)` exposes the
+  * content-defined chunker, `graft_repetition_stats(text)` the fused
+  * Gopher repetition kernel and `graft_jaccard(a, b)` the one-pass
+  * exact set Jaccard. `graft_heavy_hitters(item, k)` registers the
+  * Misra-Gries frequent-items aggregate and `graft_gram(qvec, dim)`
+  * the one-pass Gram/sums/count moments aggregate (k/dim likewise
+  * literals).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -55,11 +60,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"graft_max_token_count requires (text), got ${children.length} arguments")
       MaxTokenCount(children(0))
     })
-    // aggregate: the analyzer wraps a bare AggregateFunction itself
+    reg(ext, "graft_cdc_chunks", classOf[CdcChunks], { children =>
+      require(children.length == 1,
+        s"graft_cdc_chunks requires (text), got ${children.length} arguments")
+      CdcChunks(children(0))
+    })
+    reg(ext, "graft_repetition_stats", classOf[RepetitionStats], { children =>
+      require(children.length == 1,
+        s"graft_repetition_stats requires (text), got ${children.length} arguments")
+      RepetitionStats(children(0))
+    })
+    reg(ext, "graft_jaccard", classOf[JaccardSet], { children =>
+      require(children.length == 2,
+        s"graft_jaccard requires (a, b), got ${children.length} arguments")
+      JaccardSet(children(0), children(1))
+    })
+    // aggregates: the analyzer wraps a bare AggregateFunction itself
     reg(ext, "graft_heavy_hitters", classOf[MisraGries], { children =>
       require(children.length == 2,
         s"graft_heavy_hitters requires (item, k), got ${children.length} arguments")
       MisraGries(children(0), litN("graft_heavy_hitters", children(1)))
+    })
+    reg(ext, "graft_gram", classOf[GramLong], { children =>
+      require(children.length == 2,
+        s"graft_gram requires (qvec, dim), got ${children.length} arguments")
+      GramLong(children(0), litN("graft_gram", children(1)))
     })
     // Plans graft's TopKPerKey logical node as the bounded-heap operator.
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftexpr.TopKStrategy)

@@ -54,6 +54,24 @@ class ExtensionsSpec extends AnyFunSuite {
         s.sql("SELECT graft_word_ngrams('a b', 1 + 1)").collect())
       assert(e.getMessage.contains("integer literal") ||
         Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+      // r17 registrations: chunker, fused repetition stats, set jaccard
+      val chunks = s.sql("SELECT graft_cdc_chunks(repeat('abcdef ', 40)) AS c")
+        .head().getSeq[String](0)
+      assert(chunks.nonEmpty && chunks.mkString == "abcdef " * 40)
+      val rep = s.sql("SELECT graft_repetition_stats('x y x x') AS r")
+        .head().getSeq[Long](0)
+      assert(rep.head == 4L) // n_tok
+      val jac = s.sql(
+        "SELECT graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j")
+        .head().getDouble(0)
+      assert(jac == 0.5)
+      // the moments aggregate: gram + sums + count of quantized vectors
+      val gb = s.sql(
+        """SELECT graft_gram(q, 2) AS gb
+          |FROM VALUES (array(1L, 2L)), (array(3L, 4L)) AS t(q)""".stripMargin)
+        .head().getSeq[Long](0)
+      assert(gb == Seq(10L, 14L, 14L, 20L, 4L, 6L, 2L),
+        "row-major gram, then sums, then n")
     } finally ()
   }
 
