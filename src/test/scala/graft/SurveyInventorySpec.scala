@@ -81,6 +81,11 @@ class SurveyInventorySpec extends AnyFunSuite {
       s"oracleSql entries with no matching query: ${danglingOracles.toSeq.sorted}")
   }
 
+  test("the driver contract's flagship entry() returns rows (smoke)") {
+    assert(SparkEntry.entry(TestSpark.spark).count() > 0,
+      "the driver smoke-checks entry() rows>0; it must never go empty")
+  }
+
   test("no §2 checklist row is unchecked") {
     val unchecked = section2Lines.filter(_.trim.startsWith("- [ ]"))
     assert(unchecked.isEmpty, s"unchecked SURVEY §2 rows: $unchecked")
