@@ -119,6 +119,48 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(dropped == nDistinct.toLong * 5 * (dup - 1))
   }
 
+  test("GramLong moments: correct at 100k rows, plan has no join/explode (one agg pass)") {
+    // the emb_gram posture claim (SURVEY §2.E): wire cost independent
+    // of row count — one aggregate, one exchange, no Generate, no Join.
+    // 100k deterministic 8-dim integer vectors; the exact reference is
+    // computed from the generator's closed form.
+    val dim = 8
+    val n = 100000L
+    val df = spark.range(n).select(
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.sequence(lit(0), lit(dim - 1)),
+        d => (col("id") + d.cast("bigint")) % 7L).as("q"))
+    val agg = df.agg(org.apache.spark.sql.graftexpr.SketchExpressions
+      .gramLong(col("q"), dim).as("gb"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"no join in:\n$plan")
+    assert(!plan.contains("Generate"), s"no explode in:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"exactly ONE exchange (the partial->final agg):\n$plan")
+    val buf = agg.collect().head.getSeq[Long](0)
+    assert(buf.length == dim * dim + dim + 1)
+    assert(buf.last == n, "count cell")
+    // exact reference from the generator
+    val ref = Array.ofDim[Long](dim, dim)
+    val sums = new Array[Long](dim)
+    var id = 0L
+    while (id < n) {
+      val q = Array.tabulate(dim)(d => (id + d) % 7L)
+      var i = 0
+      while (i < dim) {
+        sums(i) += q(i)
+        var j = 0
+        while (j < dim) { ref(i)(j) += q(i) * q(j); j += 1 }
+        i += 1
+      }
+      id += 1L
+    }
+    for (i <- 0 until dim; j <- 0 until dim)
+      assert(buf(i * dim + j) == ref(i)(j), s"gram ($i,$j)")
+    for (i <- 0 until dim)
+      assert(buf(dim * dim + i) == sums(i), s"sum $i")
+  }
+
   test("skewBound spreads a 50k-row hot key into ~n/cap bounded cells") {
     val cap = 512
     val hotN = 50000L
