@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import org.apache.spark.sql.graftexpr.{CdcChunks, DotProduct, GramLong, HashWordNgrams, JaccardSet, MaxTokenCount, MisraGries, RepetitionStats, WordNgrams}
+import org.apache.spark.sql.graftexpr.{CdcChunks, DotProduct, GramLong, GramWide, HashWordNgrams, JaccardSet, MaxTokenCount, MisraGries, RepetitionStats, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL users. Activate with
@@ -85,6 +85,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(children.length == 2,
         s"graft_gram requires (qvec, dim), got ${children.length} arguments")
       GramLong(children(0), litN("graft_gram", children(1)))
+    })
+    reg(ext, "graft_gram_wide", classOf[GramWide], { children =>
+      require(children.length == 2,
+        s"graft_gram_wide requires (qvec, dim), got ${children.length} arguments")
+      GramWide(children(0), litN("graft_gram_wide", children(1)))
     })
     // Plans graft's TopKPerKey logical node as the bounded-heap operator.
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftexpr.TopKStrategy)

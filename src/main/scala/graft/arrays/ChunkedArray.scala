@@ -392,15 +392,19 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * O(cells) skinny rows, each window partition bounded by the axis
     * extent (never a global sort, parallelism = the full line grid).
     * Exact doubles sort deterministically cross-engine; equal values
-    * tie on the original coordinate (numpy's stable rule — for values
-    * the tie order is unobservable, for [[argsortAxisRows]] it is the
-    * contract). Returns `(timestep, i0.., value)` rows. */
+    * tie on the original coordinate (numpy `argsort(kind="stable")` —
+    * numpy's DEFAULT kind='quicksort' is not stable, so ports relying
+    * on default-kind tie order were never deterministic to begin with;
+    * for values the tie order is unobservable, for
+    * [[argsortAxisRows]] it is the contract).
+    * Returns `(timestep, i0.., value)` rows. */
   def sortAxisRows(axis: Int): DataFrame = {
     val (ranked, outCols) = rankedByLine(axis)
     ranked.select(outCols :+ col("value"): _*)
   }
 
-  /** Per-line `argsort` along `axis` (numpy `argsort`, stable): row k of
+  /** Per-line `argsort` along `axis` (numpy `argsort(kind="stable")`;
+    * NOT the unstable default kind): row k of
     * a line holds the ORIGINAL axis coordinate of its k-th smallest
     * value (ties keep original order). Same wire posture as
     * [[sortAxisRows]]. Returns `(timestep, i0.., idx)` rows where the

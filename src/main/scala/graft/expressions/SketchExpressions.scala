@@ -470,8 +470,15 @@ object TopKSortedMerge {
   * self-join spelling, which shuffled n·dim rows per side and
   * materialized n·dim² join rows through the aggregate (measured r17:
   * that intermediate churn pressured the whole bench JVM, a uniform
-  * +5 s across unrelated queries). Exact integer arithmetic throughout
-  * (the caller bounds |q| so products can't overflow). */
+  * +5 s across unrelated queries). Exact integer arithmetic throughout:
+  * the caller bounds |q| so each PRODUCT fits a Long, and every
+  * accumulation is overflow-CHECKED (`Math.addExact`/`multiplyExact`)
+  * so a row count large enough to wrap the Long sums fails loudly
+  * instead of silently wrapping — at true 100 TB row counts use
+  * [[GramWide]], the 128-bit-accumulating sibling whose sums cannot
+  * overflow at any physical scale. A NULL vector element likewise
+  * fails loudly: the oracle's NULL arithmetic would silently diverge,
+  * and a null embedding component is upstream corruption, not data. */
 case class GramLong(
     child: Expression,
     dim: Int,
@@ -500,14 +507,24 @@ case class GramLong(
       s"expected $dim components, got ${a.numElements()}")
     val q = new Array[Long](dim)
     var i = 0
-    while (i < dim) { q(i) = a.getLong(i); i += 1 }
+    while (i < dim) {
+      if (a.isNullAt(i)) {
+        throw new IllegalArgumentException(
+          s"graft_gram_long: NULL component at index $i — the oracle's " +
+            "NULL arithmetic would silently diverge; clean or drop the row")
+      }
+      q(i) = a.getLong(i); i += 1
+    }
     i = 0
     while (i < dim) {
       val qi = q(i)
       val base = i * dim
       var j = 0
-      while (j < dim) { buf(base + j) += qi * q(j); j += 1 }
-      buf(dim * dim + i) += qi
+      while (j < dim) {
+        buf(base + j) = Math.addExact(buf(base + j), Math.multiplyExact(qi, q(j)))
+        j += 1
+      }
+      buf(dim * dim + i) = Math.addExact(buf(dim * dim + i), qi)
       i += 1
     }
     buf(len - 1) += 1L
@@ -516,7 +533,7 @@ case class GramLong(
 
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < len) { b1(i) += b2(i); i += 1 }
+    while (i < len) { b1(i) = Math.addExact(b1(i), b2(i)); i += 1 }
     b1
   }
 
@@ -540,6 +557,126 @@ case class GramLong(
   override def withNewMutableAggBufferOffset(newOffset: Int): GramLong =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): GramLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** [[GramLong]]'s true-scale sibling: the same one-pass Gram + sums +
+  * count layout accumulated in SIGNED 128-BIT integers (two Longs per
+  * cell: hi word signed, lo word unsigned) and emitted as
+  * `array<decimal(38,0)>` — the "DECIMAL(38,0) widening at true
+  * scale" SURVEY §2.E documents, as code. With |q| ≤ 2³⁰ each product
+  * is ≤ 2⁶⁰, so the 128-bit sums would need ~2⁶⁷ rows to overflow —
+  * physically unreachable; the fold is exact at ANY row count while
+  * [[GramLong]] fails loudly (addExact) past ~2⁶³/|q|² rows. Per-row
+  * cost is one `multiplyHigh` + carry per cell over GramLong's fused
+  * multiply-add; the wire shape is unchanged (ONE ~66 KB buffer per
+  * partition at dim 64, still independent of row count). NULL
+  * components fail loudly for the same oracle-divergence reason. */
+case class GramWide(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+    Array[Long]] with ImplicitCastInputTypes {
+
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+  // logical cells: dim² gram + dim sums + 1 count; physical = 2 longs each
+  private val cells = dim * dim + dim + 1
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(DecimalType(38, 0), containsNull = false)
+  override def prettyName: String = "graft_gram_wide"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](cells * 2)
+
+  /** buf(2c) += hi(p), buf(2c+1) += lo(p) with carry — two's-complement
+    * 128-bit add of the 128-bit product (phi, plo). */
+  @inline private def add128(buf: Array[Long], c: Int, phi: Long, plo: Long): Unit = {
+    val lo = buf(2 * c + 1)
+    val nlo = lo + plo
+    // unsigned carry out of the low-word add
+    val carry = ((lo & plo) | ((lo | plo) & ~nlo)) >>> 63
+    buf(2 * c) += phi + carry
+    buf(2 * c + 1) = nlo
+  }
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val a = v.asInstanceOf[ArrayData]
+    require(a.numElements() == dim,
+      s"expected $dim components, got ${a.numElements()}")
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i)) {
+        throw new IllegalArgumentException(
+          s"graft_gram_wide: NULL component at index $i — the oracle's " +
+            "NULL arithmetic would silently diverge; clean or drop the row")
+      }
+      q(i) = a.getLong(i); i += 1
+    }
+    i = 0
+    while (i < dim) {
+      val qi = q(i)
+      val base = i * dim
+      var j = 0
+      while (j < dim) {
+        val qj = q(j)
+        add128(buf, base + j, Math.multiplyHigh(qi, qj), qi * qj)
+        j += 1
+      }
+      // sum cell: qi sign-extended to 128 bits
+      add128(buf, dim * dim + i, qi >> 63, qi)
+      i += 1
+    }
+    add128(buf, cells - 1, 0L, 1L)
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var c = 0
+    while (c < cells) { add128(b1, c, b2(2 * c), b2(2 * c + 1)); c += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Any](cells)
+    var c = 0
+    while (c < cells) {
+      val bi = java.math.BigInteger.valueOf(buf(2 * c)).shiftLeft(64)
+        .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(buf(2 * c + 1))))
+      out(c) = org.apache.spark.sql.types.Decimal(scala.math.BigDecimal(bi), 38, 0)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(cells * 16)
+    var i = 0
+    while (i < cells * 2) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](cells * 2)
+    var i = 0
+    while (i < cells * 2) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramWide =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramWide =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
@@ -659,4 +796,10 @@ object SketchExpressions {
   def gramLong(c: Column, dim: Int): Column =
     ExpressionUtils.column(
       GramLong(ExpressionUtils.expression(c), dim).toAggregateExpression())
+
+  /** Aggregate Column wrapper for [[GramWide]]: the 128-bit /
+    * decimal(38,0) widening of [[gramLong]] for true-scale row counts. */
+  def gramWide(c: Column, dim: Int): Column =
+    ExpressionUtils.column(
+      GramWide(ExpressionUtils.expression(c), dim).toAggregateExpression())
 }

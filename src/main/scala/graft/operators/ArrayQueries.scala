@@ -523,15 +523,16 @@ object ArrayQueries {
       .orderBy("i", "j")
   }
 
-  /** dask `da.cov(A, rowvar=False)` — the C×C POPULATION covariance
-    * matrix of the stacked field's columns: [[arrCorrcoef]]'s
-    * unnormalized sibling from the SAME sufficient statistics (the
-    * persisted exact Gram's pairwise second moments + the one
-    * first-moment axis-reduce + n), so the marginal cost over the
-    * family is zero row-scale passes. Formula spelled
+  /** dask `da.cov(A, rowvar=False)` — the C×C SAMPLE covariance matrix
+    * (ddof=1, the numpy/dask default) of the stacked field's columns:
+    * [[arrCorrcoef]]'s unnormalized sibling from the SAME sufficient
+    * statistics (the persisted exact Gram's pairwise second moments +
+    * the one first-moment axis-reduce + n), so the marginal cost over
+    * the family is zero row-scale passes. Formula spelled
     * operand-for-operand with the oracle:
-    * `(n·sxy − si·sj) / (n·n)` — exact decimal-derived operands, one
-    * double expression, no sqrt, no zero guard needed. */
+    * `(n·sxy − si·sj) / (n·(n−1))` — exact decimal-derived operands,
+    * one double expression, no sqrt; n ≥ 2 always (the table has ≥ 2
+    * timesteps), so no zero guard needed. */
   def arrCov(s: SparkSession, dir: String): DataFrame = {
     val arr = eventsArray2dCached(s, dir)
     val gram = gramRel(s, dir).withColumnRenamed("value", "sxy")
@@ -548,7 +549,8 @@ object ArrayQueries {
         col("j") === col("c_j"))
       .crossJoin(broadcast(nRel))
       .select(col("i"), col("j"),
-        ((nD * col("sxy") - col("si") * col("sj")) / (nD * nD)).as("cov"))
+        ((nD * col("sxy") - col("si") * col("sj")) / (nD * (nD - lit(1.0))))
+          .as("cov"))
       .orderBy("i", "j")
   }
 
@@ -1299,7 +1301,7 @@ object ArrayQueries {
          |  GROUP BY 1, 2)
          |SELECT g.i, g.j,
          |  (CAST(nn.n AS DOUBLE) * g.sxy - ci.s * cj.s)
-         |    / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)) AS cov
+         |    / (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0)) AS cov
          |FROM gram g
          |JOIN cs ci ON g.i = ci.c
          |JOIN cs cj ON g.j = cj.c

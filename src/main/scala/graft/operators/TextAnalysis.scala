@@ -1379,7 +1379,20 @@ object TextAnalysis {
     // the encode/freq-oracle artifact: driver Viterbi over the word
     // types through the SAME spSegment/spPiecesEval the kernels call
     val h = spModelMap(m)
-    spWordsByDir.update(dir, spTrainTypes(s, dir).map { case (w, _) =>
+    val trainTypes = spTrainTypes(s, dir)
+    // The oracle replay INNER-joins document words against this table;
+    // serving segments every word live. If the corpus has more distinct
+    // word types than the training cap, the joins would silently drop
+    // the uncapped tail from ALL oracle counts — fail loudly instead of
+    // emitting a diverging oracle (the cap is a training bound, never a
+    // correctness bound).
+    require(trainTypes.size < BpeMaxTrainTypes,
+      s"sp oracle replay precondition violated: corpus distinct word-type " +
+        s"count reached the BpeMaxTrainTypes cap ($BpeMaxTrainTypes); the " +
+        s"capped type table cannot replay serving-side segmentation of " +
+        s"out-of-table words — refusing to emit txt_sp_encode/txt_sp_freq " +
+        s"oracles for $dir")
+    spWordsByDir.update(dir, trainTypes.map { case (w, _) =>
       val r = org.apache.spark.sql.graftexpr.TextExpressions
         .spSegment(w, h, SpMaxPieceLen, SpUnkQ)
       val ps = org.apache.spark.sql.graftexpr.TextExpressions.spPiecesEval(

@@ -256,7 +256,7 @@ class ArrayLinalgSpec extends AnyFunSuite {
         pearson(cols(i).toSeq, cols(j).toSeq)) < 1e-9, s"ref ($i,$j)")
   }
 
-  test("arr_cov: symmetric, diagonal = population variance, matches a direct compute") {
+  test("arr_cov: symmetric, diagonal = sample variance (ddof=1), matches a direct compute") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.operators.ArrayQueries.arrCov(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -275,16 +275,17 @@ class ArrayLinalgSpec extends AnyFunSuite {
       cells.filter(c => c._1 == t && c._2 == u).foreach(c => row(c._3.toInt) = c._4)
       for (h <- 0 until 8) cols(h) += row(h)
     }
+    // numpy's default ddof=1 (sample covariance) — the contract arr_cov ships
     def cov(x: Seq[Double], y: Seq[Double]): Double = {
       val n = x.length.toDouble
-      (n * x.zip(y).map { case (a, b) => a * b }.sum - x.sum * y.sum) / (n * n)
+      (n * x.zip(y).map { case (a, b) => a * b }.sum - x.sum * y.sum) / (n * (n - 1.0))
     }
     for (i <- 0 until 8; j <- 0 until 8) {
       val want = cov(cols(i).toSeq, cols(j).toSeq)
       val tol = 1e-9 * math.max(1.0, math.abs(want))
       assert(math.abs(got((i.toLong, j.toLong)) - want) < tol, s"ref ($i,$j)")
     }
-    // diagonal = population variance (non-negative)
+    // diagonal = sample variance (non-negative)
     for (i <- 0 until 8) assert(got((i.toLong, i.toLong)) >= -1e-9, s"var $i")
   }
 

@@ -12,6 +12,7 @@ basename) — the repo-owned correctness artifact (VERDICT r16 #1): the
 seal workflow runs this at both SFs and commits CORRECTNESS_LAST.json,
 so the round's hard correctness signal survives driver-harness outages.
 """
+import argparse
 import json
 import math
 import os
@@ -38,17 +39,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    args = sys.argv[1:]
-    json_out = sf_label = None
-    if "--json" in args:
-        i = args.index("--json")
-        json_out = args[i + 1]
-        del args[i:i + 2]
-    if "--sf" in args:
-        i = args.index("--sf")
-        sf_label = args[i + 1]
-        del args[i:i + 2]
-    sfdir, outdir = args[0], args[1]
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sfdir", help="testdata scale-factor dir (parquet tables)")
+    ap.add_argument("outdir", help="graft.Verify output dir")
+    ap.add_argument("--json", dest="json_out", metavar="OUT", default=None,
+                    help="merge a machine-readable verdict into OUT")
+    ap.add_argument("--sf", dest="sf_label", metavar="LABEL", default=None,
+                    help="key for the --json merge (default: sfdir basename)")
+    ns = ap.parse_args()
+    sfdir, outdir, json_out = ns.sfdir, ns.outdir, ns.json_out
+    sf_label = ns.sf_label
     if sf_label is None:
         sf_label = os.path.basename(os.path.normpath(sfdir))
     con = duckdb.connect()
