@@ -78,6 +78,22 @@ object TextExpressions {
     new GenericArrayData(out)
   }
 
+  /** `[n_words, h(g_0), …, h(g_{m-1})]`: the token count followed by
+    * the 60-bit hashes of ALL word n-grams IN ORDER, duplicates kept —
+    * the positional gram relation ExactSubstr span removal needs
+    * ([[hashNgramsEval]] dedups and drops positions). One tokenize pass
+    * serves both the count and the grams; index i+1 holds the gram
+    * starting at word position i. */
+  def hashNgramsSeqEval(text: UTF8String, n: Int): ArrayData = {
+    val tk = tokenize(text)
+    val m = tk.length - n + 1
+    val out = new Array[Long](if (m > 0) m + 1 else 1)
+    out(0) = tk.length.toLong
+    var i = 0
+    while (i < m) { out(i + 1) = hash60(gram(tk, i, n)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit hashes of the DISTINCT n-grams, first-occurrence order. */
   def hashNgramsEval(text: UTF8String, n: Int): ArrayData = {
     val tk = tokenize(text)
@@ -258,6 +274,10 @@ object TextExpressions {
   /** Column wrapper for [[HashWordNgrams]]. */
   def hashWordNgrams(text: Column, n: Int): Column =
     ExpressionUtils.column(HashWordNgrams(ExpressionUtils.expression(text), n))
+
+  /** Column wrapper for [[HashWordNgramsSeq]]. */
+  def hashWordNgramsSeq(text: Column, n: Int): Column =
+    ExpressionUtils.column(HashWordNgramsSeq(ExpressionUtils.expression(text), n))
 
   /** Column wrapper for [[UnigramStats]]. */
   def unigramStats(text: Column, pieces: Seq[(String, Long)],
@@ -444,6 +464,30 @@ case class HashWordNgrams(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.hashNgramsEval($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `[n_words, h(g_0), …]` — token count + POSITIONAL word-n-gram
+  * hashes, duplicates kept (see [[TextExpressions.hashNgramsSeqEval]]):
+  * [[HashWordNgrams]]'s order-preserving sibling for span-granular
+  * dedup (ExactSubstr removal needs where each duplicated gram STARTS,
+  * not just that it occurs). */
+case class HashWordNgramsSeq(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hash_word_ngrams_seq"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.hashNgramsSeqEval(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextExpressions.hashNgramsSeqEval($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

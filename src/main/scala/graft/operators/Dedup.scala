@@ -724,6 +724,112 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ── ExactSubstr span REMOVAL (Lee et al. 2022, "Deduplicating
+  //    Training Data Makes Language Models Better") ─────────────────
+
+  /** Positional gram relation behind [[ddSubstrRemove]] /
+    * [[ddSubstrVolume]]: per document, its token count and the 60-bit
+    * hash of EVERY [[SpanGramN]]-word gram with its start position
+    * (index in the array) — [[ddSpanFrac]] only needs WHETHER a gram
+    * recurs; removal needs WHERE, so this keeps duplicates and order
+    * (the [[org.apache.spark.sql.graftexpr.HashWordNgramsSeq]] kernel:
+    * one tokenize pass yields both the count and the grams). Persisted
+    * — the cache boundary keeps Catalyst's inferred scan filters from
+    * inlining the tokenize+hash subtree (SURVEY §4), and both faces
+    * read it. */
+  private[graft] def substrGramRelOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.graftexpr.TextExpressions
+          .hashWordNgramsSeq(col("text"), SpanGramN).as("raw"))
+      .select(col("doc_id"), col("source"),
+        element_at(col("raw"), 1).as("n_words"),
+        slice(col("raw"), lit(2), greatest(size(col("raw")) - 1, lit(0))).as("gs"))
+
+  private def substrGramRel(s: SparkSession, dir: String): DataFrame =
+    substrGramRelOf(Tables.load(s, dir, "documents")).cachedPersist()
+
+  /** Shared per-document removal accounting: which words an ExactSubstr
+    * pass cuts. A gram occurrence is removable iff its gram occurs
+    * anywhere else in the corpus AND it is not the keep-first
+    * (lexicographic-min (doc_id, pos)) occurrence; removable start
+    * positions ≤ [[SpanGramN]] apart merge into maximal disjoint spans
+    * (gram coverage [pos, pos+n) unions exactly — a gap ≤ n means the
+    * earlier gram still covers it), and every merged span is ≥
+    * [[SpanGramN]] words — the Lee et al. removal threshold at gram
+    * granularity.
+    *
+    * Scale: occurrence counts + keep-first are ONE map-side-combinable
+    * O(distinct grams) aggregate (the [[lineOccurrences]] posture — a
+    * struct-min inside the agg, no window over the fact stream); the
+    * join-back is shuffle-hash on the gram hash; the island windows run
+    * over SKINNY (doc_id, pos) longs with partitions bounded by
+    * per-document gram counts, never corpus-wide. Nothing is all-pairs;
+    * 100× duplication grows the shuffle linearly and distinct-gram
+    * state not at all (ScaleStressSpec). */
+  private def substrPerDoc(s: SparkSession, dir: String): DataFrame =
+    substrPerDocOf(substrGramRel(s, dir))
+
+  private[graft] def substrPerDocOf(docs: DataFrame): DataFrame = {
+    val e = docs.select(col("doc_id"),
+      posexplode(col("gs")).as(Seq("pos", "g")))
+    val occ = e.groupBy("g")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+    val rm = e.hint("shuffle_hash").join(occ, "g")
+      .filter(col("n_occ") >= 2 &&
+        !(col("keep").getField("doc_id") === col("doc_id") &&
+          col("keep").getField("pos") === col("pos")))
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val isl = rm
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= SpanGramN.toLong, 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val spans = isl.groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(SpanGramN.toLong)).as("e"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("rm_words"))
+    docs.select(col("doc_id"), col("source"), col("n_words"))
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("rm_words"), lit(0L)).as("rm_words"),
+        (col("n_words") - coalesce(col("rm_words"), lit(0L))).as("kept_words"))
+  }
+
+  /** ExactSubstr span-removal accounting per document (Lee et al. 2022
+    * §3.2): the one production dedup pass [[ddSpanFrac]] measures but
+    * does not apply — verbatim duplicated runs of ≥ [[SpanGramN]] words
+    * merge into maximal spans and every non-keep-first occurrence is
+    * cut. Emits per doc: token count, spans cut, words removed, words
+    * surviving — the retained-text stats a pipeline joins back to slice
+    * documents at apply time (positions are word offsets into the
+    * whitespace tokenization, exactly reconstructible). */
+  def ddSubstrRemove(s: SparkSession, dir: String): DataFrame =
+    substrPerDoc(s, dir)
+      .select(col("doc_id"), col("n_words"), col("n_spans"),
+        col("rm_words"), col("kept_words"))
+      .orderBy("doc_id")
+
+  /** The surviving corpus volume per source after the [[ddSubstrRemove]]
+    * pass — the [[ddKeepOne]] consumer shape at span granularity: how
+    * much of each source's token mass an ExactSubstr pass keeps, and
+    * how many of its documents get cut at all. */
+  def ddSubstrVolume(s: SparkSession, dir: String): DataFrame =
+    substrPerDoc(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rm_words") > 0, 1L).otherwise(0L)).as("n_docs_cut"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("rm_words")).as("rm_words"),
+        sum(col("kept_words")).as("kept_words"))
+      .orderBy("source")
+
   private[graft] def simhashHistogram(sigs: DataFrame): DataFrame = {
     val mask = (1L << SimhashBandBits) - 1
     val groups = sigs
@@ -1095,6 +1201,43 @@ object Dedup {
     s"CASE WHEN len(tk) >= $n THEN list_distinct(list_transform(range(1, len(tk) - ${n - 2}), i -> concat($parts))) ELSE CAST([] AS VARCHAR[]) END"
   }
   private val H60 = "CAST('0x' || substring(md5(%s), 1, 15) AS BIGINT)"
+
+  /** [[shSql]] without the list_distinct — ALL n-grams in order,
+    * duplicates kept (the oracle twin of
+    * [[org.apache.spark.sql.graftexpr.HashWordNgramsSeq]]'s gram tail). */
+  private def shSeqSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"tk[i + $k]").mkString(", ' ', ")
+    s"CASE WHEN len(tk) >= $n THEN list_transform(range(1, len(tk) - ${n - 2}), i -> concat($parts)) ELSE CAST([] AS VARCHAR[]) END"
+  }
+
+  /** CTE chain replaying [[substrPerDoc]] relationally: positional gram
+    * hashes via a parallel unnest zip, keep-first via row_number over
+    * (doc_id, pos) per gram, islands via the lag/gaps-and-islands
+    * window per doc (bounded by doc length). Ends at `pdoc(doc_id,
+    * source, n_words, n_spans, rm_words, kept_words)`. */
+  private def substrCtes: String =
+    s"""t AS (SELECT doc_id, source, $TOKENS AS tk FROM documents),
+       |d0 AS (SELECT doc_id, source, len(tk) AS nw, ${shSeqSql(SpanGramN)} AS ss FROM t),
+       |d AS (SELECT doc_id, source, nw,
+       |  list_transform(ss, x -> ${H60.format("x")}) AS hs FROM d0),
+       |e AS (SELECT doc_id, unnest(hs) AS g, unnest(range(len(hs))) AS pos FROM d),
+       |r AS (SELECT doc_id, pos,
+       |  row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM e),
+       |rm AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+       |brk AS (SELECT doc_id, pos,
+       |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |    <= $SpanGramN THEN 0 ELSE 1 END AS b FROM rm),
+       |isl AS (SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id
+       |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM brk),
+       |spans AS (SELECT doc_id, island, MIN(pos) AS s,
+       |  MAX(pos) + $SpanGramN AS e FROM isl GROUP BY 1, 2),
+       |pd AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS rm_words
+       |  FROM spans GROUP BY 1),
+       |pdoc AS (SELECT d.doc_id, d.source, CAST(d.nw AS BIGINT) AS n_words,
+       |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(pd.rm_words, 0) AS BIGINT) AS rm_words,
+       |  CAST(d.nw - COALESCE(pd.rm_words, 0) AS BIGINT) AS kept_words
+       |  FROM d LEFT JOIN pd USING (doc_id))""".stripMargin
 
   /** CTE chain computing the signature relation `d` (doc_id, source, hs)
     * and the LSH candidate pairs `cand` (doc_a, doc_b) for n-gram size
@@ -1495,6 +1638,19 @@ object Dedup {
          |  END AS dup_frac
          |FROM d LEFT JOIN pd USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // ExactSubstr removal accounting, replayed relationally
+    "dd_substr_remove" ->
+      s"""WITH $substrCtes
+         |SELECT doc_id, n_words, n_spans, rm_words, kept_words
+         |FROM pdoc ORDER BY doc_id""".stripMargin,
+    "dd_substr_volume" ->
+      s"""WITH $substrCtes
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN rm_words > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
+         |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+         |  CAST(SUM(rm_words) AS BIGINT) AS rm_words,
+         |  CAST(SUM(kept_words) AS BIGINT) AS kept_words
+         |FROM pdoc GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH ${lshCandCte(3)},
          |p AS (
@@ -1552,6 +1708,8 @@ object Dedup {
     "dd_simhash_est" -> (ddSimhashEst _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_span_frac" -> (ddSpanFrac _),
+    "dd_substr_remove" -> (ddSubstrRemove _),
+    "dd_substr_volume" -> (ddSubstrVolume _),
     "dd_cdc_chunks" -> (ddCdcChunks _),
     "dd_cdc_coverage" -> (ddCdcCoverage _),
     "dd_cdc_cluster" -> (ddCdcCluster _),

@@ -61,6 +61,7 @@ class CodegenGateSpec extends AnyFunSuite {
       "JaccardSet" -> JaccardSet(br(arrL), br(arrL, 1)),
       "WordNgrams" -> WordNgrams(br(StringType), 3),
       "HashWordNgrams" -> HashWordNgrams(br(StringType), 3),
+      "HashWordNgramsSeq" -> HashWordNgramsSeq(br(StringType), 3),
       "TokenCharSum" -> TokenCharSum(br(arrS)),
       "TokenHitCount" -> TokenHitCount(br(arrS), Seq("the", "a")),
       "MaxTokenCount" -> MaxTokenCount(br(StringType)),

@@ -77,6 +77,38 @@ class DedupSpec extends AnyFunSuite {
     assert(padded.getAs[org.apache.spark.sql.Row]("keep").getLong(0) == 0L)
   }
 
+  test("ExactSubstr removal: keep-first, island merge at touching spans, gap split") {
+    // SpanGramN = 8. B = 12 shared words; C = 8 shared words.
+    val B = (0 until 12).map(i => s"b$i").mkString(" ")
+    val C = (0 until 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      // doc 0: B first (keep-first owner) + 10 unique words
+      (0L, "s0", B + " " + (0 until 10).map(i => s"u$i").mkString(" ")),
+      // doc 1: 6 unique + B + 6 unique -> one span [6, 18)
+      (1L, "s0", (0 until 6).map(i => s"v$i").mkString(" ") + " " + B +
+        " " + (0 until 6).map(i => s"w$i").mkString(" ")),
+      // doc 2: C (keep-first) + 9-word gap + C again -> second copy cut,
+      // gap 17 > 8 splits the islands
+      (2L, "s1", C + " " + (0 until 9).map(i => s"g$i").mkString(" ") + " " + C),
+      // doc 3: C + 4 unique -> C cut
+      (3L, "s1", C + " " + (0 until 4).map(i => s"x$i").mkString(" ")),
+      // doc 4: C twice back-to-back: removable starts 0 and 8, gap == 8
+      // (touching) -> ONE merged span covering the whole doc
+      (4L, "s1", C + " " + C),
+      // doc 5: under the gram width -> no grams, nothing cut
+      (5L, "s2", "tiny doc")).toDF("doc_id", "source", "text")
+    val got = Dedup.substrPerDocOf(Dedup.substrGramRelOf(docs))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("rm_words"), r.getAs[Long]("kept_words")))).toMap
+    assert(got(0L) == ((22L, 0L, 0L, 22L)), s"keep-first owner untouched: ${got(0L)}")
+    assert(got(1L) == ((24L, 1L, 12L, 12L)), s"embedded block cut exactly: ${got(1L)}")
+    assert(got(2L) == ((25L, 1L, 8L, 17L)), s"within-doc second copy cut: ${got(2L)}")
+    assert(got(3L) == ((12L, 1L, 8L, 4L)), s"cross-doc copy cut: ${got(3L)}")
+    assert(got(4L) == ((16L, 1L, 16L, 0L)), s"touching spans merge: ${got(4L)}")
+    assert(got(5L) == ((2L, 0L, 0L, 2L)), s"sub-gram doc untouched: ${got(5L)}")
+  }
+
   test("connectedComponents on an empty edge list is empty") {
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(edges).isEmpty)

@@ -161,6 +161,32 @@ class ScaleStressSpec extends AnyFunSuite {
       assert(buf(dim * dim + i) == sums(i), s"sum $i")
   }
 
+  test("ExactSubstr state is O(distinct grams) under 100x duplication") {
+    // 300 distinct 16-word documents (disjoint vocabularies), each
+    // duplicated 100x. Claims: the occurrence aggregate holds one row
+    // per DISTINCT gram (9 per distinct doc), every non-first copy is
+    // cut whole as ONE span, and the keep-first copy survives intact.
+    val nDistinct = 300
+    val dup = 100
+    val docs = spark.range(nDistinct.toLong * dup)
+      .select(col("id").as("doc_id"), lit("s").as("source"),
+        concat_ws(" ", (0 until 16).map(j =>
+          concat(lit(s"w${j}_"), (col("id") % nDistinct).cast("string"))): _*)
+          .as("text"))
+    val perDoc = Dedup.substrPerDocOf(Dedup.substrGramRelOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rows = perDoc.collect()
+    assert(rows.length == nDistinct * dup)
+    // keep-first (doc_id < nDistinct under id%nDistinct content) intact
+    val kept = rows.filter(_.getAs[Long]("rm_words") == 0L)
+    val cut = rows.filter(_.getAs[Long]("rm_words") > 0L)
+    assert(kept.length == nDistinct, s"${kept.length} untouched keep-firsts")
+    assert(kept.forall(_.getAs[Long]("doc_id") < nDistinct.toLong))
+    assert(cut.length == nDistinct * (dup - 1))
+    assert(cut.forall(r => r.getAs[Long]("n_spans") == 1L &&
+      r.getAs[Long]("rm_words") == 16L && r.getAs[Long]("kept_words") == 0L))
+  }
+
   test("GramWide is exact where GramLong's checked accumulation fails loudly") {
     // VERDICT r17 #3: the documented DECIMAL(38,0) widening, as code.
     // dim=1 vectors of 2^31 -> each product is 2^62; three rows sum to
