@@ -50,6 +50,7 @@ object SparkEntry {
     "q_late_orders" -> (Relational.qLateOrders _),
     "q_string_ops" -> (Relational.qStringOps _),
     "q_approx_sketch" -> (Relational.qApproxSketch _),
+    "ev_value_sketch" -> (Relational.evValueSketch _),
     "q_median" -> (Relational.qMedian _),
     "q_cube" -> (Relational.qCube _),
     "q_setops" -> (Relational.qSetops _),
@@ -572,8 +573,58 @@ object SparkEntry {
         |FROM daily
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY day""".stripMargin,
-    // q_approx_sketch intentionally has NO oracle: HLL/approx-quantile
-    // outputs are engine-specific (driver records rows-only).
+    // deterministic KMV distinct + bottom-k quantile sample, replayed
+    // exactly: sample membership = k smallest hashes (merge-order
+    // invariant), so ORDER BY hash LIMIT k reproduces the engine state
+    "q_approx_sketch" ->
+      s"""WITH hd AS (SELECT DISTINCT l_returnflag,
+        |  CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM lineitem),
+        |hr AS (SELECT l_returnflag, h,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hd),
+        |hk AS (SELECT l_returnflag, COUNT(*) AS m,
+        |  MAX(CASE WHEN rn = ${Relational.SketchK} THEN h END) AS hkth
+        |  FROM hr WHERE rn <= ${Relational.SketchK} GROUP BY 1),
+        |v AS (SELECT l_returnflag,
+        |  CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+        |    CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |  l_quantity AS v FROM lineitem),
+        |vr AS (SELECT l_returnflag, v,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) AS rn FROM v),
+        |samp AS (SELECT l_returnflag, v FROM vr WHERE rn <= ${Relational.SketchK}),
+        |sr AS (SELECT l_returnflag, v,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+        |  COUNT(*) OVER (PARTITION BY l_returnflag) AS m FROM samp),
+        |med AS (SELECT l_returnflag,
+        |  MAX(CASE WHEN rn = CAST(floor(((m - 1) * 50) / 100.0) AS BIGINT) + 1
+        |    THEN v END) AS approx_median_qty
+        |  FROM sr GROUP BY 1)
+        |SELECT hk.l_returnflag,
+        |  CASE WHEN hk.m < ${Relational.SketchK} THEN CAST(hk.m AS DOUBLE)
+        |    ELSE (${(Relational.SketchK - 1).toDouble} * 1152921504606846976.0)
+        |      / CAST(hk.hkth AS DOUBLE) END AS approx_parts,
+        |  med.approx_median_qty
+        |FROM hk JOIN med USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "ev_value_sketch" ->
+      s"""WITH v AS (SELECT event_type,
+        |  CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |  value AS v FROM events),
+        |vr AS (SELECT event_type, v,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn FROM v),
+        |samp AS (SELECT event_type, v FROM vr WHERE rn <= ${Relational.EvSketchK}),
+        |sr AS (SELECT event_type, v,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS m FROM samp),
+        |q AS (SELECT event_type, CAST(MAX(m) AS BIGINT) AS m,
+        |  MAX(CASE WHEN rn = CAST(floor(((m - 1) * 50) / 100.0) AS BIGINT) + 1 THEN v END) AS est_p50,
+        |  MAX(CASE WHEN rn = CAST(floor(((m - 1) * 90) / 100.0) AS BIGINT) + 1 THEN v END) AS est_p90,
+        |  MAX(CASE WHEN rn = CAST(floor(((m - 1) * 99) / 100.0) AS BIGINT) + 1 THEN v END) AS est_p99
+        |  FROM sr GROUP BY 1),
+        |n AS (SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY 1)
+        |SELECT n.event_type, n.n_rows, q.m, q.est_p50, q.est_p90, q.est_p99
+        |FROM n JOIN q USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q_median" ->
       """WITH t AS (
         |  SELECT l_returnflag, l_quantity,

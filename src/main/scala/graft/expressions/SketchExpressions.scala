@@ -682,6 +682,208 @@ case class GramWide(
     copy(child = newChildren.head)
 }
 
+/** K-minimum-values distinct sketch: the k SMALLEST DISTINCT values of
+  * a 60-bit-hash column, as a sorted `array<bigint>`. The consumer
+  * estimates distinct counts: m < k ⇒ exactly m distinct hashes seen;
+  * otherwise the k-th smallest hash h_k estimates (k−1)·2⁶⁰/h_k
+  * (Bar-Yossef et al. 2002; the Theta-sketch family's KMV form).
+  *
+  * Unlike HLL, the result is DETERMINISTIC AND MERGE-ORDER INVARIANT:
+  * the state is the k smallest elements of a SET, a commutative
+  * semilattice — any partitioning, any merge tree, same answer — so a
+  * DuckDB oracle replays it exactly (ORDER BY hash LIMIT k) and the
+  * estimate cross-engine hash-matches; the error bound (~1/√k rank
+  * deviation w.h.p. over the hash) is spec-asserted against exact
+  * counts. State is ≤ k longs per group per partition; map-side
+  * partials shrink every group to ≤ k before the exchange. */
+case class KMinHash(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+    java.util.TreeSet[java.lang.Long]] with ImplicitCastInputTypes {
+
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_kmin_hash"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    if (buf.size() < k) { buf.add(h): Unit }
+    else if (h < buf.last()) {
+      if (buf.add(h)) { buf.pollLast(): Unit }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) insert(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size())
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size() * 8)
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) { bb.putLong(it.next()): Unit }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong): Unit; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinHash =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinHash =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Deterministic bounded quantile sample: the k (hash, value) pairs
+  * with the SMALLEST hashes — a uniform-without-replacement sample of
+  * size k whose membership depends only on the input MULTISET (k
+  * smallest of a union: commutative, associative, merge-order
+  * invariant) — evaluated to the sample's values SORTED ASCENDING.
+  * The consumer reads rank-indexed quantile estimates (integer rank
+  * arithmetic, no interpolation), so the whole estimate is exact-
+  * replayable in a DuckDB oracle (row_number ≤ k by (hash, value),
+  * then rank by value) — the deterministic mergeable quantile sketch
+  * VERDICT r17 #2 asked for, closing the one rows-only exemption.
+  * Rank error is the classic bottom-k-sample bound ~1/√k w.h.p. over
+  * the hash (spec-asserted against exact quantiles). State: ≤ k
+  * (long, double) pairs per group per partition, a bounded max-heap;
+  * one ≤ 16k-byte buffer per group crosses the wire. */
+case class KSmallestByHash(
+    hashChild: Expression,
+    valueChild: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+    java.util.PriorityQueue[KSmallestByHash.P]] with ImplicitCastInputTypes {
+
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(hashChild, valueChild)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, DoubleType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_ksmallest_by_hash"
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[KSmallestByHash.P] =
+    new java.util.PriorityQueue[KSmallestByHash.P](k + 1, KSmallestByHash.MaxFirst)
+
+  private def insert(buf: java.util.PriorityQueue[KSmallestByHash.P],
+      h: Long, v: Double): Unit = {
+    if (buf.size() < k) { buf.offer(new KSmallestByHash.P(h, v)): Unit }
+    else {
+      val top = buf.peek()
+      if (h < top.h || (h == top.h && v < top.v)) {
+        buf.poll(): Unit
+        buf.offer(new KSmallestByHash.P(h, v)): Unit
+      }
+    }
+  }
+
+  override def update(buf: java.util.PriorityQueue[KSmallestByHash.P],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.PriorityQueue[KSmallestByHash.P] = {
+    val h = hashChild.eval(input)
+    val v = valueChild.eval(input)
+    if (h != null && v != null) {
+      insert(buf, h.asInstanceOf[Long], v.asInstanceOf[Double])
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.PriorityQueue[KSmallestByHash.P],
+      b2: java.util.PriorityQueue[KSmallestByHash.P])
+      : java.util.PriorityQueue[KSmallestByHash.P] = {
+    val it = b2.iterator()
+    while (it.hasNext) { val p = it.next(); insert(b1, p.h, p.v) }
+    b1
+  }
+
+  override def eval(buf: java.util.PriorityQueue[KSmallestByHash.P]): Any = {
+    val out = new Array[Double](buf.size())
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().v; i += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[KSmallestByHash.P]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size() * 16)
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      bb.putLong(p.h)
+      bb.putDouble(p.v): Unit
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[KSmallestByHash.P] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.offer(new KSmallestByHash.P(bb.getLong, bb.getDouble)): Unit; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KSmallestByHash =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KSmallestByHash =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(hashChild = newChildren(0), valueChild = newChildren(1))
+}
+
+object KSmallestByHash {
+  /** A sampled (hash, value) pair. */
+  final class P(val h: Long, val v: Double)
+  /** Max-first on (h, v) — the heap root is the eviction candidate. */
+  val MaxFirst: java.util.Comparator[P] = new java.util.Comparator[P] {
+    override def compare(a: P, b: P): Int = {
+      val c = java.lang.Long.compare(b.h, a.h)
+      if (c != 0) c else java.lang.Double.compare(b.v, a.v)
+    }
+  }
+}
+
 /** Exact set Jaccard of two `array<bigint>` columns in ONE pass.
   *
   * Replaces `size(array_intersect(a, b)) / size(array_union(a, b))` —
@@ -802,4 +1004,18 @@ object SketchExpressions {
   def gramWide(c: Column, dim: Int): Column =
     ExpressionUtils.column(
       GramWide(ExpressionUtils.expression(c), dim).toAggregateExpression())
+
+  /** Aggregate Column wrapper for [[KMinHash]]: k smallest distinct
+    * hashes, sorted — the deterministic KMV distinct sketch. */
+  def kMinHash(c: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KMinHash(ExpressionUtils.expression(c), k).toAggregateExpression())
+
+  /** Aggregate Column wrapper for [[KSmallestByHash]]: the values of
+    * the k smallest-hash rows, sorted ascending — the deterministic
+    * bounded quantile sample. */
+  def kSmallestByHash(h: Column, v: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KSmallestByHash(ExpressionUtils.expression(h),
+        ExpressionUtils.expression(v), k).toAggregateExpression())
 }

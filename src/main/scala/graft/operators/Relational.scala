@@ -506,19 +506,75 @@ object Relational {
         sum(col("consonant_len")).as("total_consonants"))
       .orderBy("prefix")
 
-  /** Sketch aggregates: HyperLogLog distinct counts + approximate
-    * quantiles. Sketch outputs are engine-specific, so this query has NO
-    * SQL oracle (driver records the weaker rows-only check); the spec
-    * asserts error bounds against exact counts instead. */
-  def qApproxSketch(s: SparkSession, dir: String): DataFrame =
+  /** Sketch size for [[qApproxSketch]] (KMV distinct + bottom-k
+    * quantile sample): rank/count error ~1/√k ≈ 3%. */
+  val SketchK = 1024
+  /** 2⁶⁰ as an exact double — the KMV estimate's hash-range numerator. */
+  private val TwoPow60: Double = 1152921504606846976.0
+
+  /** Sketch aggregates, DETERMINISTIC AND ORACLE-GATED (VERDICT r17
+    * #2): Spark's HLL/approx_percentile built-ins are engine-specific,
+    * so this query's first spelling was the suite's one rows-only
+    * exemption. These sketches keep the same mergeable-summary wire
+    * shape (one ≤ k-entry buffer per group per partition, map-side
+    * shrunk) but their state is the k SMALLEST elements of a set /
+    * multiset — a commutative semilattice, so ANY partitioning and
+    * merge order yields bit-identical results and DuckDB replays them
+    * exactly (ORDER BY hash LIMIT k):
+    *  - distinct parts: KMV over hash60(l_partkey) — m < k ⇒ exact m,
+    *    else (k−1)·2⁶⁰/h_k (Bar-Yossef et al. 2002);
+    *  - median quantity: the bottom-k-by-row-hash uniform sample,
+    *    rank-indexed (integer rank math, no interpolation).
+    * ~1/√k error is spec-asserted against exact values
+    * (RelationalSpec); the estimates themselves hash-match the oracle. */
+  def qApproxSketch(s: SparkSession, dir: String): DataFrame = {
+    val k = SketchK
+    val partH = graft.functions.hash60(col("l_partkey").cast("string"))
+    val rowH = graft.functions.hash60(concat(col("l_orderkey").cast("string"),
+      lit("_"), col("l_linenumber").cast("string")))
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        // sketches only: mixing an exact count_distinct in would force an
-        // Expand-based multi-distinct plan (measured 8x slower)
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"))
+        org.apache.spark.sql.graftexpr.SketchExpressions
+          .kMinHash(partH, k).as("hs"),
+        org.apache.spark.sql.graftexpr.SketchExpressions
+          .kSmallestByHash(rowH, col("l_quantity"), k).as("vs"))
+      .select(col("l_returnflag"),
+        when(size(col("hs")) < k, size(col("hs")).cast("double"))
+          .otherwise(lit((k - 1).toDouble * TwoPow60) /
+            element_at(col("hs"), k).cast("double")).as("approx_parts"),
+        element_at(col("vs"),
+          (floor(((size(col("vs")) - 1) * 50) / lit(100.0)) + 1).cast("int"))
+          .as("approx_median_qty"))
       .orderBy("l_returnflag")
+  }
+
+  /** Sketch size for [[evValueSketch]]. */
+  val EvSketchK = 512
+
+  /** Deterministic quantile sketch over the event value stream, per
+    * event type — the [[qApproxSketch]] quantile machinery as a
+    * first-class events face: exact row counts + the bottom-k-by-hash
+    * sample's rank-indexed p50/p90/p99. The sample membership depends
+    * only on the input multiset (merge-order invariant), so the
+    * estimates are oracle-gated, and the state is ≤ k (hash, value)
+    * pairs per type per partition — at 100 TB the wire carries one
+    * ~8 KB buffer per type per partition, never the value stream. */
+  def evValueSketch(s: SparkSession, dir: String): DataFrame = {
+    val k = EvSketchK
+    def pick(p: Int): Column = element_at(col("vs"),
+      (floor(((size(col("vs")) - 1) * p) / lit(100.0)) + 1).cast("int"))
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        org.apache.spark.sql.graftexpr.SketchExpressions
+          .kSmallestByHash(graft.functions.hash60(col("event_id").cast("string")),
+            col("value"), k).as("vs"))
+      .select(col("event_type"), col("n_rows"),
+        size(col("vs")).cast("bigint").as("m"),
+        pick(50).as("est_p50"), pick(90).as("est_p90"), pick(99).as("est_p99"))
+      .orderBy("event_type")
+  }
 
   /** Exact median via the lower-middle-row definition (deterministic and
     * identical cross-engine, unlike interpolated percentile built-ins):

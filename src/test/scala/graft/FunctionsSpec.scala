@@ -638,19 +638,60 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   test("sketch aggregates stay within their error bounds") {
-    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exact = li
       .groupBy("l_returnflag")
       .agg(org.apache.spark.sql.functions.countDistinct(col("l_partkey")).as("exact_parts"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val rows = graft.operators.Relational.qApproxSketch(spark, sf).collect()
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val e = exact(r.getString(0)).toDouble
+      val flag = r.getString(0)
+      val approx = r.getAs[Double]("approx_parts")
+      val e = exact(flag).toDouble
       assert(math.abs(approx - e) / e < 0.1,
-        s"HLL estimate $approx too far from exact $e")
-      val m = r.getAs[Double]("approx_median_qty")
-      assert(m >= 1.0 && m <= 50.0)
+        s"KMV estimate $approx too far from exact $e")
+      // median: rank-error bound — the estimate must sit within 8
+      // rank-percent of the true median in the exact distribution
+      val est = r.getAs[Double]("approx_median_qty")
+      val qs = li.filter(col("l_returnflag") === flag)
+        .select(col("l_quantity")).as[Double].collect()
+      val below = qs.count(_ < est).toDouble / qs.length
+      val atOrBelow = qs.count(_ <= est).toDouble / qs.length
+      assert(below <= 0.5 + 0.08 && atOrBelow >= 0.5 - 0.08,
+        s"$flag median est $est has rank window [$below, $atOrBelow]")
     }
+  }
+
+  test("KMV/bottom-k sketches are merge-order invariant (partitioning-independent)") {
+    // the determinism claim the oracle gate rests on: state = k smallest
+    // of a set/multiset, a commutative semilattice — ANY partitioning
+    // (hence any partial/merge tree) must yield identical arrays
+    import org.apache.spark.sql.graftexpr.SketchExpressions
+    val df = spark.range(10000).select((col("id") % 7).as("grp"),
+      graft.functions.hash60(col("id").cast("string")).as("h"),
+      (col("id") % 101).cast("double").as("v"))
+    def run(p: Int): Seq[(Long, Seq[Long], Seq[Double])] =
+      df.repartition(p).groupBy("grp")
+        .agg(SketchExpressions.kMinHash(col("h"), 64).as("hs"),
+          SketchExpressions.kSmallestByHash(col("h"), col("v"), 64).as("vs"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Double](2)))
+        .sortBy(_._1).toSeq
+    val a = run(1)
+    assert(a.forall(_._2.length == 64) && a.forall(_._3.length == 64))
+    assert(a == run(13), "13-partition run differs from single-partition")
+    assert(a == run(32), "32-partition run differs from single-partition")
+    // sub-k group: exact content, still invariant
+    val tiny = spark.range(10).select(lit(0L).as("grp"),
+      graft.functions.hash60(col("id").cast("string")).as("h"),
+      col("id").cast("double").as("v"))
+    def runTiny(p: Int) = tiny.repartition(p).groupBy("grp")
+      .agg(SketchExpressions.kMinHash(col("h"), 64).as("hs"),
+        SketchExpressions.kSmallestByHash(col("h"), col("v"), 64).as("vs"))
+      .collect().map(r => (r.getSeq[Long](1), r.getSeq[Double](2))).head
+    val t = runTiny(1)
+    assert(t._1.length == 10 && t._2.sorted == (0 until 10).map(_.toDouble))
+    assert(t == runTiny(5))
   }
 
   test("text: quality and langid emit one row per document") {

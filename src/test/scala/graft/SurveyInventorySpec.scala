@@ -60,8 +60,9 @@ class SurveyInventorySpec extends AnyFunSuite {
   }
 
   test("every query has an oracle or is a declared rows-only sketch") {
-    // the one rows-only-by-design query (sketch values are engine-specific)
-    val rowsOnly = Set("q_approx_sketch")
+    // empty since r18: q_approx_sketch's rows-only exemption retired —
+    // the KMV/bottom-k sketches are deterministic and oracle-gated
+    val rowsOnly = Set.empty[String]
     // oracles that embed THIS run's trained model values: `oracleSql` is a
     // def registered only after the query has trained (Verify's contract),
     // so at spec time the entry is legitimately absent
