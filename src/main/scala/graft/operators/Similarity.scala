@@ -346,6 +346,54 @@ object Similarity {
     q.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
   }
 
+  /** How many whitened coordinates [[embWhiten]] emits. */
+  val EmbWhitenK = 2
+
+  /** Trained whitening parameters keyed by dir: per mode, (eigenvector,
+    * scale a, offset b) with w = a·(v·q) + b. */
+  private val embWhitenByDir = scala.collection.concurrent.TrieMap
+    .empty[String, IndexedSeq[(IndexedSeq[Double], Double, Double)]]
+
+  /** PCA-whitening of the embedding corpus (VERDICT r17 #4's embedding
+    * face): the top-[[EmbWhitenK]] whitened coordinates
+    * w_k = (v_k·x − v_k·mean)/√λ_k — unit-variance, decorrelated
+    * axes, the standard preprocessing before cosine/clustering when one
+    * direction dominates. All model scalars derive DRIVER-side from the
+    * SAME persisted exact integer moments as [[embPcaVar]] (centered
+    * matrix n·G − S·Sᵀ, deterministic Jacobi; λ_true = λ_int/n², so
+    * scale a_k = n/√λ_int and offset b_k = −a_k·(v_k·S)/n), leaving the
+    * distributed part exactly [[embPcaProject]]'s ordered quantized
+    * fold × literal weights, then one affine map spelled
+    * operand-for-operand with the oracle. Spec gates mean≈0 / var≈1 /
+    * cross-cov≈0 of the emitted coordinates (FunctionsSpec). */
+  def embWhiten(s: SparkSession, dir: String): DataFrame = {
+    val (g, sums, n) = embMoments(s, dir)
+    val cov = Array.tabulate(Dim, Dim)((i, j) =>
+      (n * g(i)(j) - sums(i) * sums(j)).toDouble)
+    val (eig, vecs) = graft.arrays.Eigen.symEigen(cov)
+    val nD = n.toDouble
+    val params = (0 until EmbWhitenK).map { k =>
+      require(eig(k) > 1e-9,
+        s"emb_whiten: direction $k has no variance (lam=${eig(k)})")
+      val a = nD / math.sqrt(eig(k))
+      val meanDot = vecs(k).zip(sums).map { case (v, sv) => v * sv.toDouble }.sum / nD
+      (vecs(k), a, -meanDot * a)
+    }
+    embWhitenByDir.update(dir, params)
+    lastDir.set(dir)
+    val q = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          v => floor(v * lit(EmbGramScale)).cast("long")).as("q"))
+    val cols = params.zipWithIndex.map { case ((vk, a, b), k) =>
+      val varr = array(vk.map(lit(_)): _*)
+      (aggregate(
+        zip_with(col("q"), varr, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, t) => acc + t) * lit(a) + lit(b)).as(s"w$k")
+    }
+    q.select(col("vec_id") +: cols: _*).orderBy("vec_id")
+  }
+
   /** IVF ANN with a fixed coarse quantizer: the first [[NumCentroids]]
     * vectors act as centroids (broadcast); every vector is assigned to
     * its nearest centroid by squared L2 (one narrow pass), probes search
@@ -1101,6 +1149,27 @@ object Similarity {
             s"SELECT k, lam FROM (VALUES $rows) AS t(k, lam) ORDER BY k")
         }
         .getOrElse(Map.empty) ++
+      d.flatMap(embWhitenByDir.get)
+        .map { params =>
+          // the identical quantized fold × literal eigenvector, then
+          // the identical affine map (fold * a) + b
+          val ws = params.zipWithIndex.map { case ((vk, a, b), k) =>
+            val lst = vk.map(fmtD).mkString("[", ", ", "]")
+            s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               |    list_transform(range(1, ${vk.length + 1}),
+               |      i -> CAST(q[CAST(i AS INT)] AS DOUBLE) * ($lst)[CAST(i AS INT)])),
+               |    (x, y) -> x + y) * ${fmtD(a)}) + ${fmtD(b)} AS w$k""".stripMargin
+          }.mkString(",\n  ")
+          Map("emb_whiten" ->
+            s"""WITH qq AS (
+               |  SELECT vec_id, list_transform(embedding,
+               |    v -> CAST(floor(CAST(v AS DOUBLE) * $EmbGramScale) AS BIGINT)) AS q
+               |  FROM embeddings)
+               |SELECT vec_id,
+               |  $ws
+               |FROM qq ORDER BY vec_id""".stripMargin)
+        }
+        .getOrElse(Map.empty) ++
       d.flatMap(embPcaVecsByDir.get)
         .map { top =>
           // the identical ascending-dim left fold over the identical
@@ -1359,6 +1428,7 @@ object Similarity {
     "emb_gram" -> (embGram _),
     "emb_pca_var" -> (embPcaVar _),
     "emb_pca_project" -> (embPcaProject _),
+    "emb_whiten" -> (embWhiten _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_ivf_ann" -> (simIvfAnn _),
     "sim_ivf_trained" -> (simIvfTrained _),

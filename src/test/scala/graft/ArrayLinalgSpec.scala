@@ -256,6 +256,33 @@ class ArrayLinalgSpec extends AnyFunSuite {
         pearson(cols(i).toSeq, cols(j).toSeq)) < 1e-9, s"ref ($i,$j)")
   }
 
+  test("arr_svd_modes: A·v_k = sigma_k·u_k identity, U columns orthonormal") {
+    val dir = "/root/testdata/sf0.001"
+    val sig = graft.operators.ArrayQueries.arrSvdVals(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pc = graft.operators.ArrayQueries.arrPcaProject(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val u = graft.operators.ArrayQueries.arrSvdModes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(u.nonEmpty && u.keySet == pc.keySet)
+    // the defining identity: the pca fold IS A·v_k, the modes fold is
+    // A·(v_k/sigma_k) — they must agree up to fold-order noise
+    for ((key, (pc0, pc1)) <- pc) {
+      val (u0, u1) = u(key)
+      assert(math.abs(pc0 - sig(0L) * u0) <= 1e-9 * math.max(1.0, math.abs(pc0)),
+        s"mode 0 identity at $key: $pc0 vs ${sig(0L) * u0}")
+      assert(math.abs(pc1 - sig(1L) * u1) <= 1e-9 * math.max(1.0, math.abs(pc1)),
+        s"mode 1 identity at $key: $pc1 vs ${sig(1L) * u1}")
+    }
+    // U columns are orthonormal: sum u_k^2 = 1, sum u_0·u_1 = 0
+    val n00 = u.values.map(t => t._1 * t._1).sum
+    val n11 = u.values.map(t => t._2 * t._2).sum
+    val n01 = u.values.map(t => t._1 * t._2).sum
+    assert(math.abs(n00 - 1.0) < 1e-6, s"|u0|^2 = $n00")
+    assert(math.abs(n11 - 1.0) < 1e-6, s"|u1|^2 = $n11")
+    assert(math.abs(n01) < 1e-6, s"<u0,u1> = $n01")
+  }
+
   test("arr_cov: symmetric, diagonal = sample variance (ddof=1), matches a direct compute") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.operators.ArrayQueries.arrCov(spark, dir).collect()

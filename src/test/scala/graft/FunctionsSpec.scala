@@ -662,6 +662,25 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_whiten: coordinates have mean 0, unit variance, zero cross-covariance") {
+    val rows = graft.operators.Similarity.embWhiten(spark, sf).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val n = rows.length.toDouble
+    assert(n > 0)
+    val m0 = rows.map(_._1).sum / n
+    val m1 = rows.map(_._2).sum / n
+    // whitening derives from the SAME exact moments, so the population
+    // moments of the emitted coordinates are 0/1/0 by construction —
+    // any drift beyond eigensolve noise is a formula bug
+    assert(math.abs(m0) < 1e-6 && math.abs(m1) < 1e-6, s"means ($m0, $m1)")
+    val v0 = rows.map(t => (t._1 - m0) * (t._1 - m0)).sum / n
+    val v1 = rows.map(t => (t._2 - m1) * (t._2 - m1)).sum / n
+    val c01 = rows.map(t => (t._1 - m0) * (t._2 - m1)).sum / n
+    assert(math.abs(v0 - 1.0) < 1e-6, s"var w0 = $v0")
+    assert(math.abs(v1 - 1.0) < 1e-6, s"var w1 = $v1")
+    assert(math.abs(c01) < 1e-6, s"cov(w0, w1) = $c01")
+  }
+
   test("KMV/bottom-k sketches are merge-order invariant (partitioning-independent)") {
     // the determinism claim the oracle gate rests on: state = k smallest
     // of a set/multiset, a commutative semilattice — ANY partitioning

@@ -70,9 +70,10 @@ class SurveyInventorySpec extends AnyFunSuite {
       Set("sim_ivf_trained", "sim_pq_trained", "sim_ivfpq_trained",
         "sim_ivfpq_trained_recall", "txt_bpe_vocab", "txt_bpe_encode",
         "txt_bpe_freq", "pipe_pack_bpe", "arr_svd_vals", "txt_classifier_score",
-        "arr_pca_project", "arr_qr_r", "txt_lm_score",
+        "arr_pca_project", "arr_svd_modes", "arr_qr_r", "txt_lm_score",
         "arr_lstsq", "arr_lstsq_resid", "txt_sp_unigram", "txt_sp_encode",
-        "txt_sp_freq", "pipe_pack_sp", "emb_pca_var", "emb_pca_project")
+        "txt_sp_freq", "pipe_pack_sp", "emb_pca_var", "emb_pca_project",
+        "emb_whiten")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly -- trainedOracles
     assert(noOracle.isEmpty,
