@@ -506,6 +506,140 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       t.as("data")))
   }
 
+  /** numpy/dask `diagonal(a, axis1, axis2)` — einsum's repeated-
+    * subscript gather face (`"ii->i"`): the matched-coordinate cells of
+    * two equal-extent axes, emitted as the LAST output axis (numpy's
+    * diagonal layout). A pure NARROW transform: only grid-diagonal
+    * chunks (pos(ax1) == pos(ax2)) participate — a metadata filter —
+    * and within each chunk the diagonal is one compiled affine gather
+    * (source stride = stride(ax1) + stride(ax2), the numpy stride
+    * trick); ZERO exchanges at any scale, output 1/extent of the input.
+    * Requires the two axes to chunk identically (square there by
+    * construction). Dtype-preserving ([[GatherStatic]] for doubles,
+    * the Catalyst index-arithmetic transform otherwise). */
+  def diagonal(ax1: Int, ax2: Int): ChunkedArray = {
+    val n = geom.dims
+    require(ax1 >= 0 && ax1 < n && ax2 >= 0 && ax2 < n && ax1 != ax2,
+      s"diagonal axes ($ax1, $ax2) invalid for rank $n")
+    val (a1, a2) = (math.min(ax1, ax2), math.max(ax1, ax2))
+    require(geom.chunksPerDim(a1) == geom.chunksPerDim(a2) &&
+      geom.chunkShape(a1) == geom.chunkShape(a2),
+      s"diagonal axes must chunk identically: $geom")
+    val shape = geom.chunkShape
+    val strides = shape.scanRight(1)(_ * _).tail
+    val others = (0 until n).filterNot(d => d == a1 || d == a2)
+    val outShape = others.map(shape(_)) :+ shape(a1)
+    val outSrcStrides = others.map(strides(_)) :+ (strides(a1) + strides(a2))
+    def fdiv(a: Column, b: Int): Column = (a / lit(b)).cast("int")
+    val t =
+      if (dtype == org.apache.spark.sql.types.DoubleType)
+        org.apache.spark.sql.graftexpr.ChunkFolds.gatherAffineNative(
+          col("data"), outShape, outShape.map(_ => 1), outShape.map(_ => 0),
+          outSrcStrides)
+      else {
+        val outStrides = outShape.scanRight(1)(_ * _).tail
+        transform(sequence(lit(0), lit(outShape.product - 1)), k =>
+          col("data")(outShape.indices.map(d =>
+            (fdiv(k, outStrides(d)) % outShape(d)) * lit(outSrcStrides(d)))
+            .reduce(_ + _)))
+      }
+    val out = df
+      .filter(col("pos")(a1) === col("pos")(a2))
+      .select(col("timestep"),
+        array(others.map(d => col("pos")(d).cast("int")) :+
+          col("pos")(a1).cast("int"): _*).as("pos"),
+        t.as("data"))
+    ChunkedArray(out, ArrayGeometry(
+      others.map(geom.chunksPerDim(_)) :+ geom.chunksPerDim(a1),
+      outShape))
+  }
+
+  /** Batched contraction — einsum's shared-AND-kept subscripts
+    * (`"buh,bhv->buv"`): exactly [[tensordot]]'s SUMMA shape with the
+    * chunk-pair join keyed ADDITIONALLY by the batch axes' chunk
+    * positions (one more equality on the same shuffle — the join still
+    * moves each chunk once and never broadcasts) and the per-pair block
+    * product running once per batch slice of the slab (each slice goes
+    * through the SAME native kernel, so values are bit-identical to the
+    * unbatched spelling). Operands must agree on the batch grid; batch
+    * axes must be LEADING in both (einsum permutes them there — a
+    * narrow re-key, like every transpose). Output layout:
+    * `batch ++ keptA ++ keptB`. */
+  def tensordotBatched(other: ChunkedArray, nBatch: Int, axes: Int): ChunkedArray = {
+    require(nBatch >= 1 && axes >= 1, s"need nBatch/axes >= 1, got ($nBatch, $axes)")
+    require(geom.dims > nBatch + axes - 1 && other.geom.dims > nBatch + axes - 1,
+      s"ranks (${geom.dims}, ${other.geom.dims}) too small for $nBatch batch + $axes contracted")
+    require(geom.chunksPerDim.take(nBatch) == other.geom.chunksPerDim.take(nBatch) &&
+      geom.chunkShape.take(nBatch) == other.geom.chunkShape.take(nBatch),
+      s"batch dimensions must agree: $geom vs ${other.geom}")
+    require(
+      geom.chunksPerDim.takeRight(axes) ==
+        other.geom.chunksPerDim.slice(nBatch, nBatch + axes) &&
+      geom.chunkShape.takeRight(axes) ==
+        other.geom.chunkShape.slice(nBatch, nBatch + axes),
+      s"inner dimensions must agree: $geom vs ${other.geom}")
+    val bI = geom.chunkShape.take(nBatch).product
+    val rI = geom.chunkShape.slice(nBatch, geom.dims - axes).product
+    val kI = geom.chunkShape.takeRight(axes).product
+    val cI = other.geom.chunkShape.drop(nBatch + axes).product
+    val emptyPos = array().cast("array<int>")
+    def posSliceOf(ds: Seq[Int]): Column =
+      if (ds.isEmpty) emptyPos
+      else array(ds.map(d => col("pos")(d).cast("int")): _*)
+    val zero = lit(0).cast("decimal(38,4)")
+    val a = df.select(col("timestep"),
+      posSliceOf(0 until nBatch).as("bpos"),
+      posSliceOf(nBatch until geom.dims - axes).as("lead"),
+      posSliceOf(geom.dims - axes until geom.dims).as("ka"),
+      col("data").as("adata"))
+    val b = other.df.select(col("timestep").as("bt"),
+      posSliceOf(0 until nBatch).as("bposb"),
+      posSliceOf(nBatch until nBatch + axes).as("kb"),
+      posSliceOf(nBatch + axes until other.geom.dims).as("trail"),
+      col("data").as("bdata"))
+    val block =
+      if (dtype == org.apache.spark.sql.types.DoubleType &&
+        other.dtype == org.apache.spark.sql.types.DoubleType) {
+        // per batch slice, the same codegen'd kernel as tensordot
+        val slices = (0 until bI).map { bi =>
+          org.apache.spark.sql.graftexpr.ChunkFolds.blockMatmulNative(
+            slice(col("adata"), lit(bi * rI * kI + 1), lit(rI * kI)),
+            slice(col("bdata"), lit(bi * kI * cI + 1), lit(kI * cI)),
+            rI, kI, cI)
+        }
+        if (slices.length == 1) slices.head else concat(slices: _*)
+      } else
+        transform(sequence(lit(0), lit(bI * rI * cI - 1)), idx => {
+          val bi = (idx / (rI * cI)).cast("int")
+          val rem = idx % (rI * cI)
+          val i = (rem / cI).cast("int")
+          val j = rem % cI
+          aggregate(sequence(lit(0), lit(kI - 1)), zero, (acc, k) =>
+            (acc + (col("adata")(bi * (rI * kI) + i * kI + k) *
+              col("bdata")(bi * (kI * cI) + k * cI + j))
+              .cast("decimal(18,4)")).cast("decimal(38,4)"))
+        })
+    val merged = a
+      .join(b.hint("shuffle_hash"), col("timestep") === col("bt") &&
+        col("bpos") === col("bposb") && col("ka") === col("kb"))
+      .select(col("timestep"), col("bpos"), col("lead"), col("trail"),
+        block.as("part"))
+      .groupBy("timestep", "bpos", "lead", "trail")
+      .agg(aggregate(collect_list(col("part")), array_repeat(zero, bI * rI * cI),
+        (acc, v) => zip_with(acc, v, (x, y) => (x + y).cast("decimal(38,4)"))).as("vec"))
+    val out = merged.select(col("timestep"),
+      concat(col("bpos"), col("lead"), col("trail")).as("pos"),
+      transform(coalesce(col("vec"), array_repeat(zero, bI * rI * cI)),
+        v => v.cast("double")).as("data"))
+    ChunkedArray(out, ArrayGeometry(
+      geom.chunksPerDim.take(nBatch) ++
+        geom.chunksPerDim.slice(nBatch, geom.dims - axes) ++
+        other.geom.chunksPerDim.drop(nBatch + axes),
+      geom.chunkShape.take(nBatch) ++
+        geom.chunkShape.slice(nBatch, geom.dims - axes) ++
+        other.geom.chunkShape.drop(nBatch + axes)))
+  }
+
   /** Circular shift along `axis` (dask/numpy `roll`): element at global
     * coord g moves to (g + shift) mod size. Every element changes
     * position, so the payload bytes must move once (dask rolls the same
@@ -2531,36 +2665,93 @@ object ChunkedArray {
     * narrow re-key. So `einsum("uh,vh->vu", a, b)` costs exactly the
     * one SUMMA contraction shuffle, whatever the spelling.
     *
-    * Supported spec shape (the classic contraction class): each
-    * operand's subscripts distinct; shared letters are contracted and
-    * must not appear in the output; the output names each kept letter
-    * exactly once in any order. Repeated-within-operand (diagonal) and
-    * batch (shared-and-kept) subscripts are out of scope — the first
-    * needs a gather face, the second a grouped join neither dask
-    * callback in the reference exercises. */
+    * Supported spec shape: each operand's subscripts distinct; shared
+    * letters NOT in the output are contracted; shared letters IN the
+    * output are BATCH axes (`"buh,bhv->buv"` — the pair join gains one
+    * equality per batch axis, [[ChunkedArray.tensordotBatched]]); the
+    * output names each kept letter exactly once in any order. At least
+    * one contracted letter is required (a pure batched outer product is
+    * out of scope). Repeated-within-term (diagonal) subscripts live on
+    * the SINGLE-operand overload. */
   def einsum(spec: String, a: ChunkedArray, b: ChunkedArray): ChunkedArray = {
     val cleaned = spec.replaceAll("\\s", "")
     val parts = cleaned.split("->", -1)
     require(parts.length == 2 && parts(1).nonEmpty,
       s"einsum spec must be 'ab,bc->ac' shaped with an explicit output, got '$spec'")
     val ins = parts(0).split(",", -1)
-    require(ins.length == 2, s"einsum here is two-operand, got '$spec'")
+    require(ins.length == 2, s"this einsum form is two-operand, got '$spec'")
     val (sa, sb, so) = (ins(0), ins(1), parts(1))
     require(sa.distinct == sa && sb.distinct == sb && so.distinct == so,
-      s"repeated subscripts within one term are out of scope, got '$spec'")
+      s"repeated subscripts within one term take the single-operand " +
+        s"(diagonal) form, got '$spec'")
     require(sa.length == a.geom.dims && sb.length == b.geom.dims,
       s"subscript ranks (${sa.length}, ${sb.length}) must match operand ranks " +
         s"(${a.geom.dims}, ${b.geom.dims})")
     val shared = sa.filter(sb.contains(_))
-    require(shared.nonEmpty, s"no contracted subscript in '$spec'")
-    require(shared.forall(c => !so.contains(c)),
-      s"batch subscripts (shared and kept, ${shared.filter(so.contains(_))}) " +
-        s"are out of scope in '$spec'")
-    val kept = sa.filterNot(shared.contains(_)) ++ sb.filterNot(shared.contains(_))
+    val contracted = shared.filterNot(so.contains(_))
+    val batch = shared.filter(so.contains(_))
+    require(contracted.nonEmpty, s"no contracted subscript in '$spec'")
+    val kept = batch ++ sa.filterNot(shared.contains(_)) ++
+      sb.filterNot(shared.contains(_))
     require(so.sorted.sameElements(kept.sorted),
       s"output must name each kept subscript exactly once: '$so' vs kept '$kept'")
-    val td = a.tensordot(b, shared.map(sa.indexOf(_)), shared.map(sb.indexOf(_)))
+    val td =
+      if (batch.isEmpty)
+        a.tensordot(b, contracted.map(sa.indexOf(_)), contracted.map(sb.indexOf(_)))
+      else {
+        // permute batch axes leading (and contracted trailing/after-batch)
+        // — narrow re-keys, the tensordot axes-form discipline
+        val keepA = (0 until a.geom.dims)
+          .filterNot(d => contracted.contains(sa(d)) || batch.contains(sa(d)))
+        val keepB = (0 until b.geom.dims)
+          .filterNot(d => contracted.contains(sb(d)) || batch.contains(sb(d)))
+        val permA = batch.map(sa.indexOf(_)).toSeq ++ keepA ++
+          contracted.map(sa.indexOf(_))
+        val permB = batch.map(sb.indexOf(_)).toSeq ++
+          contracted.map(sb.indexOf(_)) ++ keepB
+        val at = if (permA == (0 until a.geom.dims)) a else a.transpose(permA)
+        val bt = if (permB == (0 until b.geom.dims)) b else b.transpose(permB)
+        at.tensordotBatched(bt, batch.length, contracted.length)
+      }
     val perm = so.map(kept.indexOf(_)).toSeq
     if (perm == perm.indices.toSeq) td else td.transpose(perm)
+  }
+
+  /** Single-operand einsum — the DIAGONAL class (`"ii->i"`,
+    * `"iji->ij"`, `"iii->i"`): each repeated subscript pair collapses
+    * via [[ChunkedArray.diagonal]] (a zero-exchange affine gather over
+    * the grid-diagonal chunks), iterated until every letter is unique;
+    * the output names each distinct letter exactly once in any order
+    * (reductions compose via `axisSum` on the result). */
+  def einsum(spec: String, a: ChunkedArray): ChunkedArray = {
+    val cleaned = spec.replaceAll("\\s", "")
+    val parts = cleaned.split("->", -1)
+    require(parts.length == 2 && parts(1).nonEmpty,
+      s"einsum spec must be 'ii->i' shaped with an explicit output, got '$spec'")
+    require(!parts(0).contains(","),
+      s"this einsum form is single-operand, got '$spec'")
+    var sa = parts(0)
+    val so = parts(1)
+    require(sa.length == a.geom.dims,
+      s"subscript rank ${sa.length} must match operand rank ${a.geom.dims}")
+    require(so.distinct == so, s"output subscripts must be distinct in '$spec'")
+    require(sa.exists(c => sa.count(_ == c) >= 2),
+      s"single-operand einsum is the diagonal form; '$spec' has no repeats")
+    var arr = a
+    var rep = sa.find(c => sa.count(_ == c) >= 2)
+    while (rep.isDefined) {
+      val c = rep.get
+      val i1 = sa.indexOf(c)
+      val i2 = sa.indexOf(c, i1 + 1)
+      arr = arr.diagonal(i1, i2)
+      // diagonal emits: other axes in order, then the matched axis last
+      sa = sa.zipWithIndex.filterNot { case (_, d) => d == i1 || d == i2 }
+        .map(_._1).mkString + c
+      rep = sa.find(ch => sa.count(_ == ch) >= 2)
+    }
+    require(so.sorted == sa.sorted,
+      s"output must name each distinct letter exactly once: '$so' vs '$sa'")
+    val perm = so.map(sa.indexOf(_)).toSeq
+    if (perm == perm.indices.toSeq) arr else arr.transpose(perm)
   }
 }

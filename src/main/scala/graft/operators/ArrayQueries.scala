@@ -773,6 +773,36 @@ object ArrayQueries {
       .orderBy("timestep", "i", "j")
   }
 
+  /** dask `da.einsum("uu->u", a)` — the repeated-subscript DIAGONAL
+    * form (VERDICT r17 #5, the first of the two einsum refusals
+    * removed): the main diagonal of the 8×8 field per timestep via
+    * [[graft.arrays.ChunkedArray.diagonal]] — a metadata filter to the
+    * grid-diagonal chunks plus one compiled affine gather per chunk
+    * (source stride = row+col stride, the numpy stride trick); ZERO
+    * exchanges, values pass through untouched so the oracle is an
+    * exact WHERE u = h filter. */
+  def arrEinsumDiag(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray2dCached(s, dir)
+    ChunkedArray.einsum("uu->u", a).rowsNd
+      .withColumnsRenamed(Map("i0" -> "i"))
+      .orderBy("timestep", "i")
+  }
+
+  /** dask `da.einsum("uhw,uwx->uhx", a, a)` — the BATCH form (the
+    * second einsum refusal removed): contract the event-id axis against
+    * the hour axis WITHIN each user slice — the SUMMA chunk-pair join
+    * gains one equality on the batch (user) axis' chunk position
+    * ([[graft.arrays.ChunkedArray.tensordotBatched]]) and each pair's
+    * block product runs per batch slice through the SAME codegen'd
+    * kernel; still exactly one contraction shuffle, still no broadcast.
+    * Same decimal(18,4)-product/exact-sum posture as arr_tensordot. */
+  def arrEinsumBatch(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray3dCached(s, dir)
+    ChunkedArray.einsum("uhw,uwx->uhx", a, a).rowsNd
+      .withColumnsRenamed(Map("i0" -> "i", "i1" -> "j", "i2" -> "k"))
+      .orderBy("timestep", "i", "j", "k")
+  }
+
   /** dask `reshape` — the 8x8 2-d array re-read as a 1-d 64-vector in
     * global row-major order (rank change), then the distributed cumsum
     * scan: any re-addressing error (wrong flat index, wrong chunk,
@@ -1376,6 +1406,26 @@ object ArrayQueries {
          |FROM cells x JOIN cells y
          |  ON x.timestep = y.timestep AND x.h = y.h
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // einsum("uu->u"): a pure gather — values pass through untouched,
+    // so the oracle is the exact matched-coordinate filter
+    "arr_einsum_diag" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(u AS BIGINT) AS i, cell AS value
+         |FROM cells WHERE u = h
+         |ORDER BY 1, 2""".stripMargin,
+    // einsum("uhw,uwx->uhx") on (a, a): out[u][h][x] =
+    // sum_w a(u,h,w)*a(u,w,x) — the batch (u) equality joins the two
+    // reads of the SAME dense relation; decimal(18,4) product posture
+    "arr_einsum_batch" ->
+      s"""WITH $CELLS_3D_DENSE
+         |SELECT CAST(x.timestep AS BIGINT) AS timestep,
+         |  CAST(x.u AS BIGINT) AS i, CAST(x.h AS BIGINT) AS j,
+         |  CAST(y.w AS BIGINT) AS k,
+         |  CAST(SUM(CAST(x.cell * y.cell AS DECIMAL(18,4))) AS DOUBLE) AS value
+         |FROM cells3 x JOIN cells3 y
+         |  ON x.timestep = y.timestep AND x.u = y.u AND x.w = y.h
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
     // axes=((0,2),(1,0)): a.u pairs with b.h, a.w pairs with b.u; only
     // a's hour axis survives. Same decimal(18,4) product posture as
     // arr_tensordot (order-independent exact sums).
@@ -2211,6 +2261,8 @@ object ArrayQueries {
     "arr_lstsq" -> (arrLstsq _),
     "arr_lstsq_resid" -> (arrLstsqResid _),
     "arr_einsum" -> (arrEinsum _),
+    "arr_einsum_diag" -> (arrEinsumDiag _),
+    "arr_einsum_batch" -> (arrEinsumBatch _),
     "arr_tensordot" -> (arrTensordot _),
     "arr_tensordot_axes" -> (arrTensordotAxes _),
     "arr_reshape_flat" -> (arrReshapeFlat _),

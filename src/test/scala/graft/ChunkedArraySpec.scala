@@ -855,12 +855,53 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // out-of-scope and malformed specs refuse loudly
     for (bad <- Seq(
-        "ij,jk->ij", // j is shared AND kept: a batch subscript
-        "ii,ik->k", // repeated within a term (diagonal)
+        "ij,jk->ij", // k is kept but unnamed in the output
+        "ii,ik->k", // repeated within a term: the single-operand form
         "ij,jk", // no explicit output
         "ij,jk->ikz", // unknown output subscript
         "ij,kl->ijkl")) // nothing contracted
       assertThrows[IllegalArgumentException](ChunkedArray.einsum(bad, twoD, twoD))
+  }
+
+  test("einsum diagonal: 'ii->i' gathers matched coordinates with zero exchanges") {
+    // twoD value(i,j) = 10i + j -> diagonal = 11i
+    val d = ChunkedArray.einsum("ii->i", twoD)
+    assert(d.geom == ArrayGeometry(Seq(2), Seq(2)))
+    val got = cellMap(d)
+    assert(got == (0 until 4).map(i => (0L, Seq(i)) -> 11.0 * i).toMap)
+    // the numpy-stride-trick claim: a pure narrow gather, no shuffle
+    val plan = d.df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"diagonal must be zero-exchange:\n$plan")
+    // threeD value(i,j,k) = 16i + 4j + k
+    val pd = cellMap(ChunkedArray.einsum("iji->ij", threeD))
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(pd((0L, Seq(i, j))) == 16.0 * i + 4 * j + i, s"iji->ij ($i,$j)")
+    val td = cellMap(ChunkedArray.einsum("iii->i", threeD))
+    for (i <- 0 until 4) assert(td((0L, Seq(i))) == 21.0 * i, s"iii->i $i")
+    // malformed: reductions and unknown letters refuse loudly
+    for (bad <- Seq("ii->", "ij->i", "ii->ij", "ii"))
+      assertThrows[IllegalArgumentException](ChunkedArray.einsum(bad, twoD))
+  }
+
+  test("einsum batch: 'bij,bjk->bik' contracts within each batch slice") {
+    // threeD value(b,i,j) = 16b + 4i + j
+    def a3(b: Int, i: Int, j: Int): Double = 16.0 * b + 4 * i + j
+    val got = cellMap(ChunkedArray.einsum("bij,bjk->bik", threeD, threeD))
+    for (b <- 0 until 4; i <- 0 until 4; k <- 0 until 4) {
+      val want = (0 until 4).map(j => a3(b, i, j) * a3(b, j, k)).sum
+      assert(got((0L, Seq(b, i, k))) == want, s"($b,$i,$k)")
+    }
+    // permuted output order: the batch letter can land anywhere
+    val perm = cellMap(ChunkedArray.einsum("bij,bjk->ikb", threeD, threeD))
+    for (b <- 0 until 4; i <- 0 until 4; k <- 0 until 4)
+      assert(perm((0L, Seq(i, k, b))) == got((0L, Seq(b, i, k))), s"perm ($i,$k,$b)")
+    // batch axes not leading in the TERMS: einsum permutes them there
+    val mid = cellMap(ChunkedArray.einsum("ibj,bjk->bik", threeD, threeD))
+    for (b <- 0 until 4; i <- 0 until 4; k <- 0 until 4) {
+      // first operand read as A[i,b,j]
+      val want = (0 until 4).map(j => a3(i, b, j) * a3(b, j, k)).sum
+      assert(mid((0L, Seq(b, i, k))) == want, s"mid ($b,$i,$k)")
+    }
   }
 
   test("zipWithAuto rechunks a mismatched operand onto this grid") {
