@@ -803,6 +803,19 @@ object ArrayQueries {
       .orderBy("timestep", "i", "j", "k")
   }
 
+  /** numpy `trace` / einsum `"ii->"` composed from the engine's own
+    * faces: [[graft.arrays.ChunkedArray.diagonal]]'s zero-exchange
+    * gather feeding the standard per-timestep decimal-exact sum — the
+    * reduction einsum leaves to `axisSum`-family composition (the
+    * single-operand einsum keeps every letter; dropping one is a
+    * reduce, and reductions already have exact spellings). Plan cost:
+    * the diagonal chunks' narrow gather + ONE partial-agg shuffle on
+    * timestep. */
+  def arrTrace(s: SparkSession, dir: String): DataFrame =
+    ChunkedArray.einsum("uu->u", eventsArray2dCached(s, dir))
+      .sumPerTimestep("trace")
+      .orderBy("timestep")
+
   /** dask `reshape` — the 8x8 2-d array re-read as a 1-d 64-vector in
     * global row-major order (rank change), then the distributed cumsum
     * scan: any re-addressing error (wrong flat index, wrong chunk,
@@ -1414,6 +1427,13 @@ object ArrayQueries {
          |  CAST(u AS BIGINT) AS i, cell AS value
          |FROM cells WHERE u = h
          |ORDER BY 1, 2""".stripMargin,
+    // trace = the diagonal gather's exact decimal per-timestep sum
+    "arr_trace" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(SUM(CAST(cell AS DECIMAL(18,2))) AS DOUBLE) AS trace
+         |FROM cells WHERE u = h
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // einsum("uhw,uwx->uhx") on (a, a): out[u][h][x] =
     // sum_w a(u,h,w)*a(u,w,x) — the batch (u) equality joins the two
     // reads of the SAME dense relation; decimal(18,4) product posture
@@ -2263,6 +2283,7 @@ object ArrayQueries {
     "arr_einsum" -> (arrEinsum _),
     "arr_einsum_diag" -> (arrEinsumDiag _),
     "arr_einsum_batch" -> (arrEinsumBatch _),
+    "arr_trace" -> (arrTrace _),
     "arr_tensordot" -> (arrTensordot _),
     "arr_tensordot_axes" -> (arrTensordotAxes _),
     "arr_reshape_flat" -> (arrReshapeFlat _),

@@ -346,6 +346,27 @@ object Similarity {
     q.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
   }
 
+  /** [[embGram]] through the 128-bit [[org.apache.spark.sql.graftexpr.GramWide]]
+    * widening — the TRUE-scale spelling, oracle-gated end-to-end: the
+    * int128 accumulate + DECIMAL(38,0) eval must reproduce DuckDB's
+    * HUGEINT sums exactly. Emitted as the integer's decimal STRING
+    * (DECIMAL(38,0) survives parquet but the oracle harness's pandas
+    * bridge coerces wide decimals to float64 — the string gate is
+    * lossless where a float compare would silently round). Same wire
+    * shape as emb_gram: ONE buffer per partition, ~66 KB at dim 64. */
+  def embGramWide(s: SparkSession, dir: String): DataFrame = {
+    val gb = Tables.load(s, dir, "embeddings")
+      .select(transform(col("embedding").cast("array<double>"),
+        v => floor(v * lit(EmbGramScale)).cast("long")).as("q"))
+      .agg(org.apache.spark.sql.graftexpr.SketchExpressions
+        .gramWide(col("q"), Dim).as("gb"))
+    gb.select(posexplode(slice(col("gb"), 1, Dim * Dim)).as(Seq("idx", "g")))
+      .select(floor(col("idx") / lit(Dim)).cast("bigint").as("i"),
+        (col("idx") % lit(Dim)).cast("bigint").as("j"),
+        col("g").cast("string").as("g"))
+      .orderBy("i", "j")
+  }
+
   /** How many whitened coordinates [[embWhiten]] emits. */
   val EmbWhitenK = 2
 
@@ -1250,6 +1271,19 @@ object Similarity {
          |  CAST(SUM(a.qv * b.qv) AS BIGINT) AS g
          |FROM e a JOIN e b USING (vec_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the widened Gram replayed through DuckDB's HUGEINT sums, gated
+    // as lossless decimal strings (see embGramWide)
+    "emb_gram_wide" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    v -> CAST(floor(CAST(v AS DOUBLE) * $EmbGramScale) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |e AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS d, unnest(q) AS qv
+         |      FROM q)
+         |SELECT CAST(a.d AS BIGINT) AS i, CAST(b.d AS BIGINT) AS j,
+         |  CAST(CAST(SUM(a.qv * b.qv) AS DECIMAL(38,0)) AS VARCHAR) AS g
+         |FROM e a JOIN e b USING (vec_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sim_pq_ann" -> pqOracle,
     "emb_label_assign" -> assignOracle,
     // parallel unnests zip positionally in DuckDB; floor(v * 1e6) is
@@ -1426,6 +1460,7 @@ object Similarity {
     "sim_pq_recall" -> (simPqRecall _),
     "emb_class_sep" -> (embClassSep _),
     "emb_gram" -> (embGram _),
+    "emb_gram_wide" -> (embGramWide _),
     "emb_pca_var" -> (embPcaVar _),
     "emb_pca_project" -> (embPcaProject _),
     "emb_whiten" -> (embWhiten _),
