@@ -83,6 +83,14 @@ object SparkEntry {
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
+  /** The sketch 62-bit permutation hash, spelled operand-for-operand
+    * with [[operators.Relational.permHash62]] (pure exact int64). */
+  private def skHashSql(x: String): String = {
+    import operators.Relational.{SkA1, SkA2, SkB1, SkB2, SkP}
+    s"((($SkA1 * ($x % $SkP) + $SkB1) % $SkP) * $SkP + " +
+      s"(($SkA2 * ($x % $SkP) + $SkB2) % $SkP))"
+  }
+
   /** DuckDB oracle SQL, column-aliased identically to the Spark results.
     * A `def` evaluated AFTER Verify runs the queries: sim_ivf_trained's
     * entry embeds the centroids the query just trained (the fit is
@@ -575,10 +583,11 @@ object SparkEntry {
         |ORDER BY day""".stripMargin,
     // deterministic KMV distinct + bottom-k quantile sample, replayed
     // exactly: sample membership = k smallest hashes (merge-order
-    // invariant), so ORDER BY hash LIMIT k reproduces the engine state
+    // invariant), so ORDER BY hash LIMIT k reproduces the engine state;
+    // the 62-bit permutation hash is pure exact int64 both sides
     "q_approx_sketch" ->
       s"""WITH hd AS (SELECT DISTINCT l_returnflag,
-        |  CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  ${skHashSql(s"l_partkey")} AS h
         |  FROM lineitem),
         |hr AS (SELECT l_returnflag, h,
         |  row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hd),
@@ -586,8 +595,7 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = ${Relational.SketchK} THEN h END) AS hkth
         |  FROM hr WHERE rn <= ${Relational.SketchK} GROUP BY 1),
         |v AS (SELECT l_returnflag,
-        |  CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
-        |    CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |  ${skHashSql(s"(l_orderkey * 8 + l_linenumber)")} AS h,
         |  l_quantity AS v FROM lineitem),
         |vr AS (SELECT l_returnflag, v,
         |  row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) AS rn FROM v),
@@ -601,14 +609,14 @@ object SparkEntry {
         |  FROM sr GROUP BY 1)
         |SELECT hk.l_returnflag,
         |  CASE WHEN hk.m < ${Relational.SketchK} THEN CAST(hk.m AS DOUBLE)
-        |    ELSE (${(Relational.SketchK - 1).toDouble} * 1152921504606846976.0)
+        |    ELSE CAST('${Relational.SkKmvNumerator}' AS DOUBLE)
         |      / CAST(hk.hkth AS DOUBLE) END AS approx_parts,
         |  med.approx_median_qty
         |FROM hk JOIN med USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
     "ev_value_sketch" ->
       s"""WITH v AS (SELECT event_type,
-        |  CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |  ${skHashSql("event_id")} AS h,
         |  value AS v FROM events),
         |vr AS (SELECT event_type, v,
         |  row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn FROM v),
