@@ -787,6 +787,7 @@ case class KSmallestByHash(
     hashChild: Expression,
     valueChild: Expression,
     k: Int,
+    emitPairs: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
@@ -797,7 +798,15 @@ case class KSmallestByHash(
   override def children: Seq[Expression] = Seq(hashChild, valueChild)
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, DoubleType)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  /** Default: values sorted ascending (the quantile read). With
+    * `emitPairs`, the raw (h, v) sample sorted by (h, v) — the
+    * MERGEABLE form a streaming consumer folds into running state
+    * (values alone cannot merge: the k-smallest rule needs hashes). */
+  override def dataType: DataType =
+    if (emitPairs) ArrayType(StructType(Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false))), containsNull = false)
+    else ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_ksmallest_by_hash"
 
   override def createAggregationBuffer(): java.util.PriorityQueue[KSmallestByHash.P] =
@@ -835,12 +844,20 @@ case class KSmallestByHash(
   }
 
   override def eval(buf: java.util.PriorityQueue[KSmallestByHash.P]): Any = {
-    val out = new Array[Double](buf.size())
-    val it = buf.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = it.next().v; i += 1 }
-    java.util.Arrays.sort(out)
-    new GenericArrayData(out)
+    if (emitPairs) {
+      val arr = new Array[KSmallestByHash.P](buf.size())
+      buf.toArray(arr): Unit
+      java.util.Arrays.sort(arr, KSmallestByHash.MaxFirst.reversed())
+      new GenericArrayData(arr.map(p =>
+        org.apache.spark.sql.catalyst.InternalRow(p.h, p.v): Any))
+    } else {
+      val out = new Array[Double](buf.size())
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next().v; i += 1 }
+      java.util.Arrays.sort(out)
+      new GenericArrayData(out)
+    }
   }
 
   override def serialize(buf: java.util.PriorityQueue[KSmallestByHash.P]): Array[Byte] = {
@@ -1018,4 +1035,11 @@ object SketchExpressions {
     ExpressionUtils.column(
       KSmallestByHash(ExpressionUtils.expression(h),
         ExpressionUtils.expression(v), k).toAggregateExpression())
+
+  /** [[kSmallestByHash]]'s mergeable form: the raw (h, v) sample —
+    * what a streaming consumer folds into running state. */
+  def kSmallestPairsByHash(h: Column, v: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KSmallestByHash(ExpressionUtils.expression(h),
+        ExpressionUtils.expression(v), k, emitPairs = true).toAggregateExpression())
 }

@@ -524,7 +524,7 @@ object Relational {
   val SkB2: Long = graft.functions.localHash60("sketch_b_2") % SkP
 
   /** 62-bit permutation hash of a NON-NEGATIVE integer key column. */
-  private[operators] def permHash62(x: Column): Column = {
+  private[graft] def permHash62(x: Column): Column = {
     val xm = x % lit(SkP)
     ((lit(SkA1) * xm + lit(SkB1)) % lit(SkP)) * lit(SkP) +
       ((lit(SkA2) * xm + lit(SkB2)) % lit(SkP))
