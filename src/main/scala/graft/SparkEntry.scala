@@ -85,11 +85,8 @@ object SparkEntry {
 
   /** The sketch 62-bit permutation hash, spelled operand-for-operand
     * with [[operators.Relational.permHash62]] (pure exact int64). */
-  private def skHashSql(x: String): String = {
-    import operators.Relational.{SkA1, SkA2, SkB1, SkB2, SkP}
-    s"((($SkA1 * ($x % $SkP) + $SkB1) % $SkP) * $SkP + " +
-      s"(($SkA2 * ($x % $SkP) + $SkB2) % $SkP))"
-  }
+  private def skHashSql(x: String): String =
+    operators.Relational.permHash62Sql(x)
 
   /** DuckDB oracle SQL, column-aliased identically to the Spark results.
     * A `def` evaluated AFTER Verify runs the queries: sim_ivf_trained's

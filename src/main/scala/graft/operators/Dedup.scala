@@ -770,7 +770,10 @@ object Dedup {
   private def substrPerDoc(s: SparkSession, dir: String): DataFrame =
     substrPerDocOf(substrGramRel(s, dir))
 
-  private[graft] def substrPerDocOf(docs: DataFrame): DataFrame = {
+  /** The removed-span relation `(doc_id, s, e)` — maximal disjoint
+    * word-offset intervals an ExactSubstr pass cuts (see
+    * [[substrPerDocOf]] for the keep-first/island mechanics). */
+  private[graft] def substrSpansOf(docs: DataFrame): DataFrame = {
     val e = docs.select(col("doc_id"),
       posexplode(col("gs")).as(Seq("pos", "g")))
     val occ = e.groupBy("g")
@@ -783,15 +786,19 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("bigint").as("pos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val isl = rm
+    rm
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(w) <= SpanGramN.toLong, 0L)
           .otherwise(1L))
       .withColumn("island", sum(col("brk")).over(w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-    val spans = isl.groupBy("doc_id", "island")
+      .groupBy("doc_id", "island")
       .agg(min(col("pos")).as("s"),
         (max(col("pos")) + lit(SpanGramN.toLong)).as("e"))
+  }
+
+  private[graft] def substrPerDocOf(docs: DataFrame): DataFrame = {
+    val spans = substrSpansOf(docs)
     val perDoc = spans.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("rm_words"))
     docs.select(col("doc_id"), col("source"), col("n_words"))
@@ -815,6 +822,16 @@ object Dedup {
       .select(col("doc_id"), col("n_words"), col("n_spans"),
         col("rm_words"), col("kept_words"))
       .orderBy("doc_id")
+
+  /** The span MAP itself — [[ddSubstrRemove]]'s apply-time face (the
+    * [[ddLineMap]] role at span granularity): one row per removed
+    * maximal span, `(doc_id, s, e)` word offsets into the whitespace
+    * tokenization — exactly what a slicing pass joins against to cut
+    * the text. O(removed spans) rows. */
+  def ddSubstrSpans(s: SparkSession, dir: String): DataFrame =
+    substrSpansOf(substrGramRel(s, dir))
+      .select(col("doc_id"), col("s"), col("e"))
+      .orderBy("doc_id", "s")
 
   /** The surviving corpus volume per source after the [[ddSubstrRemove]]
     * pass — the [[ddKeepOne]] consumer shape at span granularity: how
@@ -1643,6 +1660,10 @@ object Dedup {
       s"""WITH $substrCtes
          |SELECT doc_id, n_words, n_spans, rm_words, kept_words
          |FROM pdoc ORDER BY doc_id""".stripMargin,
+    "dd_substr_spans" ->
+      s"""WITH $substrCtes
+         |SELECT doc_id, CAST(s AS BIGINT) AS s, CAST(e AS BIGINT) AS e
+         |FROM spans ORDER BY doc_id, s""".stripMargin,
     "dd_substr_volume" ->
       s"""WITH $substrCtes
          |SELECT source, COUNT(*) AS n_docs,
@@ -1709,6 +1730,7 @@ object Dedup {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_span_frac" -> (ddSpanFrac _),
     "dd_substr_remove" -> (ddSubstrRemove _),
+    "dd_substr_spans" -> (ddSubstrSpans _),
     "dd_substr_volume" -> (ddSubstrVolume _),
     "dd_cdc_chunks" -> (ddCdcChunks _),
     "dd_cdc_coverage" -> (ddCdcCoverage _),

@@ -111,6 +111,33 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** How many documents [[smpFixedK]] holds out per source. */
+  val FixedKPerSource = 8
+
+  /** Deterministic FIXED-SIZE per-source holdout — the eval-set
+    * selection a training pipeline pins before every run: the k
+    * documents with the SMALLEST 62-bit permutation row hash per source
+    * (the [[graft.operators.Relational.qApproxSketch]] bottom-k-by-hash
+    * machinery as a sampling face). Unlike [[smpSplit]]'s
+    * threshold-hash split (fixed FRACTION, membership stable under
+    * appends), bottom-k gives a fixed COUNT: membership depends only
+    * on the corpus SET (merge-order invariant, no RNG, no engine
+    * state), so any two runs — or two engines — select the identical
+    * holdout. One ≤ k-pair buffer per source per partition on the
+    * wire; output k rows per source, ranked by doc_id. */
+  def smpFixedK(s: SparkSession, dir: String): DataFrame = {
+    val k = FixedKPerSource
+    Tables.load(s, dir, "documents")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.graftexpr.SketchExpressions
+        .kSmallestByHash(Relational.permHash62(col("doc_id")),
+          col("doc_id").cast("double"), k).as("vs"))
+      .select(col("source"), posexplode(col("vs")).as(Seq("rk0", "d")))
+      .select(col("source"), (col("rk0") + 1).cast("bigint").as("rk"),
+        col("d").cast("long").as("doc_id"))
+      .orderBy("source", "rk")
+  }
+
   /** Deterministic train/val/test split by hash of the document id —
     * the assignment every training pipeline needs before packing: stable
     * across runs, engines and partition layouts (no RNG state), and a
@@ -762,6 +789,19 @@ object Pipeline {
         |  MIN(doc_id) AS min_doc,
         |  MAX(doc_id) AS max_doc
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    // the bottom-k-by-hash holdout replayed exactly: row_number over
+    // the identical 62-bit permutation hash, then rank by doc_id
+    "smp_fixed_k" ->
+      s"""WITH h AS (SELECT source, doc_id,
+        |  ${Relational.permHash62Sql("doc_id")} AS h FROM documents),
+        |r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY h, CAST(doc_id AS DOUBLE)) AS rn FROM h),
+        |samp AS (SELECT source, doc_id FROM r WHERE rn <= $FixedKPerSource)
+        |SELECT source,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk,
+        |  doc_id
+        |FROM samp ORDER BY source, rk""".stripMargin,
     "smp_source_cap" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
@@ -828,6 +868,7 @@ object Pipeline {
     "pipe_clean" -> (pipeClean _),
     "smp_stratified" -> (smpStratified _),
     "smp_split" -> (smpSplit _),
+    "smp_fixed_k" -> (smpFixedK _),
     "smp_source_cap" -> (smpSourceCap _),
     "smp_temperature" -> (smpTemperature _),
     "txt_repetition" -> (txtRepetition _),

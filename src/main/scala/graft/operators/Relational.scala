@@ -534,6 +534,11 @@ object Relational {
     * plan-time double (shortest-round-trip replayed in the oracle). */
   val SkKmvNumerator: Double = (SketchK - 1).toDouble * SkP.toDouble * SkP.toDouble
 
+  /** [[permHash62]] spelled for a DuckDB oracle, operand-for-operand. */
+  private[graft] def permHash62Sql(x: String): String =
+    s"((($SkA1 * ($x % $SkP) + $SkB1) % $SkP) * $SkP + " +
+      s"(($SkA2 * ($x % $SkP) + $SkB2) % $SkP))"
+
   /** Sketch aggregates, DETERMINISTIC AND ORACLE-GATED (VERDICT r17
     * #2): Spark's HLL/approx_percentile built-ins are engine-specific,
     * so this query's first spelling was the suite's one rows-only
