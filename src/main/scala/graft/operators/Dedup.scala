@@ -767,8 +767,15 @@ object Dedup {
     * per-document gram counts, never corpus-wide. Nothing is all-pairs;
     * 100× duplication grows the shuffle linearly and distinct-gram
     * state not at all (ScaleStressSpec). */
+  /** Persisted span relation for the dir-driven faces: all three
+    * (remove / spans / volume) read ONE occurrence-count + island pass
+    * instead of re-running it per face (O(removed spans) rows — tiny,
+    * and CacheManager dedups only persisted plans). */
+  private def substrSpans(s: SparkSession, dir: String): DataFrame =
+    substrSpansOf(substrGramRel(s, dir)).cachedPersist()
+
   private def substrPerDoc(s: SparkSession, dir: String): DataFrame =
-    substrPerDocOf(substrGramRel(s, dir))
+    substrPerDocFrom(substrGramRel(s, dir), substrSpans(s, dir))
 
   /** The removed-span relation `(doc_id, s, e)` — maximal disjoint
     * word-offset intervals an ExactSubstr pass cuts (see
@@ -797,8 +804,10 @@ object Dedup {
         (max(col("pos")) + lit(SpanGramN.toLong)).as("e"))
   }
 
-  private[graft] def substrPerDocOf(docs: DataFrame): DataFrame = {
-    val spans = substrSpansOf(docs)
+  private[graft] def substrPerDocOf(docs: DataFrame): DataFrame =
+    substrPerDocFrom(docs, substrSpansOf(docs))
+
+  private def substrPerDocFrom(docs: DataFrame, spans: DataFrame): DataFrame = {
     val perDoc = spans.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("rm_words"))
     docs.select(col("doc_id"), col("source"), col("n_words"))
@@ -829,7 +838,7 @@ object Dedup {
     * tokenization — exactly what a slicing pass joins against to cut
     * the text. O(removed spans) rows. */
   def ddSubstrSpans(s: SparkSession, dir: String): DataFrame =
-    substrSpansOf(substrGramRel(s, dir))
+    substrSpans(s, dir)
       .select(col("doc_id"), col("s"), col("e"))
       .orderBy("doc_id", "s")
 

@@ -31,11 +31,14 @@ object StreamingEmbGram {
     private val len = dim * dim + dim + 1
     private val acc = new Array[Long](len)
 
-    /** Fold one micro-batch's aggregate buffer in. */
+    /** Fold one micro-batch's aggregate buffer in — overflow-CHECKED
+      * like the distributed GramLong fold itself: a stream long enough
+      * to wrap the Long moments fails loudly instead of silently
+      * corrupting every later micro-batch's running PCA. */
     def observe(buf: Seq[Long]): Unit = synchronized {
       require(buf.length == len, s"expected $len cells, got ${buf.length}")
       var i = 0
-      while (i < len) { acc(i) += buf(i); i += 1 }
+      while (i < len) { acc(i) = Math.addExact(acc(i), buf(i)); i += 1 }
     }
 
     def n: Long = synchronized { acc(len - 1) }
