@@ -123,18 +123,30 @@ object Pipeline {
     * appends), bottom-k gives a fixed COUNT: membership depends only
     * on the corpus SET (merge-order invariant, no RNG, no engine
     * state), so any two runs — or two engines — select the identical
-    * holdout. One ≤ k-pair buffer per source per partition on the
-    * wire; output k rows per source, ranked by doc_id. */
+    * holdout.
+    *
+    * Two-step spelling, exact at ANY id scale: the KMinHash aggregate
+    * collects the k smallest DISTINCT hashes per source (one ≤ k-long
+    * buffer per source per partition), then the ≤ k·|sources|-row hash
+    * set broadcast-joins back to the corpus to recover the EXACT ids —
+    * routing ids through a double value channel would silently round
+    * past 2⁵³ at true scale. The broadcast is fact-derived but bounded
+    * by k·|sources| by construction (PlanShapeSpec-declared); the rank
+    * window partitions hold ≤ k rows. */
   def smpFixedK(s: SparkSession, dir: String): DataFrame = {
     val k = FixedKPerSource
-    Tables.load(s, dir, "documents")
-      .groupBy("source")
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        Relational.permHash62(col("doc_id")).as("h"))
+    val hs = docs.groupBy("source")
       .agg(org.apache.spark.sql.graftexpr.SketchExpressions
-        .kSmallestByHash(Relational.permHash62(col("doc_id")),
-          col("doc_id").cast("double"), k).as("vs"))
-      .select(col("source"), posexplode(col("vs")).as(Seq("rk0", "d")))
-      .select(col("source"), (col("rk0") + 1).cast("bigint").as("rk"),
-        col("d").cast("long").as("doc_id"))
+        .kMinHash(col("h"), k).as("hs"))
+      .select(col("source"), explode(col("hs")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    docs.join(broadcast(hs), Seq("source", "h"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .select(col("source"), col("rk"), col("doc_id"))
       .orderBy("source", "rk")
   }
 

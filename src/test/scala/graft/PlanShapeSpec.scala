@@ -66,6 +66,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // same bounded moment relations as arr_corrcoef (C-row column sums
     // + the 1-row n), meeting the C^2-row Gram
     "arr_cov" -> Set("events"),
+    // the bottom-k holdout hash set: <= FixedKPerSource x |sources|
+    // rows by construction (the KMinHash aggregate is k-bounded)
+    "smp_fixed_k" -> Set("documents"),
     // per-source aggregates (O(|sources|) rows)
     "pipe_clean" -> Set("documents"),
     // per-source keep-fraction relation + its 1-row total (O(|sources|))
