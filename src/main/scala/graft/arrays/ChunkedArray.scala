@@ -1915,7 +1915,8 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * of 2-decimal cell values are exactly 4-decimal, so the result is
     * order-independent and reproducible cross-engine (SURVEY §5). */
   def tensordot(other: ChunkedArray, axes: Int = 1): ChunkedArray = {
-    require(axes >= 1, "tensordot requires axes >= 1")
+    require(axes >= 0, s"tensordot axes must be >= 0, got $axes")
+    if (axes == 0) return outerProduct(other)
     require(geom.dims >= axes && other.geom.dims >= axes,
       s"operand ranks (${geom.dims}, ${other.geom.dims}) must be >= axes=$axes")
     require(geom.chunksPerDim.takeRight(axes) == other.geom.chunksPerDim.take(axes) &&
@@ -1969,6 +1970,44 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     ChunkedArray(out, ArrayGeometry(
       geom.chunksPerDim.dropRight(axes) ++ other.geom.chunksPerDim.drop(axes),
       geom.chunkShape.dropRight(axes) ++ other.geom.chunkShape.drop(axes)))
+  }
+
+  /** numpy/dask `tensordot(a, b, axes=0)` — the OUTER product (einsum
+    * `"i,j->ij"`): every chunk of `a` pairs with every chunk of `b` at
+    * the same timestep and the pair's block is the payload outer
+    * product — the SAME codegen'd kernel as [[tensordot]] with the
+    * contraction extent pinned to 1 (an rI×1 · 1×cI block product IS
+    * the outer product, so values carry tensordot's exact
+    * decimal(18,4)-product discipline bit-for-bit). The chunk-pair
+    * join shuffles on timestep only and materializes |A|·|B| blocks —
+    * exactly the output's own size, which is what an outer product IS;
+    * nothing beyond the answer ever exists. */
+  private def outerProduct(other: ChunkedArray): ChunkedArray = {
+    val rI = geom.chunkElems
+    val cI = other.geom.chunkElems
+    val zero = lit(0).cast("decimal(38,4)")
+    val a = df.select(col("timestep"), col("pos").as("lead"),
+      col("data").as("adata"))
+    val b = other.df.select(col("timestep").as("bt"), col("pos").as("trail"),
+      col("data").as("bdata"))
+    val block =
+      if (dtype == org.apache.spark.sql.types.DoubleType &&
+        other.dtype == org.apache.spark.sql.types.DoubleType)
+        org.apache.spark.sql.graftexpr.ChunkFolds
+          .blockMatmulNative(col("adata"), col("bdata"), rI, 1, cI)
+      else transform(sequence(lit(0), lit(rI * cI - 1)), idx => {
+        val i = (idx / cI).cast("int")
+        val j = idx % cI
+        ((zero + (col("adata")(i) * col("bdata")(j)).cast("decimal(18,4)"))
+          .cast("decimal(38,4)"))
+      })
+    val out = a
+      .join(b.hint("shuffle_hash"), col("timestep") === col("bt"))
+      .select(col("timestep"), concat(col("lead"), col("trail")).as("pos"),
+        transform(block, v => v.cast("double")).as("data"))
+    ChunkedArray(out, ArrayGeometry(
+      geom.chunksPerDim ++ other.geom.chunksPerDim,
+      geom.chunkShape ++ other.geom.chunkShape))
   }
 
   /** Cross-timestep Gram matrix `G = Σ_t A_tᵀ A_t` of a rank-2 array
@@ -2690,13 +2729,17 @@ object ChunkedArray {
     val shared = sa.filter(sb.contains(_))
     val contracted = shared.filterNot(so.contains(_))
     val batch = shared.filter(so.contains(_))
-    require(contracted.nonEmpty, s"no contracted subscript in '$spec'")
+    require(contracted.nonEmpty || shared.isEmpty,
+      s"batched outer products (batch subscripts but nothing contracted) " +
+        s"are out of scope in '$spec'")
     val kept = batch ++ sa.filterNot(shared.contains(_)) ++
       sb.filterNot(shared.contains(_))
     require(so.sorted.sameElements(kept.sorted),
       s"output must name each kept subscript exactly once: '$so' vs kept '$kept'")
     val td =
-      if (batch.isEmpty)
+      if (shared.isEmpty)
+        a.tensordot(b, 0) // outer product: "i,j->ij"
+      else if (batch.isEmpty)
         a.tensordot(b, contracted.map(sa.indexOf(_)), contracted.map(sb.indexOf(_)))
       else {
         // permute batch axes leading (and contracted trailing/after-batch)

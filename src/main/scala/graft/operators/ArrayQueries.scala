@@ -816,6 +816,20 @@ object ArrayQueries {
       .sumPerTimestep("trace")
       .orderBy("timestep")
 
+  /** dask `da.einsum("u,v->uv", a, a)` / `np.outer` — the OUTER product
+    * (tensordot axes=0; the last einsum class the engine refused): the
+    * daily field's self-outer, 64×64 per timestep. The chunk-pair join
+    * shuffles on timestep and materializes exactly the output's own
+    * |A|·|B| blocks through the SAME codegen'd block kernel with the
+    * contraction extent pinned to 1 — tensordot's decimal(18,4)-product
+    * discipline bit-for-bit. */
+  def arrOuter(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray1dCached(s, dir)
+    ChunkedArray.einsum("u,v->uv", a, a).rowsNd
+      .withColumnsRenamed(Map("i0" -> "i", "i1" -> "j"))
+      .orderBy("timestep", "i", "j")
+  }
+
   /** dask `reshape` — the 8x8 2-d array re-read as a 1-d 64-vector in
     * global row-major order (rank change), then the distributed cumsum
     * scan: any re-addressing error (wrong flat index, wrong chunk,
@@ -1427,6 +1441,22 @@ object ArrayQueries {
          |  CAST(u AS BIGINT) AS i, cell AS value
          |FROM cells WHERE u = h
          |ORDER BY 1, 2""".stripMargin,
+    // outer product over the DENSIFIED 1-d field (the engine's chunks
+    // zero-fill absent cells, so the oracle must too); same
+    // decimal(18,4)-product posture as arr_tensordot
+    "arr_outer" ->
+      s"""WITH $CELLS_1D,
+         |days1 AS (SELECT DISTINCT timestep FROM cells),
+         |dense1 AS (
+         |  SELECT d.timestep, uu.u, COALESCE(r.cell, 0.0) AS cell
+         |  FROM days1 d
+         |  CROSS JOIN (SELECT unnest(range(64)) AS u) uu
+         |  LEFT JOIN cells r ON r.timestep = d.timestep AND r.u = uu.u)
+         |SELECT CAST(x.timestep AS BIGINT) AS timestep,
+         |  CAST(x.u AS BIGINT) AS i, CAST(y.u AS BIGINT) AS j,
+         |  CAST(CAST(x.cell * y.cell AS DECIMAL(18,4)) AS DOUBLE) AS value
+         |FROM dense1 x JOIN dense1 y ON x.timestep = y.timestep
+         |ORDER BY 1, 2, 3""".stripMargin,
     // trace = the diagonal gather's exact decimal per-timestep sum
     "arr_trace" ->
       s"""WITH $CELLS_2D_DENSE
@@ -2284,6 +2314,7 @@ object ArrayQueries {
     "arr_einsum_diag" -> (arrEinsumDiag _),
     "arr_einsum_batch" -> (arrEinsumBatch _),
     "arr_trace" -> (arrTrace _),
+    "arr_outer" -> (arrOuter _),
     "arr_tensordot" -> (arrTensordot _),
     "arr_tensordot_axes" -> (arrTensordotAxes _),
     "arr_reshape_flat" -> (arrReshapeFlat _),

@@ -858,9 +858,34 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
         "ij,jk->ij", // k is kept but unnamed in the output
         "ii,ik->k", // repeated within a term: the single-operand form
         "ij,jk", // no explicit output
-        "ij,jk->ikz", // unknown output subscript
-        "ij,kl->ijkl")) // nothing contracted
+        "ij,jk->ikz")) // unknown output subscript
       assertThrows[IllegalArgumentException](ChunkedArray.einsum(bad, twoD, twoD))
+  }
+
+  test("einsum outer: 'i,j->ij' is tensordot(axes=0), exact block products") {
+    // oneD at t=0 is [1..8]: outer(i,j) = a(i)*a(j)
+    val o = ChunkedArray.einsum("i,j->ij", oneD, oneD)
+    assert(o.geom == ArrayGeometry(Seq(2, 2), Seq(4, 4)))
+    val got = cellMap(o)
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val a = (t: Int) => if (t == 0) (1 to 8).map(_.toDouble) else (1 to 8).map(_ * 2.0)
+      assert(got((0L, Seq(i, j))) == a(0)(i) * a(0)(j), s"t0 ($i,$j)")
+      assert(got((1L, Seq(i, j))) == a(1)(i) * a(1)(j), s"t1 ($i,$j)")
+    }
+    // permuted output comes through the standard transpose
+    val p = cellMap(ChunkedArray.einsum("i,j->ji", oneD, oneD))
+    for (i <- 0 until 8; j <- 0 until 8)
+      assert(p((0L, Seq(j, i))) == got((0L, Seq(i, j))), s"perm ($i,$j)")
+    // rank-2 x rank-2 outer: "ij,kl->ijkl" (formerly refused)
+    val o4 = ChunkedArray.einsum("ij,kl->ijkl", twoD, twoD)
+    assert(o4.geom == ArrayGeometry(Seq(2, 2, 2, 2), Seq(2, 2, 2, 2)))
+    val d2 = Array.tabulate(4, 4)((i, j) => 10.0 * i + j)
+    val g4 = cellMap(o4)
+    for (i <- 0 until 4; j <- 0 until 4; k <- 0 until 4; l <- 0 until 4)
+      assert(g4((0L, Seq(i, j, k, l))) == d2(i)(j) * d2(k)(l), s"($i,$j,$k,$l)")
+    // batched outer stays refused (batch letters but nothing contracted)
+    assertThrows[IllegalArgumentException](
+      ChunkedArray.einsum("bi,bj->bij", threeD, threeD))
   }
 
   test("einsum diagonal: 'ii->i' gathers matched coordinates with zero exchanges") {
