@@ -2765,7 +2765,9 @@ object ChunkedArray {
     * via [[ChunkedArray.diagonal]] (a zero-exchange affine gather over
     * the grid-diagonal chunks), iterated until every letter is unique;
     * the output names each distinct letter exactly once in any order
-    * (reductions compose via `axisSum` on the result). */
+    * (reductions compose via `axisSum` on the result). With no repeats
+    * the spec is a pure permutation (`"ij->ji"`, numpy's transpose
+    * spelling) — a narrow re-key. */
   def einsum(spec: String, a: ChunkedArray): ChunkedArray = {
     val cleaned = spec.replaceAll("\\s", "")
     val parts = cleaned.split("->", -1)
@@ -2778,8 +2780,6 @@ object ChunkedArray {
     require(sa.length == a.geom.dims,
       s"subscript rank ${sa.length} must match operand rank ${a.geom.dims}")
     require(so.distinct == so, s"output subscripts must be distinct in '$spec'")
-    require(sa.exists(c => sa.count(_ == c) >= 2),
-      s"single-operand einsum is the diagonal form; '$spec' has no repeats")
     var arr = a
     var rep = sa.find(c => sa.count(_ == c) >= 2)
     while (rep.isDefined) {

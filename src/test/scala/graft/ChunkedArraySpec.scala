@@ -903,6 +903,12 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(pd((0L, Seq(i, j))) == 16.0 * i + 4 * j + i, s"iji->ij ($i,$j)")
     val td = cellMap(ChunkedArray.einsum("iii->i", threeD))
     for (i <- 0 until 4) assert(td((0L, Seq(i))) == 21.0 * i, s"iii->i $i")
+    // no-repeat single-operand spec = pure permutation (numpy's
+    // einsum("ij->ji") transpose spelling)
+    val t = cellMap(ChunkedArray.einsum("ij->ji", twoD))
+    val d2t = Array.tabulate(4, 4)((i, j) => 10.0 * i + j)
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(t((0L, Seq(j, i))) == d2t(i)(j), s"transpose ($i,$j)")
     // malformed: reductions and unknown letters refuse loudly
     for (bad <- Seq("ii->", "ij->i", "ii->ij", "ii"))
       assertThrows[IllegalArgumentException](ChunkedArray.einsum(bad, twoD))
