@@ -132,7 +132,13 @@ object Pipeline {
     * routing ids through a double value channel would silently round
     * past 2⁵³ at true scale. The broadcast is fact-derived but bounded
     * by k·|sources| by construction (PlanShapeSpec-declared); the rank
-    * window partitions hold ≤ k rows. */
+    * window partitions hold ≤ k rows. Membership semantics under a
+    * 62-bit hash COLLISION (P ≈ n²/2⁶³ — unreachable at test scale,
+    * conceivable at 10¹² docs): every id whose hash lands in the
+    * k-smallest-distinct set is admitted (deterministic, possibly
+    * k+collisions rows), where the oracle's row_number spelling keeps
+    * exactly k — the two coincide absent collisions, which the gate's
+    * scale guarantees. */
   def smpFixedK(s: SparkSession, dir: String): DataFrame = {
     val k = FixedKPerSource
     val docs = Tables.load(s, dir, "documents")

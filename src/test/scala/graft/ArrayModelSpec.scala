@@ -596,6 +596,89 @@ class ArrayModelSpec extends AnyFunSuite {
     }
   }
 
+  test("diagonal / outer / batched tensordot match the exact dense model") {
+    val rnd = new scala.util.Random(48217L)
+    // diagonal: random rank 2-3, random matched axis pair (the two axes
+    // forced to chunk identically — the operator's contract)
+    for (caseNo <- 0 until 6) {
+      val rank = 2 + rnd.nextInt(2)
+      val pair = rnd.shuffle((0 until rank).toList).take(2).sorted
+      val (a1, a2) = (pair(0), pair(1))
+      val cpd = Array.fill(rank)(1 + rnd.nextInt(3))
+      val cs = Array.fill(rank)(1 + rnd.nextInt(3))
+      cpd(a2) = cpd(a1); cs(a2) = cs(a1)
+      val shape = cpd.zip(cs).map { case (a, b) => a * b }.toSeq
+      val d = Dense(shape, Vector.fill(shape.product)(
+        BigDecimal(rnd.between(-9999, 10000), 2)))
+      val res = rowsMap(chunked(d, cpd.toSeq).diagonal(a1, a2))
+      val others = (0 until rank).filterNot(x => x == a1 || x == a2)
+      val expected = cartesian(others.map(shape) :+ shape(a1)).map { ix =>
+        val full = Array.fill(rank)(0)
+        others.zipWithIndex.foreach { case (d0, i) => full(d0) = ix(i) }
+        full(a1) = ix.last; full(a2) = ix.last
+        ixKey(ix) -> d.at(full.toSeq).toDouble
+      }.toMap
+      assert(res == expected,
+        s"diag case $caseNo rank=$rank axes=($a1,$a2) shape=$shape cpd=${cpd.toSeq}")
+    }
+    // outer (tensordot axes=0): random rank 1-2 × rank 1-2
+    for (caseNo <- 0 until 5) {
+      val (da, cpdA) = randomCase(rnd, 1 + rnd.nextInt(2))
+      val (db, cpdB) = randomCase(rnd, 1 + rnd.nextInt(2))
+      val res = rowsMap(chunked(da, cpdA).tensordot(chunked(db, cpdB), 0))
+      val expected = cartesian(da.shape).flatMap { ia =>
+        cartesian(db.shape).map { ib =>
+          ixKey(ia ++ ib) -> (da.at(ia) * db.at(ib)).toDouble
+        }
+      }.toMap
+      assert(res == expected,
+        s"outer case $caseNo shapes=(${da.shape}, ${db.shape}) cpd=($cpdA, $cpdB)")
+    }
+    // batched tensordot: shared leading batch dim + k contracted dims,
+    // random lead/trail extents and chunkings
+    for (caseNo <- 0 until 6) {
+      val k = 1 + rnd.nextInt(2)
+      val nLead = rnd.nextInt(2)
+      val nTrail = rnd.nextInt(2)
+      val bCpd = 1 + rnd.nextInt(3)
+      val bCs = 1 + rnd.nextInt(3)
+      val pairCpd = Seq.fill(k)(1 + rnd.nextInt(3))
+      val pairCs = Seq.fill(k)(1 + rnd.nextInt(3))
+      def operand(nFree: Int, contractFirst: Boolean): (Dense, Seq[Int]) = {
+        val freeCpd = Seq.fill(nFree)(1 + rnd.nextInt(3))
+        val freeCs = Seq.fill(nFree)(1 + rnd.nextInt(3))
+        val cpd = Seq(bCpd) ++ (if (contractFirst) pairCpd ++ freeCpd
+          else freeCpd ++ pairCpd)
+        val cs = Seq(bCs) ++ (if (contractFirst) pairCs ++ freeCs
+          else freeCs ++ pairCs)
+        val shape = cpd.zip(cs).map { case (a, b) => a * b }
+        (Dense(shape, Vector.fill(shape.product)(
+          BigDecimal(rnd.between(-9999, 10000), 2))), cpd)
+      }
+      val (da, cpdA) = operand(nLead, contractFirst = false)
+      val (db, cpdB) = operand(nTrail, contractFirst = true)
+      val res = rowsMap(
+        chunked(da, cpdA).tensordotBatched(chunked(db, cpdB), 1, k))
+      val leadShape = da.shape.slice(1, 1 + nLead)
+      val kShape = da.shape.takeRight(k)
+      val trailShape = db.shape.drop(1 + k)
+      val tag = s"batched case $caseNo k=$k lead=$nLead trail=$nTrail " +
+        s"shapes=(${da.shape}, ${db.shape})"
+      val expected = (for {
+        b <- 0 until da.shape.head
+        ia <- cartesian(leadShape)
+        ib <- cartesian(trailShape)
+      } yield {
+        val exp = cartesian(kShape).map { kx =>
+          da.at(b +: (ia ++ kx)) * db.at(b +: (kx ++ ib))
+        }.sum
+        ixKey(b +: (ia ++ ib)) -> exp.toDouble
+      }).toMap
+      assert(res.keySet == expected.keySet, s"$tag index set")
+      expected.foreach { case (ix, v) => assert(res(ix) == v, s"$tag at $ix") }
+    }
+  }
+
   test("nanStats matches the exact dense model under a random mask") {
     val rnd = new scala.util.Random(55511L)
     for (caseNo <- 0 until 6) {
