@@ -80,6 +80,28 @@ class StreamingAsofSpec extends AnyFunSuite {
     assert(rows(3L).last_purchase_ts.isEmpty && rows(3L).staleness_us.isEmpty)
   }
 
+  test("equal-timestamp tie: a purchase AT the error's ts matches (the batch '>=') ") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Long)]
+    val ev = in.toDF().toDF("user_id", "ts", "event_type", "event_id")
+    val q = StreamingAsof.matches(ev, delay = "10 minutes").writeStream
+      .format("memory").queryName("asof_tie")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (1L, ts("2026-01-01 10:00:00"), "purchase", 1L),
+      (1L, ts("2026-01-01 10:00:00"), "error", 2L))
+    q.processAllAvailable()
+    in.addData((9L, ts("2026-01-01 12:00:00"), "purchase", 9L))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val rows = spark.table("asof_tie").as[AsofMatch].collect()
+    q.stop()
+    assert(rows.length == 1 && rows.head.event_id == 2L)
+    assert(rows.head.last_purchase_ts.contains(ts("2026-01-01 10:00:00")),
+      s"ties match like the batch backward window: ${rows.head}")
+    assert(rows.head.staleness_us.contains(0L))
+  }
+
   test("full-corpus equality with batch ev_asof_tol (prefix-equality discipline)") {
     implicit val sc = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
