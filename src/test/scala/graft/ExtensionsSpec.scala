@@ -72,6 +72,13 @@ class ExtensionsSpec extends AnyFunSuite {
         .head().getSeq[Long](0)
       assert(gb == Seq(10L, 14L, 14L, 20L, 4L, 6L, 2L),
         "row-major gram, then sums, then n")
+      // the 128-bit widening: same layout through decimal(38,0)
+      val gw = s.sql(
+        """SELECT graft_gram_wide(q, 2) AS gb
+          |FROM VALUES (array(1L, 2L)), (array(3L, 4L)) AS t(q)""".stripMargin)
+        .head().getSeq[java.math.BigDecimal](0)
+      assert(gw.map(_.longValueExact()) == Seq(10L, 14L, 14L, 20L, 4L, 6L, 2L),
+        "graft_gram_wide matches graft_gram on in-range data")
     } finally ()
   }
 
