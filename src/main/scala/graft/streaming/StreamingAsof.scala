@@ -96,10 +96,16 @@ object StreamingAsof {
                 lp.filter(_ => stale.exists(_ <= tolUs)).map(tsOf),
                 stale)
             }
-            // prune: below the watermark only the LATEST purchase can
-            // ever serve again (future errors have ts >= wm)
-            val wmUs = wmMs * 1000L
-            val (below, above) = purchases.partition(_ <= wmUs)
+            // prune: only the LATEST purchase at-or-below the SAFE bound
+            // can ever serve again. The bound is one full millisecond
+            // under the ms watermark, not the watermark itself: a still-
+            // PENDING error can carry ts as low as wmMs·1000 − 999 µs
+            // (servable only once wm strictly passes its ms ceiling), so
+            // purchases inside that boundary millisecond must stay
+            // individually addressable or a later purchase in the same
+            // window would wrongly shadow an earlier one for that error.
+            val pruneUs = wmMs * 1000L - 1000L
+            val (below, above) = purchases.partition(_ <= pruneUs)
             purchases = below.lastOption.toList ++ above
             pending = waiting
             st = AsofState(purchases, pending)

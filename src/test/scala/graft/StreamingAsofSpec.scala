@@ -102,6 +102,38 @@ class StreamingAsofSpec extends AnyFunSuite {
     assert(rows.head.staleness_us.contains(0L))
   }
 
+  test("watermark-millisecond boundary: pruning must not shadow an earlier purchase") {
+    // A pending error can sit up to 999 µs BELOW the ms watermark; a
+    // purchase between the error and the watermark must not evict the
+    // earlier purchase that actually serves it (regression: the prune
+    // bound ran at wm·1000 instead of one full ms under it).
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Long)]
+    val ev = in.toDF().toDF("user_id", "ts", "event_type", "event_id")
+    val q = StreamingAsof.matches(ev, delay = "10 minutes").writeStream
+      .format("memory").queryName("asof_msb")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (1L, ts("2026-01-01 10:00:00"), "purchase", 1L), // the true match
+      (1L, ts("2026-01-01 10:10:00.0001"), "error", 2L), // te = wm·1000 − 900 µs
+      (1L, ts("2026-01-01 10:10:00.0005"), "purchase", 3L)) // AFTER the error
+    q.processAllAvailable()
+    // wm -> 10:10:00.001: the error's ms ceiling equals the watermark,
+    // so it stays pending while the prune pass runs at this boundary
+    in.addData((9L, ts("2026-01-01 10:20:00.0015"), "purchase", 9L))
+    q.processAllAvailable()
+    // now let it serve
+    in.addData((9L, ts("2026-01-01 10:30:00"), "purchase", 10L))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val rows = spark.table("asof_msb").as[AsofMatch].collect()
+      .filter(_.user_id == 1L)
+    q.stop()
+    assert(rows.length == 1 && rows.head.event_id == 2L)
+    assert(rows.head.last_purchase_ts.contains(ts("2026-01-01 10:00:00")),
+      s"the 10:00 purchase serves; the later same-ms purchase must not shadow it: ${rows.head}")
+  }
+
   test("full-corpus equality with batch ev_asof_tol (prefix-equality discipline)") {
     implicit val sc = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
