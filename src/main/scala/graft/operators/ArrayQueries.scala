@@ -825,7 +825,14 @@ object ArrayQueries {
     * discipline bit-for-bit. */
   def arrOuter(s: SparkSession, dir: String): DataFrame = {
     val a = eventsArray1dCached(s, dir)
-    ChunkedArray.einsum("u,v->uv", a, a).rowsNd
+    val o = ChunkedArray.einsum("u,v->uv", a, a)
+    // persist boundary ABOVE the block kernel (the §4 pushdown-
+    // duplication cure): without it, rowsNd's inferred size>0 filter
+    // inlines the WHOLE block matmul into the join condition and the
+    // outer product runs twice per chunk pair (verified in the plan);
+    // the chunk relation is O(chunk pairs) payload rows, tiny
+    val cached = o.copy(df = Persists.cached(o.df))
+    cached.rowsNd
       .withColumnsRenamed(Map("i0" -> "i", "i1" -> "j"))
       .orderBy("timestep", "i", "j")
   }
