@@ -1,0 +1,161 @@
+// Lives under org.apache.spark.sql for the same private[sql] bridge
+// reasons as VectorExpressions.scala.
+package org.apache.spark.sql.graftexpr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Shared radix-2 FFT scaffolding — the SAME driver-side tables feed
+  * the Spark kernel ([[FftLine]]) and the DuckDB oracle's literal
+  * lists, so no transcendental is ever evaluated cross-engine (the
+  * `arr_svd_vals` trained-literal discipline, SURVEY §5): the twiddle
+  * factors w_k = e^(−2πik/n) are computed ONCE here with StrictMath
+  * (bit-reproducible across JVMs, unlike Math.cos) and embedded as
+  * round-trip-exact literals on the oracle side, while the butterfly
+  * itself is a FIXED per-element formula both engines replay
+  * operand-for-operand in IEEE doubles — identical inputs, identical
+  * operation order, identical bits.
+  *
+  * Re-expresses the dask `da.fft.fft` surface a doreisa callback can
+  * reach (the callback receives an unrestricted dask array,
+  * doreisa/window_api.py:38-119); sign/scale conventions follow
+  * numpy's forward transform (no 1/n factor, negative exponent).
+  */
+object Fft {
+
+  /** log₂(n), requiring a power of two. */
+  def log2(n: Int): Int = {
+    require(n > 0 && (n & (n - 1)) == 0, s"FFT length must be a power of two, got $n")
+    java.lang.Integer.numberOfTrailingZeros(n)
+  }
+
+  /** Bit-reversal permutation: input cell `brev(i)` lands at work
+    * position i before the first butterfly stage (the standard
+    * decimation-in-time layout, so every stage reads CONTIGUOUS
+    * blocks). */
+  def bitrev(n: Int): Array[Int] = {
+    val bits = log2(n)
+    Array.tabulate(n)(i => Integer.reverse(i) >>> (32 - bits))
+  }
+
+  /** Twiddle tables (cos, sin) of w_k = e^(−2πik/n) for k < n/2 —
+    * StrictMath for bit-reproducibility; the oracle embeds these
+    * exact doubles as round-trip literals. */
+  def twiddles(n: Int): (Array[Double], Array[Double]) = {
+    val wr = new Array[Double](n / 2)
+    val wi = new Array[Double](n / 2)
+    var k = 0
+    while (k < n / 2) {
+      val ang = -2.0 * StrictMath.PI * k / n
+      wr(k) = StrictMath.cos(ang)
+      wi(k) = StrictMath.sin(ang)
+      k += 1
+    }
+    (wr, wi)
+  }
+
+  /** Column wrapper for [[FftLine]]. */
+  def fftLine(x: Column, n: Int): Column =
+    ExpressionUtils.column(FftLine(ExpressionUtils.expression(x), n))
+}
+
+/** Radix-2 decimation-in-time FFT of one real-valued n-cell line
+  * (n a power of two), returning `struct(re array<double>,
+  * im array<double>)` — the per-line kernel under `arr_fft` /
+  * `arr_spectrum`.
+  *
+  * The butterfly order is FIXED and purely functional per stage: with
+  * `half = 2^s`, `block = 2·half`, `step = n/block`, output element i
+  * of stage s is
+  * {{{
+  *   pos = i mod block
+  *   pos <  half: t = w[pos·step]       · prev[i+half];  out[i] = prev[i]      + t
+  *   pos >= half: t = w[(pos−half)·step] · prev[i],      out[i] = prev[i−half] − t
+  * }}}
+  * with the complex product spelled `tRe = wr·re − wi·im;
+  * tIm = wr·im + wi·re` — each stage reads only the previous stage's
+  * arrays, so the identical formula replays per-element in a DuckDB
+  * `list_transform` and every IEEE operation happens in the same
+  * order on both engines (bit-exact oracle gate). One compiled loop
+  * per line (the ChunkFolds posture); a NULL cell fails loudly — the
+  * dense zero-filled array never produces one, and an FFT over a
+  * silently-zeroed hole would be a wrong spectrum, not a convenience.
+  */
+case class FftLine(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  Fft.log2(n): Unit // constructor-time power-of-two check
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("re", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("im", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_fft_line"
+
+  @transient private lazy val brev: Array[Int] = Fft.bitrev(n)
+  @transient private lazy val tw: (Array[Double], Array[Double]) = Fft.twiddles(n)
+
+  def compute(xAny: Any): InternalRow = {
+    val x = xAny.asInstanceOf[ArrayData]
+    require(x.numElements() == n,
+      s"graft_fft_line: expected a $n-cell line, got ${x.numElements()}")
+    val (wr, wi) = tw
+    var re = new Array[Double](n)
+    var im = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val src = brev(i)
+      if (x.isNullAt(src))
+        throw new IllegalArgumentException(
+          s"graft_fft_line: NULL cell at index $src — densify before the transform")
+      re(i) = x.getDouble(src)
+      i += 1
+    }
+    var nextRe = new Array[Double](n)
+    var nextIm = new Array[Double](n)
+    var half = 1
+    while (half < n) {
+      val block = half * 2
+      val step = n / block
+      var j = 0
+      while (j < n) {
+        val pos = j % block
+        if (pos < half) {
+          val w = pos * step
+          val p = j + half
+          val tRe = wr(w) * re(p) - wi(w) * im(p)
+          val tIm = wr(w) * im(p) + wi(w) * re(p)
+          nextRe(j) = re(j) + tRe
+          nextIm(j) = im(j) + tIm
+        } else {
+          val w = (pos - half) * step
+          val tRe = wr(w) * re(j) - wi(w) * im(j)
+          val tIm = wr(w) * im(j) + wi(w) * re(j)
+          nextRe(j) = re(j - half) - tRe
+          nextIm(j) = im(j - half) - tIm
+        }
+        j += 1
+      }
+      val sr = re; val si = im
+      re = nextRe; im = nextIm
+      nextRe = sr; nextIm = si
+      half = block
+    }
+    InternalRow(new GenericArrayData(re), new GenericArrayData(im))
+  }
+
+  override def nullSafeEval(x: Any): Any = compute(x)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fftLine", this, classOf[FftLine].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.compute($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

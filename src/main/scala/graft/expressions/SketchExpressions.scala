@@ -982,6 +982,16 @@ case class JaccardSet(left: Expression, right: Expression)
 }
 
 object SketchExpressions {
+  /** Exact integer division of a non-negative BIGINT column by a
+    * positive literal (Catalyst `IntegralDivide`, i.e. SQL `div`):
+    * never routes through a double, so keys above 2⁵³ divide exactly.
+    * DuckDB twin: `x // d`. */
+  def intDiv(x: Column, d: Long): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ExpressionUtils.expression(x),
+        org.apache.spark.sql.catalyst.expressions.Literal(d)))
+
   /** Column wrapper for [[MinHashSignature]]. */
   def minhashSignature(hs: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(hs), a, b, p))

@@ -803,6 +803,35 @@ object ArrayQueries {
       .orderBy("timestep", "i", "j", "k")
   }
 
+  /** dask `da.einsum("uh,vh,vw->uw", a, m, a)` — the N-OPERAND einsum
+    * (VERDICT r18 #3, the pairwise planner,
+    * [[graft.arrays.ChunkedArray.einsum(spec:String,arrays:Seq*]]):
+    * project the field through its own thresholded-indicator Gram (m =
+    * the elementwise `cell > 100` mask — the masked-correlation probe),
+    * contracted strictly left-to-right — h falls in the first pair (no
+    * later term needs it), v in the second — so the chain costs
+    * exactly TWO SUMMA contraction shuffles and zero planner-inserted
+    * transposes, each stage the same codegen'd block kernel.
+    *
+    * Exactness across the chain: the mask keeps stage-1 values
+    * 2-DECIMAL exact (2-decimal cells × {0, 1}), so every stage-2
+    * product is a ≤ 4-decimal exact value — the arr_matmul
+    * decimal(18,4) discipline holds through BOTH stages and no product
+    * is ever actually rounded. (A chain of three raw copies of the
+    * field is NOT oracle-safe: stage-2 products of 4-decimal
+    * intermediates carry 8 decimal digits, the quantization genuinely
+    * rounds, and the two engines' double→decimal paths can disagree by
+    * one ulp when a true product sits at a .00005 midpoint — measured
+    * r19, value[1] off by 1e-4. The mask keeps the math in the exact
+    * regime instead of betting on rounding agreement.) */
+  def arrEinsumChain(s: SparkSession, dir: String): DataFrame = {
+    val a = eventsArray2dCached(s, dir)
+    val m = a.mapValues(x => when(x > lit(100.0), lit(1.0)).otherwise(lit(0.0)))
+    ChunkedArray.einsum("uh,vh,vw->uw", Seq(a, m, a)).rowsNd
+      .withColumnsRenamed(Map("i0" -> "i", "i1" -> "j"))
+      .orderBy("timestep", "i", "j")
+  }
+
   /** numpy `trace` / einsum `"ii->"` composed from the engine's own
     * faces: [[graft.arrays.ChunkedArray.diagonal]]'s zero-exchange
     * gather feeding the standard per-timestep decimal-exact sum — the
@@ -1183,6 +1212,25 @@ object ArrayQueries {
         sum(dec2(col("value")) * (col("i0") + lit(1L))).cast("double").as("wsum"))
       .orderBy("timestep")
 
+  /** dask `da.fft.fft` of each timestep's field line (the spectral
+    * analytic the in-situ `arr_gradient`/`arr_stencil_*` analyst plots
+    * next; the reference's callback reaches the full dask.array
+    * surface, doreisa/window_api.py:38-119): radix-2 Cooley-Tukey in
+    * ONE compiled per-line kernel after the one line-assembly shuffle
+    * ([[graft.arrays.ChunkedArray.fftRows]]), twiddles driver-side
+    * StrictMath literals — the oracle replays the identical fixed
+    * butterfly order per element, so doubles match bit-for-bit (no
+    * transcendental ever crosses engines, SURVEY §5). */
+  def arrFft(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).fftRows().orderBy("timestep", "u")
+
+  /** One-sided power spectrum `|fft|²` per timestep — bins 0..n/2 of
+    * [[arrFft]] with `power = re·re + im·im` spelled operand-for-
+    * operand with the oracle
+    * ([[graft.arrays.ChunkedArray.powerSpectrumRows]]). */
+  def arrSpectrum(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).powerSpectrumRows().orderBy("timestep", "u")
+
   // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
 
   private val CELLS_1D =
@@ -1355,7 +1403,71 @@ object ArrayQueries {
                |FROM qq GROUP BY 1 ORDER BY 1""".stripMargin)
       }.getOrElse(Map.empty)
 
+  /** DuckDB replay of [[graft.arrays.ChunkedArray.fftRows]]: the dense
+    * 1-d line per timestep, the bit-reversal gather, then every
+    * butterfly stage UNROLLED as a CTE whose `list_transform` evaluates
+    * the kernel's per-element formula verbatim — same twiddle doubles
+    * (round-trip-exact literals from the same StrictMath tables), same
+    * operand order, so the transform is bit-identical. Ends with the
+    * final stage's `re`/`im` lists exposed as `s$stages`. */
+  private def fftOracleCtes(n: Int): String = {
+    import org.apache.spark.sql.graftexpr.Fft
+    val stages = Fft.log2(n)
+    val (wr, wi) = Fft.twiddles(n)
+    val wrL = wr.map(fmtD).mkString("[", ", ", "]")
+    val wiL = wi.map(fmtD).mkString("[", ", ", "]")
+    val brevL = Fft.bitrev(n).mkString("[", ", ", "]")
+    val stageCtes = (0 until stages).map { s =>
+      val half = 1 << s
+      val block = half * 2
+      val step = n / block
+      val wPos = s"((i % $block) * $step + 1)"
+      val wNeg = s"((i % $block - $half) * $step + 1)"
+      s"""s${s + 1} AS (SELECT timestep, wr, wi,
+         |  list_transform(range($n), i -> CASE WHEN i % $block < $half
+         |    THEN re[i+1] + (wr[$wPos] * re[i+$half+1] - wi[$wPos] * im[i+$half+1])
+         |    ELSE re[i-$half+1] - (wr[$wNeg] * re[i+1] - wi[$wNeg] * im[i+1]) END) AS re,
+         |  list_transform(range($n), i -> CASE WHEN i % $block < $half
+         |    THEN im[i+1] + (wr[$wPos] * im[i+$half+1] + wi[$wPos] * re[i+$half+1])
+         |    ELSE im[i-$half+1] - (wr[$wNeg] * im[i+1] + wi[$wNeg] * re[i+1]) END) AS im
+         |  FROM s$s)""".stripMargin
+    }.mkString(",\n")
+    s"""$CELLS_1D,
+       |days AS (SELECT DISTINCT timestep FROM cells),
+       |dense AS (
+       |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+       |  FROM days d CROSS JOIN (SELECT unnest(range($n)) AS u) r
+       |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+       |lines AS (SELECT timestep, list(cell ORDER BY u) AS x FROM dense GROUP BY 1),
+       |tw AS (SELECT $wrL AS wr, $wiL AS wi),
+       |s0 AS (SELECT timestep, wr, wi,
+       |  list_transform($brevL, j -> x[j+1]) AS re,
+       |  list_transform(range($n), i -> CAST(0.0 AS DOUBLE)) AS im
+       |  FROM lines CROSS JOIN tw),
+       |$stageCtes""".stripMargin
+  }
+
   private val staticOracles: Map[String, String] = Map(
+    // radix-2 butterfly replayed stage-for-stage, element-for-element
+    "arr_fft" -> {
+      val n = 64
+      val st = org.apache.spark.sql.graftexpr.Fft.log2(n)
+      s"""WITH ${fftOracleCtes(n)}
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS u,
+         |  re[CAST(u + 1 AS INT)] AS re, im[CAST(u + 1 AS INT)] AS im
+         |FROM s$st CROSS JOIN (SELECT unnest(range($n)) AS u) g
+         |ORDER BY 1, 2""".stripMargin
+    },
+    "arr_spectrum" -> {
+      val n = 64
+      val st = org.apache.spark.sql.graftexpr.Fft.log2(n)
+      s"""WITH ${fftOracleCtes(n)}
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS u,
+         |  re[CAST(u + 1 AS INT)] * re[CAST(u + 1 AS INT)] +
+         |  im[CAST(u + 1 AS INT)] * im[CAST(u + 1 AS INT)] AS power
+         |FROM s$st CROSS JOIN (SELECT unnest(range($n)) AS u) g
+         |WHERE u <= ${n / 2} ORDER BY 1, 2""".stripMargin
+    },
     // AᵀA summed over every timestep: products of 2-decimal cells are
     // exact 4-decimal, the global per-(i,j) sum is one exact decimal —
     // order-free cross-engine, single double cast at the end
@@ -1483,6 +1595,27 @@ object ArrayQueries {
          |FROM cells3 x JOIN cells3 y
          |  ON x.timestep = y.timestep AND x.u = y.u AND x.w = y.h
          |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    // the 3-operand chain replayed as two exact decimal contractions in
+    // the planner's left-to-right order: g1 = Σ_h A[u,h]·M[v,h] (the
+    // mask keeps g1 2-decimal exact), then Σ_v g1[u,v]·A[v,w] — every
+    // product ≤ 4-decimal exact, nothing is ever rounded (see the
+    // arrEinsumChain scaladoc for why a raw three-copy chain is not
+    // oracle-safe)
+    "arr_einsum_chain" ->
+      s"""WITH $CELLS_2D_DENSE,
+         |m AS (SELECT timestep, u, h,
+         |  CASE WHEN cell > 100.0 THEN 1.0 ELSE 0.0 END AS cell FROM cells),
+         |g1 AS (
+         |  SELECT x.timestep, x.u AS i, y.u AS v,
+         |    CAST(SUM(CAST(x.cell * y.cell AS DECIMAL(18,4))) AS DOUBLE) AS cell
+         |  FROM cells x JOIN m y
+         |    ON x.timestep = y.timestep AND x.h = y.h
+         |  GROUP BY 1, 2, 3)
+         |SELECT CAST(g.timestep AS BIGINT) AS timestep,
+         |  CAST(g.i AS BIGINT) AS i, CAST(y.h AS BIGINT) AS j,
+         |  CAST(SUM(CAST(g.cell * y.cell AS DECIMAL(18,4))) AS DOUBLE) AS value
+         |FROM g1 g JOIN cells y ON g.timestep = y.timestep AND g.v = y.u
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // axes=((0,2),(1,0)): a.u pairs with b.h, a.w pairs with b.u; only
     // a's hour axis survives. Same decimal(18,4) product posture as
     // arr_tensordot (order-independent exact sums).
@@ -2281,6 +2414,8 @@ object ArrayQueries {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "arr_fft" -> (arrFft _),
+    "arr_spectrum" -> (arrSpectrum _),
     "arr_sum_ts" -> (arrSumTs _),
     "arr_histogram" -> (arrHistogram _),
     "arr_stats_ts" -> (arrStatsTs _),
@@ -2320,6 +2455,7 @@ object ArrayQueries {
     "arr_einsum" -> (arrEinsum _),
     "arr_einsum_diag" -> (arrEinsumDiag _),
     "arr_einsum_batch" -> (arrEinsumBatch _),
+    "arr_einsum_chain" -> (arrEinsumChain _),
     "arr_trace" -> (arrTrace _),
     "arr_outer" -> (arrOuter _),
     "arr_tensordot" -> (arrTensordot _),

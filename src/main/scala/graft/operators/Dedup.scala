@@ -779,8 +779,11 @@ object Dedup {
 
   /** The removed-span relation `(doc_id, s, e)` — maximal disjoint
     * word-offset intervals an ExactSubstr pass cuts (see
-    * [[substrPerDocOf]] for the keep-first/island mechanics). */
-  private[graft] def substrSpansOf(docs: DataFrame): DataFrame = {
+    * [[substrPerDocOf]] for the keep-first/island mechanics). `n` is
+    * the gram size the positions were keyed on (word face:
+    * [[SpanGramN]]; BPE-token face: [[TokGramN]] — same machinery,
+    * different granularity). */
+  private[graft] def substrSpansOf(docs: DataFrame, n: Int = SpanGramN): DataFrame = {
     val e = docs.select(col("doc_id"),
       posexplode(col("gs")).as(Seq("pos", "g")))
     val occ = e.groupBy("g")
@@ -795,13 +798,13 @@ object Dedup {
       .partitionBy("doc_id").orderBy("pos")
     rm
       .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(w) <= SpanGramN.toLong, 0L)
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n.toLong, 0L)
           .otherwise(1L))
       .withColumn("island", sum(col("brk")).over(w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "island")
       .agg(min(col("pos")).as("s"),
-        (max(col("pos")) + lit(SpanGramN.toLong)).as("e"))
+        (max(col("pos")) + lit(n.toLong)).as("e"))
   }
 
   private[graft] def substrPerDocOf(docs: DataFrame): DataFrame =
@@ -841,6 +844,115 @@ object Dedup {
     substrSpans(s, dir)
       .select(col("doc_id"), col("s"), col("e"))
       .orderBy("doc_id", "s")
+
+  /** The APPLY-TIME sliced corpus — what [[ddSubstrSpans]] exists for
+    * (VERDICT r18 #2, completing Lee et al. 2022 end-to-end: measure →
+    * map → remove → CORPUS): every document's surviving text after the
+    * removed word-offset spans are cut from its whitespace
+    * tokenization, plus the kept-word count and the text's md5 (the
+    * content fingerprint a downstream packing pass pins).
+    *
+    * Scale: the span relation is O(removed spans) and pre-aggregated
+    * per doc (collect_list bounded by a document's own span count),
+    * the join back to the corpus is shuffle-hash on doc_id (linear,
+    * no window over the fact stream), and the slice itself is a
+    * chunk-local indexed `filter` over each document's tokens —
+    * O(n_words · spans_in_doc) per document, nothing corpus-wide.
+    * The reconstruction joins single-space tokens (the tokenization
+    * the offsets index), so runs of whitespace collapse — the
+    * documented canonical form, identical in the oracle's
+    * `string_agg(w, ' ' ORDER BY i)` replay. */
+  def ddSubstrKeep(s: SparkSession, dir: String): DataFrame =
+    substrKeepOf(Tables.load(s, dir, "documents"), substrSpans(s, dir))
+      .orderBy("doc_id")
+
+  /** The slicing pass under [[ddSubstrKeep]]: cut `spans`' word-offset
+    * intervals out of each document's whitespace tokenization. */
+  private[graft] def substrKeepOf(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val sp = spans
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("sp"))
+    docs
+      .select(col("doc_id"), graft.functions.tokens(col("text")).as("tk"))
+      .join(sp.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        filter(col("tk"), (_, i) => !exists(
+          coalesce(col("sp"), array().cast("array<struct<s:bigint,e:bigint>>")),
+          p => i.cast("bigint") >= p.getField("s") &&
+            i.cast("bigint") < p.getField("e"))).as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("bigint").as("n_kept_words"),
+        concat_ws(" ", col("kept")).as("kept_text"))
+      .withColumn("kept_md5", md5(col("kept_text")))
+  }
+
+  /** Gram size, in BPE TOKENS, for the token-granularity ExactSubstr
+    * face — Lee et al. 2022 §3.2 operate at ~50 BPE tokens; the word
+    * face ([[SpanGramN]] = 8 words) is the same machinery at a coarser
+    * key. */
+  val TokGramN = 50
+
+  /** Positional-gram relation of [[ddSubstrTok]]: the corpus re-keyed
+    * on its TRAINED BPE tokenization ([[TextAnalysis.trainedMerges]] —
+    * the same fit txt_bpe_encode serves from). Each word's merge chain
+    * runs once per DISTINCT word (the encode-over-types posture: the
+    * dictionary is O(vocabulary), joined back shuffle-hash), the
+    * document's BPE token sequence reassembles order-exactly
+    * (array_sort over (word position, piece string) structs), and the
+    * canonical space-joined token text feeds the SAME one-pass
+    * [[org.apache.spark.sql.graftexpr.HashWordNgramsSeq]] kernel as
+    * the word face — positions are now BPE-token offsets. Persisted:
+    * the spans pass and the per-doc rollup both read it. */
+  private def substrTokRel(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextAnalysis.trainedMerges(s, dir)
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode_outer(TextAnalysis.bpeTokens(col("text")))
+          .as(Seq("wpos", "w")))
+    val dict = toks.select(col("w")).where(col("w").isNotNull).distinct()
+      .select(col("w"), {
+        val enc = TextAnalysis.applyMerges(merges, col("w"))
+        // "|a||bc|" -> "a bc": the word's BPE pieces space-joined
+        // (pieces are substrings of a whitespace token, so they
+        // contain neither spaces nor the `|` delimiter)
+        regexp_replace(enc.substr(lit(2), length(enc) - 2), "\\|\\|", " ")
+          .as("ps")
+      })
+    val byDoc = toks
+      .join(dict.hint("shuffle_hash"), Seq("w"), "left")
+      .groupBy("doc_id", "source")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("wpos"), col("ps")))),
+          e => e.getField("ps"))).as("bpe_text"))
+    byDoc
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.graftexpr.TextExpressions
+          .hashWordNgramsSeq(col("bpe_text"), TokGramN).as("raw"))
+      .select(col("doc_id"), col("source"),
+        element_at(col("raw"), 1).as("n_words"),
+        slice(col("raw"), lit(2), greatest(size(col("raw")) - 1, lit(0))).as("gs"))
+      .cachedPersist()
+  }
+
+  /** ExactSubstr accounting at the PAPER's granularity (VERDICT r18
+    * #4): [[ddSubstrRemove]]'s pass re-keyed on trained-BPE token ids
+    * with the ~50-token threshold Lee et al. 2022 §3.2 use — verbatim
+    * duplicated runs of ≥ [[TokGramN]] BPE tokens merge into maximal
+    * spans, every non-keep-first occurrence is cut, and the counts are
+    * BPE tokens (the unit a training pipeline actually budgets).
+    * Identical scale posture to the word face: one O(distinct grams)
+    * occurrence aggregate, skinny per-doc island windows, plus the
+    * O(vocabulary) encode dictionary. */
+  def ddSubstrTok(s: SparkSession, dir: String): DataFrame = {
+    val rel = substrTokRel(s, dir)
+    substrPerDocFrom(rel, substrSpansOf(rel, TokGramN))
+      .select(col("doc_id"),
+        col("n_words").as("n_bpe"),
+        col("n_spans"),
+        col("rm_words").as("rm_tokens"),
+        col("kept_words").as("kept_tokens"))
+      .orderBy("doc_id")
+  }
 
   /** The surviving corpus volume per source after the [[ddSubstrRemove]]
     * pass — the [[ddKeepOne]] consumer shape at span granularity: how
@@ -1240,10 +1352,11 @@ object Dedup {
     * hashes via a parallel unnest zip, keep-first via row_number over
     * (doc_id, pos) per gram, islands via the lag/gaps-and-islands
     * window per doc (bounded by doc length). Ends at `pdoc(doc_id,
-    * source, n_words, n_spans, rm_words, kept_words)`. */
-  private def substrCtes: String =
-    s"""t AS (SELECT doc_id, source, $TOKENS AS tk FROM documents),
-       |d0 AS (SELECT doc_id, source, len(tk) AS nw, ${shSeqSql(SpanGramN)} AS ss FROM t),
+    * source, n_words, n_spans, rm_words, kept_words)`. Expects a CTE
+    * `t(doc_id, source, tk)` upstream (word face: the whitespace
+    * tokens; BPE face: the trained-chain token sequence). */
+  private def substrChainCtes(n: Int): String =
+    s"""d0 AS (SELECT doc_id, source, len(tk) AS nw, ${shSeqSql(n)} AS ss FROM t),
        |d AS (SELECT doc_id, source, nw,
        |  list_transform(ss, x -> ${H60.format("x")}) AS hs FROM d0),
        |e AS (SELECT doc_id, unnest(hs) AS g, unnest(range(len(hs))) AS pos FROM d),
@@ -1252,11 +1365,11 @@ object Dedup {
        |rm AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
        |brk AS (SELECT doc_id, pos,
        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-       |    <= $SpanGramN THEN 0 ELSE 1 END AS b FROM rm),
+       |    <= $n THEN 0 ELSE 1 END AS b FROM rm),
        |isl AS (SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id
        |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM brk),
        |spans AS (SELECT doc_id, island, MIN(pos) AS s,
-       |  MAX(pos) + $SpanGramN AS e FROM isl GROUP BY 1, 2),
+       |  MAX(pos) + $n AS e FROM isl GROUP BY 1, 2),
        |pd AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS rm_words
        |  FROM spans GROUP BY 1),
        |pdoc AS (SELECT d.doc_id, d.source, CAST(d.nw AS BIGINT) AS n_words,
@@ -1264,6 +1377,34 @@ object Dedup {
        |  CAST(COALESCE(pd.rm_words, 0) AS BIGINT) AS rm_words,
        |  CAST(d.nw - COALESCE(pd.rm_words, 0) AS BIGINT) AS kept_words
        |  FROM d LEFT JOIN pd USING (doc_id))""".stripMargin
+
+  private def substrCtes: String =
+    s"""t AS (SELECT doc_id, source, $TOKENS AS tk FROM documents),
+       |${substrChainCtes(SpanGramN)}""".stripMargin
+
+  /** The dd_substr_tok oracle: [[substrChainCtes]] over the TRAINED BPE
+    * token sequence — each word type through the literal merge chain
+    * (the bpeEncodeSql posture), pieces space-joined per word, the
+    * document's token list re-split from the canonical joined text
+    * exactly as the Spark side's HashWordNgramsSeq re-tokenizes it. */
+  private def substrTokSql(merges: Seq[(Long, String, String, Long)]): String =
+    s"""WITH t0 AS (SELECT doc_id, source,
+       |  ${TextAnalysis.BpeTokensSql} AS wtk FROM documents),
+       |enc0 AS (SELECT doc_id, source,
+       |  list_transform(wtk, w -> ${TextAnalysis.mergeChainSql("w", merges)}) AS es
+       |  FROM t0),
+       |enc AS (SELECT doc_id, source,
+       |  list_transform(es,
+       |    s -> replace(substring(s, 2, length(s) - 2), '||', ' ')) AS wps
+       |  FROM enc0),
+       |t AS (SELECT doc_id, source,
+       |  list_filter(string_split(array_to_string(wps, ' '), ' '),
+       |    x -> len(x) > 0) AS tk
+       |  FROM enc),
+       |${substrChainCtes(TokGramN)}
+       |SELECT doc_id, n_words AS n_bpe, n_spans,
+       |  rm_words AS rm_tokens, kept_words AS kept_tokens
+       |FROM pdoc ORDER BY doc_id""".stripMargin
 
   /** CTE chain computing the signature relation `d` (doc_id, source, hs)
     * and the LSH candidate pairs `cand` (doc_a, doc_b) for n-gram size
@@ -1466,7 +1607,16 @@ object Dedup {
       |    MIN(llen) AS llen, min({'d': doc_id, 'l': line_no}) AS keep
       |  FROM lines GROUP BY 1)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** `def`, not `val`: the dd_substr_tok oracle embeds THIS run's
+    * trained BPE merges and so exists only after a BPE face has
+    * trained (the [[TextAnalysis.oracles]] contract — Verify runs
+    * every query before dumping oracle_sql.json). */
+  def oracles: Map[String, String] = staticOracles ++
+    TextAnalysis.oracleMerges
+      .map(m => Map("dd_substr_tok" -> substrTokSql(m)))
+      .getOrElse(Map.empty)
+
+  private val staticOracles: Map[String, String] = Map(
     "dd_line_dedup" ->
       s"""WITH $lineCtes,
          |per AS (
@@ -1673,6 +1823,26 @@ object Dedup {
       s"""WITH $substrCtes
          |SELECT doc_id, CAST(s AS BIGINT) AS s, CAST(e AS BIGINT) AS e
          |FROM spans ORDER BY doc_id, s""".stripMargin,
+    // the sliced surviving corpus: tokens outside every removed span,
+    // rejoined with single spaces in original order (the canonical
+    // whitespace-tokenization form both engines reconstruct)
+    "dd_substr_keep" ->
+      s"""WITH $substrCtes,
+         |tok AS (SELECT doc_id, unnest(tk) AS w,
+         |  unnest(range(len(tk))) AS i FROM t),
+         |kept AS (
+         |  SELECT tk.doc_id, tk.i, tk.w FROM tok tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |    WHERE sp.doc_id = tk.doc_id AND tk.i >= sp.s AND tk.i < sp.e)),
+         |ka AS (SELECT doc_id, COUNT(*) AS n_kept_words,
+         |  string_agg(w, ' ' ORDER BY i) AS kept_text
+         |  FROM kept GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(ka.n_kept_words, 0) AS BIGINT) AS n_kept_words,
+         |  COALESCE(ka.kept_text, '') AS kept_text,
+         |  md5(COALESCE(ka.kept_text, '')) AS kept_md5
+         |FROM d LEFT JOIN ka USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "dd_substr_volume" ->
       s"""WITH $substrCtes
          |SELECT source, COUNT(*) AS n_docs,
@@ -1740,6 +1910,8 @@ object Dedup {
     "dd_span_frac" -> (ddSpanFrac _),
     "dd_substr_remove" -> (ddSubstrRemove _),
     "dd_substr_spans" -> (ddSubstrSpans _),
+    "dd_substr_keep" -> (ddSubstrKeep _),
+    "dd_substr_tok" -> (ddSubstrTok _),
     "dd_substr_volume" -> (ddSubstrVolume _),
     "dd_cdc_chunks" -> (ddCdcChunks _),
     "dd_cdc_coverage" -> (ddCdcCoverage _),

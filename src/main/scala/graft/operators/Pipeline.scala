@@ -133,12 +133,20 @@ object Pipeline {
     * past 2⁵³ at true scale. The broadcast is fact-derived but bounded
     * by k·|sources| by construction (PlanShapeSpec-declared); the rank
     * window partitions hold ≤ k rows. Membership semantics under a
-    * 62-bit hash COLLISION (P ≈ n²/2⁶³ — unreachable at test scale,
-    * conceivable at 10¹² docs): every id whose hash lands in the
-    * k-smallest-distinct set is admitted (deterministic, possibly
-    * k+collisions rows), where the oracle's row_number spelling keeps
-    * exactly k — the two coincide absent collisions, which the gate's
-    * scale guarantees. */
+    * 62-bit hash COLLISION: the digit-vector hash has no deterministic
+    * collision structure over int64 keys (ADVICE r18 — the earlier
+    * x-mod-p permutation collided with CERTAINTY for keys a multiple
+    * of 2³¹−1 apart, so "uniform" samples biased past ~2³¹ ids), and
+    * a random collision involving the k per-source sample WINNERS
+    * needs some corpus key to hit one of the k retained hash values:
+    * P ≈ k·n/p² — at 10¹² docs and k = 1024 that is ~2×10⁻⁴ (corpus-
+    * wide collisions elsewhere shave the KMV distinct count by only
+    * ~n²/2⁶³ relative ≈ 10⁻⁷, noise against the 1/√k ≈ 3% bound).
+    * If one occurs, every id
+    * whose hash lands in the k-smallest-distinct set is admitted
+    * (deterministic, possibly k+collisions rows), where the oracle's
+    * row_number spelling keeps exactly k — the two coincide absent
+    * collisions. */
   def smpFixedK(s: SparkSession, dir: String): DataFrame = {
     val k = FixedKPerSource
     val docs = Tables.load(s, dir, "documents")

@@ -510,34 +510,78 @@ object Relational {
     * quantile sample): rank/count error ~1/√k ≈ 3%. */
   val SketchK = 1024
 
-  /** Sketch-key hashing: two independent universal permutations over
+  /** Sketch-key hashing: two independent vector hashes over
     * p = 2³¹ − 1 combined as h₁·p + h₂ — a 62-bit key in PURE exact
-    * int64 arithmetic (a·(x mod p) ≤ 2⁶², the MinHash permutation
-    * posture), codegen'd on the Spark side and spelled identically in
-    * the oracle. The FIRST spelling hashed with per-row md5 (hash60)
-    * and measured 4× slower at sf0.1 (0.49 → 1.93 s isolated) — the
-    * sketch inserts are cheap, the cryptographic hash was the cost. */
+    * int64 arithmetic, codegen'd on the Spark side and spelled
+    * identically in the oracle. The key is decomposed into its BASE-p
+    * DIGITS (d₀ = x mod p, d₁ = ⌊x/p⌋ mod p, d₂ = ⌊x/p²⌋ ∈ {0,1,2} —
+    * injective for EVERY non-negative int64, via exact integer
+    * division, never a double), and each hᵢ is an independent linear
+    * combination of the digits mod p. The first permutation spelling
+    * hashed only x mod p, so keys differing by a multiple of p
+    * collided with CERTAINTY — KMV estimates would saturate near p
+    * and bottom-k samples bias once key cardinality passes ~2³¹
+    * (ADVICE r18); with the digit vector, distinct keys give distinct
+    * digit vectors and a collision needs both independent mod-p
+    * combinations to vanish (~2⁻⁶² per pair, no deterministic
+    * structure). Every intermediate stays under 2⁶² (a·d ≤ (p−1)²;
+    * the four summands are each reduced below p before adding), so
+    * both engines evaluate in exact int64. An EARLIER spelling hashed
+    * with per-row md5 (hash60) and measured 4× slower at sf0.1
+    * (0.49 → 1.93 s isolated) — the sketch inserts are cheap, the
+    * cryptographic hash was the cost. */
   val SkP: Long = 2147483647L
   val SkA1: Long = 1 + graft.functions.localHash60("sketch_a_1") % (SkP - 1)
   val SkB1: Long = graft.functions.localHash60("sketch_b_1") % SkP
   val SkA2: Long = 1 + graft.functions.localHash60("sketch_a_2") % (SkP - 1)
   val SkB2: Long = graft.functions.localHash60("sketch_b_2") % SkP
+  val SkA3: Long = 1 + graft.functions.localHash60("sketch_a_3") % (SkP - 1)
+  val SkA4: Long = 1 + graft.functions.localHash60("sketch_a_4") % (SkP - 1)
+  val SkA5: Long = 1 + graft.functions.localHash60("sketch_a_5") % (SkP - 1)
+  val SkA6: Long = 1 + graft.functions.localHash60("sketch_a_6") % (SkP - 1)
 
-  /** 62-bit permutation hash of a NON-NEGATIVE integer key column. */
+  /** 62-bit digit-vector hash of a NON-NEGATIVE int64 key column. */
   private[graft] def permHash62(x: Column): Column = {
-    val xm = x % lit(SkP)
-    ((lit(SkA1) * xm + lit(SkB1)) % lit(SkP)) * lit(SkP) +
-      ((lit(SkA2) * xm + lit(SkB2)) % lit(SkP))
+    import org.apache.spark.sql.graftexpr.SketchExpressions.intDiv
+    val d0 = x % lit(SkP)
+    val d1 = intDiv(x, SkP) % lit(SkP)
+    val d2 = intDiv(x, SkP * SkP)
+    val h1 = ((lit(SkA1) * d0) % lit(SkP) + (lit(SkA3) * d1) % lit(SkP) +
+      (lit(SkA5) * d2) % lit(SkP) + lit(SkB1)) % lit(SkP)
+    val h2 = ((lit(SkA2) * d0) % lit(SkP) + (lit(SkA4) * d1) % lit(SkP) +
+      (lit(SkA6) * d2) % lit(SkP) + lit(SkB2)) % lit(SkP)
+    h1 * lit(SkP) + h2
+  }
+
+  /** [[permHash62]] in plain JVM longs — the driver/spec twin (the
+    * identical digit decomposition and staged mod-p arithmetic). */
+  private[graft] def permHash62L(x: Long): Long = {
+    val d0 = x % SkP
+    val d1 = (x / SkP) % SkP
+    val d2 = x / (SkP * SkP)
+    val h1 = ((SkA1 * d0) % SkP + (SkA3 * d1) % SkP +
+      (SkA5 * d2) % SkP + SkB1) % SkP
+    val h2 = ((SkA2 * d0) % SkP + (SkA4 * d1) % SkP +
+      (SkA6 * d2) % SkP + SkB2) % SkP
+    h1 * SkP + h2
   }
 
   /** The KMV estimate's hash-range numerator (k−1)·p² as an exact
     * plan-time double (shortest-round-trip replayed in the oracle). */
   val SkKmvNumerator: Double = (SketchK - 1).toDouble * SkP.toDouble * SkP.toDouble
 
-  /** [[permHash62]] spelled for a DuckDB oracle, operand-for-operand. */
-  private[graft] def permHash62Sql(x: String): String =
-    s"((($SkA1 * ($x % $SkP) + $SkB1) % $SkP) * $SkP + " +
-      s"(($SkA2 * ($x % $SkP) + $SkB2) % $SkP))"
+  /** [[permHash62]] spelled for a DuckDB oracle, operand-for-operand
+    * (`//` is DuckDB's exact integer division — same truncation as
+    * Catalyst `div` on non-negative operands). */
+  private[graft] def permHash62Sql(x: String): String = {
+    val pp = SkP * SkP
+    s"(((($SkA1 * (($x) % $SkP)) % $SkP + " +
+      s"($SkA3 * ((($x) // $SkP) % $SkP)) % $SkP + " +
+      s"($SkA5 * (($x) // $pp)) % $SkP + $SkB1) % $SkP) * $SkP + " +
+      s"((($SkA2 * (($x) % $SkP)) % $SkP + " +
+      s"($SkA4 * ((($x) // $SkP) % $SkP)) % $SkP + " +
+      s"($SkA6 * (($x) // $pp)) % $SkP + $SkB2) % $SkP))"
+  }
 
   /** Sketch aggregates, DETERMINISTIC AND ORACLE-GATED (VERDICT r17
     * #2): Spark's HLL/approx_percentile built-ins are engine-specific,
@@ -548,8 +592,8 @@ object Relational {
     * multiset — a commutative semilattice, so ANY partitioning and
     * merge order yields bit-identical results and DuckDB replays them
     * exactly (ORDER BY hash LIMIT k):
-    *  - distinct parts: KMV over hash60(l_partkey) — m < k ⇒ exact m,
-    *    else (k−1)·2⁶⁰/h_k (Bar-Yossef et al. 2002);
+    *  - distinct parts: KMV over permHash62(l_partkey) — m < k ⇒
+    *    exact m, else (k−1)·p²/h_k (Bar-Yossef et al. 2002);
     *  - median quantity: the bottom-k-by-row-hash uniform sample,
     *    rank-indexed (integer rank math, no interpolation).
     * ~1/√k error is spec-asserted against exact values

@@ -624,12 +624,12 @@ object TextAnalysis {
     * empty symbols — so the tokenizer's declared precondition is
     * enforced here, identically in both engines (the oracle filters
     * `NOT contains(x, '|')`). */
-  private def bpeTokens(c: Column): Column =
+  private[operators] def bpeTokens(c: Column): Column =
     filter(org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(c, 1),
       w => not(w.contains("|")))
 
   /** The oracle-side twin of [[bpeTokens]]. */
-  private val BpeTokensSql =
+  private[operators] val BpeTokensSql =
     "list_filter(string_split(text, ' '), x -> len(x) > 0 AND NOT contains(x, '|'))"
 
   /** Trained merge tables memoized per (session, dir) and keyed by the
@@ -995,7 +995,7 @@ object TextAnalysis {
     * the exact training-time semantics ([[trainBpe]]). k merges = k
     * narrow string ops; the "model" rides in the plan as literals, the
     * broadcast-a-tiny-table pattern collapsed to codegen. */
-  private def applyMerges(merges: Seq[(Long, String, String, Long)], w: Column): Column =
+  private[operators] def applyMerges(merges: Seq[(Long, String, String, Long)], w: Column): Column =
     merges.foldLeft(regexp_replace(w, "(.)", "|$1|")) { case (acc, (_, s1, s2, _)) =>
       replace(acc, lit("|" + s1 + "||" + s2 + "|"), lit("|" + s1 + s2 + "|"))
     }
@@ -1125,7 +1125,7 @@ object TextAnalysis {
     * nested replace chain over `|`-wrapped chars, with the TRAINED
     * merges as string literals (the [[Similarity]] trained-literal
     * posture — only trained VALUES cross engines, never engine math). */
-  private def mergeChainSql(w: String, merges: Seq[(Long, String, String, Long)]): String =
+  private[operators] def mergeChainSql(w: String, merges: Seq[(Long, String, String, Long)]): String =
     merges.foldLeft(s"regexp_replace($w, '(.)', '|\\1|', 'g')") { case (acc, (_, s1, s2, _)) =>
       val a = sqlLit(s1); val b = sqlLit(s2)
       s"replace($acc, '|$a||$b|', '|$a$b|')"

@@ -111,10 +111,19 @@ object StreamingAsof {
             st = AsofState(purchases, pending)
             state.update(st)
             // wake when the earliest pending error becomes servable;
-            // otherwise idle-TTL (or let the state carry the one purchase)
+            // otherwise idle-TTL (or let the state carry the one purchase).
+            // Arm AT the error's ms ceiling, not past it: Spark fires an
+            // event-time timeout only when the watermark STRICTLY exceeds
+            // the armed timestamp, and servability needs wm >= ceil+1 —
+            // arming at ceil+1 left a gap where a stream that advances the
+            // watermark to exactly ceil+1 and then idles never re-invokes
+            // the function, freezing a servable error (ADVICE r18). The
+            // max() keeps the arm legal (must stay above the current wm)
+            // in the wm == ceil boundary batch, costing one extra ms only
+            // there.
             pending.headOption match {
               case Some((_, te)) =>
-                state.setTimeoutTimestamp((te + 999L) / 1000L + 1L)
+                state.setTimeoutTimestamp(math.max(wmMs + 1L, (te + 999L) / 1000L))
               case None if idleTtlMs > 0L =>
                 state.setTimeoutTimestamp(wmMs + idleTtlMs)
               case None => ()

@@ -81,7 +81,13 @@ object StreamingSubstr {
               val rm = seen || keep.exists(_ != ((r._2, r._4.get)))
               (r._1, r._2, r._3, r._4.get, rm)
             }
-            val maxMs = rows.map(_._1.getTime).max
+            // monotone memory horizon: a LATE in-horizon occurrence must
+            // not shorten the gram's memory (overwriting lastMs with an
+            // older batch max would re-arm the timeout earlier and let a
+            // later occurrence wrongly pass as fresh keep-first — ADVICE
+            // r18), so the stored watermark only ever advances
+            val maxMs = math.max(rows.map(_._1.getTime).max,
+              state.getOption.map(_.lastMs).getOrElse(Long.MinValue))
             state.update(GramSeen(maxMs))
             state.setTimeoutTimestamp(maxMs + memoryMs)
             out.iterator

@@ -66,16 +66,18 @@ object StreamingValueSketch {
     }
 
     /** Snapshot in the batch `ev_value_sketch` schema for a direct
-      * compare. */
+      * compare. A group counted but never sampled (all-NULL values in
+      * its batches) snapshots with NULL estimates — same guard as
+      * [[quantile]], instead of indexing an empty sample (ADVICE
+      * r18). */
     def snapshot(spark: SparkSession): DataFrame = {
       import spark.implicits._
       synchronized {
         counts.keys.toSeq.sorted.map { g =>
           val vs = values(g)
-          (g, counts(g), vs.length.toLong,
-            vs(((vs.length - 1) * 50) / 100),
-            vs(((vs.length - 1) * 90) / 100),
-            vs(((vs.length - 1) * 99) / 100))
+          def q(p: Int): Option[Double] =
+            if (vs.isEmpty) None else Some(vs(((vs.length - 1) * p) / 100))
+          (g, counts(g), vs.length.toLong, q(50), q(90), q(99))
         }
       }.toDF("event_type", "n_rows", "m", "est_p50", "est_p90", "est_p99")
     }
@@ -84,7 +86,18 @@ object StreamingValueSketch {
   /** Wire a [[RunningSketch]] into a live event stream carrying
     * `event_type`, `value` and a unique `event_id` — the same 62-bit
     * permutation row hash as the batch face, so stream and batch
-    * samples are the SAME set. */
+    * samples are the SAME set.
+    *
+    * Delivery caveat (ADVICE r18): foreachBatch is AT-LEAST-ONCE — a
+    * replayed batch after a failure re-observes its rows. The SAMPLE
+    * is idempotent under replay (bottom-k over a set: re-inserting an
+    * already-held (h, v) pair changes nothing), but `n_rows` is a
+    * plain sum and double-counts the replayed batch, so after a
+    * failure the running count can exceed the nightly batch count
+    * until rebuilt. A deployment needing exactly-once counts should
+    * record the max seen `batchId` in [[RunningSketch]] and skip
+    * already-observed ids (the standard foreachBatch idempotence
+    * recipe); the quantile estimates need no such guard. */
   def run(
       events: DataFrame,
       state: RunningSketch,

@@ -883,9 +883,59 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
     val g4 = cellMap(o4)
     for (i <- 0 until 4; j <- 0 until 4; k <- 0 until 4; l <- 0 until 4)
       assert(g4((0L, Seq(i, j, k, l))) == d2(i)(j) * d2(k)(l), s"($i,$j,$k,$l)")
-    // batched outer stays refused (batch letters but nothing contracted)
+    // batched outer (the last refusal class, retired r19): per batch
+    // slice b, the outer product of A's row b with itself —
+    // tensordotBatched with the contraction extent pinned to 1
+    val bo = ChunkedArray.einsum("bi,bj->bij", twoD, twoD)
+    assert(bo.geom == ArrayGeometry(Seq(2, 2, 2), Seq(2, 2, 2)))
+    val gbo = cellMap(bo)
+    for (b <- 0 until 4; i <- 0 until 4; j <- 0 until 4)
+      assert(gbo((0L, Seq(b, i, j))) == d2(b)(i) * d2(b)(j), s"bo ($b,$i,$j)")
+    // permuted batched-outer output goes through the standard transpose
+    val bp = cellMap(ChunkedArray.einsum("bi,bj->ijb", twoD, twoD))
+    for (b <- 0 until 4; i <- 0 until 4; j <- 0 until 4)
+      assert(bp((0L, Seq(i, j, b))) == gbo((0L, Seq(b, i, j))), s"bp ($i,$j,$b)")
+  }
+
+  test("einsum N-operand: pairwise left-to-right planner") {
+    val d2 = Array.tabulate(4, 4)((i, j) => 10.0 * i + j)
+    def mm(x: Array[Array[Double]], y: Array[Array[Double]]): Array[Array[Double]] =
+      Array.tabulate(4, 4)((i, k) => (0 until 4).map(j => x(i)(j) * y(j)(k)).sum)
+    // "ij,jk,kl->il" == (A·A)·A — integer cells, every product/sum exact
+    val got = cellMap(ChunkedArray.einsum("ij,jk,kl->il", Seq(twoD, twoD, twoD)))
+    val ref = mm(mm(d2, d2), d2)
+    for (i <- 0 until 4; l <- 0 until 4)
+      assert(got((0L, Seq(i, l))) == ref(i)(l), s"chain ($i,$l)")
+    // a letter THREE terms share batches through the first pair and
+    // contracts where it last appears: "ij,jk,jl->ikl"
+    val tri = cellMap(ChunkedArray.einsum("ij,jk,jl->ikl", Seq(twoD, twoD, twoD)))
+    for (i <- 0 until 4; k <- 0 until 4; l <- 0 until 4) {
+      val want = (0 until 4).map(j => d2(i)(j) * d2(j)(k) * d2(j)(l)).sum
+      assert(tri((0L, Seq(i, k, l))) == want, s"tri ($i,$k,$l)")
+    }
+    // permuted final output — exactly one transpose, at the end
+    val perm = cellMap(ChunkedArray.einsum("ij,jk,kl->li", Seq(twoD, twoD, twoD)))
+    for (i <- 0 until 4; l <- 0 until 4)
+      assert(perm((0L, Seq(l, i))) == ref(i)(l), s"perm ($l,$i)")
+    // 4-operand chain recurses
+    val four = cellMap(ChunkedArray.einsum("ij,jk,kl,lm->im",
+      Seq(twoD, twoD, twoD, twoD)))
+    val ref4 = mm(mm(mm(d2, d2), d2), d2)
+    for (i <- 0 until 4; m <- 0 until 4)
+      assert(four((0L, Seq(i, m))) == ref4(i)(m), s"four ($i,$m)")
+    // one- and two-term Seq specs route to the existing faces
+    assert(cellMap(ChunkedArray.einsum("ii->i", Seq(twoD))) ==
+      cellMap(ChunkedArray.einsum("ii->i", twoD)))
+    assert(cellMap(ChunkedArray.einsum("ij,jk->ik", Seq(twoD, twoD))) ==
+      cellMap(ChunkedArray.einsum("ij,jk->ik", twoD, twoD)))
+    // refusals: term/operand count drift, a lone letter absent from the
+    // output (sum-out is an axisSum composition), within-term repeats
     assertThrows[IllegalArgumentException](
-      ChunkedArray.einsum("bi,bj->bij", threeD, threeD))
+      ChunkedArray.einsum("ij,jk->ik", Seq(twoD, twoD, twoD)))
+    assertThrows[IllegalArgumentException](
+      ChunkedArray.einsum("ix,jk,kl->jl", Seq(twoD, twoD, twoD)))
+    assertThrows[IllegalArgumentException](
+      ChunkedArray.einsum("ii,ik,kl->il", Seq(twoD, twoD, twoD)))
   }
 
   test("einsum diagonal: 'ii->i' gathers matched coordinates with zero exchanges") {

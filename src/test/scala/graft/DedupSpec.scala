@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
@@ -107,6 +108,71 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((12L, 1L, 8L, 4L)), s"cross-doc copy cut: ${got(3L)}")
     assert(got(4L) == ((16L, 1L, 16L, 0L)), s"touching spans merge: ${got(4L)}")
     assert(got(5L) == ((2L, 0L, 0L, 2L)), s"sub-gram doc untouched: ${got(5L)}")
+  }
+
+  test("ExactSubstr keep face: surviving text is the tokens outside every span") {
+    // same corpus as the removal test; SpanGramN = 8
+    val B = (0 until 12).map(i => s"b$i").mkString(" ")
+    val C = (0 until 8).map(i => s"c$i").mkString(" ")
+    val u10 = (0 until 10).map(i => s"u$i").mkString(" ")
+    val v6 = (0 until 6).map(i => s"v$i").mkString(" ")
+    val w6 = (0 until 6).map(i => s"w$i").mkString(" ")
+    val g9 = (0 until 9).map(i => s"g$i").mkString(" ")
+    val x4 = (0 until 4).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (0L, "s0", B + " " + u10),
+      (1L, "s0", v6 + " " + B + " " + w6),
+      (2L, "s1", C + " " + g9 + " " + C),
+      (3L, "s1", C + " " + x4),
+      (4L, "s1", C + " " + C),
+      (5L, "s2", "tiny  doc")).toDF("doc_id", "source", "text")
+    val spans = Dedup.substrSpansOf(Dedup.substrGramRelOf(docs))
+    val got = Dedup.substrKeepOf(docs, spans).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept_words"), r.getAs[String]("kept_text"))))
+      .toMap
+    assert(got(0L) == ((22L, B + " " + u10)), s"keep-first intact: ${got(0L)}")
+    assert(got(1L) == ((12L, v6 + " " + w6)), s"embedded block sliced out: ${got(1L)}")
+    assert(got(2L) == ((17L, C + " " + g9)), s"second in-doc copy sliced: ${got(2L)}")
+    assert(got(3L) == ((4L, x4)), s"cross-doc copy sliced: ${got(3L)}")
+    assert(got(4L) == ((0L, "")), s"fully-duplicated doc empties: ${got(4L)}")
+    // runs of whitespace collapse to the canonical single-space form
+    assert(got(5L) == ((2L, "tiny doc")), s"sub-gram doc canonicalized: ${got(5L)}")
+    // the md5 column fingerprints the emitted text
+    val md5s = Dedup.substrKeepOf(docs, spans).collect()
+      .map(r => r.getAs[String]("kept_text") -> r.getAs[String]("kept_md5"))
+    md5s.foreach { case (t, h) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(h == want)
+    }
+  }
+
+  test("token-granularity spans: the same machinery at a wider gram") {
+    // substrSpansOf(n): gap == n merges, gap > n splits — at n = 3
+    // (stand-in for TokGramN: the parameter, not the constant, is the
+    // contract). Doc 0 owns keep-first; doc 1 has the run twice with a
+    // 4-token gap (> 3, islands split) and doc 2 back-to-back (== 3,
+    // merged).
+    val R = "r0 r1 r2"
+    val docs = Seq(
+      (0L, "s", R + " z0"),
+      (1L, "s", R + " y0 y1 y2 y3 " + R),
+      (2L, "s", R + " " + R))
+      .toDF("doc_id", "source", "text")
+    // re-key substrGramRelOf's kernel at n = 3 manually (the tok face
+    // does exactly this with the BPE token text)
+    val rel = docs.select(col("doc_id"), col("source"),
+      org.apache.spark.sql.graftexpr.TextExpressions
+        .hashWordNgramsSeq(col("text"), 3).as("raw"))
+      .select(col("doc_id"), col("source"),
+        element_at(col("raw"), 1).as("n_words"),
+        slice(col("raw"), lit(2), greatest(size(col("raw")) - 1, lit(0))).as("gs"))
+    val spans = Dedup.substrSpansOf(rel, 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("s"), r.getAs[Long]("e")))
+      .toSet
+    // doc 1: two islands [0,3) and [7,10); doc 2: one merged [0,6)
+    assert(spans == Set((1L, 0L, 3L), (1L, 7L, 10L), (2L, 0L, 6L)), spans.toString)
   }
 
   test("connectedComponents on an empty edge list is empty") {

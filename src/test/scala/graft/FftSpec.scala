@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftexpr.Fft
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.arrays.{ArrayGeometry, ChunkedArray}
+
+/** Specs for the spectral family (`arr_fft` / `arr_spectrum`, VERDICT
+  * r18 next-round #1): the radix-2 kernel against an independent
+  * O(n²) reference DFT, the analytic identities a correct transform
+  * must satisfy exactly (impulse, constant, Parseval, Hermitian
+  * symmetry of a real input), and determinism of the fixed butterfly
+  * order. */
+class FftSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val N = 16
+
+  /** A 16-cell 1-d array in 4 chunks of 4; two timesteps. */
+  private def arr(cells: Long => Int => Double, ts: Seq[Long] = Seq(0L, 1L)): ChunkedArray = {
+    val rows = for (t <- ts; c <- 0 to 3)
+      yield (t, Seq(c), (0 to 3).map(i => cells(t)(4 * c + i)))
+    ChunkedArray(rows.toDF("timestep", "pos", "data"), ArrayGeometry(Seq(4), Seq(4)))
+  }
+
+  private def fftMap(a: ChunkedArray): Map[(Long, Long), (Double, Double)] =
+    a.fftRows().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+
+  /** Independent O(n²) reference DFT — plain sums of cos/sin products,
+    * no butterfly structure shared with the kernel. */
+  private def dftRef(x: IndexedSeq[Double]): IndexedSeq[(Double, Double)] = {
+    val n = x.length
+    (0 until n).map { k =>
+      var re = 0.0; var im = 0.0
+      for (j <- 0 until n) {
+        val ang = -2.0 * StrictMath.PI * k * j / n
+        re += x(j) * StrictMath.cos(ang)
+        im += x(j) * StrictMath.sin(ang)
+      }
+      (re, im)
+    }
+  }
+
+  test("impulse at 0 transforms to exactly (1, 0) in every bin") {
+    val a = arr(_ => i => if (i == 0) 1.0 else 0.0, Seq(0L))
+    val f = fftMap(a)
+    assert(f.size == N)
+    for (u <- 0 until N) {
+      val (re, im) = f((0L, u.toLong))
+      assert(re == 1.0 && im == 0.0, s"bin $u: ($re, $im)")
+    }
+  }
+
+  test("constant line: bin 0 holds exactly n*c, others vanish to ~0") {
+    val c = 2.5
+    val a = arr(_ => _ => c, Seq(0L))
+    val f = fftMap(a)
+    assert(f((0L, 0L)) == ((N * c, 0.0)))
+    for (u <- 1 until N) {
+      val (re, im) = f((0L, u.toLong))
+      assert(math.abs(re) < 1e-12 && math.abs(im) < 1e-12, s"bin $u: ($re, $im)")
+    }
+  }
+
+  test("kernel agrees with the independent O(n^2) DFT; real input is Hermitian") {
+    // deterministic non-trivial cells; distinct per timestep
+    val a = arr(t => i => ((i * 37 + 11 + t * 5) % 23) * 0.5 - 4.0)
+    val f = fftMap(a)
+    for (t <- Seq(0L, 1L)) {
+      val x = (0 until N).map(i => ((i * 37 + 11 + t * 5) % 23) * 0.5 - 4.0)
+      val ref = dftRef(x)
+      for (u <- 0 until N) {
+        val (re, im) = f((t, u.toLong))
+        assert(math.abs(re - ref(u)._1) < 1e-9 && math.abs(im - ref(u)._2) < 1e-9,
+          s"t=$t bin $u: kernel ($re, $im) vs ref ${ref(u)}")
+      }
+      // Hermitian symmetry of a real signal: X[n-u] = conj(X[u])
+      for (u <- 1 until N) {
+        val (re, im) = f((t, u.toLong))
+        val (re2, im2) = f((t, (N - u).toLong))
+        assert(math.abs(re - re2) < 1e-9 && math.abs(im + im2) < 1e-9,
+          s"t=$t Hermitian pair ($u, ${N - u})")
+      }
+      // Parseval: sum |x|^2 == (1/n) sum |X|^2
+      val lhs = x.map(v => v * v).sum
+      val rhs = (0 until N).map { u =>
+        val (re, im) = f((t, u.toLong)); re * re + im * im
+      }.sum / N
+      assert(math.abs(lhs - rhs) < 1e-9, s"t=$t Parseval: $lhs vs $rhs")
+    }
+  }
+
+  test("power spectrum face: one-sided bins, power == re^2 + im^2 of the fft") {
+    val a = arr(t => i => ((i * 7 + 3 + t) % 11) * 1.25)
+    val f = fftMap(a)
+    val p = a.powerSpectrumRows().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(p.size == 2 * (N / 2 + 1))
+    for (((t, u), pw) <- p) {
+      val (re, im) = f((t, u))
+      assert(pw == re * re + im * im, s"t=$t u=$u")
+    }
+    assert(!p.keySet.exists(_._2 > N / 2))
+  }
+
+  test("fixed butterfly order is deterministic: two evaluations bit-equal") {
+    val a = arr(t => i => math.sin(i * 0.7 + t) * 3.0)
+    val f1 = fftMap(a)
+    val f2 = fftMap(a)
+    assert(f1 == f2)
+    // and the twiddle/bitrev tables themselves are stable
+    assert(Fft.twiddles(64)._1.toSeq == Fft.twiddles(64)._1.toSeq)
+    assert(Fft.bitrev(8).toSeq == Seq(0, 4, 2, 6, 1, 5, 3, 7))
+  }
+
+  test("non-power-of-two length refused loudly") {
+    val rows = Seq((0L, Seq(0), (0 until 6).map(_.toDouble)))
+    val bad = ChunkedArray(rows.toDF("timestep", "pos", "data"),
+      ArrayGeometry(Seq(1), Seq(6)))
+    val e = intercept[IllegalArgumentException](bad.fftRows())
+    assert(e.getMessage.contains("power of two"))
+  }
+}

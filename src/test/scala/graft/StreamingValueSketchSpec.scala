@@ -19,11 +19,7 @@ class StreamingValueSketchSpec extends AnyFunSuite {
   /** The batch sample rule in plain Scala: k smallest by (h, v). */
   private def batchSample(rows: Seq[(Long, String, Double)], k: Int,
       group: String): Seq[Double] = {
-    import graft.operators.Relational.{SkA1, SkA2, SkB1, SkB2, SkP}
-    def h62(x: Long): Long = {
-      val xm = x % SkP
-      ((SkA1 * xm + SkB1) % SkP) * SkP + ((SkA2 * xm + SkB2) % SkP)
-    }
+    def h62(x: Long): Long = graft.operators.Relational.permHash62L(x)
     rows.filter(_._2 == group)
       .map(r => (h62(r._1), r._3))
       .sorted.take(k).map(_._2).sorted

@@ -73,7 +73,7 @@ class SurveyInventorySpec extends AnyFunSuite {
         "arr_pca_project", "arr_svd_modes", "arr_qr_r", "txt_lm_score",
         "arr_lstsq", "arr_lstsq_resid", "txt_sp_unigram", "txt_sp_encode",
         "txt_sp_freq", "pipe_pack_sp", "emb_pca_var", "emb_pca_project",
-        "emb_whiten")
+        "emb_whiten", "dd_substr_tok")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly -- trainedOracles
     assert(noOracle.isEmpty,
