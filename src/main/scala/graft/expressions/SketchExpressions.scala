@@ -924,6 +924,203 @@ object KSmallestByHash {
   * ANSI" folklore does not hold here).
   * Equivalence spec-gated incl. dups, nulls and empties
   * (FunctionsSpec). */
+/** KLL/MRL-style deterministic-compaction rank sketch over doubles
+  * (VERDICT r18 #6, the SECOND deterministic rank sketch next to the
+  * bottom-k sample): a hierarchy of levels where level i holds items
+  * of weight 2^i and at most `k` of them; a full level sorts, keeps
+  * every second item starting at an ALTERNATING parity (the classic
+  * MRL determinization of KLL's random coin — consecutive compactions'
+  * ±w/2 rank errors cancel), and promotes the survivors one level up.
+  *
+  * Why it exists next to [[KSmallestByHash]]: bottom-k holds k items
+  * for ~1/√k rank error and its state is input-SET-determined (merge-
+  * order invariant — the oracle-replayable face, which stays the
+  * gate); the compactor holds O(k·log(n/k)) items for O(log(n/k)/k)
+  * rank error — at 100 TB group cardinalities the log-factor state
+  * buys orders of magnitude tighter ranks than the same memory spent
+  * on a flat sample. The price is that the RESULT depends on the
+  * partition/merge layout (any compaction scheme's does), so this
+  * face is SPEC-gated on its error bounds against exact ranks
+  * ([[graft.KllSketchSpec]]), not oracle-hashed.
+  *
+  * Wire contract (the mergeable-summaries posture): one ≤ k·levels
+  * item buffer per group per partition, map-side shrunk; merge
+  * concatenates levels pairwise and re-compacts. Output: the sketch's
+  * (value, weight) pairs sorted by (value, weight) — total weight
+  * equals n exactly, and rank queries walk the cumulative weights. */
+case class KllDouble(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+    KllDouble.Buf]
+  with ImplicitCastInputTypes {
+
+  require(k >= 4 && k % 2 == 0, s"k must be even and >= 4, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("value", DoubleType, nullable = false),
+    StructField("weight", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_kll_double"
+
+  override def createAggregationBuffer(): KllDouble.Buf = new KllDouble.Buf
+
+  /** Compact level i if over capacity, cascading upward: sort; an
+    * odd-length level holds ONE boundary item back (alternating which
+    * end — weight is conserved exactly: 2·(m/2 promoted) + held == m);
+    * the even remainder keeps every second item from the level's
+    * alternating parity and promotes at doubled weight. */
+  private def compactFrom(buf: KllDouble.Buf, from: Int): Unit = {
+    var i = from
+    // visit EVERY level: a merge can overfill a high level while the
+    // ones below it are within capacity (promotions land at i+1,
+    // which the walk reaches next)
+    while (i < buf.levels.length) {
+      if (buf.levels(i).length <= k) { i += 1 }
+      else {
+      val lvl = buf.levels(i)
+      val arr = lvl.toArray
+      java.util.Arrays.sort(arr)
+      lvl.clear()
+      if (i + 1 >= buf.levels.length) {
+        buf.levels += new scala.collection.mutable.ArrayBuffer[Double]
+        buf.parity += 0
+      }
+      val p = buf.parity(i)
+      var lo = 0
+      var hi = arr.length
+      if (arr.length % 2 == 1) {
+        if (p == 0) { hi -= 1; lvl += arr(hi) } else { lvl += arr(0); lo = 1 }
+      }
+      val up = buf.levels(i + 1)
+      var j = lo + p
+      while (j < hi) { up += arr(j); j += 2 }
+      buf.parity(i) = 1 - p
+      i += 1
+      }
+    }
+  }
+
+  override def update(buf: KllDouble.Buf,
+      input: org.apache.spark.sql.catalyst.InternalRow): KllDouble.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.n += 1
+      if (buf.levels.isEmpty) {
+        buf.levels += new scala.collection.mutable.ArrayBuffer[Double]
+        buf.parity += 0
+      }
+      buf.levels(0) += v.asInstanceOf[Double]
+      compactFrom(buf, 0)
+    }
+    buf
+  }
+
+  override def merge(buf: KllDouble.Buf, other: KllDouble.Buf): KllDouble.Buf = {
+    buf.n += other.n
+    var i = 0
+    while (i < other.levels.length) {
+      if (i >= buf.levels.length) {
+        buf.levels += new scala.collection.mutable.ArrayBuffer[Double]
+        buf.parity += 0
+      }
+      buf.levels(i) ++= other.levels(i)
+      i += 1
+    }
+    compactFrom(buf, 0)
+    buf
+  }
+
+  override def eval(buf: KllDouble.Buf): Any = {
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    var i = 0
+    while (i < buf.levels.length) {
+      val w = 1L << i
+      buf.levels(i).foreach(v => pairs += ((v, w)))
+      i += 1
+    }
+    val sorted = pairs.sortBy(identity).toArray
+    new GenericArrayData(sorted.map { case (v, w) =>
+      org.apache.spark.sql.catalyst.InternalRow(v, w)
+    })
+  }
+
+  override def serialize(buf: KllDouble.Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream
+    val out = new java.io.DataOutputStream(bos)
+    out.writeLong(buf.n)
+    out.writeInt(buf.levels.length)
+    var i = 0
+    while (i < buf.levels.length) {
+      out.writeInt(buf.parity(i))
+      val lvl = buf.levels(i)
+      out.writeInt(lvl.length)
+      lvl.foreach(out.writeDouble)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): KllDouble.Buf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new KllDouble.Buf
+    buf.n = in.readLong()
+    val nl = in.readInt()
+    var i = 0
+    while (i < nl) {
+      buf.parity += in.readInt()
+      val len = in.readInt()
+      val lvl = new scala.collection.mutable.ArrayBuffer[Double](len)
+      var j = 0
+      while (j < len) { lvl += in.readDouble(); j += 1 }
+      buf.levels += lvl
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllDouble =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllDouble =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object KllDouble {
+  /** Levels of weighted items: level i items carry weight 2^i;
+    * `parity(i)` alternates which half a compaction of level i keeps. */
+  final class Buf {
+    var n: Long = 0L
+    val levels = scala.collection.mutable.ArrayBuffer.empty[
+      scala.collection.mutable.ArrayBuffer[Double]]
+    val parity = scala.collection.mutable.ArrayBuffer.empty[Int]
+  }
+
+  /** Rank query over an eval()'d sketch: the smallest value whose
+    * cumulative weight reaches ceil(q·n) (rank 1 = smallest; q = 0
+    * reads the minimum retained item). */
+  def quantile(pairs: Seq[(Double, Long)], q: Double): Double = {
+    require(pairs.nonEmpty, "quantile of an empty sketch")
+    val n = pairs.map(_._2).sum
+    val target = math.max(1L, math.ceil(q * n).toLong)
+    var cum = 0L
+    val it = pairs.iterator
+    while (it.hasNext) {
+      val (v, w) = it.next()
+      cum += w
+      if (cum >= target) return v
+    }
+    pairs.last._1
+  }
+}
+
 case class JaccardSet(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with ImplicitCastInputTypes {
@@ -1052,4 +1249,10 @@ object SketchExpressions {
     ExpressionUtils.column(
       KSmallestByHash(ExpressionUtils.expression(h),
         ExpressionUtils.expression(v), k, emitPairs = true).toAggregateExpression())
+
+  /** Aggregate Column wrapper for [[KllDouble]]: the deterministic-
+    * compaction rank sketch's (value, weight) pairs. */
+  def kllDouble(c: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KllDouble(ExpressionUtils.expression(c), k).toAggregateExpression())
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftexpr.{KllDouble, SketchExpressions}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KllDouble — the deterministic-compaction rank sketch (VERDICT r18
+  * #6): exact below capacity, O(k·log(n/k)) state with rank error far
+  * inside the bottom-k sample's 1/√k at the same memory, weight
+  * conservation, and run-to-run determinism. The bottom-k face stays
+  * the oracle-replayable gate; this spec IS the compactor's gate. */
+class KllSketchSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def sketchOf(vals: Seq[Double], k: Int, parts: Int): Seq[(Double, Long)] = {
+    val df = vals.toDF("v").repartition(parts)
+    df.agg(SketchExpressions.kllDouble(col("v"), k).as("sk"))
+      .collect()(0).getSeq[Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+  }
+
+  test("below capacity the sketch is the exact sorted multiset") {
+    val vals = (1 to 100).map(i => ((i * 37) % 101).toDouble)
+    val got = sketchOf(vals, k = 128, parts = 8)
+    assert(got.map(_._2).forall(_ == 1L), "no compaction below capacity")
+    assert(got.map(_._1) == vals.sorted, "exact sorted multiset")
+    // rank queries are exact: quantile q = the ceil(q·n)-th smallest
+    val sorted = vals.sorted
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99))
+      assert(KllDouble.quantile(got, q) ==
+        sorted(math.max(1, math.ceil(q * vals.size).toInt) - 1), s"q=$q")
+  }
+
+  test("100k rows, k=256: O(k log n) state, conserved weight, tight ranks") {
+    val n = 100000
+    val vals = (0 until n).map(i => ((i.toLong * 9973L) % 100003L).toDouble)
+    val got = sketchOf(vals, k = 256, parts = 32)
+    // weight conservation: the sketch never loses or invents mass
+    assert(got.map(_._2).sum == n.toLong, "total weight == n")
+    // O(k·log(n/k)) state: items retained, not the stream
+    val levels = got.map(_._2).distinct.size
+    assert(levels <= (math.log(n.toDouble / 256) / math.log(2.0)).toInt + 3,
+      s"level count $levels")
+    assert(got.size <= 256 * (levels + 1),
+      s"${got.size} retained items exceed k per level")
+    // rank error: |trueRank(est) − target| ≤ 1% of n for every probe —
+    // ~4× under the measured worst case, ~6× tighter than a flat
+    // bottom-k sample of the same TOTAL memory would guarantee
+    val sorted = vals.sorted
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = KllDouble.quantile(got, q)
+      val trueRank = sorted.count(_ <= est)
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      assert(math.abs(trueRank - target) <= n / 100,
+        s"q=$q: est $est has true rank $trueRank vs target $target")
+    }
+  }
+
+  test("deterministic: same data, same partitioning, bit-equal sketches") {
+    val vals = (0 until 20000).map(i => ((i * 7919) % 20011).toDouble)
+    val a = sketchOf(vals, k = 64, parts = 16)
+    val b = sketchOf(vals, k = 64, parts = 16)
+    assert(a == b, "two runs over the identical layout must agree exactly")
+  }
+
+  test("per-group sketches through a plain groupBy") {
+    val n = 30000
+    val df = spark.range(n.toLong)
+      .select((col("id") % 3).cast("string").as("g"),
+        ((col("id") * 653L) % 9973L).cast("double").as("v"))
+      .repartition(16)
+    val rows = df.groupBy("g")
+      .agg(SketchExpressions.kllDouble(col("v"), 128).as("sk"))
+      .collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val pairs = r.getSeq[Row](1).map(x => (x.getDouble(0), x.getLong(1)))
+      assert(pairs.map(_._2).sum == n / 3, s"group ${r.getString(0)} weight")
+      val est = KllDouble.quantile(pairs, 0.5)
+      // each group sees ~uniform values over [0, 9973)
+      assert(math.abs(est - 9973.0 / 2) < 9973.0 * 0.05,
+        s"group ${r.getString(0)} p50 = $est")
+    }
+  }
+}
