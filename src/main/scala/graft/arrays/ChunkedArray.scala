@@ -188,6 +188,58 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         element_at(col("f").getField("im"), col("u") + 1).as("im"))
   }
 
+  /** Per-timestep 2-D discrete Fourier transform of the 2-d array
+    * (numpy/dask `fft2`), composed from the engine's own passes — the
+    * four-step decomposition [[fftRows]]' scaladoc declares, as code:
+    * a ROW pass (real radix-2 per (timestep, i) line along axis 1),
+    * a narrow re-gather keyed by output frequency, then a COLUMN pass
+    * (complex radix-2 per (timestep, v) line along axis 0 —
+    * [[org.apache.spark.sql.graftexpr.FftLineC]], the same shared
+    * butterfly). Two line-assembly shuffles total, each O(cells)
+    * skinny rows; the kernels stay chunk-local per line. The
+    * composition order (axis 1 then axis 0) is the declared contract —
+    * any order is the same transform up to rounding, and the oracle
+    * replays THIS order bit-for-bit. Returns `(timestep, u, v, re,
+    * im)`, u the axis-0 and v the axis-1 frequency. */
+  def fft2Rows(): DataFrame = {
+    require(geom.dims == 2, "fft2Rows requires a 2-d array")
+    val n0 = geom.dimSize(0)
+    val n1 = geom.dimSize(1)
+    val shape = geom.chunkShape
+    val cells = df
+      .select(col("timestep"), col("pos"), posexplode(col("data")).as(Seq("k", "v")))
+      .select(col("timestep"),
+        // widen BEFORE the multiply (int overflow past 2^31 cells/dim)
+        (element_at(col("pos"), 1).cast("bigint") * shape(0) +
+          (col("k") / shape(1)).cast("int")).as("i"),
+        (element_at(col("pos"), 2).cast("bigint") * shape(1) +
+          col("k") % shape(1)).as("j"),
+        col("v"))
+    val rowFft = cells.groupBy("timestep", "i")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("v")))),
+        e => e.getField("v").cast("double")).as("x"))
+      .select(col("timestep"), col("i"),
+        org.apache.spark.sql.graftexpr.Fft.fftLine(col("x"), n1).as("f"))
+    val byCol = rowFft
+      .select(col("timestep"), col("i"), col("f"),
+        posexplode(col("f").getField("re")).as(Seq("v", "re")))
+      .select(col("timestep"), col("i"), col("v"), col("re"),
+        element_at(col("f").getField("im"), col("v") + 1).as("im"))
+      .groupBy("timestep", "v")
+      .agg(array_sort(collect_list(struct(col("i"), col("re"), col("im")))).as("c"))
+      .select(col("timestep"), col("v"),
+        transform(col("c"), e => e.getField("re")).as("xr"),
+        transform(col("c"), e => e.getField("im")).as("xi"))
+    byCol
+      .select(col("timestep"), col("v"),
+        org.apache.spark.sql.graftexpr.Fft.fftLineC(col("xr"), col("xi"), n0).as("g"))
+      .select(col("timestep"), col("v"), col("g"),
+        posexplode(col("g").getField("re")).as(Seq("u", "re")))
+      .select(col("timestep"), col("u").cast("bigint").as("u"),
+        col("v").cast("bigint").as("v"), col("re"),
+        element_at(col("g").getField("im"), col("u") + 1).as("im"))
+  }
+
   /** One-sided power spectrum of the 1-d array per timestep (the
     * `abs(fft)²` plot an in-situ analyst draws from `da.fft`): bins
     * 0..n/2 of [[fftRows]] with `power = re·re + im·im` — spelled in

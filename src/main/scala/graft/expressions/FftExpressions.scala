@@ -62,6 +62,54 @@ object Fft {
   /** Column wrapper for [[FftLine]]. */
   def fftLine(x: Column, n: Int): Column =
     ExpressionUtils.column(FftLine(ExpressionUtils.expression(x), n))
+
+  /** Column wrapper for [[FftLineC]] (complex input — the column pass
+    * of a 2-d transform). */
+  def fftLineC(re: Column, im: Column, n: Int): Column =
+    ExpressionUtils.column(FftLineC(
+      ExpressionUtils.expression(re), ExpressionUtils.expression(im), n))
+
+  /** The shared butterfly: run the radix-2 stages IN PLACE over
+    * already-bit-reversed (re, im) work arrays — the exact per-element
+    * formulas the oracle's stage CTEs replay (see [[FftLine]]). */
+  private[graftexpr] def butterflies(
+      re0: Array[Double], im0: Array[Double],
+      wr: Array[Double], wi: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = re0.length
+    var re = re0
+    var im = im0
+    var nextRe = new Array[Double](n)
+    var nextIm = new Array[Double](n)
+    var half = 1
+    while (half < n) {
+      val block = half * 2
+      val step = n / block
+      var j = 0
+      while (j < n) {
+        val pos = j % block
+        if (pos < half) {
+          val w = pos * step
+          val p = j + half
+          val tRe = wr(w) * re(p) - wi(w) * im(p)
+          val tIm = wr(w) * im(p) + wi(w) * re(p)
+          nextRe(j) = re(j) + tRe
+          nextIm(j) = im(j) + tIm
+        } else {
+          val w = (pos - half) * step
+          val tRe = wr(w) * re(j) - wi(w) * im(j)
+          val tIm = wr(w) * im(j) + wi(w) * re(j)
+          nextRe(j) = re(j - half) - tRe
+          nextIm(j) = im(j - half) - tIm
+        }
+        j += 1
+      }
+      val sr = re; val si = im
+      re = nextRe; im = nextIm
+      nextRe = sr; nextIm = si
+      half = block
+    }
+    (re, im)
+  }
 }
 
 /** Radix-2 decimation-in-time FFT of one real-valued n-cell line
@@ -105,8 +153,8 @@ case class FftLine(child: Expression, n: Int)
     require(x.numElements() == n,
       s"graft_fft_line: expected a $n-cell line, got ${x.numElements()}")
     val (wr, wi) = tw
-    var re = new Array[Double](n)
-    var im = new Array[Double](n)
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
     var i = 0
     while (i < n) {
       val src = brev(i)
@@ -116,37 +164,8 @@ case class FftLine(child: Expression, n: Int)
       re(i) = x.getDouble(src)
       i += 1
     }
-    var nextRe = new Array[Double](n)
-    var nextIm = new Array[Double](n)
-    var half = 1
-    while (half < n) {
-      val block = half * 2
-      val step = n / block
-      var j = 0
-      while (j < n) {
-        val pos = j % block
-        if (pos < half) {
-          val w = pos * step
-          val p = j + half
-          val tRe = wr(w) * re(p) - wi(w) * im(p)
-          val tIm = wr(w) * im(p) + wi(w) * re(p)
-          nextRe(j) = re(j) + tRe
-          nextIm(j) = im(j) + tIm
-        } else {
-          val w = (pos - half) * step
-          val tRe = wr(w) * re(j) - wi(w) * im(j)
-          val tIm = wr(w) * im(j) + wi(w) * re(j)
-          nextRe(j) = re(j - half) - tRe
-          nextIm(j) = im(j - half) - tIm
-        }
-        j += 1
-      }
-      val sr = re; val si = im
-      re = nextRe; im = nextIm
-      nextRe = sr; nextIm = si
-      half = block
-    }
-    InternalRow(new GenericArrayData(re), new GenericArrayData(im))
+    val (outRe, outIm) = Fft.butterflies(re, im, wr, wi)
+    InternalRow(new GenericArrayData(outRe), new GenericArrayData(outIm))
   }
 
   override def nullSafeEval(x: Any): Any = compute(x)
@@ -158,4 +177,61 @@ case class FftLine(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Complex-input radix-2 FFT of one n-cell line — the COLUMN pass of
+  * the 2-d transform (`arr_fft2`): identical butterfly machinery as
+  * [[FftLine]] (shared [[Fft.butterflies]], so the per-element
+  * formulas the oracle replays are the same code), with the imaginary
+  * part arriving from the row pass instead of a zero fill. Both input
+  * arrays are bit-reverse gathered before the stages, like the real
+  * face. */
+case class FftLineC(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  Fft.log2(n): Unit
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("re", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("im", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_fft_line_c"
+
+  @transient private lazy val brev: Array[Int] = Fft.bitrev(n)
+  @transient private lazy val tw: (Array[Double], Array[Double]) = Fft.twiddles(n)
+
+  def compute(reAny: Any, imAny: Any): InternalRow = {
+    val xr = reAny.asInstanceOf[ArrayData]
+    val xi = imAny.asInstanceOf[ArrayData]
+    require(xr.numElements() == n && xi.numElements() == n,
+      s"graft_fft_line_c: expected two $n-cell lines, got " +
+        s"(${xr.numElements()}, ${xi.numElements()})")
+    val (wr, wi) = tw
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val src = brev(i)
+      if (xr.isNullAt(src) || xi.isNullAt(src))
+        throw new IllegalArgumentException(
+          s"graft_fft_line_c: NULL cell at index $src — densify before the transform")
+      re(i) = xr.getDouble(src)
+      im(i) = xi.getDouble(src)
+      i += 1
+    }
+    val (outRe, outIm) = Fft.butterflies(re, im, wr, wi)
+    InternalRow(new GenericArrayData(outRe), new GenericArrayData(outIm))
+  }
+
+  override def nullSafeEval(r: Any, i: Any): Any = compute(r, i)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fftLineC", this, classOf[FftLineC].getName)
+    nullSafeCodeGen(ctx, ev, (r, i) => s"${ev.value} = $ref.compute($r, $i);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

@@ -1231,6 +1231,16 @@ object ArrayQueries {
   def arrSpectrum(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).powerSpectrumRows().orderBy("timestep", "u")
 
+  /** numpy/dask `fft2` of the 2-d field per timestep — the four-step
+    * composition [[arrFft]]'s scale caveat declared, shipped as code
+    * ([[graft.arrays.ChunkedArray.fft2Rows]]): real row pass along the
+    * hour axis, narrow per-frequency re-gather, complex column pass
+    * along the user axis through the SAME shared butterfly; the
+    * oracle replays the identical two passes in the identical
+    * composition order, so every (re, im) matches bit-for-bit. */
+  def arrFft2(s: SparkSession, dir: String): DataFrame =
+    eventsArray2dCached(s, dir).fft2Rows().orderBy("timestep", "u", "v")
+
   // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
 
   private val CELLS_1D =
@@ -1410,28 +1420,44 @@ object ArrayQueries {
     * (round-trip-exact literals from the same StrictMath tables), same
     * operand order, so the transform is bit-identical. Ends with the
     * final stage's `re`/`im` lists exposed as `s$stages`. */
-  private def fftOracleCtes(n: Int): String = {
+  /** The unrolled butterfly-stage CTEs `${pfx}1..${pfx}log2(n)`, each
+    * replaying the kernel's per-element stage formula over the
+    * previous stage's `re`/`im` lists; `${pfx}0` must provide
+    * (keys..., wr, wi, re, im). Shared by the 1-d and 2-d oracles —
+    * the formulas are already complex-general, the real face just
+    * zero-fills `im` at `${pfx}0`. */
+  private def fftStageCtes(n: Int, keys: Seq[String], pfx: String): String = {
     import org.apache.spark.sql.graftexpr.Fft
     val stages = Fft.log2(n)
-    val (wr, wi) = Fft.twiddles(n)
-    val wrL = wr.map(fmtD).mkString("[", ", ", "]")
-    val wiL = wi.map(fmtD).mkString("[", ", ", "]")
-    val brevL = Fft.bitrev(n).mkString("[", ", ", "]")
-    val stageCtes = (0 until stages).map { s =>
+    val ks = keys.map(k => s"$k, ").mkString
+    (0 until stages).map { s =>
       val half = 1 << s
       val block = half * 2
       val step = n / block
       val wPos = s"((i % $block) * $step + 1)"
       val wNeg = s"((i % $block - $half) * $step + 1)"
-      s"""s${s + 1} AS (SELECT timestep, wr, wi,
+      s"""$pfx${s + 1} AS (SELECT ${ks}wr, wi,
          |  list_transform(range($n), i -> CASE WHEN i % $block < $half
          |    THEN re[i+1] + (wr[$wPos] * re[i+$half+1] - wi[$wPos] * im[i+$half+1])
          |    ELSE re[i-$half+1] - (wr[$wNeg] * re[i+1] - wi[$wNeg] * im[i+1]) END) AS re,
          |  list_transform(range($n), i -> CASE WHEN i % $block < $half
          |    THEN im[i+1] + (wr[$wPos] * im[i+$half+1] + wi[$wPos] * re[i+$half+1])
          |    ELSE im[i-$half+1] - (wr[$wNeg] * im[i+1] + wi[$wNeg] * re[i+1]) END) AS im
-         |  FROM s$s)""".stripMargin
+         |  FROM $pfx$s)""".stripMargin
     }.mkString(",\n")
+  }
+
+  private def twiddleCte(n: Int, name: String): String = {
+    import org.apache.spark.sql.graftexpr.Fft
+    val (wr, wi) = Fft.twiddles(n)
+    s"$name AS (SELECT ${wr.map(fmtD).mkString("[", ", ", "]")} AS wr, " +
+      s"${wi.map(fmtD).mkString("[", ", ", "]")} AS wi)"
+  }
+
+  private def brevList(n: Int): String =
+    org.apache.spark.sql.graftexpr.Fft.bitrev(n).mkString("[", ", ", "]")
+
+  private def fftOracleCtes(n: Int): String =
     s"""$CELLS_1D,
        |days AS (SELECT DISTINCT timestep FROM cells),
        |dense AS (
@@ -1439,12 +1465,40 @@ object ArrayQueries {
        |  FROM days d CROSS JOIN (SELECT unnest(range($n)) AS u) r
        |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
        |lines AS (SELECT timestep, list(cell ORDER BY u) AS x FROM dense GROUP BY 1),
-       |tw AS (SELECT $wrL AS wr, $wiL AS wi),
+       |${twiddleCte(n, "tw")},
        |s0 AS (SELECT timestep, wr, wi,
-       |  list_transform($brevL, j -> x[j+1]) AS re,
+       |  list_transform(${brevList(n)}, j -> x[j+1]) AS re,
        |  list_transform(range($n), i -> CAST(0.0 AS DOUBLE)) AS im
        |  FROM lines CROSS JOIN tw),
-       |$stageCtes""".stripMargin
+       |${fftStageCtes(n, Seq("timestep"), "s")}""".stripMargin
+
+  /** The 2-d replay: the row pass keyed (timestep, i), the per-output-
+    * frequency column re-gather (lists ordered by i — exact element
+    * moves), then the complex column pass keyed (timestep, v) through
+    * the SAME stage formulas. */
+  private def fft2OracleCtes(n0: Int, n1: Int): String = {
+    import org.apache.spark.sql.graftexpr.Fft
+    val rs = Fft.log2(n1)
+    s"""$CELLS_2D_DENSE,
+       |rows_ AS (SELECT timestep, u AS ri, list(cell ORDER BY h) AS x
+       |  FROM cells GROUP BY 1, 2),
+       |${twiddleCte(n1, "tw")},
+       |r0 AS (SELECT timestep, ri, wr, wi,
+       |  list_transform(${brevList(n1)}, j -> x[j+1]) AS re,
+       |  list_transform(range($n1), z -> CAST(0.0 AS DOUBLE)) AS im
+       |  FROM rows_ CROSS JOIN tw),
+       |${fftStageCtes(n1, Seq("timestep", "ri"), "r")},
+       |cols AS (SELECT timestep, vv.v,
+       |  list(re[CAST(vv.v + 1 AS INT)] ORDER BY ri) AS xr,
+       |  list(im[CAST(vv.v + 1 AS INT)] ORDER BY ri) AS xi
+       |  FROM r$rs CROSS JOIN (SELECT unnest(range($n1)) AS v) vv
+       |  GROUP BY 1, 2),
+       |${twiddleCte(n0, "twc")},
+       |c0 AS (SELECT timestep, v, wr, wi,
+       |  list_transform(${brevList(n0)}, j -> xr[j+1]) AS re,
+       |  list_transform(${brevList(n0)}, j -> xi[j+1]) AS im
+       |  FROM cols CROSS JOIN twc),
+       |${fftStageCtes(n0, Seq("timestep", "v"), "c")}""".stripMargin
   }
 
   private val staticOracles: Map[String, String] = Map(
@@ -1467,6 +1521,16 @@ object ArrayQueries {
          |  im[CAST(u + 1 AS INT)] * im[CAST(u + 1 AS INT)] AS power
          |FROM s$st CROSS JOIN (SELECT unnest(range($n)) AS u) g
          |WHERE u <= ${n / 2} ORDER BY 1, 2""".stripMargin
+    },
+    "arr_fft2" -> {
+      val (n0, n1) = (8, 8)
+      val cs = org.apache.spark.sql.graftexpr.Fft.log2(n0)
+      s"""WITH ${fft2OracleCtes(n0, n1)}
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(g.u AS BIGINT) AS u,
+         |  CAST(v AS BIGINT) AS v,
+         |  re[CAST(g.u + 1 AS INT)] AS re, im[CAST(g.u + 1 AS INT)] AS im
+         |FROM c$cs CROSS JOIN (SELECT unnest(range($n0)) AS u) g
+         |ORDER BY 1, 2, 3""".stripMargin
     },
     // AᵀA summed over every timestep: products of 2-decimal cells are
     // exact 4-decimal, the global per-(i,j) sum is one exact decimal —
@@ -2415,6 +2479,7 @@ object ArrayQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "arr_fft" -> (arrFft _),
+    "arr_fft2" -> (arrFft2 _),
     "arr_spectrum" -> (arrSpectrum _),
     "arr_sum_ts" -> (arrSumTs _),
     "arr_histogram" -> (arrHistogram _),

@@ -45,6 +45,7 @@ class CodegenGateSpec extends AnyFunSuite {
         Seq(4), Seq(1L), isMax = true),
       "GatherStatic" -> GatherStatic(br(arrD), Seq(2, 2), Seq(1, 1), Seq(0, 0), Seq(2, 1)),
       "FftLine" -> FftLine(br(arrD), 8),
+      "FftLineC" -> FftLineC(br(arrD), br(arrD, 1), 8),
       "AxisSumDec" -> AxisSumDec(br(arrD), Seq(2, 2), 0, ansi = true),
       "AxisMomentsDec" -> AxisMomentsDec(br(arrD), Seq(2, 2), 0, ansi = true),
       "AxisExtreme" -> AxisExtreme(br(arrD), Seq(2, 2), 0, isMax = true),

@@ -117,6 +117,40 @@ class FftSpec extends AnyFunSuite {
     assert(Fft.bitrev(8).toSeq == Seq(0, 4, 2, 6, 1, 5, 3, 7))
   }
 
+  test("fft2 agrees with the independent O(n^4) 2-d reference DFT") {
+    import graft.arrays.{ArrayGeometry, ChunkedArray}
+    val n = 8
+    def cell(i: Int, j: Int): Double = ((i * 5 + j * 11 + 3) % 17) * 0.75 - 4.0
+    val rows = for (cr <- 0 to 1; cc <- 0 to 1)
+      yield (0L, Seq(cr, cc),
+        for (i <- 0 to 3; j <- 0 to 3) yield cell(4 * cr + i, 4 * cc + j))
+    val a = ChunkedArray(rows.toDF("timestep", "pos", "data"),
+      ArrayGeometry(Seq(2, 2), Seq(4, 4)))
+    val got = a.fft2Rows().collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.size == n * n)
+    for (u <- 0 until n; v <- 0 until n) {
+      var re = 0.0; var im = 0.0
+      for (i <- 0 until n; j <- 0 until n) {
+        val ang = -2.0 * StrictMath.PI * (u.toDouble * i / n + v.toDouble * j / n)
+        re += cell(i, j) * StrictMath.cos(ang)
+        im += cell(i, j) * StrictMath.sin(ang)
+      }
+      val (gre, gim) = got((u.toLong, v.toLong))
+      assert(math.abs(gre - re) < 1e-9 && math.abs(gim - im) < 1e-9,
+        s"bin ($u,$v): ($gre,$gim) vs ref ($re,$im)")
+    }
+    // 2-d impulse at the origin: every bin exactly (1, 0)
+    val imp = for (cr <- 0 to 1; cc <- 0 to 1)
+      yield (0L, Seq(cr, cc), (0 until 16).map(k =>
+        if (cr == 0 && cc == 0 && k == 0) 1.0 else 0.0))
+    val fi = ChunkedArray(imp.toDF("timestep", "pos", "data"),
+      ArrayGeometry(Seq(2, 2), Seq(4, 4))).fft2Rows().collect()
+    assert(fi.length == n * n)
+    assert(fi.forall(r => r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0))
+  }
+
   test("non-power-of-two length refused loudly") {
     val rows = Seq((0L, Seq(0), (0 until 6).map(_.toDouble)))
     val bad = ChunkedArray(rows.toDF("timestep", "pos", "data"),

@@ -243,6 +243,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.synchronized(got.toMap) == Map(0L -> lapSum, 1L -> 2 * lapSum))
   }
 
+  test("runArrayOp runs the spectral face live: per-timestep FFT bit-equal to batch") {
+    implicit val sc = spark.sqlContext
+    import graft.arrays.{ArrayGeometry, ChunkedArray}
+    val geom = ArrayGeometry(Seq(2), Seq(8))
+    def line(t: Long): Seq[Double] =
+      (0 until 16).map(i => ((i * 13 + 5 + t * 3) % 19) * 0.5 - 3.0)
+    def chunk(t: Long, c: Int): (String, Long, Int, Seq[Int], Seq[Double]) =
+      ("a", t, 2, Seq(c), line(t).slice(8 * c, 8 * c + 8))
+    val in = MemoryStream[(String, Long, Int, Seq[Int], Seq[Double])]
+    val chunks = in.toDF().toDF("name", "timestep", "nbChunks", "pos", "data")
+    val got = scala.collection.mutable.Map.empty[(Long, Long), (Double, Double)]
+    val q = Simulation.runArrayOp(chunks, "a", geom,
+      arr => arr.fftRows(),
+      (df, _) => df.collect().foreach(r => got.synchronized {
+        got((r.getLong(0), r.getLong(1))) = (r.getDouble(2), r.getDouble(3))
+      }))
+    in.addData(chunk(0, 0), chunk(0, 1), chunk(1, 0))
+    q.processAllAvailable()
+    assert(got.synchronized(got.keySet.map(_._1)) == Set(0L),
+      "incomplete timestep 1 must not transform")
+    in.addData(chunk(1, 1))
+    q.processAllAvailable()
+    q.stop()
+    // bit-equal to the batch face over the same dense arrays
+    val rows = for (t <- Seq(0L, 1L); c <- 0 to 1)
+      yield (t, Seq(c), line(t).slice(8 * c, 8 * c + 8))
+    val batch = ChunkedArray(rows.toDF("timestep", "pos", "data"), geom)
+      .fftRows().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.synchronized(got.toMap) == batch,
+      "the live per-timestep spectrum IS the batch spectrum")
+  }
+
   test("runArrayOp composes the axis-variance and masked-reduce faces on the stream") {
     implicit val sc = spark.sqlContext
     import graft.arrays.ArrayGeometry
