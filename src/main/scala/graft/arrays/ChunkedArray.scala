@@ -149,6 +149,40 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         (col("p") + col("carry")).cast("double").as("value"))
   }
 
+  /** The assembled per-timestep 1-d line `(timestep, x)` — the ONE
+    * shuffle under every spectral face. */
+  private def linePerTimestep(): DataFrame = {
+    require(geom.dims == 1, "spectral faces require a 1-d array")
+    val chunkLen = geom.chunkShape(0)
+    df
+      .select(col("timestep"), col("pos"), posexplode(col("data")).as(Seq("i", "v")))
+      .select(col("timestep"),
+        // widen BEFORE the multiply (int overflow past 2^31 cells)
+        (element_at(col("pos"), 1).cast("bigint") * chunkLen + col("i")).as("off"),
+        col("v"))
+      .groupBy("timestep")
+      .agg(transform(array_sort(collect_list(struct(col("off"), col("v")))),
+        e => e.getField("v").cast("double")).as("x"))
+  }
+
+  /** Explode a `struct(re, im)` column to `(timestep, u, re, im)`
+    * rows, optionally post-scaling both parts (the inverse transform's
+    * conj + 1/n step: `re·scale`, `−im·scale`). */
+  private def complexRows(withF: DataFrame, f: String,
+      scale: Option[Double]): DataFrame = {
+    val fc = col(f)
+    val base = withF
+      .select(col("timestep"), fc,
+        posexplode(fc.getField("re")).as(Seq("u", "re")))
+      .select(col("timestep"), col("u").cast("bigint").as("u"), col("re"),
+        element_at(fc.getField("im"), col("u") + 1).as("im"))
+    scale match {
+      case None => base
+      case Some(s) => base.select(col("timestep"), col("u"),
+        (col("re") / lit(s)).as("re"), (-col("im") / lit(s)).as("im"))
+    }
+  }
+
   /** Per-timestep discrete Fourier transform of the 1-d array (dask
     * `da.fft.fft` — the spectral analytic next to [[stencilLaplacian]]
     * for the in-situ analyst; numpy conventions: forward sign, no 1/n).
@@ -162,30 +196,73 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     * 100 TB the work is embarrassingly parallel across timesteps.
     * Lines are n doubles; this face covers n up to what one task holds
     * (~10⁸ cells). Past that a distributed FFT needs the four-step
-    * decomposition (row FFTs → twiddle scale → transpose → column
-    * FFTs) — each phase maps onto [[transpose]] + this kernel, but no
-    * shipped query needs it, so the composition is left undone rather
-    * than untested. */
+    * decomposition — which [[fft2Rows]] ships for the 2-d transform
+    * (row pass → re-gather → complex column pass); the same phases
+    * re-key a single long line at scale. */
   def fftRows(): DataFrame = {
-    require(geom.dims == 1, "fftRows requires a 1-d array")
     val n = geom.dimSize(0)
-    val chunkLen = geom.chunkShape(0)
-    val line = df
-      .select(col("timestep"), col("pos"), posexplode(col("data")).as(Seq("i", "v")))
+    complexRows(linePerTimestep()
       .select(col("timestep"),
-        // widen BEFORE the multiply (int overflow past 2^31 cells)
-        (element_at(col("pos"), 1).cast("bigint") * chunkLen + col("i")).as("off"),
-        col("v"))
-      .groupBy("timestep")
-      .agg(transform(array_sort(collect_list(struct(col("off"), col("v")))),
-        e => e.getField("v").cast("double")).as("x"))
-    line
+        org.apache.spark.sql.graftexpr.Fft.fftLine(col("x"), n).as("f")),
+      "f", None)
+  }
+
+  /** fft → ifft round trip per timestep — the INVERSE transform as
+    * code (numpy `ifft(fft(x))`), via the conjugate identity
+    * `ifft(X) = conj(fft(conj(X)))/n` on the SAME shared butterfly
+    * ([[org.apache.spark.sql.graftexpr.FftLineC]]): negate the
+    * imaginary part (exact sign flips), run the identical forward
+    * kernel, conjugate and scale by 1/n (n a power of two — the
+    * division is exact scaling). Returns `(timestep, u, re, im)`
+    * where re ≈ the original cell and im ≈ 0 up to rounding — the
+    * oracle replays the full chain, so the residuals match
+    * bit-for-bit too. */
+  def ifftRoundtripRows(): DataFrame = {
+    val n = geom.dimSize(0)
+    val fx = org.apache.spark.sql.graftexpr.Fft
+    complexRows(linePerTimestep()
+      .select(col("timestep"), fx.fftLine(col("x"), n).as("f"))
+      .select(col("timestep"), fx.fftLineC(
+        col("f").getField("re"),
+        transform(col("f").getField("im"), v => -v), n).as("g")),
+      "g", Some(n.toDouble))
+  }
+
+  /** Circular convolution with a fixed n-tap kernel via the
+    * convolution theorem (dask `da.fft`-based filtering — the in-situ
+    * smoothing pass): `conv = ifft(fft(x) · H)` where H = fft(kernel)
+    * is computed DRIVER-side through the identical gather+butterfly
+    * code path ([[org.apache.spark.sql.graftexpr.Fft.fftArrays]]) and
+    * embedded as round-trip-exact literals in BOTH plans (the §5
+    * trained-literal discipline). One forward kernel call, one
+    * elementwise complex product against literals, one inverse call —
+    * all chunk-local after the single line-assembly shuffle. Returns
+    * `(timestep, u, re, im)`; re is the smoothed field, im ≈ 0. */
+  def convolveFftRows(kernel: Seq[Double]): DataFrame = {
+    val n = geom.dimSize(0)
+    require(kernel.length == n,
+      s"kernel must be the full circular length $n, got ${kernel.length}")
+    val fx = org.apache.spark.sql.graftexpr.Fft
+    val (hr, hi) = fx.fftArrays(kernel.toArray, new Array[Double](n))
+    val hrC = array(hr.map(lit(_)): _*)
+    val hiC = array(hi.map(lit(_)): _*)
+    def el(a: Column, i: Column): Column = element_at(a, i + 1)
+    val idx = sequence(lit(0), lit(n - 1))
+    val withProduct = linePerTimestep()
+      .select(col("timestep"), fx.fftLine(col("x"), n).as("f"))
       .select(col("timestep"),
-        org.apache.spark.sql.graftexpr.Fft.fftLine(col("x"), n).as("f"))
-      .select(col("timestep"), col("f"),
-        posexplode(col("f").getField("re")).as(Seq("u", "re")))
-      .select(col("timestep"), col("u").cast("bigint").as("u"), col("re"),
-        element_at(col("f").getField("im"), col("u") + 1).as("im"))
+        col("f").getField("re").as("fr"), col("f").getField("im").as("fi"))
+      .select(col("timestep"),
+        // complex product spelled (fr·hr − fi·hi, fr·hi + fi·hr) —
+        // operand-for-operand with the oracle's list_transform
+        transform(idx, i =>
+          el(col("fr"), i) * el(hrC, i) - el(col("fi"), i) * el(hiC, i)).as("pr"),
+        transform(idx, i =>
+          el(col("fr"), i) * el(hiC, i) + el(col("fi"), i) * el(hrC, i)).as("pi"))
+    complexRows(withProduct
+      .select(col("timestep"), fx.fftLineC(
+        col("pr"), transform(col("pi"), v => -v), n).as("g")),
+      "g", Some(n.toDouble))
   }
 
   /** Per-timestep 2-D discrete Fourier transform of the 2-d array

@@ -69,6 +69,22 @@ object Fft {
     ExpressionUtils.column(FftLineC(
       ExpressionUtils.expression(re), ExpressionUtils.expression(im), n))
 
+  /** Driver-side transform of LITERAL data (e.g. a convolution
+    * kernel's frequency response, embedded as round-trip-exact
+    * literals in both plans): the identical gather + butterfly code
+    * path the distributed kernels run, on plain JVM arrays. */
+  def fftArrays(xr: Array[Double], xi: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = xr.length
+    require(xi.length == n, s"re/im length mismatch: $n vs ${xi.length}")
+    val brev = bitrev(n)
+    val (wr, wi) = twiddles(n)
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    var i = 0
+    while (i < n) { re(i) = xr(brev(i)); im(i) = xi(brev(i)); i += 1 }
+    butterflies(re, im, wr, wi)
+  }
+
   /** The shared butterfly: run the radix-2 stages IN PLACE over
     * already-bit-reversed (re, im) work arrays — the exact per-element
     * formulas the oracle's stage CTEs replay (see [[FftLine]]). */

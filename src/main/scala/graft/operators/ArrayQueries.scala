@@ -1231,6 +1231,40 @@ object ArrayQueries {
   def arrSpectrum(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).powerSpectrumRows().orderBy("timestep", "u")
 
+  /** numpy `ifft(fft(x))` — the INVERSE transform as a round trip over
+    * the daily field line ([[graft.arrays.ChunkedArray.ifftRoundtripRows]]):
+    * the conjugate identity on the same shared butterfly, conj + 1/n
+    * scaling exact (sign flips; n a power of two). Emits the
+    * reconstructed line (re ≈ cell, im ≈ 0) with BOTH residuals
+    * hash-gated — the oracle replays forward chain, conjugation and
+    * inverse chain operand-for-operand, so even the 1e-13 imaginary
+    * dust matches bit-for-bit. */
+  def arrIfft(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).ifftRoundtripRows().orderBy("timestep", "u")
+
+  /** The circular smoothing kernel behind [[arrConvFft]]: a symmetric
+    * 5-tap low-pass (0.4 center, 0.2 at ±1, 0.1 at ±2), padded to the
+    * full 64-cell circle. */
+  val ConvKernel: Seq[Double] = {
+    val t = Array.fill(64)(0.0)
+    t(0) = 0.4; t(1) = 0.2; t(2) = 0.1; t(62) = 0.1; t(63) = 0.2
+    t.toSeq
+  }
+
+  /** Circular convolution of the daily field with [[ConvKernel]] via
+    * the CONVOLUTION THEOREM (`ifft(fft(x)·H)` — the dask `da.fft`
+    * smoothing pass;
+    * [[graft.arrays.ChunkedArray.convolveFftRows]]): H = fft(kernel)
+    * is computed driver-side through the identical gather+butterfly
+    * code path and embedded as round-trip-exact literals in BOTH
+    * plans, the complex product is spelled operand-for-operand, and
+    * the whole forward·product·inverse chain replays in the oracle —
+    * hash-exact, imaginary dust included. The spec cross-checks
+    * against a DIRECT circular convolution (different algorithm, same
+    * answer to 1e-9 — the convolution-theorem identity itself). */
+  def arrConvFft(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).convolveFftRows(ConvKernel).orderBy("timestep", "u")
+
   /** numpy/dask `fft2` of the 2-d field per timestep — the four-step
     * composition [[arrFft]]'s scale caveat declared, shipped as code
     * ([[graft.arrays.ChunkedArray.fft2Rows]]): real row pass along the
@@ -1457,6 +1491,18 @@ object ArrayQueries {
   private def brevList(n: Int): String =
     org.apache.spark.sql.graftexpr.Fft.bitrev(n).mkString("[", ", ", "]")
 
+  /** The inverse chain: `${pfx}0` conjugate-gathers (reCol, imCol)
+    * from `srcCte` (negate-then-gather == gather-then-negate, exact
+    * sign flips), then the SAME stage CTEs; the caller's final SELECT
+    * applies the conj + 1/n step. */
+  private def fftInverseCtes(n: Int, srcCte: String,
+      reCol: String, imCol: String, pfx: String): String =
+    s"""${pfx}0 AS (SELECT timestep, wr, wi,
+       |  list_transform(${brevList(n)}, j -> $reCol[j+1]) AS re,
+       |  list_transform(${brevList(n)}, j -> -$imCol[j+1]) AS im
+       |  FROM $srcCte),
+       |${fftStageCtes(n, Seq("timestep"), pfx)}""".stripMargin
+
   private def fftOracleCtes(n: Int): String =
     s"""$CELLS_1D,
        |days AS (SELECT DISTINCT timestep FROM cells),
@@ -1521,6 +1567,39 @@ object ArrayQueries {
          |  im[CAST(u + 1 AS INT)] * im[CAST(u + 1 AS INT)] AS power
          |FROM s$st CROSS JOIN (SELECT unnest(range($n)) AS u) g
          |WHERE u <= ${n / 2} ORDER BY 1, 2""".stripMargin
+    },
+    // forward chain, conjugate, the SAME stage chain again, conj + 1/n
+    "arr_ifft" -> {
+      val n = 64
+      val st = org.apache.spark.sql.graftexpr.Fft.log2(n)
+      s"""WITH ${fftOracleCtes(n)},
+         |${fftInverseCtes(n, s"s$st", "re", "im", "i")}
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS u,
+         |  re[CAST(u + 1 AS INT)] / CAST(64 AS DOUBLE) AS re,
+         |  (-im[CAST(u + 1 AS INT)]) / CAST(64 AS DOUBLE) AS im
+         |FROM i$st CROSS JOIN (SELECT unnest(range($n)) AS u) g
+         |ORDER BY 1, 2""".stripMargin
+    },
+    "arr_conv_fft" -> {
+      val n = 64
+      val st = org.apache.spark.sql.graftexpr.Fft.log2(n)
+      val (hr, hi) = org.apache.spark.sql.graftexpr.Fft
+        .fftArrays(ConvKernel.toArray, new Array[Double](n))
+      val hrL = hr.map(fmtD).mkString("[", ", ", "]")
+      val hiL = hi.map(fmtD).mkString("[", ", ", "]")
+      s"""WITH ${fftOracleCtes(n)},
+         |prod AS (SELECT timestep, wr, wi,
+         |  list_transform(range($n),
+         |    i -> re[i+1] * ($hrL)[i+1] - im[i+1] * ($hiL)[i+1]) AS pr,
+         |  list_transform(range($n),
+         |    i -> re[i+1] * ($hiL)[i+1] + im[i+1] * ($hrL)[i+1]) AS pi
+         |  FROM s$st),
+         |${fftInverseCtes(n, "prod", "pr", "pi", "t")}
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS u,
+         |  re[CAST(u + 1 AS INT)] / CAST(64 AS DOUBLE) AS re,
+         |  (-im[CAST(u + 1 AS INT)]) / CAST(64 AS DOUBLE) AS im
+         |FROM t$st CROSS JOIN (SELECT unnest(range($n)) AS u) g
+         |ORDER BY 1, 2""".stripMargin
     },
     "arr_fft2" -> {
       val (n0, n1) = (8, 8)
@@ -2480,6 +2559,8 @@ object ArrayQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "arr_fft" -> (arrFft _),
     "arr_fft2" -> (arrFft2 _),
+    "arr_ifft" -> (arrIfft _),
+    "arr_conv_fft" -> (arrConvFft _),
     "arr_spectrum" -> (arrSpectrum _),
     "arr_sum_ts" -> (arrSumTs _),
     "arr_histogram" -> (arrHistogram _),

@@ -117,6 +117,45 @@ class FftSpec extends AnyFunSuite {
     assert(Fft.bitrev(8).toSeq == Seq(0, 4, 2, 6, 1, 5, 3, 7))
   }
 
+  test("ifft round trip reconstructs the line; imaginary part vanishes") {
+    val a = arr(t => i => ((i * 29 + 7 + t * 3) % 13) * 1.5 - 6.0)
+    val got = a.ifftRoundtripRows().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.size == 2 * N)
+    for (t <- Seq(0L, 1L); i <- 0 until N) {
+      val want = ((i * 29 + 7 + t * 3) % 13) * 1.5 - 6.0
+      val (re, im) = got((t, i.toLong))
+      assert(math.abs(re - want) < 1e-9, s"t=$t i=$i: $re vs $want")
+      assert(math.abs(im) < 1e-12, s"t=$t i=$i residual imag $im")
+    }
+  }
+
+  test("convolution theorem: fft-path equals the direct circular convolution") {
+    val h = {
+      val t = Array.fill(N)(0.0)
+      t(0) = 0.5; t(1) = 0.25; t(N - 1) = 0.25
+      t
+    }
+    val a = arr(t => i => ((i * 17 + 3 + t) % 23) * 0.25)
+    val got = a.convolveFftRows(h.toSeq).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    for (t <- Seq(0L, 1L)) {
+      val x = (0 until N).map(i => ((i * 17 + 3 + t) % 23) * 0.25)
+      for (u <- 0 until N) {
+        // direct circular convolution: sum_j x[j] * h[(u - j) mod n]
+        val want = (0 until N).map(j => x(j) * h(((u - j) % N + N) % N)).sum
+        val (re, im) = got((t, u.toLong))
+        assert(math.abs(re - want) < 1e-9, s"t=$t u=$u: $re vs $want")
+        assert(math.abs(im) < 1e-12, s"t=$t u=$u residual imag $im")
+      }
+    }
+    // a wrong-length kernel refuses loudly
+    val e = intercept[IllegalArgumentException](a.convolveFftRows(Seq(1.0, 2.0)))
+    assert(e.getMessage.contains("full circular length"))
+  }
+
   test("fft2 agrees with the independent O(n^4) 2-d reference DFT") {
     import graft.arrays.{ArrayGeometry, ChunkedArray}
     val n = 8
