@@ -25,6 +25,9 @@ import org.apache.spark.sql.types._
   * reach (the callback receives an unrestricted dask array,
   * doreisa/window_api.py:38-119); sign/scale conventions follow
   * numpy's forward transform (no 1/n factor, negative exponent).
+  * Algorithm: Cooley & Tukey 1965, "An algorithm for the machine
+  * calculation of complex Fourier series" (the radix-2
+  * decimation-in-time form).
   */
 object Fft {
 

@@ -926,7 +926,10 @@ object KSmallestByHash {
   * (FunctionsSpec). */
 /** KLL/MRL-style deterministic-compaction rank sketch over doubles
   * (VERDICT r18 #6, the SECOND deterministic rank sketch next to the
-  * bottom-k sample): a hierarchy of levels where level i holds items
+  * bottom-k sample; Karnin, Lang & Liberty 2016 "Optimal quantile
+  * approximation in streams" give the randomized compactor, Manku,
+  * Rajagopalan & Lindsay 1998 the deterministic collapse scheme this
+  * variant follows): a hierarchy of levels where level i holds items
   * of weight 2^i and at most `k` of them; a full level sorts, keeps
   * every second item starting at an ALTERNATING parity (the classic
   * MRL determinization of KLL's random coin — consecutive compactions'

@@ -1265,6 +1265,29 @@ object ArrayQueries {
   def arrConvFft(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).convolveFftRows(ConvKernel).orderBy("timestep", "u")
 
+  /** Averaged periodogram across timesteps (Bartlett 1948; Welch's
+    * method without windowing/overlap — the spectral SUMMARY an
+    * in-situ analyst keeps after the per-timestep spectra): the mean
+    * one-sided power per frequency bin over every timestep. The
+    * cross-timestep sum is order-dependent in doubles, so each
+    * per-timestep power quantizes to milli-units FIRST
+    * (floor(power·10³) BIGINT — same double in, same ops, identical
+    * both engines; SURVEY §5's quantized-integer discipline) and the
+    * exact integer sums divide once at the end. Emits
+    * (u, n_ts, psd_q, psd); the quantized sum stays under 2⁶³ while
+    * power·10³·timesteps does — the declared bound, checked loudly by
+    * ANSI sum overflow. */
+  def arrPsd(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).powerSpectrumRows()
+      .select(col("u"),
+        floor(col("power") * lit(1000.0)).cast("bigint").as("q"))
+      .groupBy("u")
+      .agg(count(lit(1)).as("n_ts"), sum(col("q")).as("psd_q"))
+      .select(col("u"), col("n_ts"), col("psd_q"),
+        (col("psd_q").cast("double") / col("n_ts").cast("double") /
+          lit(1000.0)).as("psd"))
+      .orderBy("u")
+
   /** numpy/dask `fft2` of the 2-d field per timestep — the four-step
     * composition [[arrFft]]'s scale caveat declared, shipped as code
     * ([[graft.arrays.ChunkedArray.fft2Rows]]): real row pass along the
@@ -1567,6 +1590,25 @@ object ArrayQueries {
          |  im[CAST(u + 1 AS INT)] * im[CAST(u + 1 AS INT)] AS power
          |FROM s$st CROSS JOIN (SELECT unnest(range($n)) AS u) g
          |WHERE u <= ${n / 2} ORDER BY 1, 2""".stripMargin
+    },
+    // per-timestep spectrum -> milli-quantized integer sums -> one
+    // final division (order-free exact cross-timestep mean)
+    "arr_psd" -> {
+      val n = 64
+      val st = org.apache.spark.sql.graftexpr.Fft.log2(n)
+      s"""WITH ${fftOracleCtes(n)},
+         |p AS (SELECT timestep, u,
+         |  re[CAST(u + 1 AS INT)] * re[CAST(u + 1 AS INT)] +
+         |  im[CAST(u + 1 AS INT)] * im[CAST(u + 1 AS INT)] AS power
+         |  FROM s$st CROSS JOIN (SELECT unnest(range($n)) AS u) g
+         |  WHERE u <= ${n / 2}),
+         |q AS (SELECT u, CAST(floor(power * CAST(1000 AS DOUBLE)) AS BIGINT) AS q
+         |  FROM p)
+         |SELECT CAST(u AS BIGINT) AS u, COUNT(*) AS n_ts,
+         |  CAST(SUM(q) AS BIGINT) AS psd_q,
+         |  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) /
+         |    CAST(1000 AS DOUBLE) AS psd
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // forward chain, conjugate, the SAME stage chain again, conj + 1/n
     "arr_ifft" -> {
@@ -2561,6 +2603,7 @@ object ArrayQueries {
     "arr_fft2" -> (arrFft2 _),
     "arr_ifft" -> (arrIfft _),
     "arr_conv_fft" -> (arrConvFft _),
+    "arr_psd" -> (arrPsd _),
     "arr_spectrum" -> (arrSpectrum _),
     "arr_sum_ts" -> (arrSumTs _),
     "arr_histogram" -> (arrHistogram _),

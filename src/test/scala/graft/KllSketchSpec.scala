@@ -65,6 +65,34 @@ class KllSketchSpec extends AnyFunSuite {
     assert(a == b, "two runs over the identical layout must agree exactly")
   }
 
+  test("real event values: KLL beats the same-memory flat sample's rank error") {
+    // the engine-data version of the 100 TB argument: at the MEMORY the
+    // bottom-k face spends (EvSketchK values), the compactor's measured
+    // rank error on the actual value stream is far inside the flat
+    // sample's 1/sqrt(k) guarantee band
+    val dir = "/root/testdata/sf0.001"
+    val values = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("value").cast("double").as("v")).where(col("v").isNotNull)
+    val n = values.count()
+    val kMem = graft.operators.Relational.EvSketchK // 512 doubles of memory
+    // KLL at k=64 retains <= 64*levels items ~ the same memory envelope
+    val pairs = values.repartition(16)
+      .agg(SketchExpressions.kllDouble(col("v"), 64).as("sk"))
+      .collect()(0).getSeq[Row](0).map(r => (r.getDouble(0), r.getLong(1)))
+    assert(pairs.map(_._2).sum == n)
+    assert(pairs.size <= kMem + 64, s"${pairs.size} items exceed the memory envelope")
+    val sorted = values.collect().map(_.getDouble(0)).sorted
+    val flatBound = 1.0 / math.sqrt(kMem.toDouble) // the sample's error scale
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = KllDouble.quantile(pairs, q)
+      val trueRank = sorted.count(_ <= est).toDouble
+      val target = math.max(1L, math.ceil(q * n)).toDouble
+      val relErr = math.abs(trueRank - target) / n
+      assert(relErr <= flatBound,
+        s"q=$q: rank error ${"%.4f".format(relErr)} vs flat-sample scale ${"%.4f".format(flatBound)}")
+    }
+  }
+
   test("per-group sketches through a plain groupBy") {
     val n = 30000
     val df = spark.range(n.toLong)
