@@ -381,6 +381,55 @@ object Pipeline {
     * ~16x this many documents. */
   val PackDocsPerShard = 64L
 
+  /** Hash buckets of [[pipeShuffle]]'s deterministic permutation — a
+    * DECLARED constant of the shuffle's identity (part of the order's
+    * definition, like the hash constants): at production scale pick B
+    * so buckets hold ~10⁷ rows and pin it per dataset release. */
+  val ShuffleBuckets = 256
+
+  /** Deterministic GLOBAL shuffle — the pass every training pipeline
+    * runs before packing (epoch order must be pseudorandom yet
+    * reproducible across reruns, engines and partition layouts): each
+    * document's position in the shuffled epoch, defined as the rank
+    * under the lexicographic key `(h mod B, h, doc_id)` with h the
+    * 62-bit permutation row hash — equally pseudorandom as rank-by-h,
+    * and chosen over it because the B-bucket split is DETERMINISTIC
+    * (Spark's rangepartition boundaries are SAMPLED — a sort by raw h
+    * would yield run-dependent partitioning work; the mod-bucket
+    * spelling never samples).
+    *
+    * Scale spelling — no global window anywhere: per-bucket counts
+    * aggregate map-side to B rows, the exclusive prefix over them is
+    * a B-entry DRIVER artifact served back as a literal map
+    * ([[TextAnalysis]]'s lm literal-map posture, `try_element_at`
+    * under ANSI), and the rank window partitions by bucket — B tasks
+    * of n/B rows, never one task sorting the corpus. Emits
+    * (doc_id, pos, shard), shard = pos div [[PackDocsPerShard]] — the
+    * shard files a writer would cut. */
+  def pipeShuffle(s: SparkSession, dir: String): DataFrame = {
+    val b = ShuffleBuckets
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Relational.permHash62(col("doc_id")).as("h"))
+      .withColumn("b", col("h") % lit(b.toLong))
+    val counts = docs.groupBy("b").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = (0 until b).scanLeft(0L) {
+      case (acc, bb) => acc + counts.getOrElse(bb.toLong, 0L)
+    }
+    val offMap = map((0 until b).flatMap(bb =>
+      Seq(lit(bb.toLong), lit(offsets(bb)))): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy("h", "doc_id")
+    docs
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .select(col("doc_id"),
+        (try_element_at(offMap, col("b")) + col("rk") - 1L).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        org.apache.spark.sql.graftexpr.SketchExpressions
+          .intDiv(col("pos"), PackDocsPerShard).as("shard"))
+      .orderBy("doc_id")
+  }
+
   /** Smallest hex-digit count d (1..8) with 16^d shards of
     * [[PackDocsPerShard]] docs covering an nDocs corpus. The same
     * thresholds are spelled as a CASE chain in the oracle SQL, so both
@@ -817,6 +866,18 @@ object Pipeline {
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     // the bottom-k-by-hash holdout replayed exactly: row_number over
     // the identical 62-bit permutation hash, then rank by doc_id
+    // the deterministic epoch permutation replayed as one global
+    // row_number over the identical lexicographic key — the oracle can
+    // afford the global sort the engine spells bucket-wise
+    "pipe_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+        |  ${Relational.permHash62Sql("doc_id")} AS h FROM documents),
+        |r AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY h % $ShuffleBuckets, h, doc_id) - 1
+        |    AS pos FROM h)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(pos // $PackDocsPerShard AS BIGINT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
     "smp_fixed_k" ->
       s"""WITH h AS (SELECT source, doc_id,
         |  ${Relational.permHash62Sql("doc_id")} AS h FROM documents),
@@ -888,6 +949,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_pack" -> (pipePack _),
+    "pipe_shuffle" -> (pipeShuffle _),
     "pipe_pack_bpe" -> (pipePackBpe _),
     "pipe_pack_sp" -> (pipePackSp _),
     "txt_vocab_coverage" -> (txtVocabCoverage _),
