@@ -111,6 +111,56 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Tokens per packed training sequence in [[pipePackMap]]. */
+  val PackSeqTokens = 2048L
+
+  /** The APPLY-TIME packing map — [[pipeShuffle]]'s companion and the
+    * face [[pipePack]]'s sizing report exists for: concatenate the
+    * shuffled corpus and cut every [[PackSeqTokens]] tokens (documents
+    * span cuts, the standard packing rule), emitting per document its
+    * epoch position, global token offset and the first/last training
+    * sequence it lands in — exactly what a sequence writer consumes.
+    *
+    * Scale spelling — the [[pipeShuffle]] bucket discipline extended
+    * to the RUNNING SUM: per-bucket TOKEN totals aggregate map-side to
+    * B rows, their exclusive prefix is a B-entry driver literal map,
+    * and the within-bucket running sum is a window over n/B-row
+    * partitions (exclusive frame, coalesced to 0) — the cumsumRows
+    * carry posture relationally; no task ever scans the corpus's
+    * token stream sequentially. Zero-token documents sit AT their
+    * offset with an empty span (first_seq = last_seq = the cut their
+    * boundary falls in). */
+  def pipePackMap(s: SparkSession, dir: String): DataFrame = {
+    val b = ShuffleBuckets
+    val toks = tokenizedDocs(s, dir)
+      .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tokens"))
+    val docs = toks
+      .select(col("doc_id"), col("n_tokens"),
+        Relational.permHash62(col("doc_id")).as("h"))
+      .withColumn("b", col("h") % lit(b.toLong))
+    val sums = docs.groupBy("b").agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = (0 until b).scanLeft(0L) {
+      case (acc, bb) => acc + sums.getOrElse(bb.toLong, 0L)
+    }
+    val offMap = map((0 until b).flatMap(bb =>
+      Seq(lit(bb.toLong), lit(offsets(bb)))): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy("h", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val iDiv = org.apache.spark.sql.graftexpr.SketchExpressions.intDiv _
+    docs
+      .withColumn("tok_start",
+        try_element_at(offMap, col("b")) +
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        iDiv(col("tok_start"), PackSeqTokens).as("first_seq"),
+        when(col("n_tokens") > 0L,
+          iDiv(col("tok_start") + col("n_tokens") - 1L, PackSeqTokens))
+          .otherwise(iDiv(col("tok_start"), PackSeqTokens)).as("last_seq"))
+      .orderBy("doc_id")
+  }
+
   /** How many documents [[smpFixedK]] holds out per source. */
   val FixedKPerSource = 8
 
@@ -869,6 +919,23 @@ object Pipeline {
     // the deterministic epoch permutation replayed as one global
     // row_number over the identical lexicographic key — the oracle can
     // afford the global sort the engine spells bucket-wise
+    // the packing map replayed with ONE global exclusive running sum
+    // over the identical shuffle key
+    "pipe_pack_map" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |    AS BIGINT) AS n_tokens,
+        |  ${Relational.permHash62Sql("doc_id")} AS h FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (ORDER BY h % $ShuffleBuckets, h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(tok_start AS BIGINT) AS tok_start,
+        |  CAST(tok_start // $PackSeqTokens AS BIGINT) AS first_seq,
+        |  CAST(CASE WHEN n_tokens > 0
+        |    THEN (tok_start + n_tokens - 1) // $PackSeqTokens
+        |    ELSE tok_start // $PackSeqTokens END AS BIGINT) AS last_seq
+        |FROM r ORDER BY doc_id""".stripMargin,
     "pipe_shuffle" ->
       s"""WITH h AS (SELECT doc_id,
         |  ${Relational.permHash62Sql("doc_id")} AS h FROM documents),
@@ -950,6 +1017,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_pack" -> (pipePack _),
     "pipe_shuffle" -> (pipeShuffle _),
+    "pipe_pack_map" -> (pipePackMap _),
     "pipe_pack_bpe" -> (pipePackBpe _),
     "pipe_pack_sp" -> (pipePackSp _),
     "txt_vocab_coverage" -> (txtVocabCoverage _),
