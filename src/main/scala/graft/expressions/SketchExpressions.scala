@@ -1124,6 +1124,47 @@ object KllDouble {
   }
 }
 
+/** The 62-bit digit-vector key hash as ONE compiled expression — the
+  * [[graft.operators.Relational]] `permHash62` math (base-p digits,
+  * two independent mod-p linear combinations) in a single tight JVM
+  * method instead of a ~28-node Catalyst tree. The sketch aggregates
+  * (KMinHash / KSmallestByHash) are TypedImperativeAggregates whose
+  * child expressions evaluate INTERPRETED per row inside
+  * ObjectHashAggregate, so the r19 widening's tree-size tripled the
+  * per-row eval cost there (q_approx_sketch 0.64 → 1.2 s isolated,
+  * A/B-measured); one expression node restores it. Values are
+  * IDENTICAL to the Catalyst spelling and the DuckDB oracle twin —
+  * exact int64 arithmetic, same formulas (equivalence spec-gated in
+  * RelationalSpec; CodegenGate compile-gated). */
+case class PermHash62(child: Expression, p: Long,
+    a1: Long, a3: Long, a5: Long, b1: Long,
+    a2: Long, a4: Long, a6: Long, b2: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_perm_hash62"
+
+  def compute(x: Long): Long = {
+    val d0 = x % p
+    val d1 = (x / p) % p
+    val d2 = x / (p * p)
+    val h1 = ((a1 * d0) % p + (a3 * d1) % p + (a5 * d2) % p + b1) % p
+    val h2 = ((a2 * d0) % p + (a4 * d1) % p + (a6 * d2) % p + b2) % p
+    h1 * p + h2
+  }
+
+  override def nullSafeEval(x: Any): Any = compute(x.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("permHash62", this, classOf[PermHash62].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.compute($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class JaccardSet(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with ImplicitCastInputTypes {
@@ -1258,4 +1299,11 @@ object SketchExpressions {
   def kllDouble(c: Column, k: Int): Column =
     ExpressionUtils.column(
       KllDouble(ExpressionUtils.expression(c), k).toAggregateExpression())
+
+  /** Column wrapper for [[PermHash62]]. */
+  def permHash62Native(c: Column, p: Long,
+      a1: Long, a3: Long, a5: Long, b1: Long,
+      a2: Long, a4: Long, a6: Long, b2: Long): Column =
+    ExpressionUtils.column(PermHash62(
+      ExpressionUtils.expression(c), p, a1, a3, a5, b1, a2, a4, a6, b2))
 }

@@ -540,18 +540,23 @@ object Relational {
   val SkA5: Long = 1 + graft.functions.localHash60("sketch_a_5") % (SkP - 1)
   val SkA6: Long = 1 + graft.functions.localHash60("sketch_a_6") % (SkP - 1)
 
-  /** 62-bit digit-vector hash of a NON-NEGATIVE int64 key column. */
-  private[graft] def permHash62(x: Column): Column = {
-    import org.apache.spark.sql.graftexpr.SketchExpressions.intDiv
-    val d0 = x % lit(SkP)
-    val d1 = intDiv(x, SkP) % lit(SkP)
-    val d2 = intDiv(x, SkP * SkP)
-    val h1 = ((lit(SkA1) * d0) % lit(SkP) + (lit(SkA3) * d1) % lit(SkP) +
-      (lit(SkA5) * d2) % lit(SkP) + lit(SkB1)) % lit(SkP)
-    val h2 = ((lit(SkA2) * d0) % lit(SkP) + (lit(SkA4) * d1) % lit(SkP) +
-      (lit(SkA6) * d2) % lit(SkP) + lit(SkB2)) % lit(SkP)
-    h1 * lit(SkP) + h2
-  }
+  /** 62-bit digit-vector hash of a NON-NEGATIVE int64 key column —
+    * one compiled expression node
+    * ([[org.apache.spark.sql.graftexpr.PermHash62]]): the Catalyst
+    * spelling of the same math built a ~28-node tree that the sketch
+    * aggregates evaluate INTERPRETED per row (TypedImperativeAggregate
+    * children inside ObjectHashAggregate), tripling q_approx_sketch's
+    * cost — A/B-measured and re-kerneled r19. The coalesce makes the
+    * hash provably NON-NULLABLE so a join on it never infers
+    * IsNotNull(hash) — the inferred predicate pushes the kernel into
+    * the parquet scan and evaluates it twice per row (the §4
+    * pushdown-duplication class, caught by PlanShapeSpec on
+    * smp_fixed_k; every call site hashes a non-null key, so the −1
+    * branch is dead and the oracle twin needs no coalesce). */
+  private[graft] def permHash62(x: Column): Column =
+    coalesce(org.apache.spark.sql.graftexpr.SketchExpressions.permHash62Native(
+      x.cast("long"), SkP, SkA1, SkA3, SkA5, SkB1, SkA2, SkA4, SkA6, SkB2),
+      lit(-1L))
 
   /** [[permHash62]] in plain JVM longs — the driver/spec twin (the
     * identical digit decomposition and staged mod-p arithmetic). */

@@ -45,6 +45,8 @@ class CodegenGateSpec extends AnyFunSuite {
         Seq(4), Seq(1L), isMax = true),
       "GatherStatic" -> GatherStatic(br(arrD), Seq(2, 2), Seq(1, 1), Seq(0, 0), Seq(2, 1)),
       "FftLine" -> FftLine(br(arrD), 8),
+      "PermHash62" -> PermHash62(br(LongType), 2147483647L,
+        3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L),
       "FftLineC" -> FftLineC(br(arrD), br(arrD, 1), 8),
       "AxisSumDec" -> AxisSumDec(br(arrD), Seq(2, 2), 0, ansi = true),
       "AxisMomentsDec" -> AxisMomentsDec(br(arrD), Seq(2, 2), 0, ansi = true),

@@ -637,6 +637,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(perSource.nonEmpty && perSource.forall(_.getAs[Long]("count") <= 15))
   }
 
+  test("PermHash62 kernel == the JVM twin == the Catalyst digit spelling") {
+    import graft.operators.Relational
+    // edge keys: digit boundaries, the 2^31/p seams the widening fixed,
+    // and a dense pseudorandom sweep
+    val edge = Seq(0L, 1L, Relational.SkP - 1, Relational.SkP,
+      Relational.SkP + 1, (1L << 31) - 1, 1L << 31, (1L << 31) + 1,
+      Relational.SkP * Relational.SkP - 1, Relational.SkP * Relational.SkP,
+      (1L << 62) - 1, 1L << 62, Long.MaxValue)
+    val sweep = (0 until 2000).map(i => (i.toLong * 4611686018427387847L) & Long.MaxValue)
+    val keys = (edge ++ sweep).distinct
+    val got = keys.toDF("x")
+      .select(col("x"), Relational.permHash62(col("x")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- keys) {
+      assert(got(k) == Relational.permHash62L(k), s"key $k")
+      assert(got(k) >= 0L && got(k) < Relational.SkP * Relational.SkP, s"range of $k")
+    }
+    // the seam that motivated the widening: keys a multiple of p apart
+    // no longer collide with certainty
+    val collisions = (1 to 1000).count(i =>
+      Relational.permHash62L(i.toLong) ==
+        Relational.permHash62L(i.toLong + Relational.SkP))
+    assert(collisions == 0, s"$collisions deterministic p-stride collisions")
+  }
+
   test("sketch aggregates stay within their error bounds") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val exact = li

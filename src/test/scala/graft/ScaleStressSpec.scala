@@ -187,6 +187,36 @@ class ScaleStressSpec extends AnyFunSuite {
       r.getAs[Long]("rm_words") == 16L && r.getAs[Long]("kept_words") == 0L))
   }
 
+  test("token-granularity ExactSubstr spans hold under 100x duplication") {
+    // the dd_substr_tok machinery (the word pass parameterized at a
+    // different gram size) on a 100x-duplicated token corpus: state is
+    // O(distinct grams), keep-first survives, every copy cuts whole —
+    // the word-level stress carried to the re-keyed face.
+    val nDistinct = 100
+    val dup = 100
+    val n = 3
+    val docs = spark.range(nDistinct.toLong * dup)
+      .select(col("id").as("doc_id"), lit("s").as("source"),
+        concat_ws(" ", (0 until 8).map(j =>
+          concat(lit(s"t${j}_"), (col("id") % nDistinct).cast("string"))): _*)
+          .as("text"))
+    val rel = docs.select(col("doc_id"), col("source"),
+      org.apache.spark.sql.graftexpr.TextExpressions
+        .hashWordNgramsSeq(col("text"), n).as("raw"))
+      .select(col("doc_id"), col("source"),
+        element_at(col("raw"), 1).as("n_words"),
+        slice(col("raw"), lit(2), greatest(size(col("raw")) - 1, lit(0))).as("gs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spans = Dedup.substrSpansOf(rel, n)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("s"), r.getAs[Long]("e"))))
+    rel.unpersist(blocking = false)
+    // exactly one whole-doc span per non-keep-first copy
+    assert(spans.length == nDistinct * (dup - 1))
+    assert(spans.forall { case (_, (s, e)) => s == 0L && e == 8L })
+    assert(spans.forall(_._1 >= nDistinct.toLong), "keep-firsts untouched")
+  }
+
   test("GramWide is exact where GramLong's checked accumulation fails loudly") {
     // VERDICT r17 #3: the documented DECIMAL(38,0) widening, as code.
     // dim=1 vectors of 2^31 -> each product is 2^62; three rows sum to
