@@ -317,6 +317,45 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         element_at(col("g").getField("im"), col("u") + 1).as("im"))
   }
 
+  /** Circular CROSS-CORRELATION with an aligned 1-d array via the
+    * correlation theorem (`xcorr = ifft(conj(fft(a))·fft(b))` — "at
+    * what lag does field B echo field A", the two-field in-situ
+    * analytic): both spectra explode to skinny per-bin rows (the
+    * Generate under [[fftRows]] is the materialization barrier that
+    * keeps each kernel evaluated ONCE), the conjugate product is a
+    * per-bin scalar join on (timestep, bin) — n rows per timestep,
+    * never payload-wide — and the inverse runs the shared butterfly.
+    * Timesteps present in only one operand drop (the [[zipWith]]
+    * inner-join convention). Returns `(timestep, u, re, im)`, u the
+    * lag; every value including the ~1e-13 imaginary dust replays
+    * bit-for-bit in the oracle's twin chains. */
+  def xcorrFftRows(other: ChunkedArray): DataFrame = {
+    require(geom.dims == 1 && other.geom.dims == 1 && geom == other.geom,
+      s"xcorrFftRows requires aligned 1-d arrays, got $geom vs ${other.geom}")
+    val n = geom.dimSize(0)
+    val fx = org.apache.spark.sql.graftexpr.Fft
+    val fa = fftRows().select(col("timestep"), col("u"),
+      col("re").as("ar"), col("im").as("ai"))
+    val fb = other.fftRows().select(col("timestep"), col("u"),
+      col("re").as("br"), col("im").as("bi"))
+    // both spectra are fact-derived (O(timesteps · n) rows) — the
+    // per-bin join must shuffle on its key, never broadcast a side
+    val prod = fa.join(fb.hint("shuffle_hash"), Seq("timestep", "u"))
+      .select(col("timestep"), col("u"),
+        // conj(A)·B spelled operand-for-operand with the oracle
+        (col("ar") * col("br") + col("ai") * col("bi")).as("pr"),
+        (col("ar") * col("bi") - col("ai") * col("br")).as("pi"))
+    val lines = prod.groupBy("timestep")
+      .agg(array_sort(collect_list(struct(col("u"), col("pr"), col("pi")))).as("c"))
+      .select(col("timestep"),
+        transform(col("c"), e => e.getField("pr")).as("pr"),
+        transform(col("c"), e => e.getField("pi")).as("pi"))
+    complexRows(lines
+      .select(col("timestep"), fx.fftLineC(
+        col("pr"), transform(col("pi"), v => -v), n).as("g")),
+      "g", Some(n.toDouble))
+  }
+
   /** One-sided power spectrum of the 1-d array per timestep (the
     * `abs(fft)²` plot an in-situ analyst draws from `da.fft`): bins
     * 0..n/2 of [[fftRows]] with `power = re·re + im·im` — spelled in

@@ -1288,6 +1288,21 @@ object ArrayQueries {
           lit(1000.0)).as("psd"))
       .orderBy("u")
 
+  /** Circular cross-correlation of the EVEN vs ODD parity fields via
+    * the correlation theorem ("at what lag does one half of the event
+    * stream echo the other";
+    * [[graft.arrays.ChunkedArray.xcorrFftRows]]): both parity arrays
+    * come from the ONE-scan [[parityCells]] relation (the
+    * arr_mean_diff posture), spectra meet in a skinny per-bin join,
+    * the conjugate product and inverse replay operand-for-operand in
+    * the oracle's twin stage chains over the INTERSECT of parity
+    * timesteps. */
+  def arrXcorr(s: SparkSession, dir: String): DataFrame =
+    parityArray(s, dir, even = true)
+      .xcorrFftRows(parityArray(s, dir, even = false))
+      .withColumnRenamed("u", "lag")
+      .orderBy("timestep", "lag")
+
   /** numpy/dask `fft2` of the 2-d field per timestep — the four-step
     * composition [[arrFft]]'s scale caveat declared, shipped as code
     * ([[graft.arrays.ChunkedArray.fft2Rows]]): real row pass along the
@@ -1638,6 +1653,53 @@ object ArrayQueries {
          |  FROM s$st),
          |${fftInverseCtes(n, "prod", "pr", "pi", "t")}
          |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS u,
+         |  re[CAST(u + 1 AS INT)] / CAST(64 AS DOUBLE) AS re,
+         |  (-im[CAST(u + 1 AS INT)]) / CAST(64 AS DOUBLE) AS im
+         |FROM t$st CROSS JOIN (SELECT unnest(range($n)) AS u) g
+         |ORDER BY 1, 2""".stripMargin
+    },
+    // twin forward chains over the parity lines (intersect days), the
+    // conjugate product by bin, one inverse chain
+    "arr_xcorr" -> {
+      val n = 64
+      val st = org.apache.spark.sql.graftexpr.Fft.log2(n)
+      def pcells(name: String, par: Int): String =
+        s"""$name AS (
+           |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS timestep,
+           |    user_id % 64 AS u,
+           |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS cell
+           |  FROM events WHERE event_id % 2 = $par GROUP BY 1, 2)""".stripMargin
+      def plines(cells: String, lines: String): String =
+        s"""$lines AS (
+           |  SELECT d.timestep, list(COALESCE(c.cell, 0.0) ORDER BY r.u) AS x
+           |  FROM days d
+           |  CROSS JOIN (SELECT unnest(range($n)) AS u) r
+           |  LEFT JOIN $cells c ON c.timestep = d.timestep AND c.u = r.u
+           |  GROUP BY 1)""".stripMargin
+      def chain0(lines: String, pfx: String): String =
+        s"""${pfx}0 AS (SELECT timestep, wr, wi,
+           |  list_transform(${brevList(n)}, j -> x[j+1]) AS re,
+           |  list_transform(range($n), z -> CAST(0.0 AS DOUBLE)) AS im
+           |  FROM $lines CROSS JOIN tw)""".stripMargin
+      s"""WITH ${pcells("acells", 0)},
+         |${pcells("bcells", 1)},
+         |days AS (SELECT DISTINCT timestep FROM acells
+         |  INTERSECT SELECT DISTINCT timestep FROM bcells),
+         |${plines("acells", "alines")},
+         |${plines("bcells", "blines")},
+         |${twiddleCte(n, "tw")},
+         |${chain0("alines", "a")},
+         |${fftStageCtes(n, Seq("timestep"), "a")},
+         |${chain0("blines", "b")},
+         |${fftStageCtes(n, Seq("timestep"), "b")},
+         |prod AS (SELECT a.timestep, a.wr, a.wi,
+         |  list_transform(range($n),
+         |    i -> a.re[i+1] * b.re[i+1] + a.im[i+1] * b.im[i+1]) AS pr,
+         |  list_transform(range($n),
+         |    i -> a.re[i+1] * b.im[i+1] - a.im[i+1] * b.re[i+1]) AS pi
+         |  FROM a$st a JOIN b$st b ON a.timestep = b.timestep),
+         |${fftInverseCtes(n, "prod", "pr", "pi", "t")}
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS lag,
          |  re[CAST(u + 1 AS INT)] / CAST(64 AS DOUBLE) AS re,
          |  (-im[CAST(u + 1 AS INT)]) / CAST(64 AS DOUBLE) AS im
          |FROM t$st CROSS JOIN (SELECT unnest(range($n)) AS u) g
@@ -2604,6 +2666,7 @@ object ArrayQueries {
     "arr_ifft" -> (arrIfft _),
     "arr_conv_fft" -> (arrConvFft _),
     "arr_psd" -> (arrPsd _),
+    "arr_xcorr" -> (arrXcorr _),
     "arr_spectrum" -> (arrSpectrum _),
     "arr_sum_ts" -> (arrSumTs _),
     "arr_histogram" -> (arrHistogram _),

@@ -156,6 +156,29 @@ class FftSpec extends AnyFunSuite {
     assert(e.getMessage.contains("full circular length"))
   }
 
+  test("correlation theorem: fft-path xcorr equals the direct lag sums") {
+    val a = arr(t => i => ((i * 11 + 2 + t) % 9) * 0.5)
+    val b = arr(t => i => ((i * 5 + 7 + t * 2) % 13) * 0.25)
+    val got = a.xcorrFftRows(b).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    for (t <- Seq(0L, 1L)) {
+      val xa = (0 until N).map(i => ((i * 11 + 2 + t) % 9) * 0.5)
+      val xb = (0 until N).map(i => ((i * 5 + 7 + t * 2) % 13) * 0.25)
+      for (l <- 0 until N) {
+        val want = (0 until N).map(j => xa(j) * xb((j + l) % N)).sum
+        val (re, im) = got((t, l.toLong))
+        assert(math.abs(re - want) < 1e-9, s"t=$t lag=$l: $re vs $want")
+        assert(math.abs(im) < 1e-12, s"t=$t lag=$l residual imag $im")
+      }
+    }
+    // a timestep present in only one operand drops (the zip convention)
+    val aOnly = arr(t => i => i.toDouble, Seq(0L, 7L))
+    val keys = aOnly.xcorrFftRows(b).select("timestep").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(keys == Set(0L))
+  }
+
   test("fft2 agrees with the independent O(n^4) 2-d reference DFT") {
     import graft.arrays.{ArrayGeometry, ChunkedArray}
     val n = 8
