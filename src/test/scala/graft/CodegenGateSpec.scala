@@ -94,7 +94,9 @@ class CodegenGateSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      for (q <- Seq("arr_cumsum", "arr_cumsum2d", "arr_reshape_flat")) {
+      // + the r19 spectral chain (FftLine/FftLineC/PermHash62 paths)
+      for (q <- Seq("arr_cumsum", "arr_cumsum2d", "arr_reshape_flat",
+          "arr_fft", "arr_xcorr", "q_approx_sketch")) {
         val n = SparkEntry.queries(q)(spark, sf).count()
         assert(n > 0, s"$q returned no rows")
       }
