@@ -972,41 +972,11 @@ case class KllDouble(
 
   override def createAggregationBuffer(): KllDouble.Buf = new KllDouble.Buf
 
-  /** Compact level i if over capacity, cascading upward: sort; an
-    * odd-length level holds ONE boundary item back (alternating which
-    * end — weight is conserved exactly: 2·(m/2 promoted) + held == m);
-    * the even remainder keeps every second item from the level's
-    * alternating parity and promotes at doubled weight. */
-  private def compactFrom(buf: KllDouble.Buf, from: Int): Unit = {
-    var i = from
-    // visit EVERY level: a merge can overfill a high level while the
-    // ones below it are within capacity (promotions land at i+1,
-    // which the walk reaches next)
-    while (i < buf.levels.length) {
-      if (buf.levels(i).length <= k) { i += 1 }
-      else {
-      val lvl = buf.levels(i)
-      val arr = lvl.toArray
-      java.util.Arrays.sort(arr)
-      lvl.clear()
-      if (i + 1 >= buf.levels.length) {
-        buf.levels += new scala.collection.mutable.ArrayBuffer[Double]
-        buf.parity += 0
-      }
-      val p = buf.parity(i)
-      var lo = 0
-      var hi = arr.length
-      if (arr.length % 2 == 1) {
-        if (p == 0) { hi -= 1; lvl += arr(hi) } else { lvl += arr(0); lo = 1 }
-      }
-      val up = buf.levels(i + 1)
-      var j = lo + p
-      while (j < hi) { up += arr(j); j += 2 }
-      buf.parity(i) = 1 - p
-      i += 1
-      }
-    }
-  }
+  /** See [[KllDouble.compact]] — shared with the streaming running
+    * state, which folds eval()'d (value, weight) pairs into the same
+    * Buf and compacts with the same rules. */
+  private def compactFrom(buf: KllDouble.Buf, from: Int): Unit =
+    KllDouble.compact(buf, k, from)
 
   override def update(buf: KllDouble.Buf,
       input: org.apache.spark.sql.catalyst.InternalRow): KllDouble.Buf = {
@@ -1104,6 +1074,75 @@ object KllDouble {
     val levels = scala.collection.mutable.ArrayBuffer.empty[
       scala.collection.mutable.ArrayBuffer[Double]]
     val parity = scala.collection.mutable.ArrayBuffer.empty[Int]
+  }
+
+  /** Compact every level over capacity `k`, cascading upward: sort; an
+    * odd-length level holds ONE boundary item back (alternating which
+    * end — weight is conserved exactly: 2·(m/2 promoted) + held == m);
+    * the even remainder keeps every second item from the level's
+    * alternating parity and promotes at doubled weight. A merge can
+    * overfill a high level while the ones below are within capacity,
+    * so the walk visits EVERY level from `from` (promotions land at
+    * i+1, which it reaches next). */
+  private[graftexpr] def compact(buf: Buf, k: Int, from: Int = 0): Unit = {
+    var i = from
+    while (i < buf.levels.length) {
+      if (buf.levels(i).length <= k) { i += 1 }
+      else {
+        val lvl = buf.levels(i)
+        val arr = lvl.toArray
+        java.util.Arrays.sort(arr)
+        lvl.clear()
+        if (i + 1 >= buf.levels.length) {
+          buf.levels += new scala.collection.mutable.ArrayBuffer[Double]
+          buf.parity += 0
+        }
+        val p = buf.parity(i)
+        var lo = 0
+        var hi = arr.length
+        if (arr.length % 2 == 1) {
+          if (p == 0) { hi -= 1; lvl += arr(hi) } else { lvl += arr(0); lo = 1 }
+        }
+        val up = buf.levels(i + 1)
+        var j = lo + p
+        while (j < hi) { up += arr(j); j += 2 }
+        buf.parity(i) = 1 - p
+        i += 1
+      }
+    }
+  }
+
+  /** Fold eval()'d (value, weight-2^i) pairs into `buf` — the
+    * streaming consumer's merge: each item inserts at its weight's
+    * level (level lists concatenate, exactly like the aggregate's own
+    * merge), then one compaction pass. Weights must be powers of two
+    * (the sketch's own output invariant). */
+  def mergePairs(buf: Buf, k: Int, pairs: Iterator[(Double, Long)]): Unit = {
+    while (pairs.hasNext) {
+      val (v, w) = pairs.next()
+      require(w > 0 && (w & (w - 1)) == 0, s"weight $w is not a power of two")
+      val lvl = java.lang.Long.numberOfTrailingZeros(w)
+      while (buf.levels.length <= lvl) {
+        buf.levels += new scala.collection.mutable.ArrayBuffer[Double]
+        buf.parity += 0
+      }
+      buf.levels(lvl) += v
+      buf.n += w
+    }
+    compact(buf, k)
+  }
+
+  /** The (value, weight) pairs of a Buf, sorted — [[quantile]]'s
+    * input shape (the same ordering eval() emits). */
+  def pairsOf(buf: Buf): Seq[(Double, Long)] = {
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    var i = 0
+    while (i < buf.levels.length) {
+      val w = 1L << i
+      buf.levels(i).foreach(v => pairs += ((v, w)))
+      i += 1
+    }
+    pairs.sortBy(identity).toSeq
   }
 
   /** Rank query over an eval()'d sketch: the smallest value whose
