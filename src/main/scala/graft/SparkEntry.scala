@@ -79,6 +79,9 @@ object SparkEntry {
     "ev_quantiles" -> (Relational.evQuantiles _),
     "ev_quantiles_cont" -> (Relational.evQuantilesCont _),
     "ev_heavy_hitters" -> (Relational.evHeavyHitters _),
+    "ev_session_stats" -> (Relational.evSessionStats _),
+    "ev_gap_stats" -> (Relational.evGapStats _),
+    "ev_cohort_matrix" -> (Relational.evCohortMatrix _),
   )
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -741,6 +744,67 @@ object SparkEntry {
          |  CASE WHEN lp IS NOT NULL
          |    THEN epoch_us(ts) - epoch_us(lp) END AS staleness_us
          |FROM wi WHERE isp = 0 ORDER BY event_id""".stripMargin,
+    // same 30-min sessionization windows; median via the conditional-
+    // MIN-at-ceil(n/2) percentile_disc scaffold over per-user sessions
+    "ev_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(CASE WHEN prev_ts IS NULL
+        |        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM e),
+        |d AS (
+        |  SELECT user_id, session_id,
+        |    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us, COUNT(*) AS n_ev
+        |  FROM s GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id, session_id, dur_us, n_ev,
+        |    COUNT(*) OVER (PARTITION BY user_id ORDER BY dur_us, session_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM d)
+        |SELECT user_id, MAX(n) AS n_sessions, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  MIN(CASE WHEN cum >= CAST(ceil(n / 2.0) AS BIGINT) THEN dur_us END) AS med_dur_us,
+        |  MAX(dur_us) AS max_dur_us
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-(user,type) lag gaps in exact microseconds; the ev_quantiles
+    // histogram-cumulative scaffold per type
+    "ev_gap_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+        |  FROM e WHERE prev_ts IS NOT NULL),
+        |h AS (SELECT event_type, gap_us, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, gap_us, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+        |  MIN(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT) THEN gap_us END) AS med_gap_us,
+        |  MIN(CASE WHEN cum >= CAST(ceil(n * 0.9) AS BIGINT) THEN gap_us END) AS p90_gap_us,
+        |  MAX(gap_us) AS max_gap_us
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // distinct (user, week) activity; cohort = min week per user
+    "ev_cohort_matrix" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset, COUNT(*) AS n_users
+        |FROM wk JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_asof_nearest" ->
       """WITH u AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -1316,6 +1316,73 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       .groupBy("timestep")
       .agg(sum(col("csum")).cast("double").as(alias))
 
+  /** numpy `searchsorted(sort(x), q, side='left')` per timestep for a
+    * fixed literal query vector: the insertion index of q into the
+    * SORTED line is just the COUNT of cells strictly below q — so no
+    * sort and no line assembly ever happen. Each threshold is one
+    * conditional partial aggregate (chunk-local fold), ONE
+    * timestep-keyed shuffle carries |thresholds| longs per chunk; at
+    * 100 TB the cost is the scan. Returns `(timestep, q, idx)`. */
+  def searchSortedPerTimestep(thresholds: Seq[Double]): DataFrame = {
+    require(geom.dims == 1, "searchsorted runs on the 1-d array")
+    require(thresholds.nonEmpty, "need at least one query threshold")
+    val exploded = df.select(col("timestep"), explode(col("data")).as("v"))
+    val aggs = thresholds.zipWithIndex.map { case (t, j) =>
+      sum(when(col("v") < lit(t), 1L).otherwise(0L)).as(s"c$j") }
+    val agged = exploded.groupBy("timestep").agg(aggs.head, aggs.tail: _*)
+    val entries = thresholds.zipWithIndex.map { case (t, j) =>
+      struct(lit(t).as("q"), col(s"c$j").as("idx")) }
+    agged.select(col("timestep"), explode(array(entries: _*)).as("e"))
+      .select(col("timestep"), col("e.q").as("q"), col("e.idx").as("idx"))
+  }
+
+  /** numpy `linalg.norm` family per timestep line — L1, L2, L∞ in one
+    * pass: cells are decimal(18,2)-exact doubles, so |x| sums and x²
+    * sums stay EXACT in decimal (the sumPerTimestep discipline; the
+    * lone double op is the final sqrt, same operand both engines);
+    * chunk-local partials, ONE timestep-keyed shuffle of three scalars
+    * per chunk. Returns `(timestep, l1, l2, linf)`. */
+  def normsPerTimestep(): DataFrame = {
+    require(geom.dims == 1, "norms run on the 1-d array")
+    val d = col("v").cast("decimal(18,2)")
+    df.select(col("timestep"), explode(col("data")).as("v"))
+      .groupBy("timestep")
+      .agg(
+        sum(abs(d)).cast("double").as("l1"),
+        sum(d * d).cast("double").as("sumsq"),
+        max(abs(d)).cast("double").as("linf"))
+      .select(col("timestep"), col("l1"), sqrt(col("sumsq")).as("l2"),
+        col("linf"))
+  }
+
+  /** numpy `convolve(x, k, mode='valid')` with the kernel given in its
+    * sliding-dot orientation (the FIR filter y[i] = Σⱼ k[j]·x[i+j]) —
+    * the DIRECT-form companion of [[convolveFftRows]] for short taps
+    * (direct is O(n·k); the theorem path wins only once k ~ log n).
+    * Exact SCALED-INTEGER math end to end: cells are
+    * decimal(18,2)-exact so `x·100` is an exact BIGINT, taps are given
+    * in hundredths, and every y is an exact BIGINT at scale 10⁻⁴ — no
+    * double math crosses engines at all. One line-assembly shuffle
+    * (the spectral wire posture), then the whole filter is one narrow
+    * per-line transform. Returns `(timestep, i, y_q, y)`. */
+  def convolveValidRows(tapsHundredths: Seq[Long]): DataFrame = {
+    require(geom.dims == 1, "valid-mode convolution runs on the 1-d array")
+    val n = geom.dimSize(0)
+    val k = tapsHundredths.length
+    require(k >= 1 && k <= n, s"kernel length $k out of range 1..$n")
+    val xq = transform(col("x"), v =>
+      (v.cast("decimal(18,2)") * 100).cast("bigint"))
+    linePerTimestep()
+      .select(col("timestep"), xq.as("xq"))
+      .select(col("timestep"),
+        posexplode(transform(sequence(lit(0), lit(n - k)), i =>
+          tapsHundredths.zipWithIndex
+            .map { case (t, j) => lit(t) * element_at(col("xq"), i + j + 1) }
+            .reduce(_ + _))).as(Seq("i", "y_q")))
+      .select(col("timestep"), col("i").cast("bigint").as("i"), col("y_q"),
+        (col("y_q").cast("double") / lit(10000.0)).as("y"))
+  }
+
   /** One-pass per-timestep stats (n/sum/min/max) from chunk partials. */
   def statsPerTimestep: DataFrame =
     df.select(col("timestep"),

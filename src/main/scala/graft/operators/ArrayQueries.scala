@@ -1313,6 +1313,59 @@ object ArrayQueries {
   def arrFft2(s: SparkSession, dir: String): DataFrame =
     eventsArray2dCached(s, dir).fft2Rows().orderBy("timestep", "u", "v")
 
+  /** numpy `searchsorted` per timestep for a fixed query vector (the
+    * in-situ "how many cells sit below each alert threshold" lookup —
+    * insertion indices into the sorted daily field without ever
+    * sorting it; [[graft.arrays.ChunkedArray.searchSortedPerTimestep]]:
+    * each index is a chunk-local conditional count, one timestep-keyed
+    * shuffle of |q| longs per chunk). */
+  def arrSearchsorted(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir)
+      .searchSortedPerTimestep(SearchThresholds)
+      .orderBy("timestep", "q")
+
+  val SearchThresholds: Seq[Double] = Seq(0.5, 50.0, 200.0, 500.0, 2000.0)
+
+  /** numpy `linalg.norm` L1/L2/L∞ of the daily field line in one pass
+    * ([[graft.arrays.ChunkedArray.normsPerTimestep]]): |x| and x² sums
+    * exact in decimal, the lone double op is the final sqrt — same
+    * operand both engines. */
+  def arrNorms(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).normsPerTimestep().orderBy("timestep")
+
+  /** The direct 5-tap FIR smoothing filter [[ConvTaps]] in 'valid'
+    * mode (numpy `convolve(x, k, 'valid')` — the direct-form companion
+    * of [[arrConvFft]]'s theorem path;
+    * [[graft.arrays.ChunkedArray.convolveValidRows]]): exact
+    * scaled-integer math end to end, no double crosses engines. */
+  def arrConvolve(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).convolveValidRows(ConvTaps).orderBy("timestep", "i")
+
+  /** [[ConvKernel]]'s center taps in hundredths (0.1 0.2 0.4 0.2 0.1). */
+  val ConvTaps: Seq[Long] = Seq(10L, 20L, 40L, 20L, 10L)
+
+  /** numpy `interp` along the TIME axis per cell (the gap-filling
+    * resample an in-situ analyst runs when timesteps arrive unevenly):
+    * for each consecutive present-day pair a quarter-way sample
+    * `v0 + (v1-v0)·0.25` at `t0 + (t1-t0)·0.25` — linear interpolation
+    * with the fraction exact and the double ops spelled
+    * operand-for-operand in the oracle. One lead window per cell index
+    * (width = that cell's timestep count — the time dimension, bounded
+    * per simulation run, never the spatial corpus). */
+  def arrInterp(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("i0").orderBy("timestep")
+    eventsArray1dCached(s, dir).rowsNd
+      .withColumn("t1", lead(col("timestep"), 1).over(w))
+      .withColumn("v1", lead(col("value"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(col("i0").as("u"),
+        (col("timestep").cast("double") +
+          (col("t1") - col("timestep")).cast("double") * lit(0.25)).as("tq"),
+        (col("value") + (col("v1") - col("value")) * lit(0.25)).as("vq"))
+      .orderBy("u", "tq")
+  }
+
   // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
 
   private val CELLS_1D =
@@ -1586,6 +1639,72 @@ object ArrayQueries {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    // insertion index = count of dense cells strictly below each literal
+    // threshold (zero-filled cells count like the engine's dense array)
+    "arr_searchsorted" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |q AS (SELECT unnest([${SearchThresholds.mkString(", ")}]) AS q)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, q,
+         |  CAST(SUM(CASE WHEN cell < q THEN 1 ELSE 0 END) AS BIGINT) AS idx
+         |FROM dense CROSS JOIN q
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // |x| and x² exact in decimal; the lone double op is the final sqrt
+    "arr_norms" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(SUM(abs(CAST(cell AS DECIMAL(18,2)))) AS DOUBLE) AS l1,
+         |  sqrt(CAST(SUM(CAST(cell AS DECIMAL(18,2))
+         |    * CAST(cell AS DECIMAL(18,2))) AS DOUBLE)) AS l2,
+         |  CAST(MAX(abs(CAST(cell AS DECIMAL(18,2)))) AS DOUBLE) AS linf
+         |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact scaled-integer FIR: x·100 BIGINT, taps in hundredths,
+    // y_q at scale 10⁻⁴ — integer adds are order-free
+    "arr_convolve" -> {
+      val k = ConvTaps.length
+      val terms = ConvTaps.zipWithIndex
+        .map { case (t, j) => s"$t * xq[i + ${j + 1}]" }.mkString(" + ")
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |lines AS (SELECT timestep,
+         |  list(CAST(CAST(cell AS DECIMAL(18,2)) * 100 AS BIGINT) ORDER BY u) AS xq
+         |  FROM dense GROUP BY 1),
+         |y AS (SELECT timestep, i, $terms AS y_q
+         |  FROM lines CROSS JOIN (SELECT unnest(range(${64 - k + 1})) AS i))
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(i AS BIGINT) AS i,
+         |  y_q, CAST(y_q AS DOUBLE) / 10000.0 AS y
+         |FROM y ORDER BY 1, 2""".stripMargin
+    },
+    // quarter-way linear interpolation between consecutive present days,
+    // per cell index — same lead window, same double operand order
+    "arr_interp" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |l AS (SELECT timestep, u, cell,
+         |  LEAD(timestep) OVER (PARTITION BY u ORDER BY timestep) AS t1,
+         |  LEAD(cell) OVER (PARTITION BY u ORDER BY timestep) AS v1
+         |  FROM dense)
+         |SELECT CAST(u AS BIGINT) AS u,
+         |  CAST(timestep AS DOUBLE) + CAST(t1 - timestep AS DOUBLE) * 0.25 AS tq,
+         |  cell + (v1 - cell) * 0.25 AS vq
+         |FROM l WHERE t1 IS NOT NULL ORDER BY 1, 2""".stripMargin,
     // radix-2 butterfly replayed stage-for-stage, element-for-element
     "arr_fft" -> {
       val n = 64
@@ -2661,6 +2780,10 @@ object ArrayQueries {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "arr_searchsorted" -> (arrSearchsorted _),
+    "arr_norms" -> (arrNorms _),
+    "arr_convolve" -> (arrConvolve _),
+    "arr_interp" -> (arrInterp _),
     "arr_fft" -> (arrFft _),
     "arr_fft2" -> (arrFft2 _),
     "arr_ifft" -> (arrIfft _),

@@ -1305,4 +1305,91 @@ object Relational {
       .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n_events"), max(col("k")).as("max_k"))
       .orderBy("k_bucket")
+
+  /** Per-user session DURATION profile — [[evSessionize]]'s counts with
+    * the metric product analytics actually reads off sessions (how long
+    * does a user stay): the same 30-min gap machinery assigns session
+    * ids, events collapse to one row per (user, session) carrying exact
+    * BIGINT-microsecond span + event count, and the per-user summary
+    * (median/max duration) runs over the SESSION relation — windows are
+    * partitioned per user with width = that user's session count, never
+    * raw events. Median is percentile_disc semantics (conditional MIN at
+    * ceil(n/2) — an actual data value, exact cross-engine). */
+  def evSessionStats(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = Tables.load(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"),
+        count(lit(1)).as("n_ev"))
+    // percentile_disc scaffold over the per-user session durations
+    val w = Window.partitionBy("user_id").orderBy("dur_us", "session_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions
+      .withColumn("cum", count(lit(1)).over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        min(when(col("cum") >= ceil(col("n") / lit(2.0)).cast("bigint"),
+          col("dur_us"))).as("med_dur_us"),
+        max(col("dur_us")).as("max_dur_us"))
+      .orderBy("user_id")
+  }
+
+  /** Inter-arrival gap profile per event type (the traffic-shape
+    * statistic next to the SLO quantiles): consecutive same-user
+    * same-type gaps in exact BIGINT microseconds (one window per
+    * (user, type) — width = one user's events of that type), then the
+    * [[evQuantiles]] histogram-cumulative scaffold per type: the gap
+    * histogram shuffles O(distinct gap values), each quantile a
+    * conditional MIN at ceil(q·n) — percentile_disc semantics, exact
+    * cross-engine, no doubles anywhere. */
+  def evGapStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val gaps = Tables.load(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+    val hist = gaps.groupBy("event_type", "gap_us").agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy("event_type").orderBy("gap_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("event_type")))
+    def pick(q: Double) =
+      min(when(col("cum") >= ceil(col("n") * lit(q)).cast("bigint"), col("gap_us")))
+    h.groupBy("event_type")
+      .agg(max(col("n")).as("n_gaps"),
+        pick(0.50).as("med_gap_us"), pick(0.90).as("p90_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy("event_type")
+  }
+
+  /** Weekly cohort retention MATRIX — [[evRetention]]'s single-offset
+    * check generalized to the full (cohort week × week offset) grid the
+    * growth dashboard draws: collapse to distinct (user, week) activity
+    * first (corpus → activity scale), derive each user's cohort week as
+    * a MIN aggregate over that relation, join activity back on user_id
+    * (shuffle hash — both sides user-cardinality, fact-derived, never
+    * broadcast), count distinct-by-construction actives per (cohort,
+    * offset). Integers only; output O(weeks²). */
+  def evCohortMatrix(s: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7).as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohorts.hint("shuffle_hash"), "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

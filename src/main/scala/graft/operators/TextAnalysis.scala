@@ -33,6 +33,31 @@ object TextAnalysis {
       length(col("text")).cast("bigint").as("n_chars_txt"))
       .orderBy("doc_id")
 
+  /** Lexical-diversity profile per document — the vocabulary-richness
+    * gate next to [[txtQuality]]'s surface heuristics (a low type-token
+    * ratio flags boilerplate/spam before any model runs; hapax share is
+    * the classic Zipf-tail health check): one explode + (doc, word)
+    * partial-agg pass (shuffle O(per-doc distinct words), never
+    * re-tokenizing), then a doc-keyed rollup — token/type/hapax counts
+    * exact integers, TTR one exact integer-ratio double. */
+  def txtWordStats(s: SparkSession, dir: String): DataFrame = {
+    // explode the tokenizer EXPRESSION directly (the txtDocfreq posture):
+    // exploding a projected column lets InferFiltersFromGenerate push an
+    // isnotnull/size>0 copy of the tokenizer into the scan (the plan gate
+    // catches the duplication); a non-attribute generator input is exempt
+    val wc = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(org.apache.spark.sql.graftexpr
+        .TextExpressions.wordNgrams(col("text"), 1)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_hapax"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("ttr"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: stopword ratio, mean token length, composite score. */
   def txtQuality(s: SparkSession, dir: String): DataFrame = {
     val nTok = size(col("tk")).cast("double")
@@ -1703,6 +1728,19 @@ object TextAnalysis {
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
         |  CAST(length(text) AS BIGINT) AS n_chars_txt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same whitespace tokenization; per-doc word counts then the rollup,
+    // TTR = the same exact integer ratio
+    "txt_word_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(tk) AS w FROM t),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM e GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_distinct,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr
+        |FROM wc GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_quality" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
@@ -1774,6 +1812,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
+    "txt_word_stats" -> (txtWordStats _),
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangid _),
     "txt_fingerprint" -> (txtFingerprint _),

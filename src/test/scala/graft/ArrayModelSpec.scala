@@ -701,4 +701,42 @@ class ArrayModelSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("searchsorted / norms / valid convolution match the exact dense model on random 1-d arrays") {
+    val rnd = new scala.util.Random(20260816L)
+    for (caseNo <- 0 until 6) {
+      val (d, cpd) = randomCase(rnd, 1)
+      val arr = chunked(d, cpd)
+      val n = d.shape.head
+      val tag = s"case $caseNo n=$n cpd=$cpd"
+
+      // searchsorted(side='left'): insertion index = count strictly below
+      val thr = Seq(-101.0, -0.005, 0.0, 33.17, 12000.0)
+      val got = arr.searchSortedPerTimestep(thr).collect()
+        .map(r => r.getDouble(1) -> r.getLong(2)).toMap
+      assert(got.keySet == thr.toSet, s"$tag searchsorted thresholds")
+      thr.foreach { t =>
+        assert(got(t) == d.cells.count(_.toDouble < t), s"$tag searchsorted at $t")
+      }
+
+      // norms: exact decimal L1/sumsq, the one double sqrt in the same
+      // operand order; L∞ an order-free max
+      val row = arr.normsPerTimestep().collect().head
+      assert(row.getDouble(1) == d.cells.map(_.abs).sum.toDouble, s"$tag l1")
+      assert(row.getDouble(2) ==
+        math.sqrt(d.cells.map(c => c * c).sum.toDouble), s"$tag l2")
+      assert(row.getDouble(3) == d.cells.map(_.abs).max.toDouble, s"$tag linf")
+
+      // valid-mode FIR: exact scaled integers end to end
+      val taps = Seq(25L, 50L, 25L).take(math.min(3, n))
+      val xq = d.cells.map(c => (c * 100).toBigIntExact.get.toLong)
+      val ys = arr.convolveValidRows(taps).collect()
+        .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(ys.size == n - taps.length + 1, s"$tag conv count")
+      for (i <- 0 to n - taps.length) {
+        val yq = taps.zipWithIndex.map { case (t, j) => t * xq(i + j) }.sum
+        assert(ys(i.toLong) == ((yq, yq.toDouble / 10000.0)), s"$tag conv at $i")
+      }
+    }
+  }
 }

@@ -156,6 +156,37 @@ class FftSpec extends AnyFunSuite {
     assert(e.getMessage.contains("full circular length"))
   }
 
+  test("direct valid-mode FIR agrees with the circular theorem path on the interior") {
+    // same 5-tap kernel both ways: valid-mode direct taps (hundredths)
+    // vs the centered circular layout arr_conv_fft uses — away from the
+    // wraparound, circular output at i+2 equals valid output at i
+    val taps = Seq(10L, 20L, 40L, 20L, 10L)
+    val h = {
+      val t = Array.fill(N)(0.0)
+      t(0) = 0.4; t(1) = 0.2; t(2) = 0.1; t(N - 2) = 0.1; t(N - 1) = 0.2
+      t
+    }
+    val a = arr(t => i => ((i * 13 + 5 + t) % 31) * 0.25)
+    val direct = a.convolveValidRows(taps).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val circ = a.convolveFftRows(h.toSeq).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(direct.size == 2 * (N - taps.length + 1))
+    for (t <- Seq(0L, 1L); i <- 0 to N - taps.length) {
+      val want = circ((t, (i + 2).toLong))
+      assert(math.abs(direct((t, i.toLong)) - want) < 1e-9,
+        s"t=$t i=$i: ${direct((t, i.toLong))} vs $want")
+    }
+    // the direct path is exact integers: y_q * 1e-4 round-trips
+    val q = a.convolveValidRows(taps).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    q.foreach { case (yq, y) => assert(y == yq.toDouble / 10000.0) }
+    // an oversized kernel refuses loudly
+    val e2 = intercept[IllegalArgumentException](
+      a.convolveValidRows(Seq.fill(N + 1)(1L)))
+    assert(e2.getMessage.contains("out of range"))
+  }
+
   test("correlation theorem: fft-path xcorr equals the direct lag sums") {
     val a = arr(t => i => ((i * 11 + 2 + t) % 9) * 0.5)
     val b = arr(t => i => ((i * 5 + 7 + t * 2) % 13) * 0.25)
