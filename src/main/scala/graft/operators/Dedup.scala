@@ -1332,6 +1332,92 @@ object Dedup {
     labels
   }
 
+  // ---- Bloom-filter membership sketches (per-source vocabulary) ----
+
+  /** Bloom geometry: 8 words × 62 usable bits = 496 bits, k = 2
+    * positions per key by double hashing off the one 60-bit gram hash.
+    * 62 bits per word keeps every shift ≤ 61 — no sign-bit shift ever
+    * crosses engines (a 1L<<63 overflows differently across SQL
+    * dialects). The filter is a commutative-idempotent bit_or
+    * semilattice: constant 64 bytes per source on the wire at ANY
+    * corpus scale, merge-order invariant, so the DuckDB oracle replays
+    * the exact bits. */
+  val BloomWords = 8
+  val BloomBitsPerWord = 62
+  val BloomM: Int = BloomWords * BloomBitsPerWord
+
+  /** One Bloom filter per source over its distinct word hashes — the
+    * constant-size membership sketch a 100 TB pipeline keeps per shard
+    * to answer "does source X already carry this vocabulary" without a
+    * distinct-join (Bloom 1970; the same role the production stacks
+    * give per-segment Bloom indexes). ONE tokenize pass (the codegen'd
+    * gram kernel), positions from exact int64 double hashing, eight
+    * bit_or aggregates — the shuffle carries 8 longs + 1 count per
+    * source per partition, never vocabulary. Persisted: the 20-row
+    * filter relation feeds both faces. */
+  private def bloomFilters(s: SparkSession, dir: String): DataFrame = {
+    val w = BloomBitsPerWord
+    val words = Tables.load(s, dir, "documents")
+      .select(col("source"),
+        explode(org.apache.spark.sql.graftexpr.TextExpressions
+          .hashWordNgrams(col("text"), 1)).as("h"))
+      .selectExpr("source", "h",
+        s"h % $BloomM AS p1", s"(h DIV $BloomM) % $BloomM AS p2")
+    val contrib = words.selectExpr(
+      Seq("source", "h") ++ (0 until BloomWords).map { k =>
+        s"""(CASE WHEN p1 DIV $w = $k
+           |  THEN shiftleft(CAST(1 AS BIGINT), CAST(p1 % $w AS INT))
+           |  ELSE CAST(0 AS BIGINT) END |
+           |CASE WHEN p2 DIV $w = $k
+           |  THEN shiftleft(CAST(1 AS BIGINT), CAST(p2 % $w AS INT))
+           |  ELSE CAST(0 AS BIGINT) END) AS w$k""".stripMargin
+      }: _*)
+    Persists.cached(contrib.groupBy("source")
+      .agg(countDistinct(col("h")).as("n_grams"),
+        (0 until BloomWords).map(k => expr(s"bit_or(w$k)").as(s"w$k")): _*))
+  }
+
+  private def popcountSql(f: Int => String): String =
+    (0 until BloomWords).map(k => s"bit_count(${f(k)})").mkString(" + ")
+
+  /** The per-source filters themselves: word count, the eight filter
+    * words, set-bit population and fill ratio (exact integers + one
+    * integer-ratio double). */
+  def ddBloom(s: SparkSession, dir: String): DataFrame =
+    bloomFilters(s, dir)
+      .withColumn("bits_set",
+        expr(popcountSql(k => s"w$k")).cast("bigint"))
+      .withColumn("fill",
+        col("bits_set").cast("double") / lit(BloomM.toDouble))
+      .orderBy("source")
+
+  /** Cross-source vocabulary overlap straight off the FILTERS — the
+    * constant-cost approximation of [[ddSourceOverlap]]'s exact
+    * distinct-join (the point of carrying Blooms at 100 TB: the
+    * pairwise compare touches 64 bytes per side, never the corpus):
+    * per source pair the AND/OR popcounts and the bit-level Jaccard.
+    * The S² pair grid IS the declared output; the self-join is hinted
+    * shuffle_replicate_nl so nothing fact-derived broadcasts, even at
+    * source-cardinality. */
+  def ddBloomOverlap(s: SparkSession, dir: String): DataFrame = {
+    val f = bloomFilters(s, dir)
+    val a = f.select(col("source").as("src_a") +:
+      (0 until BloomWords).map(k => col(s"w$k").as(s"a$k")): _*)
+    val b = f.select(col("source").as("src_b") +:
+      (0 until BloomWords).map(k => col(s"w$k").as(s"b$k")): _*)
+    a.hint("shuffle_replicate_nl").crossJoin(b)
+      .filter(col("src_a") < col("src_b"))
+      .withColumn("bits_common",
+        expr(popcountSql(k => s"a$k & b$k")).cast("bigint"))
+      .withColumn("bits_union",
+        expr(popcountSql(k => s"a$k | b$k")).cast("bigint"))
+      .select(col("src_a"), col("src_b"), col("bits_common"), col("bits_union"),
+        when(col("bits_union") > 0,
+          col("bits_common").cast("double") / col("bits_union").cast("double"))
+          .as("j_bits"))
+      .orderBy("src_a", "src_b")
+  }
+
   // DuckDB twins of the Spark column constructs (see graft.functions).
   private val TOKENS = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
   private def shSql(n: Int): String = {
@@ -1339,6 +1425,32 @@ object Dedup {
     s"CASE WHEN len(tk) >= $n THEN list_distinct(list_transform(range(1, len(tk) - ${n - 2}), i -> concat($parts))) ELSE CAST([] AS VARCHAR[]) END"
   }
   private val H60 = "CAST('0x' || substring(md5(%s), 1, 15) AS BIGINT)"
+
+  /** CTE chain replaying [[bloomFilters]]: distinct per-source word
+    * hashes, double-hashed positions, per-word shift contributions,
+    * bit_or fold — ends at `f(source, n_grams, w0..w${BloomWords - 1})`. */
+  private def bloomCtes: String = {
+    val w = BloomBitsPerWord
+    val wordExprs = (0 until BloomWords).map { k =>
+      s"""(CASE WHEN p1 // $w = $k
+         |  THEN (CAST(1 AS BIGINT) << CAST(p1 % $w AS INT))
+         |  ELSE CAST(0 AS BIGINT) END |
+         |CASE WHEN p2 // $w = $k
+         |  THEN (CAST(1 AS BIGINT) << CAST(p2 % $w AS INT))
+         |  ELSE CAST(0 AS BIGINT) END) AS w$k""".stripMargin
+    }.mkString(",\n")
+    s"""t AS (SELECT source, $TOKENS AS tk FROM documents),
+       |e AS (SELECT source, unnest(tk) AS tok FROM t),
+       |hh AS (SELECT DISTINCT source, ${H60.format("tok")} AS h FROM e),
+       |p AS (SELECT source, h,
+       |  h % $BloomM AS p1, (h // $BloomM) % $BloomM AS p2 FROM hh),
+       |c AS (SELECT source, h,
+       |$wordExprs
+       |FROM p),
+       |f AS (SELECT source, COUNT(DISTINCT h) AS n_grams,
+       |  ${(0 until BloomWords).map(k => s"bit_or(w$k) AS w$k").mkString(", ")}
+       |FROM c GROUP BY 1)""".stripMargin
+  }
 
   /** [[shSql]] without the list_distinct — ALL n-grams in order,
     * duplicates kept (the oracle twin of
@@ -1651,6 +1763,24 @@ object Dedup {
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
         |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
         |FROM documents""".stripMargin,
+    "dd_bloom" ->
+      s"""WITH $bloomCtes
+         |SELECT source, n_grams, ${(0 until BloomWords).map(k => s"w$k").mkString(", ")},
+         |  CAST(${popcountSql(k => s"w$k")} AS BIGINT) AS bits_set,
+         |  CAST(CAST(${popcountSql(k => s"w$k")} AS BIGINT) AS DOUBLE)
+         |    / CAST($BloomM AS DOUBLE) AS fill
+         |FROM f ORDER BY source""".stripMargin,
+    "dd_bloom_overlap" ->
+      s"""WITH $bloomCtes
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(${popcountSql(k => s"a.w$k & b.w$k")} AS BIGINT) AS bits_common,
+         |  CAST(${popcountSql(k => s"a.w$k | b.w$k")} AS BIGINT) AS bits_union,
+         |  CASE WHEN CAST(${popcountSql(k => s"a.w$k | b.w$k")} AS BIGINT) > 0
+         |    THEN CAST(CAST(${popcountSql(k => s"a.w$k & b.w$k")} AS BIGINT) AS DOUBLE)
+         |      / CAST(CAST(${popcountSql(k => s"a.w$k | b.w$k")} AS BIGINT) AS DOUBLE)
+         |  END AS j_bits
+         |FROM f a JOIN f b ON a.source < b.source
+         |ORDER BY 1, 2""".stripMargin,
     "dd_minhash_lsh" ->
       s"""WITH ${lshCandCte(3)}
          |SELECT doc_a, doc_b,
@@ -1901,6 +2031,8 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
+    "dd_bloom" -> (ddBloom _),
+    "dd_bloom_overlap" -> (ddBloomOverlap _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_est" -> (ddMinhashEst _),
     "dd_source_overlap" -> (ddSourceOverlap _),

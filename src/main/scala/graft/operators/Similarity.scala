@@ -116,6 +116,94 @@ object Similarity {
     rankTopK(scored, 5)
   }
 
+  /** Cosine radius threshold for the range-search faces: at the corpus'
+    * cosine geometry τ = 0.2 keeps ~25-30 true neighbors per probe. */
+  val RangeTau = 0.2
+
+  /** Cosine RANGE search ("every vector within radius", the
+    * fixed-threshold companion of top-k — the retrieval mode behind
+    * near-duplicate sweeps and density estimates): candidates from the
+    * probe's hyperplane bucket (the [[simLshAnn]] posture — one linear
+    * bucketing pass, probes join only their own bucket, never the
+    * corpus), exact cosine inside, per probe the candidate count, the
+    * in-range count at [[RangeTau]] and the best cosine (an order-free
+    * max). At 100 TB the per-probe work is one bucket, not the scan. */
+  def simRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", bucketCol(col("emb")))
+      .withColumn("n2", norm2(col("emb")))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"),
+        col("bucket").as("pb"), col("n2").as("pn2"))
+    e.join(broadcast(probes),
+        col("bucket") === col("pb") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"),
+        cosineWithNorms(dot(col("pe"), col("emb")), col("pn2"), col("n2")).as("cos"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("cos") >= RangeTau, 1L).otherwise(0L)).as("n_in_range"),
+        max(col("cos")).as("max_cos"))
+      .orderBy("probe_id")
+  }
+
+  /** Range-search RECALL: the LSH bucket's in-range count against the
+    * exact brute-force in-range count per probe — the quality metric of
+    * the radius path (every ANN family here ships one). Integer counts
+    * + one exact ratio; the two 5-row probe aggregates meet in a
+    * shuffle_hash join (fact-derived, never broadcast). */
+  def simRangeRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", bucketCol(col("emb")))
+      .withColumn("n2", norm2(col("emb")))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"),
+        col("bucket").as("pb"), col("n2").as("pn2"))
+    val cos = cosineWithNorms(dot(col("pe"), col("emb")), col("pn2"), col("n2"))
+    val truth = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), cos.as("cos"))
+      .groupBy("probe_id")
+      .agg(sum(when(col("cos") >= RangeTau, 1L).otherwise(0L)).as("n_true"))
+    val found = e.join(broadcast(probes),
+        col("bucket") === col("pb") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), cos.as("cos"))
+      .groupBy("probe_id")
+      .agg(sum(when(col("cos") >= RangeTau, 1L).otherwise(0L)).as("n_found"))
+    truth.join(found.hint("shuffle_hash"), Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_true"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        when(col("n_true") > 0,
+          coalesce(col("n_found"), lit(0L)).cast("double") /
+            col("n_true").cast("double")).as("recall"))
+      .orderBy("probe_id")
+  }
+
+  /** Symmetric int8 quantization per vector (the embedding-compression
+    * pass ANN serving runs before indexing — 4× smaller vectors, dot
+    * products in int8): scale = 127/max|v|, q = floor(v·scale + 0.5)
+    * (round-half-up, deterministic in IEEE both engines). A pure narrow
+    * map — no shuffle anywhere but the output sort. Emits per vector
+    * the scale inputs and the quantization ACCOUNTING: exact integer
+    * checksums (sum, |sum|, nonzeros) and the max absolute
+    * reconstruction error (order-free max over |v − q/scale|). */
+  def embQuantInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("amax", array_max(transform(col("emb"), v => abs(v))))
+      .filter(col("amax") > 0.0)
+      .withColumn("scale", lit(127.0) / col("amax"))
+    val q = transform(col("emb"), v => floor(v * col("scale") + lit(0.5)).cast("bigint"))
+    e.withColumn("q", q)
+      .select(col("vec_id"), col("amax"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"),
+        aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("sum_abs_q"),
+        size(filter(col("q"), _ =!= 0L)).cast("bigint").as("nnz"),
+        array_max(zip_with(col("emb"), col("q"),
+          (v, qq) => abs(v - qq.cast("double") / col("scale")))).as("err_max"))
+      .orderBy("vec_id")
+  }
+
   /** Recall@5 of the LSH ANN against the exact brute-force ground truth
     * — the ANN QUALITY metric every production vector pipeline tracks
     * next to its latency (an index you can't measure is an index you
@@ -1346,6 +1434,74 @@ object Similarity {
         |    / 1e12 END AS cross_dot_mean
         |FROM lq JOIN f USING (label) CROSS JOIN t
         |ORDER BY label""".stripMargin,
+    // same bucket replay as sim_lsh_ann; counts exact, max_cos order-free
+    "sim_range_search" ->
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket AS pb
+         |      FROM eb WHERE vec_id < 5),
+         |sc AS (
+         |  SELECT probe_id, ${Dedup.cosSql("pe", "eb.embedding")} AS cos
+         |  FROM eb JOIN p ON eb.bucket = p.pb AND eb.vec_id != p.probe_id)
+         |SELECT probe_id, COUNT(*) AS n_cand,
+         |  CAST(SUM(CASE WHEN cos >= $RangeTau THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_in_range,
+         |  MAX(cos) AS max_cos
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact brute-force radius truth vs the bucket path's in-range count
+    "sim_range_recall" ->
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket AS pb
+         |      FROM eb WHERE vec_id < 5),
+         |allsc AS (
+         |  SELECT probe_id, ${Dedup.cosSql("pe", "e.embedding")} AS cos
+         |  FROM embeddings e CROSS JOIN p WHERE e.vec_id != probe_id),
+         |truth AS (
+         |  SELECT probe_id,
+         |    CAST(SUM(CASE WHEN cos >= $RangeTau THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_true
+         |  FROM allsc GROUP BY 1),
+         |bsc AS (
+         |  SELECT probe_id, ${Dedup.cosSql("pe", "eb.embedding")} AS cos
+         |  FROM eb JOIN p ON eb.bucket = p.pb AND eb.vec_id != p.probe_id),
+         |found AS (
+         |  SELECT probe_id,
+         |    CAST(SUM(CASE WHEN cos >= $RangeTau THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_found
+         |  FROM bsc GROUP BY 1)
+         |SELECT t.probe_id, t.n_true, COALESCE(f.n_found, 0) AS n_found,
+         |  CASE WHEN t.n_true > 0
+         |    THEN CAST(COALESCE(f.n_found, 0) AS DOUBLE) / CAST(t.n_true AS DOUBLE)
+         |  END AS recall
+         |FROM truth t LEFT JOIN found f USING (probe_id)
+         |ORDER BY 1""".stripMargin,
+    // scale/round/accounting replayed element-for-element; integer
+    // checksums order-free, err_max an order-free max
+    "emb_quant_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, emb, list_max(list_transform(emb, v -> abs(v))) AS amax
+        |  FROM e),
+        |s AS (
+        |  SELECT vec_id, emb, amax, 127.0 / amax AS scale FROM a WHERE amax > 0.0),
+        |q AS (
+        |  SELECT vec_id, amax, scale, emb,
+        |    list_transform(emb, v -> CAST(floor(v * scale + 0.5) AS BIGINT)) AS q
+        |  FROM s)
+        |SELECT vec_id, amax,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), q),
+        |    (x, y) -> x + y) AS BIGINT) AS sum_q,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(q, x -> abs(x))), (x, y) -> x + y) AS BIGINT) AS sum_abs_q,
+        |  CAST(len(list_filter(q, x -> x != 0)) AS BIGINT) AS nnz,
+        |  list_max(list_transform(range(1, len(q) + 1),
+        |    i -> abs(emb[i] - CAST(q[i] AS DOUBLE) / scale))) AS err_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     // recall@5: LSH candidates vs the exact top-5 — id sets only, so no
     // double crosses engines; n_hits/5.0 is exact
     "sim_ann_recall" ->
@@ -1455,6 +1611,9 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
+    "sim_range_search" -> (simRangeSearch _),
+    "sim_range_recall" -> (simRangeRecall _),
+    "emb_quant_int8" -> (embQuantInt8 _),
     "sim_ann_recall" -> (simAnnRecall _),
     "sim_ivf_recall" -> (simIvfRecall _),
     "sim_pq_recall" -> (simPqRecall _),

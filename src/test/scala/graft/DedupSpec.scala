@@ -175,6 +175,66 @@ class DedupSpec extends AnyFunSuite {
     assert(spans == Set((1L, 0L, 3L), (1L, 7L, 10L), (2L, 0L, 6L)), spans.toString)
   }
 
+  test("bloom filters: exact bit replay, no false negatives, overlap identities") {
+    val sf = "/root/testdata/sf0.001"
+    val words = Dedup.BloomWords
+    val bpw = Dedup.BloomBitsPerWord
+    val m = Dedup.BloomM
+    // straight-line replay: tokenize, hash (the H60/localHash60 twin),
+    // double-hash positions, fold the bit words
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+    val byS = docs.groupBy(_.getString(0))
+    val expected = byS.map { case (src, rs) =>
+      val hs = rs.flatMap(_.getString(1).split(" ").filter(_.nonEmpty))
+        .map(graft.functions.localHash60).distinct
+      val w = new Array[Long](words)
+      hs.foreach { h =>
+        Seq(h % m, (h / m) % m).foreach { p =>
+          w((p / bpw).toInt) |= 1L << (p % bpw).toInt
+        }
+      }
+      src -> ((hs.length.toLong, w.toVector))
+    }
+    val got = Dedup.ddBloom(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1),
+        (0 until words).map(k => r.getLong(2 + k)).toVector,
+        r.getLong(2 + words), r.getDouble(3 + words)))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, (n, w)) =>
+      val (gn, gw, bits, fill) = got(src)
+      assert(gn == n, s"$src n_grams")
+      assert(gw == w, s"$src filter words")
+      assert(bits == w.map(java.lang.Long.bitCount(_).toLong).sum, s"$src popcount")
+      assert(fill == bits.toDouble / m.toDouble, s"$src fill")
+      // the Bloom contract: NO false negatives — every inserted key's
+      // two bits are set
+      val hs = byS(src).flatMap(_.getString(1).split(" ").filter(_.nonEmpty))
+        .map(graft.functions.localHash60).distinct
+      hs.foreach { h =>
+        Seq(h % m, (h / m) % m).foreach { p =>
+          assert((w((p / bpw).toInt) & (1L << (p % bpw).toInt)) != 0L,
+            s"$src inserted key $h missing bit $p")
+        }
+      }
+    }
+    // overlap face: AND/OR popcounts + Jaccard recomputed from the words
+    val ov = Dedup.ddBloomOverlap(spark, sf).collect()
+    assert(ov.length == expected.size * (expected.size - 1) / 2)
+    ov.foreach { r =>
+      val (wa, wb) = (expected(r.getString(0))._2, expected(r.getString(1))._2)
+      val common = wa.zip(wb).map { case (x, y) =>
+        java.lang.Long.bitCount(x & y).toLong }.sum
+      val union = wa.zip(wb).map { case (x, y) =>
+        java.lang.Long.bitCount(x | y).toLong }.sum
+      assert(r.getString(0) < r.getString(1), "pair order")
+      assert(r.getLong(2) == common && r.getLong(3) == union,
+        s"${r.getString(0)}x${r.getString(1)} popcounts")
+      assert(r.getDouble(4) == common.toDouble / union.toDouble, "j_bits")
+    }
+  }
+
   test("connectedComponents on an empty edge list is empty") {
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(edges).isEmpty)

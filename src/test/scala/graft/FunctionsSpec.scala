@@ -806,4 +806,59 @@ class FunctionsSpec extends AnyFunSuite {
         s"corpus token '${r.getString(0)}' diverges")
     }
   }
+
+  test("emb_quant_int8: |q| <= 127, half-step error bound, exact checksum replay") {
+    val got = Similarity.embQuantInt8(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val embs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    assert(got.size == embs.count(_._2.exists(_ != 0.0)))
+    embs.foreach { case (id, v) =>
+      val amax = v.map(math.abs).max
+      if (amax > 0.0) {
+        val scale = 127.0 / amax
+        val q = v.map(x => math.floor(x * scale + 0.5).toLong)
+        assert(q.forall(x => math.abs(x) <= 127L), s"vec $id int8 domain")
+        val err = v.zip(q).map { case (x, qq) => math.abs(x - qq.toDouble / scale) }.max
+        // round-half-up keeps every element within half a quantization step
+        assert(err <= 0.5 / scale + 1e-12, s"vec $id error bound")
+        assert(got(id) == ((amax, q.sum, q.map(math.abs).sum,
+          q.count(_ != 0L).toLong, err)), s"vec $id accounting")
+      }
+    }
+  }
+
+  test("range search: found <= truth per probe and the two faces agree") {
+    val search = Similarity.simRangeSearch(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val rec = Similarity.simRangeRecall(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(rec.nonEmpty)
+    rec.foreach { case (p, (nTrue, nFound, recall)) =>
+      assert(nFound <= nTrue, s"probe $p: bucket in-range can never exceed truth")
+      search.get(p).foreach { case (nCand, nInRange, maxCos) =>
+        assert(nInRange == nFound, s"probe $p: the faces count the same candidates")
+        assert(nInRange <= nCand && maxCos <= 1.0 + 1e-12, s"probe $p sanity")
+      }
+      if (nTrue > 0) assert(recall == nFound.toDouble / nTrue.toDouble, s"probe $p recall")
+    }
+    // truth replayed driver-side with the identical fold order
+    val embs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val probes = embs.filter(_._1 < 5)
+    probes.foreach { case (p, pe) =>
+      val pn2 = dot(pe, pe)
+      val nTrue = embs.count { case (id, e) =>
+        id != p && dot(pe, e) / math.sqrt(pn2) / math.sqrt(dot(e, e)) >=
+          Similarity.RangeTau
+      }
+      assert(rec(p)._1 == nTrue.toLong, s"probe $p exact truth")
+    }
+  }
 }

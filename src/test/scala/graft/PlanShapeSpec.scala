@@ -30,6 +30,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // (and, for IVF/PQ, collected-model) broadcasts; the recall compare
     // join itself is pinned shuffle_hash
     "sim_ann_recall" -> Set("embeddings"),
+    // radius faces: the same <= 5 probe broadcast; the recall compare
+    // join is pinned shuffle_hash
+    "sim_range_search" -> Set("embeddings"),
+    "sim_range_recall" -> Set("embeddings"),
     "sim_ivf_recall" -> Set("embeddings"),
     "sim_pq_recall" -> Set("embeddings"),
     "sim_ivf_ann" -> Set("embeddings"),
