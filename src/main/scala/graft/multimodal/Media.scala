@@ -250,6 +250,73 @@ object Media {
     sb.toString
   }
 
+  /** The orthonormal 8-point DCT-II basis, computed ONCE with StrictMath
+    * and embedded as round-trip-exact literals in the oracle SQL (the
+    * §5 trained-literal discipline — the cosines never recompute across
+    * engines): C(u)(i) = a(u)·cos((2i+1)uπ/16), a(0)=√(1/8), else √(2/8). */
+  private[graft] val DctC: Array[Array[Double]] = Array.tabulate(8, 8) { (u, i) =>
+    val a = if (u == 0) StrictMath.sqrt(1.0 / 8.0) else StrictMath.sqrt(2.0 / 8.0)
+    a * StrictMath.cos(((2 * i + 1) * u * StrictMath.PI) / 16.0)
+  }
+
+  /** DCT hash bits of one payload — the CLASSIC pHash recipe (the
+    * industry-standard perceptual index next to [[ahashBits]] and
+    * [[whashBits]]; same thumbnail, the Walsh-Hadamard ±1 basis swapped
+    * for the real 2-d DCT-II): the first 64·⌊n/64⌋ bytes form the 8×8
+    * equal-segment thumbnail S, coef(u,v) = Σ_w (C(u)(i)·C(v)(j))·S(w)
+    * in ONE FIXED w-ascending fold (w = i·8+j — the oracle's
+    * list_reduce replays the identical double operand order over the
+    * identical [[DctC]] literals, so every coefficient is bit-exact
+    * cross-engine), and bit b is 1 iff AC coefficient b exceeds the
+    * MEDIAN of the 63 AC coefficients (balanced by construction; the
+    * median is an order statistic of identical doubles — no tolerance
+    * anywhere). Undersized payloads (n < 64) return "". 63-char
+    * '0'/'1' string, row-major, DC skipped. */
+  private[graft] def phashBits(bytes: Array[Byte]): String = {
+    val n = bytes.length
+    val q = n / 64
+    if (q == 0) return ""
+    val s = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      var p = k * q
+      val end = p + q
+      var acc = 0L
+      while (p < end) { acc += (bytes(p) & 0xff).toLong; p += 1 }
+      s(k) = acc
+      k += 1
+    }
+    val coef = new Array[Double](64)
+    var u = 0
+    while (u < 64) {
+      val cu = DctC(u / 8)
+      val cv = DctC(u % 8)
+      var acc = 0.0
+      var w = 0
+      while (w < 64) {
+        acc += (cu(w / 8) * cv(w % 8)) * s(w).toDouble
+        w += 1
+      }
+      coef(u) = acc
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    val sorted = ac.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    val sb = new java.lang.StringBuilder(63)
+    var b = 0
+    while (b < 63) { sb.append(if (ac(b) > med) '1' else '0'); b += 1 }
+    sb.toString
+  }
+
+  /** `CAST('<shortest-roundtrip-repr>' AS DOUBLE)` — string→double
+    * parsing is correctly rounded in DuckDB, so the literal comes back
+    * bit-identical to the Spark-side double (the ArrayQueries.fmtD
+    * discipline). */
+  private def fmtD(d: Double): String =
+    s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
+
   private def md5Hex(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     val sb = new java.lang.StringBuilder(32)
@@ -284,8 +351,9 @@ object Media {
       fromDocuments(s, dir)
         .filter(_.kind == "image")
         .mapPartitions(_.map(m =>
-          (m.id, md5Hex(m.bytes), ahashBits(m.bytes), whashBits(m.bytes))))
-        .toDF("id", "fp", "ahash", "whash"))
+          (m.id, md5Hex(m.bytes), ahashBits(m.bytes), whashBits(m.bytes),
+            phashBits(m.bytes))))
+        .toDF("id", "fp", "ahash", "whash", "phash"))
   }
 
   def mmAhash(s: SparkSession, dir: String): DataFrame = {
@@ -320,6 +388,28 @@ object Media {
         count(lit(1)).as("n_distinct"),
         min(col("mid")).as("rep_id"))
       .orderBy("whash", "rep_id")
+  }
+
+  /** DCT near-dup groups for image-kind assets — the [[mmAhash]]
+    * dedup-map shape over [[phashBits]] (classic pHash: the THIRD
+    * perceptual index, thresholding true cosine frequency structure
+    * where wHash thresholds the ±1 Walsh basis — the two spectra order
+    * coefficients differently, so their buckets split different edit
+    * classes). The DCT basis is a driver-side StrictMath literal table
+    * shared verbatim with the oracle; the cluster faces stay on the
+    * established aHash ∪ wHash union. Same scale posture: one narrow
+    * per-partition pass, O(distinct (phash, fp)) shuffle, payload bytes
+    * never move. */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    val hashed = perceptualRel(s, dir).filter(length(col("phash")) > 0)
+    hashed
+      .groupBy("phash", "fp")
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("mid"))
+      .groupBy("phash")
+      .agg(sum(col("cnt")).as("n_assets"),
+        count(lit(1)).as("n_distinct"),
+        min(col("mid")).as("rep_id"))
+      .orderBy("phash", "rep_id")
   }
 
   /** Star edges of one perceptual bucketing: every member of a >= 2
@@ -541,6 +631,51 @@ object Media {
         |  COUNT(*) AS n_distinct, CAST(MIN(mid) AS BIGINT) AS rep_id
         |FROM g GROUP BY whash
         |ORDER BY whash, rep_id""".stripMargin,
+    // same thumbnail extraction as mm_whash; the coefficient fold runs
+    // over the IDENTICAL DctC literals in the IDENTICAL w-ascending
+    // order, so every double (and the AC median order statistic) is
+    // bit-exact cross-engine
+    "mm_phash" -> {
+      val cl = DctC.flatten.map(fmtD).mkString("[", ", ", "]")
+      s"""WITH m AS (
+         |  SELECT doc_id, md5(text) AS fp, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS nb
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |d2 AS (SELECT doc_id, fp, nb // 64 AS q, hx FROM m WHERE nb // 64 > 0),
+         |codes AS (
+         |  SELECT doc_id, fp, q, list_transform(range(0, q * 64),
+         |    p -> CAST((instr('0123456789ABCDEF', substring(hx, CAST(2*p+1 AS INT), 1)) - 1) * 16
+         |       + (instr('0123456789ABCDEF', substring(hx, CAST(2*p+2 AS INT), 1)) - 1) AS BIGINT)) AS cs
+         |  FROM d2),
+         |segs AS (
+         |  SELECT doc_id, fp, list_transform(range(0, 64),
+         |    k -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           cs[CAST(k * q + 1 AS INT):CAST((k + 1) * q AS INT)]),
+         |         (a, b) -> a + b)) AS sg
+         |  FROM codes),
+         |clt AS (SELECT $cl AS cl),
+         |coefs AS (
+         |  SELECT doc_id, fp, list_transform(range(0, 64), u ->
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 64),
+         |      w -> (cl[CAST((u // 8) * 8 + (w // 8) + 1 AS INT)]
+         |          * cl[CAST((u % 8) * 8 + (w % 8) + 1 AS INT)])
+         |          * CAST(sg[CAST(w + 1 AS INT)] AS DOUBLE))),
+         |      (a, b) -> a + b)) AS cf
+         |  FROM segs CROSS JOIN clt),
+         |med AS (SELECT doc_id, fp, cf[2:64] AS ac,
+         |          list_sort(cf[2:64])[32] AS md FROM coefs),
+         |h AS (SELECT doc_id, fp,
+         |        list_reduce(list_prepend('', list_transform(ac,
+         |          x -> CASE WHEN x > md THEN '1' ELSE '0' END)),
+         |          (a, b) -> a || b) AS phash
+         |      FROM med),
+         |g AS (SELECT phash, fp, COUNT(*) AS cnt, MIN(doc_id) AS mid
+         |      FROM h GROUP BY 1, 2)
+         |SELECT phash, CAST(SUM(cnt) AS BIGINT) AS n_assets,
+         |  COUNT(*) AS n_distinct, CAST(MIN(mid) AS BIGINT) AS rep_id
+         |FROM g GROUP BY phash
+         |ORDER BY phash, rep_id""".stripMargin
+    },
     "mm_bytes_hist" ->
       """WITH m AS (
         |  SELECT
@@ -669,6 +804,7 @@ object Media {
     "mm_bytes_hist" -> (mmBytesHist _),
     "mm_ahash" -> (mmAhash _),
     "mm_whash" -> (mmWhash _),
+    "mm_phash" -> (mmPhash _),
     "mm_near_cluster" -> (mmNearCluster _),
     "mm_keep_one" -> (mmKeepOne _),
   )

@@ -757,6 +757,43 @@ object Pipeline {
        |FROM a ORDER BY shard""".stripMargin
 
   private lazy val staticOracles: Map[String, String] = Map(
+    // the txt_quality score replayed verbatim, milli-quantized, then the
+    // histogram-cumulative quartile cuts and the threshold phase split
+    "pipe_curriculum" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(tk) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE) AS stop,
+        |    CAST(list_reduce(list_prepend(0, list_transform(tk, x -> len(x))), (a, b) -> a + b) AS DOUBLE) AS char_sum
+        |  FROM t),
+        |qd AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(floor(((stop / n_tok) * 0.3
+        |      + least(char_sum / n_tok / 10.0, 1.0) * 0.7) * 1000) AS BIGINT) AS sq
+        |  FROM m),
+        |hist AS (SELECT sq, COUNT(*) AS cnt FROM qd GROUP BY 1),
+        |h AS (
+        |  SELECT sq, cnt,
+        |    SUM(cnt) OVER (ORDER BY sq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER () AS n
+        |  FROM hist),
+        |cuts AS (
+        |  SELECT
+        |    MIN(CASE WHEN cum >= CAST(ceil(n * 0.25) AS BIGINT) THEN sq END) AS c25,
+        |    MIN(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT) THEN sq END) AS c50,
+        |    MIN(CASE WHEN cum >= CAST(ceil(n * 0.75) AS BIGINT) THEN sq END) AS c75
+        |  FROM h)
+        |SELECT CAST(CASE WHEN sq > c75 THEN 0 WHEN sq > c50 THEN 1
+        |  WHEN sq > c25 THEN 2 ELSE 3 END AS BIGINT) AS phase,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  MIN(sq) AS min_sq, MAX(sq) AS max_sq
+        |FROM qd CROSS JOIN cuts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical double operand order: CASE weight * CAST(total) / CAST(n);
     // DuckDB's `/` on the decimal literal promotes to DOUBLE like Spark's
     "pipe_mix" ->
@@ -1014,7 +1051,47 @@ object Pipeline {
          |ORDER BY r.doc_id""".stripMargin,
   )
 
+  /** Curriculum phases by quality quartile (curriculum learning,
+    * Bengio et al. 2009, as a data-pipeline pass: order training data
+    * easy/clean → hard, here highest-quality quartile first): the
+    * [[TextAnalysis.txtQuality]] score quantizes to a BOUNDED
+    * milli-unit grid first (≤ 1001 distinct values — the global
+    * cumulative window that exact quartiles need then runs over the
+    * GRID histogram, never the corpus; sub-milli score precision is
+    * noise for phase assignment, the declared trade), quartile cuts
+    * are conditional MINs at ceil(q·n) (percentile_disc, exact
+    * integers), and phase assignment is a narrow map against the
+    * 1-row cut relation. Emits per phase the doc/token budget the
+    * training scheduler reads. */
+  def pipeCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.txtQuality(s, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("score") * 1000).cast("bigint").as("sq"))
+    val hist = q.groupBy("sq")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = w.orderBy("sq")
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val h = hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(w.partitionBy()))
+    def cut(p: Double) =
+      min(when(col("cum") >= ceil(col("n") * lit(p)).cast("bigint"), col("sq")))
+    val cuts = h.agg(cut(0.25).as("c25"), cut(0.50).as("c50"), cut(0.75).as("c75"))
+    q.crossJoin(cuts)
+      .withColumn("phase",
+        when(col("sq") > col("c75"), 0L)
+          .when(col("sq") > col("c50"), 1L)
+          .when(col("sq") > col("c25"), 2L)
+          .otherwise(3L))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("sq")).as("min_sq"), max(col("sq")).as("max_sq"))
+      .orderBy("phase")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_curriculum" -> (pipeCurriculum _),
     "pipe_pack" -> (pipePack _),
     "pipe_shuffle" -> (pipeShuffle _),
     "pipe_pack_map" -> (pipePackMap _),

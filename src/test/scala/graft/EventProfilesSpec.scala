@@ -105,6 +105,35 @@ class EventProfilesSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe_curriculum: quartile budgets conserve the corpus and order by quality") {
+    val got = operators.Pipeline.pipeCurriculum(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // straight-line replay from the oracle-gated quality face
+    val sq = TextAnalysis.txtQuality(spark, sf).collect()
+      .map(r => (r.getLong(1), math.floor(r.getDouble(4) * 1000).toLong))
+    val n = sq.length
+    val sorted = sq.map(_._2).sorted
+    def cut(p: Double) = sorted(math.ceil(n * p).toInt - 1)
+    val (c25, c50, c75) = (cut(0.25), cut(0.50), cut(0.75))
+    val exp = sq.groupBy { case (_, s) =>
+      if (s > c75) 0L else if (s > c50) 1L else if (s > c25) 2L else 3L
+    }.map { case (ph, vs) =>
+      ph -> ((vs.size.toLong, vs.map(_._1).sum,
+        vs.map(_._2).min, vs.map(_._2).max))
+    }
+    assert(got == exp)
+    // conservation + monotone quality: every doc lands in exactly one
+    // phase, and phase k's max quality never exceeds phase k-1's min
+    assert(got.values.map(_._1).sum == n.toLong)
+    val phases = got.keys.toSeq.sorted
+    phases.sliding(2).foreach {
+      case Seq(a, b) => assert(got(b)._4 <= got(a)._3,
+        s"phase $b quality overlaps phase $a")
+      case _ =>
+    }
+  }
+
   test("arr_interp equals the lead-pair replay over the engine's own dense rows") {
     val dense = ArrayQueries.eventsArray1dCached(spark, sf).rowsNd.collect()
       .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))

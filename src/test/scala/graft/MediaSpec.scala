@@ -102,6 +102,68 @@ class MediaSpec extends AnyFunSuite {
     assert(bits(payloads.head) != bits(payloads(2)))
   }
 
+  test("phashBits: matches a C·S·Cᵀ matrix-multiply reference, invariances, edges") {
+    def bits(s: String): String = Media.phashBits(s.getBytes("UTF-8"))
+    // independent reference: the 2-d DCT as two matrix multiplications
+    // over the SAME basis table (different loop structure from the
+    // kernel's single flat w-fold; agreement is to 1e-9 because the
+    // summation orders differ — the kernel's own order is what the
+    // oracle replays bit-exactly)
+    def ref(payload: Array[Byte]): String = {
+      val n = payload.length
+      val q = n / 64
+      if (q == 0) return ""
+      val s = Array.tabulate(8, 8)((i, j) =>
+        (0 until q).map(t => (payload((i * 8 + j) * q + t) & 0xff).toLong).sum)
+      val c = Media.DctC
+      // T = C · S; coef = T · Cᵀ, i.e. coef(u,v) = Σᵢ C(u)(i) Σⱼ S(i)(j) C(v)(j)
+      val coef = Array.tabulate(8, 8)((u, v) =>
+        (0 until 8).map(i => c(u)(i) *
+          (0 until 8).map(j => s(i)(j).toDouble * c(v)(j)).sum).sum)
+      val acFlat = coef.flatten.drop(1)
+      val med = acFlat.sorted.apply(31)
+      acFlat.map(x => if (x > med) '1' else '0').mkString
+    }
+    def refBitsClose(p: String): Unit = {
+      val got = bits(p)
+      val want = ref(p.getBytes("UTF-8"))
+      // bit strings must agree except where a coefficient sits within
+      // rounding distance of the median — on these payloads none does
+      assert(got == want, s"ref mismatch len ${p.length}")
+    }
+    // irregular payloads only: on structured data (steps, short periods)
+    // many AC coefficients are EXACTLY equal by symmetry, so the median
+    // comparison is decided by the two orders' last-ulp noise — the
+    // kernel's own order is the contract there, and the oracle replays
+    // it; the reference compare needs well-separated coefficients
+    Seq(
+      (0 until 640).map(i => (((i * 131 + 17) % 93) + 33).toChar).mkString,
+      (0 until 256).map(i => (((i * 57 + 5) % 89) + 35).toChar).mkString,
+      (0 until 200).map(i => (((i * 73 + 29) % 91) + 34).toChar).mkString)
+      .foreach(refBitsClose)
+    // the orthonormal basis is involutive enough to sanity-check: row 0
+    // is constant sqrt(1/8), rows are orthonormal to 1e-12
+    for (u <- 0 until 8; v <- 0 until 8) {
+      val d = (0 until 8).map(i => Media.DctC(u)(i) * Media.DctC(v)(i)).sum
+      assert(math.abs(d - (if (u == v) 1.0 else 0.0)) < 1e-12, s"basis ($u,$v)")
+    }
+    // DC skipped -> a global brightness shift leaves every AC coefficient
+    // UNCHANGED up to rounding only when segments shift equally; use an
+    // exact +1-per-byte shift on an equal-segment payload
+    // an APERIODIC payload again: with a pattern period dividing the
+    // segment grid, half the AC spectrum is mathematically zero and the
+    // invariance comparison reads last-ulp noise
+    val base = (0 until 640).map(i => (((i * 131 + 17) % 93) + 33).toChar).mkString
+    val shifted = base.map(ch => (ch + 1).toChar)
+    assert(bits(base) == bits(shifted), "brightness-shift invariance")
+    // undersized payloads have no thumbnail; tail bytes are outside it
+    assert(bits("tiny") == "" && bits("") == "")
+    val b2 = "x" * 640
+    assert(bits(b2 + "EXTRA") == bits(b2 + "OTHER"))
+    // median binarization: at most 31 ones over 63 AC coefficients
+    assert(bits(base).count(_ == '1') <= 31)
+  }
+
   test("mm_whash groups image assets and excludes undersized payloads") {
     val out = Media.mmWhash(spark, sf).collect()
     assert(out.nonEmpty)

@@ -73,6 +73,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // the bottom-k holdout hash set: <= FixedKPerSource x |sources|
     // rows by construction (the KMinHash aggregate is k-bounded)
     "smp_fixed_k" -> Set("documents"),
+    // the 1-row quartile-cut relation cross-joined into the phase map
+    "pipe_curriculum" -> Set("documents"),
     // per-source aggregates (O(|sources|) rows)
     "pipe_clean" -> Set("documents"),
     // per-source keep-fraction relation + its 1-row total (O(|sources|))
