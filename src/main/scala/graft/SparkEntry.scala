@@ -82,6 +82,9 @@ object SparkEntry {
     "ev_session_stats" -> (Relational.evSessionStats _),
     "ev_gap_stats" -> (Relational.evGapStats _),
     "ev_cohort_matrix" -> (Relational.evCohortMatrix _),
+    "ev_gini" -> (Relational.evGini _),
+    "ev_autocorr" -> (Relational.evAutocorr _),
+    "ev_lifetime" -> (Relational.evLifetime _),
   )
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -795,6 +798,66 @@ object SparkEntry {
         |  MIN(CASE WHEN cum >= CAST(ceil(n * 0.9) AS BIGINT) THEN gap_us END) AS p90_gap_us,
         |  MAX(gap_us) AS max_gap_us
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Lorenz rank-sum over the count histogram: ties contribute the
+    // closed form c·(S_prev·m + m(m+1)/2), so no corpus-wide rank
+    "ev_gini" ->
+      """WITH counts AS (
+        |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+        |hist AS (SELECT c, COUNT(*) AS m FROM counts GROUP BY 1),
+        |h AS (
+        |  SELECT c, m,
+        |    SUM(m) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m AS sprev
+        |  FROM hist),
+        |a AS (
+        |  SELECT CAST(SUM(m) AS BIGINT) AS n_users,
+        |    CAST(SUM(c * m) AS BIGINT) AS total_events,
+        |    SUM(CAST(c * (sprev * m + (m * (m + 1)) // 2) AS DECIMAL(38,0))) AS t
+        |  FROM h)
+        |SELECT n_users, total_events,
+        |  (2.0 * CAST(t AS DOUBLE)
+        |   - CAST(n_users + 1 AS DOUBLE) * CAST(total_events AS DOUBLE))
+        |  / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE)) AS gini
+        |FROM a""".stripMargin,
+    // daily exact-decimal totals, one lead window over the daily
+    // relation, the q_corr moment formula operand-for-operand
+    "ev_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT x, LEAD(x) OVER (ORDER BY day) AS y FROM daily),
+        |m AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM p WHERE y IS NOT NULL)
+        |SELECT n AS n_pairs,
+        |  CASE WHEN sqrt(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+        |      * sqrt(greatest(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)) > 0.0
+        |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+        |      * sqrt(greatest(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)))
+        |  END AS autocorr_lag1
+        |FROM m""".stripMargin,
+    // per-user first->last span + distinct active days, rolled up
+    "ev_lifetime" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS lifetime_days,
+        |    COUNT(*) AS active_days
+        |  FROM du GROUP BY 1)
+        |SELECT lifetime_days, COUNT(*) AS n_users,
+        |  CAST(SUM(active_days) AS BIGINT) AS total_active_days
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
     // distinct (user, week) activity; cohort = min week per user
     "ev_cohort_matrix" ->
       """WITH wk AS (

@@ -1366,6 +1366,32 @@ object ArrayQueries {
       .orderBy("u", "tq")
   }
 
+  /** Per-cell linear TREND along the time axis (the drift detector an
+    * in-situ analyst fits per grid cell — "is this region heating?"):
+    * ordinary least squares per cell index from EXACT sufficient
+    * statistics (Σt, Σt², Σv, Σtv — t integer, v decimal-exact, the
+    * arr_lstsq normal-equation discipline at axis granularity), one
+    * cell-keyed partial-agg shuffle of five scalars, slope/intercept as
+    * fixed-operand-order doubles (degenerate single-timestep cells
+    * NULL via the den > 0 guard in both engines). */
+  def arrTrend(s: SparkSession, dir: String): DataFrame = {
+    val g = eventsArray1dCached(s, dir).rowsNd
+      .groupBy(col("i0").as("u"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("timestep")).as("st"),
+        sum(col("timestep") * col("timestep")).as("stt"),
+        sum(dec2(col("value"))).as("sv"),
+        sum(dec2(col("value")) * col("timestep")).as("stv"))
+    val n = col("n").cast("double")
+    val (st, sv) = (col("st").cast("double"), col("sv").cast("double"))
+    val num = n * col("stv").cast("double") - st * sv
+    val den = n * col("stt").cast("double") - st * st
+    val slope = when(den > 0.0, num / den)
+    g.select(col("u"), col("n").as("n_ts"), slope.as("slope"),
+        when(den > 0.0, (sv - (num / den) * st) / n).as("icept"))
+      .orderBy("u")
+  }
+
   // ---- oracles (DuckDB SQL replaying the same exact-decimal math) ----
 
   private val CELLS_1D =
@@ -1688,6 +1714,35 @@ object ArrayQueries {
          |  y_q, CAST(y_q AS DOUBLE) / 10000.0 AS y
          |FROM y ORDER BY 1, 2""".stripMargin
     },
+    // OLS per cell from the same exact sufficient statistics; the
+    // slope/intercept double expressions replay operand-for-operand
+    "arr_trend" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |m AS (SELECT u, COUNT(*) AS n, SUM(timestep) AS st,
+         |  SUM(timestep * timestep) AS stt,
+         |  SUM(CAST(cell AS DECIMAL(18,2))) AS sv,
+         |  SUM(CAST(cell AS DECIMAL(18,2)) * timestep) AS stv
+         |  FROM dense GROUP BY 1)
+         |SELECT CAST(u AS BIGINT) AS u, CAST(n AS BIGINT) AS n_ts,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+         |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) > 0.0
+         |    THEN (CAST(n AS DOUBLE) * CAST(stv AS DOUBLE)
+         |      - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+         |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) END AS slope,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+         |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) > 0.0
+         |    THEN (CAST(sv AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(stv AS DOUBLE)
+         |      - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+         |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))) * CAST(st AS DOUBLE))
+         |      / CAST(n AS DOUBLE) END AS icept
+         |FROM m ORDER BY u""".stripMargin,
     // quarter-way linear interpolation between consecutive present days,
     // per cell index — same lead window, same double operand order
     "arr_interp" ->
@@ -2781,6 +2836,7 @@ object ArrayQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "arr_searchsorted" -> (arrSearchsorted _),
+    "arr_trend" -> (arrTrend _),
     "arr_norms" -> (arrNorms _),
     "arr_convolve" -> (arrConvolve _),
     "arr_interp" -> (arrInterp _),

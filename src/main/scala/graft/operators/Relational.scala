@@ -1373,6 +1373,89 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Gini coefficient of per-user activity (the concentration statistic
+    * growth teams track — "do 1% of users generate 90% of events?"):
+    * Lorenz math WITHOUT a corpus-wide rank — user counts collapse to a
+    * count HISTOGRAM first (O(distinct counts) rows), and the rank-sum
+    * Σᵢ i·xᵢ over ascending counts reduces per histogram bucket to
+    * c·(S_prev·m + m(m+1)/2) exactly (ties contribute a closed form, so
+    * the arbitrary within-tie order never matters); one bounded
+    * cumulative window over the histogram, exact BIGINT sums, ONE double
+    * division at the end. G = (2T − (n+1)·S) / (n·S). */
+  def evGini(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+    val hist = counts.groupBy("c").agg(count(lit(1)).as("m"))
+    val w = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = hist
+      .withColumn("cum_m", sum(col("m")).over(w))
+      .withColumn("sprev", col("cum_m") - col("m"))
+    h.agg(
+        sum(col("m")).as("n_users"),
+        sum(col("c") * col("m")).as("total_events"),
+        // m(m+1) is even, so DIV 2 is exact; the rank-sum is summed in
+        // DECIMAL(38,0) — at 100 TB T ~ c·n² passes 2⁶³ long before the
+        // counts do (ANSI would fail loudly either way; decimal just
+        // moves the ceiling far out of reach)
+        sum((col("c") * (col("sprev") * col("m")
+          + expr("m * (m + 1) DIV 2"))).cast("decimal(38,0)")).as("t"))
+      .select(col("n_users"), col("total_events"),
+        ((lit(2.0) * col("t").cast("double")
+          - (col("n_users") + 1).cast("double") * col("total_events").cast("double"))
+          / (col("n_users").cast("double") * col("total_events").cast("double")))
+          .as("gini"))
+  }
+
+  /** Lag-1 autocorrelation of the daily event-value total (the
+    * persistence statistic next to [[evAnomaly]] — does yesterday
+    * predict today?): daily totals are exact decimal aggregates
+    * (bounded at #days rows), consecutive pairs come from one lead
+    * window over the DAILY relation, and the Pearson formula runs on
+    * exact decimal moments cast to double in the [[qCorr]] operand
+    * order. One row out. */
+  def evAutocorr(s: SparkSession, dir: String): DataFrame = {
+    // totals re-narrow to DECIMAL(18,2) (they fit by construction) so the
+    // moment products stay inside both engines' 38-digit decimal width
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(dec2("value")).cast("decimal(18,2)").as("x"))
+    val w = Window.orderBy("day")
+    val pairs = daily
+      .withColumn("y", lead(col("x"), 1).over(w))
+      .filter(col("y").isNotNull)
+    val m = pairs.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val n = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val num = n * col("sxy").cast("double") - sx * sy
+    val den = sqrt(greatest(n * col("sxx").cast("double") - sx * sx, lit(0.0))) *
+      sqrt(greatest(n * col("syy").cast("double") - sy * sy, lit(0.0)))
+    m.select(col("n").as("n_pairs"),
+      when(den > 0.0, num / den).as("autocorr_lag1"))
+  }
+
+  /** User lifetime histogram (retention's long-tail summary): per user
+    * the first→last activity span in days and the distinct active-day
+    * count, rolled up to (lifetime_days → user count, active-day mass)
+    * — O(observation window) output rows, exact integers only. */
+  def evLifetime(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .groupBy("user_id")
+      .agg((datediff(max(col("day")), min(col("day"))) + 1).cast("bigint")
+        .as("lifetime_days"),
+        count(lit(1)).as("active_days"))
+    perUser.groupBy("lifetime_days")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("active_days")).as("total_active_days"))
+      .orderBy("lifetime_days")
+  }
+
   /** Weekly cohort retention MATRIX — [[evRetention]]'s single-offset
     * check generalized to the full (cohort week × week offset) grid the
     * growth dashboard draws: collapse to distinct (user, week) activity

@@ -149,6 +149,31 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("ngram"))
       .limit(20)
 
+  /** Zipf-law diagnostics over the corpus vocabulary (the sanity check
+    * a corpus curator runs on word frequencies — natural text keeps
+    * rank·frequency roughly constant; synthetic/boilerplate corpora
+    * don't): the global top-30 words by frequency with rank, the exact
+    * rank·freq Zipf product and the frequency relative to rank 1. The
+    * corpus-wide count is one explode + partial-agg pass with a
+    * TakeOrderedAndProject head; the rank window runs over the 30-row
+    * head only. */
+  def txtZipfTop(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val freq = Tables.load(s, dir, "documents")
+      .select(explode(org.apache.spark.sql.graftexpr.TextExpressions
+        .wordNgrams(col("text"), 1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(30)
+    freq
+      .withColumn("rank",
+        row_number().over(w.orderBy(desc("freq"), asc("w"))).cast("bigint"))
+      .withColumn("f1", max(col("freq")).over(w.partitionBy()))
+      .select(col("rank"), col("w"), col("freq"),
+        (col("rank") * col("freq")).as("zipf_c"),
+        (col("freq").cast("double") / col("f1").cast("double")).as("rel_freq"))
+      .orderBy("rank")
+  }
+
   /** Document-frequency table: the top-50 tokens by the NUMBER OF
     * DOCUMENTS containing them (ties to the byte-order-smaller token) —
     * the IR statistic behind IDF weighting and data-driven stopword
@@ -1728,6 +1753,21 @@ object TextAnalysis {
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
         |  CAST(length(text) AS BIGINT) AS n_chars_txt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // corpus top-30 by (freq desc, word); rank window over the head only
+    "txt_zipf_top" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |e AS (SELECT unnest(tk) AS w FROM t),
+        |f AS (SELECT w, COUNT(*) AS freq FROM e GROUP BY 1),
+        |top AS (SELECT w, freq FROM f ORDER BY freq DESC, w LIMIT 30),
+        |r AS (SELECT w, freq,
+        |        ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS rank,
+        |        MAX(freq) OVER () AS f1
+        |      FROM top)
+        |SELECT rank, w, freq, rank * freq AS zipf_c,
+        |  CAST(freq AS DOUBLE) / CAST(f1 AS DOUBLE) AS rel_freq
+        |FROM r ORDER BY rank""".stripMargin,
     // same whitespace tokenization; per-doc word counts then the rollup,
     // TTR = the same exact integer ratio
     "txt_word_stats" ->
@@ -1813,6 +1853,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_word_stats" -> (txtWordStats _),
+    "txt_zipf_top" -> (txtZipfTop _),
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangid _),
     "txt_fingerprint" -> (txtFingerprint _),

@@ -105,6 +105,95 @@ class EventProfilesSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_gini: histogram closed form equals the classic sorted Lorenz rank-sum") {
+    val r = Relational.evGini(spark, sf).collect().head
+    val counts = events.groupBy(_._1).map(_._2.size.toLong).toSeq.sorted
+    val n = counts.size.toLong
+    val s = counts.sum
+    val t = counts.zipWithIndex.map { case (c, i) => BigInt(c) * (i + 1) }.sum
+    val gini = (2.0 * t.toDouble - (n + 1).toDouble * s.toDouble) /
+      (n.toDouble * s.toDouble)
+    assert(r.getLong(0) == n && r.getLong(1) == s)
+    assert(r.getDouble(2) == gini, "histogram form == sorted rank-sum form")
+    assert(gini >= 0.0 && gini < 1.0)
+  }
+
+  test("ev_lifetime conserves users and active days") {
+    val got = Relational.evLifetime(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val du = Tables.load(spark, sf, "events")
+      .select(col("user_id").cast("long"), to_date(col("ts")).as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val pu = du.groupBy(_._1).toSeq.map { case (_, ds) =>
+      val days = ds.map(_._2)
+      (java.time.temporal.ChronoUnit.DAYS.between(days.min, days.max) + 1,
+        days.size.toLong)
+    }
+    val exp = pu.groupBy(_._1).map { case (lt, vs) =>
+      lt -> ((vs.size.toLong, vs.map(_._2).sum)) }
+    assert(got == exp)
+    assert(got.values.map(_._1).sum == du.map(_._1).distinct.length.toLong)
+  }
+
+  test("ev_autocorr equals a BigDecimal-moment replay of the daily series") {
+    val r = Relational.evAutocorr(spark, sf).collect().head
+    val daily = Tables.load(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("x"))
+      .orderBy("day").collect().map(_.getDecimal(1)).map(BigDecimal(_))
+    val pairs = daily.zip(daily.tail)
+    val n = pairs.length.toLong
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val nd = n.toDouble
+    val num = nd * sxy.toDouble - sx.toDouble * sy.toDouble
+    val den = math.sqrt(math.max(nd * sxx.toDouble - sx.toDouble * sx.toDouble, 0.0)) *
+      math.sqrt(math.max(nd * syy.toDouble - sy.toDouble * sy.toDouble, 0.0))
+    assert(r.getLong(0) == n)
+    assert(r.getDouble(1) == num / den)
+    assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-12)
+  }
+
+  test("txt_zipf_top: ranks are dense, products exact, head matches a driver count") {
+    val got = TextAnalysis.txtZipfTop(spark, sf).collect()
+    assert(got.length == 30)
+    val freq = Tables.load(spark, sf, "documents").select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, v) => (w, v.length.toLong) }.toSeq
+    val top = freq.sortBy { case (w, f) => (-f, w) }.take(30)
+    got.zip(top).zipWithIndex.foreach { case ((r, (w, f)), i) =>
+      assert(r.getLong(0) == i + 1L, s"rank at $i")
+      assert(r.getString(1) == w && r.getLong(2) == f, s"word at $i")
+      assert(r.getLong(3) == (i + 1L) * f, s"zipf product at $i")
+      assert(r.getDouble(4) == f.toDouble / top.head._2.toDouble, s"rel freq at $i")
+    }
+  }
+
+  test("arr_trend equals a BigDecimal normal-equation replay per cell") {
+    val rows = ArrayQueries.eventsArray1dCached(spark, sf).rowsNd.collect()
+      .map(r => (r.getLong(1), r.getLong(0), BigDecimal(r.getDouble(2))))
+    val got = ArrayQueries.arrTrend(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      val n = vs.length.toLong
+      val st = vs.map(_._2).sum
+      val stt = vs.map(v => v._2 * v._2).sum
+      val sv = vs.map(_._3).sum
+      val stv = vs.map(v => v._3 * BigDecimal(v._2)).sum
+      val nd = n.toDouble
+      val num = nd * stv.toDouble - st.toDouble * sv.toDouble
+      val den = nd * stt.toDouble - st.toDouble * st.toDouble
+      val (gn, gs, gi) = got(u)
+      assert(gn == n, s"cell $u n")
+      if (den > 0.0) {
+        assert(gs == num / den, s"cell $u slope")
+        assert(gi == (sv.toDouble - (num / den) * st.toDouble) / nd, s"cell $u icept")
+      }
+    }
+  }
+
   test("pipe_curriculum: quartile budgets conserve the corpus and order by quality") {
     val got = operators.Pipeline.pipeCurriculum(spark, sf).collect()
       .map(r => r.getLong(0) ->
