@@ -1355,27 +1355,36 @@ object Dedup {
     * bit_or aggregates — the shuffle carries 8 longs + 1 count per
     * source per partition, never vocabulary. Persisted: the 20-row
     * filter relation feeds both faces. */
-  private def bloomFilters(s: SparkSession, dir: String): DataFrame = {
+  /** Per-word Bloom bit contributions of an arbitrary `(source, text)`
+    * relation — shared by the batch faces and the streaming twin
+    * ([[graft.streaming.StreamingBloom]]). */
+  private[graft] def bloomContrib(docs: DataFrame): DataFrame = {
     val w = BloomBitsPerWord
-    val words = Tables.load(s, dir, "documents")
+    docs
       .select(col("source"),
         explode(org.apache.spark.sql.graftexpr.TextExpressions
           .hashWordNgrams(col("text"), 1)).as("h"))
       .selectExpr("source", "h",
         s"h % $BloomM AS p1", s"(h DIV $BloomM) % $BloomM AS p2")
-    val contrib = words.selectExpr(
-      Seq("source", "h") ++ (0 until BloomWords).map { k =>
-        s"""(CASE WHEN p1 DIV $w = $k
-           |  THEN shiftleft(CAST(1 AS BIGINT), CAST(p1 % $w AS INT))
-           |  ELSE CAST(0 AS BIGINT) END |
-           |CASE WHEN p2 DIV $w = $k
-           |  THEN shiftleft(CAST(1 AS BIGINT), CAST(p2 % $w AS INT))
-           |  ELSE CAST(0 AS BIGINT) END) AS w$k""".stripMargin
-      }: _*)
-    Persists.cached(contrib.groupBy("source")
-      .agg(countDistinct(col("h")).as("n_grams"),
-        (0 until BloomWords).map(k => expr(s"bit_or(w$k)").as(s"w$k")): _*))
+      .selectExpr(
+        Seq("source", "h") ++ (0 until BloomWords).map { k =>
+          s"""(CASE WHEN p1 DIV $w = $k
+             |  THEN shiftleft(CAST(1 AS BIGINT), CAST(p1 % $w AS INT))
+             |  ELSE CAST(0 AS BIGINT) END |
+             |CASE WHEN p2 DIV $w = $k
+             |  THEN shiftleft(CAST(1 AS BIGINT), CAST(p2 % $w AS INT))
+             |  ELSE CAST(0 AS BIGINT) END) AS w$k""".stripMargin
+        }: _*)
   }
+
+  /** The eight per-source bit_or filter words (the semilattice fold). */
+  private[graft] def bloomWordAggs: Seq[org.apache.spark.sql.Column] =
+    (0 until BloomWords).map(k => expr(s"bit_or(w$k)").as(s"w$k"))
+
+  private def bloomFilters(s: SparkSession, dir: String): DataFrame =
+    Persists.cached(bloomContrib(Tables.load(s, dir, "documents"))
+      .groupBy("source")
+      .agg(countDistinct(col("h")).as("n_grams"), bloomWordAggs: _*))
 
   private def popcountSql(f: Int => String): String =
     (0 until BloomWords).map(k => s"bit_count(${f(k)})").mkString(" + ")

@@ -757,6 +757,36 @@ object Pipeline {
        |FROM a ORDER BY shard""".stripMargin
 
   private lazy val staticOracles: Map[String, String] = Map(
+    // score replay + the exact integer acceptance h < floor(score·p²)
+    "smp_weighted" -> {
+      val pp = Relational.SkP.toDouble * Relational.SkP.toDouble
+      val ppLit = s"CAST('${java.lang.Double.toString(pp)}' AS DOUBLE)"
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(tk) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE) AS stop,
+         |    CAST(list_reduce(list_prepend(0, list_transform(tk, x -> len(x))), (a, b) -> a + b) AS DOUBLE) AS char_sum
+         |  FROM t),
+         |sc AS (
+         |  SELECT doc_id, source,
+         |    (stop / n_tok) * 0.3 + least(char_sum / n_tok / 10.0, 1.0) * 0.7 AS score
+         |  FROM m),
+         |k AS (
+         |  SELECT source,
+         |    CASE WHEN ${Relational.permHash62Sql("doc_id")}
+         |      < CAST(floor(score * $ppLit) AS BIGINT) THEN 1 ELSE 0 END AS kept,
+         |    CAST(floor(score * 1000) AS BIGINT) AS q_milli
+         |  FROM sc)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN kept = 1 THEN q_milli ELSE 0 END) AS BIGINT) AS kept_q_milli,
+         |  CAST(SUM(q_milli) AS BIGINT) AS total_q_milli
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // the txt_quality score replayed verbatim, milli-quantized, then the
     // histogram-cumulative quartile cuts and the threshold phase split
     "pipe_curriculum" ->
@@ -1090,8 +1120,37 @@ object Pipeline {
       .orderBy("phase")
   }
 
+  /** Quality-WEIGHTED Bernoulli sampling (importance sampling at the
+    * curation face — keep a document with probability equal to its
+    * quality score, the soft alternative to [[pipeClean]]'s hard gate):
+    * acceptance is the exact integer comparison
+    * `permHash62(doc_id) < floor(score·p²)` — the hash is uniform on
+    * [0, p²) and pure int64 both engines, the threshold is ONE double
+    * product/floor spelled identically, so membership is deterministic,
+    * replayable, and at 100 TB needs no state at all (re-running the
+    * pipeline keeps the same sample — the property that matters for
+    * reproducible training mixes). Per source: doc count, kept count
+    * and exact milli-quantized quality mass kept vs total. */
+  def smpWeighted(s: SparkSession, dir: String): DataFrame = {
+    val pp = Relational.SkP.toDouble * Relational.SkP.toDouble
+    val q = TextAnalysis.txtQuality(s, dir).select(col("doc_id"), col("score"))
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "source")
+    val keep = Relational.permHash62(col("doc_id")) <
+      floor(col("score") * lit(pp)).cast("bigint")
+    docs.join(q.hint("shuffle_hash"), "doc_id")
+      .select(col("source"), keep.as("kept"),
+        floor(col("score") * 1000).cast("bigint").as("q_milli"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("q_milli")).otherwise(0L)).as("kept_q_milli"),
+        sum(col("q_milli")).as("total_q_milli"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_curriculum" -> (pipeCurriculum _),
+    "smp_weighted" -> (smpWeighted _),
     "pipe_pack" -> (pipePack _),
     "pipe_shuffle" -> (pipeShuffle _),
     "pipe_pack_map" -> (pipePackMap _),

@@ -179,6 +179,32 @@ object Similarity {
       .orderBy("probe_id")
   }
 
+  /** Sign-bit (binary) embedding profile — the 1-bit quantization ANN
+    * stacks run as the cheap pre-filter (binarize by sign, compare by
+    * Hamming distance, exact-rerank the survivors; the dense-vector
+    * SimHash): per probe the Hamming-distance HISTOGRAM in buckets of
+    * 8 bits plus exact min/max — the separation profile that tells an
+    * engineer whether sign bits preserve this corpus' neighborhoods.
+    * Signatures are a narrow per-vector map; distances are exact
+    * integer folds against ≤ 5 broadcast probe signatures. */
+  def simSignHamming(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          v => when(v > 0.0, 1).otherwise(0)).as("sig"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("sig").as("psig"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"),
+        aggregate(zip_with(col("sig"), col("psig"), (x, y) => abs(x - y)),
+          lit(0), (a, x) => a + x).as("h"))
+      .groupBy(col("probe_id"), expr("CAST(h DIV 8 AS BIGINT)").as("h_bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("h")).cast("bigint").as("min_h"),
+        max(col("h")).cast("bigint").as("max_h"))
+      .orderBy("probe_id", "h_bucket")
+  }
+
   /** Symmetric int8 quantization per vector (the embedding-compression
     * pass ANN serving runs before indexing — 4× smaller vectors, dot
     * products in int8): scale = 127/max|v|, q = floor(v·scale + 0.5)
@@ -1478,6 +1504,21 @@ object Similarity {
          |  END AS recall
          |FROM truth t LEFT JOIN found f USING (probe_id)
          |ORDER BY 1""".stripMargin,
+    // sign signatures + exact integer Hamming folds; bucket = h // 8
+    "sim_sign_hamming" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    v -> CASE WHEN CAST(v AS DOUBLE) > 0.0 THEN 1 ELSE 0 END) AS sig
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, sig AS psig FROM e WHERE vec_id < 5),
+        |d AS (
+        |  SELECT probe_id,
+        |    CAST(list_sum(list_transform(range(1, len(sig) + 1),
+        |      i -> abs(sig[i] - psig[i]))) AS BIGINT) AS h
+        |  FROM e CROSS JOIN p WHERE e.vec_id != probe_id)
+        |SELECT probe_id, h // 8 AS h_bucket, COUNT(*) AS n_vecs,
+        |  MIN(h) AS min_h, MAX(h) AS max_h
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // scale/round/accounting replayed element-for-element; integer
     // checksums order-free, err_max an order-free max
     "emb_quant_int8" ->
@@ -1614,6 +1655,7 @@ object Similarity {
     "sim_range_search" -> (simRangeSearch _),
     "sim_range_recall" -> (simRangeRecall _),
     "emb_quant_int8" -> (embQuantInt8 _),
+    "sim_sign_hamming" -> (simSignHamming _),
     "sim_ann_recall" -> (simAnnRecall _),
     "sim_ivf_recall" -> (simIvfRecall _),
     "sim_pq_recall" -> (simPqRecall _),

@@ -89,6 +89,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID CONFUSION MATRIX — the evaluation a curator reads
+    * after [[txtLangid]]'s per-doc predictions (which languages leak
+    * into which): per (true, predicted) pair the doc count and the
+    * row-share (each row of the matrix sums to 1). The matrix is
+    * O(|langs|²) rows; the share window runs over one true-lang row of
+    * it, never documents. */
+  def txtLangidConf(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    txtLangid(s, dir)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_total", sum(col("n_docs")).over(w))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        (col("n_docs").cast("double") / col("lang_total").cast("double"))
+          .as("share"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Fingerprints: full-content md5 + min-shingle rolling fingerprint. */
   def txtFingerprint(s: SparkSession, dir: String): DataFrame =
     withTokens(s, dir).select(
@@ -1817,6 +1835,33 @@ object TextAnalysis {
         |  FROM h)
         |SELECT doc_id, pred_lang, lang, pred_lang = lang AS is_match
         |FROM p ORDER BY doc_id""".stripMargin,
+    // the txt_langid prediction CTE grouped to the (true, pred) matrix;
+    // row shares are exact integer ratios
+    "txt_langid_conf" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(tk, x -> x IN ('the','a','and','of','to','in','is'))) AS h_en,
+        |    len(list_filter(tk, x -> x IN ('el','la','de','y','que','los'))) AS h_es,
+        |    len(list_filter(tk, x -> x IN ('der','die','das','und','ist','ein'))) AS h_de,
+        |    len(list_filter(tk, x -> x IN ('le','la','de','et','les','un'))) AS h_fr
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN h_en >= greatest(h_es, h_de, h_fr) AND h_en > 0 THEN 'en'
+        |         WHEN h_es >= greatest(h_de, h_fr) AND h_es > 0 THEN 'es'
+        |         WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
+        |         WHEN h_fr > 0 THEN 'fr'
+        |         ELSE 'und' END AS pred_lang
+        |  FROM h),
+        |c AS (
+        |  SELECT lang, pred_lang, COUNT(*) AS n_docs FROM p GROUP BY 1, 2)
+        |SELECT lang, pred_lang, n_docs,
+        |  CAST(n_docs AS DOUBLE)
+        |    / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS share
+        |FROM c ORDER BY lang, pred_lang""".stripMargin,
     "txt_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
@@ -1854,6 +1899,7 @@ object TextAnalysis {
     "txt_tokens" -> (txtTokens _),
     "txt_word_stats" -> (txtWordStats _),
     "txt_zipf_top" -> (txtZipfTop _),
+    "txt_langid_conf" -> (txtLangidConf _),
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangid _),
     "txt_fingerprint" -> (txtFingerprint _),

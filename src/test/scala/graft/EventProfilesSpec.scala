@@ -223,6 +223,69 @@ class EventProfilesSpec extends AnyFunSuite {
     }
   }
 
+  test("txt_langid_conf: matrix equals the grouped per-doc predictions, rows sum to 1") {
+    val per = TextAnalysis.txtLangid(spark, sf).collect()
+      .map(r => (r.getString(2), r.getString(1)))
+    val exp = per.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = TextAnalysis.txtLangidConf(spark, sf).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap == exp)
+    got.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val tot = rows.map(_.getLong(2)).sum
+      rows.foreach(r => assert(r.getDouble(3) == r.getLong(2).toDouble / tot.toDouble,
+        s"$lang share"))
+    }
+    assert(got.map(_.getLong(2)).sum == per.length.toLong, "conservation")
+  }
+
+  test("sim_sign_hamming equals a driver sign-signature Hamming replay") {
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => if (v.toDouble > 0.0) 1 else 0).toArray)
+    val probes = embs.filter(_._1 < 5)
+    val exp = (for ((p, ps) <- probes; (id, s) <- embs if id != p) yield {
+      val h = ps.zip(s).map { case (a, b) => math.abs(a - b) }.sum
+      (p, (h / 8).toLong, h)
+    }).groupBy(t => (t._1, t._2)).map { case (k, v) =>
+      k -> ((v.size.toLong, v.map(_._3).min.toLong, v.map(_._3).max.toLong))
+    }
+    val got = graft.operators.Similarity.simSignHamming(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == exp)
+  }
+
+  test("smp_weighted: acceptance replays through the JVM hash twin, mass bounded") {
+    val scores = TextAnalysis.txtQuality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pp = Relational.SkP.toDouble * Relational.SkP.toDouble
+    val exp = docs.groupBy(_._2).map { case (src, ds) =>
+      val rows = ds.map { case (id, _) =>
+        val sc = scores(id)
+        val kept = Relational.permHash62L(id) < math.floor(sc * pp).toLong
+        (kept, math.floor(sc * 1000).toLong)
+      }
+      src -> ((rows.size.toLong, rows.count(_._1).toLong,
+        rows.filter(_._1).map(_._2).sum, rows.map(_._2).sum))
+    }
+    val got = graft.operators.Pipeline.smpWeighted(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == exp)
+    // weighted sampling keeps quality mass at least proportionally:
+    // kept fraction of quality mass >= kept fraction of docs (high-score
+    // docs are MORE likely kept)
+    val (nd, nk, kq, tq) = got.values
+      .foldLeft((0L, 0L, 0L, 0L)) { case ((a, b, c, d), (w, x, y, z)) =>
+        (a + w, b + x, c + y, d + z) }
+    assert(nk > 0 && nk < nd, "non-degenerate sample")
+    assert(kq.toDouble / tq.toDouble >= nk.toDouble / nd.toDouble - 0.05,
+      "quality mass tracks acceptance probability")
+  }
+
   test("arr_interp equals the lead-pair replay over the engine's own dense rows") {
     val dense = ArrayQueries.eventsArray1dCached(spark, sf).rowsNd.collect()
       .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
