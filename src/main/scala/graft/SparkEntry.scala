@@ -85,6 +85,7 @@ object SparkEntry {
     "ev_gini" -> (Relational.evGini _),
     "ev_autocorr" -> (Relational.evAutocorr _),
     "ev_lifetime" -> (Relational.evLifetime _),
+    "ev_cusum" -> (Relational.evCusum _),
   )
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -845,6 +846,24 @@ object SparkEntry {
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)))
         |  END AS autocorr_lag1
         |FROM m""".stripMargin,
+    // n-scaled exact-decimal CUSUM: n·P_d − d·S, divided back per row
+    "ev_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, x,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS d,
+        |    SUM(x) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |    SUM(x) OVER () AS stot
+        |  FROM daily)
+        |SELECT day, CAST(x AS DOUBLE) AS daily_total,
+        |  CAST(n * p - d * stot AS DOUBLE) AS cusum_scaled,
+        |  CAST(n * p - d * stot AS DOUBLE) / CAST(n AS DOUBLE) AS cusum
+        |FROM w ORDER BY day""".stripMargin,
     // per-user first->last span + distinct active days, rolled up
     "ev_lifetime" ->
       """WITH du AS (

@@ -105,6 +105,39 @@ object Media {
         col("frame_bytes").cast("bigint").as("frame_bytes"))
       .orderBy("id", "frame_idx")
 
+  /** Frame-delta threshold for [[mmSceneCuts]] (byte-sum units). */
+  val SceneCutDelta = 64L
+
+  /** Scene-cut detection over video-kind assets — the standard
+    * shot-boundary pass (consecutive-frame difference over a threshold;
+    * a real decoder would difference pixel histograms, the stub
+    * differences the same 16-byte frame blocks [[sampleFrames]] cuts):
+    * per asset the frame count, the number of |Δ| > [[SceneCutDelta]]
+    * boundaries and the largest jump — exact integers end to end. The
+    * per-frame sums come from the typed per-partition flatMap (narrow);
+    * the lag window is partitioned per asset (width = that asset's
+    * frame count, never the corpus). */
+  def mmSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = fromDocuments(s, dir)
+      .filter(_.kind == "video")
+      .flatMap { m =>
+        m.bytes.grouped(16).zipWithIndex.map { case (fr, idx) =>
+          (m.id, idx.toLong, fr.map(b => (b & 0xff).toLong).sum)
+        }
+      }
+      .toDF("id", "frame_idx", "fsum")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("frame_idx")
+    frames.withColumn("prev", lag(col("fsum"), 1).over(w))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(abs(col("fsum") - col("prev")) > SceneCutDelta, 1L)
+          .otherwise(0L)).as("n_cuts"),
+        max(abs(col("fsum") - col("prev"))).as("max_delta"))
+      .orderBy("id")
+  }
+
   /** Decode + aggregate as an oracle-gated query: per modality, the
     * asset count, total payload bytes, total decode checksum and one
     * histogram bin, computed through [[decodeStub]]'s typed
@@ -631,6 +664,30 @@ object Media {
         |  COUNT(*) AS n_distinct, CAST(MIN(mid) AS BIGINT) AS rep_id
         |FROM g GROUP BY whash
         |ORDER BY whash, rep_id""".stripMargin,
+    // exact byte-sum frames via hex-pair parsing; NULL first-frame prev
+    // routes the CASE to 0 in both engines
+    "mm_scene_cuts" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS n
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |f AS (
+         |  SELECT doc_id, i AS frame_idx,
+         |    CAST(list_sum(list_transform(range(16 * i, least(16 * (i + 1), n)),
+         |      p -> (instr('0123456789ABCDEF', substring(hx, CAST(2*p+1 AS INT), 1)) - 1) * 16
+         |         + (instr('0123456789ABCDEF', substring(hx, CAST(2*p+2 AS INT), 1)) - 1)))
+         |      AS BIGINT) AS fsum
+         |  FROM (SELECT doc_id, hx, n,
+         |          unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT))) AS i
+         |        FROM m)),
+         |l AS (SELECT doc_id, fsum,
+         |        LAG(fsum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+         |      FROM f)
+         |SELECT doc_id AS id, COUNT(*) AS n_frames,
+         |  CAST(SUM(CASE WHEN abs(fsum - prev) > ${SceneCutDelta}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+         |  CAST(MAX(abs(fsum - prev)) AS BIGINT) AS max_delta
+         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     // same thumbnail extraction as mm_whash; the coefficient fold runs
     // over the IDENTICAL DctC literals in the IDENTICAL w-ascending
     // order, so every double (and the AC median order statistic) is
@@ -805,6 +862,7 @@ object Media {
     "mm_ahash" -> (mmAhash _),
     "mm_whash" -> (mmWhash _),
     "mm_phash" -> (mmPhash _),
+    "mm_scene_cuts" -> (mmSceneCuts _),
     "mm_near_cluster" -> (mmNearCluster _),
     "mm_keep_one" -> (mmKeepOne _),
   )

@@ -1366,6 +1366,29 @@ object ArrayQueries {
       .orderBy("u", "tq")
   }
 
+  /** numpy-style per-timestep STANDARDIZATION (z-scores — the
+    * preprocessing map in front of every anomaly/learning consumer):
+    * exact decimal moments per timestep (one partial-agg pass of three
+    * scalars), joined back shuffle_hash on the timestep key, then the
+    * per-cell z expression in ONE fixed double operand order
+    * (std = √(n·Σx² − (Σx)²)/n; zero-variance timesteps NULL via the
+    * den > 0 guard in both engines). */
+  def arrStandardize(s: SparkSession, dir: String): DataFrame = {
+    val rows = eventsArray1dCached(s, dir).rowsNd
+    val m = rows.groupBy("timestep")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).as("sv"),
+        sum(dec2(col("value")) * dec2(col("value"))).as("svv"))
+    val n = col("n").cast("double")
+    val sv = col("sv").cast("double")
+    val den = n * col("svv").cast("double") - sv * sv
+    rows.join(m.hint("shuffle_hash"), "timestep")
+      .select(col("timestep"), col("i0").as("u"),
+        when(den > 0.0,
+          (col("value") - sv / n) * n / sqrt(den)).as("z"))
+      .orderBy("timestep", "u")
+  }
+
   /** Per-cell linear TREND along the time axis (the drift detector an
     * in-situ analyst fits per grid cell — "is this region heating?"):
     * ordinary least squares per cell index from EXACT sufficient
@@ -1714,6 +1737,29 @@ object ArrayQueries {
          |  y_q, CAST(y_q AS DOUBLE) / 10000.0 AS y
          |FROM y ORDER BY 1, 2""".stripMargin
     },
+    // per-timestep exact moments joined back; the z expression in the
+    // identical (v − sv/n)·n/√den operand order
+    "arr_standardize" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |m AS (SELECT timestep, COUNT(*) AS n,
+         |  SUM(CAST(cell AS DECIMAL(18,2))) AS sv,
+         |  SUM(CAST(cell AS DECIMAL(18,2)) * CAST(cell AS DECIMAL(18,2))) AS svv
+         |  FROM dense GROUP BY 1)
+         |SELECT CAST(dense.timestep AS BIGINT) AS timestep,
+         |  CAST(u AS BIGINT) AS u,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+         |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) > 0.0
+         |    THEN (cell - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * CAST(n AS DOUBLE)
+         |      / sqrt(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+         |          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) END AS z
+         |FROM dense JOIN m ON m.timestep = dense.timestep
+         |ORDER BY 1, 2""".stripMargin,
     // OLS per cell from the same exact sufficient statistics; the
     // slope/intercept double expressions replay operand-for-operand
     "arr_trend" ->
@@ -2837,6 +2883,7 @@ object ArrayQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "arr_searchsorted" -> (arrSearchsorted _),
     "arr_trend" -> (arrTrend _),
+    "arr_standardize" -> (arrStandardize _),
     "arr_norms" -> (arrNorms _),
     "arr_convolve" -> (arrConvolve _),
     "arr_interp" -> (arrInterp _),

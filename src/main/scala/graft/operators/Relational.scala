@@ -1438,6 +1438,33 @@ object Relational {
       when(den > 0.0, num / den).as("autocorr_lag1"))
   }
 
+  /** CUSUM change-point scan over the daily value total (Page 1954 —
+    * the level-shift detector run after [[evAutocorr]] says the series
+    * is persistent): the classic statistic Σ_{i≤d}(xᵢ − mean) rescaled
+    * by n so it stays EXACT decimal — n·P_d − d·S (P the decimal prefix
+    * sum, S the total) — divided back once per row; peak |cusum| marks
+    * the change day. Windows run over the bounded DAILY relation, the
+    * prefix sum in exact decimal (immune to windowed-double association
+    * differences across engines). */
+  def evCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(dec2("value")).cast("decimal(18,2)").as("x"))
+    val byDay = Window.orderBy("day")
+    val cum = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("d", row_number().over(byDay).cast("bigint"))
+      .withColumn("p", sum(col("x")).over(cum))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("stot", sum(col("x")).over(Window.partitionBy()))
+      .select(col("day"), col("x").cast("double").as("daily_total"),
+        (col("n") * col("p") - col("d") * col("stot")).cast("double")
+          .as("cusum_scaled"),
+        ((col("n") * col("p") - col("d") * col("stot")).cast("double")
+          / col("n").cast("double")).as("cusum"))
+      .orderBy("day")
+  }
+
   /** User lifetime histogram (retention's long-tail summary): per user
     * the first→last activity span in days and the distinct active-day
     * count, rolled up to (lifetime_days → user count, active-day mass)

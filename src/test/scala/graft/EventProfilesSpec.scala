@@ -194,6 +194,65 @@ class EventProfilesSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_cusum: telescopes to zero at the end, equals a BigDecimal prefix replay") {
+    val got = Relational.evCusum(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val daily = Tables.load(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("x"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, BigDecimal(r.getDecimal(1))))
+    val n = daily.length.toLong
+    val stot = daily.map(_._2).sum
+    var p = BigDecimal(0)
+    daily.zip(got).zipWithIndex.foreach { case (((day, x), g), i) =>
+      p += x
+      val scaled = BigDecimal(n) * p - BigDecimal(i + 1) * stot
+      assert(g._1 == day && g._2 == x.toDouble, s"day $day identity")
+      assert(g._3 == scaled.toDouble, s"day $day scaled")
+      assert(g._4 == scaled.toDouble / n.toDouble, s"day $day cusum")
+    }
+    // the CUSUM telescopes: at d = n it is exactly n·S − n·S = 0
+    assert(got.last._3 == 0.0, "terminal CUSUM is exactly zero")
+  }
+
+  test("arr_standardize: per-timestep z-scores have zero mean and unit variance") {
+    val got = ArrayQueries.arrStandardize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    val byTs = got.groupBy(_._1)
+    assert(byTs.nonEmpty)
+    byTs.foreach { case (t, vs) =>
+      assert(vs.length == 64, s"timestep $t dense")
+      if (!vs.exists(_._3.isNaN)) {
+        val zs = vs.map(_._3)
+        assert(math.abs(zs.sum) < 1e-9, s"timestep $t zero mean")
+        assert(math.abs(zs.map(z => z * z).sum / 64.0 - 1.0) < 1e-9,
+          s"timestep $t unit variance")
+      }
+    }
+  }
+
+  test("mm_scene_cuts equals a straight-line frame-delta replay") {
+    val got = graft.multimodal.Media.mmSceneCuts(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .filter(_.getLong(0) % 3 == 2)
+    assert(got.size == docs.length)
+    docs.foreach { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val sums = bytes.grouped(16).map(_.map(b => (b & 0xff).toLong).sum).toSeq
+      val deltas = sums.zip(sums.tail).map { case (a, b) => math.abs(b - a) }
+      val exp = (sums.length.toLong,
+        deltas.count(_ > graft.multimodal.Media.SceneCutDelta).toLong,
+        if (deltas.isEmpty) -1L else deltas.max)
+      assert(got(r.getLong(0)) == exp, s"asset ${r.getLong(0)}")
+    }
+  }
+
   test("pipe_curriculum: quartile budgets conserve the corpus and order by quality") {
     val got = operators.Pipeline.pipeCurriculum(spark, sf).collect()
       .map(r => r.getLong(0) ->

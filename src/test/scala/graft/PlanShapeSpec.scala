@@ -34,6 +34,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // join is pinned shuffle_hash
     "sim_range_search" -> Set("embeddings"),
     "sim_range_recall" -> Set("embeddings"),
+    // sign-bit profile: the same <= 5 probe-signature broadcast
+    "sim_sign_hamming" -> Set("embeddings"),
     "sim_ivf_recall" -> Set("embeddings"),
     "sim_pq_recall" -> Set("embeddings"),
     "sim_ivf_ann" -> Set("embeddings"),
