@@ -1405,16 +1405,18 @@ object Dedup {
     * distinct-join (the point of carrying Blooms at 100 TB: the
     * pairwise compare touches 64 bytes per side, never the corpus):
     * per source pair the AND/OR popcounts and the bit-level Jaccard.
-    * The S² pair grid IS the declared output; the self-join is hinted
-    * shuffle_replicate_nl so nothing fact-derived broadcasts, even at
-    * source-cardinality. */
+    * The S² pair grid IS the declared output; the self-join is a
+    * CartesianProduct over two single-partition coalesces of the 64-
+    * byte-per-source filter relation (nothing fact-derived broadcasts,
+    * and no P_a×P_b task-pair blowup — a 32×32-partition replicate-NL
+    * of a 20-row relation measured ~1.3 s of pure task overhead). */
   def ddBloomOverlap(s: SparkSession, dir: String): DataFrame = {
     val f = bloomFilters(s, dir)
     val a = f.select(col("source").as("src_a") +:
       (0 until BloomWords).map(k => col(s"w$k").as(s"a$k")): _*)
     val b = f.select(col("source").as("src_b") +:
       (0 until BloomWords).map(k => col(s"w$k").as(s"b$k")): _*)
-    a.hint("shuffle_replicate_nl").crossJoin(b)
+    a.coalesce(1).hint("shuffle_replicate_nl").crossJoin(b.coalesce(1))
       .filter(col("src_a") < col("src_b"))
       .withColumn("bits_common",
         expr(popcountSql(k => s"a$k & b$k")).cast("bigint"))
