@@ -86,6 +86,8 @@ object SparkEntry {
     "ev_autocorr" -> (Relational.evAutocorr _),
     "ev_lifetime" -> (Relational.evLifetime _),
     "ev_cusum" -> (Relational.evCusum _),
+    "q_window_funcs" -> (Relational.qWindowFuncs _),
+    "ev_type_overlap" -> (Relational.evTypeOverlap _),
   )
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -846,6 +848,43 @@ object SparkEntry {
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)))
         |  END AS autocorr_lag1
         |FROM m""".stripMargin,
+    // same per-nation window; pct_rank/cume exact integer-ratio doubles,
+    // nth_value under the identical default running frame (NULL at rk 1)
+    "q_window_funcs" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer),
+        |w AS (
+        |  SELECT c_nationkey, c_custkey, bal,
+        |    ROW_NUMBER() OVER win AS rk,
+        |    PERCENT_RANK() OVER win AS pct_rank,
+        |    CUME_DIST() OVER win AS cume,
+        |    FIRST_VALUE(bal) OVER win AS top_bal,
+        |    NTH_VALUE(bal, 2) OVER win AS second_bal
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY c_nationkey ORDER BY bal DESC, c_custkey))
+        |SELECT c_nationkey, c_custkey, CAST(rk AS BIGINT) AS rk,
+        |  CAST(bal AS DOUBLE) AS bal, pct_rank, cume,
+        |  CAST(top_bal AS DOUBLE) AS top_bal,
+        |  CAST(second_bal AS DOUBLE) AS second_bal
+        |FROM w WHERE rk <= 3 ORDER BY c_nationkey, rk""".stripMargin,
+    // distinct (type, user) activity; user-keyed self-join; exact Jaccard
+    "ev_type_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sizes AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n_common
+        |  FROM tu a JOIN tu b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        |  CAST(n_common AS DOUBLE)
+        |    / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.event_type = type_a
+        |JOIN sizes sb ON sb.event_type = type_b
+        |ORDER BY 1, 2""".stripMargin,
     // n-scaled exact-decimal CUSUM: n·P_d − d·S, divided back per row
     "ev_cusum" ->
       """WITH daily AS (

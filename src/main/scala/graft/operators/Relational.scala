@@ -1373,6 +1373,62 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** The remaining SQL window-function surface in one face —
+    * percent_rank / cume_dist / first_value / nth_value (row_number,
+    * ntile, lag/lead and rank already ship in other queries): per
+    * nation the top-3 customers by balance annotated with their
+    * distribution position and the partition's first/2nd values. The
+    * window is per nation (bounded partition); ranks and the two
+    * ratios are exact integers / integer-ratio doubles. */
+  def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(desc("bal"), asc("c_custkey"))
+    Tables.load(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        dec2("c_acctbal").as("bal"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("top_bal",
+        first(col("bal")).over(w).cast("double"))
+      .withColumn("second_bal",
+        nth_value(col("bal"), 2).over(w).cast("double"))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("rk"),
+        col("bal").cast("double").as("bal"),
+        col("pct_rank"), col("cume"), col("top_bal"), col("second_bal"))
+      .orderBy("c_nationkey", "rk")
+  }
+
+  /** User-set overlap between event types (the audience-overlap matrix
+    * product analytics draws as a Venn/chord diagram): per unordered
+    * type pair the common-user count and exact Jaccard. Distinct
+    * (type, user) activity first (corpus → activity scale), then a
+    * self-join keyed on user_id — shuffle hash on the user key, output
+    * O(|types|²). */
+  def evTypeOverlap(s: SparkSession, dir: String): DataFrame = {
+    val tu = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id"))
+        .hint("shuffle_hash"), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))
+        .hint("shuffle_hash"), "type_a")
+      .join(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))
+        .hint("shuffle_hash"), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Gini coefficient of per-user activity (the concentration statistic
     * growth teams track — "do 1% of users generate 90% of events?"):
     * Lorenz math WITHOUT a corpus-wide rank — user counts collapse to a
