@@ -88,6 +88,7 @@ object SparkEntry {
     "ev_cusum" -> (Relational.evCusum _),
     "q_window_funcs" -> (Relational.qWindowFuncs _),
     "ev_type_overlap" -> (Relational.evTypeOverlap _),
+    "ev_ewma" -> (Relational.evEwma _),
   )
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -885,6 +886,31 @@ object SparkEntry {
         |JOIN sizes sa ON sa.event_type = type_a
         |JOIN sizes sb ON sb.event_type = type_b
         |ORDER BY 1, 2""".stripMargin,
+    // exact binary-fraction weights, same k-ascending left-assoc chain
+    "ev_ewma" -> {
+      val wts = (0 to 6).map(k => 0.5 * math.pow(0.5, k))
+      def lagCol(k: Int) = if (k == 0) "x" else s"x$k"
+      val lagDefs = (1 to 6)
+        .map(k => s"LAG(x, $k) OVER (ORDER BY day) AS x$k").mkString(",\n    ")
+      val num = (0 to 6).map(k =>
+        s"CASE WHEN ${lagCol(k)} IS NOT NULL THEN ${wts(k)} * CAST(${lagCol(k)} AS DOUBLE) ELSE 0.0 END")
+        .mkString("\n   + ")
+      val den = (0 to 6).map(k =>
+        s"CASE WHEN ${lagCol(k)} IS NOT NULL THEN ${wts(k)} ELSE 0.0 END")
+        .mkString("\n   + ")
+      s"""WITH daily AS (
+         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+         |  FROM events GROUP BY 1),
+         |l AS (
+         |  SELECT day, x,
+         |    $lagDefs
+         |  FROM daily)
+         |SELECT day, CAST(x AS DOUBLE) AS daily_total,
+         |  (($num)
+         |   / ($den)) AS ewma7
+         |FROM l ORDER BY day""".stripMargin
+    },
     // n-scaled exact-decimal CUSUM: n·P_d − d·S, divided back per row
     "ev_cusum" ->
       """WITH daily AS (

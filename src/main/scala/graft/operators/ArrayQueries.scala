@@ -1366,6 +1366,27 @@ object ArrayQueries {
       .orderBy("u", "tq")
   }
 
+  /** numpy `histogram2d` of the even/odd parity fields (the joint
+    * distribution an analyst draws to see whether the two halves of
+    * the event stream co-vary): both dense parity arrays come from the
+    * ONE-scan [[parityCells]] relation (the arr_mean_diff posture),
+    * meet in a (timestep, cell)-keyed shuffle-hash join over the
+    * parity-day INTERSECT (the arr_xcorr day rule), and bucket into a
+    * width-100 grid with the IEEE-exact floor bucketing of
+    * [[arrHistogram]] — bucket partials fold map-side, the shuffle
+    * carries O(occupied grid cells). */
+  def arrHistogram2d(s: SparkSession, dir: String): DataFrame = {
+    val e = parityArray(s, dir, even = true).rowsNd
+      .select(col("timestep"), col("i0").as("u"), col("value").as("ve"))
+    val o = parityArray(s, dir, even = false).rowsNd
+      .select(col("timestep"), col("i0").as("u"), col("value").as("vo"))
+    e.join(o.hint("shuffle_hash"), Seq("timestep", "u"))
+      .groupBy(floor(col("ve") / 100.0).cast("bigint").as("be"),
+        floor(col("vo") / 100.0).cast("bigint").as("bo"))
+      .agg(count(lit(1)).as("n_cells"))
+      .orderBy("be", "bo")
+  }
+
   /** numpy-style per-timestep STANDARDIZATION (z-scores — the
     * preprocessing map in front of every anomaly/learning consumer):
     * exact decimal moments per timestep (one partial-agg pass of three
@@ -1737,6 +1758,28 @@ object ArrayQueries {
          |  y_q, CAST(y_q AS DOUBLE) / 10000.0 AS y
          |FROM y ORDER BY 1, 2""".stripMargin
     },
+    // one-scan parity cells, parity-day INTERSECT, IEEE-exact floor grid
+    "arr_histogram2d" ->
+      """WITH cells AS (
+        |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS timestep,
+        |    user_id % 64 AS u,
+        |    CAST(SUM(CASE WHEN event_id % 2 = 0
+        |      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS ce,
+        |    CAST(SUM(CASE WHEN event_id % 2 = 1
+        |      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS co
+        |  FROM events GROUP BY 1, 2),
+        |days AS (
+        |  SELECT timestep FROM (SELECT DISTINCT timestep FROM cells WHERE ce IS NOT NULL)
+        |  INTERSECT
+        |  SELECT timestep FROM (SELECT DISTINCT timestep FROM cells WHERE co IS NOT NULL)),
+        |dense AS (
+        |  SELECT d.timestep, r.u,
+        |    COALESCE(c.ce, 0.0) AS ve, COALESCE(c.co, 0.0) AS vo
+        |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+        |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+        |SELECT CAST(floor(ve / 100.0) AS BIGINT) AS be,
+        |  CAST(floor(vo / 100.0) AS BIGINT) AS bo, COUNT(*) AS n_cells
+        |FROM dense GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // per-timestep exact moments joined back; the z expression in the
     // identical (v − sv/n)·n/√den operand order
     "arr_standardize" ->
@@ -2884,6 +2927,7 @@ object ArrayQueries {
     "arr_searchsorted" -> (arrSearchsorted _),
     "arr_trend" -> (arrTrend _),
     "arr_standardize" -> (arrStandardize _),
+    "arr_histogram2d" -> (arrHistogram2d _),
     "arr_norms" -> (arrNorms _),
     "arr_convolve" -> (arrConvolve _),
     "arr_interp" -> (arrInterp _),

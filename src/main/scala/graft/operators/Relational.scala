@@ -1494,6 +1494,35 @@ object Relational {
       when(den > 0.0, num / den).as("autocorr_lag1"))
   }
 
+  /** 7-tap truncated EWMA of the daily value total (exponential
+    * smoothing, the forecasting primitive next to [[qMovingAvg]]'s flat
+    * window): weights α(1−α)^k at α = ½ are EXACT binary fractions, so
+    * the weighted numerator/normalizer are deterministic doubles in one
+    * fixed k-ascending operand order (missing leading lags renormalize
+    * — the standard adjusted-EWMA start); one lag chain over the
+    * bounded daily relation. */
+  def evEwma(s: SparkSession, dir: String): DataFrame = {
+    val wts = (0 to 6).map(k => 0.5 * math.pow(0.5, k))
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(dec2("value")).cast("decimal(18,2)").as("x"))
+    val w = Window.orderBy("day")
+    val lags = (0 to 6).map {
+      case 0 => col("x")
+      case k => lag(col("x"), k).over(w)
+    }
+    val num = lags.zip(wts).map { case (c, wk) =>
+      when(c.isNotNull, lit(wk) * c.cast("double")).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val den = lags.zip(wts).map { case (c, wk) =>
+      when(c.isNotNull, lit(wk)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    daily
+      .select(col("day"), col("x").cast("double").as("daily_total"),
+        (num / den).as("ewma7"))
+      .orderBy("day")
+  }
+
   /** CUSUM change-point scan over the daily value total (Page 1954 —
     * the level-shift detector run after [[evAutocorr]] says the series
     * is persistent): the classic statistic Σ_{i≤d}(xᵢ − mean) rescaled

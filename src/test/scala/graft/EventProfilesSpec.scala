@@ -253,6 +253,63 @@ class EventProfilesSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_ewma: smoother replays driver-side; a flat series is a fixed point") {
+    val got = Relational.evEwma(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2)))
+    val daily = Tables.load(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("x"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getDecimal(1).doubleValue()))
+    val wts = (0 to 6).map(k => 0.5 * math.pow(0.5, k))
+    got.zipWithIndex.foreach { case ((day, x, ew), i) =>
+      assert(day == daily(i)._1 && x == daily(i)._2, s"day $day identity")
+      val avail = (0 to math.min(6, i))
+      val num = avail.map(k => wts(k) * daily(i - k)._2).sum
+      val den = avail.map(wts).sum
+      // same k-ascending left fold, so the doubles are identical
+      assert(ew == num / den, s"day $day ewma")
+    }
+    // fixed point: EWMA of a constant series is that constant (weights
+    // renormalize exactly — binary fractions sum without rounding)
+    val const = Seq.fill(10)(42.25)
+    (0 until 10).foreach { i =>
+      val avail = (0 to math.min(6, i))
+      val v = avail.map(k => wts(k) * 42.25).sum / avail.map(wts).sum
+      assert(v == 42.25, s"flat fixed point at $i")
+    }
+  }
+
+  test("arr_histogram2d conserves cells over the parity-day intersect") {
+    val got = ArrayQueries.arrHistogram2d(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    // driver replay of the parity densify + bucket fold
+    val cells = Tables.load(spark, sf, "events")
+      .groupBy(datediff(to_date(col("ts")), lit("2024-01-01")).as("t"),
+        (col("user_id") % 64).as("u"))
+      .agg(
+        sum(when(col("event_id") % 2 === 0,
+          col("value").cast("decimal(18,2)"))).cast("double").as("ce"),
+        sum(when(col("event_id") % 2 === 1,
+          col("value").cast("decimal(18,2)"))).cast("double").as("co"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1)),
+        (Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))))
+    val eDays = cells.filter(_._2._1.isDefined).map(_._1._1).distinct.toSet
+    val oDays = cells.filter(_._2._2.isDefined).map(_._1._1).distinct.toSet
+    val days = eDays.intersect(oDays)
+    val byKey = cells.toMap
+    val exp = (for (d <- days.toSeq; u <- 0L until 64L) yield {
+      val (ce, co) = byKey.getOrElse((d, u), (None, None))
+      (math.floor(ce.getOrElse(0.0) / 100.0).toLong,
+        math.floor(co.getOrElse(0.0) / 100.0).toLong)
+    }).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == exp)
+    assert(got.values.sum == days.size.toLong * 64L, "cell conservation")
+  }
+
   test("pipe_curriculum: quartile budgets conserve the corpus and order by quality") {
     val got = operators.Pipeline.pipeCurriculum(spark, sf).collect()
       .map(r => r.getLong(0) ->
