@@ -89,6 +89,8 @@ object SparkEntry {
     "q_window_funcs" -> (Relational.qWindowFuncs _),
     "ev_type_overlap" -> (Relational.evTypeOverlap _),
     "ev_ewma" -> (Relational.evEwma _),
+    "ev_value_hist" -> (Relational.evValueHist _),
+    "q_full_outer" -> (Relational.qFullOuter _),
   )
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -886,6 +888,31 @@ object SparkEntry {
         |JOIN sizes sa ON sa.event_type = type_a
         |JOIN sizes sb ON sb.event_type = type_b
         |ORDER BY 1, 2""".stripMargin,
+    // exact cents, bit-length buckets (no FP boundary hazard), exact sums
+    "ev_value_hist" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_events, MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM v WHERE cents > 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // two day aggregates in a FULL OUTER join; null sides report zero
+    "q_full_outer" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day, COUNT(*) AS n_shipments
+        |  FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(o.day, s.day) AS day,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(n_shipments, 0) AS n_shipments,
+        |  n_orders IS NOT NULL AND n_shipments IS NOT NULL AS both_active
+        |FROM o FULL OUTER JOIN s ON o.day = s.day
+        |ORDER BY day""".stripMargin,
     // exact binary-fraction weights, same k-ascending left-assoc chain
     "ev_ewma" -> {
       val wts = (0 to 6).map(k => 0.5 * math.pow(0.5, k))

@@ -1366,6 +1366,22 @@ object ArrayQueries {
       .orderBy("u", "tq")
   }
 
+  /** numpy `maximum.accumulate` along the hour axis per line (the
+    * running-peak profile — "high-water mark so far today"): one window
+    * per (timestep, user) line (bounded width), max is order-free exact
+    * on doubles, no decimal needed anywhere. */
+  def arrCummax(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("timestep", "i")
+      .orderBy("j")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    eventsArray2dCached(s, dir).rows2d
+      .withColumn("cummax", max(col("value")).over(w))
+      .select(col("timestep"), col("i"), col("j"), col("cummax"))
+      .orderBy("timestep", "i", "j")
+  }
+
   /** numpy `histogram2d` of the even/odd parity fields (the joint
     * distribution an analyst draws to see whether the two halves of
     * the event stream co-vary): both dense parity arrays come from the
@@ -1758,6 +1774,14 @@ object ArrayQueries {
          |  y_q, CAST(y_q AS DOUBLE) / 10000.0 AS y
          |FROM y ORDER BY 1, 2""".stripMargin
     },
+    // running max per line — order-free exact on doubles
+    "arr_cummax" ->
+      s"""WITH $CELLS_2D_DENSE
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS i,
+         |  CAST(h AS BIGINT) AS j,
+         |  MAX(cell) OVER (PARTITION BY timestep, u ORDER BY h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
+         |FROM cells ORDER BY 1, 2, 3""".stripMargin,
     // one-scan parity cells, parity-day INTERSECT, IEEE-exact floor grid
     "arr_histogram2d" ->
       """WITH cells AS (
@@ -2928,6 +2952,7 @@ object ArrayQueries {
     "arr_trend" -> (arrTrend _),
     "arr_standardize" -> (arrStandardize _),
     "arr_histogram2d" -> (arrHistogram2d _),
+    "arr_cummax" -> (arrCummax _),
     "arr_norms" -> (arrNorms _),
     "arr_convolve" -> (arrConvolve _),
     "arr_interp" -> (arrInterp _),

@@ -1494,6 +1494,46 @@ object Relational {
       when(den > 0.0, num / den).as("autocorr_lag1"))
   }
 
+  /** Log₂ value histogram per event type (the money-scale distribution
+    * dashboard — "are purchases $1 or $1000"): value in exact CENTS,
+    * bucket = floor(log₂ cents) computed as `length(bin(n)) − 1` — the
+    * exact integer bit length, no floating-point boundary hazard at
+    * powers of two (the mm_bytes_hist idiom); one (type, bucket)
+    * partial-agg pass, exact decimal sums per bucket. */
+  def evValueHist(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        (dec2("value") * 100).cast("bigint").as("cents"))
+      .where(col("cents") > 0)
+      .groupBy(col("event_type"),
+        (length(bin(col("cents"))) - 1).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy("event_type", "bucket")
+
+  /** FULL OUTER join surface — order activity vs shipping activity by
+    * day (the reconciliation query that finds days with orders but no
+    * shipments and vice versa): two day-keyed partial aggregates meet
+    * in a full outer shuffle-hash join; null sides report zero with an
+    * explicit presence flag. */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val shp = Tables.load(s, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n_shipments"))
+    ord.join(shp.hint("shuffle_hash"), Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_shipments"), lit(0L)).as("n_shipments"),
+        (col("n_orders").isNotNull && col("n_shipments").isNotNull)
+          .as("both_active"))
+      .orderBy("day")
+  }
+
   /** 7-tap truncated EWMA of the daily value total (exponential
     * smoothing, the forecasting primitive next to [[qMovingAvg]]'s flat
     * window): weights α(1−α)^k at α = ½ are EXACT binary fractions, so

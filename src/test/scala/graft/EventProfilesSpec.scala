@@ -310,6 +310,55 @@ class EventProfilesSpec extends AnyFunSuite {
     assert(got.values.sum == days.size.toLong * 64L, "cell conservation")
   }
 
+  test("ev_value_hist: bit-length buckets bound their extremes, totals conserve") {
+    val got = Relational.evValueHist(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (b, mn, mx) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert((1L << b) <= mn && mn <= mx && mx < (1L << (b + 1)),
+        s"bucket $b bounds [$mn, $mx]")
+    }
+    val totalEvents = Tables.load(spark, sf, "events")
+      .where(col("value").isNotNull &&
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint") > 0)
+      .count()
+    assert(got.map(_.getLong(2)).sum == totalEvents, "event conservation")
+  }
+
+  test("q_full_outer: day union conserved, flags consistent") {
+    val got = Relational.qFullOuter(spark, sf).collect()
+      .map(r => (r.getDate(0).toString,
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+    val oDays = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).cast("string")).collect()
+      .map(_.getString(0)).toSet
+    val sDays = Tables.load(spark, sf, "lineitem")
+      .select(to_date(col("l_shipdate")).cast("string")).collect()
+      .map(_.getString(0)).toSet
+    assert(got.map(_._1).toSet == oDays.union(sDays), "full outer day union")
+    got.foreach { case (d, (no, ns, both)) =>
+      assert(both == (oDays.contains(d) && sDays.contains(d)), s"$d flag")
+      assert((no > 0) == oDays.contains(d) && (ns > 0) == sDays.contains(d),
+        s"$d zero-fill")
+    }
+  }
+
+  test("arr_cummax is the running max of the dense 2-d rows") {
+    val rows = ArrayQueries.eventsArray2dCached(spark, sf).rows2d.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    val got = ArrayQueries.arrCummax(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+    assert(got.nonEmpty && got.length == rows.size)
+    got.groupBy(g => (g._1._1, g._1._2)).foreach { case ((t, i), line) =>
+      var run = Double.NegativeInfinity
+      line.sortBy(_._1._3).foreach { case ((_, _, j), v) =>
+        run = math.max(run, rows((t, i, j)))
+        assert(v == run, s"($t, $i, $j) running max")
+      }
+    }
+  }
+
   test("pipe_curriculum: quartile budgets conserve the corpus and order by quality") {
     val got = operators.Pipeline.pipeCurriculum(spark, sf).collect()
       .map(r => r.getLong(0) ->
