@@ -265,6 +265,66 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       "g", Some(n.toDouble))
   }
 
+  /** Per-timestep DFT of a NON-power-of-two 1-d line via Bluestein's
+    * chirp-z algorithm (Bluestein 1970 — the length-n transform as one
+    * circular convolution of power-of-two length m ≥ 2n−1, so the
+    * radix-2 machinery carries it; this retires [[fftRows]]' declared
+    * power-of-two restriction): the chirp a, the filter's frequency
+    * response B = fft(b) and m all come from
+    * [[org.apache.spark.sql.graftexpr.Fft.bluestein]] — driver-side
+    * StrictMath literals shared verbatim with the oracle — and the
+    * plan is chirp-multiply → pad → forward [[FftLineC]] → pointwise
+    * ·B → inverse (conj trick) → slice → chirp-multiply, every complex
+    * product spelled (xr·yr − xi·yi, xr·yi + xi·yr) so the oracle
+    * replays operand-for-operand. Same wire posture as [[fftRows]]:
+    * ONE line-assembly shuffle, chunk-local thereafter. Returns
+    * `(timestep, u, re, im)`, u < n. */
+  def bluesteinRows(): DataFrame = {
+    require(geom.dims == 1, "spectral faces require a 1-d array")
+    val n = geom.dimSize(0)
+    require((n & (n - 1)) != 0,
+      s"length $n is a power of two; use fftRows (Bluestein is the np2 path)")
+    val fx = org.apache.spark.sql.graftexpr.Fft
+    val (ar, ai, fbr, fbi, m) = fx.bluestein(n)
+    val arC = array(ar.map(lit(_)): _*)
+    val aiC = array(ai.map(lit(_)): _*)
+    val brC = array(fbr.map(lit(_)): _*)
+    val biC = array(fbi.map(lit(_)): _*)
+    def el(a: Column, i: Column): Column = element_at(a, i + 1)
+    val idxM = sequence(lit(0), lit(m - 1))
+    val idxN = sequence(lit(0), lit(n - 1))
+    val y = linePerTimestep()
+      .select(col("timestep"),
+        transform(idxM, j =>
+          when(j < n, el(col("x"), j) * el(arC, j)).otherwise(lit(0.0))).as("yr"),
+        transform(idxM, j =>
+          when(j < n, el(col("x"), j) * el(aiC, j)).otherwise(lit(0.0))).as("yi"))
+    val f = y
+      .select(col("timestep"), fx.fftLineC(col("yr"), col("yi"), m).as("f"))
+      .select(col("timestep"),
+        col("f").getField("re").as("fr"), col("f").getField("im").as("fi"))
+    val prod = f.select(col("timestep"),
+      transform(idxM, j =>
+        el(col("fr"), j) * el(brC, j) - el(col("fi"), j) * el(biC, j)).as("pr"),
+      transform(idxM, j =>
+        el(col("fr"), j) * el(biC, j) + el(col("fi"), j) * el(brC, j)).as("pi"))
+    val inv = prod
+      .select(col("timestep"),
+        fx.fftLineC(col("pr"), transform(col("pi"), v => -v), m).as("g"))
+      .select(col("timestep"),
+        transform(idxN, j =>
+          el(col("g").getField("re"), j) / lit(m.toDouble)).as("vr"),
+        transform(idxN, j =>
+          (-el(col("g").getField("im"), j)) / lit(m.toDouble)).as("vi"))
+    inv
+      .select(col("timestep"), posexplode(transform(idxN, k => struct(
+        (el(col("vr"), k) * el(arC, k) - el(col("vi"), k) * el(aiC, k)).as("re"),
+        (el(col("vr"), k) * el(aiC, k) + el(col("vi"), k) * el(arC, k)).as("im"))))
+        .as(Seq("u", "e")))
+      .select(col("timestep"), col("u").cast("bigint").as("u"),
+        col("e").getField("re").as("re"), col("e").getField("im").as("im"))
+  }
+
   /** Per-timestep 2-D discrete Fourier transform of the 2-d array
     * (numpy/dask `fft2`), composed from the engine's own passes — the
     * four-step decomposition [[fftRows]]' scaladoc declares, as code:

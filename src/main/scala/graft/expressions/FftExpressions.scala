@@ -88,6 +88,38 @@ object Fft {
     butterflies(re, im, wr, wi)
   }
 
+  /** Bluestein chirp tables for an ARBITRARY-length DFT (Bluestein
+    * 1970: X_k = a_k · Σⱼ (xⱼ·aⱼ)·b_{k−j} with a_k = e^(−iπk²/n),
+    * b_l = e^(+iπl²/n) — the length-n transform as ONE circular
+    * convolution of length m = next power of two ≥ 2n−1, so the
+    * radix-2 kernels carry it): returns (ar, ai, fbr, fbi, m) where
+    * (ar, ai) is the length-n chirp and (fbr, fbi) the LENGTH-m
+    * forward transform of the wrapped b filter, computed through the
+    * identical [[fftArrays]] path. Angles reduce on the exact integer
+    * k² mod 2n BEFORE the one StrictMath call per entry, so the
+    * tables are bit-reproducible and shared verbatim with the oracle
+    * (the twiddle discipline). */
+  def bluestein(n: Int): (Array[Double], Array[Double], Array[Double], Array[Double], Int) = {
+    require(n >= 2, s"Bluestein needs n >= 2, got $n")
+    var m = Integer.highestOneBit(2 * n - 1)
+    if (m < 2 * n - 1) m <<= 1
+    def ang(l: Long): Double =
+      StrictMath.PI * ((l * l) % (2L * n)).toDouble / n
+    val ar = Array.tabulate(n)(k => StrictMath.cos(ang(k.toLong)))
+    val ai = Array.tabulate(n)(k => -StrictMath.sin(ang(k.toLong)))
+    val br = new Array[Double](m)
+    val bi = new Array[Double](m)
+    var l = -(n - 1)
+    while (l <= n - 1) {
+      val idx = ((l % m) + m) % m
+      br(idx) = StrictMath.cos(ang(l.toLong))
+      bi(idx) = StrictMath.sin(ang(l.toLong))
+      l += 1
+    }
+    val (fbr, fbi) = fftArrays(br, bi)
+    (ar, ai, fbr, fbi, m)
+  }
+
   /** The shared butterfly: run the radix-2 stages IN PLACE over
     * already-bit-reversed (re, im) work arrays — the exact per-element
     * formulas the oracle's stage CTEs replay (see [[FftLine]]). */

@@ -38,20 +38,22 @@ object ArrayQueries {
     * position of every present timestep gets a chunk (zero-filled when no
     * events hit it) — the array is logically dense, and ops like stats /
     * +constant maps / aligned zips depend on all-positions-present. */
-  private def chunks1d(cells: DataFrame): ChunkedArray = {
+  private def chunks1d(cells: DataFrame,
+      g: ArrayGeometry = geom1d): ChunkedArray = {
+    val cl = g.chunkShape(0)
     val filled = cells
-      .groupBy(col("timestep"), expr("CAST(u div 16 AS INT)").as("cpos"))
-      .agg(map_from_entries(collect_list(struct((col("u") % 16).as("k"), col("cell")))).as("m"))
+      .groupBy(col("timestep"), expr(s"CAST(u div $cl AS INT)").as("cpos"))
+      .agg(map_from_entries(collect_list(struct((col("u") % cl).as("k"), col("cell")))).as("m"))
     val grid = cells.select("timestep").distinct()
-      .crossJoin(cells.sparkSession.range(geom1d.chunksPerDim(0))
+      .crossJoin(cells.sparkSession.range(g.chunksPerDim(0))
         .select(col("id").cast("int").as("cpos")))
     // `filled` is O(#chunks) — fact-scale at the 100 TB posture — so the
     // densify join must shuffle on (timestep, cpos), never broadcast it
     val df = grid.join(filled.hint("shuffle_hash"), Seq("timestep", "cpos"), "left")
       .select(col("timestep"), array(col("cpos")).as("pos"),
-        transform(sequence(lit(0), lit(15)), i =>
+        transform(sequence(lit(0), lit(cl - 1)), i =>
           coalesce(element_at(col("m"), i), lit(0.0))).as("data"))
-    ChunkedArray(df, geom1d)
+    ChunkedArray(df, g)
   }
 
   // The unfiltered 1-d/2-d arrays feed most §2.A queries; memoize + persist
@@ -124,6 +126,22 @@ object ArrayQueries {
   /** Memoized unfiltered variant (most §2.A queries start from it). */
   def eventsArray1dCached(s: SparkSession, dir: String): ChunkedArray =
     cached(s, dir, "1d")(eventsArray1d(s, dir))
+
+  /** A NON-power-of-two 1-d field (48 = 3·16 cells — 3 chunks of 16):
+    * the operand of the Bluestein face; same daily-bucket semantics as
+    * [[cells1d]] at a 48-bucket user hash. */
+  val geom48: ArrayGeometry = ArrayGeometry(Seq(3), Seq(16))
+
+  def eventsArray48Cached(s: SparkSession, dir: String): ChunkedArray =
+    cached(s, dir, "1d48") {
+      chunks1d(Tables.load(s, dir, "events")
+        .select(
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("bigint").as("timestep"),
+          (col("user_id") % 48).cast("int").as("u"),
+          col("value"))
+        .groupBy("timestep", "u")
+        .agg(sum(dec2(col("value"))).cast("double").as("cell")), geom48)
+    }
 
   /** Even/odd-parity cell relation from ONE `events` scan: a single
     * groupBy with two conditional decimal aggregates — `cell_even` /
@@ -1212,6 +1230,17 @@ object ArrayQueries {
         sum(dec2(col("value")) * (col("i0") + lit(1L))).cast("double").as("wsum"))
       .orderBy("timestep")
 
+  /** The NON-power-of-two DFT (numpy/dask `fft` at arbitrary n — the
+    * restriction [[arrFft]] declared, retired): the 48-cell daily
+    * field through Bluestein's chirp-z convolution
+    * ([[graft.arrays.ChunkedArray.bluesteinRows]] — the length-48
+    * transform as one length-128 radix-2 convolution; chirp and filter
+    * response are driver-side StrictMath literals shared verbatim with
+    * the oracle, which replays the whole
+    * chirp→fft→·B→ifft→chirp chain stage-for-stage, bit-exact). */
+  def arrFftNp2(s: SparkSession, dir: String): DataFrame =
+    eventsArray48Cached(s, dir).bluesteinRows().orderBy("timestep", "u")
+
   /** dask `da.fft.fft` of each timestep's field line (the spectral
     * analytic the in-situ `arr_gradient`/`arr_stencil_*` analyst plots
     * next; the reference's callback reaches the full dask.array
@@ -1873,6 +1902,63 @@ object ArrayQueries {
          |  CAST(timestep AS DOUBLE) + CAST(t1 - timestep AS DOUBLE) * 0.25 AS tq,
          |  cell + (v1 - cell) * 0.25 AS vq
          |FROM l WHERE t1 IS NOT NULL ORDER BY 1, 2""".stripMargin,
+    // the full Bluestein chain replayed stage-for-stage from the SAME
+    // literal chirp/filter tables: chirp-mul → pad → fft(128) → ·B →
+    // inverse (conj trick) → slice(48) → chirp-mul
+    "arr_fft_np2" -> {
+      import org.apache.spark.sql.graftexpr.Fft
+      val n = 48
+      val (ar, ai, fbr, fbi, m) = Fft.bluestein(n)
+      val st = Fft.log2(m)
+      def litList(a: Array[Double]) = a.map(fmtD).mkString("[", ", ", "]")
+      s"""WITH cells AS (
+         |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS timestep,
+         |    user_id % $n AS u,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS cell
+         |  FROM events GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range($n)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |lines AS (SELECT timestep, list(cell ORDER BY u) AS x FROM dense GROUP BY 1),
+         |consts AS (SELECT ${litList(ar)} AS car, ${litList(ai)} AS cai,
+         |  ${litList(fbr)} AS cbr, ${litList(fbi)} AS cbi),
+         |y AS (SELECT timestep, car, cai, cbr, cbi,
+         |  list_transform(range($m), j -> CASE WHEN j < $n
+         |    THEN x[j+1] * car[j+1] ELSE 0.0 END) AS yr,
+         |  list_transform(range($m), j -> CASE WHEN j < $n
+         |    THEN x[j+1] * cai[j+1] ELSE 0.0 END) AS yi
+         |  FROM lines CROSS JOIN consts),
+         |${twiddleCte(m, "tw")},
+         |s0 AS (SELECT timestep, car, cai, cbr, cbi, wr, wi,
+         |  list_transform(${brevList(m)}, j -> yr[j+1]) AS re,
+         |  list_transform(${brevList(m)}, j -> yi[j+1]) AS im
+         |  FROM y CROSS JOIN tw),
+         |${fftStageCtes(m, Seq("timestep", "car", "cai", "cbr", "cbi"), "s")},
+         |z AS (SELECT timestep, car, cai, wr, wi,
+         |  list_transform(range($m),
+         |    j -> re[j+1] * cbr[j+1] - im[j+1] * cbi[j+1]) AS zr,
+         |  list_transform(range($m),
+         |    j -> re[j+1] * cbi[j+1] + im[j+1] * cbr[j+1]) AS zi
+         |  FROM s$st),
+         |i0 AS (SELECT timestep, car, cai, wr, wi,
+         |  list_transform(${brevList(m)}, j -> zr[j+1]) AS re,
+         |  list_transform(${brevList(m)}, j -> -zi[j+1]) AS im
+         |  FROM z),
+         |${fftStageCtes(m, Seq("timestep", "car", "cai"), "i")},
+         |v AS (SELECT timestep, car, cai,
+         |  list_transform(range($n), j -> re[j+1] / CAST($m AS DOUBLE)) AS vr,
+         |  list_transform(range($n), j -> (-im[j+1]) / CAST($m AS DOUBLE)) AS vi
+         |  FROM i$st)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS u,
+         |  vr[CAST(u+1 AS INT)] * car[CAST(u+1 AS INT)]
+         |    - vi[CAST(u+1 AS INT)] * cai[CAST(u+1 AS INT)] AS re,
+         |  vr[CAST(u+1 AS INT)] * cai[CAST(u+1 AS INT)]
+         |    + vi[CAST(u+1 AS INT)] * car[CAST(u+1 AS INT)] AS im
+         |FROM v CROSS JOIN (SELECT unnest(range($n)) AS u) g
+         |ORDER BY 1, 2""".stripMargin
+    },
     // radix-2 butterfly replayed stage-for-stage, element-for-element
     "arr_fft" -> {
       val n = 64
@@ -2957,6 +3043,7 @@ object ArrayQueries {
     "arr_convolve" -> (arrConvolve _),
     "arr_interp" -> (arrInterp _),
     "arr_fft" -> (arrFft _),
+    "arr_fft_np2" -> (arrFftNp2 _),
     "arr_fft2" -> (arrFft2 _),
     "arr_ifft" -> (arrIfft _),
     "arr_conv_fft" -> (arrConvFft _),

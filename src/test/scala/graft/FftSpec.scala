@@ -244,6 +244,48 @@ class FftSpec extends AnyFunSuite {
     assert(fi.forall(r => r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0))
   }
 
+  test("Bluestein chirp-z: non-power-of-two DFT agrees with the O(n^2) reference") {
+    // a 12-cell line in 3 chunks of 4 (12 = 4·3, not a power of two)
+    val n = 12
+    def arr12(cells: Long => Int => Double): ChunkedArray = {
+      val rows = for (t <- Seq(0L, 1L); c <- 0 to 2)
+        yield (t, Seq(c), (0 to 3).map(i => cells(t)(4 * c + i)))
+      import spark.implicits._
+      ChunkedArray(rows.toDF("timestep", "pos", "data"), ArrayGeometry(Seq(3), Seq(4)))
+    }
+    val a = arr12(t => i => ((i * 19 + 3 + t) % 29) * 0.25)
+    val got = a.bluesteinRows().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.size == 2 * n)
+    for (t <- Seq(0L, 1L)) {
+      val x = (0 until n).map(i => ((i * 19 + 3 + t) % 29) * 0.25)
+      val ref = dftRef(x)
+      for (k <- 0 until n) {
+        val (re, im) = got((t, k.toLong))
+        assert(math.abs(re - ref(k)._1) < 1e-9, s"t=$t k=$k re: $re vs ${ref(k)._1}")
+        assert(math.abs(im - ref(k)._2) < 1e-9, s"t=$t k=$k im: $im vs ${ref(k)._2}")
+      }
+    }
+    // impulse at 0: every bin exactly the chirp identity value (1, 0)
+    // up to the chain's rounding
+    val imp = arr12(_ => i => if (i == 0) 1.0 else 0.0)
+    imp.bluesteinRows().collect().foreach { r =>
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-12, s"impulse re bin ${r.getLong(1)}")
+      assert(math.abs(r.getDouble(3)) < 1e-12, s"impulse im bin ${r.getLong(1)}")
+    }
+    // determinism: two evaluations bit-equal
+    val r1 = a.bluesteinRows().collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3))).toSeq.sortBy(x => (x._1, x._2))
+    val r2 = a.bluesteinRows().collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3))).toSeq.sortBy(x => (x._1, x._2))
+    assert(r1 == r2, "bit-deterministic")
+    // a power-of-two length refuses loudly toward fftRows
+    val p2 = arr(t => i => i.toDouble)
+    val e = intercept[IllegalArgumentException](p2.bluesteinRows())
+    assert(e.getMessage.contains("power of two"))
+  }
+
   test("non-power-of-two length refused loudly") {
     val rows = Seq((0L, Seq(0), (0 until 6).map(_.toDouble)))
     val bad = ChunkedArray(rows.toDF("timestep", "pos", "data"),
