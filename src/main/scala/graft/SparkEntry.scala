@@ -91,6 +91,7 @@ object SparkEntry {
     "ev_ewma" -> (Relational.evEwma _),
     "ev_value_hist" -> (Relational.evValueHist _),
     "q_full_outer" -> (Relational.qFullOuter _),
+    "ev_rfm" -> (Relational.evRfm _),
   )
 
   private val DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -888,6 +889,46 @@ object SparkEntry {
         |JOIN sizes sa ON sa.event_type = type_a
         |JOIN sizes sb ON sb.event_type = type_b
         |ORDER BY 1, 2""".stripMargin,
+    // per-axis corpus medians via the histogram-cumulative scaffold;
+    // deterministic CASE segments against three 1-row median relations
+    "ev_rfm" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+        |      (SELECT MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) FROM events))
+        |      AS BIGINT) AS rec,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |mr AS (
+        |  SELECT MIN(CASE WHEN cum >= CAST(ceil(n / 2.0) AS BIGINT) THEN rec END) AS med_rec
+        |  FROM (SELECT rec, SUM(cnt) OVER (ORDER BY rec
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          SUM(cnt) OVER () AS n
+        |        FROM (SELECT rec, COUNT(*) AS cnt FROM pu GROUP BY 1))),
+        |mf AS (
+        |  SELECT MIN(CASE WHEN cum >= CAST(ceil(n / 2.0) AS BIGINT) THEN freq END) AS med_freq
+        |  FROM (SELECT freq, SUM(cnt) OVER (ORDER BY freq
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          SUM(cnt) OVER () AS n
+        |        FROM (SELECT freq, COUNT(*) AS cnt FROM pu GROUP BY 1))),
+        |mm AS (
+        |  SELECT MIN(CASE WHEN cum >= CAST(ceil(n / 2.0) AS BIGINT) THEN cents END) AS med_cents
+        |  FROM (SELECT cents, SUM(cnt) OVER (ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          SUM(cnt) OVER () AS n
+        |        FROM (SELECT cents, COUNT(*) AS cnt FROM pu GROUP BY 1))),
+        |s AS (
+        |  SELECT (CASE WHEN rec <= med_rec THEN 'R' ELSE 'r' END ||
+        |          CASE WHEN freq > med_freq THEN 'F' ELSE 'f' END ||
+        |          CASE WHEN cents > med_cents THEN 'M' ELSE 'm' END) AS segment,
+        |    rec, freq, cents
+        |  FROM pu CROSS JOIN mr CROSS JOIN mf CROSS JOIN mm)
+        |SELECT segment, COUNT(*) AS n_users,
+        |  MAX(rec) AS max_recency,
+        |  CAST(SUM(freq) AS BIGINT) AS total_events,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact cents, bit-length buckets (no FP boundary hazard), exact sums
     "ev_value_hist" ->
       """WITH v AS (

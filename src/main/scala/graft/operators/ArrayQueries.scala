@@ -1241,6 +1241,17 @@ object ArrayQueries {
   def arrFftNp2(s: SparkSession, dir: String): DataFrame =
     eventsArray48Cached(s, dir).bluesteinRows().orderBy("timestep", "u")
 
+  /** One-sided power spectrum of the NON-power-of-two field — bins
+    * 0..n/2 of [[arrFftNp2]] with `power = re·re + im·im` spelled
+    * operand-for-operand with the oracle (the [[arrSpectrum]] read on
+    * the Bluestein transform, completing the np2 spectral pair). */
+  def arrSpectrumNp2(s: SparkSession, dir: String): DataFrame =
+    eventsArray48Cached(s, dir).bluesteinRows()
+      .filter(col("u") <= geom48.dimSize(0) / 2)
+      .select(col("timestep"), col("u"),
+        (col("re") * col("re") + col("im") * col("im")).as("power"))
+      .orderBy("timestep", "u")
+
   /** dask `da.fft.fft` of each timestep's field line (the spectral
     * analytic the in-situ `arr_gradient`/`arr_stencil_*` analyst plots
     * next; the reference's callback reaches the full dask.array
@@ -1753,6 +1764,59 @@ object ArrayQueries {
        |${fftStageCtes(n0, Seq("timestep", "v"), "c")}""".stripMargin
   }
 
+  /** The Bluestein replay CTE chain shared by the arr_fft_np2 /
+    * arr_spectrum_np2 oracles — identical chirp/filter LITERALS from
+    * [[org.apache.spark.sql.graftexpr.Fft.bluestein]], the padded
+    * chirp-multiplied input, the length-m forward stages, the
+    * pointwise product with B, the conjugate-trick inverse stages and
+    * the sliced scaled output; ends at `v(timestep, car, cai, vr, vi)`. */
+  private def bluesteinOracleCtes(n: Int): String = {
+    import org.apache.spark.sql.graftexpr.Fft
+    val (ar, ai, fbr, fbi, m) = Fft.bluestein(n)
+    val st = Fft.log2(m)
+    def litList(a: Array[Double]) = a.map(fmtD).mkString("[", ", ", "]")
+    s"""cells AS (
+         |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS timestep,
+         |    user_id % $n AS u,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS cell
+         |  FROM events GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range($n)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
+         |lines AS (SELECT timestep, list(cell ORDER BY u) AS x FROM dense GROUP BY 1),
+         |consts AS (SELECT ${litList(ar)} AS car, ${litList(ai)} AS cai,
+         |  ${litList(fbr)} AS cbr, ${litList(fbi)} AS cbi),
+         |y AS (SELECT timestep, car, cai, cbr, cbi,
+         |  list_transform(range($m), j -> CASE WHEN j < $n
+         |    THEN x[j+1] * car[j+1] ELSE 0.0 END) AS yr,
+         |  list_transform(range($m), j -> CASE WHEN j < $n
+         |    THEN x[j+1] * cai[j+1] ELSE 0.0 END) AS yi
+         |  FROM lines CROSS JOIN consts),
+         |${twiddleCte(m, "tw")},
+         |s0 AS (SELECT timestep, car, cai, cbr, cbi, wr, wi,
+         |  list_transform(${brevList(m)}, j -> yr[j+1]) AS re,
+         |  list_transform(${brevList(m)}, j -> yi[j+1]) AS im
+         |  FROM y CROSS JOIN tw),
+         |${fftStageCtes(m, Seq("timestep", "car", "cai", "cbr", "cbi"), "s")},
+         |z AS (SELECT timestep, car, cai, wr, wi,
+         |  list_transform(range($m),
+         |    j -> re[j+1] * cbr[j+1] - im[j+1] * cbi[j+1]) AS zr,
+         |  list_transform(range($m),
+         |    j -> re[j+1] * cbi[j+1] + im[j+1] * cbr[j+1]) AS zi
+         |  FROM s$st),
+         |i0 AS (SELECT timestep, car, cai, wr, wi,
+         |  list_transform(${brevList(m)}, j -> zr[j+1]) AS re,
+         |  list_transform(${brevList(m)}, j -> -zi[j+1]) AS im
+         |  FROM z),
+         |${fftStageCtes(m, Seq("timestep", "car", "cai"), "i")},
+         |v AS (SELECT timestep, car, cai,
+         |  list_transform(range($n), j -> re[j+1] / CAST($m AS DOUBLE)) AS vr,
+         |  list_transform(range($n), j -> (-im[j+1]) / CAST($m AS DOUBLE)) AS vi
+         |  FROM i$st)""".stripMargin
+  }
+
   private val staticOracles: Map[String, String] = Map(
     // insertion index = count of dense cells strictly below each literal
     // threshold (zero-filled cells count like the engine's dense array)
@@ -1903,62 +1967,31 @@ object ArrayQueries {
          |  cell + (v1 - cell) * 0.25 AS vq
          |FROM l WHERE t1 IS NOT NULL ORDER BY 1, 2""".stripMargin,
     // the full Bluestein chain replayed stage-for-stage from the SAME
-    // literal chirp/filter tables: chirp-mul → pad → fft(128) → ·B →
-    // inverse (conj trick) → slice(48) → chirp-mul
-    "arr_fft_np2" -> {
-      import org.apache.spark.sql.graftexpr.Fft
-      val n = 48
-      val (ar, ai, fbr, fbi, m) = Fft.bluestein(n)
-      val st = Fft.log2(m)
-      def litList(a: Array[Double]) = a.map(fmtD).mkString("[", ", ", "]")
-      s"""WITH cells AS (
-         |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS timestep,
-         |    user_id % $n AS u,
-         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS cell
-         |  FROM events GROUP BY 1, 2),
-         |days AS (SELECT DISTINCT timestep FROM cells),
-         |dense AS (
-         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
-         |  FROM days d CROSS JOIN (SELECT unnest(range($n)) AS u) r
-         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u),
-         |lines AS (SELECT timestep, list(cell ORDER BY u) AS x FROM dense GROUP BY 1),
-         |consts AS (SELECT ${litList(ar)} AS car, ${litList(ai)} AS cai,
-         |  ${litList(fbr)} AS cbr, ${litList(fbi)} AS cbi),
-         |y AS (SELECT timestep, car, cai, cbr, cbi,
-         |  list_transform(range($m), j -> CASE WHEN j < $n
-         |    THEN x[j+1] * car[j+1] ELSE 0.0 END) AS yr,
-         |  list_transform(range($m), j -> CASE WHEN j < $n
-         |    THEN x[j+1] * cai[j+1] ELSE 0.0 END) AS yi
-         |  FROM lines CROSS JOIN consts),
-         |${twiddleCte(m, "tw")},
-         |s0 AS (SELECT timestep, car, cai, cbr, cbi, wr, wi,
-         |  list_transform(${brevList(m)}, j -> yr[j+1]) AS re,
-         |  list_transform(${brevList(m)}, j -> yi[j+1]) AS im
-         |  FROM y CROSS JOIN tw),
-         |${fftStageCtes(m, Seq("timestep", "car", "cai", "cbr", "cbi"), "s")},
-         |z AS (SELECT timestep, car, cai, wr, wi,
-         |  list_transform(range($m),
-         |    j -> re[j+1] * cbr[j+1] - im[j+1] * cbi[j+1]) AS zr,
-         |  list_transform(range($m),
-         |    j -> re[j+1] * cbi[j+1] + im[j+1] * cbr[j+1]) AS zi
-         |  FROM s$st),
-         |i0 AS (SELECT timestep, car, cai, wr, wi,
-         |  list_transform(${brevList(m)}, j -> zr[j+1]) AS re,
-         |  list_transform(${brevList(m)}, j -> -zi[j+1]) AS im
-         |  FROM z),
-         |${fftStageCtes(m, Seq("timestep", "car", "cai"), "i")},
-         |v AS (SELECT timestep, car, cai,
-         |  list_transform(range($n), j -> re[j+1] / CAST($m AS DOUBLE)) AS vr,
-         |  list_transform(range($n), j -> (-im[j+1]) / CAST($m AS DOUBLE)) AS vi
-         |  FROM i$st)
+    // literal chirp/filter tables: chirp-mul -> pad -> fft(128) -> .B ->
+    // inverse (conj trick) -> slice(48) -> chirp-mul
+    "arr_fft_np2" ->
+      s"""WITH ${bluesteinOracleCtes(48)}
          |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS u,
          |  vr[CAST(u+1 AS INT)] * car[CAST(u+1 AS INT)]
          |    - vi[CAST(u+1 AS INT)] * cai[CAST(u+1 AS INT)] AS re,
          |  vr[CAST(u+1 AS INT)] * cai[CAST(u+1 AS INT)]
          |    + vi[CAST(u+1 AS INT)] * car[CAST(u+1 AS INT)] AS im
-         |FROM v CROSS JOIN (SELECT unnest(range($n)) AS u) g
-         |ORDER BY 1, 2""".stripMargin
-    },
+         |FROM v CROSS JOIN (SELECT unnest(range(48)) AS u) g
+         |ORDER BY 1, 2""".stripMargin,
+    // one-sided |X|^2 of the same chain, power = re*re + im*im on the
+    // identical chirp-multiplied doubles
+    "arr_spectrum_np2" ->
+      s"""WITH ${bluesteinOracleCtes(48)},
+         |xk AS (
+         |  SELECT timestep, u,
+         |    vr[CAST(u+1 AS INT)] * car[CAST(u+1 AS INT)]
+         |      - vi[CAST(u+1 AS INT)] * cai[CAST(u+1 AS INT)] AS re,
+         |    vr[CAST(u+1 AS INT)] * cai[CAST(u+1 AS INT)]
+         |      + vi[CAST(u+1 AS INT)] * car[CAST(u+1 AS INT)] AS im
+         |  FROM v CROSS JOIN (SELECT unnest(range(48)) AS u) g)
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS u,
+         |  re * re + im * im AS power
+         |FROM xk WHERE u <= 24 ORDER BY 1, 2""".stripMargin,
     // radix-2 butterfly replayed stage-for-stage, element-for-element
     "arr_fft" -> {
       val n = 64
@@ -3044,6 +3077,7 @@ object ArrayQueries {
     "arr_interp" -> (arrInterp _),
     "arr_fft" -> (arrFft _),
     "arr_fft_np2" -> (arrFftNp2 _),
+    "arr_spectrum_np2" -> (arrSpectrumNp2 _),
     "arr_fft2" -> (arrFft2 _),
     "arr_ifft" -> (arrIfft _),
     "arr_conv_fft" -> (arrConvFft _),

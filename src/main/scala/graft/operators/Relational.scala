@@ -1494,6 +1494,55 @@ object Relational {
       when(den > 0.0, num / den).as("autocorr_lag1"))
   }
 
+  /** RFM segmentation (recency / frequency / monetary — the classic
+    * customer-value grid direct-marketing analytics runs on every
+    * event log): per user days-since-last-activity against the
+    * global-max-date horizon (a 1-row aggregate), event count and
+    * exact total cents; each axis splits at its corpus MEDIAN —
+    * exact percentile_disc order statistics through the
+    * [[evQuantiles]] histogram-cumulative scaffold (O(distinct values)
+    * per axis, scale-invariant where absolute thresholds are not) —
+    * so the ≤8-cell segment label is deterministic CASE logic against
+    * three 1-row median relations. One user-keyed partial-agg pass,
+    * per-segment rollup. */
+  def evRfm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val horizon = ev.agg(max(to_date(col("ts"))).as("h_day"))
+    val perUser = ev.groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum((dec2("value") * 100).cast("bigint")).as("cents"))
+      .crossJoin(horizon)
+      .select(col("user_id"),
+        datediff(col("h_day"), col("last_day")).cast("bigint").as("rec"),
+        col("freq"), col("cents"))
+    // exact median of one measure: conditional MIN at ceil(n/2) over
+    // the measure's value histogram (percentile_disc semantics)
+    def medOf(c: String): DataFrame = {
+      val hist = perUser.groupBy(c).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+        .agg(min(when(col("cum") >= ceil(col("n") / lit(2.0)).cast("bigint"),
+          col(c))).as(s"med_$c"))
+    }
+    val seg = concat(
+      when(col("rec") <= col("med_rec"), lit("R")).otherwise(lit("r")),
+      when(col("freq") > col("med_freq"), lit("F")).otherwise(lit("f")),
+      when(col("cents") > col("med_cents"), lit("M")).otherwise(lit("m")))
+    perUser
+      .crossJoin(medOf("rec")).crossJoin(medOf("freq")).crossJoin(medOf("cents"))
+      .select(seg.as("segment"), col("rec"), col("freq"), col("cents"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"),
+        max(col("rec")).as("max_recency"),
+        sum(col("freq")).as("total_events"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy("segment")
+  }
+
   /** Log₂ value histogram per event type (the money-scale distribution
     * dashboard — "are purchases $1 or $1000"): value in exact CENTS,
     * bucket = floor(log₂ cents) computed as `length(bin(n)) − 1` — the

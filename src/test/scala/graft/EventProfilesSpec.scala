@@ -359,6 +359,59 @@ class EventProfilesSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_rfm: segments partition the users at the exact per-axis medians") {
+    val got = Relational.evRfm(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // driver replay: per-user triples, medians as the ceil(n/2)-th
+    // order statistic, the same threshold CASE
+    val pu = events.groupBy(_._1).toSeq.map { case (u, evs) => u -> evs.size.toLong }
+    val vals = Tables.load(spark, sf, "events")
+      .groupBy(col("user_id").cast("long").as("u"))
+      .agg(max(to_date(col("ts"))).as("last"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val horizon = vals.map(_._2).max
+    val triples = vals.map { case (u, last, cents) =>
+      (u, java.time.temporal.ChronoUnit.DAYS.between(last, horizon),
+        pu.toMap.apply(u), cents)
+    }
+    def med(xs: Seq[Long]): Long = xs.sorted.apply(math.ceil(xs.size / 2.0).toInt - 1)
+    val (mr, mf, mm) =
+      (med(triples.map(_._2).toSeq), med(triples.map(_._3).toSeq), med(triples.map(_._4).toSeq))
+    val exp = triples.groupBy { case (_, r, f, m) =>
+      (if (r <= mr) "R" else "r") + (if (f > mf) "F" else "f") +
+        (if (m > mm) "M" else "m")
+    }.map { case (seg, vs) =>
+      seg -> ((vs.size.toLong, vs.map(_._2).max, vs.map(_._3).sum, vs.map(_._4).sum))
+    }
+    assert(got == exp)
+    assert(got.values.map(_._1).sum == triples.size.toLong, "users partitioned")
+  }
+
+  test("arr_spectrum_np2 is |X|^2 of the Bluestein transform, one-sided") {
+    val x = ArrayQueries.arrFftNp2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val p = ArrayQueries.arrSpectrumNp2(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(p.nonEmpty && p.forall(_._1._2 <= 24))
+    p.foreach { case ((t, u), pow) =>
+      val (re, im) = x((t, u))
+      assert(pow == re * re + im * im, s"($t, $u)")
+    }
+    // Parseval across the np2 chain: sum |X|^2 == n * sum x^2 to rounding
+    val n = 48
+    val byT = x.groupBy(_._1._1)
+    val cells = ArrayQueries.eventsArray48Cached(spark, sf).rowsNd.collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    byT.foreach { case (t, bins) =>
+      val lhs = bins.values.map { case (re, im) => re * re + im * im }.sum
+      val rhs = n.toDouble * cells.filter(_._1 == t).map(v => v._2 * v._2).sum
+      assert(math.abs(lhs - rhs) <= 1e-6 * math.max(1.0, rhs), s"Parseval t=$t")
+    }
+  }
+
   test("pipe_curriculum: quartile budgets conserve the corpus and order by quality") {
     val got = operators.Pipeline.pipeCurriculum(spark, sf).collect()
       .map(r => r.getLong(0) ->

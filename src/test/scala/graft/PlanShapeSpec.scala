@@ -63,6 +63,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "txt_contamination" -> Set("documents"),
     // three 1-row stage-count aggregates cross-joined into the summary
     "ev_funnel" -> Set("events"),
+    // the horizon + three 1-row median relations cross-joined into the
+    // segment CASE (all bounded by construction)
+    "ev_rfm" -> Set("events"),
     // the 1-row global vector count cross-joined into the per-label output
     "emb_class_sep" -> Set("embeddings"),
     // the C-row column-sum, C-row Gram-diagonal and 1-row n moment
