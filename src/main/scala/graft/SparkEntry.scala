@@ -806,7 +806,9 @@ object SparkEntry {
         |  MAX(gap_us) AS max_gap_us
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // Lorenz rank-sum over the count histogram: ties contribute the
-    // closed form c·(S_prev·m + m(m+1)/2), so no corpus-wide rank
+    // closed form c·(2·S_prev·m + m(m+1)) (the fold carries 2T so no
+    // division exists); HUGEINT mirrors the Spark side's widen-before-
+    // every-multiply DECIMAL(38,0) posture
     "ev_gini" ->
       """WITH counts AS (
         |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
@@ -819,10 +821,12 @@ object SparkEntry {
         |a AS (
         |  SELECT CAST(SUM(m) AS BIGINT) AS n_users,
         |    CAST(SUM(c * m) AS BIGINT) AS total_events,
-        |    SUM(CAST(c * (sprev * m + (m * (m + 1)) // 2) AS DECIMAL(38,0))) AS t
+        |    SUM(CAST(c AS HUGEINT)
+        |        * (CAST(sprev AS HUGEINT) * m * 2
+        |           + CAST(m AS HUGEINT) * (m + 1))) AS t2
         |  FROM h)
         |SELECT n_users, total_events,
-        |  (2.0 * CAST(t AS DOUBLE)
+        |  (CAST(t2 AS DOUBLE)
         |   - CAST(n_users + 1 AS DOUBLE) * CAST(total_events AS DOUBLE))
         |  / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE)) AS gini
         |FROM a""".stripMargin,

@@ -1415,8 +1415,11 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         col("linf"))
   }
 
-  /** numpy `convolve(x, k, mode='valid')` with the kernel given in its
-    * sliding-dot orientation (the FIR filter y[i] = Σⱼ k[j]·x[i+j]) —
+  /** numpy `convolve(x, k, mode='valid')` — TRUE convolution semantics:
+    * the kernel is FLIPPED internally (y[i] = Σⱼ k[K−1−j]·x[i+j], i.e.
+    * numpy's Σₘ x[m]·k[i+K−1−m]), so a NON-symmetric kernel matches
+    * numpy exactly, not just the palindromic taps the shipped face
+    * uses (orientation spec-gated with an asymmetric kernel). This is
     * the DIRECT-form companion of [[convolveFftRows]] for short taps
     * (direct is O(n·k); the theorem path wins only once k ~ log n).
     * Exact SCALED-INTEGER math end to end: cells are
@@ -1430,13 +1433,14 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     val n = geom.dimSize(0)
     val k = tapsHundredths.length
     require(k >= 1 && k <= n, s"kernel length $k out of range 1..$n")
+    val flipped = tapsHundredths.reverse
     val xq = transform(col("x"), v =>
       (v.cast("decimal(18,2)") * 100).cast("bigint"))
     linePerTimestep()
       .select(col("timestep"), xq.as("xq"))
       .select(col("timestep"),
         posexplode(transform(sequence(lit(0), lit(n - k)), i =>
-          tapsHundredths.zipWithIndex
+          flipped.zipWithIndex
             .map { case (t, j) => lit(t) * element_at(col("xq"), i + j + 1) }
             .reduce(_ + _))).as(Seq("i", "y_q")))
       .select(col("timestep"), col("i").cast("bigint").as("i"), col("y_q"),

@@ -1847,10 +1847,12 @@ object ArrayQueries {
          |  CAST(MAX(abs(CAST(cell AS DECIMAL(18,2)))) AS DOUBLE) AS linf
          |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact scaled-integer FIR: x·100 BIGINT, taps in hundredths,
-    // y_q at scale 10⁻⁴ — integer adds are order-free
+    // y_q at scale 10⁻⁴ — integer adds are order-free; the kernel is
+    // REVERSED exactly like the engine (numpy convolve semantics —
+    // a no-op for the palindromic ConvTaps, enforced for any kernel)
     "arr_convolve" -> {
       val k = ConvTaps.length
-      val terms = ConvTaps.zipWithIndex
+      val terms = ConvTaps.reverse.zipWithIndex
         .map { case (t, j) => s"$t * xq[i + ${j + 1}]" }.mkString(" + ")
       s"""WITH $CELLS_1D,
          |days AS (SELECT DISTINCT timestep FROM cells),

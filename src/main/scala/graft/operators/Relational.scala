@@ -1433,10 +1433,11 @@ object Relational {
     * growth teams track — "do 1% of users generate 90% of events?"):
     * Lorenz math WITHOUT a corpus-wide rank — user counts collapse to a
     * count HISTOGRAM first (O(distinct counts) rows), and the rank-sum
-    * Σᵢ i·xᵢ over ascending counts reduces per histogram bucket to
-    * c·(S_prev·m + m(m+1)/2) exactly (ties contribute a closed form, so
+    * 2·Σᵢ i·xᵢ over ascending counts reduces per histogram bucket to
+    * c·(2·S_prev·m + m(m+1)) exactly (ties contribute a closed form, so
     * the arbitrary within-tie order never matters); one bounded
-    * cumulative window over the histogram, exact BIGINT sums, ONE double
+    * cumulative window over the histogram, exact DECIMAL(38,0) products
+    * (widened before each multiply — see the fold comment), ONE double
     * division at the end. G = (2T − (n+1)·S) / (n·S). */
   def evGini(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.load(s, dir, "events")
@@ -1450,14 +1451,18 @@ object Relational {
     h.agg(
         sum(col("m")).as("n_users"),
         sum(col("c") * col("m")).as("total_events"),
-        // m(m+1) is even, so DIV 2 is exact; the rank-sum is summed in
-        // DECIMAL(38,0) — at 100 TB T ~ c·n² passes 2⁶³ long before the
-        // counts do (ANSI would fail loudly either way; decimal just
-        // moves the ceiling far out of reach)
-        sum((col("c") * (col("sprev") * col("m")
-          + expr("m * (m + 1) DIV 2"))).cast("decimal(38,0)")).as("t"))
+        // the fold accumulates 2T directly (gini only ever uses 2·T, so
+        // folding the 2 in kills the /2 and keeps everything integral);
+        // every multiply runs in DECIMAL(38,0) — operands widened BEFORE
+        // the product, not just the fold: sprev·m alone passes 2⁶³ at
+        // ~3e9 users, so a BIGINT per-row term would fail loudly under
+        // ANSI long before the decimal sum helped. The oracle widens the
+        // same operands to HUGEINT (128-bit exact).
+        sum(col("c").cast("decimal(38,0)")
+          * (col("sprev").cast("decimal(38,0)") * col("m") * 2
+            + col("m").cast("decimal(38,0)") * (col("m") + 1))).as("t2"))
       .select(col("n_users"), col("total_events"),
-        ((lit(2.0) * col("t").cast("double")
+        ((col("t2").cast("double")
           - (col("n_users") + 1).cast("double") * col("total_events").cast("double"))
           / (col("n_users").cast("double") * col("total_events").cast("double")))
           .as("gini"))

@@ -64,13 +64,20 @@ object StreamingBloom {
 
   /** Wire a [[RunningBloom]] into a live `(source, text)` document
     * stream: per micro-batch ONE distributed contribution+bit_or pass,
-    * one bounded collect of |sources| 64-byte rows. */
+    * one bounded collect of |sources| 64-byte rows.
+    *
+    * `trigger` defaults to the continuous micro-batch trigger (like
+    * [[StreamingCusum]]), so a genuinely continuous ingest keeps the
+    * filter warm forever; pass `Some(Trigger.AvailableNow())` for a
+    * drain-and-stop cycle (the spec's posture — it re-invokes run()
+    * per drain). */
   def run(spark: SparkSession, docs: DataFrame, sink: RunningBloom,
-      queryName: String = "graft_streaming_bloom"): StreamingQuery =
-    docs.writeStream
+      queryName: String = "graft_streaming_bloom",
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val base = docs.writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Update())
-      .trigger(Trigger.AvailableNow())
+    trigger.fold(base)(base.trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val agged = Dedup.bloomContrib(batch)
           .groupBy("source")
@@ -82,4 +89,5 @@ object StreamingBloom {
         }
       }
       .start()
+  }
 }

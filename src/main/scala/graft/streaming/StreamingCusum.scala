@@ -72,6 +72,11 @@ object StreamingCusum {
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch
+          // the corpus carries NULL value rows (ev_value_hist filters
+          // them); an all-NULL day would SUM to NULL and NPE the sink
+          // fold, killing the query — drop them before the aggregate,
+          // matching the batch face's NULL-ignoring decimal sum
+          .filter(col("value").isNotNull)
           .groupBy(to_date(col("ts")).cast("string").as("day"))
           .agg(sum(col("value").cast("decimal(18,2)"))
             .cast("decimal(18,2)").as("x"))

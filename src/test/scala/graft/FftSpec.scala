@@ -187,6 +187,27 @@ class FftSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("out of range"))
   }
 
+  test("valid-mode FIR flips a NON-symmetric kernel like numpy convolve") {
+    // numpy convolve(x, k, 'valid'): y[i] = Σⱼ x[i+j]·k[K−1−j] — the
+    // kernel reversal is observable only off the palindrome; this pins
+    // the orientation so a future asymmetric FIR can't silently become
+    // a sliding dot (ADVICE r19 #4)
+    val taps = Seq(10L, 20L, 70L) // deliberately asymmetric
+    val a = arr(t => i => ((i * 13 + 5 + t) % 31) * 0.25, Seq(0L))
+    val x = (0 until N).map(i => ((i * 13 + 5) % 31) * 0.25)
+    val got = a.convolveValidRows(taps).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got.size == N - taps.length + 1)
+    val k = taps.length
+    for (i <- 0 to N - k) {
+      // exact integer replay of the numpy formula at scale 10⁻⁴
+      val want = (0 until k).map { j =>
+        taps(k - 1 - j) * math.round(x(i + j) * 100)
+      }.sum
+      assert(got(i.toLong) == want, s"i=$i: ${got(i.toLong)} vs $want")
+    }
+  }
+
   test("correlation theorem: fft-path xcorr equals the direct lag sums") {
     val a = arr(t => i => ((i * 11 + 2 + t) % 9) * 0.5)
     val b = arr(t => i => ((i * 5 + 7 + t * 2) % 13) * 0.25)

@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.streaming.Trigger
+
 import graft.streaming.StreamingBloom
 
 /** StreamingBloom — the live per-source Bloom filters: bit_or is a
@@ -46,7 +48,8 @@ class StreamingBloomSpec extends AnyFunSuite {
     var seen = Seq.empty[(String, String)]
     for (chunk <- chunks) {
       in.addData(chunk)
-      val q = StreamingBloom.run(spark, stream, state)
+      val q = StreamingBloom.run(spark, stream, state,
+        trigger = Some(Trigger.AvailableNow()))
       try q.awaitTermination() finally q.stop()
       seen = seen ++ chunk
       seen.map(_._1).distinct.foreach { src =>
@@ -58,7 +61,8 @@ class StreamingBloomSpec extends AnyFunSuite {
     }
     // idempotence: replaying the LAST chunk's contributions changes nothing
     val before = seen.map(_._1).distinct.sorted.map(s => state.filter(s).get)
-    val qr = StreamingBloom.run(spark, stream, state)
+    val qr = StreamingBloom.run(spark, stream, state,
+      trigger = Some(Trigger.AvailableNow()))
     try {
       in.addData(chunks.last)
       qr.awaitTermination()
