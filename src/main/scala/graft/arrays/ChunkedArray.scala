@@ -149,6 +149,42 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
         (col("p") + col("carry")).cast("double").as("value"))
   }
 
+  /** Boolean-mask COMPACTION `a[mask]` (dask/numpy boolean indexing as
+    * an ARRAY, not a reduction — the doreisa callback surface,
+    * doreisa/window_api.py:38-119; `where`/masked reduce cover only
+    * the aggregate half). The compacted 1-d result needs GLOBAL output
+    * addressing, which is the [[cumsumRows]] carry machinery re-used on
+    * match COUNTS: each chunk ranks its own matches in one native pass
+    * ([[org.apache.spark.sql.graftexpr.PrefixSumDec]] over 0/1 flags),
+    * the exclusive carry of per-chunk match counts arrives through a
+    * window over ONE ROW PER CHUNK (never elements — O(#chunks) on the
+    * wire), and a kept cell's compacted index is `carry + rank − 1`.
+    * STABLE by construction: chunks carry in grid order, in-chunk ranks
+    * in cell order, so survivors keep their original relative order
+    * (spec-gated). Returns `(timestep, idx, value)` — idx dense 0..k−1
+    * per timestep. */
+  def compressRows(pred: Column => Column): DataFrame = {
+    require(geom.dims == 1, "compressRows requires a 1-d array")
+    val n = geom.chunkShape(0)
+    val flags = transform(col("data"), v =>
+      when(pred(v), lit(1.0)).otherwise(lit(0.0)))
+    val ranked = df.select(col("timestep"), col("pos")(0).as("c"), col("data"),
+      org.apache.spark.sql.graftexpr.PrefixSumDec.prefixSumDec(flags).as("rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("timestep").orderBy("c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ranked
+      .withColumn("carry",
+        coalesce(sum(element_at(col("rank"), n).cast("bigint")).over(w), lit(0L)))
+      .select(col("timestep"), col("carry"), col("rank"),
+        posexplode(col("data")).as(Seq("i", "v")))
+      .filter(pred(col("v")))
+      .select(col("timestep"),
+        (col("carry") + element_at(col("rank"), col("i") + 1).cast("bigint") - 1)
+          .as("idx"),
+        col("v").cast("double").as("value"))
+  }
+
   /** The assembled per-timestep 1-d line `(timestep, x)` — the ONE
     * shuffle under every spectral face. */
   private def linePerTimestep(): DataFrame = {

@@ -269,6 +269,14 @@ object ArrayQueries {
   def arrCumsum(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).cumsumRows().orderBy("timestep", "idx")
 
+  /** dask boolean-mask COMPACTION `a[a > 50]` (boolean indexing as an
+    * array — doreisa/window_api.py:38-119): per-chunk native match
+    * ranks + the cumsum carry machinery on match COUNTS give stable
+    * global output addresses without any corpus-wide rank. */
+  def arrCompress(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).compressRows(_ > lit(50.0))
+      .orderBy("timestep", "idx")
+
   /** dask `arr.var()` per timestep: exact decimal moments, double math
     * only on the final three exact operands. */
   def arrVarTs(s: SparkSession, dir: String): DataFrame =
@@ -2369,6 +2377,20 @@ object ArrayQueries {
          |  CAST(SUM(CAST(cell AS DECIMAL(28,2)))
          |    OVER (PARTITION BY timestep ORDER BY u) AS DOUBLE) AS value
          |FROM dense ORDER BY 1, 2""".stripMargin,
+    // boolean-mask compaction: survivors keep cell order, so the
+    // compacted index is exactly the per-timestep row_number over u
+    "arr_compress" ->
+      s"""WITH $CELLS_1D,
+         |days AS (SELECT DISTINCT timestep FROM cells),
+         |dense AS (
+         |  SELECT d.timestep, r.u, COALESCE(c.cell, 0.0) AS cell
+         |  FROM days d CROSS JOIN (SELECT unnest(range(64)) AS u) r
+         |  LEFT JOIN cells c ON c.timestep = d.timestep AND c.u = r.u)
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY timestep ORDER BY u) - 1
+         |    AS BIGINT) AS idx,
+         |  cell AS value
+         |FROM dense WHERE cell > 50.0 ORDER BY 1, 2""".stripMargin,
     // stats are chunk-geometry-invariant: the rechunked array must
     // reproduce arr_stats_ts' oracle exactly (lost/doubled/misplaced
     // cells break the hash; within-chunk offsets are spec-gated)
@@ -3091,6 +3113,7 @@ object ArrayQueries {
     "arr_stats_ts" -> (arrStatsTs _),
     "arr_rechunk_stats" -> (arrRechunkStats _),
     "arr_cumsum" -> (arrCumsum _),
+    "arr_compress" -> (arrCompress _),
     "arr_var_ts" -> (arrVarTs _),
     "arr_argmax" -> (arrArgmax _),
     "arr_argmax_2d" -> (arrArgmax2d _),
