@@ -280,8 +280,8 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       s"kernel must be the full circular length $n, got ${kernel.length}")
     val fx = org.apache.spark.sql.graftexpr.Fft
     val (hr, hi) = fx.fftArrays(kernel.toArray, new Array[Double](n))
-    val hrC = array(hr.map(lit(_)): _*)
-    val hiC = array(hi.map(lit(_)): _*)
+    val hrC = array(hr.toIndexedSeq.map(lit(_)): _*)
+    val hiC = array(hi.toIndexedSeq.map(lit(_)): _*)
     def el(a: Column, i: Column): Column = element_at(a, i + 1)
     val idx = sequence(lit(0), lit(n - 1))
     val withProduct = linePerTimestep()
@@ -322,10 +322,10 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       s"length $n is a power of two; use fftRows (Bluestein is the np2 path)")
     val fx = org.apache.spark.sql.graftexpr.Fft
     val (ar, ai, fbr, fbi, m) = fx.bluestein(n)
-    val arC = array(ar.map(lit(_)): _*)
-    val aiC = array(ai.map(lit(_)): _*)
-    val brC = array(fbr.map(lit(_)): _*)
-    val biC = array(fbi.map(lit(_)): _*)
+    val arC = array(ar.toIndexedSeq.map(lit(_)): _*)
+    val aiC = array(ai.toIndexedSeq.map(lit(_)): _*)
+    val brC = array(fbr.toIndexedSeq.map(lit(_)): _*)
+    val biC = array(fbi.toIndexedSeq.map(lit(_)): _*)
     def el(a: Column, i: Column): Column = element_at(a, i + 1)
     val idxM = sequence(lit(0), lit(m - 1))
     val idxN = sequence(lit(0), lit(n - 1))
@@ -464,6 +464,73 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
       .where(col("u") <= n / 2)
       .select(col("timestep"), col("u"),
         (col("re") * col("re") + col("im") * col("im")).as("power"))
+  }
+
+  /** numpy `rfft` + `rfftfreq` — the packed Hermitian layout a numpy
+    * user actually types for a real signal: a real input's spectrum
+    * satisfies X[n−u] = conj(X[u]), so bins 0..n/2 carry everything
+    * and `rfft` returns exactly those (a pure narrow projection over
+    * the [[fftRows]] kernel — same ONE line-assembly shuffle, nothing
+    * recomputed). `freq` is numpy `rfftfreq(n)` (d=1): u/n cycles per
+    * sample — dyadic for power-of-two n, so the division is exact in
+    * both engines. Returns `(timestep, u, freq, re, im)`, u ≤ n/2. */
+  def rfftRows(): DataFrame = {
+    require(geom.dims == 1, "spectral faces require a 1-d array")
+    val n = geom.dimSize(0)
+    fftRows()
+      .where(col("u") <= n / 2)
+      .select(col("timestep"), col("u"),
+        (col("u").cast("double") / n).as("freq"), col("re"), col("im"))
+  }
+
+  /** numpy `fftshift(fft(x))` + `fftshift(fftfreq(n))` — the
+    * zero-frequency-centered ordering every spectrum PLOT uses: for
+    * even n the shifted position of bin u is k = (u + n/2) mod n
+    * (self-inverse), and the shifted frequency axis is (k − n/2)/n.
+    * Pure index relabeling over [[fftRows]] — zero additional
+    * compute, zero additional shuffle. Returns
+    * `(timestep, k, freq, re, im)`, k = 0..n−1 shifted order. */
+  def fftshiftRows(): DataFrame = {
+    require(geom.dims == 1, "spectral faces require a 1-d array")
+    val n = geom.dimSize(0)
+    require(n % 2 == 0, s"fftshift's centered ordering needs even n, got $n")
+    val k = (col("u") + n / 2) % n
+    fftRows().select(col("timestep"), k.as("k"),
+      ((k - n / 2).cast("double") / n).as("freq"), col("re"), col("im"))
+  }
+
+  /** numpy `irfft(rfft(x))` — the packed-real INVERSE round trip: the
+    * packed bins 0..n/2 are UNPACKED by the Hermitian rule
+    * (X[n−u] = conj(X[u]) — the mirror reads the PACKED values, never
+    * the full spectrum, exactly like a consumer holding only the rfft
+    * output), then the inverse runs through the same conjugate trick
+    * as [[ifftRoundtripRows]] on the shared butterfly, and only the
+    * real part ships (numpy irfft drops the ≈0 imaginary dust).
+    * Returns `(timestep, i, value)` with value ≈ the original cell;
+    * the oracle replays pack → mirror → inverse chain
+    * operand-for-operand so residuals match bit-for-bit. */
+  def irfftRoundtripRows(): DataFrame = {
+    require(geom.dims == 1, "spectral faces require a 1-d array")
+    val n = geom.dimSize(0)
+    val h = n / 2
+    val fx = org.apache.spark.sql.graftexpr.Fft
+    def el(a: Column, i: Column): Column = element_at(a, i + 1)
+    val idx = sequence(lit(0), lit(n - 1))
+    linePerTimestep()
+      .select(col("timestep"), fx.fftLine(col("x"), n).as("f"))
+      .select(col("timestep"),
+        slice(col("f").getField("re"), 1, h + 1).as("pr"),
+        slice(col("f").getField("im"), 1, h + 1).as("pi"))
+      .select(col("timestep"),
+        transform(idx, u => when(u <= h, el(col("pr"), u))
+          .otherwise(el(col("pr"), lit(n) - u))).as("fr"),
+        transform(idx, u => when(u <= h, el(col("pi"), u))
+          .otherwise(-el(col("pi"), lit(n) - u))).as("fi"))
+      .select(col("timestep"),
+        fx.fftLineC(col("fr"), transform(col("fi"), v => -v), n).as("g"))
+      .select(col("timestep"), posexplode(col("g").getField("re")).as(Seq("i", "r")))
+      .select(col("timestep"), col("i").cast("bigint").as("i"),
+        (col("r") / n).as("value"))
   }
 
   /** Cumulative sum along `axis` for ANY rank (dask/numpy

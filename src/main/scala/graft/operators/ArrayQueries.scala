@@ -1279,6 +1279,26 @@ object ArrayQueries {
   def arrSpectrum(s: SparkSession, dir: String): DataFrame =
     eventsArray1dCached(s, dir).powerSpectrumRows().orderBy("timestep", "u")
 
+  /** numpy `rfft` + `rfftfreq` — the packed Hermitian half-spectrum of
+    * the real daily line ([[graft.arrays.ChunkedArray.rfftRows]]): a
+    * pure narrow projection over the same compiled butterfly, freq an
+    * exact dyadic u/n. */
+  def arrRfft(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).rfftRows().orderBy("timestep", "u")
+
+  /** numpy `fftshift` ordering + shifted `fftfreq` axis
+    * ([[graft.arrays.ChunkedArray.fftshiftRows]]): pure index
+    * relabeling k = (u + n/2) mod n over the same spectrum. */
+  def arrFftshift(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).fftshiftRows().orderBy("timestep", "k")
+
+  /** numpy `irfft(rfft(x))` — the packed-real inverse round trip
+    * ([[graft.arrays.ChunkedArray.irfftRoundtripRows]]): Hermitian
+    * mirror of the PACKED bins, conj-trick inverse on the shared
+    * butterfly, real part only; residuals hash-gated bit-for-bit. */
+  def arrIrfft(s: SparkSession, dir: String): DataFrame =
+    eventsArray1dCached(s, dir).irfftRoundtripRows().orderBy("timestep", "i")
+
   /** numpy `ifft(fft(x))` — the INVERSE transform as a round trip over
     * the daily field line ([[graft.arrays.ChunkedArray.ifftRoundtripRows]]):
     * the conjugate identity on the same shared butterfly, conj + 1/n
@@ -2042,6 +2062,55 @@ object ArrayQueries {
          |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // forward chain, conjugate, the SAME stage chain again, conj + 1/n
+    // the packed half-spectrum: bins 0..n/2 of the same stage replay,
+    // freq an exact dyadic u/n
+    "arr_rfft" -> {
+      val n = 64
+      val st = org.apache.spark.sql.graftexpr.Fft.log2(n)
+      s"""WITH ${fftOracleCtes(n)}
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS u,
+         |  CAST(u AS DOUBLE) / $n.0 AS freq,
+         |  re[CAST(u + 1 AS INT)] AS re, im[CAST(u + 1 AS INT)] AS im
+         |FROM s$st CROSS JOIN (SELECT unnest(range(${n / 2 + 1})) AS u) g
+         |ORDER BY 1, 2""".stripMargin
+    },
+    // zero-centered ordering: shifted position k = (u + n/2) mod n,
+    // shifted frequency (k - n/2)/n — pure relabeling of the same bins
+    "arr_fftshift" -> {
+      val n = 64
+      val st = org.apache.spark.sql.graftexpr.Fft.log2(n)
+      val h = n / 2
+      s"""WITH ${fftOracleCtes(n)}
+         |SELECT CAST(timestep AS BIGINT) AS timestep,
+         |  CAST((u + $h) % $n AS BIGINT) AS k,
+         |  CAST((u + $h) % $n - $h AS DOUBLE) / $n.0 AS freq,
+         |  re[CAST(u + 1 AS INT)] AS re, im[CAST(u + 1 AS INT)] AS im
+         |FROM s$st CROSS JOIN (SELECT unnest(range($n)) AS u) g
+         |ORDER BY 1, 2""".stripMargin
+    },
+    // pack to bins 0..n/2, Hermitian-mirror the PACKED values, then
+    // the same inverse chain; only the real part ships
+    "arr_irfft" -> {
+      val n = 64
+      val st = org.apache.spark.sql.graftexpr.Fft.log2(n)
+      val h = n / 2
+      s"""WITH ${fftOracleCtes(n)},
+         |packed AS (SELECT timestep, wr, wi,
+         |  list_transform(range(${h + 1}), u -> re[u+1]) AS pr,
+         |  list_transform(range(${h + 1}), u -> im[u+1]) AS pi
+         |  FROM s$st),
+         |fullspec AS (SELECT timestep, wr, wi,
+         |  list_transform(range($n),
+         |    u -> CASE WHEN u <= $h THEN pr[u+1] ELSE pr[$n-u+1] END) AS fr,
+         |  list_transform(range($n),
+         |    u -> CASE WHEN u <= $h THEN pi[u+1] ELSE -pi[$n-u+1] END) AS fi
+         |  FROM packed),
+         |${fftInverseCtes(n, "fullspec", "fr", "fi", "r")}
+         |SELECT CAST(timestep AS BIGINT) AS timestep, CAST(u AS BIGINT) AS i,
+         |  re[CAST(u + 1 AS INT)] / CAST($n AS DOUBLE) AS value
+         |FROM r$st CROSS JOIN (SELECT unnest(range($n)) AS u) g
+         |ORDER BY 1, 2""".stripMargin
+    },
     "arr_ifft" -> {
       val n = 64
       val st = org.apache.spark.sql.graftexpr.Fft.log2(n)
@@ -3100,6 +3169,9 @@ object ArrayQueries {
     "arr_convolve" -> (arrConvolve _),
     "arr_interp" -> (arrInterp _),
     "arr_fft" -> (arrFft _),
+    "arr_rfft" -> (arrRfft _),
+    "arr_fftshift" -> (arrFftshift _),
+    "arr_irfft" -> (arrIrfft _),
     "arr_fft_np2" -> (arrFftNp2 _),
     "arr_spectrum_np2" -> (arrSpectrumNp2 _),
     "arr_fft2" -> (arrFft2 _),

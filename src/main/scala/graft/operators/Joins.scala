@@ -122,7 +122,7 @@ object Joins {
     if (!skewBoundEnabled) return degenerate
     // Phase 1 (eager, bounded, memoized): exact per-key counts, hot
     // keys only.
-    val memoKey = salted.queryExecution.logical.canonicalized.semanticHash() +
+    val memoKey = salted.queryExecution.logical.canonicalized.semanticHash().toString +
       "|" + saltedKeys.mkString(",") + "|" + cap
     // compute OUTSIDE any map lock (a Spark job inside computeIfAbsent
     // would hold the bin lock for the collect's duration, blocking

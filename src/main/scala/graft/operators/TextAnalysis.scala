@@ -840,7 +840,7 @@ object TextAnalysis {
     val words = types.map { case (w, c) =>
       val cps = w.codePoints().toArray
         .map(cp => new String(Character.toChars(cp)))
-      (mutable.ArrayBuffer(cps: _*), c)
+      (mutable.ArrayBuffer(cps.toIndexedSeq: _*), c)
     }.toIndexedSeq
     val counts = mutable.HashMap.empty[(String, String), Long]
     // word indices that EVER contained a pair (never shrunk — stale

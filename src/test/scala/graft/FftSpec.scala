@@ -187,6 +187,48 @@ class FftSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("out of range"))
   }
 
+  test("rfft is exactly fft's bins 0..n/2 with the rfftfreq axis") {
+    val a = arr(t => i => ((i * 7 + 3 + t) % 23) * 0.5)
+    val full = fftMap(a)
+    val packed = a.rfftRows().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(packed.size == 2 * (N / 2 + 1))
+    for (t <- Seq(0L, 1L); u <- 0 to N / 2) {
+      val (freq, re, im) = packed((t, u.toLong))
+      assert(freq == u.toDouble / N, s"rfftfreq at $u")
+      assert((re, im) == full((t, u.toLong)), s"bin $u must be the fft bin verbatim")
+    }
+  }
+
+  test("fftshift is the centered permutation of the same bins") {
+    val a = arr(t => i => ((i * 5 + 1 + t) % 17) * 0.25)
+    val full = fftMap(a)
+    val sh = a.fftshiftRows().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(sh.size == 2 * N)
+    for (t <- Seq(0L, 1L); k <- 0 until N) {
+      val (freq, re, im) = sh((t, k.toLong))
+      val u = (k + N / 2) % N // shifted position k holds original bin u
+      assert(freq == (k - N / 2).toDouble / N, s"shifted freq at $k")
+      assert((re, im) == full((t, u.toLong)), s"k=$k must hold bin $u")
+    }
+    // zero frequency sits dead center
+    assert(sh((0L, (N / 2).toLong))._1 == 0.0)
+  }
+
+  test("irfft(rfft(x)) reconstructs the real input from packed bins") {
+    val a = arr(t => i => ((i * 13 + 5 + t) % 31) * 0.25)
+    val got = a.irfftRoundtripRows().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 2 * N)
+    for (t <- Seq(0L, 1L); i <- 0 until N) {
+      val want = ((i * 13 + 5 + t) % 31) * 0.25
+      assert(math.abs(got((t, i.toLong)) - want) < 1e-12, s"t=$t i=$i")
+    }
+  }
+
   test("valid-mode FIR flips a NON-symmetric kernel like numpy convolve") {
     // numpy convolve(x, k, 'valid'): y[i] = Σⱼ x[i+j]·k[K−1−j] — the
     // kernel reversal is observable only off the palindrome; this pins
