@@ -855,6 +855,61 @@ final case class ChunkedArray(df: DataFrame, geom: ArrayGeometry) {
     transpose(Seq(1, 0))
   }
 
+  /** numpy `squeeze` — drop size-1 axes (all of them, or exactly
+    * `axes`). PURE METADATA: a size-1 axis contributes factor 1 to the
+    * row-major flatten and position 0 to every chunk coordinate, so
+    * payloads never move and nothing shuffles — the pos array and the
+    * geometry just lose the entry. Dtype-preserving. */
+  def squeeze(axes: Seq[Int] = Seq.empty): ChunkedArray = {
+    val targets =
+      if (axes.isEmpty) (0 until geom.dims).filter(geom.dimSize(_) == 1L)
+      else axes.distinct.sorted
+    targets.foreach(d => require(d >= 0 && d < geom.dims && geom.dimSize(d) == 1L,
+      s"axis $d is not a size-1 axis (size ${if (d >= 0 && d < geom.dims) geom.dimSize(d) else -1L})"))
+    require(targets.size < geom.dims,
+      "squeeze would remove every axis (rank-0 arrays are unsupported)")
+    val keep = (0 until geom.dims).filterNot(targets.contains)
+    copy(
+      df = df.select(col("timestep"),
+        array(keep.map(d => col("pos")(d)): _*).as("pos"), col("data")),
+      geom = ArrayGeometry(keep.map(geom.chunksPerDim), keep.map(geom.chunkShape)))
+  }
+
+  /** numpy `expand_dims` — insert a size-1 axis at `axis` (0..rank).
+    * [[squeeze]]'s exact inverse, and pure metadata for the same
+    * reason: the payload flatten is invariant, the new chunk
+    * coordinate is the constant 0. Dtype-preserving. */
+  def expandDims(axis: Int): ChunkedArray = {
+    require(axis >= 0 && axis <= geom.dims,
+      s"axis $axis out of range 0..${geom.dims} for expand_dims")
+    val entries = (0 until geom.dims).map(d => col("pos")(d))
+    val newPos = (entries.take(axis) :+ lit(0)) ++ entries.drop(axis)
+    def ins(s: Seq[Int]) = (s.take(axis) :+ 1) ++ s.drop(axis)
+    copy(
+      df = df.select(col("timestep"), array(newPos: _*).as("pos"), col("data")),
+      geom = ArrayGeometry(ins(geom.chunksPerDim), ins(geom.chunkShape)))
+  }
+
+  /** numpy `swapaxes(a, b)` — [[transpose]] with the identity
+    * permutation's a and b entries exchanged. */
+  def swapaxes(a: Int, b: Int): ChunkedArray = {
+    require(a >= 0 && a < geom.dims && b >= 0 && b < geom.dims,
+      s"axes ($a, $b) out of range for rank ${geom.dims}")
+    val perm = (0 until geom.dims).toArray
+    perm(a) = b; perm(b) = a
+    transpose(perm.toIndexedSeq)
+  }
+
+  /** numpy `moveaxis(src, dst)` — remove axis `src` from the identity
+    * order and re-insert it at position `dst`; delegates to
+    * [[transpose]] with that permutation. */
+  def moveaxis(src: Int, dst: Int): ChunkedArray = {
+    require(src >= 0 && src < geom.dims && dst >= 0 && dst < geom.dims,
+      s"moveaxis($src, $dst) out of range for rank ${geom.dims}")
+    val rest = (0 until geom.dims).filterNot(_ == src)
+    transpose((rest.take(dst) :+ src) ++ rest.drop(dst))
+  }
+
   /** Reverse along `axis` (dask/numpy `flip`) — a pure narrow
     * projection: the chunk grid mirrors on that axis
     * (`pos' = C-1-pos`) and each payload re-packs with the axis

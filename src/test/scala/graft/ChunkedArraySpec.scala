@@ -611,6 +611,43 @@ class ChunkedArraySpec extends AnyFunSuite with BeforeAndAfterAll {
       .apply(0L) == 0.0)
   }
 
+  test("squeeze/expand_dims are pure-metadata inverses, no shuffle") {
+    val a = twoD // (4,4)
+    val e = a.expandDims(1) // (4,1,4)
+    assert(e.geom == ArrayGeometry(Seq(2, 1, 2), Seq(2, 1, 2)))
+    val back = e.squeeze() // all size-1 axes
+    assert(back.geom == a.geom)
+    assert(asMap(back.zipWith(a)((x, y) => y - x).sumPerTimestep()).apply(0L) == 0.0)
+    // neither direction exchanges anything
+    assert(!e.df.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(!back.df.queryExecution.executedPlan.toString.contains("Exchange"))
+    // explicit-axis squeeze refuses a non-size-1 axis, rank-0 refused
+    intercept[IllegalArgumentException](a.squeeze(Seq(0)))
+    intercept[IllegalArgumentException](oneD.expandDims(1).squeeze(Seq(0, 1)))
+    // leading/trailing inserts work
+    assert(a.expandDims(0).geom == ArrayGeometry(Seq(1, 2, 2), Seq(1, 2, 2)))
+    assert(a.expandDims(2).geom == ArrayGeometry(Seq(2, 2, 1), Seq(2, 2, 1)))
+  }
+
+  test("swapaxes and moveaxis are the numpy permutations") {
+    // swapaxes(0,1) on 2-d == transpose2d
+    val s = twoD.swapaxes(0, 1)
+    val t = twoD.transpose2d()
+    assert(asMap(s.zipWith(t)((x, y) => y - x).sumPerTimestep()).apply(0L) == 0.0)
+    // moveaxis(0, 2) on value(i,j,k)=16i+4j+k: out(a,b,c) = in(c,a,b)
+    val m = threeD.moveaxis(0, 2)
+    val got = m.rowsNd.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getDouble(4)).toMap
+    for { a <- 0 to 3; b <- 0 to 3; c <- 0 to 3 }
+      assert(got((a.toLong, b.toLong, c.toLong)) == 16.0 * c + 4 * a + b,
+        s"cell ($a,$b,$c)")
+    // moveaxis(src, src) is the identity permutation
+    val id = threeD.moveaxis(1, 1)
+    assert(asMap(id.zipWith(threeD)((x, y) => y - x).sumPerTimestep()).apply(0L) == 0.0)
+    intercept[IllegalArgumentException](twoD.swapaxes(0, 2))
+    intercept[IllegalArgumentException](twoD.moveaxis(2, 0))
+  }
+
   test("axisSum reduces any axis of a 3-d array to the 2-d marginals") {
     val dense = Array.tabulate(4, 4, 4)((i, j, k) => 16.0 * i + 4 * j + k)
     for (axis <- 0 to 2) {
