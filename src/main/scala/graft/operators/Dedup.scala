@@ -265,6 +265,21 @@ object Dedup {
       .cachedPersist()
   }
 
+  /** The near-dup edge relation (verified pairs at jaccard ≥ 0.5) the
+    * composite pipeline (pipe_e2e) restricts to its survivor set —
+    * reads the SAME persisted [[verifiedPairs]] the whole family
+    * shares. */
+  private[operators] def nearDupEdges(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(s, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+
+  /** Per-doc surviving word count after ExactSubstr span cuts — the
+    * token-yield column the composite pipeline joins; reads the SAME
+    * persisted span relation as the dd_substr_* faces. */
+  private[operators] def substrKeptWords(s: SparkSession, dir: String): DataFrame =
+    substrPerDoc(s, dir).select(col("doc_id"), col("kept_words"))
+
   /** Cross-source duplication matrix — for every (source, source) pair,
     * how many verified near-dup pairs (Jaccard >= 0.5, the dd_cluster
     * edge threshold) link them and how many are near-identical
@@ -1478,28 +1493,34 @@ object Dedup {
     * source, n_words, n_spans, rm_words, kept_words)`. Expects a CTE
     * `t(doc_id, source, tk)` upstream (word face: the whitespace
     * tokens; BPE face: the trained-chain token sequence). */
-  private def substrChainCtes(n: Int): String =
-    s"""d0 AS (SELECT doc_id, source, len(tk) AS nw, ${shSeqSql(n)} AS ss FROM t),
-       |d AS (SELECT doc_id, source, nw,
-       |  list_transform(ss, x -> ${H60.format("x")}) AS hs FROM d0),
-       |e AS (SELECT doc_id, unnest(hs) AS g, unnest(range(len(hs))) AS pos FROM d),
-       |r AS (SELECT doc_id, pos,
-       |  row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM e),
-       |rm AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
-       |brk AS (SELECT doc_id, pos,
+  private def substrChainCtes(n: Int): String = substrChainCtes(n, "t", "")
+
+  /** [[substrChainCtes]] with the source CTE name and a CTE-name prefix
+    * parameterized, so composite oracles (pipe_e2e) can splice the chain
+    * next to other chains without name collisions; the default form is
+    * byte-identical to the historical text. */
+  private[operators] def substrChainCtes(n: Int, src: String, p: String): String =
+    s"""${p}d0 AS (SELECT doc_id, source, len(tk) AS nw, ${shSeqSql(n)} AS ss FROM $src),
+       |${p}d AS (SELECT doc_id, source, nw,
+       |  list_transform(ss, x -> ${H60.format("x")}) AS hs FROM ${p}d0),
+       |${p}e AS (SELECT doc_id, unnest(hs) AS g, unnest(range(len(hs))) AS pos FROM ${p}d),
+       |${p}r AS (SELECT doc_id, pos,
+       |  row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM ${p}e),
+       |${p}rm AS (SELECT doc_id, pos FROM ${p}r WHERE rn >= 2),
+       |${p}brk AS (SELECT doc_id, pos,
        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-       |    <= $n THEN 0 ELSE 1 END AS b FROM rm),
-       |isl AS (SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id
-       |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM brk),
-       |spans AS (SELECT doc_id, island, MIN(pos) AS s,
-       |  MAX(pos) + $n AS e FROM isl GROUP BY 1, 2),
-       |pd AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS rm_words
-       |  FROM spans GROUP BY 1),
-       |pdoc AS (SELECT d.doc_id, d.source, CAST(d.nw AS BIGINT) AS n_words,
-       |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
-       |  CAST(COALESCE(pd.rm_words, 0) AS BIGINT) AS rm_words,
-       |  CAST(d.nw - COALESCE(pd.rm_words, 0) AS BIGINT) AS kept_words
-       |  FROM d LEFT JOIN pd USING (doc_id))""".stripMargin
+       |    <= $n THEN 0 ELSE 1 END AS b FROM ${p}rm),
+       |${p}isl AS (SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id
+       |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM ${p}brk),
+       |${p}spans AS (SELECT doc_id, island, MIN(pos) AS s,
+       |  MAX(pos) + $n AS e FROM ${p}isl GROUP BY 1, 2),
+       |${p}pd AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS rm_words
+       |  FROM ${p}spans GROUP BY 1),
+       |${p}pdoc AS (SELECT ${p}d.doc_id, ${p}d.source, CAST(${p}d.nw AS BIGINT) AS n_words,
+       |  CAST(COALESCE(${p}pd.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(${p}pd.rm_words, 0) AS BIGINT) AS rm_words,
+       |  CAST(${p}d.nw - COALESCE(${p}pd.rm_words, 0) AS BIGINT) AS kept_words
+       |  FROM ${p}d LEFT JOIN ${p}pd USING (doc_id))""".stripMargin
 
   private def substrCtes: String =
     s"""t AS (SELECT doc_id, source, $TOKENS AS tk FROM documents),
@@ -1534,22 +1555,29 @@ object Dedup {
     * `n` — the oracle twin of [[signatureTable]] + [[lshCandidates]]. */
   private def lshCandCte(n: Int): String =
     s"""t AS (SELECT doc_id, source, $TOKENS AS tk FROM documents),
-       |d0 AS (SELECT doc_id, source, ${shSql(n)} AS ss FROM t),
-       |d AS (SELECT doc_id, source,
-       |  list_distinct(list_transform(ss, x -> ${H60.format("x")})) AS hs FROM d0),
-       |e AS (SELECT doc_id, unnest(hs) AS h FROM d),
-       |perms(j, a, b) AS (VALUES ${(0 until NumPerms).map { j =>
+       |${lshCandChain(n, "t", "")}""".stripMargin
+
+  /** The lshCandCte chain minus its own `t`, with the source CTE and a
+    * CTE-name prefix parameterized (the [[substrChainCtes]] composite
+    * posture); the unprefixed form is byte-identical to the historical
+    * text. */
+  private[operators] def lshCandChain(n: Int, src: String, p: String): String =
+    s"""${p}d0 AS (SELECT doc_id, source, ${shSql(n)} AS ss FROM $src),
+       |${p}d AS (SELECT doc_id, source,
+       |  list_distinct(list_transform(ss, x -> ${H60.format("x")})) AS hs FROM ${p}d0),
+       |${p}e AS (SELECT doc_id, unnest(hs) AS h FROM ${p}d),
+       |${p}perms(j, a, b) AS (VALUES ${(0 until NumPerms).map { j =>
            val (a, b) = perm(j); s"($j, $a, $b)" }.mkString(", ")}),
-       |mh AS (
+       |${p}mh AS (
        |  SELECT doc_id, j, MIN((a * (h % $MinhashP) + b) % $MinhashP) AS mh
-       |  FROM e CROSS JOIN perms GROUP BY 1, 2),
-       |bands AS (
+       |  FROM ${p}e CROSS JOIN ${p}perms GROUP BY 1, 2),
+       |${p}bands AS (
        |  SELECT doc_id, j // $RowsPerBand AS band,
        |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS bh
-       |  FROM mh GROUP BY 1, 2),
-       |cand AS (
+       |  FROM ${p}mh GROUP BY 1, 2),
+       |${p}cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM ${p}bands a JOIN ${p}bands b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
 
   /** CTE chain computing the embedding near-dup pairs `edges` (va, vb)

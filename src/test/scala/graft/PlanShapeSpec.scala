@@ -85,6 +85,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // per-source keep-fraction relation + its 1-row total (O(|sources|))
     "pipe_mix" -> Set("documents"),
     "smp_temperature" -> Set("documents"),
+    // the composite inherits exactly its stages' bounded broadcasts:
+    // pipe_mix's O(|sources|) frac relation and txt_contamination's
+    // benchmark gram set — the corpus-scale sides all stay shuffled
+    // (semi joins to survivor ids, span/contam joins are shuffle_hash)
+    "pipe_e2e" -> Set("documents"),
+    "pipe_e2e_shuffle" -> Set("documents"),
+    "pipe_e2e_pack" -> Set("documents"),
     // the aggregated heavy-supplier set (O(#suppliers) rows)
     "q20_heavy_parts" -> Set("lineitem"),
     // O(#parts) per-part average — the schema's dim-scale posture
@@ -239,6 +246,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // the gate itself, not a duplicated inference (documented choice in
     // Pipeline.txtContamination: the hashed variant measured slower)
     "txt_contamination" -> "gram gate on the bounded benchmark side is the scan predicate",
+    // the composite splices txt_contamination's decontamination stage
+    // verbatim (shared contamFracs plan) — same bounded-benchmark-side
+    // scan predicate, same documented choice
+    "pipe_e2e" -> "inherits txt_contamination's benchmark-side scan gate",
+    "pipe_e2e_shuffle" -> "inherits txt_contamination's benchmark-side scan gate",
+    "pipe_e2e_pack" -> "inherits txt_contamination's benchmark-side scan gate",
   )
 
   /** Scan-level filter text of `plan`: every FileScan's `DataFilters:`
