@@ -54,18 +54,17 @@ object ScaleProbe {
     "sim_knn_join" -> 10,
     "arr_matmul" -> 100)
 
-  private def newSession(cpus: String): SparkSession = {
+  private def newSession(cpus: String, shufflePartitions: Int): SparkSession = {
     val s = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "1200s")
-      .config("spark.driver.memory", "24g")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -153,7 +152,7 @@ object ScaleProbe {
         case None => DefaultQueries
       }
 
-    var spark = newSession(cpus)
+    var spark = newSession(cpus, cpus.toInt)
     // materialize every factor's corpus first (resumable)
     for (f <- factors) {
       val dir = s"$outBase/x$f"
@@ -167,18 +166,30 @@ object ScaleProbe {
       val dir = s"$outBase/x$f"
       // fresh session per factor: persisted family pipelines and array
       // memos are per-(session, dir); a shared session would let factor
-      // N's cache pressure pollute factor N+1's numbers
-      try {
-        graft.operators.ArrayQueries.release()
-        graft.sources.Tables.clearCache()
-      } catch { case _: Throwable => () }
-      spark.stop()
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      spark = newSession(cpus)
+      // N's cache pressure pollute factor N+1's numbers. Shuffle width
+      // scales with the factor (the SURVEY 4 partition-sizing rule a
+      // real cluster applies: hold per-partition bytes roughly constant
+      // instead of per-partition rows x100).
+      def restart(): Unit = {
+        try {
+          graft.operators.ArrayQueries.release()
+          graft.sources.Tables.clearCache()
+        } catch { case _: Throwable => () }
+        try spark.stop() catch { case _: Throwable => () }
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        spark = newSession(cpus, math.max(cpus.toInt, cpus.toInt * f / 10))
+      }
+      restart()
       for ((q, cap) <- queries if f <= cap) {
         // min-of-2 (the Bench discipline): pass 1 absorbs the family's
         // shared cold pipeline, pass 2 is the marginal cost
         def once(): Double = {
+          // an OOM can take the whole context down; restart so the
+          // remaining queries still measure (the Bench discipline)
+          if (spark.sparkContext.isStopped) {
+            System.err.println("[scale] SparkContext died; restarting")
+            restart()
+          }
           val t0 = System.nanoTime()
           SparkEntry.queries(q)(spark, dir)
             .write.format("noop").mode("overwrite").save()
