@@ -727,14 +727,17 @@ class ArrayModelSpec extends AnyFunSuite {
         math.sqrt(d.cells.map(c => c * c).sum.toDouble), s"$tag l2")
       assert(row.getDouble(3) == d.cells.map(_.abs).max.toDouble, s"$tag linf")
 
-      // valid-mode FIR: exact scaled integers end to end
+      // valid-mode FIR: exact scaled integers end to end; numpy
+      // convolve FLIPS the kernel (y[i] = Σ_j k[m−1−j]·x[i+j]) — the
+      // n=2 truncation (25,50) is non-palindromic, so the model must
+      // flip too (ADVICE r19 #4)
       val taps = Seq(25L, 50L, 25L).take(math.min(3, n))
       val xq = d.cells.map(c => (c * 100).toBigIntExact.get.toLong)
       val ys = arr.convolveValidRows(taps).collect()
         .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
       assert(ys.size == n - taps.length + 1, s"$tag conv count")
       for (i <- 0 to n - taps.length) {
-        val yq = taps.zipWithIndex.map { case (t, j) => t * xq(i + j) }.sum
+        val yq = taps.reverse.zipWithIndex.map { case (t, j) => t * xq(i + j) }.sum
         assert(ys(i.toLong) == ((yq, yq.toDouble / 10000.0)), s"$tag conv at $i")
       }
     }
