@@ -52,7 +52,22 @@ object ScaleProbe {
     "q1_pricing_summary" -> 100,
     "q20_heavy_parts" -> 100,
     "sim_knn_join" -> 10,
-    "arr_matmul" -> 100)
+    "arr_matmul" -> 100,
+    // one head per remaining family, so the evidence table covers the
+    // whole engine: the e2e composite, LSH dedup, apply-time substr
+    // slicing, trained-tokenizer serving, the embeddings Gram, the
+    // PQ-coded ANN scale path, sessionization, exact dedup, the
+    // spectral kernel, and the narrow quality gate
+    "pipe_e2e" -> 100,
+    "dd_minhash_lsh" -> 100,
+    "dd_substr_keep" -> 100,
+    "txt_bpe_encode" -> 100,
+    "emb_gram" -> 100,
+    "sim_ivfpq_ann" -> 100,
+    "ev_sessionize" -> 100,
+    "dd_exact" -> 100,
+    "arr_fft" -> 100,
+    "txt_quality" -> 100)
 
   private def newSession(cpus: String, shufflePartitions: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -177,7 +192,11 @@ object ScaleProbe {
         } catch { case _: Throwable => () }
         try spark.stop() catch { case _: Throwable => () }
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-        spark = newSession(cpus, math.max(cpus.toInt, cpus.toInt * f / 10))
+        // SPARK_GRAFT_SCALE_SHUFFLE overrides the width for adjudication
+        // runs (is a super-linear leg partition sizing or the plan?)
+        val width = sys.env.get("SPARK_GRAFT_SCALE_SHUFFLE").map(_.toInt)
+          .getOrElse(math.max(cpus.toInt, cpus.toInt * f / 10))
+        spark = newSession(cpus, width)
       }
       restart()
       for ((q, cap) <- queries if f <= cap) {
