@@ -199,7 +199,14 @@ object ScaleProbe {
         spark = newSession(cpus, width)
       }
       restart()
+      // SPARK_GRAFT_SCALE_PASSES=1 measures the COLD cost instead of
+      // the min-of-2 marginal: one pass per query with a fresh session
+      // before each, so family memos and persisted pipelines can't
+      // carry — the number a first-time run of a trained/memoized face
+      // (emb_gram, sim_ivfpq_*, the arr_* grids, pipe_e2e) pays.
+      val passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt
       for ((q, cap) <- queries if f <= cap) {
+        if (passes == 1) restart()
         // min-of-2 (the Bench discipline): pass 1 absorbs the family's
         // shared cold pipeline, pass 2 is the marginal cost
         def once(): Double = {
@@ -215,7 +222,7 @@ object ScaleProbe {
           (System.nanoTime() - t0) / 1e9
         }
         val sec =
-          try math.min(once(), once())
+          try if (passes == 1) once() else math.min(once(), once())
           catch { case e: Throwable =>
             System.err.println(s"[scale] $q x$f FAILED: ${e.getMessage}")
             -1.0
