@@ -15,27 +15,33 @@ import org.apache.spark.sql.SparkSession
   * investigation; isolated re-runs showed 4-7x lower). min-of-2 reports
   * the query's own marginal cost, which is the comparable number. */
 object Bench {
+  /** The measurement session — ONE spelling shared with ScaleProbe so
+    * probe numbers are always taken under the same config as the bench
+    * numbers they're compared against. */
+  private[graft] def measurementSession(cpus: String,
+      shufflePartitions: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      // On a shared box long GC pauses / CPU starvation can delay the
+      // in-process heartbeater; with the 10s default, 60 misses killed
+      // a whole bench run (BENCH_r04). Widen the tolerance window.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    def newSession(): SparkSession = {
-      val s = SparkSession.builder()
-        .withExtensions(new GraftExtensions)
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-        .config("spark.ui.enabled", "false")
-        // On a shared box long GC pauses / CPU starvation can delay the
-        // in-process heartbeater; with the 10s default, 60 misses killed
-        // a whole bench run (BENCH_r04). Widen the tolerance window.
-        .config("spark.executor.heartbeatInterval", "60s")
-        .config("spark.network.timeout", "1200s")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      s
-    }
+    def newSession(): SparkSession = measurementSession(cpus, cpus.toInt)
     var spark = newSession()
 
     // 1-minute loadavg sampled at pass start: a contended artifact must

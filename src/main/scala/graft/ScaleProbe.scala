@@ -69,21 +69,10 @@ object ScaleProbe {
     "arr_fft" -> 100,
     "txt_quality" -> 100)
 
-  private def newSession(cpus: String, shufflePartitions: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
-      .config("spark.executor.heartbeatInterval", "60s")
-      .config("spark.network.timeout", "1200s")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  /** Delegates to [[Bench.measurementSession]] — probe numbers must be
+    * taken under the exact session config the bench uses. */
+  private def newSession(cpus: String, shufflePartitions: Int): SparkSession =
+    Bench.measurementSession(cpus, shufflePartitions)
 
   /** Salt every 4th word with a replica-unique token (see object doc). */
   private def saltedText(text: org.apache.spark.sql.Column,
@@ -101,6 +90,27 @@ object ScaleProbe {
   def inflate(spark: SparkSession, src: String, out: String, f: Int): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    // Resume is only valid against the SAME base corpus: a work dir
+    // left over from a different SPARK_GRAFT_SF_DIR (or a regenerated
+    // base) would otherwise serve stale tables while the JSON stamps
+    // the new base. The marker records (src, factor); on mismatch the
+    // whole factor dir is wiped and re-inflated.
+    val marker = new org.apache.hadoop.fs.Path(s"$out/_GRAFT_BASE")
+    val want = s"$src|$f"
+    val have =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val os = fs.create(marker, true)
+      try os.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+    }
     def done(t: String) =
       fs.exists(new org.apache.hadoop.fs.Path(s"$out/$t.parquet/_SUCCESS"))
     val reps = spark.range(f).select(col("id").cast("bigint").as("rep"))
@@ -238,12 +248,16 @@ object ScaleProbe {
     def exp(ta: Double, tb: Double, fa: Int, fb: Int): Option[Double] =
       if (ta > 0 && tb > 0) Some(math.log(tb / ta) / math.log(fb.toDouble / fa))
       else None
+    // Locale.ROOT like Bench.fmt3: f"" uses the JVM default locale, and
+    // a comma-decimal locale (de_DE) would make the JSON unparseable
+    def fmt3(t: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
     val qJson = results.map { case (q, byF) =>
-      val secs = byF.map { case (f, s) => s""""$f":${f"$s%.3f"}""" }.mkString(",")
+      val secs = byF.map { case (f, s) => s""""$f":${fmt3(s)}""" }.mkString(",")
       val fs = byF.keys.toSeq.sorted
       val exps = fs.zip(fs.tail).flatMap { case (a, b) =>
         exp(byF(a), byF(b), a, b).map(e =>
-          s""""exp_${a}_$b":${f"$e%.3f"}""")
+          s""""exp_${a}_$b":${fmt3(e)}""")
       }.mkString(",")
       s""""$q":{"secs":{$secs}${if (exps.nonEmpty) "," + exps else ""}}"""
     }.mkString(",")

@@ -272,24 +272,8 @@ object Pipeline {
     * narrow map, and only the per-source yield rollup shuffles. */
   def pipeMix(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select("doc_id", "source")
-    val named = col("source").isin("src0", "src1", "src2")
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
-    // corpus total AND the unnamed-source count via global windows over
-    // the O(#sources) counts relation — one corpus scan feeds counts,
-    // total and the rest-bucket split (a separate .agg would re-run the
-    // aggregate subtree), and the 45% rest share divides by the ACTUAL
-    // number of unnamed sources rather than assuming a corpus shape
-    val everything = org.apache.spark.sql.expressions.Window.partitionBy()
-    val w = when(col("source") === "src0", 0.30)
-      .when(col("source") === "src1", 0.15)
-      .when(col("source") === "src2", 0.10)
-      .otherwise(lit(0.45) / col("n_rest").cast("double"))
-    val fracs = counts
-      .withColumn("n_total", sum(col("n_src")).over(everything))
-      .withColumn("n_rest",
-        sum(when(named, 0L).otherwise(1L)).over(everything))
-      .withColumn("keep_frac",
-        least(lit(1.0), w * col("n_total").cast("double") / col("n_src").cast("double")))
+    val fracs = mixKeepFracs(counts)
     val kept = docs
       .join(broadcast(fracs.select("source", "keep_frac")), Seq("source"))
       .filter(pmod(hash60(col("doc_id").cast("string")), lit(10000L)) <
@@ -300,6 +284,30 @@ object Pipeline {
       .select(col("source"), col("n_docs"), col("keep_frac"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy("source")
+  }
+
+  /** The mix recipe's per-source keep fractions over an O(#sources)
+    * `(source, n_src)` counts relation — ONE spelling shared by
+    * [[pipeMix]] and the e2e composite's re-based mix stage so the
+    * weight chain can never drift between them: corpus total AND the
+    * unnamed-source count via global windows over the counts relation
+    * (a separate .agg would re-run the aggregate subtree), the 45%
+    * rest share divided by the ACTUAL number of unnamed sources, and
+    * `keep_frac = least(1, w·N/n_src)` (downsampling the
+    * overrepresented, keeping all of the underrepresented). */
+  private[graft] def mixKeepFracs(counts: DataFrame): DataFrame = {
+    val named = col("source").isin("src0", "src1", "src2")
+    val everything = org.apache.spark.sql.expressions.Window.partitionBy()
+    val w = when(col("source") === "src0", 0.30)
+      .when(col("source") === "src1", 0.15)
+      .when(col("source") === "src2", 0.10)
+      .otherwise(lit(0.45) / col("n_rest").cast("double"))
+    counts
+      .withColumn("n_total", sum(col("n_src")).over(everything))
+      .withColumn("n_rest",
+        sum(when(named, 0L).otherwise(1L)).over(everything))
+      .withColumn("keep_frac",
+        least(lit(1.0), w * col("n_total").cast("double") / col("n_src").cast("double")))
   }
 
   /** Temperature-scaled source mixing (α = 1/2) — the multinomial
@@ -527,21 +535,32 @@ object Pipeline {
   // driver-side iteration CacheManager can never dedup (the ccLabels
   // pattern), and three faces + the spec all read the same chain. The
   // build runs OUTSIDE any lock (it executes jobs); a lost race
-  // recomputes once and leaks nothing. Same in-session freshness
-  // contract as the dedup family's persisted relations.
+  // recomputes once and leaks nothing. The FULL ccLabels freshness
+  // discipline applies: entries are keyed by the documents table's
+  // CONTENT fingerprint (an in-place refresh rebuilds instead of
+  // serving a mixed-vintage chain), stopped-session entries are
+  // evicted before a new insert (bench/probe session cycling can't
+  // pin dead sessions), and unfingerprintable content never memoizes.
   private val e2eMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), E2eStages]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, E2eStages)]()
 
-  private[graft] def e2eStages(s: SparkSession, dir: String): E2eStages = {
-    val k = (s, dir)
-    val hit = e2eMemo.get(k)
-    if (hit != null) hit
-    else {
-      val built = buildE2eStages(s, dir)
-      val prev = e2eMemo.putIfAbsent(k, built)
-      if (prev != null) prev else built
+  private[graft] def e2eStages(s: SparkSession, dir: String): E2eStages =
+    Tables.fingerprint(s, dir, "documents") match {
+      case None => buildE2eStages(s, dir)
+      case Some(fp) =>
+        val k = (s, dir)
+        Option(e2eMemo.get(k)) match {
+          case Some((`fp`, hit)) => hit
+          case _ =>
+            val it = e2eMemo.keySet().iterator()
+            while (it.hasNext) {
+              if (it.next()._1.sparkContext.isStopped) it.remove()
+            }
+            val built = buildE2eStages(s, dir)
+            e2eMemo.put(k, (fp, built))
+            built
+        }
     }
-  }
 
   private def buildE2eStages(s: SparkSession, dir: String): E2eStages = {
     val W = org.apache.spark.sql.expressions.Window
@@ -585,18 +604,7 @@ object Pipeline {
     // source mix over the CURRENT survivor counts (the pipe_mix recipe
     // re-based on what actually survived cleaning)
     val counts = s5.groupBy("source").agg(count(lit(1)).as("n_src"))
-    val everything = org.apache.spark.sql.expressions.Window.partitionBy()
-    val named = col("source").isin("src0", "src1", "src2")
-    val wgt = when(col("source") === "src0", 0.30)
-      .when(col("source") === "src1", 0.15)
-      .when(col("source") === "src2", 0.10)
-      .otherwise(lit(0.45) / col("n_rest").cast("double"))
-    val fracs = counts
-      .withColumn("n_total", sum(col("n_src")).over(everything))
-      .withColumn("n_rest", sum(when(named, 0L).otherwise(1L)).over(everything))
-      .withColumn("keep_frac",
-        least(lit(1.0), wgt * col("n_total").cast("double") / col("n_src").cast("double")))
-      .select("source", "keep_frac")
+    val fracs = mixKeepFracs(counts).select("source", "keep_frac")
     val s5f = s5.join(broadcast(fracs), Seq("source"))
     val s6 = s5f.filter(e2eMixGate).cachedPersist()
     E2eStages(flagged, s1m, s2, losers, s3k, s4c, fracs, s5f, s6)

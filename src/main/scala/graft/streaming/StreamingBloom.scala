@@ -70,7 +70,13 @@ object StreamingBloom {
     * [[StreamingCusum]]), so a genuinely continuous ingest keeps the
     * filter warm forever; pass `Some(Trigger.AvailableNow())` for a
     * drain-and-stop cycle (the spec's posture — it re-invokes run()
-    * per drain). */
+    * per drain).
+    *
+    * BREAKING (ADVICE r19 #3): before r20 the no-args default was
+    * `Trigger.AvailableNow()` — a caller relying on
+    * `run(...).awaitTermination()` returning after the source drains
+    * must now pass `Some(Trigger.AvailableNow())` explicitly; the old
+    * default silently stopped a continuous caller's filter instead. */
   def run(spark: SparkSession, docs: DataFrame, sink: RunningBloom,
       queryName: String = "graft_streaming_bloom",
       trigger: Option[Trigger] = None): StreamingQuery = {
