@@ -172,8 +172,10 @@ object ScaleProbe {
       .split(",").map(_.trim.toInt).toSeq.sorted
     val queries: Seq[(String, Int)] =
       sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
+        // an explicit list runs at every requested factor — the
+        // DefaultQueries caps only guard the unattended default sweep
         case Some(qs) => qs.split(",").map(_.trim).toSeq
-          .map(q => q -> DefaultQueries.toMap.getOrElse(q, factors.max))
+          .map(q => q -> factors.max)
         case None => DefaultQueries
       }
 
