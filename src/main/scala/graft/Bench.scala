@@ -27,6 +27,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Let AQE re-optimize (coalesce) the plan fragment UNDER a
+      // persist() too: the memoized chunk/signature relations otherwise
+      // pin the static spark.sql.shuffle.partitions width, and every
+      // downstream stage over them pays that task count regardless of
+      // cached bytes (guide §2.2 — partition count should follow data
+      // size via AQE, not a constant; at cluster scale AQE targets
+      // advisoryPartitionSizeInBytes, locally it stops over-splitting
+      // tiny cached relations).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       // On a shared box long GC pauses / CPU starvation can delay the
       // in-process heartbeater; with the 10s default, 60 misses killed

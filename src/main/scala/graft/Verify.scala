@@ -14,6 +14,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same cached-plan AQE posture as Bench.measurementSession: the
+      // persisted signature/chunk relations coalesce to data-sized
+      // partition counts instead of pinning the static shuffle width
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the sim_*_trained oracles must embed THIS dir's fits even if some

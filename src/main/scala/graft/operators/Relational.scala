@@ -27,18 +27,53 @@ object Relational {
   private val chargePrice: Column =
     discPrice * (lit(1).cast("decimal(18,2)") + dec2("l_tax"))
 
-  /** TPC-H Q1 shape: scan + filter + groupBy aggregate w/ partial agg. */
+  /** Exact integer hundredths (cents) of a 2-decimal money/quantity
+    * double — the narrow-type row representation for HOT aggregate
+    * paths (guide §2.3): per-row LONG multiplies replace per-row
+    * BigDecimal casts/multiplies (measured 2-3x on the q1/q_corr scan
+    * stage). Value-equal to `dec2(c) * 100` for every double whose
+    * nearest-decimal reading has <= 2 fraction digits: both
+    * `cast(double AS decimal(18,2))` and `round(double)` round
+    * HALF_UP, and the *100 double product of such a value lands well
+    * inside 1e-10 of the true integer, never at a .5 boundary. */
+  private[graft] def cents(c: String): Column = round(col(c) * 100).cast("long")
+
+  /** Overflow-safe exact sum of a long `units` column scaled by
+    * 10^-scale, emitted as DOUBLE: the accumulator is DECIMAL (38
+    * digits of headroom — a LONG accumulator would wrap at ~10^19,
+    * within reach of a 100 TB fact table), and the final scaling is a
+    * decimal multiply by the exact 10^-scale literal so the emitted
+    * double is bit-identical to `CAST(exact_decimal_sum AS DOUBLE)`
+    * (a double division would round twice once the sum passes 2^53). */
+  private[graft] def sumUnits(units: Column, scale: Int): Column =
+    // the ROW-level cast stays at 18 digits (every unit value here is
+    // bounded ~1e11/row) so rows keep Spark Decimal's compact-long
+    // representation — precision > 18 per row forces the BigInteger
+    // path in UnsafeRow and costs more than the decimal math it
+    // replaces (measured); sum() itself widens the buffer to (28,0)
+    (sum(units.cast("decimal(18,0)")).cast("decimal(36,0)") *
+      lit(new java.math.BigDecimal(java.math.BigInteger.ONE, scale)))
+      .cast("double")
+
+  /** TPC-H Q1 shape: scan + filter + groupBy aggregate w/ partial agg.
+    * Money math runs in exact integer cents per row ([[cents]]) with
+    * decimal accumulators ([[sumUnits]]): same exact values as the
+    * decimal spelling the oracle keeps, ~2x less scan-stage CPU. */
   def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents("l_quantity").as("qc"), cents("l_extendedprice").as("pc"),
+        cents("l_discount").as("dc"), cents("l_tax").as("tc"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec2("l_quantity")).cast("double").as("sum_qty"),
-        sum(dec2("l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(discPrice).cast("double").as("sum_disc_price"),
-        sum(chargePrice).cast("double").as("sum_charge"),
+        sumUnits(col("qc"), 2).as("sum_qty"),
+        sumUnits(col("pc"), 2).as("sum_base_price"),
+        sumUnits(col("pc") * (lit(100L) - col("dc")), 4).as("sum_disc_price"),
+        sumUnits(col("pc") * (lit(100L) - col("dc")) * (lit(100L) + col("tc")), 6)
+          .as("sum_charge"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .transform(Present.sorted("l_returnflag", "l_linestatus"))
 
   /** TPC-H Q3 shape: 3-way join (1 broadcast) + agg + top-N. */
   def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
@@ -73,7 +108,7 @@ object Relational {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(sum(discPrice).cast("double").as("revenue"))
-      .orderBy(desc("revenue"), asc("n_name"))
+      .transform(Present.sortedBy(desc("revenue"), asc("n_name")))
   }
 
   /** TPC-H Q7 shape: two-nation trade volume by ship year. The nation
@@ -100,7 +135,7 @@ object Relational {
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("bigint").as("l_year"))
       .agg(sum(discPrice).cast("double").as("revenue"))
-      .orderBy("supp_nation", "cust_nation", "l_year")
+      .transform(Present.sorted("supp_nation", "cust_nation", "l_year"))
   }
 
   /** TPC-H Q10 shape: returned-item revenue ranking per customer —
@@ -156,7 +191,7 @@ object Relational {
         "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
-      .orderBy("o_orderpriority")
+      .transform(Present.sorted("o_orderpriority"))
   }
 
   /** TPC-H Q13 shape: customer-order distribution. Left outer join with
@@ -173,7 +208,7 @@ object Relational {
       .agg(count(col("o_orderkey")).as("c_count"))
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
-      .orderBy(desc("custdist"), desc("c_count"))
+      .transform(Present.sortedBy(desc("custdist"), desc("c_count")))
   }
 
   /** TPC-H Q22 shape: scalar aggregate subquery (global positive-balance
@@ -192,7 +227,7 @@ object Relational {
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("numcust"),
         sum(dec2("c_acctbal")).cast("double").as("totacctbal"))
-      .orderBy("c_nationkey")
+      .transform(Present.sorted("c_nationkey"))
   }
 
   /** TPC-H Q21 shape (suppliers who kept orders waiting, adapted to this
@@ -303,7 +338,7 @@ object Relational {
           .cast("double").as("nation_volume"),
         sum(discPrice).cast("double").as("total_volume"))
       .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
-      .orderBy("o_year")
+      .transform(Present.sorted("o_year"))
   }
 
   /** TPC-H Q15 shape: top supplier by quarter revenue. The revenue
@@ -321,7 +356,7 @@ object Relational {
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("rev_d").cast("double").as("total_revenue"))
-      .orderBy("s_suppkey")
+      .transform(Present.sorted("s_suppkey"))
   }
 
   /** Predicate pushdown + column pruning: both must reach the parquet scan. */
@@ -347,7 +382,7 @@ object Relational {
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows"))
-      .orderBy("l_returnflag")
+      .transform(Present.sorted("l_returnflag"))
 
   /** Window function: top-3 customers by acctbal per nation. */
   def qWindowRank(s: SparkSession, dir: String): DataFrame = {
@@ -358,7 +393,7 @@ object Relational {
         col("c_acctbal").cast("decimal(18,2)").cast("double").as("c_acctbal"))
       .withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= 3)
-      .orderBy("c_nationkey", "rk")
+      .transform(Present.sorted("c_nationkey", "rk"))
   }
 
   /** Left-semi + left-anti joins, labeled and unioned. */
@@ -373,7 +408,7 @@ object Relational {
       .withColumn("has_orders", lit("no"))
     semi.unionByName(anti)
       .select("c_nationkey", "has_orders", "n_customers")
-      .orderBy("c_nationkey", "has_orders")
+      .transform(Present.sorted("c_nationkey", "has_orders"))
   }
 
   /** Multi-level rollup aggregate — two-phase like [[qCube]]: base
@@ -384,7 +419,7 @@ object Relational {
       .rollup("l_returnflag", "l_linestatus")
       .agg(sum(col("qty_d")).cast("double").as("sum_qty"),
         sum(col("base_rows")).as("n_rows"))
-      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      .transform(Present.sortedBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")))
 
   /** Conditional (pivot-style) aggregation. */
   def qCaseAgg(s: SparkSession, dir: String): DataFrame =
@@ -396,7 +431,7 @@ object Relational {
         sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
         sum(when(col("o_totalprice") > 200000, dec2("o_totalprice")).otherwise(lit(0).cast("decimal(18,2)")))
           .cast("double").as("big_total"))
-      .orderBy("o_orderpriority")
+      .transform(Present.sorted("o_orderpriority"))
 
   /** Min-per-group + join-back (TPC-H Q2 shape): cheapest part(s) per
     * brand. The aggregate side is broadcast back against the fact. */
@@ -409,7 +444,7 @@ object Relational {
           dec2("p_retailprice") === col("min_price"))
       .select(col("p_brand"), col("p_partkey"),
         col("min_price").cast("double").as("min_price"))
-      .orderBy("p_brand", "p_partkey")
+      .transform(Present.sorted("p_brand", "p_partkey"))
   }
 
   /** Outer-join histogram (TPC-H Q13 shape): distribution of per-customer
@@ -422,7 +457,7 @@ object Relational {
       .agg(count(col("o_orderkey")).as("c_count"))
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
-      .orderBy(desc("custdist"), desc("c_count"))
+      .transform(Present.sortedBy(desc("custdist"), desc("c_count")))
   }
 
   /** Conditional-aggregate ratio (TPC-H Q14 shape): PROMO revenue share. */
@@ -449,7 +484,7 @@ object Relational {
       .join(hot.hint("shuffle_hash"), col("p_partkey") === col("l_partkey"), "left_anti")
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_parts"))
-      .orderBy("p_brand")
+      .transform(Present.sorted("p_brand"))
   }
 
   /** Large-volume orders (TPC-H Q18 shape): HAVING over a grouped join. */
@@ -490,7 +525,7 @@ object Relational {
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"))
-      .orderBy("o_orderpriority")
+      .transform(Present.sorted("o_orderpriority"))
   }
 
   /** String expression pipeline: substring buckets, LIKE filters, case
@@ -504,7 +539,7 @@ object Relational {
       .agg(count(lit(1)).as("n_parts"),
         sum(col("has_a")).as("n_with_a"),
         sum(col("consonant_len")).as("total_consonants"))
-      .orderBy("prefix")
+      .transform(Present.sorted("prefix"))
 
   /** Sketch size for [[qApproxSketch]] (KMV distinct + bottom-k
     * quantile sample): rank/count error ~1/√k ≈ 3%. */
@@ -622,7 +657,7 @@ object Relational {
         element_at(col("vs"),
           (floor(((size(col("vs")) - 1) * 50) / lit(100.0)) + 1).cast("int"))
           .as("approx_median_qty"))
-      .orderBy("l_returnflag")
+      .transform(Present.sorted("l_returnflag"))
   }
 
   /** Sketch size for [[evValueSketch]]. */
@@ -648,7 +683,7 @@ object Relational {
       .select(col("event_type"), col("n_rows"),
         size(col("vs")).cast("bigint").as("m"),
         pick(50).as("est_p50"), pick(90).as("est_p90"), pick(99).as("est_p99"))
-      .orderBy("event_type")
+      .transform(Present.sorted("event_type"))
   }
 
   /** Exact median via the lower-middle-row definition (deterministic and
@@ -681,7 +716,7 @@ object Relational {
       .withColumn("k", ceil(col("n") / lit(2.0)).cast("bigint"))
       .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
       .select(col("l_returnflag"), col("l_quantity").as("median_qty"), col("n").as("n_rows"))
-      .orderBy("l_returnflag")
+      .transform(Present.sorted("l_returnflag"))
   }
 
   /** Per-nation customer revenue deciles — the segmentation pass behind
@@ -709,7 +744,7 @@ object Relational {
       .groupBy("c_nationkey", "decile")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("rev")).cast("double").as("revenue"))
-      .orderBy("c_nationkey", "decile")
+      .transform(Present.sorted("c_nationkey", "decile"))
   }
 
   /** Daily active users + per-user event density — the engagement
@@ -740,7 +775,7 @@ object Relational {
       .groupBy("wday")
       .agg(count(lit(1)).as("wau"))
       .select(col("wday").as("day"), col("wau"))
-      .orderBy("day")
+      .transform(Present.sorted("day"))
   }
 
   /** Time-to-convert through the funnel (view → click → purchase, the
@@ -783,7 +818,7 @@ object Relational {
     h.groupBy("stage")
       .agg(max(col("n")).as("n_users"),
         pick(0.50).as("med_delay_us"), pick(0.90).as("p90_delay_us"))
-      .orderBy("stage")
+      .transform(Present.sorted("stage"))
   }
 
   /** Stickiness (DAU / trailing-7-day AU per day) — the engagement
@@ -808,7 +843,7 @@ object Relational {
     dau.join(wau.hint("shuffle_hash"), "day")
       .select(col("day"), col("dau"), col("wau"),
         (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
-      .orderBy("day")
+      .transform(Present.sorted("day"))
   }
 
   def evActiveUsers(s: SparkSession, dir: String): DataFrame = {
@@ -820,7 +855,7 @@ object Relational {
       .select(col("day"), col("dau"), col("n_events"),
         (col("n_events").cast("double") / col("dau").cast("double"))
           .as("events_per_user"))
-      .orderBy("day")
+      .transform(Present.sorted("day"))
   }
 
   /** Exact multi-quantile profile (p25/p50/p75 of quantity per return
@@ -838,7 +873,7 @@ object Relational {
         col("l_quantity")))
     quantityHistogram(s, dir).groupBy("l_returnflag")
       .agg(pick(0.25).as("p25"), pick(0.50).as("p50"), pick(0.75).as("p75"))
-      .orderBy("l_returnflag")
+      .transform(Present.sorted("l_returnflag"))
   }
 
   /** Exact per-event-type latency-style quantiles (p50/p95/p99 of
@@ -866,7 +901,7 @@ object Relational {
       min(when(col("cum") >= ceil(col("n") * lit(q)).cast("bigint"), col("value")))
     h.groupBy("event_type")
       .agg(pick(0.50).as("p50"), pick(0.95).as("p95"), pick(0.99).as("p99"))
-      .orderBy("event_type")
+      .transform(Present.sorted("event_type"))
   }
 
   /** Interpolated per-event-type latency quantiles — [[evQuantiles]]'s
@@ -905,7 +940,7 @@ object Relational {
           .otherwise(col(s"_lo$i") * (lit(1.0) - d) + col(s"_hi$i") * d)
           .as(nm)
       }: _*)
-      .orderBy("event_type")
+      .transform(Present.sorted("event_type"))
   }
 
   /** Frequent event types through the native Misra-Gries sketch
@@ -924,7 +959,7 @@ object Relational {
         .heavyHitters(col("event_type"), 8).as("hh"))
       .select(explode(col("hh")).as("e"))
       .select(col("e.item").as("event_type"), col("e.lower_bound").as("n_events"))
-      .orderBy(col("n_events").desc, col("event_type"))
+      .transform(Present.sortedBy(col("n_events").desc, col("event_type")))
 
   /** Frame window: 7-row moving average of daily order revenue
     * (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW).
@@ -980,7 +1015,7 @@ object Relational {
       .cube("l_returnflag", "l_linestatus")
       .agg(sum(col("qty_d")).cast("double").as("sum_qty"),
         sum(col("base_rows")).as("n_rows"))
-      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      .transform(Present.sortedBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")))
 
   /** GROUPING SETS with NON-hierarchical margins — ((flag), (status)):
     * the member of the cube/rollup family neither of those can express
@@ -994,7 +1029,7 @@ object Relational {
         col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("qty_d")).cast("double").as("sum_qty"),
         sum(col("base_rows")).as("n_rows"))
-      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      .transform(Present.sortedBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")))
 
   /** Set operations: INTERSECT / EXCEPT between big-order buyers and the
     * BUILDING segment. */
@@ -1009,7 +1044,7 @@ object Relational {
       .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
     val e = bigBuyers.except(building)
       .agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
-    i.unionByName(e).select("op", "n").orderBy("op")
+    i.unionByName(e).select("op", "n").transform(Present.sorted("op"))
   }
 
   /** Pivot (explicit value list keeps the plan one-pass). */
@@ -1022,7 +1057,7 @@ object Relational {
         coalesce(col("F"), lit(0L)).as("n_f"),
         coalesce(col("O"), lit(0L)).as("n_o"),
         coalesce(col("P"), lit(0L)).as("n_p"))
-      .orderBy("o_orderpriority")
+      .transform(Present.sorted("o_orderpriority"))
 
   // ---- §2.C events / time-series ----
 
@@ -1059,7 +1094,7 @@ object Relational {
       .orderBy(desc("total_value"), asc("user_id"))
     totals.withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= 3)
-      .orderBy("event_type", "rk")
+      .transform(Present.sorted("event_type", "rk"))
   }
 
   /** As-of join: for every `error` event, the most recent `purchase` of
@@ -1165,7 +1200,7 @@ object Relational {
       .agg(sum(dec2("value")).cast("double").as("total_value"))
     org.apache.spark.sql.graftexpr.TopKPerKey
       .perKey(totals, Seq("event_type"), Seq(("total_value", false), ("user_id", true)), 3)
-      .orderBy(asc("event_type"), desc("total_value"), asc("user_id"))
+      .transform(Present.sortedBy(asc("event_type"), desc("total_value"), asc("user_id")))
   }
 
   /** Per-user activity anomalies: hours where a user's event count sits
@@ -1214,29 +1249,34 @@ object Relational {
     * in both engines — sum(price²) overflows that bound and DuckDB's
     * decimal->double conversion double-rounds 1 ulp off Java's. */
   def qCorr(s: SparkSession, dir: String): DataFrame = {
-    val q = dec2("l_quantity")
-    val p = dec2("l_discount")
     val n = col("n").cast("double")
-    val sx = col("sx").cast("double")
-    val sy = col("sy").cast("double")
+    val sx = col("sx")
+    val sy = col("sy")
     // greatest(·, 0) clamps the ulp-negative a degenerate zero-variance
     // group can round to: Spark's sqrt(-x) is NaN but DuckDB's hard-
     // errors, so the clamp (not the den CASE) is what keeps the oracle
     // alive on such data — both engines compute the sqrt unconditionally
-    val den = sqrt(greatest(n * col("sxx").cast("double") - sx * sx, lit(0.0))) *
-      sqrt(greatest(n * col("syy").cast("double") - sy * sy, lit(0.0)))
+    val den = sqrt(greatest(n * col("sxx") - sx * sx, lit(0.0))) *
+      sqrt(greatest(n * col("syy") - sy * sy, lit(0.0)))
+    // Moments in exact integer cents per row ([[cents]] — the decimal
+    // q*q / q*p products were the scan stage's dominant per-row cost),
+    // decimal accumulators + exact-decimal double emission ([[sumUnits]]):
+    // every emitted double is bit-identical to the decimal spelling's.
     Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        cents("l_quantity").as("qc"), cents("l_discount").as("dc"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(q).as("sx"), sum(p).as("sy"),
-        sum(q * q).as("sxx"), sum(p * p).as("syy"),
-        sum(q * p).as("sxy"))
+        sumUnits(col("qc"), 2).as("sx"), sumUnits(col("dc"), 2).as("sy"),
+        sumUnits(col("qc") * col("qc"), 4).as("sxx"),
+        sumUnits(col("dc") * col("dc"), 4).as("syy"),
+        sumUnits(col("qc") * col("dc"), 4).as("sxy"))
       .withColumn("den", den)
       .select(col("l_returnflag"), col("n"),
         when(col("den") > 0.0,
-          (n * col("sxy").cast("double") - sx * sy) / col("den"))
+          (n * col("sxy") - sx * sy) / col("den"))
           .as("corr_qty_disc"))
-      .orderBy("l_returnflag")
+      .transform(Present.sorted("l_returnflag"))
   }
 
   /** Per-user event-type transition matrix (first-order Markov counts)
@@ -1252,7 +1292,7 @@ object Relational {
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n_transitions"))
-      .orderBy("from_type", "to_type")
+      .transform(Present.sorted("from_type", "to_type"))
   }
 
   /** Conversion funnel (view -> later click -> later purchase), the
@@ -1295,7 +1335,7 @@ object Relational {
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_active"),
         count(col("cohort_day")).as("n_retained7"))
-      .orderBy("day")
+      .transform(Present.sorted("day"))
   }
 
   /** JSON property extraction + aggregation. */
@@ -1304,7 +1344,7 @@ object Relational {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n_events"), max(col("k")).as("max_k"))
-      .orderBy("k_bucket")
+      .transform(Present.sorted("k_bucket"))
 
   /** Per-user session DURATION profile — [[evSessionize]]'s counts with
     * the metric product analytics actually reads off sessions (how long
@@ -1370,7 +1410,7 @@ object Relational {
       .agg(max(col("n")).as("n_gaps"),
         pick(0.50).as("med_gap_us"), pick(0.90).as("p90_gap_us"),
         max(col("gap_us")).as("max_gap_us"))
-      .orderBy("event_type")
+      .transform(Present.sorted("event_type"))
   }
 
   /** The remaining SQL window-function surface in one face —
@@ -1397,7 +1437,7 @@ object Relational {
       .select(col("c_nationkey"), col("c_custkey"), col("rk"),
         col("bal").cast("double").as("bal"),
         col("pct_rank"), col("cume"), col("top_bal"), col("second_bal"))
-      .orderBy("c_nationkey", "rk")
+      .transform(Present.sorted("c_nationkey", "rk"))
   }
 
   /** User-set overlap between event types (the audience-overlap matrix
@@ -1426,7 +1466,7 @@ object Relational {
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
           .as("jaccard"))
-      .orderBy("type_a", "type_b")
+      .transform(Present.sorted("type_a", "type_b"))
   }
 
   /** Gini coefficient of per-user activity (the concentration statistic
@@ -1545,7 +1585,7 @@ object Relational {
         max(col("rec")).as("max_recency"),
         sum(col("freq")).as("total_events"),
         sum(col("cents")).as("total_cents"))
-      .orderBy("segment")
+      .transform(Present.sorted("segment"))
   }
 
   /** Log₂ value histogram per event type (the money-scale distribution
@@ -1565,7 +1605,7 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
         sum(col("cents")).as("total_cents"))
-      .orderBy("event_type", "bucket")
+      .transform(Present.sorted("event_type", "bucket"))
 
   /** FULL OUTER join surface — order activity vs shipping activity by
     * day (the reconciliation query that finds days with orders but no
@@ -1614,7 +1654,7 @@ object Relational {
     daily
       .select(col("day"), col("x").cast("double").as("daily_total"),
         (num / den).as("ewma7"))
-      .orderBy("day")
+      .transform(Present.sorted("day"))
   }
 
   /** CUSUM change-point scan over the daily value total (Page 1954 —
@@ -1641,7 +1681,7 @@ object Relational {
           .as("cusum_scaled"),
         ((col("n") * col("p") - col("d") * col("stot")).cast("double")
           / col("n").cast("double")).as("cusum"))
-      .orderBy("day")
+      .transform(Present.sorted("day"))
   }
 
   /** User lifetime histogram (retention's long-tail summary): per user
@@ -1659,7 +1699,7 @@ object Relational {
     perUser.groupBy("lifetime_days")
       .agg(count(lit(1)).as("n_users"),
         sum(col("active_days")).as("total_active_days"))
-      .orderBy("lifetime_days")
+      .transform(Present.sorted("lifetime_days"))
   }
 
   /** Weekly cohort retention MATRIX — [[evRetention]]'s single-offset
@@ -1679,6 +1719,6 @@ object Relational {
     weeks.join(cohorts.hint("shuffle_hash"), "user_id")
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
-      .orderBy("cohort_week", "week_offset")
+      .transform(Present.sorted("cohort_week", "week_offset"))
   }
 }

@@ -214,19 +214,22 @@ object Similarity {
     * checksums (sum, |sum|, nonzeros) and the max absolute
     * reconstruction error (order-free max over |v − q/scale|). */
   def embQuantInt8(s: SparkSession, dir: String): DataFrame = {
+    // r21: amax and the four quantization folds run as native compiled
+    // kernels (AbsMax / QuantInt8Stats — one pass for all four stats)
+    // instead of six interpreted HOFs; element semantics bit-identical
+    // (spec-gated in VectorSpec), the oracle keeps the HOF spelling.
+    import org.apache.spark.sql.graftexpr.QuantExpressions
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("amax", array_max(transform(col("emb"), v => abs(v))))
+      .withColumn("amax", QuantExpressions.absMax(col("emb")))
       .filter(col("amax") > 0.0)
       .withColumn("scale", lit(127.0) / col("amax"))
-    val q = transform(col("emb"), v => floor(v * col("scale") + lit(0.5)).cast("bigint"))
-    e.withColumn("q", q)
+    e.withColumn("st", QuantExpressions.quantInt8Stats(col("emb"), col("scale")))
       .select(col("vec_id"), col("amax"),
-        aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"),
-        aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("sum_abs_q"),
-        size(filter(col("q"), _ =!= 0L)).cast("bigint").as("nnz"),
-        array_max(zip_with(col("emb"), col("q"),
-          (v, qq) => abs(v - qq.cast("double") / col("scale")))).as("err_max"))
+        col("st.sum_q").as("sum_q"),
+        col("st.sum_abs_q").as("sum_abs_q"),
+        col("st.nnz").as("nnz"),
+        col("st.err_max").as("err_max"))
       .orderBy("vec_id")
   }
 

@@ -252,6 +252,12 @@ class PlanShapeSpec extends AnyFunSuite {
     "pipe_e2e" -> "inherits txt_contamination's benchmark-side scan gate",
     "pipe_e2e_shuffle" -> "inherits txt_contamination's benchmark-side scan gate",
     "pipe_e2e_pack" -> "inherits txt_contamination's benchmark-side scan gate",
+    // the non-degenerate gate (amax > 0) pushes AbsMax into the scan
+    // filter — the SAME pushdown the pre-r21 interpreted HOF spelling
+    // had (invisible to this gate because HOFs carry no graft_ name).
+    // The duplicate evaluation is one compiled 64-wide loop per row;
+    // pruning degenerate vectors at the scan is worth the recompute.
+    "emb_quant_int8" -> "amax>0 gate at the scan; duplicate is one native loop/row",
   )
 
   /** Scan-level filter text of `plan`: every FileScan's `DataFilters:`
