@@ -52,9 +52,10 @@ object Dedup {
     withReps(Tables.load(s, dir, "documents")
         // The test corpus is one parquet file = one input split;
         // signature work is narrow, so spread it before the per-doc
-        // column math (a real corpus arrives in many splits and skips
-        // this shuffle).
-        .repartition(col("doc_id"))
+        // column math. Conditional (r21): a real corpus arrives in
+        // many splits, where this would be a corpus-scale shuffle —
+        // spreadIfNarrow makes it a no-op there.
+        .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
         .withColumn("hs",
           org.apache.spark.sql.graftexpr.TextExpressions.hashWordNgrams(col("text"), n))
         .select("doc_id", "source", "hs"))
@@ -331,7 +332,8 @@ object Dedup {
       // cheap scan-level predicate; a size(tk)>0 filter would inline the
       // token expression into the pushed-down scan filter
       .filter(length(trim(col("text"))) > 0)
-      .repartition(col("doc_id")) // spread the single input split
+      // spread the single input split (no-op on a many-split corpus)
+      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
       // hashes of the DISTINCT tokens in one native pass (1-grams) —
       // same values as array_distinct(tokens) hashed elementwise
       .select(col("doc_id"),
@@ -500,14 +502,13 @@ object Dedup {
     * Nothing all-pairs exists at any stage, so a 100x-duplicated corpus
     * grows the shuffle linearly and the output not at all. */
   def ddCdcChunks(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        explode_outer(org.apache.spark.sql.graftexpr.TextExpressions
-          .cdcChunks(col("text"))).as("chunk"))
-      .filter(col("chunk").isNotNull)
-      .select(col("doc_id"), md5(col("chunk")).as("ch"),
-        length(col("chunk")).cast("bigint").as("chunk_len"))
-      .groupBy("ch", "chunk_len")
+    // served from the SAME persisted (doc_id, ch, clen) relation the
+    // coverage/cluster faces read ([[cdcChunksRel]] — it IS this
+    // query's pre-aggregate projection): the chunk kernel runs once
+    // per session instead of once per invocation (r21; grouping by
+    // (ch, clen) == the old (ch, chunk_len) — clen is md5-determined)
+    cdcChunksRel(s, dir)
+      .groupBy(col("ch"), col("clen").as("chunk_len"))
       .agg(count_distinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"),
         min(col("doc_id")).as("rep_doc"))
@@ -534,6 +535,7 @@ object Dedup {
     * face's two consumers and the cluster face all read it. */
   private def cdcChunksRel(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
       .select(col("doc_id"),
         explode_outer(org.apache.spark.sql.graftexpr.TextExpressions
           .cdcChunks(col("text"))).as("chunk"))
@@ -638,7 +640,9 @@ object Dedup {
         length(col("ln")).cast("bigint").as("llen"))
 
   private def lineRel(s: SparkSession, dir: String): DataFrame =
-    lineRelOf(Tables.load(s, dir, "documents")).cachedPersist()
+    lineRelOf(Tables.load(s, dir, "documents")
+      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id"))))
+      .cachedPersist()
 
   /** The O(distinct lines) occurrence relation over a normalized-line
     * relation — the line-dedup family's only corpus-keyed shuffle
@@ -720,7 +724,13 @@ object Dedup {
       // inferred join-key/Generate filters push the gram expression
       // into the scan and the full tokenize+hash runs ~3x per document
       .cachedPersist()
-    val e = docs.select(col("doc_id"), explode(col("hs")).as("g"))
+    // spread the cached relation before the gram explode: its cached
+    // partitioning is byte-sized (a few MB -> 1-3 partitions) while the
+    // explode multiplies per-row work ~50x — width must follow the
+    // downstream CPU, not the cached bytes (no-op on a wide corpus)
+    val e = docs
+      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
+      .select(col("doc_id"), explode(col("hs")).as("g"))
     val gcnt = e.groupBy("g").agg(count(lit(1)).as("n"))
     val perDoc = e.hint("shuffle_hash").join(gcnt, "g")
       .groupBy("doc_id")
@@ -762,7 +772,9 @@ object Dedup {
         slice(col("raw"), lit(2), greatest(size(col("raw")) - 1, lit(0))).as("gs"))
 
   private def substrGramRel(s: SparkSession, dir: String): DataFrame =
-    substrGramRelOf(Tables.load(s, dir, "documents")).cachedPersist()
+    substrGramRelOf(Tables.load(s, dir, "documents")
+      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id"))))
+      .cachedPersist()
 
   /** Shared per-document removal accounting: which words an ExactSubstr
     * pass cuts. A gram occurrence is removable iff its gram occurs
@@ -787,7 +799,12 @@ object Dedup {
     * instead of re-running it per face (O(removed spans) rows — tiny,
     * and CacheManager dedups only persisted plans). */
   private def substrSpans(s: SparkSession, dir: String): DataFrame =
-    substrSpansOf(substrGramRel(s, dir)).cachedPersist()
+    // spread the cached gram relation before the positional explode
+    // (the dd_span_frac rationale: cached partitions are byte-sized,
+    // the explode is the CPU; no-op on a wide corpus)
+    substrSpansOf(substrGramRel(s, dir)
+      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id"))))
+      .cachedPersist()
 
   private def substrPerDoc(s: SparkSession, dir: String): DataFrame =
     substrPerDocFrom(substrGramRel(s, dir), substrSpans(s, dir))
@@ -921,6 +938,7 @@ object Dedup {
   private def substrTokRel(s: SparkSession, dir: String): DataFrame = {
     val merges = TextAnalysis.trainedMerges(s, dir)
     val toks = Tables.load(s, dir, "documents")
+      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
       .select(col("doc_id"), col("source"),
         posexplode_outer(TextAnalysis.bpeTokens(col("text")))
           .as(Seq("wpos", "w")))
@@ -960,7 +978,12 @@ object Dedup {
     * O(vocabulary) encode dictionary. */
   def ddSubstrTok(s: SparkSession, dir: String): DataFrame = {
     val rel = substrTokRel(s, dir)
-    substrPerDocFrom(rel, substrSpansOf(rel, TokGramN))
+    // spread the cached BPE-gram relation before the positional explode
+    // (the substrSpans rationale; this face's span pass runs per
+    // invocation, so the width matters every time)
+    val wide = rel
+      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
+    substrPerDocFrom(rel, substrSpansOf(wide, TokGramN))
       .select(col("doc_id"),
         col("n_words").as("n_bpe"),
         col("n_spans"),

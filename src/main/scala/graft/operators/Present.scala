@@ -49,4 +49,49 @@ object Present {
   def sortedBy(cols: Column*)(df: DataFrame): DataFrame =
     if (singlePartition) df.repartition(1).sortWithinPartitions(cols: _*)
     else df.orderBy(cols: _*)
+
+  /** Corpus-scale per-row MAP pipelines whose declared output order is a
+    * total key of their INPUT (per-document serving scans ending in
+    * `.orderBy("doc_id")`): establish the range partitioning on the
+    * CHEAP input first, then run the expensive map once, post-exchange.
+    *
+    * The map-then-`.orderBy` spelling pays the map TWICE — the range
+    * exchange's boundary sampling re-executes its child, which is the
+    * scan+map stage — and on a narrow source (the shipped
+    * single-row-group parquet files are ONE input split each) both
+    * executions are serial. Sorting the input instead samples only the
+    * scan, and the map runs once, spread across the range partitions
+    * (guide §1.2 step 1 / §2.5 input skew).
+    *
+    * Row order is bit-identical to `.orderBy(keys)`: the keys are a
+    * total order by construction (SURVEY §5), and range partitioning +
+    * within-partition sort IS that global sort, so oracles are
+    * untouched.
+    *
+    * Partition count is pinned to `defaultParallelism` (cores): the map
+    * is CPU-bound, so width follows cores, not bytes — AQE's
+    * byte-targeted coalescing would fold a few MB of text back to one
+    * partition and re-serialize the kernel. At cluster scale
+    * defaultParallelism = total executor cores, the natural width for a
+    * full-corpus map pass. */
+  /** A/B profiling seam for [[spreadSorted]] (independent of
+    * [[singlePartition]]): `false` restores the map-then-`.orderBy`
+    * plan so a same-session harness can measure the spread's worth. */
+  @volatile var spreadScan: Boolean = true
+
+  def spreadSorted(first: String, rest: String*)(df: DataFrame): DataFrame = {
+    val keys = (first +: rest).map(org.apache.spark.sql.functions.col)
+    if (spreadScan)
+      df.repartitionByRange(
+          df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+        .sortWithinPartitions(keys: _*)
+    else df
+  }
+
+  /** The trailing sort matching [[spreadSorted]]'s A/B seam: a no-op
+    * when the spread established the order, the plain `.orderBy` when
+    * the seam is off. */
+  def spreadSortedTail(first: String, rest: String*)(df: DataFrame): DataFrame =
+    if (spreadScan) df
+    else df.orderBy((first +: rest).map(org.apache.spark.sql.functions.col): _*)
 }

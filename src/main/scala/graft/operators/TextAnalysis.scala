@@ -24,14 +24,26 @@ object TextAnalysis {
     Tables.load(s, dir, "documents").withColumn("tk",
       org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
 
+  /** [[withTokens]] with the doc_id range order established BELOW the
+    * tokenizer ([[Present.spreadSorted]]): the per-doc serving queries
+    * (tokens/quality/langid/fingerprint/LM/classifier) end in
+    * `ORDER BY doc_id`, and sorting the scan first runs their kernel
+    * map ONCE, spread, instead of twice serial (the range-sampling
+    * cost — see spreadSorted's doc). */
+  private def withTokensSorted(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .transform(Present.spreadSorted("doc_id"))
+      .withColumn("tk",
+        org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
+
   /** Token counting: whitespace tokens + regex alpha-run terms. */
   def txtTokens(s: SparkSession, dir: String): DataFrame =
-    withTokens(s, dir).select(
+    withTokensSorted(s, dir).select(
       col("doc_id"),
       size(col("tk")).cast("bigint").as("n_tokens"),
       regexp_count(col("text"), lit("[a-z]+")).cast("bigint").as("n_alpha_runs"),
       length(col("text")).cast("bigint").as("n_chars_txt"))
-      .orderBy("doc_id")
+      .transform(Present.spreadSortedTail("doc_id"))
 
   /** Lexical-diversity profile per document — the vocabulary-richness
     * gate next to [[txtQuality]]'s surface heuristics (a low type-token
@@ -46,6 +58,7 @@ object TextAnalysis {
     // isnotnull/size>0 copy of the tokenizer into the scan (the plan gate
     // catches the duplication); a non-attribute generator input is exempt
     val wc = Tables.load(s, dir, "documents")
+      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
       .select(col("doc_id"), explode(org.apache.spark.sql.graftexpr
         .TextExpressions.wordNgrams(col("text"), 1)).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
@@ -63,17 +76,20 @@ object TextAnalysis {
     val nTok = size(col("tk")).cast("double")
     val stop = hitCount(col("tk"), STOP_EN).cast("double")
     val charSum = org.apache.spark.sql.graftexpr.TextExpressions.tokenCharSum(col("tk"))
-    withTokens(s, dir).select(
+    withTokensSorted(s, dir).select(
       col("doc_id"),
       size(col("tk")).cast("bigint").as("n_tokens"),
       (stop / nTok).as("stop_ratio"),
       (charSum.cast("double") / nTok).as("mean_tok_len"),
       ((stop / nTok) * 0.3 + least(charSum.cast("double") / nTok / 10.0, lit(1.0)) * 0.7).as("score"))
-      .orderBy("doc_id")
+      .transform(Present.spreadSortedTail("doc_id"))
   }
 
-  /** Heuristic language ID from stopword profiles, checked vs the label. */
-  def txtLangid(s: SparkSession, dir: String): DataFrame = {
+  /** The language-ID prediction columns over a tokenized relation —
+    * shared by [[txtLangid]] (sorted per-doc face) and
+    * [[txtLangidConf]] (aggregate face, which needs no row order and
+    * must not inherit the per-doc face's range exchange). */
+  private def langidPred(docs: DataFrame): DataFrame = {
     val hEn = hitCount(col("tk"), STOP_EN)
     val hEs = hitCount(col("tk"), STOP_ES)
     val hDe = hitCount(col("tk"), STOP_DE)
@@ -83,11 +99,14 @@ object TextAnalysis {
       .when(hDe >= hFr && hDe > 0, "de")
       .when(hFr > 0, "fr")
       .otherwise("und")
-    withTokens(s, dir)
-      .select(col("doc_id"), pred.as("pred_lang"), col("lang"),
-        (pred === col("lang")).as("is_match"))
-      .orderBy("doc_id")
+    docs.select(col("doc_id"), pred.as("pred_lang"), col("lang"),
+      (pred === col("lang")).as("is_match"))
   }
+
+  /** Heuristic language ID from stopword profiles, checked vs the label. */
+  def txtLangid(s: SparkSession, dir: String): DataFrame =
+    langidPred(withTokensSorted(s, dir))
+      .transform(Present.spreadSortedTail("doc_id"))
 
   /** Language-ID CONFUSION MATRIX — the evaluation a curator reads
     * after [[txtLangid]]'s per-doc predictions (which languages leak
@@ -97,7 +116,7 @@ object TextAnalysis {
     * it, never documents. */
   def txtLangidConf(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-    txtLangid(s, dir)
+    langidPred(withTokens(s, dir))
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("lang_total", sum(col("n_docs")).over(w))
@@ -109,13 +128,13 @@ object TextAnalysis {
 
   /** Fingerprints: full-content md5 + min-shingle rolling fingerprint. */
   def txtFingerprint(s: SparkSession, dir: String): DataFrame =
-    withTokens(s, dir).select(
+    withTokensSorted(s, dir).select(
       col("doc_id"),
       md5(col("text")).as("fp_full"),
       // min over the distinct-gram hash set == min over all gram hashes
       array_min(org.apache.spark.sql.graftexpr.TextExpressions
         .hashWordNgrams(col("text"), 3)).as("fp_min_shingle"))
-      .orderBy("doc_id")
+      .transform(Present.spreadSortedTail("doc_id"))
 
   /** PII scrubbing: multi-pattern regex redaction with per-pattern match
     * counts and a checksum of the scrubbed text — all narrow codegen'd
@@ -132,7 +151,9 @@ object TextAnalysis {
   val PhoneRe = "555-[0-9]{4}"
 
   def txtPii(s: SparkSession, dir: String): DataFrame = {
-    val seeded = Tables.load(s, dir, "documents").select(
+    val seeded = Tables.load(s, dir, "documents")
+      .transform(Present.spreadSorted("doc_id"))
+      .select(
       col("doc_id"),
       concat(
         col("text"),
@@ -147,7 +168,7 @@ object TextAnalysis {
       regexp_count(col("txt"), lit(PhoneRe)).cast("bigint").as("n_phones"),
       md5(regexp_replace(regexp_replace(col("txt"), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>")).as("scrubbed_md5"))
-      .orderBy("doc_id")
+      .transform(Present.spreadSortedTail("doc_id"))
   }
 
   /** Corpus-level phrase statistics: the global top-20 word bigrams by
@@ -161,6 +182,7 @@ object TextAnalysis {
     * phrases and a 20-row head, not token occurrences. */
   def txtNgramTop(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
       .select(explode(org.apache.spark.sql.graftexpr.TextExpressions
         .wordNgrams(col("text"), 2)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n"))
@@ -178,6 +200,7 @@ object TextAnalysis {
   def txtZipfTop(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val freq = Tables.load(s, dir, "documents")
+      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
       .select(explode(org.apache.spark.sql.graftexpr.TextExpressions
         .wordNgrams(col("text"), 1)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -202,6 +225,7 @@ object TextAnalysis {
     * the O(distinct) shuffle; the head is a TakeOrderedAndProject. */
   def txtDocfreq(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
       .select(explode(array_distinct(
         org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1)))
         .as("token"))
@@ -237,6 +261,7 @@ object TextAnalysis {
     * across libm implementations). */
   def txtTfidfTop(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables.load(s, dir, "documents")
+      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
       .select(col("doc_id"), explode(org.apache.spark.sql.graftexpr.TextExpressions
         .wordNgrams(col("text"), 1)).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -275,7 +300,10 @@ object TextAnalysis {
   def txtHashTf(s: SparkSession, dir: String): DataFrame = {
     val tok = col("tok")
     val bucket = pmod(hash(tok), lit(HashTfBuckets))
-    withTokens(s, dir)
+    Tables.load(s, dir, "documents")
+      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
+      .withColumn("tk",
+        org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
       // explode_OUTER + null filter == explode, but without the
       // inferred size(tk)>0 / isnotnull(tk) predicates that push into
       // the scan with the tokenizer expression inlined (tokenization
@@ -391,11 +419,11 @@ object TextAnalysis {
 
   def txtClassifierScore(s: SparkSession, dir: String): DataFrame = {
     val (w, bias) = trainedClassifier(s, dir)
-    withTokens(s, dir)
+    withTokensSorted(s, dir)
       .select(col("doc_id"), clfMarginCol(w, bias, col("tk")).as("margin"))
       .select(col("doc_id"), col("margin"),
         when(col("margin") > 0L, 1L).otherwise(0L).as("keep"))
-      .orderBy("doc_id")
+      .transform(Present.spreadSortedTail("doc_id"))
   }
 
   /** Oracle: replay the scoring from LITERAL trained weights — murmur3
@@ -570,7 +598,7 @@ object TextAnalysis {
     * score a document identically. */
   def txtLmScore(s: SparkSession, dir: String): DataFrame = {
     val m = trainedLm(s, dir)
-    withTokens(s, dir)
+    withTokensSorted(s, dir)
       .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tokens"),
         lmQsumCol(m, col("tk")).as("qlog_sum"))
       .select(col("doc_id"), col("n_tokens"), col("qlog_sum"),
@@ -580,7 +608,7 @@ object TextAnalysis {
         when(col("n_tokens") > 0L &&
           col("qlog_sum") >= col("n_tokens") * lit(LmKeepThrQ), 1L)
           .otherwise(0L).as("keep"))
-      .orderBy("doc_id")
+      .transform(Present.spreadSortedTail("doc_id"))
   }
 
   /** Oracle: replay the scoring from the LITERAL trained tables — the
@@ -1537,13 +1565,14 @@ object TextAnalysis {
     val st = org.apache.spark.sql.graftexpr.TextExpressions
       .unigramStats(col("text"), m.map(p => (p.piece, p.q)), SpMaxPieceLen, SpUnkQ)
     Tables.load(s, dir, "documents")
+      .transform(Present.spreadSorted("doc_id"))
       .select(col("doc_id"), st.as("st"))
       .select(col("doc_id"),
         element_at(col("st"), 1).as("n_words"),
         element_at(col("st"), 2).as("n_wcps"),
         element_at(col("st"), 3).as("n_pieces"),
         element_at(col("st"), 4).as("qscore_sum"))
-      .orderBy("doc_id")
+      .transform(Present.spreadSortedTail("doc_id"))
   }
 
   /** Corpus unigram piece distribution (top-30) — txt_bpe_freq's twin

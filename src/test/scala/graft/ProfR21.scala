@@ -23,6 +23,8 @@ object ProfR21 {
       .config("spark.ui.enabled", "false")
       .config("spark.eventLog.enabled", "true")
       .config("spark.eventLog.dir", "/tmp/spark-events")
+      // the box has no zstd cli/python binding; write plain JSON
+      .config("spark.eventLog.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
