@@ -270,9 +270,21 @@ object Pipeline {
     * per-source keep fraction comes from a dimension-sized aggregate
     * (O(#sources) rows) broadcast onto the corpus scan; the filter is a
     * narrow map, and only the per-source yield rollup shuffles. */
+  /** The O(#sources) per-source doc-count relation [[pipeMix]] and
+    * [[smpTemperature]] both weight from — persisted (r21): each face
+    * referenced it twice in one plan (fracs broadcast + final report)
+    * and re-ran the corpus scan + agg per reference, and the two faces
+    * build the IDENTICAL plan, so one persisted instance serves all
+    * four references across both queries (guide §5
+    * reuse-don't-recompute; the relation is dimension-sized). */
+  private def sourceCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select("doc_id", "source")
+      .groupBy("source").agg(count(lit(1)).as("n_src"))
+      .cachedPersist()
+
   def pipeMix(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select("doc_id", "source")
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val counts = sourceCounts(s, dir)
     val fracs = mixKeepFracs(counts)
     val kept = docs
       .join(broadcast(fracs.select("source", "keep_frac")), Seq("source"))
@@ -326,7 +338,7 @@ object Pipeline {
     * a narrow corpus scan, one per-source rollup shuffle. */
   def smpTemperature(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select("doc_id", "source")
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val counts = sourceCounts(s, dir) // shared persisted counts relation
     val everything = org.apache.spark.sql.expressions.Window.partitionBy()
     val fracs = counts
       .withColumn("q",
@@ -374,38 +386,51 @@ object Pipeline {
     val topTok = when(nTok > 0,
       maxC.cast("double") / nTok.cast("double")).otherwise(0.0)
     Tables.load(s, dir, "documents")
+      .transform(Present.spreadSorted("doc_id"))
       .withColumn("st", st)
       .select(col("doc_id"),
         dup3.as("dup3_frac"),
         topTok.as("top_tok_frac"),
         (dup3 > 0.2 || topTok > 0.3).as("is_repetitive"))
-      .orderBy("doc_id")
+      .transform(Present.spreadSortedTail("doc_id"))
   }
 
   /** Cross-source leakage matrix: distinct 3-grams shared by each source
-    * pair. Distinct (source, gram-hash) pairs self-join on the hash —
-    * a shuffle join keyed by gram, no corpus broadcast, no all-pairs of
+    * pair. One gram-keyed aggregate collapses each distinct gram to its
+    * (tiny, ≤|sources|) source SET; unordered pairs expand from that
+    * set, never from a join — no corpus broadcast, no all-pairs of
     * documents; output is O(|sources|²) rows. */
   def ddCrossSource(s: SparkSession, dir: String): DataFrame = {
-    // grams travel as 60-bit hashes, not strings: the distinct + self-join
-    // shuffle ~8 bytes per gram instead of ~30-char strings, and the join
-    // compares longs. Collisions are mirrored in the oracle (same md5
-    // scheme both engines), so counts stay hash-exact. Same trick as the
-    // dedup signature relation (docShingles).
-    // per-doc distinct (native one-pass gram hashing) shrinks the explode;
-    // the global distinct below makes the final set identical either way
-    val grams = Tables.load(s, dir, "documents")
+    // grams travel as 60-bit hashes, not strings: the gram-keyed shuffle
+    // moves ~8 bytes per gram instead of ~30-char strings. Collisions are
+    // mirrored in the oracle (same md5 scheme both engines), so counts
+    // stay hash-exact. Same trick as the dedup signature relation
+    // (docShingles). Per-doc distinct (native one-pass gram hashing)
+    // shrinks the explode.
+    //
+    // r21: the old spelling materialized distinct (source, g) [shuffle 1]
+    // and self-joined it on g [shuffles 2+3] — three corpus-scale
+    // exchanges of the gram relation. collect_set(source) IS the
+    // distinct (dedup inside the aggregation buffer, partial-agg
+    // map-side), so ONE gram-keyed exchange yields each gram's source
+    // set; the ≤|sources|² pair expansion explodes the tiny set twice
+    // and partial-aggregates to the O(|sources|²) matrix before the
+    // last (tiny) exchange. Pair counts are identical: a pair (a,b)
+    // counted per gram ⟺ both sources contain the gram — exactly the
+    // old join+filter match set (guide §2.2 shuffle fewer bytes /
+    // map-side aggregation).
+    val bySrc = Tables.load(s, dir, "documents")
       .select(col("source"), explode(
         org.apache.spark.sql.graftexpr.TextExpressions
           .hashWordNgrams(col("text"), 3)).as("g"))
-      .distinct()
-    val a = grams.select(col("source").as("src_a"), col("g"))
-    val b = grams.select(col("source").as("src_b"), col("g"))
-    a.join(b.hint("shuffle_hash"), "g")
+      .groupBy("g").agg(collect_set(col("source")).as("ss"))
+    bySrc
+      .select(explode(col("ss")).as("src_a"), col("ss"))
+      .select(col("src_a"), explode(col("ss")).as("src_b"))
       .filter(col("src_a") < col("src_b"))
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n_shared"))
-      .orderBy("src_a", "src_b")
+      .transform(Present.sorted("src_a", "src_b"))
   }
 
   /** Benchmark-contamination check: fraction of each document's 3-grams

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.operators.Persists.PersistOps
 import graft.sources.Tables
 
 /** Relational analytics suite (SURVEY §2.B/§2.C).
@@ -93,19 +94,35 @@ object Relational {
 
   /** TPC-H Q5 shape: 6-way join, dims broadcast, local-supplier condition. */
   def q5RegionVolume(s: SparkSession, dir: String): DataFrame = {
-    val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
-    val nation = Tables.load(s, dir, "nation")
-    val cust = Tables.load(s, dir, "customer")
+    // r21: the region filter + local-supplier condition IMPLY both the
+    // supplier AND the customer sit in an ASIA nation — resolve
+    // region⋈nation first (a ≤|nations| relation), attach it to each
+    // dim, and broadcast the pruned dims BELOW the lineitem⋈orders
+    // exchange: both fact sides shrink to ASIA rows (~1/5 at uniform
+    // regions) before the only fact-fact shuffle, which previously
+    // carried every lineitem and every 2-year order (guide §2.2
+    // shuffle fewer bytes, §3.2 pre-filter the big side). The
+    // local-supplier equality (cn_key = s_nationkey) survives as the
+    // post-shuffle residual it always was, so the surviving rows — and
+    // the aggregate — are identical.
+    val asiaNations = Tables.load(s, dir, "nation")
+      .join(broadcast(Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
     val supp = Tables.load(s, dir, "supplier")
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val cust = Tables.load(s, dir, "customer")
+      .join(broadcast(asiaNations.select(col("n_nationkey").as("cn_dim"))),
+        col("c_nationkey") === col("cn_dim"))
+      .select(col("c_custkey"), col("c_nationkey").as("cn_key"))
     val ord = Tables.load(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
-    val li = Tables.load(s, dir, "lineitem")
-    li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    Tables.load(s, dir, "lineitem")
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust.withColumnRenamed("c_nationkey", "cn_key")),
-        col("o_custkey") === col("c_custkey") && col("cn_key") === col("s_nationkey"))
-      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(ord.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey") && col("cn_key") === col("s_nationkey"))
       .groupBy("n_name")
       .agg(sum(discPrice).cast("double").as("revenue"))
       .transform(Present.sortedBy(desc("revenue"), asc("n_name")))
@@ -116,19 +133,31 @@ object Relational {
     * the disjunctive nation-pair filter runs after the joins, and the
     * single fact-fact shuffle is lineitem-orders on orderkey. */
   def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
-    val ord = Tables.load(s, dir, "orders")
+    // r21: the disjunctive pair predicate IMPLIES supp_nation ∈ {N1,N2}
+    // and cust_nation ∈ {N1,N2} — attach the nation name to each dim,
+    // filter the DIMS to the two nations, and broadcast them BELOW the
+    // lineitem⋈orders exchange: both fact sides shrink to the two
+    // nations' rows (~2/25 of suppliers / customers) before the only
+    // fact-fact shuffle, which previously carried every row (guide
+    // §2.2 shuffle fewer bytes, §3.2 pre-filter the big side). The
+    // residual pair filter (excluding N1–N1 / N2–N2) is unchanged, so
+    // the surviving rows — and the aggregate — are identical.
+    val pairNations = Seq("NATION_1", "NATION_2")
     val supp = Tables.load(s, dir, "supplier")
+      .join(broadcast(Tables.load(s, dir, "nation")
+          .filter(col("n_name").isin(pairNations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val cust = Tables.load(s, dir, "customer")
-    val n1 = Tables.load(s, dir, "nation")
-      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
-    val n2 = Tables.load(s, dir, "nation")
-      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
-    li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")
+          .filter(col("n_name").isin(pairNations: _*))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.load(s, dir, "lineitem")
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val ord = Tables.load(s, dir, "orders")
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
-      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+    li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .filter(
         (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
@@ -253,17 +282,30 @@ object Relational {
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .transform(Checkpoints.truncate)
-    // both sides of the semi/anti are fact-scale relations: pin them to
-    // shuffle hash joins on the order key — without the hint the 64 MB
-    // local threshold happily broadcasts the whole lineitem projection,
-    // which at 100 TB is a fact-table broadcast
-    val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
-      .hint("shuffle_hash")
-    val lateOthers = late.select(col("ok").as("ok3"), col("sk").as("sk3"))
-      .hint("shuffle_hash")
+    // r21: the correlated EXISTS / NOT EXISTS collapse to per-order
+    // supplier-set tests — "another supplier shares the order" is
+    // min(l_suppkey) ≠ max(l_suppkey) over the order's lines (the late
+    // row's own supplier is in that set, so ≥2 distinct ⟺ ∃ other),
+    // and "no other supplier was late" is min = max over the order's
+    // LATE suppliers (the row's sk is in that set, so 1 distinct ⟺
+    // none other). Both sides become order-scale 1-column semi builds
+    // fed by partial-aggregated min/max — the old spelling shuffled
+    // every (orderkey, suppkey) LINE twice (semi probe + anti probe)
+    // with a ≠ residual; this shuffles O(|orders|) rows (guide §2.2
+    // map-side aggregation, §3.1 smallest sufficient join side).
+    val multiSupp = li
+      .groupBy(col("l_orderkey").as("ok2"))
+      .agg(min(col("l_suppkey")).as("s_lo"), max(col("l_suppkey")).as("s_hi"))
+      .filter(col("s_lo") =!= col("s_hi"))
+      .select("ok2").hint("shuffle_hash")
+    val soleLate = late
+      .groupBy(col("ok").as("ok3"))
+      .agg(min(col("sk")).as("k_lo"), max(col("sk")).as("k_hi"))
+      .filter(col("k_lo") === col("k_hi"))
+      .select("ok3").hint("shuffle_hash")
     late
-      .join(others, col("ok2") === col("ok") && col("sk2") =!= col("sk"), "left_semi")
-      .join(lateOthers, col("ok3") === col("ok") && col("sk3") =!= col("sk"), "left_anti")
+      .join(multiSupp, col("ok2") === col("ok"), "left_semi")
+      .join(soleLate, col("ok3") === col("ok"), "left_semi")
       .join(broadcast(Tables.load(s, dir, "supplier")), col("s_suppkey") === col("sk"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))
@@ -762,10 +804,22 @@ object Relational {
     * count per day — every step a partial-aggregated shuffle on
     * day-spread keys, no window, no skew pivot. Emitted only for days
     * that exist in the data. */
-  def evWau(s: SparkSession, dir: String): DataFrame = {
-    val du = Tables.load(s, dir, "events")
+  /** The distinct (day, user) activity relation [[evWau]] and
+    * [[evStickiness]] both fan out from — persisted (r21): each face
+    * referenced it 2–3× in one plan tree, and Spark re-ran the events
+    * scan + distinct shuffle per reference (ev_wau's plan held 4
+    * parquet scans, ev_stickiness's 6). One persisted instance serves
+    * every branch of both faces; it is activity-scale (O(day·user)),
+    * the same bound its downstream shuffles already carry
+    * (guide §1.2 exchange-count / §5 reuse-don't-recompute). */
+  private def dayUserRel(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
+      .cachedPersist()
+
+  def evWau(s: SparkSession, dir: String): DataFrame = {
+    val du = dayUserRel(s, dir)
     val days = du.select(col("day").as("wday")).distinct()
     du
       .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"),
@@ -789,19 +843,9 @@ object Relational {
     * stage relations are the same min-ts shuffle_hash chain as
     * ev_funnel (no fact broadcast, per-user partials). */
   def evFunnelTime(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events")
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v.hint("shuffle_hash"), "user_id")
-      .filter(col("ts") > col("t_view"))
-      .groupBy("user_id")
-      .agg(min(col("ts")).as("t_click"), min(col("t_view")).as("t_view"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(c.hint("shuffle_hash"), "user_id")
-      .filter(col("ts") > col("t_click"))
-      .groupBy("user_id")
-      .agg(min(col("ts")).as("t_buy"), min(col("t_click")).as("t_click"))
+    // the persisted stage chain shared with ev_funnel (see funnelViews)
+    val c = funnelClicks(s, dir)
+    val p = funnelPurchases(s, dir)
     val d1 = c.select(lit("view_to_click").as("stage"),
       (unix_micros(col("t_click")) - unix_micros(col("t_view"))).as("delay_us"))
     val d2 = p.select(lit("click_to_purchase").as("stage"),
@@ -829,9 +873,7 @@ object Relational {
     * shuffle_hash (both sides day-scale aggregates, no fact
     * broadcast). */
   def evStickiness(s: SparkSession, dir: String): DataFrame = {
-    val du = Tables.load(s, dir, "events")
-      .select(to_date(col("ts")).as("day"), col("user_id"))
-      .distinct()
+    val du = dayUserRel(s, dir) // shared persisted activity relation
     val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = du
       .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
@@ -1302,31 +1344,55 @@ object Relational {
     * hash joins on the user key (both sides are user-cardinality,
     * fact-derived: never broadcast), no window over raw events, no
     * per-user event collection. */
-  def evFunnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events")
-    val v = ev.filter(col("event_type") === "view")
+  /** The three per-user funnel stage relations (first view → first
+    * later click → first later purchase) — persisted and SHARED by
+    * [[evFunnel]] (stage counts) and [[evFunnelTime]] (stage delays):
+    * each query referenced the chain 3× in one plan tree with no
+    * exchange reuse (ev_funnel's plan held 6 events scans,
+    * ev_funnel_time's 5), so the events stream was re-scanned per
+    * reference. One persisted user-scale instance per stage serves
+    * every consumer of both faces; the carried t_view/t_click columns
+    * are exactly what ev_funnel_time's delay histograms already
+    * aggregated (guide §5 reuse-don't-recompute). */
+  private def funnelViews(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("t_view"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v.hint("shuffle_hash"), "user_id")
+      .cachedPersist()
+
+  private def funnelClicks(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").filter(col("event_type") === "click")
+      .join(funnelViews(s, dir).hint("shuffle_hash"), "user_id")
       .filter(col("ts") > col("t_view"))
-      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(c.hint("shuffle_hash"), "user_id")
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t_click"), min(col("t_view")).as("t_view"))
+      .cachedPersist()
+
+  private def funnelPurchases(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").filter(col("event_type") === "purchase")
+      .join(funnelClicks(s, dir).hint("shuffle_hash"), "user_id")
       .filter(col("ts") > col("t_click"))
-      .groupBy("user_id").agg(min(col("ts")).as("t_buy"))
-    v.agg(count(lit(1)).as("n_view"))
-      .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
-      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
-  }
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t_buy"), min(col("t_click")).as("t_click"))
+      .cachedPersist()
+
+  def evFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelViews(s, dir).agg(count(lit(1)).as("n_view"))
+      .crossJoin(funnelClicks(s, dir).agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(funnelPurchases(s, dir).agg(count(lit(1)).as("n_purchase_after")))
 
   /** Day-7 cohort retention: users active on day d who are also active
     * on day d+7. One distinct (user, day) pass, then a self-join keyed
     * on (user, day) — both shuffle hash joins on composite keys, output
     * one row per cohort day. */
   def evRetention(s: SparkSession, dir: String): DataFrame = {
+    // persisted (r21): `days` feeds both join sides and each re-ran the
+    // events scan + distinct shuffle (guide §5 reuse-don't-recompute).
+    // date_trunc keeps TIMESTAMP type (vs dayUserRel's to_date), so
+    // this face keeps its own activity-scale relation.
     val days = Tables.load(s, dir, "events")
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .distinct()
+      .cachedPersist()
     val later = days.select(col("user_id").as("uid2"),
       (col("day") - expr("INTERVAL 7 DAYS")).as("cohort_day"))
     days.join(later.hint("shuffle_hash"),
@@ -1447,8 +1513,13 @@ object Relational {
     * self-join keyed on user_id — shuffle hash on the user key, output
     * O(|types|²). */
   def evTypeOverlap(s: SparkSession, dir: String): DataFrame = {
+    // persisted (r21): tu fed three branches (sizes + both self-join
+    // sides) and each re-ran the events scan + distinct (8 parquet
+    // scans in the plan); one activity-scale persisted instance serves
+    // all three (guide §5 reuse-don't-recompute)
     val tu = Tables.load(s, dir, "events")
       .select(col("event_type"), col("user_id")).distinct()
+      .cachedPersist()
     val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
     val pairs = tu.select(col("event_type").as("type_a"), col("user_id"))
       .join(tu.select(col("event_type").as("type_b"), col("user_id"))
@@ -1553,6 +1624,12 @@ object Relational {
   def evRfm(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
     val horizon = ev.agg(max(to_date(col("ts"))).as("h_day"))
+    // persisted (r21): perUser feeds FOUR branches (three medOf
+    // histograms + the final segment rollup) and each re-ran the
+    // events scan + user agg + horizon agg — 16 parquet scans in one
+    // plan. One persisted user-scale instance serves all four; the
+    // events stream is read twice total (agg + horizon), not eight
+    // times (guide §5 reuse-don't-recompute).
     val perUser = ev.groupBy("user_id")
       .agg(max(to_date(col("ts"))).as("last_day"),
         count(lit(1)).as("freq"),
@@ -1561,6 +1638,7 @@ object Relational {
       .select(col("user_id"),
         datediff(col("h_day"), col("last_day")).cast("bigint").as("rec"),
         col("freq"), col("cents"))
+      .cachedPersist()
     // exact median of one measure: conditional MIN at ceil(n/2) over
     // the measure's value histogram (percentile_disc semantics)
     def medOf(c: String): DataFrame = {
@@ -1711,10 +1789,14 @@ object Relational {
     * broadcast), count distinct-by-construction actives per (cohort,
     * offset). Integers only; output O(weeks²). */
   def evCohortMatrix(s: SparkSession, dir: String): DataFrame = {
+    // persisted (r21): `weeks` feeds the cohort aggregate AND the join
+    // probe; unpersisted, each reference re-ran the events scan +
+    // distinct shuffle (guide §5 reuse-don't-recompute)
     val weeks = Tables.load(s, dir, "events")
       .select(col("user_id"),
         floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7).as("week"))
       .distinct()
+      .cachedPersist()
     val cohorts = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
     weeks.join(cohorts.hint("shuffle_hash"), "user_id")
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
