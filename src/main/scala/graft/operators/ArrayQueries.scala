@@ -469,6 +469,22 @@ object ArrayQueries {
   private def gramRel(s: SparkSession, dir: String): DataFrame =
     Persists.cached(eventsArray2dCached(s, dir).gramRows())
 
+  /** The other two sufficient-statistics relations of the moment family
+    * (per-column first moments, C rows; the cell count, 1 row) —
+    * persisted like [[gramRel]] (r21): arr_corrcoef AND arr_cov each
+    * re-ran the axis-reduce + count passes per invocation; one
+    * materialization now serves both faces (guide §5
+    * reuse-don't-recompute; both relations are column-scale, bounded by
+    * the array's second dimension at any corpus size). */
+  private def colSumsRel(s: SparkSession, dir: String): DataFrame =
+    Persists.cached(eventsArray2dCached(s, dir).axisSum(0).rowsNd
+      .groupBy(col("i0").as("c"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s")))
+
+  private def cellCountRel(s: SparkSession, dir: String): DataFrame =
+    Persists.cached(eventsArray2dCached(s, dir).df.select(
+      (countDistinct(col("timestep")) * lit(geom2d.dimSize(0).toLong)).as("n")))
+
   def arrGram(s: SparkSession, dir: String): DataFrame =
     gramRel(s, dir).orderBy("i", "j")
 
@@ -567,16 +583,13 @@ object ArrayQueries {
     * correctly rounded, ulp-negative variances clamped, zero variance
     * guarded to NULL before the ANSI divide). */
   def arrCorrcoef(s: SparkSession, dir: String): DataFrame = {
-    val arr = eventsArray2dCached(s, dir)
     val gram = gramRel(s, dir).withColumnRenamed("value", "sxy")
     // per-column first moments: fold the user axis chunk-locally, then
     // one exact decimal rollup across timesteps (per-timestep sums are
-    // exact 2-decimal doubles, so the decimal cast loses nothing)
-    val colSums = arr.axisSum(0).rowsNd
-      .groupBy(col("i0").as("c"))
-      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
-    val nRel = arr.df.select(
-      (countDistinct(col("timestep")) * lit(geom2d.dimSize(0).toLong)).as("n"))
+    // exact 2-decimal doubles, so the decimal cast loses nothing);
+    // persisted + shared with arr_cov (colSumsRel / cellCountRel)
+    val colSums = colSumsRel(s, dir)
+    val nRel = cellCountRel(s, dir)
     val diag = gram.filter(col("i") === col("j"))
       .select(col("i").as("dc"), col("sxy").as("s2"))
     val nD = col("n").cast("double")
@@ -610,13 +623,10 @@ object ArrayQueries {
     * one double expression, no sqrt; n ≥ 2 always (the table has ≥ 2
     * timesteps), so no zero guard needed. */
   def arrCov(s: SparkSession, dir: String): DataFrame = {
-    val arr = eventsArray2dCached(s, dir)
     val gram = gramRel(s, dir).withColumnRenamed("value", "sxy")
-    val colSums = arr.axisSum(0).rowsNd
-      .groupBy(col("i0").as("c"))
-      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
-    val nRel = arr.df.select(
-      (countDistinct(col("timestep")) * lit(geom2d.dimSize(0).toLong)).as("n"))
+    // shared persisted moment relations (see colSumsRel)
+    val colSums = colSumsRel(s, dir)
+    val nRel = cellCountRel(s, dir)
     val nD = col("n").cast("double")
     gram
       .join(broadcast(colSums.select(col("c").as("c_i"), col("s").as("si"))),

@@ -56,6 +56,19 @@ object Relational {
       lit(new java.math.BigDecimal(java.math.BigInteger.ONE, scale)))
       .cast("double")
 
+  /** ext * (1 - disc) in exact integer 10^-4 units (LONG per row:
+    * pc ≤ ~1e9·(100−dc) stays far under 2^63) — the [[cents]] row
+    * representation of [[discPrice]] for HOT aggregate paths (r21,
+    * guide §2.3 narrower types): `sumUnits(discPriceUnits, 4)` emits a
+    * double bit-identical to `sum(discPrice).cast("double")` (the q1
+    * sum_disc_price equivalence, oracle-gated there and at every
+    * converted site). */
+  private val discPriceUnits: Column =
+    cents("l_extendedprice") * (lit(100L) - cents("l_discount"))
+
+  /** The drop-in replacement for `sum(discPrice).cast("double")`. */
+  private def sumDiscPrice: Column = sumUnits(discPriceUnits, 4)
+
   /** TPC-H Q1 shape: scan + filter + groupBy aggregate w/ partial agg.
     * Money math runs in exact integer cents per row ([[cents]]) with
     * decimal accumulators ([[sumUnits]]): same exact values as the
@@ -87,7 +100,7 @@ object Relational {
     li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(sum(discPrice).cast("double").as("revenue"))
+      .agg(sumDiscPrice.as("revenue"))
       .orderBy(desc("revenue"), asc("l_orderkey"))
       .limit(10)
   }
@@ -124,7 +137,7 @@ object Relational {
       .join(ord.hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey") && col("cn_key") === col("s_nationkey"))
       .groupBy("n_name")
-      .agg(sum(discPrice).cast("double").as("revenue"))
+      .agg(sumDiscPrice.as("revenue"))
       .transform(Present.sortedBy(desc("revenue"), asc("n_name")))
   }
 
@@ -163,7 +176,7 @@ object Relational {
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("bigint").as("l_year"))
-      .agg(sum(discPrice).cast("double").as("revenue"))
+      .agg(sumDiscPrice.as("revenue"))
       .transform(Present.sorted("supp_nation", "cust_nation", "l_year"))
   }
 
@@ -178,7 +191,7 @@ object Relational {
     li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name")
-      .agg(sum(discPrice).cast("double").as("revenue"))
+      .agg(sumDiscPrice.as("revenue"))
       .orderBy(desc("revenue"), asc("c_custkey"))
       .limit(20)
   }
@@ -199,7 +212,7 @@ object Relational {
           col("l_quantity").between(10, 25)) ||
         (col("p_brand") === "Brand#34" && col("p_size").between(1, 30) &&
           col("l_quantity").between(20, 35)))
-      .agg(sum(discPrice).cast("double").as("revenue"),
+      .agg(sumDiscPrice.as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -213,11 +226,14 @@ object Relational {
     val ord = Tables.load(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-07-01") &&
         col("o_orderdate") < lit("1996-10-01"))
-    val li = Tables.load(s, dir, "lineitem")
-    ord.join(li.hint("shuffle_hash"),
-        col("o_orderkey") === col("l_orderkey") &&
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
-        "left_semi")
+    // r21 (the q_late_orders collapse): ∃ late line ⟺ the order's MAX
+    // ship date is late — per-order max via map-side partial agg, so
+    // the orderkey exchange carries O(|orders|) rows instead of every
+    // line; the aggregate's ≤1 row per key makes the semi ≡ inner.
+    val lastShip = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("last_ship"))
+    ord.join(lastShip.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("last_ship") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
       .transform(Present.sorted("o_orderpriority"))
@@ -325,8 +341,10 @@ object Relational {
     val heavy = Tables.load(s, dir, "lineitem")
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy("l_suppkey", "l_partkey")
-      .agg(sum(dec2("l_quantity")).as("qd"))
-      .filter(col("qd") > 100)
+      // integer-cents quantity units with a decimal accumulator (the
+      // q1 posture, r21); qd > 100 ⟺ qu > 10000 exactly (qd = qu/100)
+      .agg(sum(cents("l_quantity").cast("decimal(18,0)")).as("qu"))
+      .filter(col("qu") > 10000)
       .select(col("l_suppkey").as("hk")).distinct()
     Tables.load(s, dir, "supplier")
       .join(heavy, col("s_suppkey") === col("hk"), "left_semi")
@@ -376,9 +394,11 @@ object Relational {
       .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
       .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
       .agg(
-        sum(when(col("supp_nation") === "NATION_1", discPrice).otherwise(zero))
-          .cast("double").as("nation_volume"),
-        sum(discPrice).cast("double").as("total_volume"))
+        // integer 10^-4 units per row (discPriceUnits) with decimal
+        // accumulators — bit-identical doubles, ~2x less agg-stage CPU
+        sumUnits(when(col("supp_nation") === "NATION_1", discPriceUnits)
+          .otherwise(lit(0L)), 4).as("nation_volume"),
+        sumDiscPrice.as("total_volume"))
       .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
       .transform(Present.sorted("o_year"))
   }
@@ -388,16 +408,23 @@ object Relational {
     * broadcast joined back by exact equality (no ties lost to double
     * rounding), and the supplier dim broadcasts. */
   def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    // revenue accumulates as exact integer 10^-4 units (discPriceUnits,
+    // the q1/q8 posture — r21): max + the equality join-back compare
+    // the unit sums, a bijection of the decimal revenues (rev_d =
+    // rev_u · 10^-4), so the tie semantics are unchanged; the emitted
+    // double scales the exact decimal once, bit-identical to the old
+    // `CAST(decimal_sum AS DOUBLE)`.
     val rev = Tables.load(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
       .groupBy("l_suppkey")
-      .agg(sum(discPrice).as("rev_d"))
-    val mx = rev.agg(max(col("rev_d")).as("mx"))
-    rev.join(broadcast(mx), col("rev_d") === col("mx"))
+      .agg(sum(discPriceUnits.cast("decimal(18,0)")).cast("decimal(36,0)").as("rev_u"))
+    val mx = rev.agg(max(col("rev_u")).as("mx"))
+    rev.join(broadcast(mx), col("rev_u") === col("mx"))
       .join(broadcast(Tables.load(s, dir, "supplier")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
-        col("rev_d").cast("double").as("total_revenue"))
+        (col("rev_u") * lit(new java.math.BigDecimal(java.math.BigInteger.ONE, 4)))
+          .cast("double").as("total_revenue"))
       .transform(Present.sorted("s_suppkey"))
   }
 
@@ -509,9 +536,10 @@ object Relational {
     val part = Tables.load(s, dir, "part")
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .agg(
-        sum(when(col("p_type") === "PROMO", discPrice)
-          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("promo_revenue"),
-        sum(discPrice).cast("double").as("total_revenue"))
+        // integer 10^-4 units per row (the q8 posture): same doubles
+        sumUnits(when(col("p_type") === "PROMO", discPriceUnits)
+          .otherwise(lit(0L)), 4).as("promo_revenue"),
+        sumDiscPrice.as("total_revenue"))
       .select(
         (col("promo_revenue") * 100.0 / col("total_revenue")).as("promo_pct"),
         col("promo_revenue"), col("total_revenue"))
@@ -531,15 +559,20 @@ object Relational {
 
   /** Large-volume orders (TPC-H Q18 shape): HAVING over a grouped join. */
   def qBigOrders(s: SparkSession, dir: String): DataFrame = {
+    // integer-cents quantity units with a decimal accumulator (the q1
+    // posture, r21): the HAVING compares exact integers (> 250 ⟺
+    // > 25000 units) and the emitted double scales the exact decimal
+    // once — bit-identical to the old CAST(decimal_sum AS DOUBLE)
     val big = Tables.load(s, dir, "lineitem")
       .groupBy("l_orderkey")
-      .agg(sum(dec2("l_quantity")).as("sum_qty_d"))
-      .filter(col("sum_qty_d") > 250)
+      .agg(sum(cents("l_quantity").cast("decimal(18,0)")).cast("decimal(36,0)").as("qu"))
+      .filter(col("qu") > 25000)
     Tables.load(s, dir, "orders")
       .join(big.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"),
         dec2("o_totalprice").cast("double").as("o_totalprice"),
-        col("sum_qty_d").cast("double").as("sum_qty"))
+        (col("qu") * lit(new java.math.BigDecimal(java.math.BigInteger.ONE, 2)))
+          .cast("double").as("sum_qty"))
       .orderBy(desc("sum_qty"), asc("o_orderkey"))
   }
 
@@ -548,23 +581,34 @@ object Relational {
     * joined back; the threshold math (0.2 * sum/count in double) is
     * written identically in the oracle so the comparison is exact. */
   def qSmallQty(s: SparkSession, dir: String): DataFrame = {
+    // integer-cents units with decimal accumulators (the q1 posture,
+    // r21): sumUnits == CAST(exact_decimal_sum AS DOUBLE), so both the
+    // avg_qty division operands and total_price are bit-identical
     val li = Tables.load(s, dir, "lineitem")
     val avgQty = li.groupBy(col("l_partkey").as("pk"))
-      .agg((sum(dec2("l_quantity")).cast("double") / count(lit(1)).cast("double")).as("avg_qty"))
+      .agg((sumUnits(cents("l_quantity"), 2) / count(lit(1)).cast("double")).as("avg_qty"))
     li.join(avgQty, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < col("avg_qty") * 0.2)
-      .agg(sum(dec2("l_extendedprice")).cast("double").as("total_price"),
+      .agg(sumUnits(cents("l_extendedprice"), 2).as("total_price"),
         count(lit(1)).as("n_items"))
   }
 
   /** Correlated EXISTS (TPC-H Q4 shape): orders with at least one late
     * line (shipped >90 days after the order date), counted by priority. */
   def qLateOrders(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("lk"), col("l_shipdate"))
+    // r21: "∃ line shipped > 90 days after the order date" ⟺ the
+    // order's MAX ship date is — collapse lineitem to a per-order max
+    // (map-side partial agg) before the only fact-fact exchange, so the
+    // shuffle carries O(|orders|) rows instead of every line; the
+    // non-equi lateness check runs post-join on the max, and the
+    // aggregate's ≤1 row per key makes the semi ≡ inner (guide §2.2
+    // map-side aggregation, §3.1 smallest sufficient join side).
+    val lastShip = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("lk"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
     Tables.load(s, dir, "orders")
-      .join(li.hint("shuffle_hash"), col("o_orderkey") === col("lk") &&
-        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+      .join(lastShip.hint("shuffle_hash"), col("o_orderkey") === col("lk"))
+      .filter(col("last_ship") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"))
       .transform(Present.sorted("o_orderpriority"))
