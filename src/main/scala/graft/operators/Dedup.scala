@@ -52,10 +52,11 @@ object Dedup {
     withReps(Tables.load(s, dir, "documents")
         // The test corpus is one parquet file = one input split;
         // signature work is narrow, so spread it before the per-doc
-        // column math. Conditional (r21): a real corpus arrives in
-        // many splits, where this would be a corpus-scale shuffle —
-        // spreadIfNarrow makes it a no-op there.
-        .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
+        // column math (a real corpus arrives in many splits and skips
+        // this shuffle). Width stays AQE-coalescible — an explicit
+        // count was A/B-measured SLOWER in r21 (it disables AQE's
+        // coalescing and over-splits the tiny local relation).
+        .repartition(col("doc_id"))
         .withColumn("hs",
           org.apache.spark.sql.graftexpr.TextExpressions.hashWordNgrams(col("text"), n))
         .select("doc_id", "source", "hs"))
@@ -332,8 +333,9 @@ object Dedup {
       // cheap scan-level predicate; a size(tk)>0 filter would inline the
       // token expression into the pushed-down scan filter
       .filter(length(trim(col("text"))) > 0)
-      // spread the single input split (no-op on a many-split corpus)
-      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
+      // spread the single input split (AQE-coalescible width — see the
+      // signature-table note)
+      .repartition(col("doc_id"))
       // hashes of the DISTINCT tokens in one native pass (1-grams) —
       // same values as array_distinct(tokens) hashed elementwise
       .select(col("doc_id"),
@@ -535,7 +537,6 @@ object Dedup {
     * face's two consumers and the cluster face all read it. */
   private def cdcChunksRel(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
       .select(col("doc_id"),
         explode_outer(org.apache.spark.sql.graftexpr.TextExpressions
           .cdcChunks(col("text"))).as("chunk"))
@@ -640,9 +641,7 @@ object Dedup {
         length(col("ln")).cast("bigint").as("llen"))
 
   private def lineRel(s: SparkSession, dir: String): DataFrame =
-    lineRelOf(Tables.load(s, dir, "documents")
-      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id"))))
-      .cachedPersist()
+    lineRelOf(Tables.load(s, dir, "documents")).cachedPersist()
 
   /** The O(distinct lines) occurrence relation over a normalized-line
     * relation — the line-dedup family's only corpus-keyed shuffle
@@ -724,13 +723,7 @@ object Dedup {
       // inferred join-key/Generate filters push the gram expression
       // into the scan and the full tokenize+hash runs ~3x per document
       .cachedPersist()
-    // spread the cached relation before the gram explode: its cached
-    // partitioning is byte-sized (a few MB -> 1-3 partitions) while the
-    // explode multiplies per-row work ~50x — width must follow the
-    // downstream CPU, not the cached bytes (no-op on a wide corpus)
-    val e = docs
-      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
-      .select(col("doc_id"), explode(col("hs")).as("g"))
+    val e = docs.select(col("doc_id"), explode(col("hs")).as("g"))
     val gcnt = e.groupBy("g").agg(count(lit(1)).as("n"))
     val perDoc = e.hint("shuffle_hash").join(gcnt, "g")
       .groupBy("doc_id")
@@ -772,9 +765,7 @@ object Dedup {
         slice(col("raw"), lit(2), greatest(size(col("raw")) - 1, lit(0))).as("gs"))
 
   private def substrGramRel(s: SparkSession, dir: String): DataFrame =
-    substrGramRelOf(Tables.load(s, dir, "documents")
-      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id"))))
-      .cachedPersist()
+    substrGramRelOf(Tables.load(s, dir, "documents")).cachedPersist()
 
   /** Shared per-document removal accounting: which words an ExactSubstr
     * pass cuts. A gram occurrence is removable iff its gram occurs
@@ -799,12 +790,7 @@ object Dedup {
     * instead of re-running it per face (O(removed spans) rows — tiny,
     * and CacheManager dedups only persisted plans). */
   private def substrSpans(s: SparkSession, dir: String): DataFrame =
-    // spread the cached gram relation before the positional explode
-    // (the dd_span_frac rationale: cached partitions are byte-sized,
-    // the explode is the CPU; no-op on a wide corpus)
-    substrSpansOf(substrGramRel(s, dir)
-      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id"))))
-      .cachedPersist()
+    substrSpansOf(substrGramRel(s, dir)).cachedPersist()
 
   private def substrPerDoc(s: SparkSession, dir: String): DataFrame =
     substrPerDocFrom(substrGramRel(s, dir), substrSpans(s, dir))
@@ -938,7 +924,6 @@ object Dedup {
   private def substrTokRel(s: SparkSession, dir: String): DataFrame = {
     val merges = TextAnalysis.trainedMerges(s, dir)
     val toks = Tables.load(s, dir, "documents")
-      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
       .select(col("doc_id"), col("source"),
         posexplode_outer(TextAnalysis.bpeTokens(col("text")))
           .as(Seq("wpos", "w")))
@@ -978,12 +963,7 @@ object Dedup {
     * O(vocabulary) encode dictionary. */
   def ddSubstrTok(s: SparkSession, dir: String): DataFrame = {
     val rel = substrTokRel(s, dir)
-    // spread the cached BPE-gram relation before the positional explode
-    // (the substrSpans rationale; this face's span pass runs per
-    // invocation, so the width matters every time)
-    val wide = rel
-      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
-    substrPerDocFrom(rel, substrSpansOf(wide, TokGramN))
+    substrPerDocFrom(rel, substrSpansOf(rel, TokGramN))
       .select(col("doc_id"),
         col("n_words").as("n_bpe"),
         col("n_spans"),

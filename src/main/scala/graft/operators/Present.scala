@@ -76,8 +76,10 @@ object Present {
     * full-corpus map pass. */
   /** A/B profiling seam for [[spreadSorted]] (independent of
     * [[singlePartition]]): `false` restores the map-then-`.orderBy`
-    * plan so a same-session harness can measure the spread's worth. */
-  @volatile var spreadScan: Boolean = true
+    * plan so a same-session harness can measure the spread's worth
+    * (env hook: SPARK_GRAFT_NO_SPREADSORT=1). */
+  @volatile var spreadScan: Boolean =
+    !sys.env.get("SPARK_GRAFT_NO_SPREADSORT").contains("1")
 
   def spreadSorted(first: String, rest: String*)(df: DataFrame): DataFrame = {
     val keys = (first +: rest).map(org.apache.spark.sql.functions.col)

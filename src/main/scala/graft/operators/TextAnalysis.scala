@@ -58,7 +58,6 @@ object TextAnalysis {
     // isnotnull/size>0 copy of the tokenizer into the scan (the plan gate
     // catches the duplication); a non-attribute generator input is exempt
     val wc = Tables.load(s, dir, "documents")
-      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
       .select(col("doc_id"), explode(org.apache.spark.sql.graftexpr
         .TextExpressions.wordNgrams(col("text"), 1)).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
@@ -182,7 +181,6 @@ object TextAnalysis {
     * phrases and a 20-row head, not token occurrences. */
   def txtNgramTop(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
       .select(explode(org.apache.spark.sql.graftexpr.TextExpressions
         .wordNgrams(col("text"), 2)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n"))
@@ -200,7 +198,6 @@ object TextAnalysis {
   def txtZipfTop(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val freq = Tables.load(s, dir, "documents")
-      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
       .select(explode(org.apache.spark.sql.graftexpr.TextExpressions
         .wordNgrams(col("text"), 1)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -225,7 +222,6 @@ object TextAnalysis {
     * the O(distinct) shuffle; the head is a TakeOrderedAndProject. */
   def txtDocfreq(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
       .select(explode(array_distinct(
         org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1)))
         .as("token"))
@@ -261,7 +257,6 @@ object TextAnalysis {
     * across libm implementations). */
   def txtTfidfTop(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables.load(s, dir, "documents")
-      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
       .select(col("doc_id"), explode(org.apache.spark.sql.graftexpr.TextExpressions
         .wordNgrams(col("text"), 1)).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -300,10 +295,7 @@ object TextAnalysis {
   def txtHashTf(s: SparkSession, dir: String): DataFrame = {
     val tok = col("tok")
     val bucket = pmod(hash(tok), lit(HashTfBuckets))
-    Tables.load(s, dir, "documents")
-      .transform(Tables.spreadIfNarrow(s, dir, "documents", col("doc_id")))
-      .withColumn("tk",
-        org.apache.spark.sql.graftexpr.TextExpressions.wordNgrams(col("text"), 1))
+    withTokens(s, dir)
       // explode_OUTER + null filter == explode, but without the
       // inferred size(tk)>0 / isnotnull(tk) predicates that push into
       // the scan with the tokenizer expression inlined (tokenization

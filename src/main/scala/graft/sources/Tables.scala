@@ -84,50 +84,16 @@ object Tables {
     }
   }
 
-  private val bytesCache =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
-
-  /** Total on-disk bytes of a table's files (−1 when unlistable),
-    * memoized per path — one listing per process, not per query. */
-  def tableBytes(spark: SparkSession, dir: String, name: String): Long =
-    bytesCache.getOrElseUpdate(s"$dir/$name.parquet", {
-      import org.apache.hadoop.fs.{FileStatus, Path}
-      try {
-        val root = new Path(s"$dir/$name.parquet")
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        def walk(st: FileStatus): Long =
-          if (st.isDirectory) fs.listStatus(st.getPath).map(walk).sum
-          else st.getLen
-        walk(fs.getFileStatus(root))
-      } catch { case scala.util.control.NonFatal(_) => -1L }
-    })
-
-  /** True when `name`'s scan cannot parallelize itself: total bytes
-    * under one default split (128 MB) means a handful of splits at
-    * best — and the shipped single-row-group files are ONE effective
-    * split regardless of split math, so a CPU-heavy kernel pass
-    * downstream runs serial. At corpus scale (many row groups / files)
-    * this is false and the caller's explicit spread — which would be a
-    * corpus-scale shuffle there — never happens (guide §2: derive
-    * partitioning from input size, not a constant). Unlistable paths
-    * report false (never add a shuffle on unknown data). */
-  def narrowScan(spark: SparkSession, dir: String, name: String): Boolean = {
-    val b = tableBytes(spark, dir, name)
-    b >= 0 && b <= 128L * 1024 * 1024
-  }
-
-  /** Scale-adaptive spread for a CPU-heavy kernel pass whose input
-    * derives from table `name`: an explicit hash repartition on `key`
-    * when the scan is narrow (see [[narrowScan]]), a no-op when the
-    * source already arrives in many splits. The width is pinned to
-    * defaultParallelism — the pass is CPU-bound, so width follows
-    * cores; AQE's byte-targeted coalescing would fold a few MB of text
-    * back to one partition. */
-  def spreadIfNarrow(spark: SparkSession, dir: String, name: String,
-      key: org.apache.spark.sql.Column)(df: DataFrame): DataFrame =
-    if (narrowScan(spark, dir, name))
-      df.repartition(spark.sparkContext.defaultParallelism, key)
-    else df
+  // NOTE (r21): a "spreadIfNarrow" helper (explicit
+  // defaultParallelism-width repartition before CPU-heavy kernel passes
+  // when the source scan fits one split) was built and then REVERTED on
+  // measurement: the explicit width disables AQE coalescing and
+  // over-splits the tiny local relations, and a paired A/B
+  // (SPARK_GRAFT_NO_SPREAD seam) measured every converted query SLOWER
+  // with it (txt_docfreq 0.84 vs 0.34 s warm, dd_cdc_chunks 0.93 vs
+  // 0.41, dd_substr_tok 2.77 vs 1.67). The surviving spreads are the
+  // two AQE-coalescible `.repartition(col("doc_id"))` calls in
+  // Dedup.scala that pre-dated the experiment.
 
   /** Schema-checked CSV reader (header + explicit schema: never infer on
     * a 100 TB source — inference is a full extra pass). */
