@@ -1474,7 +1474,7 @@ object Pipeline {
     * training scheduler reads. */
   def pipeCurriculum(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val q = TextAnalysis.txtQuality(s, dir)
+    val q = TextAnalysis.qualityScores(s, dir)
       .select(col("doc_id"), col("n_tokens"),
         floor(col("score") * 1000).cast("bigint").as("sq"))
     val hist = q.groupBy("sq")
@@ -1512,7 +1512,7 @@ object Pipeline {
     * and exact milli-quantized quality mass kept vs total. */
   def smpWeighted(s: SparkSession, dir: String): DataFrame = {
     val pp = Relational.SkP.toDouble * Relational.SkP.toDouble
-    val q = TextAnalysis.txtQuality(s, dir).select(col("doc_id"), col("score"))
+    val q = TextAnalysis.qualityScores(s, dir).select(col("doc_id"), col("score"))
     val docs = Tables.load(s, dir, "documents").select("doc_id", "source")
     val keep = Relational.permHash62(col("doc_id")) <
       floor(col("score") * lit(pp)).cast("bigint")

@@ -71,18 +71,31 @@ object TextAnalysis {
   }
 
   /** Quality scoring: stopword ratio, mean token length, composite score. */
-  def txtQuality(s: SparkSession, dir: String): DataFrame = {
+  /** The quality columns over a tokenized relation — shared by
+    * [[txtQuality]] (sorted per-doc serving face) and the downstream
+    * consumers (pipe_curriculum, smp_weighted), which AGGREGATE the
+    * scores and must not inherit the serving face's range exchange
+    * (the langidPred split — r21: the inherited spread made
+    * pipe_curriculum pay the exchange + kernel twice). */
+  private def qualityCols(docs: DataFrame): DataFrame = {
     val nTok = size(col("tk")).cast("double")
     val stop = hitCount(col("tk"), STOP_EN).cast("double")
     val charSum = org.apache.spark.sql.graftexpr.TextExpressions.tokenCharSum(col("tk"))
-    withTokensSorted(s, dir).select(
+    docs.select(
       col("doc_id"),
       size(col("tk")).cast("bigint").as("n_tokens"),
       (stop / nTok).as("stop_ratio"),
       (charSum.cast("double") / nTok).as("mean_tok_len"),
       ((stop / nTok) * 0.3 + least(charSum.cast("double") / nTok / 10.0, lit(1.0)) * 0.7).as("score"))
-      .transform(Present.spreadSortedTail("doc_id"))
   }
+
+  /** Order-free twin of [[txtQuality]] for aggregate consumers. */
+  private[operators] def qualityScores(s: SparkSession, dir: String): DataFrame =
+    qualityCols(withTokens(s, dir))
+
+  def txtQuality(s: SparkSession, dir: String): DataFrame =
+    qualityCols(withTokensSorted(s, dir))
+      .transform(Present.spreadSortedTail("doc_id"))
 
   /** The language-ID prediction columns over a tokenized relation —
     * shared by [[txtLangid]] (sorted per-doc face) and
